@@ -1,0 +1,22 @@
+"""eget_spark — a PySpark-native crawl-analytics engine.
+
+A from-scratch reimplementation of the query / data-processing capabilities
+of `vishwajeetdabholkar/eGet-Crawler-for-ai` (reference at /root/reference,
+snapshot 2025-09-12) as declarative Spark DataFrame dataflow:
+
+- URL-frontier BFS crawl loop with first-seen dedup, depth/page budgets,
+  regex include/exclude filters and robots.txt politeness
+  (reference: services/crawler/{crawler_service,queue_manager,link_extractor}.py)
+- interleaved text+media document model:
+  ``doc_id:string, spans:array<struct<kind,text,media_ref,offset>>``
+- span -> markdown assembly, metadata extraction, semantic & sentence
+  chunking, PDF/DOCX/XLSX -> span converters
+- scale extensions: Bloom-filtered seen-set, per-host politeness scheduling
+  with skew salting, exact/minhash/simhash dedup, ANN similarity search.
+
+Everything is DataFrame/SQL-first; Python only ever runs inside
+Arrow-vectorized pandas UDFs (`pandas_udf` / `applyInPandas` /
+`mapInPandas`) — no row-at-a-time UDFs, no RDD maps.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,179 @@
+"""Text operators: markdown/text cleaning (X6/X11/X16) and the
+training-data analysis suite (language-ID, quality scoring, token counting,
+fingerprinting).
+
+Cleaning parity notes:
+- `clean_markdown` reproduces the reference chunker's cleaning
+  (/root/reference/services/chunker/chunk_service.py:27-63) **including its
+  quirk**: the first pass replaces ALL whitespace (`\\s+` -> ' '), which
+  destroys newlines before the newline-dependent fixes run (SURVEY.md X11).
+  Expressed as a native regexp_replace chain — order-preserving, zero
+  Python.
+- `clean_text` reproduces the converters' cleanup
+  (/root/reference/services/converters/base_converter.py:35-53): strip
+  Unicode control chars (category C*), collapse non-newline whitespace,
+  cap consecutive newlines at 2, strip each line.
+
+Analysis operators are pure column expressions (JVM-side, codegen'd) except
+where noted; each has an exact ANSI-SQL oracle in `__spark_entry__.py`.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Cleaning
+# ---------------------------------------------------------------------------
+
+
+def clean_markdown(md: Column) -> Column:
+    """X11 (chunk_service.py:27-63), exact pass order:
+    1. \\s+ -> ' '   (destroys newlines — reference quirk, kept)
+    2. (#{1,6})([^#\\s]) -> '\\1 \\2'
+    3. \\n{3,} -> '\\n\\n'   (no-op after 1, kept for parity)
+    4. (\\n\\s*)-([^\\s]) -> '\\1- \\2'   (no-op after 1)
+    5. strip HTML comments
+    6. &nbsp; and \\xa0 -> ' '
+    7. rstrip each line
+    """
+    c = F.regexp_replace(md, r"\s+", " ")
+    c = F.regexp_replace(c, r"(#{1,6})([^#\s])", r"$1 $2")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    c = F.regexp_replace(c, r"(\n\s*)-([^\s])", r"$1- $2")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", "")
+    c = F.regexp_replace(c, r"&nbsp;", " ")
+    c = F.regexp_replace(c, "\xa0", " ")
+    c = F.regexp_replace(c, r"[ \t]+(\n|$)", r"$1")
+    return c
+
+
+@F.pandas_udf(T.StringType())
+def _strip_control_udf(s: pd.Series) -> pd.Series:
+    def one(x):
+        if x is None:
+            return None
+        return "".join(
+            ch for ch in x if ch == "\n" or not unicodedata.category(ch).startswith("C")
+        )
+
+    return s.map(one)
+
+
+def clean_text(text: Column) -> Column:
+    """X16 (base_converter.py:35-53): control-char strip (pandas UDF — the
+    unicodedata pass), collapse spaces/tabs, cap newlines at 2, strip lines."""
+    c = _strip_control_udf(text)
+    c = F.regexp_replace(c, r"[ \t\f\v]+", " ")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    c = F.regexp_replace(c, r"(?m)^[ ]+|[ ]+$", "")
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Training-data text analysis (all native column expressions)
+# ---------------------------------------------------------------------------
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language ID. Public common-word lists; deterministic and SQL-expressible.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+    "zh": ["de5", "shi4", "zhe4", "na4", "ge4"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (A4 analogue: semantic_chunker.py:160
+    `content.split()`)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: count alpha runs, single digits, and single
+    non-space punctuation — the common pre-tokenizer regex family."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Marker-word hit count for one language (stopword-ratio heuristic)."""
+    toks = tokens(F.lower(text))
+    score = F.lit(0)
+    for m in LANG_MARKERS[lang]:
+        score = score + F.size(F.filter(toks, lambda t: t == F.lit(m)))
+    return score
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax marker-hit count, ties -> 'und' ordering
+    by language code; 'und' when no marker hits at all."""
+    scores = [(lang, lang_score(text, lang)) for lang in sorted(LANG_MARKERS)]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # first language (in sorted order) achieving the max wins
+    for lang, s in reversed(scores):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
+
+
+def quality_score(text: Column) -> Column:
+    """Quality heuristic in [0,1]: blends length, alpha ratio, punctuation
+    density, mean word length sanity, and repetition (unique-token ratio).
+    Pure arithmetic — identical formula in the SQL oracle."""
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_toks = token_count(text)
+    n_alpha = n_chars - F.length(F.regexp_replace(text, r"[A-Za-z]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    mean_word_len = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(
+        n_toks > 0, F.size(F.array_distinct(toks)) / n_toks
+    ).otherwise(F.lit(0.0))
+    len_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_term = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_term = F.when(
+        n_chars > 0, F.least(n_punct / n_chars * 20.0, F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    word_len_term = F.when(
+        (mean_word_len >= 3.0) & (mean_word_len <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return F.round(
+        0.3 * len_term + 0.25 * alpha_term + 0.15 * punct_term
+        + 0.15 * word_len_term + 0.15 * uniq_ratio,
+        6,
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (array<string>), the dedup/fingerprint unit."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def fingerprint(text: Column, k: int = 3) -> Column:
+    """Document fingerprint: min md5 over k-shingles (min-wise independent
+    permutation of one hash — the winnowing-lite/minhash-1 fingerprint)."""
+    return F.array_min(F.transform(shingles(text, k), lambda s: F.md5(s)))
+
+
+def read_time_minutes(text: Column) -> Column:
+    """X13 estimated_read_time = max(1, words // 200)
+    (semantic_chunker.py:214)."""
+    return F.greatest(F.lit(1), F.floor(token_count(text) / 200)).cast("int")

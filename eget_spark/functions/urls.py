@@ -1,0 +1,88 @@
+"""URL operators: normalization (F1), host extraction (F2 input),
+canonical hashing (X15/X17).
+
+Reference semantics:
+- normalization: ``urljoin(base, href)`` then strip fragment/params/query,
+  ``None`` on parse failure — /root/reference/services/crawler/link_extractor.py:48-67
+- cache key: ``sha256("url|{sorted options json}")`` —
+  /root/reference/services/cache/cache_service.py:37-55
+
+Two implementations of normalization are provided:
+- `normalize_url` — Arrow-vectorized pandas UDF running the exact urllib
+  logic (batch loop over a pd.Series; urllib is the reference's own parser,
+  so this path is bit-exact, including its edge cases).
+- `normalize_absolute_expr` — pure column expression fast path for hrefs
+  already known to be absolute http(s) URLs (strips fragment then query);
+  stays inside whole-stage codegen, used on the hot path when the corpus
+  guarantees absolute links.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _normalize_one(href: str | None, base: str | None) -> str | None:
+    if href is None:
+        return None
+    try:
+        parsed = urlparse(urljoin(base or "", href))
+        return parsed._replace(fragment="", params="", query="").geturl()
+    except (ValueError, AttributeError):
+        return None
+
+
+@F.pandas_udf(T.StringType())
+def _normalize_udf(href: pd.Series, base: pd.Series) -> pd.Series:
+    # cache per batch: crawl batches repeat (base, href) prefixes heavily
+    memo: dict[tuple, str | None] = {}
+    out = []
+    for h, b in zip(href, base):
+        key = (h, b)
+        if key not in memo:
+            memo[key] = _normalize_one(h, b)
+        out.append(memo[key])
+    return pd.Series(out, dtype=object)
+
+
+def normalize_url(href: Column, base: Column) -> Column:
+    """F1: exact reference normalization (link_extractor.py:48-67)."""
+    return _normalize_udf(href, base)
+
+
+def normalize_absolute_expr(url: Column) -> Column:
+    """F1 fast path for absolute http(s) URLs: drop #fragment and ?query.
+
+    Equivalent to the urllib path whenever the input is already an absolute
+    URL without ;params — guaranteed for engine-emitted doc_ids.
+    """
+    return F.regexp_replace(url, r"[#?].*$", "")
+
+
+def host_of(url: Column) -> Column:
+    """netloc extraction (link_extractor.py:23 `urlparse(url).netloc`).
+
+    `parse_url(url,'HOST')` drops the port; the reference compares full
+    netloc (incl. port/userinfo), so extract the authority component
+    natively instead.
+    """
+    return F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1)
+
+
+def path_of(url: Column) -> Column:
+    return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+
+
+def cache_key(url: Column, options_json: Column) -> Column:
+    """X15: sha256 of 'url|options_json' (cache_service.py:37-55)."""
+    return F.sha2(F.concat_ws("|", url, options_json), 256)
+
+
+def url_hash64(url: Column) -> Column:
+    """X17: 64-bit partition/bloom key for a canonical URL."""
+    return F.xxhash64(url)

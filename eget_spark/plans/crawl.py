@@ -1,0 +1,373 @@
+"""The crawl loop: iterative BFS frontier expansion (SURVEY.md §2.10).
+
+Re-expresses the reference's asyncio loop
+(/root/reference/services/crawler/crawler_service.py:91-184 +
+queue_manager.py:34-83) as a driver-side loop over DataFrames; each round is
+
+    fetch-join (J1) -> link harvest (X1) -> normalize (F1) ->
+    filter chain (F2-F5) -> depth/page gates (F6/F7) ->
+    intra-round dedup (D2/D3) -> seen anti-join (J4/D1) ->
+    admission sequencing -> politeness schedule (O3) -> append sinks (S6)
+
+Determinism contract (SURVEY.md §2.10): the reference's observable order is
+reproducible only with one worker and sorted link iteration; under that
+contract the crawl is exact FIFO BFS with first-seen-wins admission and the
+``len(seen) < max_pages`` cap applied at *admission* (queue_manager.py:49).
+The engine reproduces it exactly:
+
+- per-parent link sets sorted => candidate order (parent_seq, url)
+- first-seen-wins across parents => min parent_seq wins (row_number)
+- global admission sequence => exact distributed rank (sequence.py), so a
+  candidate is admitted iff its 0-based seq < max_pages
+
+Scale notes (the 10^10 story):
+- fetch join shuffles on url — uniform (xxhash of url), hot hosts do not
+  skew it; the only host-keyed operator is the politeness window, which is
+  salted (politeness.py)
+- seen membership: Bloom pre-filter + exact anti-join (seen.py)
+- every round ends in eager localCheckpoint (table mode: parquet append)
+  so plan lineage stays O(1) across rounds — the Iceberg-append analogue;
+  with Iceberg jars on the classpath the same writes become
+  ``writeTo(...).append()`` snapshots (import-gated, see plans/tables.py)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.spans import assemble_markdown, link_targets
+from ..functions.urls import host_of, normalize_url
+from ..operators.links import robots_allowed, should_include
+from ..operators.politeness import schedule_round
+from ..operators.seen import BloomFilter, anti_join_seen, build_bloom
+from ..operators.sequence import with_global_seq
+
+FRONTIER_COLS = ["url", "host", "depth", "parent_url", "seq"]
+
+
+@dataclass
+class CrawlConfig:
+    """Mirrors CrawlerRequest (models/crawler_request.py:19-25) + engine knobs."""
+
+    seed_urls: list[str]
+    max_depth: int = 3
+    max_pages: int = 100
+    exclude_patterns: list[str] = field(default_factory=list)
+    include_patterns: list[str] = field(default_factory=list)
+    respect_robots_txt: bool = True
+    # engine extensions
+    round_window: float = 10.0  # politeness budget horizon per round
+    use_bloom: bool = False
+    bloom_fpp: float = 0.01
+    broadcast_rows: int = 500_000  # frontier under this -> broadcast fetch join
+    max_rounds: int = 10_000
+    salt_threshold: int = 100_000
+
+    @property
+    def base_domain(self) -> str:
+        from urllib.parse import urlparse
+
+        return urlparse(self.seed_urls[0]).netloc
+
+
+@dataclass
+class RoundStats:
+    round: int
+    attempted: int
+    success: int
+    failed: int
+    admitted: int
+    deferred: int
+    seen_total: int
+    success_total: int
+    duration_sec: float
+
+
+@dataclass
+class CrawlResult:
+    pages: DataFrame  # emitted page rows (successes + fetch misses), lineage cols
+    order: DataFrame  # admission order: (seq, url, host, depth, parent_url, round)
+    seen: DataFrame  # final seen set
+    stats: list[RoundStats]
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    out = df.localCheckpoint(eager=True)
+    tmp = getattr(df, "_eget_tmp_persist", None)
+    if tmp is not None:
+        tmp.unpersist()
+    return out
+
+
+def crawl(
+    spark: SparkSession,
+    docs: DataFrame,
+    config: CrawlConfig,
+    robots: DataFrame | None = None,
+    table_dir: str | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    """Run a full crawl of the corpus graph; see module docstring."""
+    if not config.respect_robots_txt:
+        robots_f = None
+    else:
+        robots_f = robots
+
+    if table_dir and resume:
+        state = _load_state(spark, table_dir)
+    else:
+        state = None
+
+    if state is None:
+        # S1 seed ingestion: add_url(url, 0, None) per seed; admission caps apply
+        seeds = [
+            (u, None, 0, None, i)
+            for i, u in enumerate(config.seed_urls[: config.max_pages])
+            if 0 <= config.max_depth
+        ]
+        frontier = spark.createDataFrame(
+            [(u, d, p, s) for (u, _, d, p, s) in seeds],
+            "url string, depth int, parent_url string, seq long",
+        ).withColumn("host", host_of(F.col("url"))).select(FRONTIER_COLS)
+        frontier = _checkpoint(frontier)
+        seen = _checkpoint(frontier.select("url"))
+        admitted_total = len(seeds)
+        success_total = 0
+        round_no = 0
+        stats: list[RoundStats] = []
+        if table_dir:
+            frontier.withColumn("round", F.lit(0)).write.mode("overwrite").parquet(
+                f"{table_dir}/admitted/round=0"
+            )
+            frontier.write.mode("overwrite").parquet(f"{table_dir}/pending/round=0")
+            _write_log(spark, table_dir, 0, 0, 0, 0, len(seeds), 0, admitted_total, 0)
+        pages_parts: list[DataFrame] = []
+        order_parts: list[DataFrame] = [
+            _checkpoint(frontier.withColumn("round", F.lit(0)))
+        ]
+    else:
+        frontier, seen, admitted_total, success_total, round_no, stats = state
+        pages_parts = []
+        order_parts = []
+
+    bloom: BloomFilter | None = None
+    if config.use_bloom:
+        bloom = build_bloom(seen, "url", expected=max(config.max_pages, 1024), fpp=config.bloom_fpp)
+
+    frontier_count = frontier.count()
+
+    while frontier_count > 0 and success_total < config.max_pages and round_no < config.max_rounds:
+        round_no += 1
+        t0 = time.monotonic()
+
+        # O3: politeness split
+        fetch_now, deferred = schedule_round(
+            frontier, robots_f, config.round_window, config.salt_threshold
+        )
+
+        # J1: fetch = join frontier against the corpus ("the corpus IS the
+        # network"); broadcast the frontier side when small
+        if frontier_count <= config.broadcast_rows:
+            hits = docs.join(
+                F.broadcast(fetch_now), docs["doc_id"] == fetch_now["url"], "inner"
+            ).drop("doc_id")
+            misses = fetch_now.join(
+                F.broadcast(hits.select("url")), "url", "left_anti"
+            )
+        else:
+            joined = fetch_now.join(docs, fetch_now["url"] == docs["doc_id"], "left")
+            hits = joined.where(F.col("doc_id").isNotNull()).drop("doc_id")
+            misses = joined.where(F.col("doc_id").isNull()).select(
+                *[fetch_now[c] for c in FRONTIER_COLS]
+            )
+
+        hits = _checkpoint(
+            hits.select(
+                "url", fetch_now["host"], "depth", "parent_url", "seq", "spans"
+            )
+        )
+        attempted = fetch_now.count()
+        success = hits.count()
+        failed = attempted - success
+        success_total += success
+
+        # S6: emitted page rows (markdown assembled at emit time, X7)
+        emitted = hits.select(
+            "url", "host", "depth", "parent_url", "seq",
+            F.lit(round_no).alias("round"),
+            F.lit("ok").alias("status"),
+            assemble_markdown(F.col("spans")).alias("markdown"),
+            "spans",
+        ).unionByName(
+            misses.select(
+                "url", "host", "depth", "parent_url", "seq",
+                F.lit(round_no).alias("round"),
+                F.lit("missing").alias("status"),
+                F.lit(None).cast("string").alias("markdown"),
+                F.lit(None).cast(docs.schema["spans"].dataType).alias("spans"),
+            )
+        )
+        if table_dir:
+            emitted.withColumn("partition_id", F.spark_partition_id()).write.mode(
+                "overwrite"
+            ).parquet(f"{table_dir}/docs/round={round_no}")
+            emitted = spark.read.parquet(f"{table_dir}/docs/round={round_no}").drop(
+                "partition_id"
+            )
+        else:
+            emitted = _checkpoint(emitted)
+        pages_parts.append(emitted)
+
+        # X1 + F1-F5: harvest, normalize, filter
+        parents = hits.where(F.col("depth") < config.max_depth)
+        kids = parents.select(
+            F.col("url").alias("base"),
+            F.col("seq").alias("parent_seq"),
+            F.col("depth").alias("parent_depth"),
+            F.explode(link_targets(F.col("spans"))).alias("href"),
+        )
+        kids = kids.withColumn(
+            "url", normalize_url(F.col("href"), F.col("base"))
+        ).where(F.col("url").isNotNull())
+        kids = kids.where(
+            should_include(
+                F.col("url"),
+                config.base_domain,
+                config.exclude_patterns,
+                config.include_patterns,
+            )
+        )
+        kids = robots_allowed(kids, robots_f, config.respect_robots_txt)
+
+        # D2 per-page set semantics + D3 first-seen-wins across parents
+        kids = kids.dropDuplicates(["parent_seq", "url"])
+        w = Window.partitionBy("url").orderBy("parent_seq")
+        kids = (
+            kids.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "href")
+        )
+
+        # J4/D1: not yet seen
+        kids = anti_join_seen(kids, seen, "url", bloom=bloom)
+
+        # F7 + O1: global admission sequence; admit while seq < max_pages
+        kids = with_global_seq(kids, ["parent_seq", "url"], start=admitted_total)
+        admitted = kids.where(F.col("seq") < config.max_pages).select(
+            F.col("url"),
+            host_of(F.col("url")).alias("host"),
+            (F.col("parent_depth") + 1).alias("depth"),
+            F.col("base").alias("parent_url"),
+            F.col("seq"),
+        )
+        admitted = _checkpoint(admitted)
+        n_admitted = admitted.count()
+        admitted_total += n_admitted
+        if bloom is not None:
+            if n_admitted <= 1_000_000:
+                # small delta: fold admitted URLs into the running filter
+                bloom.add_many(
+                    r["url"] for r in admitted.select("url").collect()
+                )
+            else:
+                bloom = None  # huge delta: rebuild distributed from seen below
+        seen = _checkpoint(seen.unionByName(admitted.select("url")))
+        if bloom is None and config.use_bloom:
+            bloom = build_bloom(seen, "url", expected=max(admitted_total * 2, 1024), fpp=config.bloom_fpp)
+
+        order_parts.append(_checkpoint(admitted.withColumn("round", F.lit(round_no))))
+
+        frontier = _checkpoint(deferred.select(FRONTIER_COLS).unionByName(admitted))
+        frontier_count = frontier.count()
+        n_deferred = frontier_count - n_admitted
+
+        stats.append(
+            RoundStats(
+                round_no, attempted, success, failed, n_admitted, n_deferred,
+                admitted_total, success_total, time.monotonic() - t0,
+            )
+        )
+        if table_dir:
+            admitted.withColumn("round", F.lit(round_no)).write.mode("overwrite").parquet(
+                f"{table_dir}/admitted/round={round_no}"
+            )
+            frontier.write.mode("overwrite").parquet(f"{table_dir}/pending/round={round_no}")
+            _write_log(
+                spark, table_dir, round_no, attempted, success, failed,
+                n_admitted, n_deferred, admitted_total, success_total,
+            )
+
+    pages = pages_parts[0] if len(pages_parts) == 1 else _union_all(pages_parts)
+    if not pages_parts:
+        pages = spark.createDataFrame(
+            [],
+            "url string, host string, depth int, parent_url string, seq long, "
+            "round int, status string, markdown string",
+        ).withColumn("spans", F.lit(None).cast(docs.schema["spans"].dataType))
+    order = _union_all(order_parts) if order_parts else None
+    if order is None and table_dir:
+        order = spark.read.option("basePath", f"{table_dir}/admitted").parquet(
+            f"{table_dir}/admitted/round=*"
+        )
+    if table_dir and not pages_parts:
+        pages = spark.read.option("basePath", f"{table_dir}/docs").parquet(
+            f"{table_dir}/docs/round=*"
+        ).drop("partition_id")
+    return CrawlResult(pages=pages, order=order, seen=seen, stats=stats)
+
+
+def _union_all(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_LOG_SCHEMA = (
+    "round int, attempted long, success long, failed long, admitted long, "
+    "deferred long, admitted_total long, success_total long"
+)
+
+
+def _write_log(spark, table_dir, r, att, suc, fail, adm, defer, adm_tot, suc_tot):
+    spark.createDataFrame(
+        [(r, att, suc, fail, adm, defer, adm_tot, suc_tot)], _LOG_SCHEMA
+    ).write.mode("overwrite").parquet(f"{table_dir}/log/round={r}")
+
+
+def _load_state(spark: SparkSession, table_dir: str):
+    """Resume from the latest committed round (log row = commit marker)."""
+    try:
+        log = spark.read.option("basePath", f"{table_dir}/log").parquet(
+            f"{table_dir}/log/round=*"
+        )
+    except Exception:
+        return None
+    rows = log.orderBy("round").collect()
+    if not rows:
+        return None
+    last = rows[-1]
+    r = last["round"]
+    frontier = _checkpoint(
+        spark.read.parquet(f"{table_dir}/pending/round={r}").select(FRONTIER_COLS)
+    )
+    seen = _checkpoint(
+        spark.read.option("basePath", f"{table_dir}/admitted")
+        .parquet(f"{table_dir}/admitted/round=*")
+        .where(F.col("round") <= r)
+        .select("url")
+    )
+    stats = [
+        RoundStats(
+            x["round"], x["attempted"], x["success"], x["failed"], x["admitted"],
+            x["deferred"], x["admitted_total"], x["success_total"], 0.0,
+        )
+        for x in rows
+        if x["round"] > 0
+    ]
+    return frontier, seen, last["admitted_total"], last["success_total"], r, stats

@@ -1,0 +1,156 @@
+"""Crawl-order, seen-set, span-sequence and stats equality vs the oracle
+(SURVEY.md §5.2-5.3) across config variants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eget_spark.plans.crawl import CrawlConfig, crawl
+from eget_spark.synth import doc_url
+from tests.oracle import OracleConfig, oracle_crawl, oracle_markdown
+
+SEED = doc_url(0, 0)
+
+
+def run_both(spark, docs_small, corpus_small, robots_df, robots_dict, **kw):
+    cfg = CrawlConfig(seed_urls=[SEED], **kw)
+    ocfg = OracleConfig(seed_urls=[SEED], **kw)
+    res = crawl(spark, docs_small, cfg, robots=robots_df)
+    ores = oracle_crawl(corpus_small, ocfg, robots=robots_dict)
+    return res, ores
+
+
+def assert_equal(res, ores):
+    got_order = [
+        (r["seq"], r["url"], r["depth"], r["parent_url"])
+        for r in res.order.orderBy("seq").collect()
+    ]
+    want_order = [(s, u, d, p) for (s, u, d, p, _) in ores.order]
+    assert got_order == want_order
+    got_seen = {r["url"] for r in res.seen.collect()}
+    assert got_seen == ores.seen
+    ok = sum(1 for r in res.pages.collect() if r["status"] == "ok")
+    assert ok == ores.success_count
+    assert res.pages.count() - ok == ores.failed_count
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(max_depth=2, max_pages=100),
+        dict(max_depth=3, max_pages=50),  # max_pages truncation mid-round
+        dict(max_depth=1, max_pages=10),
+        dict(max_depth=3, max_pages=80, exclude_patterns=[r"/p/000[0-4]\d$"]),
+        dict(max_depth=3, max_pages=60, include_patterns=[r"/p/\d+$"]),
+        dict(
+            max_depth=2,
+            max_pages=120,
+            exclude_patterns=[r"/p/.*9$"],
+            include_patterns=[r"/p/0\d+"],
+        ),
+        dict(max_depth=2, max_pages=100, respect_robots_txt=False),
+    ],
+)
+def test_crawl_matches_oracle(
+    spark, docs_small, corpus_small, robots_small, robots_dict, kw
+):
+    res, ores = run_both(spark, docs_small, corpus_small, robots_small, robots_dict, **kw)
+    assert_equal(res, ores)
+
+
+def test_crawl_robots_disallow(spark, docs_small, corpus_small, robots_small, robots_dict):
+    """Seed on h1 whose robots disallows /p/0001 (pages 00010-00019)."""
+    seed = doc_url(1, 0)
+    cfg = CrawlConfig(seed_urls=[seed], max_depth=3, max_pages=100)
+    res = crawl(spark, docs_small, cfg, robots=robots_small)
+    ores = oracle_crawl(
+        corpus_small,
+        OracleConfig(seed_urls=[seed], max_depth=3, max_pages=100),
+        robots=robots_dict,
+    )
+    assert_equal(res, ores)
+    for r in res.seen.collect():
+        assert "/p/0001" not in r["url"][len("https://h1.example.com"):][:7] or r["url"] == seed
+
+
+def test_crawl_politeness_budget(spark, docs_small, corpus_small, robots_small, robots_dict):
+    """Seed on h2 (crawl_delay=0.5 -> budget 20/round at window 10s):
+    deferred URLs carry over with original seq; final result identical."""
+    seed = doc_url(2, 0)
+    kw = dict(max_depth=3, max_pages=40, round_window=5.0)  # budget 10/round
+    cfg = CrawlConfig(seed_urls=[seed], **kw)
+    res = crawl(spark, docs_small, cfg, robots=robots_small)
+    ores = oracle_crawl(
+        corpus_small, OracleConfig(seed_urls=[seed], **kw), robots=robots_dict
+    )
+    assert_equal(res, ores)
+    # politeness actually bit: more rounds than the BFS depth
+    assert len(res.stats) > 3
+
+
+def test_crawl_span_sequences_match_corpus(spark, docs_small, corpus_small, robots_small):
+    """input_hint invariant: every emitted doc's (kind,text,media_ref,offset)
+    sequence equals the corpus ground truth, and markdown equals the oracle
+    render."""
+    cfg = CrawlConfig(seed_urls=[SEED], max_depth=2, max_pages=60)
+    res = crawl(spark, docs_small, cfg, robots=robots_small)
+    rows = res.pages.where(F.col("status") == "ok").select(
+        "url", "spans", "markdown"
+    ).collect()
+    assert rows
+    for r in rows:
+        want = corpus_small[r["url"]]
+        got = [s.asDict() for s in r["spans"]]
+        assert sorted(got, key=lambda s: s["offset"]) == sorted(
+            want, key=lambda s: s["offset"]
+        )
+        assert r["markdown"] == oracle_markdown(want)
+
+
+def test_crawl_bloom_equals_exact(spark, docs_small, corpus_small, robots_small, robots_dict):
+    kw = dict(max_depth=2, max_pages=100)
+    res_exact, ores = run_both(
+        spark, docs_small, corpus_small, robots_small, robots_dict, **kw
+    )
+    cfg = CrawlConfig(seed_urls=[SEED], use_bloom=True, bloom_fpp=0.2, **kw)
+    res_bloom = crawl(spark, docs_small, cfg, robots=robots_small)
+    assert_equal(res_bloom, ores)
+
+
+def test_crawl_resume_identical(spark, docs_small, robots_small, tmp_path):
+    """Kill after round k, resume from lineage -> identical docs/seen/order
+    (SURVEY.md §5.6)."""
+    kw = dict(max_depth=3, max_pages=80)
+    full = crawl(spark, docs_small, CrawlConfig(seed_urls=[SEED], **kw), robots=robots_small)
+
+    d = str(tmp_path / "run")
+    cfg = CrawlConfig(seed_urls=[SEED], max_rounds=2, **{k: v for k, v in kw.items()})
+    partial = crawl(spark, docs_small, cfg, robots=robots_small, table_dir=d)
+    assert len(partial.stats) == 2
+
+    cfg2 = CrawlConfig(seed_urls=[SEED], **kw)
+    resumed = crawl(spark, docs_small, cfg2, robots=robots_small, table_dir=d, resume=True)
+
+    want_order = [
+        (r["seq"], r["url"], r["depth"], r["parent_url"])
+        for r in full.order.orderBy("seq").collect()
+    ]
+    got_order = [
+        (r["seq"], r["url"], r["depth"], r["parent_url"])
+        for r in spark.read.option("basePath", f"{d}/admitted")
+        .parquet(f"{d}/admitted/round=*")
+        .orderBy("seq")
+        .collect()
+    ]
+    assert got_order == want_order
+    got_seen = {r["url"] for r in resumed.seen.collect()}
+    assert got_seen == {r["url"] for r in full.seen.collect()}
+    full_pages = {
+        (r["url"], r["status"]) for r in full.pages.collect()
+    }
+    resumed_pages = {
+        (r["url"], r["status"])
+        for r in spark.read.option("basePath", f"{d}/docs").parquet(f"{d}/docs/round=*").collect()
+    }
+    assert resumed_pages == full_pages
