@@ -1,0 +1,109 @@
+"""Bench harness (driver contract).
+
+Runs the headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+frontier-expansion crawl bench (the BASELINE.json metric) on the synthetic
+multi-host corpus, and prints ONE JSON line:
+
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "crawl": {...}}
+
+Two-parallelism scaling evidence (N vs 4N executors stand-in) is produced
+by tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_crawl_bfs",
+    "q08_span_assembly",
+    "q09_text_metrics",
+    "q11_quality",
+    "q12_dedup_exact",
+    "q13_minhash_sig",
+    "q14_minhash_lsh_pairs",
+    "q16_simhash",
+    "q21_sessions",
+    "q22_semantic_chunks",
+    "q24_source_counts",
+]
+
+
+def run_crawl_bench(spark, scale: str = "medium", max_pages: int = 30000):
+    """Frontier-expansion throughput: multi-host whole-web crawl over the
+    synthetic corpus; throughput = URLs fetched+extracted / sec."""
+    from eget_spark.plans.crawl import CrawlConfig, crawl
+    from eget_spark.synth import SCALES, build_docs, doc_url
+
+    docs = build_docs(spark, scale, n_partitions=64).persist()
+    docs.count()  # materialize generation outside the timed section
+    spec = SCALES[scale]
+    seeds = [doc_url(i, 0) for i in range(spec.n_hosts)]
+    cfg = CrawlConfig(
+        seed_urls=seeds,
+        max_depth=10,
+        max_pages=max_pages,
+        respect_robots_txt=False,
+        restrict_domain=False,
+        use_bloom=os.environ.get("EGET_BENCH_BLOOM", "0") == "1",
+    )
+    t0 = time.monotonic()
+    res = crawl(spark, docs, cfg, robots=None)
+    wall = time.monotonic() - t0
+    attempted = sum(s.attempted for s in res.stats)
+    docs.unpersist()
+    return {
+        "wall_sec": round(wall, 3),
+        "urls_attempted": attempted,
+        "rounds": len(res.stats),
+        "urls_per_sec": round(attempted / wall, 2),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    import __spark_entry__ as entry
+    from eget_spark.session import get_spark
+
+    spark = get_spark(app_name="eget_bench", cores=cpus, shuffle_partitions=max(cpus, 16))
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    crawl_stats = run_crawl_bench(spark)
+    timings["crawl_frontier"] = crawl_stats["wall_sec"]
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline query wall time + frontier-expansion throughput",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "crawl": crawl_stats,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

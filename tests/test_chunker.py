@@ -1,0 +1,109 @@
+"""Chunker parity: the faithful kernel reproduces the reference's observable
+quirks (SURVEY.md X11/X12, semantic_chunker.py:25-238), and the DataFrame
+wrappers agree with the pure kernels."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eget_spark.functions.text import clean_markdown
+from eget_spark.operators.chunker import (
+    chunk_semantic,
+    semantic_chunks,
+    sentence_chunks,
+)
+
+MD = """preamble line one
+preamble line two
+
+# Title
+
+first paragraph line
+second line
+
+```python
+x = 1
+```
+
+## Sub
+
+- item one
+- item two
+"""
+
+
+def test_faithful_header_drop_and_preamble():
+    chunks = semantic_chunks(MD)
+    contents = [c["content"] for c in chunks]
+    # preamble flushed when '# Title' arrives (current empty, no chunks yet)
+    assert contents[0] == "preamble line one\npreamble line two"
+    # header lines themselves are dropped (truncated reference code)
+    assert not any(c.startswith("#") for c in contents)
+    # code-fence close flushes the whole accumulated buffer as one `code`
+    # chunk — INCLUDING the paragraph lines before the fence (reference
+    # appends the fence to current_content, semantic_chunker.py:51-71)
+    code = [c for c in chunks if c["type"] == "code"]
+    assert len(code) == 1 and code[0]["code_language"] == "python"
+    assert code[0]["content"] == (
+        "first paragraph line\nsecond line\n\n```python\nx = 1\n```"
+    )
+    # no header metadata ever recorded
+    assert all(c["path"] == [] and c["level"] == 0 and c["heading"] is None for c in chunks)
+    # positions are 0..n-1
+    assert [c["position"] for c in chunks] == list(range(len(chunks)))
+
+
+def test_faithful_no_header_loses_preamble():
+    # reference quirk: a document with no headers produces ZERO chunks
+    assert semantic_chunks("just text\nmore text\n") == []
+
+
+def test_track_headers_extension():
+    chunks = semantic_chunks(MD, track_headers=True)
+    sub = [c for c in chunks if c["heading"] == "Sub"]
+    assert sub and sub[0]["path"] == ["Title", "Sub"] and sub[0]["level"] == 2
+    assert sub[0]["type"] == "list" and sub[0]["has_lists"]
+
+
+def test_clean_markdown_destroys_newlines(spark):
+    """X11 quirk: \\s+ -> ' ' first (Python \\s eats \\xa0 runs too), so the
+    output is one line."""
+    df = spark.createDataFrame(
+        [("# a\n\nb &nbsp; c\xa0\xa0d <!-- zap -->e",)], "md string"
+    )
+    got = df.select(clean_markdown(F.col("md")).alias("c")).collect()[0]["c"]
+    assert "\n" not in got
+    assert got == "# a b   c d e"
+
+
+def test_chunk_semantic_wrapper_matches_kernel(spark):
+    rows = [("d1", MD), ("d2", "no headers here\n"), ("d3", "# only header\n")]
+    df = spark.createDataFrame(rows, "doc_id string, markdown string")
+    got = chunk_semantic(df).orderBy("doc_id", "position").collect()
+    want = []
+    for doc_id, md in rows:
+        for c in semantic_chunks(md):
+            want.append((doc_id, c["position"], c["content"], c["type"]))
+    assert [(r["doc_id"], r["position"], r["content"], r["type"]) for r in got] == want
+
+
+def test_sentence_chunks_properties():
+    text = ". ".join(f"sentence number {i} with several extra words" for i in range(200)) + "."
+    chunks = sentence_chunks(text, chunk_size=50, chunk_overlap=10)
+    assert all(c["word_count"] <= 50 + 7 for c in chunks)  # one sentence may overflow
+    assert [c["position"] for c in chunks] == list(range(len(chunks)))
+    # every sentence index appears in at least one chunk (coverage)
+    joined = " ".join(c["content"] for c in chunks)
+    for i in range(200):
+        assert f"sentence number {i} " in joined or f"sentence number {i}." in joined
+    # overlap: each chunk starts with the previous chunk's final sentence
+    for i in range(len(chunks) - 1):
+        last_sentence = chunks[i]["content"].rsplit(". ", 1)[-1]
+        assert chunks[i + 1]["content"].startswith(last_sentence)
+
+
+def test_sentence_chunks_single_short_text():
+    assert sentence_chunks("tiny") == [
+        {"content": "tiny", "position": 0, "word_count": 1, "sentence_count": 1}
+    ]
+    assert sentence_chunks("   ") == []

@@ -89,6 +89,22 @@ def test_crawl_politeness_budget(spark, docs_small, corpus_small, robots_small, 
     assert len(res.stats) > 3
 
 
+def test_crawl_multihost_webscale(spark, docs_small, corpus_small, robots_small, robots_dict):
+    """restrict_domain=False + multi-host seeds: the whole-web fleet mode."""
+    seeds = [doc_url(i, 0) for i in range(4)]
+    kw = dict(max_depth=2, max_pages=150, restrict_domain=False)
+    res = crawl(
+        spark, docs_small, CrawlConfig(seed_urls=seeds, **kw), robots=robots_small
+    )
+    ores = oracle_crawl(
+        corpus_small, OracleConfig(seed_urls=seeds, **kw), robots=robots_dict
+    )
+    assert_equal(res, ores)
+    hosts = {r["host"] for r in res.seen.join(
+        docs_small.select(F.col("doc_id").alias("url"), "host"), "url").collect()}
+    assert len(hosts) > 1  # cross-host links actually followed
+
+
 def test_crawl_span_sequences_match_corpus(spark, docs_small, corpus_small, robots_small):
     """input_hint invariant: every emitted doc's (kind,text,media_ref,offset)
     sequence equals the corpus ground truth, and markdown equals the oracle

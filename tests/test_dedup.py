@@ -1,0 +1,78 @@
+"""Dedup operator correctness on crafted corpora with known duplicates."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from eget_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+NEAR = BASE.replace("quiet", "calm")  # one-token change -> high jaccard
+FAR = "completely different content about spark shuffles and arrow batches here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, NEAR),  # near dup of 0/1
+        (3, FAR),
+        (4, "tiny"),
+        (5, FAR + " with a small suffix appended"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.lower().split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_exact_dedup(docs):
+    got = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs, "id", "text").collect()}
+    assert got[0] == 2  # ids 0,1 collapse, min id kept
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_ngram_jaccard_matches_python(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "id", "text", threshold=0.01).collect()
+    }
+    rows = {r["id"]: r["text"] for r in docs.selectExpr("id", "text").collect()}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        sa, sb = _py_shingles(rows[a]), _py_shingles(rows[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.01:
+            assert (a, b) in got
+            assert abs(got[(a, b)] - round(j, 6)) < 1e-9
+        else:
+            assert (a, b) not in got
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "id", "text", num_hashes=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs  # identical docs share every band
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught by some band
+    assert (0, 3) not in pairs  # unrelated docs don't collide
+
+
+def test_simhash_distance_orders_similarity(docs):
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs, "id", "text", bits=16).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sigs[0] == sigs[1]
+    assert ham(sigs[0], sigs[2]) <= ham(sigs[0], sigs[3])

@@ -1,0 +1,108 @@
+"""Text-analysis operators vs pure-Python ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eget_spark.functions.text import (
+    bpe_ish_token_count,
+    clean_text,
+    fingerprint,
+    lang_id,
+    quality_score,
+    shingles,
+    token_count,
+)
+
+TEXTS = [
+    "the quick brown fox, jumps over!",
+    "der hund und die katze ist da",
+    "",
+    "   ",
+    "one",
+    "a b a b a b",
+    "x" * 600,
+]
+
+
+def _df(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "id long, text string")
+
+
+def test_token_counts(spark):
+    rows = _df(spark).select(
+        "id", token_count(F.col("text")).alias("n")
+    ).collect()
+    for r in rows:
+        assert r["n"] == len(TEXTS[r["id"]].split())
+
+
+def test_bpe_ish_counts(spark):
+    import re
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+    rows = _df(spark).select("id", bpe_ish_token_count(F.col("text")).alias("n")).collect()
+    for r in rows:
+        assert r["n"] == len(pat.findall(TEXTS[r["id"]])), TEXTS[r["id"]]
+
+
+def test_lang_id_markers(spark):
+    rows = {r["id"]: r["l"] for r in _df(spark).select("id", lang_id(F.col("text")).alias("l")).collect()}
+    assert rows[0] == "en"  # 'the'
+    assert rows[1] == "de"  # der/und/die/ist beat everything
+    assert rows[2] == "und" and rows[4] == "und"
+
+
+def test_quality_bounds_and_monotony(spark):
+    rows = {r["id"]: r["q"] for r in _df(spark).select("id", quality_score(F.col("text")).alias("q")).collect()}
+    assert all(0.0 <= q <= 1.0 for q in rows.values() if q is not None)
+    # real sentence scores above empty string and repeated garbage
+    assert rows[0] > rows[2]
+    assert rows[0] > rows[5]
+
+
+def test_shingles_and_fingerprint(spark):
+    rows = _df(spark).select(
+        "id", shingles(F.col("text"), 3).alias("sh"), fingerprint(F.col("text")).alias("fp")
+    ).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[0]["sh"][0] == "the quick brown"
+    assert by_id[4]["sh"] == ["one"]  # < k tokens -> whole text
+    import hashlib
+
+    want = min(
+        hashlib.md5(s.encode()).hexdigest()
+        for s in by_id[0]["sh"]
+    )
+    assert by_id[0]["fp"] == want
+
+
+def test_clean_text_matches_reference():
+    """Engine vs a literal transcription of base_converter._clean_text."""
+    import re as _re
+    import unicodedata as _ud
+
+    def ref_clean(text: str) -> str:
+        if not text:
+            return ""
+        text = "".join(
+            ch if ch in "\n\t" or not _ud.category(ch).startswith("C") else " "
+            for ch in text
+        )
+        text = _re.sub(r"[^\S\n]+", " ", text)
+        text = _re.sub(r"\n{3,}", "\n\n", text)
+        text = "\n".join(line.strip() for line in text.split("\n"))
+        return text.strip()
+
+    cases = [
+        "a\x00b\tc\n\n\n\nd  e\x07",
+        "  leading\nand trailing  \n\xa0\xa0unicode\xa0space  ",
+        "\n\n\nx\n\n\n",
+        "",
+    ]
+    from eget_spark.session import get_spark
+
+    spark = get_spark(cores=4)
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [r["c"] for r in df.select(clean_text(F.col("t")).alias("c")).collect()]
+    assert got == [ref_clean(c) for c in cases]
