@@ -306,8 +306,10 @@ FROM documents
 
 
 def q10_lang_id(spark, sf_dir):
+    from eget_spark.functions.text import lang_id_df
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+    return lang_id_df(docs, "doc_id", "text")
 
 
 def _lang_score_sql(markers: list[str]) -> str:
@@ -582,8 +584,15 @@ SELECT * FROM (
 
 
 def q20_fingerprint(spark, sf_dir):
+    from eget_spark.functions.text import shingle_rows
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint(F.col("text"), k=3).alias("fp"))
+    sh = shingle_rows(docs, "doc_id", "text", k=3)
+    return (
+        sh.groupBy("id")
+        .agg(F.min(F.md5("s")).alias("fp"))
+        .select(F.col("id").alias("doc_id"), "fp")
+    )
 
 
 _Q20_SQL = f"""

@@ -54,8 +54,12 @@ def run_crawl_bench(spark, scale: str = "medium", max_pages: int = 30000):
         restrict_domain=False,
         use_bloom=os.environ.get("EGET_BENCH_BLOOM", "0") == "1",
     )
+    from pyspark.sql import functions as F
+
     t0 = time.monotonic()
     res = crawl(spark, docs, cfg, robots=None)
+    # force full extraction (markdown assembly) — part of the metric
+    res.pages.select(F.sum(F.length("markdown"))).collect()
     wall = time.monotonic() - t0
     attempted = sum(s.attempted for s in res.stats)
     docs.unpersist()

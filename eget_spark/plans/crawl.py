@@ -235,8 +235,9 @@ def crawl(
             emitted = spark.read.parquet(f"{table_dir}/docs/round={round_no}").drop(
                 "partition_id"
             )
-        else:
-            emitted = _checkpoint(emitted)
+        # else: left LAZY over the checkpointed hits/frontier — markdown
+        # assembly (the heaviest UDF) then runs once over the final union
+        # instead of once per round
         pages_parts.append(emitted)
 
         # X1 + F1-F5: harvest, normalize, filter
