@@ -1,0 +1,197 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The engine treats media as `binary` payloads referenced by `media_ref`
+strings from spans (SURVEY.md §1.1 X19; the reference base64-encodes
+screenshots/images — scraper.py:913, file_utils.py:38-75). The Spark-side
+plumbing here is real and tested — schemas, mapInPandas batch shapes,
+deterministic partitioning — while the pixel/sample decode is stubbed:
+PIL/ffmpeg are not in this container, so decoding is import-gated and the
+default codec is a DETERMINISTIC FAKE (documented below) that preserves
+every dataflow property (schema, sizes, determinism) without real codecs.
+
+Fake codec format (synthesized by `synth_media`): payload =
+  b"FAKE" + kind(1B: I/A/V) + width(4B LE) + height(4B LE) + n_frames(4B LE)
+  + blake2b(seed) content bytes
+Decode parses the header; "features" are 16 float32s derived from a
+blake2b XOF of the payload — stable across runs and machines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_MAGIC = b"FAKE"
+_KIND_CODE = {"image": b"I", "audio": b"A", "video": b"V"}
+_CODE_KIND = {v: k for k, v in _KIND_CODE.items()}
+
+
+def encode_fake(kind: str, width: int, height: int, n_frames: int, seed: str) -> bytes:
+    body = hashlib.blake2b(seed.encode(), digest_size=64).digest()
+    return (
+        _MAGIC
+        + _KIND_CODE[kind]
+        + struct.pack("<III", width, height, n_frames)
+        + body
+    )
+
+
+def decode_fake(payload: bytes) -> dict:
+    if payload[:4] != _MAGIC:
+        raise ValueError("not a FAKE media payload")
+    kind = _CODE_KIND[payload[4:5]]
+    width, height, n_frames = struct.unpack("<III", payload[5:17])
+    return {
+        "kind": kind,
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "bytes": len(payload),
+    }
+
+
+def synth_media(spark: SparkSession, n: int = 256, n_partitions: int = 8) -> DataFrame:
+    """Deterministic fake media table keyed media_ref = img://{sha8}
+    (matches the corpus `image` spans' ref format)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = ["image", "audio", "video"][i % 3]
+                w, h, fr = 64 + (i % 8) * 32, 64 + (i % 5) * 32, 1 + (i % 30)
+                payload = encode_fake(kind, w, h, fr, f"media:{i}")
+                ref = f"img://{hashlib.blake2b(str(i).encode(), digest_size=4).hexdigest()}"
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "n_frames": fr,
+                            "bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).repartition(n_partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+DECODED_DDL = (
+    "media_ref string, kind string, width int, height int, n_frames int, bytes long"
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode step as mapInPandas over Arrow batches of binary payloads.
+
+    With PIL present this is where `Image.open(BytesIO(payload))` would
+    run (import-gated); the fake codec keeps the batch shape identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401  (real path, absent here)
+        except ImportError:
+            Image = None
+        for pdf in batches:
+            out = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                d = decode_fake(bytes(payload))
+                d["media_ref"] = ref
+                out.append(d)
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.select("media_ref", "payload").mapInPandas(run, DECODED_DDL)
+
+
+FEATURES_DDL = "media_ref string, features array<float>"
+
+
+def media_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction (embedding) per payload — deterministic blake2b
+    XOF floats standing in for a vision/audio encoder; batch-vectorized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, feats = [], []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                h = hashlib.blake2b(bytes(payload), digest_size=dim * 4).digest()
+                arr = np.frombuffer(h, dtype=np.uint32).astype(np.float32)
+                feats.append((arr / np.float32(2**32)).tolist())
+                refs.append(ref)
+            if refs:
+                yield pd.DataFrame({"media_ref": refs, "features": feats})
+
+    return media.select("media_ref", "payload").mapInPandas(run, FEATURES_DDL)
+
+
+def resize_images(media: DataFrame, max_side: int = 128) -> DataFrame:
+    """X19 resize rule (file_utils.py:38-75: scale = sqrt(max/cur) when
+    oversized) applied to metadata; the pixel op itself is the gated step."""
+    scale = F.sqrt(
+        F.lit(float(max_side))
+        / F.greatest(F.col("meta.width"), F.col("meta.height"))
+    )
+    need = F.greatest(F.col("meta.width"), F.col("meta.height")) > max_side
+    return media.select(
+        "media_ref",
+        "kind",
+        F.when(need, (F.col("meta.width") * scale).cast("int"))
+        .otherwise(F.col("meta.width"))
+        .alias("width"),
+        F.when(need, (F.col("meta.height") * scale).cast("int"))
+        .otherwise(F.col("meta.height"))
+        .alias("height"),
+    )
+
+
+FRAMES_DDL = "media_ref string, frame_idx int, frame_ref string"
+
+
+def sample_frames(media: DataFrame, every: int = 10) -> DataFrame:
+    """Video frame sampling: emit one row per sampled frame index — pure
+    column expressions (sequence + explode), the decode of each frame being
+    the gated step. Deterministic frame_ref for downstream joins."""
+    v = media.where(F.col("kind") == "video")
+    idx = F.sequence(
+        F.lit(0), F.col("meta.n_frames") - 1, F.lit(every)
+    )
+    return v.select(
+        "media_ref",
+        F.explode(idx).alias("frame_idx"),
+        F.concat_ws("#", "media_ref", F.col("frame_idx").cast("string")).alias(
+            "frame_ref"
+        ),
+    )

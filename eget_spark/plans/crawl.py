@@ -46,6 +46,7 @@ from ..operators.links import matches_any, robots_allowed, should_include
 from ..operators.politeness import schedule_round
 from ..operators.seen import BloomFilter, anti_join_seen, build_bloom
 from ..operators.sequence import with_global_seq
+from .tables import CrawlRun
 
 FRONTIER_COLS = ["url", "host", "depth", "parent_url", "seq"]
 
@@ -113,15 +114,21 @@ def crawl(
     robots: DataFrame | None = None,
     table_dir: str | None = None,
     resume: bool = False,
+    catalog: str | None = None,
 ) -> CrawlResult:
-    """Run a full crawl of the corpus graph; see module docstring."""
+    """Run a full crawl of the corpus graph; see module docstring.
+
+    With ``table_dir`` set, per-round state goes through the RoundTable
+    layer (plans/tables.py): parquet round-partitions by default, Iceberg
+    appends when ``catalog`` names a configured Iceberg catalog."""
+    run = CrawlRun(spark, table_dir, catalog) if table_dir else None
     if not config.respect_robots_txt:
         robots_f = None
     else:
         robots_f = robots
 
     if table_dir and resume:
-        state = _load_state(spark, table_dir)
+        state = _load_state(spark, run)
     else:
         state = None
 
@@ -144,12 +151,10 @@ def crawl(
         success_total = 0
         round_no = 0
         stats: list[RoundStats] = []
-        if table_dir:
-            frontier.withColumn("round", F.lit(0)).write.mode("overwrite").parquet(
-                f"{table_dir}/admitted/round=0"
-            )
-            frontier.write.mode("overwrite").parquet(f"{table_dir}/pending/round=0")
-            _write_log(spark, table_dir, 0, 0, 0, 0, len(seeds), 0, admitted_total, 0)
+        if run:
+            run.admitted.append(frontier.withColumn("round", F.lit(0)), 0)
+            run.pending.append(frontier, 0)
+            _write_log(run, 0, 0, 0, 0, len(seeds), 0, admitted_total, 0)
         pages_parts: list[DataFrame] = []
         order_parts: list[DataFrame] = [frontier.withColumn("round", F.lit(0))]
         frontier_count = len(seeds)
@@ -174,6 +179,11 @@ def crawl(
         politeness_robots = None
     else:
         politeness_robots = robots_f
+
+    hits_parts: list[DataFrame] = []
+    attempted_list: list[int] = []
+    success_list: list[int | None] = []
+    counted = 0
 
     while frontier_count > 0 and success_total < config.max_pages and round_no < config.max_rounds:
         round_no += 1
@@ -208,9 +218,20 @@ def crawl(
         )
         # without politeness the whole frontier is fetched: no extra job
         attempted = fetch_now.count() if politeness_active else frontier_count
-        success = hits.count()
-        failed = attempted - success
-        success_total += success
+        attempted_list.append(attempted)
+        hits_parts.append(hits)
+        success_list.append(None)
+        # success counting is DEFERRED while the page cap cannot possibly
+        # bind (true success_total <= admitted_total < max_pages), saving a
+        # job per round; table mode always counts (the log needs it)
+        if table_dir is not None or admitted_total >= config.max_pages:
+            while counted < len(hits_parts):
+                c = hits_parts[counted].count()
+                success_list[counted] = c
+                success_total += c
+                counted += 1
+        success = success_list[-1]
+        failed = attempted - success if success is not None else None
 
         # S6: emitted page rows (markdown assembled at emit time, X7)
         emitted = hits.select(
@@ -228,13 +249,11 @@ def crawl(
                 F.lit(None).cast(docs.schema["spans"].dataType).alias("spans"),
             )
         )
-        if table_dir:
-            emitted.withColumn("partition_id", F.spark_partition_id()).write.mode(
-                "overwrite"
-            ).parquet(f"{table_dir}/docs/round={round_no}")
-            emitted = spark.read.parquet(f"{table_dir}/docs/round={round_no}").drop(
-                "partition_id"
+        if run:
+            run.docs.append(
+                emitted.withColumn("partition_id", F.spark_partition_id()), round_no
             )
+            emitted = run.docs.read_round(round_no).drop("partition_id")
         # else: left LAZY over the checkpointed hits/frontier — markdown
         # assembly (the heaviest UDF) then runs once over the final union
         # instead of once per round
@@ -312,8 +331,14 @@ def crawl(
 
         order_parts.append(admitted.withColumn("round", F.lit(round_no)))
 
-        frontier = _checkpoint(deferred.select(FRONTIER_COLS).unionByName(admitted))
-        frontier_count = frontier.count()
+        if politeness_active:
+            frontier = _checkpoint(deferred.select(FRONTIER_COLS).unionByName(admitted))
+            frontier_count = frontier.count()
+        else:
+            # no deferrals possible: the new frontier IS the admitted set
+            # (already checkpointed) — saves a materialization + count
+            frontier = admitted
+            frontier_count = n_admitted
         n_deferred = frontier_count - n_admitted
 
         stats.append(
@@ -322,15 +347,29 @@ def crawl(
                 admitted_total, success_total, time.monotonic() - t0,
             )
         )
-        if table_dir:
-            admitted.withColumn("round", F.lit(round_no)).write.mode("overwrite").parquet(
-                f"{table_dir}/admitted/round={round_no}"
-            )
-            frontier.write.mode("overwrite").parquet(f"{table_dir}/pending/round={round_no}")
+        if run:
+            run.admitted.append(admitted.withColumn("round", F.lit(round_no)), round_no)
+            run.pending.append(frontier, round_no)
             _write_log(
-                spark, table_dir, round_no, attempted, success, failed,
+                run, round_no, attempted, success, failed,
                 n_admitted, n_deferred, admitted_total, success_total,
             )
+
+    # fill any deferred per-round success counts (cheap: hits are cached)
+    for i, s in enumerate(success_list):
+        if s is None:
+            c = hits_parts[i].count()
+            success_list[i] = c
+            success_total += c
+    run_success = 0
+    for i, st in enumerate(stats[len(stats) - len(hits_parts):]):
+        st.success = success_list[i]
+        st.failed = attempted_list[i] - success_list[i]
+    base = stats[len(stats) - len(hits_parts) - 1].success_total if len(stats) > len(hits_parts) else 0
+    run_success = base
+    for st in stats[len(stats) - len(hits_parts):]:
+        run_success += st.success
+        st.success_total = run_success
 
     pages = pages_parts[0] if len(pages_parts) == 1 else _union_all(pages_parts)
     if not pages_parts:
@@ -340,14 +379,10 @@ def crawl(
             "round int, status string, markdown string",
         ).withColumn("spans", F.lit(None).cast(docs.schema["spans"].dataType))
     order = _union_all(order_parts) if order_parts else None
-    if order is None and table_dir:
-        order = spark.read.option("basePath", f"{table_dir}/admitted").parquet(
-            f"{table_dir}/admitted/round=*"
-        )
-    if table_dir and not pages_parts:
-        pages = spark.read.option("basePath", f"{table_dir}/docs").parquet(
-            f"{table_dir}/docs/round=*"
-        ).drop("partition_id")
+    if order is None and run:
+        order = run.admitted.read()
+    if run and not pages_parts:
+        pages = run.docs.read().drop("partition_id")
     return CrawlResult(pages=pages, order=order, seen=seen_df(), stats=stats)
 
 
@@ -364,18 +399,19 @@ _LOG_SCHEMA = (
 )
 
 
-def _write_log(spark, table_dir, r, att, suc, fail, adm, defer, adm_tot, suc_tot):
-    spark.createDataFrame(
-        [(r, att, suc, fail, adm, defer, adm_tot, suc_tot)], _LOG_SCHEMA
-    ).write.mode("overwrite").parquet(f"{table_dir}/log/round={r}")
+def _write_log(run, r, att, suc, fail, adm, defer, adm_tot, suc_tot):
+    run.log.append(
+        run.log.spark.createDataFrame(
+            [(r, att, suc, fail, adm, defer, adm_tot, suc_tot)], _LOG_SCHEMA
+        ),
+        r,
+    )
 
 
-def _load_state(spark: SparkSession, table_dir: str):
+def _load_state(spark: SparkSession, run):
     """Resume from the latest committed round (log row = commit marker)."""
     try:
-        log = spark.read.option("basePath", f"{table_dir}/log").parquet(
-            f"{table_dir}/log/round=*"
-        )
+        log = run.log.read()
     except Exception:
         return None
     rows = log.orderBy("round").collect()
@@ -383,15 +419,8 @@ def _load_state(spark: SparkSession, table_dir: str):
         return None
     last = rows[-1]
     r = last["round"]
-    frontier = _checkpoint(
-        spark.read.parquet(f"{table_dir}/pending/round={r}").select(FRONTIER_COLS)
-    )
-    seen = _checkpoint(
-        spark.read.option("basePath", f"{table_dir}/admitted")
-        .parquet(f"{table_dir}/admitted/round=*")
-        .where(F.col("round") <= r)
-        .select("url")
-    )
+    frontier = _checkpoint(run.pending.read_round(r).select(FRONTIER_COLS))
+    seen = _checkpoint(run.admitted.read_upto(r).select("url"))
     stats = [
         RoundStats(
             x["round"], x["attempted"], x["success"], x["failed"], x["admitted"],

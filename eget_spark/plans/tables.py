@@ -1,0 +1,94 @@
+"""Append-only, round-partitioned tables (the Iceberg-shaped storage layer).
+
+In deployment these are Iceberg tables (`writeTo(...).append()` per crawl
+round = one snapshot; resume = read up to the last committed round;
+snapshot expiry = the reference's cache TTL, SURVEY.md S4). Iceberg jars
+are not on this sandbox's classpath, so the default backend is plain
+parquet directories with `round=N` partitions — the layout is identical
+and `crawl()` is backend-agnostic.
+
+To use Iceberg, configure a catalog on the session, e.g.::
+
+    spark.sql.catalog.eget = org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.eget.type = hadoop
+    spark.sql.catalog.eget.warehouse = <path>
+
+and pass ``catalog="eget"`` — writes become Iceberg appends; everything
+else is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class RoundTable:
+    """One logical table appended once per crawl round."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        catalog: str | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.name = name
+        self.catalog = catalog
+        if catalog is not None:
+            impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+            if not impl:
+                raise ValueError(
+                    f"catalog '{catalog}' not configured on this session"
+                )
+
+    # -- write ---------------------------------------------------------------
+
+    def append(self, df: DataFrame, round_no: int) -> None:
+        if self.catalog:
+            full = f"{self.catalog}.{self.name}"
+            out = df.withColumn("round", F.lit(round_no))
+            try:
+                out.writeTo(full).append()
+            except Exception:
+                out.writeTo(full).using("iceberg").partitionedBy("round").create()
+            return
+        df.write.mode("overwrite").parquet(f"{self.root}/{self.name}/round={round_no}")
+
+    # -- read ----------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        if self.catalog:
+            return self.spark.table(f"{self.catalog}.{self.name}")
+        return self.spark.read.option(
+            "basePath", f"{self.root}/{self.name}"
+        ).parquet(f"{self.root}/{self.name}/round=*")
+
+    def read_round(self, round_no: int) -> DataFrame:
+        if self.catalog:
+            return self.read().where(F.col("round") == round_no).drop("round")
+        return self.spark.read.parquet(f"{self.root}/{self.name}/round={round_no}")
+
+    def read_upto(self, round_no: int) -> DataFrame:
+        return self.read().where(F.col("round") <= round_no)
+
+    def rounds(self) -> list[int]:
+        try:
+            return sorted(
+                r["round"]
+                for r in self.read().select("round").distinct().collect()
+            )
+        except Exception:
+            return []
+
+
+class CrawlRun:
+    """The four tables one crawl run maintains (SURVEY.md §1.3)."""
+
+    def __init__(self, spark: SparkSession, root: str, catalog: str | None = None):
+        self.docs = RoundTable(spark, root, "docs", catalog)
+        self.admitted = RoundTable(spark, root, "admitted", catalog)
+        self.pending = RoundTable(spark, root, "pending", catalog)
+        self.log = RoundTable(spark, root, "log", catalog)

@@ -40,6 +40,8 @@ class CorpusSpec:
     pages_hot: int  # pages on host 0 (the skew host)
     pages_other: int
     seed: int = 42
+    links: tuple[int, int] = (2, 6)  # link spans per doc
+    body_spans: tuple[int, int] = (3, 11)  # non-link body spans per doc
 
     @property
     def total_docs(self) -> int:
@@ -55,6 +57,15 @@ SCALES = {
     "medium": CorpusSpec(n_hosts=64, pages_hot=2000, pages_other=760),
     # ~1M span rows: 512 hosts, 1 hot
     "bench": CorpusSpec(n_hosts=512, pages_hot=20000, pages_other=130),
+    # scaling-evidence corpus: heavier docs so per-round compute (markdown
+    # assembly, link normalization) dominates fixed round overhead
+    "benchxl": CorpusSpec(
+        n_hosts=1024,
+        pages_hot=30000,
+        pages_other=400,
+        links=(6, 12),
+        body_spans=(20, 40),
+    ),
 }
 
 
@@ -103,8 +114,8 @@ def gen_doc(spec: CorpusSpec, host_idx: int, page: int) -> dict:
     }
     add("metadata", json.dumps(meta, sort_keys=True))
 
-    # link spans (2-6), forming the crawl graph
-    n_links = rng.randint(2, 6)
+    # link spans, forming the crawl graph
+    n_links = rng.randint(*spec.links)
     true_links: list[str] = []
     for k in range(n_links):
         if rng.random() < 0.70:
@@ -134,7 +145,7 @@ def gen_doc(spec: CorpusSpec, host_idx: int, page: int) -> dict:
         true_links.append(_normalize(href, url))
 
     # body spans
-    for _ in range(rng.randint(3, 11)):
+    for _ in range(rng.randint(*spec.body_spans)):
         kind = rng.choices(
             ["paragraph", "list", "table", "code", "math", "image", "separator"],
             weights=[50, 12, 8, 10, 4, 8, 8],
