@@ -383,7 +383,8 @@ def q13_minhash_sig(spark, sf_dir):
 
 def _minhash_sql(num_hashes: int) -> str:
     cols = ", ".join(
-        f"min(md5('{j}:' || g)) AS mh{j}" for j in range(num_hashes)
+        f"min(CAST(('0x' || substr(md5('{j}:' || g), 1, 15)) AS BIGINT)) AS mh{j}"
+        for j in range(num_hashes)
     )
     return f"""
 SELECT id, {cols} FROM (
@@ -400,7 +401,7 @@ def q14_minhash_lsh_pairs(spark, sf_dir):
 def _q14_sql() -> str:
     bands = []
     for b in range(4):
-        sig = " || '|' || ".join(f"mh{b * 2 + r}" for r in range(2))
+        sig = " || '|' || ".join(f"CAST(mh{b * 2 + r} AS VARCHAR)" for r in range(2))
         bands.append(f"SELECT id, {b} AS band, md5({sig}) AS sig FROM sigs")
     buckets = " UNION ALL ".join(bands)
     return f"""

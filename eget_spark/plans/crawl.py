@@ -67,7 +67,11 @@ class CrawlConfig:
     round_window: float = 10.0  # politeness budget horizon per round
     use_bloom: bool = False
     bloom_fpp: float = 0.01
-    broadcast_rows: int = 500_000  # frontier under this -> broadcast fetch join
+    # frontier under this -> broadcast fetch join (measured: broadcasting a
+    # 130k-row frontier costs ~1s while a shuffle join re-shuffles the
+    # multi-GB span corpus every round); above it, pre-bucket the corpus
+    # on doc_id so only the frontier side shuffles
+    broadcast_rows: int = 500_000
     max_rounds: int = 10_000
     salt_threshold: int = 100_000
 
