@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -706,6 +707,180 @@ FROM documents QUALIFY rn <= 3
 """
 
 
+def q26_metadata_extract(spark, sf_dir):
+    """X8/X9: metadata span JSON -> title/language via the real kernels."""
+    from eget_spark.functions.metadata import language_of, title_of
+
+    docs = _t(spark, sf_dir, "documents")
+    mk = lambda kind, text, off: F.struct(
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    meta_json = F.concat(
+        F.lit('{"title": "doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('", "og:title": "og '),
+        F.col("source"),
+        F.lit('", "lang": "'),
+        F.col("lang"),
+        F.lit('"}'),
+    )
+    spans = F.array(
+        mk("metadata", meta_json, 0), mk("paragraph", F.col("text"), 1)
+    )
+    return docs.select(
+        "doc_id",
+        title_of(spans).alias("title"),
+        language_of(spans).alias("language"),
+    )
+
+
+_Q26_SQL = """
+SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS title, lang AS language
+FROM documents
+"""
+
+
+def q27_pdf_heuristics(spark, sf_dir):
+    """C1 text-layer heuristics (is_heading/heading_level/is_list_item,
+    pdf_converter.py:359-419) over deterministically constructed lines."""
+    from eget_spark.sources.converters import heading_level, is_heading, is_list_item
+
+    docs = _t(spark, sf_dir, "documents")
+    line = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("Chapter "), (F.col("doc_id") % 9).cast("string")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("1. "), F.col("source")))
+        .when(F.col("doc_id") % 5 == 2, F.upper(F.col("source")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("- "), F.col("source")))
+        .otherwise(F.concat(F.col("source"), F.lit(" ends with a period.")))
+    )
+
+    @F.pandas_udf("boolean")
+    def h_udf(s: pd.Series) -> pd.Series:
+        return s.map(is_heading)
+
+    @F.pandas_udf("int")
+    def lvl_udf(s: pd.Series) -> pd.Series:
+        return s.map(heading_level).astype("int32")
+
+    @F.pandas_udf("boolean")
+    def li_udf(s: pd.Series) -> pd.Series:
+        return s.map(is_list_item)
+
+    return docs.select("doc_id", line.alias("line")).select(
+        "doc_id",
+        "line",
+        h_udf(F.col("line")).alias("is_heading"),
+        lvl_udf(F.col("line")).alias("level"),
+        li_udf(F.col("line")).alias("is_list"),
+    )
+
+
+_Q27_SQL = """
+WITH lines AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 5 = 0 THEN 'Chapter ' || CAST(doc_id % 9 AS VARCHAR)
+      WHEN doc_id % 5 = 1 THEN '1. ' || source
+      WHEN doc_id % 5 = 2 THEN upper(source)
+      WHEN doc_id % 5 = 3 THEN '- ' || source
+      ELSE source || ' ends with a period.'
+    END AS line
+  FROM documents
+)
+SELECT doc_id, line,
+  (length(line) <= 100 AND NOT (line LIKE '%.' OR line LIKE '%?' OR line LIKE '%!')
+   AND (regexp_matches(line, '^\\d+[\\.\\)]\\s') OR regexp_matches(line, '^[A-Z][^a-z]+$')
+        OR regexp_matches(line, '^(Chapter|Section|Part)\\s+\\d+')
+        OR regexp_matches(line, '^\\d+\\.\\d+\\s'))) AS is_heading,
+  CAST(CASE
+    WHEN regexp_matches(line, '^(?i)(Chapter|Book)\\s+\\d+') THEN 1
+    WHEN regexp_matches(line, '^(?i)(Section|Part)\\s+\\d+') THEN 2
+    WHEN regexp_matches(line, '^\\d+\\.\\d+\\s') THEN 3
+    WHEN regexp_matches(line, '^\\d+[\\.\\)]\\s') THEN 3
+    WHEN upper(line) = line AND regexp_matches(line, '[a-zA-Z]') THEN 2
+    ELSE 3
+  END AS INT) AS level,
+  (regexp_matches(line, '^\\s*[\\-\\*•]\\s') OR regexp_matches(line, '^\\s*\\d+[\\.\\)]\\s')
+   OR regexp_matches(line, '^\\s*[a-z][\\.\\)]\\s') OR regexp_matches(line, '^\\s*\\[[xX\\s]\\]')
+   OR regexp_matches(line, '^\\s*[-–—]\\s')) AS is_list
+FROM lines
+"""
+
+
+def q28_clean_markdown(spark, sf_dir):
+    """X11 cleaning chain (quirk-exact) on constructed noisy markdown."""
+    from eget_spark.functions.text import clean_markdown
+
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("#"),
+        F.col("source"),
+        F.lit("\n\nline one   \n\n\n\n-item &nbsp; <!-- zap -->\xa0end  "),
+    )
+    return docs.select("doc_id", clean_markdown(noisy).alias("cleaned"))
+
+
+# after \s+ -> ' ' the whole thing is one line; then '#src' -> '# src',
+# comment stripped, &nbsp; and \xa0 -> ' ', trailing spaces dropped
+_Q28_SQL = """
+SELECT doc_id,
+  rtrim('# ' || source || ' line one -item   '  || ' end') AS cleaned
+FROM documents
+"""
+
+
+def q29_bloom_seen(spark, sf_dir):
+    """D1: bloom-prefiltered anti-join (not SQL-expressible: the filter is
+    a distributed sketch; rows-only check). Candidates = all messy URLs,
+    seen = every third; result must equal the exact anti-join."""
+    from eget_spark.operators.seen import anti_join_seen, build_bloom
+
+    urls = q02_url_normalize(spark, sf_dir)
+    seen = urls.where(F.col("doc_id") % 3 == 0).select("url")
+    bloom = build_bloom(seen, "url", expected=2048, fpp=0.05)
+    return anti_join_seen(urls, seen, "url", bloom=bloom).select("doc_id", "url")
+
+
+_Q29_SQL = f"SELECT doc_id, url FROM ({_Q02_SQL}) WHERE doc_id % 3 <> 0"
+
+
+def q30_span_kind_counts(spark, sf_dir):
+    """A5 converter counters via higher-order span filters."""
+    from eget_spark.functions.spans import span_kind_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    mk = lambda kind, off: F.struct(
+        F.lit(kind).alias("kind"),
+        F.lit("t").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    n_img = (F.col("doc_id") % 4).cast("int")
+    spans = F.concat(
+        F.array(mk("heading", 0), mk("paragraph", 1)),
+        F.slice(
+            F.array(mk("image", 2), mk("image", 3), mk("image", 4)),
+            F.lit(1),
+            n_img,
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        span_kind_counts(spans, "image").cast("long").alias("images_count"),
+        span_kind_counts(spans, "heading").cast("long").alias("headings_count"),
+    )
+
+
+_Q30_SQL = """
+SELECT doc_id, CAST(least(doc_id % 4, 3) AS BIGINT) AS images_count,
+       CAST(1 AS BIGINT) AS headings_count
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -738,6 +913,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_sentence_chunks": q23_sentence_chunks,
         "q24_source_counts": q24_source_counts,
         "q25_topk_per_lang": q25_topk_per_lang,
+        "q26_metadata_extract": q26_metadata_extract,
+        "q27_pdf_heuristics": q27_pdf_heuristics,
+        "q28_clean_markdown": q28_clean_markdown,
+        "q29_bloom_seen": q29_bloom_seen,
+        "q30_span_kind_counts": q30_span_kind_counts,
     }
 
 
@@ -768,4 +948,9 @@ def oracle_sql() -> dict[str, str]:
         "q23_sentence_chunks": _Q23_SQL,
         "q24_source_counts": _Q24_SQL,
         "q25_topk_per_lang": _Q25_SQL,
+        "q26_metadata_extract": _Q26_SQL,
+        "q27_pdf_heuristics": _Q27_SQL,
+        "q28_clean_markdown": _Q28_SQL,
+        "q29_bloom_seen": _Q29_SQL,
+        "q30_span_kind_counts": _Q30_SQL,
     }

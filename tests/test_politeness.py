@@ -1,0 +1,56 @@
+"""O3 politeness scheduler unit tests, including the hot-host salted path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eget_spark.operators.politeness import schedule_round
+from eget_spark.schemas import FRONTIER_SCHEMA
+
+
+def _frontier(spark, n, host="hot.example.com"):
+    rows = [
+        (f"https://{host}/p/{i:05d}", host, 1, None, i) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+def _robots(spark, delay=1.0, host="hot.example.com"):
+    return spark.createDataFrame(
+        [(host, [], delay)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+
+
+def test_exact_budget_lowest_seq_first(spark):
+    frontier = _frontier(spark, 50)
+    fetch, deferred = schedule_round(frontier, _robots(spark, 1.0), round_window=10.0)
+    got = sorted(r["seq"] for r in fetch.collect())
+    assert got == list(range(10))  # budget = 10/1.0, lowest seq first
+    assert deferred.count() == 40
+
+
+def test_no_delay_passthrough(spark):
+    frontier = _frontier(spark, 20, host="free.example.com")
+    fetch, deferred = schedule_round(frontier, _robots(spark, 1.0), round_window=10.0)
+    assert fetch.count() == 20 and deferred.count() == 0
+
+
+def test_salted_hot_host_budget_preserved(spark):
+    """Above salt_threshold the host is salted; the per-salt budgets sum to
+    >= the host budget (politeness approximate by design, never less work),
+    and deferred rows keep their seq for FIFO carry-over."""
+    frontier = _frontier(spark, 2000)
+    fetch, deferred = schedule_round(
+        frontier, _robots(spark, 0.1), round_window=10.0, salt_threshold=500
+    )
+    nf = fetch.count()
+    # budget = 100, nsalt = ceil(2000/500) = 4, per-salt = 25 -> total <= 100
+    # (hash imbalance can only reduce, never exceed, the per-salt sum)
+    assert 0 < nf <= 100
+    assert nf + deferred.count() == 2000
+    # every deferred row keeps its original seq
+    seqs = {r["seq"] for r in deferred.collect()}
+    assert seqs.issubset(set(range(2000)))
+    fetched_seqs = {r["seq"] for r in fetch.collect()}
+    assert fetched_seqs.isdisjoint(seqs)

@@ -71,7 +71,10 @@ def main() -> None:
     add(
         "minhash signatures",
         entry.q13_minhash_sig(spark, SF),
-        {"codegen id": True, "partial_min": True, "BatchEvalPython": False},
+        # AQE initial plans don't print codegen ids; the property that
+        # matters is HashAggregate (codegen-capable, long buffers) instead
+        # of the SortAggregate fallback that min(string) would force
+        {"HashAggregate": True, "SortAggregate": False, "partial_min": True, "BatchEvalPython": False},
         "Explode->groupBy(min) with map-side partial aggregation; no Python.",
     )
 
