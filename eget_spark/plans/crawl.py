@@ -295,8 +295,10 @@ def crawl(
                 kids = kids.where(matches_any(F.col("url"), config.include_patterns))
         kids = robots_allowed(kids, robots_f, config.respect_robots_txt)
 
-        # D2 per-page set semantics + D3 first-seen-wins across parents
-        kids = kids.dropDuplicates(["parent_seq", "url"])
+        # D2 per-page set semantics + D3 first-seen-wins across parents,
+        # fused into ONE url-partitioned window (rows tied on parent_seq are
+        # same-page duplicates — identical in every kept column — so a
+        # single keep-first covers both dedups with a single shuffle)
         w = Window.partitionBy("url").orderBy("parent_seq")
         kids = (
             kids.withColumn("_rn", F.row_number().over(w))

@@ -195,6 +195,105 @@ def pdf_text_to_spans(doc_id: str, pages: list[str]) -> list[dict]:
     return spans
 
 
+# --- C3: XLSX structured model -> spans (xlsx_converter.py:94-151) ----------
+
+
+def xlsx_sheets_to_spans(sheets: list[tuple[str, list[list]]]) -> list[dict]:
+    """Sheet walk on the already-decoded cell model: per sheet a
+    '## Sheet: title' heading, then the whole sheet as ONE table span —
+    all-None rows skipped, trailing Nones stripped, cells formatted per
+    X20, rows padded to max_cols (xlsx_converter.py:104-151)."""
+    spans: list[dict] = []
+    off = 0
+
+    def add(kind: str, text: str) -> None:
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": "", "offset": off})
+        off += 1
+
+    for title, rows in sheets:
+        add("heading", f"## Sheet: {title}")
+        table_data: list[list[str]] = []
+        max_cols = 0
+        for row in rows:
+            if any(cell is not None for cell in row):
+                row = list(row)
+                while row and row[-1] is None:
+                    row = row[:-1]
+                if row:
+                    max_cols = max(max_cols, len(row))
+                    table_data.append([format_cell(c) for c in row])
+        for row in table_data:
+            while len(row) < max_cols:
+                row.append("")
+        if table_data:
+            add("table", "\n".join("\t".join(r) for r in table_data))
+    return spans
+
+
+# --- C2: DOCX structured model -> spans (docx_converter.py:124-339) ----------
+
+
+def _docx_runs_to_text(runs: list[tuple]) -> str:
+    """Inline run formatting (docx_converter.py:296-310): bold -> **,
+    italic -> *, underline -> __, applied in that order; whitespace-only
+    runs dropped; runs joined with ''."""
+    parts = []
+    for text, bold, italic, underline in runs:
+        if not text.strip():
+            continue
+        if bold:
+            text = f"**{text}**"
+        if italic:
+            text = f"*{text}*"
+        if underline:
+            text = f"__{text}__"
+        parts.append(text)
+    return "".join(parts)
+
+
+def docx_blocks_to_spans(blocks: list[dict]) -> list[dict]:
+    """Block walk on the already-decoded document model. Block shapes:
+    {'type':'heading','text':str,'level':int}
+    {'type':'paragraph','runs':[(text,bold,italic,underline), ...]}
+    {'type':'list','items':[str,...],'ordered':bool}
+    {'type':'table','rows':[[str,...], ...]}
+    {'type':'image','alt':str,'ref':str}
+    """
+    spans: list[dict] = []
+    off = 0
+
+    def add(kind: str, text: str, ref: str = "") -> None:
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": ref, "offset": off})
+        off += 1
+
+    for b in blocks:
+        t = b["type"]
+        if t == "heading":
+            add("heading", "#" * int(b.get("level", 1)) + " " + b["text"])
+        elif t == "paragraph":
+            text = _docx_runs_to_text(b["runs"])
+            if text:
+                add("paragraph", text)
+        elif t == "list":
+            items = b["items"]
+            if b.get("ordered"):
+                add("list", "\n".join(f"{i}. {it}" for i, it in enumerate(items, 1)))
+            else:
+                add("list", "\n".join(items))
+        elif t == "table":
+            # cell text: paragraphs joined with ' ' (docx_converter.py:325)
+            rows = [
+                "\t".join(str(c) for c in row) for row in b["rows"] if row
+            ]
+            if rows:
+                add("table", "\n".join(rows))
+        elif t == "image":
+            add("image", b.get("alt", ""), b.get("ref", ""))
+    return spans
+
+
 # --- binaryFile -> spans (import-gated decoders) -----------------------------
 
 
