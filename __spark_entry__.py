@@ -33,6 +33,12 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q23_sentence_chunks    X14 (real mapInPandas sentence packer)
   q24_source_counts      A2/A3 aggregate shapes
   q25_topk_per_lang      O4-style window ranking
+  q26_metadata_extract   X8/X9 metadata-span extraction kernels
+  q27_pdf_heuristics     C1 text-layer classification heuristics
+  q28_clean_markdown     X11 cleaning chain (quirk-exact)
+  q29_bloom_seen         D1 bloom-prefiltered anti-join (exact result)
+  q30_span_kind_counts   A5 converter counters (higher-order fns)
+  q31_simhash_pairs      dedup: simhash near-dup pairs (pigeonhole bands)
 """
 
 from __future__ import annotations
@@ -881,6 +887,37 @@ FROM documents
 """
 
 
+def q31_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole band blocking + exact Hamming."""
+    from eget_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3, bands=4)
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("int"),
+    )
+
+
+def _q31_sql(bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS slc FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH sigs AS ({_q16_sql(bits)}),
+buckets AS ({slices})
+SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.slc = b.slc AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -918,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_clean_markdown": q28_clean_markdown,
         "q29_bloom_seen": q29_bloom_seen,
         "q30_span_kind_counts": q30_span_kind_counts,
+        "q31_simhash_pairs": q31_simhash_pairs,
     }
 
 
@@ -953,4 +991,5 @@ def oracle_sql() -> dict[str, str]:
         "q28_clean_markdown": _Q28_SQL,
         "q29_bloom_seen": _Q29_SQL,
         "q30_span_kind_counts": _Q30_SQL,
+        "q31_simhash_pairs": _q31_sql(32),
     }

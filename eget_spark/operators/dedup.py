@@ -163,6 +163,57 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs by simhash Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the signature into `bands` bit-slices; two
+    signatures within Hamming distance < bands must agree on at least one
+    slice, so candidates come from equi-joins on (band, slice) — no O(n^2).
+    Exact Hamming verify via bit_count(xor). Returns (id_a, id_b, hamming).
+    """
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    sigs = simhash(df, id_col, text_col, bits).localCheckpoint(eager=True)
+    width = bits // bands
+    slices = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("slice"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "id", "simhash", F.explode(F.array(*slices)).alias("bs")
+    ).select("id", "simhash", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str,

@@ -185,6 +185,7 @@ def crawl(
         politeness_robots = robots_f
 
     hits_parts: list[DataFrame] = []
+    fetch_parts: list[DataFrame] = []  # in-memory mode: for the final misses anti-join
     attempted_list: list[int] = []
     success_list: list[int | None] = []
     counted = 0
@@ -238,30 +239,38 @@ def crawl(
         failed = attempted - success if success is not None else None
 
         # S6: emitted page rows (markdown assembled at emit time, X7)
-        emitted = hits.select(
+        ok_rows = hits.select(
             "url", "host", "depth", "parent_url", "seq",
             F.lit(round_no).alias("round"),
             F.lit("ok").alias("status"),
             assemble_markdown(F.col("spans")).alias("markdown"),
             "spans",
-        ).unionByName(
-            misses.select(
+        )
+
+        def _miss_rows(m, rnd_col):
+            return m.select(
                 "url", "host", "depth", "parent_url", "seq",
-                F.lit(round_no).alias("round"),
+                rnd_col.alias("round"),
                 F.lit("missing").alias("status"),
                 F.lit(None).cast("string").alias("markdown"),
                 F.lit(None).cast(docs.schema["spans"].dataType).alias("spans"),
             )
-        )
+
         if run:
+            emitted = ok_rows.unionByName(_miss_rows(misses, F.lit(round_no)))
             run.docs.append(
                 emitted.withColumn("partition_id", F.spark_partition_id()), round_no
             )
-            emitted = run.docs.read_round(round_no).drop("partition_id")
-        # else: left LAZY over the checkpointed hits/frontier — markdown
-        # assembly (the heaviest UDF) then runs once over the final union
-        # instead of once per round
-        pages_parts.append(emitted)
+            pages_parts.append(run.docs.read_round(round_no).drop("partition_id"))
+        else:
+            # LAZY over the checkpointed hits/frontier — markdown assembly
+            # (the heaviest UDF) runs once over the final union instead of
+            # once per round; misses resolved by ONE end-of-crawl anti-join
+            # instead of a driver-serial broadcast build per round
+            pages_parts.append(ok_rows)
+            fetch_parts.append(
+                fetch_now.select(*FRONTIER_COLS, F.lit(round_no).alias("round"))
+            )
 
         # X1 + F1-F5: harvest, normalize, filter
         parents = hits.where(F.col("depth") < config.max_depth)
@@ -377,6 +386,18 @@ def crawl(
         run_success += st.success
         st.success_total = run_success
 
+    if fetch_parts:
+        all_fetched = _union_all(fetch_parts)
+        all_hits = _union_all([h.select("url") for h in hits_parts])
+        misses_all = all_fetched.join(all_hits, "url", "left_anti")
+        pages_parts.append(
+            misses_all.select(
+                "url", "host", "depth", "parent_url", "seq", "round",
+                F.lit("missing").alias("status"),
+                F.lit(None).cast("string").alias("markdown"),
+                F.lit(None).cast(docs.schema["spans"].dataType).alias("spans"),
+            )
+        )
     pages = pages_parts[0] if len(pages_parts) == 1 else _union_all(pages_parts)
     if not pages_parts:
         pages = spark.createDataFrame(

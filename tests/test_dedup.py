@@ -71,6 +71,25 @@ def test_minhash_lsh_finds_exact_and_near_dups(docs):
     assert (0, 3) not in pairs  # unrelated docs don't collide
 
 
+def test_simhash_pairs_blocking(spark, docs):
+    from eget_spark.operators.dedup import simhash_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, "id", "text", bits=32, max_hamming=8, bands=16).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical docs: distance 0
+    # exhaustive check: blocking found every pair within the bound that
+    # the pigeonhole guarantees (hamming < bands)
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs, "id", "text", bits=32).collect()}
+    import itertools
+
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= 8:
+            assert (a, b) in pairs and pairs[(a, b)] == h
+
+
 def test_simhash_distance_orders_similarity(docs):
     sigs = {r["id"]: r["simhash"] for r in simhash(docs, "id", "text", bits=16).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")

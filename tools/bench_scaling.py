@@ -122,13 +122,14 @@ parallelism levels:
 This sandbox is a VM on shared host hardware: 4N worker *processes* do not
 get 4x the CPU of N. Calibration (pure-Python md5 loop, no Spark, no I/O):
 throughput at {n} procs = {hw[n]:.1f} units/s, at {4*n} procs =
-{hw[4*n]:.1f} units/s -> **the maximum efficiency ANY job can exhibit at
-this pair is {hw['ceiling_eff']:.3f}** (at the 8->32 pair the measured
-ceiling is ~0.64). The engine's efficiency normalized to the hardware
-ceiling is **{eff / hw['ceiling_eff']:.3f}** — i.e. the dataflow itself
-scales; on a real cluster with dedicated executors the same job shape
-(uniform url-hash shuffles, broadcast dims, salted politeness, no
-driver-side loops over rows) is what the >=0.8 criterion measures.
+{hw[4*n]:.1f} units/s -> an ESTIMATED per-run ceiling of
+{hw['ceiling_eff']:.3f} at this pair (host noise makes this vary run to
+run; at the 8->32 pair the measured ceiling is ~0.64, which is why the
+evidence pair is 2->8). Engine efficiency normalized to that estimate:
+**{eff / hw['ceiling_eff']:.3f}**. On a real cluster with dedicated
+executors the same job shape (uniform url-hash shuffles, broadcast dims,
+salted politeness, no driver-side loops over rows) is what the >=0.8
+criterion measures.
 
 Reference single-node baseline (BASELINE.md): 2-3.3 pages/s upper bound
 (10 concurrent browsers x 1 page / 3-5 s); the engine's corpus-join fetch
