@@ -53,8 +53,6 @@ from pyspark.sql.window import Window
 from eget_spark.functions.spans import assemble_markdown
 from eget_spark.functions.text import (
     bpe_ish_token_count,
-    fingerprint,
-    lang_id,
     quality_score,
     read_time_minutes,
     token_count,
