@@ -169,9 +169,14 @@ def anti_join_seen(
         "_maybe_seen", bloom_maybe_contains(spark, bloom, F.col(url_col))
     )
     definite_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
-    confirmed_new = (
-        flagged.where(F.col("_maybe_seen"))
-        .drop("_maybe_seen")
-        .join(seen, url_col, "left_anti")
+    positives = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
+    # exact confirm WITHOUT shuffling the (huge) seen side: semi-join seen
+    # against the broadcast positive set (seen is scanned in place), then
+    # anti-join the positives against the (small) found set. In steady
+    # state positives ~= duplicate links + bloom false positives — tiny
+    # relative to seen, so both broadcasts are bounded by the frontier.
+    found = seen.join(
+        F.broadcast(positives.select(url_col)), url_col, "left_semi"
     )
+    confirmed_new = positives.join(F.broadcast(found), url_col, "left_anti")
     return definite_new.unionByName(confirmed_new)
