@@ -916,6 +916,132 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
+def q32_metadata_full(spark, sf_dir):
+    """X4 full-parity: the ~25-field rename map (scraper.py:354-483) run by
+    the REAL HTML kernel (extract_meta over the stdlib-parser tree) on HTML
+    constructed deterministically from the documents table — og renames
+    (incl. the generic og{Prop.capitalize()} path), rel-token favicon,
+    published_at precedence, author-image regex."""
+    from eget_spark.functions.html import extract_meta_col
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat_ws(
+        "",
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head>'),
+        F.lit("<title> Doc "), did, F.lit(" </title>"),
+        F.lit('<meta name="description" content=" about '), F.col("source"), F.lit(' ">'),
+        F.lit('<meta property="og:title" content="og '), did, F.lit('">'),
+        F.lit('<meta property="og:site_name" content="'), F.col("source"), F.lit('">'),
+        F.lit('<meta property="og:image:width" content="'), (F.col("doc_id") % 1000).cast("string"), F.lit('">'),
+        F.lit('<meta property="og:locale" content="'), F.col("lang"), F.lit('_XX">'),
+        F.lit('<meta name="twitter:card" content="summary">'),
+        F.lit('<link rel="canonical" href=" https://c.example/'), did, F.lit(' ">'),
+        F.lit('<link rel="shortcut icon" href="/f'), (F.col("doc_id") % 7).cast("string"), F.lit('.ico">'),
+        F.lit('<meta name="author" content="au '), F.col("source"), F.lit('">'),
+        F.lit('<meta property="article:published_time" content="2024-01-01T00:00:0'), (F.col("doc_id") % 10).cast("string"), F.lit('Z">'),
+        F.lit('<meta property="article:section" content="sec'), (F.col("doc_id") % 5).cast("string"), F.lit('">'),
+        F.lit('<meta property="fb:app_id" content="fb'), did, F.lit('">'),
+        F.lit('</head><body><img alt="x" src="/no.png">'),
+        F.lit('<img alt="the author pic" src="/a'), did, F.lit('.png">'),
+        F.lit('<time datetime="1999-01-01">ignored</time></body></html>'),
+    )
+    meta = extract_meta_col(html)
+    return docs.select(
+        "doc_id",
+        meta["title"].alias("title"),
+        meta["description"].alias("description"),
+        meta["ogTitle"].alias("og_title"),
+        meta["ogSiteName"].alias("og_site_name"),
+        meta["ogImage:width"].alias("og_image_width"),
+        meta["ogLocale"].alias("og_locale"),
+        meta["twitter:card"].alias("twitter_card"),
+        meta["canonical_url"].alias("canonical_url"),
+        meta["favicon"].alias("favicon"),
+        meta["authors"].alias("authors"),
+        meta["published_at"].alias("published_at"),
+        meta["categories"].alias("categories"),
+        meta["fb:app_id"].alias("fb_app_id"),
+        meta["author_images"].alias("author_images"),
+        meta["language"].alias("language"),
+    )
+
+
+_Q32_SQL = """
+SELECT doc_id,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+  'about ' || source AS description,
+  'og ' || CAST(doc_id AS VARCHAR) AS og_title,
+  source AS og_site_name,
+  CAST(doc_id % 1000 AS VARCHAR) AS og_image_width,
+  lang || '_XX' AS og_locale,
+  'summary' AS twitter_card,
+  'https://c.example/' || CAST(doc_id AS VARCHAR) AS canonical_url,
+  '/f' || CAST(doc_id % 7 AS VARCHAR) || '.ico' AS favicon,
+  'au ' || source AS authors,
+  '2024-01-01T00:00:0' || CAST(doc_id % 10 AS VARCHAR) || 'Z' AS published_at,
+  'sec' || CAST(doc_id % 5 AS VARCHAR) AS categories,
+  'fb' || CAST(doc_id AS VARCHAR) AS fb_app_id,
+  '/a' || CAST(doc_id AS VARCHAR) || '.png' AS author_images,
+  lang AS language
+FROM documents
+"""
+
+
+def q33_json_ld(spark, sf_dir):
+    """X8/X10 end-to-end: <script type="application/ld+json"> harvest with
+    skip-malformed semantics (structured_data.py:40-53) + the full
+    StructuredData struct (jsonLd/openGraph/twitterCard/metaData incl. the
+    language primary-subtag chain, models/response.py:15-19)."""
+    from eget_spark.functions.html import extract_structured_col
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    ld1 = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"Article","headline":"h'),
+        did,
+        F.lit('","wordCount":'),
+        (F.col("n_chars") % 997).cast("string"),
+        F.lit("}"),
+    )
+    # every even doc carries a second valid block; every doc carries one
+    # malformed block (must be skipped) and one non-ld script (ignored)
+    second = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<script type="application/ld+json">{"@type":"Person","name":"p'), did, F.lit('"}</script>')),
+    ).otherwise(F.lit(""))
+    html = F.concat_ws(
+        "",
+        F.lit('<html lang="'), F.col("lang"), F.lit('-XX"><head>'),
+        F.lit('<script type="application/ld+json">'), ld1, F.lit("</script>"),
+        second,
+        F.lit('<script type="application/ld+json">{broken</script>'),
+        F.lit("<script>plain()</script>"),
+        F.lit('<meta property="og:title" content="t'), did, F.lit('">'),
+        F.lit("</head></html>"),
+    )
+    sd = extract_structured_col(html)
+    return docs.select(
+        "doc_id",
+        F.size(sd["jsonLd"]).cast("int").alias("n_json_ld"),
+        F.get_json_object(sd["jsonLd"][0], "$.headline").alias("headline"),
+        F.get_json_object(sd["jsonLd"][0], "$.wordCount").cast("long").alias("word_count"),
+        sd["openGraph"]["title"].alias("og_title"),
+        sd["metaData"]["language"].alias("language"),
+    )
+
+
+_Q33_SQL = """
+SELECT doc_id,
+  CAST(1 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS INT) AS n_json_ld,
+  'h' || CAST(doc_id AS VARCHAR) AS headline,
+  CAST(n_chars % 997 AS BIGINT) AS word_count,
+  't' || CAST(doc_id AS VARCHAR) AS og_title,
+  lang AS language
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -954,6 +1080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_bloom_seen": q29_bloom_seen,
         "q30_span_kind_counts": q30_span_kind_counts,
         "q31_simhash_pairs": q31_simhash_pairs,
+        "q32_metadata_full": q32_metadata_full,
+        "q33_json_ld": q33_json_ld,
     }
 
 
@@ -990,4 +1118,6 @@ def oracle_sql() -> dict[str, str]:
         "q29_bloom_seen": _Q29_SQL,
         "q30_span_kind_counts": _Q30_SQL,
         "q31_simhash_pairs": _q31_sql(32),
+        "q32_metadata_full": _Q32_SQL,
+        "q33_json_ld": _Q33_SQL,
     }

@@ -27,6 +27,7 @@ claimed (library absent), the X5+X6 composition is pinned by golden tests.
 
 from __future__ import annotations
 
+import json as _json
 import re
 from html.parser import HTMLParser
 
@@ -154,26 +155,193 @@ def find_main_content(root: Node) -> Node | None:
     return None
 
 
+# X4 og:* rename table (scraper.py:373-390); anything else gets
+# f"og{prop.capitalize()}" (e.g. og:image:width -> "ogImage:width")
+_OG_RENAME = {
+    "title": "ogTitle",
+    "description": "ogDescription",
+    "image": "ogImage",
+    "url": "ogUrl",
+    "site_name": "ogSiteName",
+    "type": "og:type",
+    "locale": "ogLocale",
+}
+_AUTHOR_IMG_RE = re.compile(r"author|writer", re.I)
+
+
 def extract_meta(root: Node) -> dict[str, str]:
-    """X4 core fields (scraper.py:354-483 subset + structured_data.py:55-101)."""
+    """X4 full-parity metadata map (scraper.py:354-483, field for field).
+
+    ~25 renamed fields: title, description, og renames (ogTitle/ogImage/...),
+    twitter:*, canonical_url, favicon, viewport, language, charset,
+    contentType, authors, summary, published_at (3 sources), categories,
+    site-id, app-version, author_images, docs-boost, fb:app_id.  Single
+    finds keep the FIRST tag in document order (BeautifulSoup find);
+    og/twitter loops let later duplicates overwrite (reference loop
+    assignment)."""
     meta: dict[str, str] = {}
+    metas = root.find_all({"meta"})
+    links = root.find_all({"link"})
+
+    def first_meta(attr: str, value: str) -> Node | None:
+        for n in metas:
+            if n.attrs.get(attr) == value:
+                return n
+        return None
+
+    def content_of(n: Node | None) -> str | None:
+        return (n.attrs.get("content") or "").strip() if n is not None else None
+
     for n in root.find_all({"title"}):
-        meta.setdefault("title", n.text().strip())
+        meta["title"] = n.text().strip()
         break
-    for n in root.find_all({"meta"}):
-        key = n.attrs.get("property") or n.attrs.get("name")
-        content = n.attrs.get("content")
-        if key and content is not None:
-            meta.setdefault(key, content)
-    for n in root.find_all({"link"}):
-        if n.attrs.get("rel") == "canonical" and n.attrs.get("href"):
-            meta.setdefault("canonical_url", n.attrs["href"])
+    desc = content_of(first_meta("name", "description"))
+    if desc is not None:
+        meta["description"] = desc
+    for n in metas:  # og:* rename loop (scraper.py:369-390)
+        prop = n.attrs.get("property") or ""
+        if not prop.startswith("og:"):
+            continue
+        key = prop.replace("og:", "")
+        content = (n.attrs.get("content") or "").strip()
+        if key and content:
+            meta[_OG_RENAME.get(key, f"og{key.capitalize()}")] = content
+    for n in metas:  # twitter:* loop (scraper.py:392-398)
+        name = n.attrs.get("name") or ""
+        if not name.startswith("twitter:"):
+            continue
+        key = name.replace("twitter:", "")
+        content = (n.attrs.get("content") or "").strip()
+        if key and content:
+            meta[f"twitter:{key}"] = content
+    for n in links:  # rel is multi-valued: token match (BS4 semantics)
+        if "canonical" in (n.attrs.get("rel") or "").split():
+            meta["canonical_url"] = (n.attrs.get("href") or "").strip()
+            break
+    for n in links:  # find(rel='icon') matches rel="shortcut icon" too
+        if "icon" in (n.attrs.get("rel") or "").split():
+            meta["favicon"] = (n.attrs.get("href") or "").strip()
+            break
+    for simple_name, out_key in (
+        ("viewport", "viewport"),
+        ("author", "authors"),
+        ("summary", "summary"),
+        ("site-id", "site-id"),
+        ("app-version", "app-version"),
+        ("docs-boost", "docs-boost"),
+    ):
+        v = content_of(first_meta("name", simple_name))
+        if v is not None:
+            meta[out_key] = v
     for n in root.find_all({"html"}):
         if n.attrs.get("lang"):
-            meta.setdefault("language", n.attrs["lang"])
-    if "language" not in meta:
-        meta["language"] = meta.get("content-language", meta.get("og:locale", ""))
+            meta["language"] = n.attrs["lang"]
+        break
+    for n in metas:
+        if "charset" in n.attrs:
+            meta["charset"] = (n.attrs.get("charset") or "").strip()
+            break
+    ct = content_of(first_meta("http-equiv", "content-type"))
+    if ct is not None:
+        meta["contentType"] = ct
+    # published_at: og/article meta (property then name) else <time datetime>
+    pub = first_meta("property", "article:published_time") or first_meta(
+        "name", "article:published_time"
+    )
+    if pub is not None:
+        if pub.attrs.get("content"):
+            meta["published_at"] = pub.attrs["content"].strip()
+    else:
+        for n in root.find_all({"time"}):
+            if n.attrs.get("datetime"):
+                meta["published_at"] = n.attrs["datetime"].strip()
+                break
+    cat = (
+        first_meta("property", "article:section")
+        or first_meta("name", "article:section")
+        or first_meta("property", "article:tag")
+    )
+    if cat is not None:
+        meta["categories"] = content_of(cat)
+    for n in root.find_all({"img"}):
+        if _AUTHOR_IMG_RE.search(n.attrs.get("alt") or ""):
+            meta["author_images"] = (n.attrs.get("src") or "").strip()
+            break
+    fb = first_meta("property", "fb:app_id")
+    if fb is not None:
+        meta["fb:app_id"] = content_of(fb)
     return meta
+
+
+# --- X8/X9/X10: structured data (structured_data.py:11-147) ------------------
+
+
+def extract_json_ld(root: Node) -> list[str]:
+    """X8: every <script type="application/ld+json"> body that parses as
+    JSON, kept as its raw JSON string (structured_data.py:40-53 skips
+    malformed blocks; the engine stores strings per SURVEY §1.1 and parses
+    on demand with from_json)."""
+    out: list[str] = []
+    for n in root.find_all({"script"}):
+        if n.attrs.get("type") != "application/ld+json":
+            continue
+        body = n.text()
+        try:
+            _json.loads(body)
+        except (ValueError, TypeError):
+            continue
+        out.append(body)
+    return out
+
+
+def _structured_language(root: Node, metas: list[Node]) -> str:
+    """structured_data.py:11-38 fallback chain: html@lang primary-subtag ->
+    content-language -> name=language -> og:locale (each split on '_')."""
+    for n in root.find_all({"html"}):
+        if n.attrs.get("lang"):
+            return n.attrs["lang"].split("-")[0]
+        break
+    for attr, value in (
+        ("http-equiv", "content-language"),
+        ("name", "language"),
+        ("property", "og:locale"),
+    ):
+        for n in metas:
+            if n.attrs.get(attr) == value and n.attrs.get("content"):
+                lang = n.attrs["content"].split("_")[0]
+                if lang:
+                    return lang
+                break
+    return ""
+
+
+def extract_structured(root: Node) -> dict:
+    """X8+X9+X10: the StructuredDataExtractor.extract_all shape
+    (structured_data.py:103-147) — jsonLd (raw strings), openGraph
+    (og:-stripped keys), twitterCard (twitter:-stripped), metaData (raw
+    name|property keys minus og:/twitter:, plus the language chain)."""
+    metas = root.find_all({"meta"})
+    og: dict[str, str] = {}
+    tw: dict[str, str] = {}
+    md: dict[str, str] = {}
+    for n in metas:
+        prop = n.attrs.get("property") or ""
+        name = n.attrs.get("name") or ""
+        content = n.attrs.get("content")
+        if prop.startswith("og:") and prop.replace("og:", "") and content:
+            og[prop.replace("og:", "")] = content
+        if name.startswith("twitter:") and name.replace("twitter:", "") and content:
+            tw[name.replace("twitter:", "")] = content
+        key = name or prop
+        if key and content and not key.startswith(("og:", "twitter:")):
+            md[key] = content
+    md["language"] = _structured_language(root, metas)
+    return {
+        "jsonLd": extract_json_ld(root),
+        "openGraph": og,
+        "twitterCard": tw,
+        "metaData": md,
+    }
 
 
 # --- X5: DOM -> markdown (html2text feature subset the reference uses) ------
@@ -381,6 +549,33 @@ def _extract_meta_udf(html: pd.Series) -> pd.Series:
 
 def extract_meta_col(html: Column) -> Column:
     return _extract_meta_udf(html)
+
+
+_STRUCTURED_SCHEMA = T.StructType(
+    [
+        T.StructField("jsonLd", T.ArrayType(T.StringType())),
+        T.StructField("openGraph", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("twitterCard", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("metaData", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+@F.pandas_udf(_STRUCTURED_SCHEMA)
+def _extract_structured_udf(html: pd.Series) -> pd.DataFrame:
+    rows = [
+        extract_structured(parse_html(h))
+        if h is not None
+        else {"jsonLd": [], "openGraph": {}, "twitterCard": {}, "metaData": {"language": ""}}
+        for h in html
+    ]
+    return pd.DataFrame(rows)
+
+
+def extract_structured_col(html: Column) -> Column:
+    """X8-X10 on raw HTML: struct<jsonLd, openGraph, twitterCard, metaData>
+    (models/response.py:15-19 shape)."""
+    return _extract_structured_udf(html)
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

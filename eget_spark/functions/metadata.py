@@ -50,13 +50,60 @@ def title_of(spans: Column) -> Column:
     return F.coalesce(m["title"], m["og:title"], F.lit(None))
 
 
+def json_ld_of(spans: Column) -> Column:
+    """X8: raw JSON-LD strings — spans of kind `jsonld` (the span-model
+    analogue of the <script type="application/ld+json"> harvest,
+    structured_data.py:40-53; HTML side: html.extract_json_ld)."""
+    return F.transform(
+        F.filter(spans, lambda s: s["kind"] == F.lit("jsonld")),
+        lambda s: s["text"],
+    )
+
+
 def validated_structured_data(spans: Column) -> Column:
-    """X10: the reference's fallback shape on validation failure
-    (structured_data.py:103-147) — coalesce to the empty struct."""
+    """X10: full StructuredData shape incl. jsonLd (models/response.py:15-19);
+    the reference's fallback on validation failure (structured_data.py:
+    103-147) — coalesce each field to its empty value."""
     m = metadata_map(spans)
     empty = F.create_map(F.lit("language"), F.lit(""))
     return F.struct(
+        F.coalesce(
+            json_ld_of(spans), F.array().cast("array<string>")
+        ).alias("jsonLd"),
         F.coalesce(open_graph(spans), F.create_map().cast("map<string,string>")).alias("openGraph"),
         F.coalesce(twitter_card(spans), F.create_map().cast("map<string,string>")).alias("twitterCard"),
         F.coalesce(m, empty).alias("metaData"),
     )
+
+
+# X4 og:* rename pairs (scraper.py:373-390) — JVM-side mirror of
+# html._OG_RENAME for the span-corpus metadata path.
+_OG_RENAMES = [
+    ("og:title", "ogTitle"),
+    ("og:description", "ogDescription"),
+    ("og:image", "ogImage"),
+    ("og:url", "ogUrl"),
+    ("og:site_name", "ogSiteName"),
+    ("og:type", "og:type"),
+    ("og:locale", "ogLocale"),
+]
+
+
+def metadata_renamed_map(spans: Column) -> Column:
+    """X4 rename map over the span-corpus raw metadata keys: og:* keys get
+    the reference's camelCase renames (unknown og:x -> 'og' + capitalize),
+    `lang` becomes `language`, everything else passes through.  Pure JVM
+    (transform_keys) — zero Python."""
+    m = metadata_map(spans)
+
+    def rename(k: Column, v: Column) -> Column:
+        out = F.when(k == F.lit("lang"), F.lit("language"))
+        for raw, renamed in _OG_RENAMES:
+            out = out.when(k == F.lit(raw), F.lit(renamed))
+        tail = F.substring_index(k, "og:", -1)
+        generic = F.concat(
+            F.lit("og"), F.upper(F.substring(tail, 1, 1)), F.lower(F.substring(tail, 2, 100000))
+        )
+        return out.when(k.startswith("og:"), generic).otherwise(k)
+
+    return F.transform_keys(m, rename)

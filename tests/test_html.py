@@ -64,10 +64,119 @@ def test_extract_meta():
     m = extract_meta(parse_html(PAGE))
     assert m["title"] == "Test Page"
     assert m["description"] == "a test page"
-    assert m["og:title"] == "OG Test"
+    assert m["ogTitle"] == "OG Test"  # og:title renamed (scraper.py:373-376)
     assert m["twitter:card"] == "summary"
     assert m["canonical_url"] == "https://x.com/canonical"
     assert m["language"] == "en"
+
+
+FULL_META_PAGE = """<html lang="fr-CA"><head>
+<title> Spaced Title </title>
+<meta name="description" content=" d ">
+<meta property="og:title" content="first">
+<meta property="og:title" content="last wins">
+<meta property="og:description" content="ogd">
+<meta property="og:image" content="https://i/x.png">
+<meta property="og:url" content="https://o/u">
+<meta property="og:site_name" content="Site">
+<meta property="og:type" content="article">
+<meta property="og:locale" content="fr_CA">
+<meta property="og:image:width" content="640">
+<meta property="og:empty" content="   ">
+<meta name="twitter:card" content="summary_large_image">
+<meta name="twitter:site" content="@x">
+<link rel="stylesheet" href="/s.css">
+<link rel="canonical" href=" https://c/d ">
+<link rel="shortcut icon" href="/fav.ico">
+<meta name="viewport" content="width=device-width">
+<meta charset="utf-8">
+<meta http-equiv="content-type" content="text/html; charset=utf-8">
+<meta name="author" content="Jane Roe">
+<meta name="summary" content="sum">
+<meta property="article:published_time" content="2024-03-04T05:06:07Z">
+<meta property="article:section" content="News">
+<meta name="site-id" content="s1">
+<meta name="app-version" content="9.9">
+<meta name="docs-boost" content="3">
+<meta property="fb:app_id" content="123">
+</head><body>
+<img src="/x.jpg" alt="logo"><img src="/a.jpg" alt="The Author headshot">
+<time datetime="1999-01-01">old</time>
+</body></html>"""
+
+
+def test_extract_meta_full_field_parity():
+    """X4 full rename-map parity (scraper.py:354-483): every field, rename
+    edge cases (og capitalize, duplicate og tags overwrite, empty og content
+    skipped, rel token matching, published_at source precedence)."""
+    m = extract_meta(parse_html(FULL_META_PAGE))
+    assert m["title"] == "Spaced Title"
+    assert m["description"] == "d"
+    assert m["ogTitle"] == "last wins"  # loop assignment: later tag wins
+    assert m["ogDescription"] == "ogd"
+    assert m["ogImage"] == "https://i/x.png"
+    assert m["ogUrl"] == "https://o/u"
+    assert m["ogSiteName"] == "Site"
+    assert m["og:type"] == "article"  # the one og field NOT camelCased
+    assert m["ogLocale"] == "fr_CA"
+    assert m["ogImage:width"] == "640"  # generic og{prop.capitalize()}
+    assert "ogEmpty" not in m  # whitespace-only content skipped
+    assert m["twitter:card"] == "summary_large_image"
+    assert m["twitter:site"] == "@x"
+    assert m["canonical_url"] == "https://c/d"
+    assert m["favicon"] == "/fav.ico"  # rel="shortcut icon" token-matches icon
+    assert m["viewport"] == "width=device-width"
+    assert m["language"] == "fr-CA"  # raw lang attr (scraper.py:419)
+    assert m["charset"] == "utf-8"
+    assert m["contentType"] == "text/html; charset=utf-8"
+    assert m["authors"] == "Jane Roe"
+    assert m["summary"] == "sum"
+    # meta property beats <time datetime> (scraper.py:443-451 or-chain)
+    assert m["published_at"] == "2024-03-04T05:06:07Z"
+    assert m["categories"] == "News"
+    assert m["site-id"] == "s1"
+    assert m["app-version"] == "9.9"
+    assert m["docs-boost"] == "3"
+    assert m["fb:app_id"] == "123"
+    # author_images: first img whose alt matches /author|writer/i
+    assert m["author_images"] == "/a.jpg"
+
+
+def test_published_at_time_tag_fallback():
+    m = extract_meta(parse_html('<body><time datetime="2020-02-02">x</time></body>'))
+    assert m["published_at"] == "2020-02-02"
+
+
+def test_extract_structured_parity():
+    """X8-X10 (structured_data.py:40-147): jsonLd skip-malformed, og/twitter
+    key stripping, metaData raw keys + language primary-subtag chain."""
+    from eget_spark.functions.html import extract_json_ld, extract_structured
+
+    page = """<html lang="en-US"><head>
+    <script type="application/ld+json">{"@context":"https://schema.org","@type":"Article"}</script>
+    <script type="application/ld+json">{broken</script>
+    <script>notld()</script>
+    <meta property="og:title" content="T">
+    <meta name="twitter:card" content="summary">
+    <meta name="keywords" content="a,b">
+    <meta property="article:tag" content="x">
+    </head></html>"""
+    root = parse_html(page)
+    assert extract_json_ld(root) == [
+        '{"@context":"https://schema.org","@type":"Article"}'
+    ]
+    sd = extract_structured(root)
+    assert sd["openGraph"] == {"title": "T"}
+    assert sd["twitterCard"] == {"card": "summary"}
+    assert sd["metaData"]["keywords"] == "a,b"
+    assert sd["metaData"]["article:tag"] == "x"
+    assert sd["metaData"]["language"] == "en"  # en-US -> primary subtag
+    # fallback chain: no html@lang -> og:locale split on '_'
+    sd2 = extract_structured(
+        parse_html('<meta property="og:locale" content="pt_BR">')
+    )
+    assert sd2["metaData"]["language"] == "pt"
+    assert extract_structured(parse_html("<p>x</p>"))["metaData"]["language"] == ""
 
 
 def test_html_to_markdown_golden():
@@ -103,5 +212,24 @@ def test_spark_udf_faces(spark):
         extract_links_col(F.col("html")).alias("links"),
     ).collect()[0]
     assert row["md"] == html_to_markdown(PAGE)
-    assert row["meta"]["og:title"] == "OG Test"
+    assert row["meta"]["ogTitle"] == "OG Test"
     assert row["links"] == ["/home", "https://x.com/link"]
+
+
+def test_spark_structured_face(spark):
+    from eget_spark.functions.html import extract_structured_col
+
+    page = (
+        '<html lang="de"><head>'
+        '<script type="application/ld+json">{"@type":"Thing"}</script>'
+        '<meta property="og:title" content="T"></head></html>'
+    )
+    df = spark.createDataFrame([(page,), (None,)], "html string")
+    rows = df.select(
+        extract_structured_col(F.col("html")).alias("sd")
+    ).collect()
+    sd = rows[0]["sd"]
+    assert sd["jsonLd"] == ['{"@type":"Thing"}']
+    assert dict(sd["openGraph"]) == {"title": "T"}
+    assert sd["metaData"]["language"] == "de"
+    assert rows[1]["sd"]["jsonLd"] == []  # null html -> empty fallback shape

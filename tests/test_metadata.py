@@ -46,3 +46,62 @@ def test_metadata_missing_span(spark):
     ).collect()[0]
     assert row["m"] is None
     assert row["lang"] == ""
+
+
+def test_json_ld_and_renamed_map(spark):
+    """X8 span-side jsonLd harvest + X4 rename map mirror (scraper.py:
+    373-390): og:* keys camelCased, lang -> language, passthrough others."""
+    from eget_spark.functions.metadata import (
+        json_ld_of,
+        metadata_renamed_map,
+        validated_structured_data,
+    )
+
+    meta = json.dumps(
+        {
+            "title": "t",
+            "og:title": "ot",
+            "og:site_name": "sn",
+            "og:type": "article",
+            "og:image:width": "640",
+            "twitter:card": "summary",
+            "lang": "en",
+        }
+    )
+    ld1 = '{"@type":"Article"}'
+    ld2 = '{"@type":"Person"}'
+    df = spark.createDataFrame(
+        [([("metadata", meta, "", 0), ("jsonld", ld1, "", 1), ("jsonld", ld2, "", 2), ("paragraph", "x", "", 3)],)],
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    row = df.select(
+        json_ld_of(F.col("spans")).alias("ld"),
+        metadata_renamed_map(F.col("spans")).alias("renamed"),
+        validated_structured_data(F.col("spans")).alias("sd"),
+    ).collect()[0]
+    assert row["ld"] == [ld1, ld2]
+    renamed = dict(row["renamed"])
+    assert renamed["ogTitle"] == "ot"
+    assert renamed["ogSiteName"] == "sn"
+    assert renamed["og:type"] == "article"  # the non-camelCased exception
+    assert renamed["ogImage:width"] == "640"  # generic og-capitalize
+    assert renamed["language"] == "en"
+    assert renamed["twitter:card"] == "summary"
+    assert renamed["title"] == "t"
+    assert list(row["sd"]["jsonLd"]) == [ld1, ld2]
+    assert row["sd"]["metaData"]["title"] == "t"
+
+
+def test_structured_data_fallback_shape(spark):
+    """X10 fallback: no metadata span -> empty struct with language=''
+    and jsonLd=[] (structured_data.py:132-147)."""
+    from eget_spark.functions.metadata import validated_structured_data
+
+    df = spark.createDataFrame(
+        [([("paragraph", "x", "", 0)],)],
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    sd = df.select(validated_structured_data(F.col("spans")).alias("sd")).collect()[0]["sd"]
+    assert list(sd["jsonLd"]) == []
+    assert dict(sd["openGraph"]) == {}
+    assert dict(sd["metaData"]) == {"language": ""}

@@ -54,3 +54,29 @@ def test_salted_hot_host_budget_preserved(spark):
     assert seqs.issubset(set(range(2000)))
     fetched_seqs = {r["seq"] for r in fetch.collect()}
     assert fetched_seqs.isdisjoint(seqs)
+
+
+def test_politeness_many_hosts_column_side(spark):
+    """2k distinct delayed hosts: counts/salting stay column-side (no driver
+    dict — round-1 verdict fix #4) and every host's budget is respected."""
+    import inspect
+
+    from eget_spark.operators import politeness as pol_mod
+
+    assert ".collect()" not in inspect.getsource(pol_mod)
+    rows = [
+        (f"h{i}.x", f"https://h{i}.x/p/{j}", 0, None, i * 10 + j)
+        for i in range(2000)
+        for j in range(3)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "host string, url string, depth int, parent_url string, seq long"
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.x", [], 1.0) for i in range(2000)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    fetch, deferred = schedule_round(frontier, robots, round_window=2.0)
+    per_host = fetch.groupBy("host").count().collect()
+    assert all(r["count"] <= 2 for r in per_host)
+    assert fetch.count() + deferred.count() == len(rows)

@@ -37,3 +37,39 @@ def test_anti_join_with_bloom_equals_exact(spark):
         r["url"] for r in anti_join_seen(cand, seen, "url", bloom=bloom).collect()
     }
     assert with_bloom == exact
+
+
+def test_bloom_delta_like_build(spark):
+    """Per-round delta path: build_bloom(like=) yields a merge-compatible
+    filter; merged result contains base+delta with no driver URL collection."""
+    base = spark.createDataFrame([(f"a{i}",) for i in range(300)], "url string")
+    delta = spark.createDataFrame([(f"b{i}",) for i in range(300)], "url string")
+    bloom = build_bloom(base, "url", expected=4096, fpp=0.01)
+    d = build_bloom(delta, "url", like=bloom)
+    assert (d.m_bits, d.k) == (bloom.m_bits, bloom.k)
+    bloom.merge(d)
+    assert all(bloom.contains(f"a{i}") for i in range(300))
+    assert all(bloom.contains(f"b{i}") for i in range(300))
+
+
+def test_bloom_vectorized_matches_scalar():
+    bf = BloomFilter.sized(500, 0.01)
+    vals = [f"u{i}" for i in range(200)]
+    bf.add_many(vals)
+    import numpy as np
+
+    got = bf.contains_many(vals + ["nope", None])
+    assert got[:200].all()
+    assert not got[-1]  # None -> False
+    assert bool(got[200]) == bf.contains("nope")
+
+
+def test_bloom_broadcast_cached_until_mutation(spark):
+    bf = BloomFilter.sized(100, 0.01)
+    bf.add_many(["x"])
+    b1 = bf.spark_broadcast(spark)
+    b2 = bf.spark_broadcast(spark)
+    assert b1 is b2  # no rebroadcast between mutations (verdict fix #8)
+    bf.add_many(["y"])
+    b3 = bf.spark_broadcast(spark)
+    assert b3 is not b1

@@ -4,8 +4,6 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import functions as F
-
 from eget_spark.operators.sequence import with_global_seq
 
 
@@ -14,20 +12,21 @@ def test_global_seq_matches_sorted_order(spark):
     rows = [(rng.randrange(10**6), f"u{rng.randrange(10**9):09d}") for _ in range(5000)]
     rows = list({(a, b) for a, b in rows})  # unique keys (ties not allowed)
     df = spark.createDataFrame(rows, "parent_seq long, url string").repartition(16)
-    out = with_global_seq(df, ["parent_seq", "url"], start=42)
+    sr = with_global_seq(df, ["parent_seq", "url"], start=42)
     got = [
         (r["parent_seq"], r["url"], r["seq"])
-        for r in out.orderBy("seq").collect()
+        for r in sr.df.orderBy("seq").collect()
     ]
     want = sorted(rows)
     assert [g[:2] for g in got] == want
     assert [g[2] for g in got] == list(range(42, 42 + len(rows)))
-    tmp = getattr(out, "_eget_tmp_persist", None)
-    if tmp is not None:
-        tmp.unpersist()
+    assert sr.total == len(rows)
+    sr.unpersist()
 
 
 def test_global_seq_empty(spark):
     df = spark.createDataFrame([], "parent_seq long, url string")
-    out = with_global_seq(df, ["parent_seq", "url"], start=0)
-    assert out.count() == 0
+    sr = with_global_seq(df, ["parent_seq", "url"], start=0)
+    assert sr.df.count() == 0
+    assert sr.total == 0
+    sr.unpersist()

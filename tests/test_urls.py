@@ -72,3 +72,33 @@ def test_cache_key_matches_hashlib(spark):
     df = spark.createDataFrame([(url, opts)], "u string, o string")
     got = df.select(cache_key(F.col("u"), F.col("o")).alias("k")).collect()[0]["k"]
     assert got == expect
+
+
+def test_java_safe_rejects_ascii_class_escapes():
+    """Java \\d/\\w/\\s are ASCII-only; Python re is Unicode — such patterns
+    must route to the Python-re UDF (round-1 advice fix)."""
+    from eget_spark.operators.links import java_safe
+
+    assert not java_safe(r"/p/\d+")
+    assert not java_safe(r"\w+foo")
+    assert not java_safe(r"a\sb")
+    assert not java_safe(r"end\b")
+    assert not java_safe(r"(a)\1")
+    assert java_safe(r"/p/[0-9]+")  # explicit class: dialect-identical
+    assert java_safe(r"foo\.bar")  # escaped punctuation stays safe
+    assert java_safe(r"^https://x/.*$")
+
+
+def test_matches_any_unicode_digits(spark):
+    """Python \\d matches Arabic-Indic digits; the engine must agree with the
+    reference's Python re, not Java's ASCII classes."""
+    from eget_spark.operators.links import matches_any
+
+    df = spark.createDataFrame(
+        [("https://x/p/١٢٣",), ("https://x/p/abc",)], "url string"
+    )
+    got = {
+        r["url"]
+        for r in df.where(matches_any(F.col("url"), [r"/p/\d+$"])).collect()
+    }
+    assert got == {"https://x/p/١٢٣"}
