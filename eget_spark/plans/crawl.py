@@ -107,6 +107,20 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+# admission sequencing / checkpoint sizing: rows per partition small enough
+# to sort in memory, partition count capped by the session's shuffle setting
+# (a cluster submit raises that; tiny BFS rounds collapse to 1 partition so
+# later rounds' seen-union scans don't schedule hundreds of empty tasks)
+_SEQ_ROWS_PER_PARTITION = 20_000
+_FANOUT_ESTIMATE = 20
+
+
+def _seq_partitions(spark: SparkSession, frontier_count: int) -> int:
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    est_kids = max(1, frontier_count) * _FANOUT_ESTIMATE
+    return max(1, min(cap, -(-est_kids // _SEQ_ROWS_PER_PARTITION)))
+
+
 def crawl(
     spark: SparkSession,
     docs: DataFrame,
@@ -194,6 +208,7 @@ def crawl(
     attempted_list: list[int] = []
     success_list: list[int | None] = []
     counted = 0
+    pending_sr = None  # prev round's sequencing persist, freed once consumed
 
     while frontier_count > 0 and success_total < config.max_pages and round_no < config.max_rounds:
         round_no += 1
@@ -221,11 +236,11 @@ def crawl(
                 *[fetch_now[c] for c in FRONTIER_COLS]
             )
 
-        hits = _checkpoint(
-            hits.select(
-                "url", fetch_now["host"], "depth", "parent_url", "seq", "spans"
-            )
-        )
+        # non-eager: materializes inside the sequencing job below (one fewer
+        # job launch per round); lineage is truncated on first computation
+        hits = hits.select(
+            "url", fetch_now["host"], "depth", "parent_url", "seq", "spans"
+        ).localCheckpoint(eager=False)
         # without politeness the whole frontier is fetched: no extra job
         attempted = fetch_now.count() if politeness_active else frontier_count
         attempted_list.append(attempted)
@@ -326,7 +341,18 @@ def crawl(
         # F7 + O1: global admission sequence; admit while seq < max_pages.
         # The sequencing collect also yields the candidate total, so
         # n_admitted = clamp(cap headroom) — no extra count job.
-        sr = with_global_seq(kids, ["parent_seq", "url"], start=admitted_total)
+        sr = with_global_seq(
+            kids,
+            ["parent_seq", "url"],
+            start=admitted_total,
+            num_partitions=_seq_partitions(spark, frontier_count),
+        )
+        # the sequencing job above also materialized the PREVIOUS round's
+        # deferred admitted checkpoint (it is this round's frontier/seen
+        # input) — its sequencing persist can be freed now
+        if pending_sr is not None:
+            pending_sr.unpersist()
+            pending_sr = None
         admitted = sr.df.where(F.col("seq") < config.max_pages).select(
             F.col("url"),
             host_of(F.col("url")).alias("host"),
@@ -334,8 +360,16 @@ def crawl(
             F.col("base").alias("parent_url"),
             F.col("seq"),
         )
-        admitted = _checkpoint(admitted)
-        sr.unpersist()
+        if run is None and not politeness_active:
+            # in-memory fast path: defer materialization — the checkpoint
+            # computes inside the NEXT round's sequencing job (one job per
+            # round instead of two); table/politeness modes materialize now
+            # (their per-round writes/counts need it anyway)
+            admitted = admitted.localCheckpoint(eager=False)
+            pending_sr = sr
+        else:
+            admitted = _checkpoint(admitted)
+            sr.unpersist()
         n_admitted = min(sr.total, max(0, config.max_pages - admitted_total))
         admitted_total += n_admitted
         if bloom is not None:
@@ -379,12 +413,14 @@ def crawl(
                 n_admitted, n_deferred, admitted_total, success_total,
             )
 
-    # fill any deferred per-round success counts (cheap: hits are cached)
-    for i, s in enumerate(success_list):
-        if s is None:
-            c = hits_parts[i].count()
-            success_list[i] = c
-            success_total += c
+    if pending_sr is not None:
+        # last round's admitted never flowed into a next-round job: force
+        # its checkpoint (usually empty — the loop exited) then free
+        admitted.count()
+        pending_sr.unpersist()
+
+    # fill any deferred per-round success counts in ONE batched job
+    success_total += _fill_success_counts(success_list, hits_parts)
     run_success = 0
     for i, st in enumerate(stats[len(stats) - len(hits_parts):]):
         st.success = success_list[i]
@@ -420,6 +456,29 @@ def crawl(
     if run and not pages_parts:
         pages = run.docs.read().drop("partition_id")
     return CrawlResult(pages=pages, order=order, seen=seen_df(), stats=stats)
+
+
+def _fill_success_counts(
+    success_list: list[int | None], hits_parts: list[DataFrame]
+) -> int:
+    """Count every still-uncounted round's hits in one union+groupBy job
+    (one count ROW per round reaches the driver, never data rows); returns
+    the total added."""
+    missing = [i for i, s in enumerate(success_list) if s is None]
+    if not missing:
+        return 0
+    tagged = _union_all(
+        [hits_parts[i].select(F.lit(i).alias("_i")) for i in missing]
+    )
+    got = {
+        r["_i"]: r["n"]
+        for r in tagged.groupBy("_i").agg(F.count("*").alias("n")).collect()
+    }
+    added = 0
+    for i in missing:
+        success_list[i] = got.get(i, 0)
+        added += success_list[i]
+    return added
 
 
 def _union_all(parts: list[DataFrame]) -> DataFrame:

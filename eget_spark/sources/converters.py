@@ -20,6 +20,7 @@ text page — the environment-independent 90% of C1.
 
 from __future__ import annotations
 
+import json as _json
 import re
 from datetime import datetime
 from typing import Any, Iterator
@@ -270,7 +271,12 @@ def docx_blocks_to_spans(blocks: list[dict]) -> list[dict]:
 
     for b in blocks:
         t = b["type"]
-        if t == "heading":
+        if t == "metadata":
+            # core-properties element (docx_converter.py:95-122); renders to
+            # "" in markdown (document_structure.py metadata branch) but is
+            # carried as a span for structured consumers
+            add("metadata", _json.dumps(b["props"], sort_keys=True))
+        elif t == "heading":
             add("heading", "#" * int(b.get("level", 1)) + " " + b["text"])
         elif t == "paragraph":
             text = _docx_runs_to_text(b["runs"])
@@ -312,15 +318,154 @@ def _decode_pdf(data: bytes) -> list[str]:
 
 
 def _decode_docx(data: bytes) -> list[dict]:
-    raise NotImplementedError(
-        "DOCX decoding requires python-docx (not in this environment)"
-    )
+    """DOCX bytes -> the block model consumed by docx_blocks_to_spans,
+    reproducing the reference walk (docx_converter.py:33-339) faithfully,
+    including its list state machine's quirks:
+
+    - headings do NOT close open lists (only a regular paragraph or a
+      numId change does — :124-150, :290-294), so list blocks appear where
+      they are *closed*, not where they start;
+    - a list still open at end-of-document is never flushed (convert()
+      :66-71 has no final _close_current_list) and is dropped;
+    - the level-stack pop discards prior same-level items of the same
+      numId run (:259-272), keeping only the last.
+    Import-gated on python-docx like _decode_pdf is on PyPDF2."""
+    try:
+        import io
+
+        from docx import Document  # noqa: F401
+        from docx.oxml.table import CT_Tbl
+        from docx.oxml.text.paragraph import CT_P
+        from docx.table import Table
+        from docx.text.paragraph import Paragraph
+    except ImportError as e:
+        raise NotImplementedError(
+            "DOCX byte decoding requires python-docx (not in this "
+            "environment); use docx_blocks_to_spans on a decoded block model"
+        ) from e
+
+    doc = Document(io.BytesIO(data))
+    blocks: list[dict] = []
+
+    props = {}
+    cp = doc.core_properties
+    for key in (
+        "title", "author", "comments", "category", "last_modified_by",
+        "revision", "keywords", "subject",
+    ):
+        v = getattr(cp, key, None)
+        if v is not None and v != "":
+            props[key] = str(v)
+    for key in ("created", "modified"):
+        v = getattr(cp, key, None)
+        if v is not None:
+            props[key] = v.isoformat()
+    if props:
+        blocks.append({"type": "metadata", "props": props})
+
+    current_list_id: str | None = None
+    list_stack: list[dict] = []
+
+    def close_lists() -> None:
+        nonlocal current_list_id
+        for li in list_stack:
+            blocks.append(
+                {"type": "list", "items": li["items"], "ordered": li["ordered"]}
+            )
+        list_stack.clear()
+        current_list_id = None
+
+    def list_info(p) -> dict | None:
+        if p._element.pPr is None:
+            return None
+        num_pr = p._element.pPr.xpath("./w:numPr")
+        if not num_pr:
+            return None
+        ilvl = num_pr[0].xpath("./w:ilvl/@w:val")
+        num_id = num_pr[0].xpath("./w:numId/@w:val")
+        if not (ilvl and num_id):
+            return None
+        ordered = bool(re.match(r"^\d+\.?\s", p.text.strip()))
+        return {"level": int(ilvl[0]), "list_id": num_id[0], "ordered": ordered}
+
+    for element in doc.element.body:
+        if isinstance(element, CT_P):
+            p = Paragraph(element, doc)
+            if not p.text.strip():
+                continue
+            style_name = p.style.name if p.style else "Normal"
+            if style_name.startswith("Heading"):
+                try:
+                    blocks.append(
+                        {"type": "heading", "text": p.text, "level": int(style_name[-1])}
+                    )
+                    continue
+                except ValueError:
+                    pass
+            li = list_info(p)
+            if li is not None:
+                if current_list_id != li["list_id"]:
+                    close_lists()
+                    current_list_id = li["list_id"]
+                while list_stack and list_stack[-1]["level"] >= li["level"]:
+                    list_stack.pop()
+                list_stack.append(
+                    {"level": li["level"], "ordered": li["ordered"], "items": []}
+                )
+                list_stack[-1]["items"].append(p.text.strip())
+                continue
+            close_lists()
+            blocks.append(
+                {
+                    "type": "paragraph",
+                    "runs": [
+                        (r.text, bool(r.bold), bool(r.italic), bool(r.underline))
+                        for r in p.runs
+                    ],
+                }
+            )
+        elif isinstance(element, CT_Tbl):
+            table = Table(element, doc)
+            rows = [
+                [
+                    " ".join(q.text.strip() for q in cell.paragraphs if q.text.strip())
+                    for cell in row.cells
+                ]
+                for row in table.rows
+            ]
+            if rows:
+                blocks.append({"type": "table", "rows": rows})
+    # NOTE deliberately NO close_lists() here — reference parity (see above)
+    return blocks
 
 
-def _decode_xlsx(data: bytes) -> list[dict]:
-    raise NotImplementedError(
-        "XLSX decoding requires openpyxl (not in this environment)"
-    )
+def _decode_xlsx(data: bytes) -> list[tuple[str, list[list]]]:
+    """XLSX bytes -> (sheet title, value rows) pairs for xlsx_sheets_to_spans,
+    per xlsx_converter.py:22-151: data_only values, and a sheet is included
+    only if its FIRST row has a non-None cell (_has_content :96-104 checks
+    row 1 only — a sheet whose data starts at row 2 is skipped; reference
+    quirk, reproduced). Import-gated on openpyxl."""
+    try:
+        import io
+
+        from openpyxl import load_workbook  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "XLSX byte decoding requires openpyxl (not in this environment); "
+            "use xlsx_sheets_to_spans on a decoded sheet model"
+        ) from e
+    wb = load_workbook(io.BytesIO(data), data_only=True, read_only=True)
+    try:
+        out: list[tuple[str, list[list]]] = []
+        for name in wb.sheetnames:
+            sheet = wb[name]
+            first = next(sheet.iter_rows(min_row=1, max_row=1, values_only=True), None)
+            if first is None or not any(c is not None for c in first):
+                continue
+            out.append((sheet.title, [list(r) for r in sheet.iter_rows(values_only=True)]))
+        return out
+    finally:
+        wb.close()
 
 
 def convert_files(files: DataFrame) -> DataFrame:

@@ -70,3 +70,101 @@ def test_docx_block_walk_runs_lists_tables():
     assert md.startswith("# Title")
     assert "1. x" in md and "- a" in md and "| h1 | h2 |" in md
     assert "![pic](img://ab)" in md
+
+
+def _has(mod: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(mod) is not None
+
+
+def test_metadata_block_to_span():
+    """Core-properties metadata block -> kind=metadata span (renders to ''
+    in markdown — document_structure.py metadata branch)."""
+    from eget_spark.sources.converters import docx_blocks_to_spans
+
+    blocks = [
+        {"type": "metadata", "props": {"title": "T", "author": "A"}},
+        {"type": "heading", "text": "H", "level": 1},
+    ]
+    spans = docx_blocks_to_spans(blocks)
+    assert spans[0]["kind"] == "metadata"
+    assert '"author": "A"' in spans[0]["text"]
+    assert render_spans(spans).strip() == "# H"
+
+
+def test_decoders_gate_cleanly_when_libs_absent():
+    import pytest
+
+    from eget_spark.sources.converters import _decode_docx, _decode_xlsx
+
+    if not _has("docx"):
+        with pytest.raises(NotImplementedError):
+            _decode_docx(b"PK\x03\x04")
+    if not _has("openpyxl"):
+        with pytest.raises(NotImplementedError):
+            _decode_xlsx(b"PK\x03\x04")
+
+
+def test_docx_decode_roundtrip():
+    """Activates when python-docx is installed (cluster environments):
+    byte decode -> block model -> spans, reference walk semantics."""
+    import pytest
+
+    if not _has("docx"):
+        pytest.skip("python-docx not installed")
+    import io
+
+    from docx import Document
+
+    from eget_spark.sources.converters import _decode_docx, docx_blocks_to_spans
+
+    d = Document()
+    d.add_heading("Title", level=1)
+    p = d.add_paragraph()
+    p.add_run("bold").bold = True
+    d.add_paragraph("item one", style="List Bullet")
+    d.add_paragraph("item two", style="List Bullet")
+    t = d.add_table(rows=1, cols=2)
+    t.rows[0].cells[0].text = "a"
+    t.rows[0].cells[1].text = "b"
+    buf = io.BytesIO()
+    d.save(buf)
+    blocks = _decode_docx(buf.getvalue())
+    kinds = [b["type"] for b in blocks]
+    assert "heading" in kinds and "paragraph" in kinds and "table" in kinds
+    spans = docx_blocks_to_spans(blocks)
+    assert any(s["kind"] == "heading" and s["text"] == "# Title" for s in spans)
+    assert any(s["kind"] == "paragraph" and s["text"] == "**bold**" for s in spans)
+    assert any(s["kind"] == "table" and s["text"] == "a\tb" for s in spans)
+
+
+def test_xlsx_decode_roundtrip():
+    """Activates when openpyxl is installed: first-row content gate,
+    trailing-None strip, X20 cell formatting."""
+    import pytest
+
+    if not _has("openpyxl"):
+        pytest.skip("openpyxl not installed")
+    import io
+
+    from openpyxl import Workbook
+
+    from eget_spark.sources.converters import _decode_xlsx, xlsx_sheets_to_spans
+
+    wb = Workbook()
+    ws = wb.active
+    ws.title = "Data"
+    ws.append(["h1", "h2", None])
+    ws.append([1.0, "x", None])
+    ws2 = wb.create_sheet("EmptyFirstRow")
+    ws2.append([None, None])
+    ws2.append(["hidden", "data"])
+    buf = io.BytesIO()
+    wb.save(buf)
+    sheets = _decode_xlsx(buf.getvalue())
+    # sheet with empty first row skipped (xlsx_converter.py:96-104 quirk)
+    assert [s[0] for s in sheets] == ["Data"]
+    spans = xlsx_sheets_to_spans(sheets)
+    assert spans[0]["text"] == "## Sheet: Data"
+    assert spans[1]["text"] == "h1\th2\n1\tx"  # 1.0 -> '1' (X20)
