@@ -188,9 +188,21 @@ def sentence_chunks(
     chunk_size: int = 512,
     chunk_overlap: int = 50,
     min_characters_per_sentence: int = 12,
+    min_sentences_per_chunk: int = 1,
 ) -> list[dict]:
     """Sliding sentence packer (ChunkService's Chonkie config,
-    chunk_service.py:20-24). Tokens = whitespace words."""
+    chunk_service.py:95-105: chunk_size=512, chunk_overlap=50,
+    min_sentences_per_chunk=1, min_characters_per_sentence=12).
+    Tokens = whitespace words (Chonkie's BPE tokenizer is not in this
+    environment; the packing rules are what's pinned by goldens):
+
+    - sentences shorter than min_characters_per_sentence merge forward
+      into the next sentence;
+    - each chunk takes at least min_sentences_per_chunk sentences, then
+      greedily packs while the token total stays <= chunk_size;
+    - the next chunk starts back by whole sentences whose token total is
+      <= chunk_overlap (never consuming the whole chunk: progress is
+      guaranteed past the first packed sentence)."""
     if not text or not text.strip():
         return []
     raw = [s for s in _SENT_RE.split(text) if s.strip()]
@@ -209,7 +221,9 @@ def sentence_chunks(
     while i < n:
         j = i
         total = 0
-        while j < n and (j == i or total + counts[j] <= chunk_size):
+        while j < n and (
+            j - i < min_sentences_per_chunk or total + counts[j] <= chunk_size
+        ):
             total += counts[j]
             j += 1
         content = " ".join(sents[i:j])

@@ -84,23 +84,32 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
+    sig_arr = F.array(
+        *[
             F.md5(
                 F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select(
-        "id", F.explode(F.array(*band_cols)).alias("bs")
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("id", sig_arr.alias("sigs")).select(
+        "id", "sigs", F.posexplode("sigs").alias("band", "sig")
+    )
     # materialize once: the self-join would otherwise recompute the whole
     # shingle->minhash pipeline for BOTH sides
     buckets = buckets.localCheckpoint(eager=True)
     a = buckets.alias("a")
     b = buckets.alias("b")
+    # first-band-wins: a multi-band pair is emitted only from the lowest
+    # matching band, so no pair-set distinct() shuffle is needed (both
+    # sides carry the full band-sig array; bands per row is small)
+    first_match = (
+        F.array_position(
+            F.zip_with(F.col("a.sigs"), F.col("b.sigs"), lambda x, y: x == y),
+            F.lit(True),
+        )
+        - 1
+    )
     return (
         a.join(
             b,
@@ -108,8 +117,8 @@ def minhash_lsh_pairs(
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .where(F.col("a.band") == first_match)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
 
 
@@ -194,6 +203,17 @@ def simhash_pairs(
         "id", "simhash", F.explode(F.array(*slices)).alias("bs")
     ).select("id", "simhash", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
     a, b = buckets.alias("a"), buckets.alias("b")
+    # first-band-wins (no pair-set distinct() shuffle): both simhashes are
+    # present post-join, so the earliest agreeing slice is recomputed from
+    # them directly and the pair is emitted only from that band
+    mask = (1 << width) - 1
+    slice_eq = F.array(
+        *[
+            F.shiftright(F.col("a.simhash"), i * width).bitwiseAND(F.lit(mask))
+            == F.shiftright(F.col("b.simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ]
+    )
     pairs = (
         a.join(
             b,
@@ -201,6 +221,7 @@ def simhash_pairs(
             & (F.col("a.slice") == F.col("b.slice"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .where(F.col("a.band") == F.array_position(slice_eq, F.lit(True)) - 1)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -209,7 +230,6 @@ def simhash_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
     return pairs
 

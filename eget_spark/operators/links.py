@@ -73,36 +73,92 @@ def same_domain(url: Column, base_domain: str) -> Column:
     return host_of(url) == F.lit(base_domain)
 
 
+def _compile_robots_pattern(pattern: str):
+    """Robots path pattern -> anchored regex: `*` matches any chars, a
+    trailing `$` anchors the end, everything else literal (the GYM2008
+    wildcard syntax RobotExclusionRulesParser implements)."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    body = ".*".join(re.escape(part) for part in pattern.split("*"))
+    return re.compile(body + ("$" if anchored else ""))
+
+
+def _rules_allowed_udf():
+    cache: dict[str, re.Pattern] = {}
+
+    def allowed(path: str, rules) -> bool:
+        """RobotExclusionRulesParser.is_url_allowed semantics
+        (link_extractor.py:46 via the library): rules checked in file
+        order, FIRST matching rule decides (allow flag), no match =>
+        allowed; an empty pattern matches nothing."""
+        for r in rules:
+            pat = r["pattern"]
+            if not pat:
+                continue
+            c = cache.get(pat)
+            if c is None:
+                c = cache[pat] = _compile_robots_pattern(pat)
+            if c.match(path or ""):
+                return bool(r["allow"])
+        return True
+
+    @F.pandas_udf(T.BooleanType())
+    def udf(path: pd.Series, rules: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                True if rl is None else allowed(p, rl)
+                for p, rl in zip(path, rules)
+            ]
+        )
+
+    return udf
+
+
 def robots_allowed(
     candidates: DataFrame,
     robots: DataFrame | None,
     respect_robots: bool = True,
     url_col: str = "url",
 ) -> DataFrame:
-    """F5/J2: drop URLs whose path starts with a disallowed prefix.
+    """F5/J2: drop URLs the host's robots rules disallow.
 
     Broadcast-joins the (tiny) robots table on host — the Spark analogue of
     the per-crawl RobotExclusionRulesParser singleton
     (link_extractor.py:27-46). Missing host row or respect_robots=False =>
     always allowed (mirrors the reference's failed-robots-fetch fallback).
-    The prefix test is a higher-order `exists` — zero Python.
+
+    Two rule dialects:
+    - ``disallow_prefixes: array<string>`` — plain prefix rules; the test
+      is a higher-order `exists`, zero Python (the fast path).
+    - optional ``rules: array<struct<allow:boolean, pattern:string>>`` —
+      full RFC 9309 / GYM2008 rules with `*`/`$` wildcards and Allow
+      precedence, evaluated first-match-in-order by an Arrow-vectorized
+      UDF reproducing RobotExclusionRulesParser semantics.  Hosts with a
+      null ``rules`` entry fall back to the prefix path, so the Python
+      stage prices only wildcard-bearing hosts.
     """
     if not respect_robots or robots is None:
         return candidates
     url = F.col(url_col)
+    has_rules = "rules" in robots.columns
+    sel = ["host", "disallow_prefixes"] + (["rules"] if has_rules else [])
     joined = candidates.join(
-        F.broadcast(robots.select("host", "disallow_prefixes")),
+        F.broadcast(robots.select(*sel)),
         host_of(url) == robots["host"],
         "left",
     ).drop(robots["host"])
-    disallowed = F.exists(
-        F.col("disallow_prefixes"),
-        lambda p: path_of(url).startswith(p),
+    path = path_of(url)
+    prefix_ok = F.col("disallow_prefixes").isNull() | ~F.exists(
+        F.col("disallow_prefixes"), lambda p: path.startswith(p)
     )
-    return (
-        joined.where(F.col("disallow_prefixes").isNull() | ~disallowed)
-        .drop("disallow_prefixes")
-    )
+    if has_rules:
+        keep = F.when(
+            F.col("rules").isNotNull(), _rules_allowed_udf()(path, F.col("rules"))
+        ).otherwise(prefix_ok)
+    else:
+        keep = prefix_ok
+    return joined.where(keep).drop("disallow_prefixes", *(["rules"] if has_rules else []))
 
 
 def should_include(url: Column, base_domain: str, exclude: list[str], include: list[str]) -> Column:

@@ -107,3 +107,68 @@ def test_sentence_chunks_single_short_text():
         {"content": "tiny", "position": 0, "word_count": 1, "sentence_count": 1}
     ]
     assert sentence_chunks("   ") == []
+
+
+# --- X14 Chonkie-config parity goldens (chunk_service.py:95-105) -------------
+
+
+def test_sentence_min_characters_merge_forward():
+    from eget_spark.operators.chunker import sentence_chunks
+
+    # "Hi." (3 chars < 12) merges into the next sentence
+    out = sentence_chunks("Hi. This is a longer sentence here.", chunk_size=512)
+    assert len(out) == 1
+    assert out[0]["content"] == "Hi. This is a longer sentence here."
+    assert out[0]["sentence_count"] == 1  # merged into ONE sentence unit
+
+
+def test_sentence_min_sentences_per_chunk_overrides_size():
+    from eget_spark.operators.chunker import sentence_chunks
+
+    # a single sentence longer than chunk_size still forms a chunk
+    big = " ".join(f"w{i}" for i in range(30)) + "."
+    out = sentence_chunks(big, chunk_size=10, chunk_overlap=0)
+    assert len(out) == 1 and out[0]["word_count"] == 30
+    # min_sentences_per_chunk=2 packs two sentences even over chunk_size
+    two = "alpha beta gamma delta. epsilon zeta eta theta."
+    out2 = sentence_chunks(
+        two, chunk_size=4, chunk_overlap=0, min_sentences_per_chunk=2
+    )
+    assert len(out2) == 1 and out2[0]["sentence_count"] == 2
+
+
+def test_sentence_overlap_token_accounting():
+    from eget_spark.operators.chunker import sentence_chunks
+
+    # 6 sentences x 5 tokens; size 10 -> 2 sentences per chunk;
+    # overlap 5 -> back off exactly ONE whole 5-token sentence
+    text = " ".join(
+        f"s{i} alpha beta gamma delta." for i in range(6)
+    )
+    out = sentence_chunks(text, chunk_size=10, chunk_overlap=5)
+    assert [c["sentence_count"] for c in out] == [2, 2, 2, 2, 2]
+    # consecutive chunks share exactly one sentence
+    for a, b in zip(out, out[1:]):
+        last_a = a["content"].split(".")[-2].strip()
+        first_b = b["content"].split(".")[0].strip()
+        assert last_a == first_b
+    # overlap smaller than any sentence -> disjoint chunks
+    out0 = sentence_chunks(text, chunk_size=10, chunk_overlap=4)
+    assert [c["sentence_count"] for c in out0] == [2, 2, 2]
+    # positions enumerate 0..n-1
+    assert [c["position"] for c in out] == list(range(5))
+
+
+def test_sentence_reference_config_defaults():
+    from eget_spark.operators.chunker import sentence_chunks
+
+    # the exact ChunkService config: 512/50/1/12 over a long doc
+    text = " ".join(f"tok{i} tok tok tok tok tok tok tok tok." for i in range(200))
+    out = sentence_chunks(text)  # defaults = reference config
+    assert all(c["word_count"] <= 512 for c in out)
+    # overlap tokens between consecutive chunks is <= 50
+    for a, b in zip(out, out[1:]):
+        a_s = set(a["content"].split("."))
+        b_s = set(b["content"].split("."))
+        shared = [s for s in a_s & b_s if s.strip()]
+        assert sum(len(s.split()) for s in shared) <= 50
