@@ -136,6 +136,78 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.select("media_ref", "payload").mapInPandas(run, DECODED_DDL)
 
 
+def encode_image_data_uri(
+    image_data: bytes, format: str = "PNG", max_size_kb: int = 500
+) -> str | None:
+    """X19 real path (file_utils.py:38-75, exact rules): PIL open; if the
+    SOURCE byte size exceeds max_size_kb, resize by scale=sqrt(max/cur)
+    with LANCZOS; JPEG flattens RGBA/LA onto white at quality=85; emit a
+    data:image/..;base64 URI; any failure -> None (the reference swallows
+    and logs).  Import-gated on PIL like the byte decoders."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image re-encode requires PIL (not in this environment); "
+            "resize_images covers the metadata-side rule"
+        ) from e
+    import base64
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(image_data))
+        current_size = len(image_data) / 1024
+        if current_size > max_size_kb:
+            scale = (max_size_kb / current_size) ** 0.5
+            img = img.resize(
+                (int(img.width * scale), int(img.height * scale)),
+                Image.Resampling.LANCZOS,
+            )
+        out = io.BytesIO()
+        if format.upper() == "JPEG":
+            if img.mode in ("RGBA", "LA"):
+                background = Image.new("RGB", img.size, (255, 255, 255))
+                background.paste(img, mask=img.split()[-1])
+                img = background
+            img.save(out, format=format, quality=85, optimize=True)
+        else:
+            img.save(out, format=format, optimize=True)
+        encoded = base64.b64encode(out.getvalue()).decode("utf-8")
+        return f"data:image/{format.lower()};base64,{encoded}"
+    except Exception:
+        return None
+
+
+REENCODED_DDL = "media_ref string, data_uri string"
+
+
+def reencode_images(
+    media: DataFrame, format: str = "PNG", max_size_kb: int = 500
+) -> DataFrame:
+    """X19 over the media table: mapInPandas batches of image payloads ->
+    data URIs (PIL-gated; the batch plumbing is environment-independent)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "data_uri": [
+                        encode_image_data_uri(bytes(p), format, max_size_kb)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_ref", "payload")
+        .mapInPandas(run, REENCODED_DDL)
+    )
+
+
 FEATURES_DDL = "media_ref string, features array<float>"
 
 

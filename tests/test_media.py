@@ -71,3 +71,43 @@ def test_media_joins_corpus_image_spans(spark, docs_small):
         ).alias("s")
     ).select(F.col("s.media_ref").alias("media_ref"))
     assert refs.where(~F.col("media_ref").startswith("img://")).count() == 0
+
+
+def test_reencode_gate_and_pil_roundtrip(spark):
+    """X19 real path: NotImplementedError without PIL; real PNG/JPEG
+    roundtrip (size-triggered sqrt resize, data-URI shape) when present."""
+    import importlib.util
+
+    import pytest
+
+    from eget_spark.functions.media import encode_image_data_uri, reencode_images
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError):
+            encode_image_data_uri(b"\x89PNG....")
+        return
+    import base64
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (400, 200), (10, 20, 30)).save(buf, format="PNG")
+    raw = buf.getvalue()
+    uri = encode_image_data_uri(raw, "PNG", max_size_kb=500)
+    assert uri.startswith("data:image/png;base64,")
+    img2 = Image.open(io.BytesIO(base64.b64decode(uri.split(",", 1)[1])))
+    assert img2.size == (400, 200)  # under the cap: no resize
+    # oversized source -> sqrt scale (reference file_utils.py:48-54)
+    big = io.BytesIO()
+    Image.frombytes(
+        "RGB", (800, 600), bytes(range(256)) * (800 * 600 * 3 // 256)
+    ).save(big, format="PNG")
+    raw_big = big.getvalue()
+    if len(raw_big) / 1024 > 4:
+        uri2 = encode_image_data_uri(raw_big, "PNG", max_size_kb=4)
+        scale = (4 / (len(raw_big) / 1024)) ** 0.5
+        img3 = Image.open(
+            io.BytesIO(base64.b64decode(uri2.split(",", 1)[1]))
+        )
+        assert img3.size == (int(800 * scale), int(600 * scale))
