@@ -1042,6 +1042,155 @@ FROM documents
 """
 
 
+def q34_renamed_metadata_spans(spark, sf_dir):
+    """X4 rename map on the SPAN corpus side (metadata_renamed_map — pure
+    JVM transform_keys) + X8 jsonld spans + the full X10 struct, over spans
+    constructed from the documents table."""
+    from eget_spark.functions.metadata import (
+        json_ld_of,
+        metadata_renamed_map,
+        validated_structured_data,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    meta_json = F.concat(
+        F.lit('{"title": "t'), did,
+        F.lit('", "og:title": "ot'), did,
+        F.lit('", "og:site_name": "'), F.col("source"),
+        F.lit('", "og:image:width": "'), (F.col("doc_id") % 333).cast("string"),
+        F.lit('", "lang": "'), F.col("lang"), F.lit('"}'),
+    )
+    mk = lambda kind, text, off: F.struct(
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    ld = F.concat(F.lit('{"@type":"Thing","n":'), (F.col("n_chars") % 41).cast("string"), F.lit("}"))
+    spans = F.array(
+        mk("metadata", meta_json, 0), mk("jsonld", ld, 1), mk("paragraph", F.col("text"), 2)
+    )
+    renamed = metadata_renamed_map(spans)
+    sd = validated_structured_data(spans)
+    return docs.select(
+        "doc_id",
+        renamed["ogTitle"].alias("og_title"),
+        renamed["ogSiteName"].alias("og_site_name"),
+        renamed["ogImage:width"].alias("og_image_width"),
+        renamed["language"].alias("language"),
+        renamed["title"].alias("title"),
+        F.size(json_ld_of(spans)).cast("int").alias("n_json_ld"),
+        F.get_json_object(sd["jsonLd"][0], "$.n").cast("long").alias("ld_n"),
+    )
+
+
+_Q34_SQL = """
+SELECT doc_id,
+  'ot' || CAST(doc_id AS VARCHAR) AS og_title,
+  source AS og_site_name,
+  CAST(doc_id % 333 AS VARCHAR) AS og_image_width,
+  lang AS language,
+  't' || CAST(doc_id AS VARCHAR) AS title,
+  CAST(1 AS INT) AS n_json_ld,
+  CAST(n_chars % 41 AS BIGINT) AS ld_n
+FROM documents
+"""
+
+
+def q35_robots_wildcard(spark, sf_dir):
+    """F5 full dialect: RFC 9309 `*`/`$` wildcard rules with Allow
+    precedence, first-match-in-order (RobotExclusionRulesParser semantics)
+    via the Arrow-vectorized rules matcher, on URLs derived per-document.
+
+    Rules for every src host: Allow /p/1*, then Disallow /p/*7$, then
+    Disallow /x/ — so paths under /p/1... are allowed even ending in 7."""
+    from eget_spark.operators.links import robots_allowed
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"),
+            F.when(F.col("doc_id") % 5 == 4, F.lit("/x/")).otherwise(F.lit("/p/")),
+            (F.col("doc_id") % 200).cast("string"),
+        ).alias("url"),
+    )
+    hosts = [f"src{i}.example.com" for i in range(20)]
+    rules = [(True, "/p/1*"), (False, "/p/*7$"), (False, "/x/")]
+    robots = spark.createDataFrame(
+        [(h, [], 0.0, rules) for h in hosts],
+        "host string, disallow_prefixes array<string>, crawl_delay double, "
+        "rules array<struct<allow:boolean,pattern:string>>",
+    )
+    return robots_allowed(urls, robots).select("doc_id", "url")
+
+
+_Q35_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com' ||
+      (CASE WHEN doc_id % 5 = 4 THEN '/x/' ELSE '/p/' END) ||
+      CAST(doc_id % 200 AS VARCHAR) AS url,
+    (CASE WHEN doc_id % 5 = 4 THEN '/x/' ELSE '/p/' END) ||
+      CAST(doc_id % 200 AS VARCHAR) AS path
+  FROM documents
+)
+SELECT doc_id, url FROM u
+WHERE CASE
+  WHEN regexp_matches(path, '^/p/1') THEN TRUE       -- Allow /p/1* (first match)
+  WHEN regexp_matches(path, '^/p/.*7$') THEN FALSE   -- Disallow /p/*7$
+  WHEN regexp_matches(path, '^/x/') THEN FALSE       -- Disallow /x/
+  ELSE TRUE
+END
+"""
+
+
+def q36_politeness_budget(spark, sf_dir):
+    """O2/O3: per-host crawl-delay budgets via the column-side scheduler
+    (no driver dict); budget = max(1, floor(window/delay)), rank by seq
+    within host. Oracle = the same window rank in SQL (nsalt=1 regime)."""
+    from eget_spark.operators.politeness import schedule_round
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit("/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(1).alias("depth"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.col("doc_id").cast("long").alias("seq"),
+    )
+    # hosts h0..h19 delayed (delay 2.0 -> budget 5 at window 10); h20+ free
+    robots = spark.createDataFrame(
+        [(f"h{i}", [], 2.0 if i < 20 else 0.0) for i in range(40)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    fetch_now, deferred = schedule_round(frontier, robots, round_window=10.0)
+    return fetch_now.select("host", "url", "seq").unionByName(
+        deferred.select("host", "url", "seq").withColumn("host", F.concat(F.lit("deferred:"), F.col("host")))
+    )
+
+
+_Q36_SQL = """
+WITH f AS (
+  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+         'https://h' || CAST(doc_id % 40 AS VARCHAR) || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id AS BIGINT) AS seq,
+         doc_id % 40 AS hid
+  FROM documents
+),
+ranked AS (
+  SELECT host, url, seq, hid,
+         row_number() OVER (PARTITION BY host ORDER BY seq) AS rk
+  FROM f
+)
+SELECT CASE WHEN hid < 20 AND rk > 5 THEN 'deferred:' || host ELSE host END AS host,
+       url, seq
+FROM ranked
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1082,6 +1231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_simhash_pairs": q31_simhash_pairs,
         "q32_metadata_full": q32_metadata_full,
         "q33_json_ld": q33_json_ld,
+        "q34_renamed_metadata_spans": q34_renamed_metadata_spans,
+        "q35_robots_wildcard": q35_robots_wildcard,
+        "q36_politeness_budget": q36_politeness_budget,
     }
 
 
@@ -1120,4 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "q31_simhash_pairs": _q31_sql(32),
         "q32_metadata_full": _Q32_SQL,
         "q33_json_ld": _Q33_SQL,
+        "q34_renamed_metadata_spans": _Q34_SQL,
+        "q35_robots_wildcard": _Q35_SQL,
+        "q36_politeness_budget": _Q36_SQL,
     }
