@@ -103,6 +103,56 @@ def main() -> None:
         "rendering needs a loop); everything around it is codegen.",
     )
 
+    # 7. wildcard robots rules: Python prices only rule-bearing hosts; the
+    # join stays broadcast
+    robots_rules = spark.createDataFrame(
+        [("h.example.com", [], 0.0, [(False, "/p/*7$")])],
+        "host string, disallow_prefixes array<string>, crawl_delay double, "
+        "rules array<struct<allow:boolean,pattern:string>>",
+    )
+    add(
+        "robots wildcard rules (F5 full dialect)",
+        robots_allowed(urls, robots_rules),
+        {"BroadcastHashJoin": True, "ArrowEvalPython": True, "BatchEvalPython": False},
+        "Rules matcher is Arrow-vectorized; broadcast join unchanged. The "
+        "prefix-only dialect (check 2) stays pure JVM.",
+    )
+
+    # 8. politeness scheduler: counts broadcast-joined back (no driver dict)
+    from eget_spark.operators.politeness import schedule_round
+
+    frontier = docs.selectExpr(
+        "'h' || CAST(doc_id % 5 AS STRING) AS host",
+        "'https://h' || CAST(doc_id % 5 AS STRING) || '/p/' || doc_id AS url",
+        "1 AS depth", "CAST(NULL AS STRING) AS parent_url",
+        "CAST(doc_id AS BIGINT) AS seq",
+    )
+    pol_robots = spark.createDataFrame(
+        [(f"h{i}", [], 2.0) for i in range(5)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    fetch_now, _ = schedule_round(frontier, pol_robots, 10.0)
+    add(
+        "politeness scheduler (O3, column-side)",
+        fetch_now,
+        {"BroadcastHashJoin": True, "Window": True, "BatchEvalPython": False},
+        "Per-host pending counts aggregate is broadcast-joined back; salt "
+        "fan-out and budgets are columns; the rank is a salted window. No "
+        "driver-side dict (pinned by test_politeness_many_hosts).",
+    )
+
+    # 9. first-band-wins pair emission: no pair-set distinct aggregate after
+    # the band join (the plan reads from the checkpointed buckets RDD, so
+    # any aggregate here would be the removed distinct shuffle)
+    add(
+        "simhash pair join (first-band-wins)",
+        entry.q31_simhash_pairs(spark, SF),
+        {"HashAggregate": False, "SortAggregate": False, "BatchEvalPython": False},
+        "Pairs are emitted only from the lowest matching band (slice "
+        "equality recomputed from the joined simhashes) — the trailing "
+        "distinct() shuffle is gone.",
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
