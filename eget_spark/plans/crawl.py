@@ -65,7 +65,12 @@ class CrawlConfig:
     restrict_domain: bool = True  # False: whole-web crawl (multi-host fleets)
     fast_normalize: bool = False  # True: native #?-strip (absolute-URL corpora)
     round_window: float = 10.0  # politeness budget horizon per round
-    use_bloom: bool = False
+    # False: exact anti-join only. True: bloom prefilter from round 0.
+    # "auto": engage the bloom once the seen set crosses
+    # bloom_auto_threshold — small crawls pay nothing, web-scale crawls
+    # stop re-shuffling the whole seen set each round without a knob.
+    use_bloom: bool | str = False
+    bloom_auto_threshold: int = 1_000_000
     bloom_fpp: float = 0.01
     # frontier under this -> broadcast fetch join (measured: broadcasting a
     # 130k-row frontier costs ~1s while a shuffle join re-shuffles the
@@ -101,6 +106,7 @@ class CrawlResult:
     order: DataFrame  # admission order: (seq, url, host, depth, parent_url, round)
     seen: DataFrame  # final seen set
     stats: list[RoundStats]
+    bloom_bits: int | None = None  # m_bits of the final filter; None = exact-only
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
@@ -191,10 +197,22 @@ def crawl(
     def seen_df() -> DataFrame:
         return _union_all(seen_parts)
 
+    def want_bloom(total: int) -> bool:
+        if config.use_bloom == "auto":
+            return total >= config.bloom_auto_threshold
+        return bool(config.use_bloom)
+
+    def bloom_expected(total: int) -> int:
+        # size for the known page bound when it is real, else grow with the
+        # seen set (saturation rebuilds double capacity as needed); the
+        # upfront allocation is capped so an unbounded max_pages does not
+        # allocate a max-size filter on round 0
+        return max(1024, total * 4, min(config.max_pages, 1 << 26))
+
     bloom: BloomFilter | None = None
-    if config.use_bloom:
+    if want_bloom(admitted_total):
         bloom = build_bloom(
-            seen_df(), "url", expected=max(config.max_pages, 1024), fpp=config.bloom_fpp
+            seen_df(), "url", expected=bloom_expected(admitted_total), fpp=config.bloom_fpp
         )
 
     # politeness applies only if some host actually has a crawl delay
@@ -382,9 +400,9 @@ def crawl(
             else:
                 bloom = None  # saturated: rebuild distributed from seen below
         seen_parts.append(admitted.select("url"))  # admitted is checkpointed
-        if bloom is None and config.use_bloom:
+        if bloom is None and want_bloom(admitted_total):
             bloom = build_bloom(
-                seen_df(), "url", expected=max(admitted_total * 2, 1024), fpp=config.bloom_fpp
+                seen_df(), "url", expected=bloom_expected(admitted_total), fpp=config.bloom_fpp
             )
 
         order_parts.append(admitted.withColumn("round", F.lit(round_no)))
@@ -455,7 +473,13 @@ def crawl(
         order = run.admitted.read()
     if run and not pages_parts:
         pages = run.docs.read().drop("partition_id")
-    return CrawlResult(pages=pages, order=order, seen=seen_df(), stats=stats)
+    return CrawlResult(
+        pages=pages,
+        order=order,
+        seen=seen_df(),
+        stats=stats,
+        bloom_bits=bloom.m_bits if bloom is not None else None,
+    )
 
 
 def _fill_success_counts(

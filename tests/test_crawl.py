@@ -204,3 +204,24 @@ def test_crawl_resume_identical(spark, docs_small, robots_small, tmp_path):
     assert {
         (r["url"], r["status"]) for r in resumed.pages.collect()
     } == full_pages
+
+
+def test_crawl_auto_bloom(spark, docs_small, corpus_small, robots_small, robots_dict):
+    """use_bloom='auto': exact-only below the threshold, bloom engaged (and
+    results still oracle-identical) once the seen set crosses it."""
+    kw = dict(max_depth=2, max_pages=100)
+    ores = oracle_crawl(corpus_small, OracleConfig(seed_urls=[SEED], **kw), robots=robots_dict)
+    cold = crawl(
+        spark, docs_small,
+        CrawlConfig(seed_urls=[SEED], use_bloom="auto", bloom_auto_threshold=10**9, **kw),
+        robots=robots_small,
+    )
+    assert cold.bloom_bits is None  # never crossed: pure exact anti-join
+    assert_equal(cold, ores)
+    hot = crawl(
+        spark, docs_small,
+        CrawlConfig(seed_urls=[SEED], use_bloom="auto", bloom_auto_threshold=5, **kw),
+        robots=robots_small,
+    )
+    assert hot.bloom_bits is not None  # engaged mid-crawl
+    assert_equal(hot, ores)
