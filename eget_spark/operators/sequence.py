@@ -36,19 +36,20 @@ from pyspark.sql.window import Window
 class SeqResult:
     """Result of :func:`with_global_seq`.
 
-    ``df`` reads from ``persisted`` (the range-exchanged, sorted candidate
-    set).  The caller must materialize ``df`` (checkpoint/write/collect)
-    and then call :meth:`unpersist` — holding the handle explicitly here
-    replaces the fragile ``_eget_tmp_persist`` attribute hand-off flagged
-    in round 1 (attributes don't survive DataFrame transformations).
+    ``df`` reads from the persisted, sorted candidate set.  The caller must
+    materialize ``df`` (checkpoint/write/collect) and then call
+    :meth:`unpersist` — holding the handles explicitly here replaces the
+    fragile ``_eget_tmp_persist`` attribute hand-off flagged in round 1
+    (attributes don't survive DataFrame transformations).
     """
 
     df: DataFrame
     total: int  # total input rows (= sum of per-partition counts, free)
-    persisted: DataFrame
+    persisted: list[DataFrame]
 
     def unpersist(self) -> None:
-        self.persisted.unpersist()
+        for p in self.persisted:
+            p.unpersist()
 
 
 def with_global_seq(
@@ -62,12 +63,27 @@ def with_global_seq(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    handles: list[DataFrame] = []
+    if num_partitions == 1:
+        # single partition: a round-robin exchange needs no range bounds,
+        # so the hidden RangePartitioner SAMPLING JOB (which would traverse
+        # the whole input pipeline a second time) is skipped entirely
+        exchanged = df.repartition(1)
+    else:
+        # persist the input so the range exchange's bound-sampling job and
+        # the exchange itself compute the (expensive) candidate pipeline
+        # once, not twice
+        src = df.persist()
+        handles.append(src)
+        exchanged = src.repartitionByRange(
+            num_partitions, *[F.col(c) for c in order_cols]
+        )
     parts = (
-        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
+        exchanged.sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    handles.insert(0, parts)
     counts = {
         r["_pid"]: r["cnt"]
         for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -80,7 +96,7 @@ def with_global_seq(
         acc += counts[pid]
     if not offsets:  # empty input: no rows, any typed constant works
         out = parts.withColumn(seq_col, F.lit(start).cast("long")).drop("_pid")
-        return SeqResult(out, 0, parts)
+        return SeqResult(out, 0, handles)
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     out = (
@@ -90,4 +106,4 @@ def with_global_seq(
         )
         .drop("_pid", "_off")
     )
-    return SeqResult(out, total, parts)
+    return SeqResult(out, total, handles)
