@@ -1191,6 +1191,41 @@ FROM ranked
 """
 
 
+def q37_dedup_groups(spark, sf_dir):
+    """Dedup GROUPS: connected components (hash-min label propagation) over
+    the MinHash-LSH near-dup pair set -> every document's canonical keep_id
+    + duplicate flag. Oracle = recursive-CTE reachability min."""
+    from eget_spark.operators.dedup import dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4, k=3)
+    out = dedup_groups(docs, pairs, "doc_id")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+        "is_duplicate",
+    )
+
+
+def _q37_sql() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS ({_q14_sql()}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM e),
+reach AS (
+  SELECT id, id AS member FROM nodes
+  UNION
+  SELECT r.id, e.b FROM reach r JOIN e ON e.a = r.member
+),
+comp AS (SELECT id, min(member) AS component FROM reach GROUP BY id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS keep_id,
+       coalesce(c.component, d.doc_id) <> d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1234,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_renamed_metadata_spans": q34_renamed_metadata_spans,
         "q35_robots_wildcard": q35_robots_wildcard,
         "q36_politeness_budget": q36_politeness_budget,
+        "q37_dedup_groups": q37_dedup_groups,
     }
 
 
@@ -1275,4 +1311,5 @@ def oracle_sql() -> dict[str, str]:
         "q34_renamed_metadata_spans": _Q34_SQL,
         "q35_robots_wildcard": _Q35_SQL,
         "q36_politeness_budget": _Q36_SQL,
+        "q37_dedup_groups": _q37_sql(),
     }

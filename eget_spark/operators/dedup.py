@@ -234,6 +234,83 @@ def simhash_pairs(
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Dedup GROUPS from a near-dup pair set: connected components by
+    hash-min label propagation. Returns (id, component) where component =
+    min id reachable — the canonical representative every member maps to.
+
+    Scale shape: each iteration is one join + one min-aggregate, both on
+    the (small) node/edge set emitted by the pair generators — O(diameter)
+    iterations, diameter of near-dup clusters is tiny in practice. Labels
+    are localCheckpointed per iteration so lineage stays O(1) (same shape
+    as the crawl loop); convergence = zero labels changed. For adversarial
+    long-chain graphs swap in large-star/small-star (same interface) —
+    documented alternative, not needed for dup clusters."""
+    spark = pairs.sparkSession
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label per node = min(own, min over neighbors' labels)
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.where(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_groups(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 50
+) -> DataFrame:
+    """Every document's canonical representative: docs in a near-dup
+    component map to the component's min id; singletons map to themselves.
+    Returns (id, keep_id, is_duplicate)."""
+    comps = connected_components(pairs, max_iter=max_iter)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("keep_id"),
+            (
+                F.coalesce(F.col("component"), F.col("id")) != F.col("id")
+            ).alias("is_duplicate"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str,

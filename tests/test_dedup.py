@@ -95,3 +95,53 @@ def test_simhash_distance_orders_similarity(docs):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert sigs[0] == sigs[1]
     assert ham(sigs[0], sigs[2]) <= ham(sigs[0], sigs[3])
+
+
+def test_connected_components_vs_networkless_oracle(spark):
+    """Hash-min label propagation == pure-Python union-find on random
+    graphs (chains, stars, singletons excluded from pairs)."""
+    import random
+
+    from eget_spark.operators.dedup import connected_components, dedup_groups
+
+    rng = random.Random(13)
+    edges = set()
+    # several chains and stars over 0..199
+    for base in range(0, 200, 40):
+        for i in range(base, base + rng.randint(3, 12)):
+            edges.add((i, i + 1))
+    for hub in (300, 400):
+        for k in range(rng.randint(3, 8)):
+            edges.add((hub, hub + k + 1))
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    # union-find oracle
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+    # dedup_groups: singletons keep themselves, members map to component min
+    docs = spark.createDataFrame(
+        [(i,) for i in list(want) + [9999]], "doc_id long"
+    )
+    g = {r["id"]: (r["keep_id"], r["is_duplicate"]) for r in dedup_groups(docs, pairs, "doc_id").collect()}
+    assert g[9999] == (9999, False)
+    for x, root in want.items():
+        assert g[x] == (root, x != root)
