@@ -37,10 +37,18 @@ def schedule_round(
     robots: DataFrame | None,
     round_window: float = 10.0,
     salt_threshold: int = 100_000,
+    order_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Split the frontier into (fetch_now, deferred) for this round."""
+    """Split the frontier into (fetch_now, deferred) for this round.
+
+    ``order_cols`` decides which pending URLs win a constrained host's
+    budget (default ``["seq"]`` = FIFO, the reference's queue order); a
+    priority crawl passes e.g. ``[F.desc("priority"), "seq"]`` — the
+    north-star's per-host priority queue, expressed as the window order."""
     if robots is None:
         return frontier, frontier.limit(0)
+    if order_cols is None:
+        order_cols = ["seq"]
     delayed = robots.where(F.col("crawl_delay") > 0.0).select(
         "host",
         F.greatest(
@@ -70,7 +78,7 @@ def schedule_round(
         "_salt_budget",
         F.greatest(F.lit(1), (F.col("budget") / F.col("_nsalt")).cast("long")),
     )
-    w = Window.partitionBy("host", "_salt").orderBy("seq")
+    w = Window.partitionBy("host", "_salt").orderBy(*order_cols)
     ranked = limited.withColumn("_rank", F.row_number().over(w))
     aux = ["budget", "_nsalt", "_salt", "_salt_budget", "_rank"]
     fetch_now = ranked.where(F.col("_rank") <= F.col("_salt_budget")).drop(*aux)

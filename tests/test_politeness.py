@@ -80,3 +80,26 @@ def test_politeness_many_hosts_column_side(spark):
     per_host = fetch.groupBy("host").count().collect()
     assert all(r["count"] <= 2 for r in per_host)
     assert fetch.count() + deferred.count() == len(rows)
+
+
+def test_priority_ordering_wins_budget(spark):
+    """Priority crawl: budget goes to high-priority URLs first (north-star
+    per-host priority queue as the window order), FIFO as the tiebreak."""
+    rows = [
+        (f"https://hot.example.com/p/{i:03d}", "hot.example.com", 1, None, i, i % 3)
+        for i in range(30)
+    ]
+    frontier = spark.createDataFrame(
+        rows,
+        "url string, host string, depth int, parent_url string, seq long, priority int",
+    )
+    fetch, deferred = schedule_round(
+        frontier,
+        _robots(spark, 1.0),
+        round_window=10.0,
+        order_cols=[F.desc("priority"), "seq"],
+    )
+    got = [(r["priority"], r["seq"]) for r in fetch.orderBy(F.desc("priority"), "seq").collect()]
+    # budget 10 -> the ten priority-2 rows (seqs 2,5,...,29), FIFO within
+    assert got == [(2, s) for s in range(2, 30, 3)]
+    assert deferred.count() == 20
