@@ -20,3 +20,7 @@ Arrow-vectorized pandas UDFs (`pandas_udf` / `applyInPandas` /
 """
 
 __version__ = "0.1.0"
+
+from .api import chunk, convert, scrape, scrape_html  # noqa: E402,F401
+from .plans.crawl import CrawlConfig, CrawlResult, crawl  # noqa: E402,F401
+from .session import get_spark  # noqa: E402,F401
