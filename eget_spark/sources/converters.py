@@ -27,6 +27,7 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..schemas import DOCS_SCHEMA
 
@@ -468,34 +469,63 @@ def _decode_xlsx(data: bytes) -> list[tuple[str, list[list]]]:
         wb.close()
 
 
-def convert_files(files: DataFrame) -> DataFrame:
+def _convert_one(ext: str, content: bytes) -> list[dict] | None:
+    """Extension dispatch (converter_factory.py:6-29 analogue).
+
+    txt/md are an engine extension beyond the reference's FileType set:
+    plain text routes through the same text-layer classification pipeline
+    as PDF pages (one page, no binary decode needed)."""
+    if ext == "pdf":
+        return pdf_text_to_spans("", _decode_pdf(content))
+    if ext == "docx":
+        return docx_blocks_to_spans(_decode_docx(content))
+    if ext == "xlsx":
+        return xlsx_sheets_to_spans(_decode_xlsx(content))
+    if ext in ("txt", "md"):
+        return pdf_text_to_spans("", [content.decode("utf-8", errors="replace")])
+    return None
+
+
+_SPANS_DDL = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def convert_files(files: DataFrame, dedupe_content: bool = True) -> DataFrame:
     """S5: binaryFile rows (path, content) -> docs-shaped span rows.
 
-    Dispatch by extension (converter_factory.py:6-29 analogue)."""
+    ``dedupe_content`` is the reference's conversion cache
+    (conversion_service.py:38-79 keys results by content hash) as
+    dataflow: identical (extension, bytes) payloads are decoded ONCE and
+    the result is joined back to every path — at corpus scale the decode
+    is the expensive stage, so duplicate uploads cost one conversion."""
+    work = files.select("path", "content").withColumn(
+        "ext", F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                ext = path.rsplit(".", 1)[-1].lower()
-                if ext == "pdf":
-                    pages = _decode_pdf(bytes(content))
-                    spans = pdf_text_to_spans(path, pages)
-                elif ext == "docx":
-                    spans = _decode_docx(bytes(content))
-                elif ext == "xlsx":
-                    spans = _decode_xlsx(bytes(content))
-                else:
+            keys, spans_out = [], []
+            for key, ext, content in zip(pdf["key"], pdf["ext"], pdf["content"]):
+                spans = _convert_one(ext, bytes(content))
+                if spans is None:
                     continue
-                out.append(
-                    {
-                        "doc_id": path,
-                        "spans": spans,
-                        "host": "file://",
-                        "true_out_links": [],
-                    }
-                )
-            if out:
-                yield pd.DataFrame(out)
+                keys.append(key)
+                spans_out.append(spans)
+            if keys:
+                yield pd.DataFrame({"key": keys, "spans": spans_out})
 
-    return files.select("path", "content").mapInPandas(run, schema=DOCS_SCHEMA)
+    if dedupe_content:
+        keyed = work.withColumn(
+            "key", F.concat_ws(":", F.col("ext"), F.sha2(F.col("content"), 256))
+        )
+    else:
+        keyed = work.withColumn("key", F.col("path"))  # paths are unique
+    converted = keyed.dropDuplicates(["key"]).select(
+        "key", "ext", "content"
+    ).mapInPandas(run, schema=f"key string, spans {_SPANS_DDL}")
+    joined = keyed.select("path", "key").join(converted, "key")
+    return joined.select(
+        F.col("path").alias("doc_id"),
+        "spans",
+        F.lit("file://").alias("host"),
+        F.array().cast("array<string>").alias("true_out_links"),
+    )

@@ -104,3 +104,37 @@ def test_binary_decode_gated(spark, tmp_path):
     with pytest.raises(Exception) as e:
         convert_files(files).collect()
     assert "NotImplementedError" in str(e.value) or "python-docx" in str(e.value)
+
+
+def test_convert_files_txt_and_content_dedup(spark, tmp_path):
+    """S5 end-to-end without gated libs (txt routes through the text-layer
+    pipeline) + the conversion-cache analogue: identical bytes decode once
+    and fan back to every path; dedupe on/off give identical output."""
+    from eget_spark.sources.converters import convert_files
+
+    body = "Chapter 1\nSome opening text here.\n- alpha\n- beta\n"
+    (tmp_path / "a.txt").write_text(body)
+    (tmp_path / "b.txt").write_text(body)  # duplicate bytes
+    (tmp_path / "c.txt").write_text("Other doc.\n")
+    files = spark.read.format("binaryFile").load(str(tmp_path / "*.txt"))
+
+    out = {r["doc_id"]: r for r in convert_files(files).collect()}
+    assert len(out) == 3
+    a = sorted(
+        [s.asDict() for s in next(v for k, v in out.items() if k.endswith("a.txt"))["spans"]],
+        key=lambda s: s["offset"],
+    )
+    kinds = [s["kind"] for s in a]
+    assert kinds[0] == "heading"  # '## Page 1'
+    assert "list" in kinds and "paragraph" in kinds
+    b = sorted(
+        [s.asDict() for s in next(v for k, v in out.items() if k.endswith("b.txt"))["spans"]],
+        key=lambda s: s["offset"],
+    )
+    assert a == b  # identical bytes -> identical spans via the shared key
+
+    no_dedup = {
+        r["doc_id"]: sorted([s.asDict() for s in r["spans"]], key=lambda s: s["offset"])
+        for r in convert_files(files, dedupe_content=False).collect()
+    }
+    assert {k: sorted([s.asDict() for s in v["spans"]], key=lambda s: s["offset"]) for k, v in out.items()} == no_dedup
