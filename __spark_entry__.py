@@ -1226,6 +1226,45 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def q38_media_decode(spark, sf_dir):
+    """Multimodal plumbing: synth binary payloads -> mapInPandas decode ->
+    typed metadata aggregates. The payload header is deterministic in the
+    row index (functions/media.py fake codec), so DuckDB reproduces the
+    aggregates from the same arithmetic — a real oracle for the decode
+    path's values, not just row counts."""
+    from eget_spark.functions.media import decode_media, synth_media
+
+    n = _t(spark, sf_dir, "documents").count()
+    media = synth_media(spark, n=n)
+    return (
+        decode_media(media)
+        .groupBy("kind")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum("n_frames").cast("long").alias("sum_frames"),
+        )
+    )
+
+
+_Q38_SQL = """
+WITH m AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    64 + (i % 8) * 32 AS width,
+    64 + (i % 5) * 32 AS height,
+    1 + (i % 30) AS n_frames
+  FROM (SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS i FROM documents)
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(width) AS BIGINT) AS sum_width,
+       CAST(sum(height) AS BIGINT) AS sum_height,
+       CAST(sum(n_frames) AS BIGINT) AS sum_frames
+FROM m GROUP BY kind
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1270,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_robots_wildcard": q35_robots_wildcard,
         "q36_politeness_budget": q36_politeness_budget,
         "q37_dedup_groups": q37_dedup_groups,
+        "q38_media_decode": q38_media_decode,
     }
 
 
@@ -1312,4 +1352,5 @@ def oracle_sql() -> dict[str, str]:
         "q35_robots_wildcard": _Q35_SQL,
         "q36_politeness_budget": _Q36_SQL,
         "q37_dedup_groups": _q37_sql(),
+        "q38_media_decode": _Q38_SQL,
     }
