@@ -1265,6 +1265,41 @@ FROM m GROUP BY kind
 """
 
 
+def q39_stopword_ratio(spark, sf_dir):
+    """Quality-filter stopword-ratio signal over text with injected
+    function words (the synthetic vocab has none, so the doc text is
+    padded deterministically)."""
+    from eget_spark.functions.text import stopword_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.concat(
+        F.col("text"),
+        F.lit(" the and a of to in is"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" the the notaword")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", stopword_ratio(padded).alias("stop_ratio"))
+
+
+_Q39_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(
+      text || ' the and a of to in is' ||
+      CASE WHEN doc_id % 2 = 0 THEN ' the the notaword' ELSE '' END
+    )), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  round(CAST(len(list_filter(toks, x -> list_contains(
+    ['the','a','an','and','or','but','of','to','in','on','at','for','with',
+     'by','from','as','is','are','was','were','be','been','it','its','this',
+     'that','these','those','he','she','they','we','you','i','not','no','do',
+     'does','did','have','has','had','will','would','can','could','their',
+     'his','her'], x))) AS DOUBLE) / len(toks), 6) AS stop_ratio
+FROM t
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1310,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_politeness_budget": q36_politeness_budget,
         "q37_dedup_groups": q37_dedup_groups,
         "q38_media_decode": q38_media_decode,
+        "q39_stopword_ratio": q39_stopword_ratio,
     }
 
 
@@ -1353,4 +1389,5 @@ def oracle_sql() -> dict[str, str]:
         "q36_politeness_budget": _Q36_SQL,
         "q37_dedup_groups": _q37_sql(),
         "q38_media_decode": _Q38_SQL,
+        "q39_stopword_ratio": _Q39_SQL,
     }

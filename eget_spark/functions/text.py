@@ -202,6 +202,27 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# small high-frequency English function-word list — the standard
+# quality-filter signal (low stopword ratio => boilerplate/code/gibberish)
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
+    "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",
+    "been", "it", "its", "this", "that", "these", "those", "he", "she",
+    "they", "we", "you", "i", "not", "no", "do", "does", "did", "have",
+    "has", "had", "will", "would", "can", "could", "their", "his", "her",
+]
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are English stopwords — the quality-scoring
+    companion signal (task brief: length/punct/stopword ratios). Counts
+    occurrences (not distinct hits), pure column expressions."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return F.when(n > 0, F.round(stop / n, 6)).otherwise(F.lit(0.0))
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingles (array<string>), the dedup/fingerprint unit."""
     toks = tokens(F.lower(text))

@@ -106,3 +106,15 @@ def test_clean_text_matches_reference():
     df = spark.createDataFrame([(c,) for c in cases], "t string")
     got = [r["c"] for r in df.select(clean_text(F.col("t")).alias("c")).collect()]
     assert got == [ref_clean(c) for c in cases]
+
+
+def test_stopword_ratio(spark):
+    from eget_spark.functions.text import stopword_ratio
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("foo bar baz",), ("",)], "t string"
+    )
+    got = [r["r"] for r in df.select(stopword_ratio(F.col("t")).alias("r")).collect()]
+    assert got[0] == round(3 / 6, 6)  # the, on, the
+    assert got[1] == 0.0
+    assert got[2] == 0.0
