@@ -1,0 +1,135 @@
+"""The one-call training-data preparation pipeline.
+
+Composes the engine's LLM-data operators into the flow a 100 TB corpus
+actually runs: annotate -> filter -> exact dedup -> near-dup group dedup ->
+chunk. Every stage is the already-oracle-verified operator; this module
+only wires them, so the scale properties compose: one shuffle for exact
+dedup (md5 key), LSH band joins for near-dup (never all-pairs), canonical
+representatives via connected components, shuffle-free chunking
+(mapInPandas flat-map).
+
+Usage::
+
+    from eget_spark.pipeline import prepare_training_data
+    chunks = prepare_training_data(docs)               # defaults
+    chunks = prepare_training_data(
+        docs, min_quality=0.6, languages=["en", "de"], chunker="sentence"
+    )
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.text import (
+    lang_id_df,
+    quality_score,
+    shingles,
+    stopword_ratio,
+    token_count,
+)
+from .operators.chunker import chunk_semantic, chunk_sentences
+from .operators.dedup import dedup_groups, minhash_lsh_pairs
+
+
+@dataclass
+class PrepResult:
+    chunks: DataFrame  # (doc_id, position, content, ...) of surviving docs
+    docs: DataFrame  # annotated surviving docs (id, text, lang, quality, ...)
+    dropped: DataFrame  # (id, reason) for every document filtered out
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    max_stopword_ratio: float | None = None,
+    languages: list[str] | None = None,
+    near_dup: bool = True,
+    near_dup_threshold: float = 0.85,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    chunker: str = "semantic",
+) -> PrepResult:
+    """Annotate, filter, dedup (exact + near-dup groups), and chunk."""
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    annotated = (
+        base.join(lang_id_df(base, "id", "text"), "id", "left")
+        .withColumn("quality", quality_score(F.col("text")))
+        .withColumn("stop_ratio", stopword_ratio(F.col("text")))
+        .withColumn("n_tokens", token_count(F.col("text")))
+    )
+
+    keep = F.col("quality") >= F.lit(min_quality)
+    if max_stopword_ratio is not None:
+        keep = keep & (F.col("stop_ratio") <= F.lit(max_stopword_ratio))
+    if languages:
+        keep = keep & F.col("pred_lang").isin(languages)
+    quality_pass = annotated.where(keep)
+    dropped = annotated.where(~keep).select(
+        "id", F.lit("quality_filter").alias("reason")
+    )
+
+    # exact dedup: min-id representative per md5(text) — one shuffle on a
+    # short key
+    exact_keep = quality_pass.withColumn("_h", F.md5(F.col("text"))).withColumn(
+        "_keep", F.col("id") == F.min("id").over(Window.partitionBy("_h"))
+    )
+    survivors = exact_keep.where(F.col("_keep")).drop("_h", "_keep")
+    dropped = dropped.unionByName(
+        exact_keep.where(~F.col("_keep")).select(
+            "id", F.lit("exact_duplicate").alias("reason")
+        )
+    )
+
+    if near_dup:
+        # LSH emits CANDIDATES (docs sharing a band minimum — glue phrases
+        # alone can collide); true Jaccard verification before grouping is
+        # what keeps distinct documents out of dedup clusters. The verify
+        # join touches only candidate pairs, never all-pairs.
+        candidates = minhash_lsh_pairs(
+            survivors, "id", "text", num_hashes=num_hashes, bands=bands, k=shingle_k
+        )
+        sh = survivors.select(
+            "id", F.array_distinct(shingles(F.col("text"), shingle_k)).alias("sh")
+        )
+        pairs = (
+            candidates.join(
+                sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sha")), "id_a"
+            )
+            .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("shb")), "id_b")
+            .where(
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb"))
+                >= F.lit(near_dup_threshold)
+            )
+            .select("id_a", "id_b")
+        )
+        groups = dedup_groups(survivors, pairs, "id")
+        survivors = survivors.join(
+            groups.where(~F.col("is_duplicate")).select("id"), "id", "left_semi"
+        )
+        dropped = dropped.unionByName(
+            groups.where(F.col("is_duplicate")).select(
+                "id", F.lit("near_duplicate").alias("reason")
+            )
+        )
+
+    # the chunkers' output contract keys docs by string id (engine doc ids
+    # are URLs); non-string ids are cast for the chunk table only
+    chunk_in = survivors.select(F.col("id").cast("string").alias("id"), "text")
+    if chunker == "semantic":
+        chunks = chunk_semantic(chunk_in, id_col="id", text_col="text")
+    elif chunker == "sentence":
+        chunks = chunk_sentences(chunk_in, id_col="id", text_col="text")
+    else:
+        raise ValueError(f"unknown chunker {chunker!r}")
+    return PrepResult(chunks=chunks, docs=survivors, dropped=dropped)

@@ -102,3 +102,52 @@ def test_q05_prefix_path_unchanged(spark, robots_small):
     )
     got = {r["url"] for r in robots_allowed(cand, robots_small).collect()}
     assert got == {"https://h1.example.com/p/00100"}
+
+
+def test_pattern_translation_property():
+    """Property: the regex translation agrees with an INDEPENDENT dynamic-
+    programming wildcard matcher on random patterns/paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def dp_match(pattern: str, path: str) -> bool:
+        # independent matcher: '*' spans any chars; trailing '$' anchors;
+        # otherwise prefix-match from the start. Position-set DP so
+        # overlapping segment occurrences are handled exactly.
+        anchored = pattern.endswith("$")
+        if anchored:
+            pattern = pattern[:-1]
+        segs = pattern.split("*")
+        if not path.startswith(segs[0]):
+            return False
+        positions = {len(segs[0])}
+        for seg in segs[1:]:
+            new: set[int] = set()
+            for p in positions:
+                if seg == "":
+                    new.update(range(p, len(path) + 1))
+                else:
+                    start = p
+                    while (i := path.find(seg, start)) >= 0:
+                        new.add(i + len(seg))
+                        start = i + 1
+            positions = new
+            if not positions:
+                return False
+        return (len(path) in positions) if anchored else True
+
+    alphabet = "ab/.7*"
+    paths = st.text(alphabet="ab/.7", min_size=0, max_size=12)
+    pats = st.text(alphabet=alphabet, min_size=1, max_size=8).map(
+        lambda s: s + ("$" if len(s) % 2 else "")
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(pats, paths)
+    def check(pattern, path):
+        from eget_spark.operators.links import _compile_robots_pattern
+
+        got = bool(_compile_robots_pattern(pattern).match(path))
+        assert got == dp_match(pattern, path), (pattern, path)
+
+    check()
