@@ -23,4 +23,5 @@ __version__ = "0.1.0"
 
 from .api import chunk, convert, scrape, scrape_html  # noqa: E402,F401
 from .plans.crawl import CrawlConfig, CrawlResult, crawl  # noqa: E402,F401
+from .pipeline import prepare_training_data  # noqa: E402,F401
 from .session import get_spark  # noqa: E402,F401

@@ -58,52 +58,67 @@ def with_global_seq(
     start: int = 0,
     seq_col: str = "seq",
     num_partitions: int | None = None,
+    bucket_expr=None,
 ) -> SeqResult:
-    """Add ``seq_col`` = start + (1-based global rank by order_cols) - 1."""
+    """Add ``seq_col`` = start + (1-based global rank by order_cols) - 1.
+
+    Two physical strategies:
+
+    - ``bucket_expr`` given (a Column, MONOTONE in the leading order key
+      and constant for equal keys — e.g. ``floor(parent_seq / 1024)``):
+      hash-exchange on the bucket, per-bucket rank + bucket prefix offsets.
+      No range-bound SAMPLING JOB (a range exchange computes its child
+      TWICE: once to sample bounds, once to shuffle) and no input persist —
+      the candidate pipeline runs exactly once. Bucket sizes are bounded by
+      the caller's key density, so per-bucket sorts stay parallel.
+    - otherwise: ``repartitionByRange`` on the order keys (generic exact
+      path; pays the sampling traversal).
+    """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    handles: list[DataFrame] = []
-    if num_partitions == 1:
-        # single partition: a round-robin exchange needs no range bounds,
-        # so the hidden RangePartitioner SAMPLING JOB (which would traverse
-        # the whole input pipeline a second time) is skipped entirely
-        exchanged = df.repartition(1)
-    else:
-        # persist the input so the range exchange's bound-sampling job and
-        # the exchange itself compute the (expensive) candidate pipeline
-        # once, not twice
-        src = df.persist()
-        handles.append(src)
-        exchanged = src.repartitionByRange(
-            num_partitions, *[F.col(c) for c in order_cols]
+
+    if bucket_expr is not None:
+        parts = (
+            df.withColumn("_bkt", bucket_expr.cast("long"))
+            .repartition(num_partitions, F.col("_bkt"))
+            .persist()
         )
-    parts = (
-        exchanged.sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    handles.insert(0, parts)
+        group_col = "_bkt"
+    else:
+        if num_partitions == 1:
+            # single partition: a round-robin exchange needs no range bounds
+            exchanged = df.repartition(1)
+        else:
+            exchanged = df.repartitionByRange(
+                num_partitions, *[F.col(c) for c in order_cols]
+            )
+        parts = (
+            exchanged.sortWithinPartitions(*order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        group_col = "_pid"
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        r[group_col]: r["cnt"]
+        for r in parts.groupBy(group_col).agg(F.count("*").alias("cnt")).collect()
     }
     total = sum(counts.values())
     offsets = []
     acc = start
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
+    for key in sorted(counts):
+        offsets.append((key, acc))
+        acc += counts[key]
     if not offsets:  # empty input: no rows, any typed constant works
-        out = parts.withColumn(seq_col, F.lit(start).cast("long")).drop("_pid")
-        return SeqResult(out, 0, handles)
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+        out = parts.withColumn(seq_col, F.lit(start).cast("long")).drop(group_col)
+        return SeqResult(out, 0, [parts])
+    off_df = spark.createDataFrame(offsets, f"{group_col} long, _off long")
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
     out = (
-        parts.join(F.broadcast(off_df), "_pid")
+        parts.join(F.broadcast(off_df), group_col)
         .withColumn(
             seq_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long")
         )
-        .drop("_pid", "_off")
+        .drop(group_col, "_off")
     )
-    return SeqResult(out, total, handles)
+    return SeqResult(out, total, [parts])

@@ -359,11 +359,17 @@ def crawl(
         # F7 + O1: global admission sequence; admit while seq < max_pages.
         # The sequencing collect also yields the candidate total, so
         # n_admitted = clamp(cap headroom) — no extra count job.
+        # bucket = floor(parent_seq / 1024): monotone in the leading order
+        # key, so per-bucket ranks + bucket prefix offsets give the exact
+        # global rank with ONE hash exchange — no range-bound sampling pass
+        # (which would re-run this whole candidate pipeline) and a constant
+        # literal, so the generated code is identical every round
         sr = with_global_seq(
             kids,
             ["parent_seq", "url"],
             start=admitted_total,
             num_partitions=_seq_partitions(spark, frontier_count),
+            bucket_expr=F.floor(F.col("parent_seq") / F.lit(1024)),
         )
         # the sequencing job above also materialized the PREVIOUS round's
         # deferred admitted checkpoint (it is this round's frontier/seen

@@ -30,3 +30,30 @@ def test_global_seq_empty(spark):
     assert sr.df.count() == 0
     assert sr.total == 0
     sr.unpersist()
+
+
+def test_global_seq_bucketed_matches_range_path(spark):
+    """The bucketed strategy (monotone bucket_expr, no sampling pass) must
+    produce the exact same global ranks as the range-exchange path."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = list(
+        {(rng.randrange(5000), f"u{rng.randrange(10**9):09d}") for _ in range(4000)}
+    )
+    df = spark.createDataFrame(rows, "parent_seq long, url string").repartition(8)
+    a = with_global_seq(df, ["parent_seq", "url"], start=7)
+    b = with_global_seq(
+        df,
+        ["parent_seq", "url"],
+        start=7,
+        bucket_expr=F.floor(F.col("parent_seq") / 64),
+    )
+    got_a = [(r["parent_seq"], r["url"], r["seq"]) for r in a.df.orderBy("seq").collect()]
+    got_b = [(r["parent_seq"], r["url"], r["seq"]) for r in b.df.orderBy("seq").collect()]
+    assert got_a == got_b
+    assert b.total == len(rows)
+    a.unpersist()
+    b.unpersist()
