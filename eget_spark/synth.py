@@ -66,6 +66,16 @@ SCALES = {
         links=(6, 12),
         body_spans=(20, 40),
     ),
+    # ~1M docs: amortizes the fixed per-round driver floor so the scaling
+    # measurement reflects the dataflow, not scheduler constants — the
+    # sandbox stand-in for "bigger cluster, bigger input"
+    "benchxxl": CorpusSpec(
+        n_hosts=1024,
+        pages_hot=30000,
+        pages_other=970,
+        links=(6, 12),
+        body_spans=(20, 40),
+    ),
 }
 
 
