@@ -39,6 +39,10 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q29_bloom_seen         D1 bloom-prefiltered anti-join (exact result)
   q30_span_kind_counts   A5 converter counters (higher-order fns)
   q31_simhash_pairs      dedup: simhash near-dup pairs (pigeonhole bands)
+  q40_pagerank           graph: fixed-point PageRank (priority-crawl signal)
+  q41_indegree_hist      graph: in-degree distribution (hub-skew probe)
+  q42_char_entropy       text-analysis: Shannon char entropy quality signal
+  q43_tfidf_topk         corpus stats: top-3 TF-IDF terms per document
 """
 
 from __future__ import annotations
@@ -155,6 +159,10 @@ def q01_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = crawl(spark, corpus, cfg, robots=None)
     out = res.order.select("url", F.col("depth").cast("int").alias("depth"))
+    # every round's state is checkpointed by crawl() — the corpus cache is
+    # dead weight for the rest of the session (it was polluting later bench
+    # queries' executor memory); the returned order never recomputes it
+    corpus.unpersist()
     return out
 
 
@@ -1300,6 +1308,156 @@ FROM t
 """
 
 
+def _arith_edges(spark, sf_dir):
+    """(nodes, edges) of the analytics link graph: one affine and two
+    quadratic maps mod n — deliberately NOT bijective (unlike q01's crawl
+    graph), so in-degrees vary and PageRank has a non-uniform fixpoint
+    (a regular graph would make both q40 and q41 degenerate)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    edge = lambda expr: docs.select(d.alias("src"), (expr % n).alias("dst"))
+    edges = (
+        edge(d * 7 + 13)
+        .unionAll(edge(d * d * 3 + 5))
+        .unionAll(edge(d * d + d * 5 + 11))
+    )
+    nodes = docs.select(d.alias("id"))
+    return nodes, edges
+
+
+_EDGES_SQL = """
+n AS (SELECT count(*) AS c FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id*7+13) % (SELECT c FROM n) AS dst FROM documents
+  UNION ALL SELECT doc_id, (doc_id*doc_id*3+5) % (SELECT c FROM n) FROM documents
+  UNION ALL SELECT doc_id, (doc_id*doc_id+doc_id*5+11) % (SELECT c FROM n) FROM documents
+)"""
+
+
+def q40_pagerank(spark, sf_dir):
+    """Graph op: 5-iteration fixed-point PageRank over the analytics link
+    graph — the frontier-priority source for priority crawls
+    (schedule_round order_cols).  Ranks are int64 in units of 1e-12, all
+    arithmetic integer (operators/graph.pagerank_fixed), so the result is
+    bit-exact vs the unrolled-CTE SQL oracle with no float-tie fragility."""
+    from eget_spark.operators.graph import pagerank_fixed
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    pr = pagerank_fixed(nodes, edges, n_iter=5)
+    return pr.select(F.col("id").alias("doc_id"), "pr_fp")
+
+
+def _q40_sql(n_iter: int = 5, damp_num: int = 17, damp_den: int = 20, scale: int = 10**12) -> str:
+    base = f"(({scale} * {damp_den - damp_num}) // {damp_den}) // (SELECT c FROM n)"
+    parts = [
+        "WITH ",
+        _EDGES_SQL.lstrip(),
+        ",\nodeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f",\np0 AS (SELECT doc_id AS id, {scale} // (SELECT c FROM n) AS pr_fp FROM documents)",
+    ]
+    for i in range(1, n_iter + 1):
+        dang = (
+            f"(SELECT coalesce(sum(p.pr_fp), 0) FROM p{i-1} p "
+            f"LEFT JOIN odeg o ON o.src = p.id WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT d.doc_id AS id,
+         CAST({base}
+              + ({damp_num} * (coalesce(s.contrib, 0)
+                               + {dang} // (SELECT c FROM n))) // {damp_den}
+           AS BIGINT) AS pr_fp
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS id, sum(p.pr_fp // o.od) AS contrib
+    FROM edges e JOIN odeg o ON o.src = e.src JOIN p{i-1} p ON p.id = e.src
+    GROUP BY e.dst) s ON s.id = d.doc_id)"""
+        )
+    parts.append(f"\nSELECT id AS doc_id, pr_fp FROM p{n_iter}")
+    return "".join(parts)
+
+
+def q41_indegree_hist(spark, sf_dir):
+    """Graph op: in-degree distribution over the link graph (hub-skew
+    check before salting decisions)."""
+    from eget_spark.operators.graph import in_degree_histogram
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    return in_degree_histogram(edges, nodes)
+
+
+_Q41_SQL = f"""
+WITH {_EDGES_SQL.lstrip()},
+deg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst),
+per_node AS (
+  SELECT d.doc_id, coalesce(g.in_deg, 0) AS in_deg
+  FROM documents d LEFT JOIN deg g ON g.dst = d.doc_id
+)
+SELECT in_deg, count(*) AS n_nodes FROM per_node GROUP BY in_deg
+"""
+
+
+def q42_char_entropy(spark, sf_dir):
+    """Quality signal: Shannon character entropy per document (relational
+    explode->count->window form, functions/text.char_entropy_df). ASCII
+    corpus: Spark's split-on-empty (code units) == DuckDB's per-code-point
+    regexp."""
+    from eget_spark.functions.text import char_entropy_df
+
+    return char_entropy_df(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_Q42_SQL = r"""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM documents
+),
+counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+wl AS (
+  SELECT doc_id, c, CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS L
+  FROM counts
+),
+ent AS (
+  SELECT doc_id,
+         round(-sum((c / L) * log2(c / L)) + 0.0, 6) AS char_entropy
+  FROM wl GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(e.char_entropy, 0.0) AS char_entropy
+FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id
+"""
+
+
+def q43_tfidf_topk(spark, sf_dir):
+    """Corpus statistics: top-3 TF-IDF terms per document
+    (functions/text.tfidf_top_terms; WindowGroupLimit top-k)."""
+    from eget_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+_Q43_SQL = r"""
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term, tf * ln((SELECT c FROM n) / df) AS tfidf
+  FROM tf JOIN dfreq USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1346,6 +1504,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_dedup_groups": q37_dedup_groups,
         "q38_media_decode": q38_media_decode,
         "q39_stopword_ratio": q39_stopword_ratio,
+        "q40_pagerank": q40_pagerank,
+        "q41_indegree_hist": q41_indegree_hist,
+        "q42_char_entropy": q42_char_entropy,
+        "q43_tfidf_topk": q43_tfidf_topk,
     }
 
 
@@ -1390,4 +1552,8 @@ def oracle_sql() -> dict[str, str]:
         "q37_dedup_groups": _q37_sql(),
         "q38_media_decode": _Q38_SQL,
         "q39_stopword_ratio": _Q39_SQL,
+        "q40_pagerank": _q40_sql(),
+        "q41_indegree_hist": _Q41_SQL,
+        "q42_char_entropy": _Q42_SQL,
+        "q43_tfidf_topk": _Q43_SQL,
     }

@@ -276,3 +276,64 @@ def read_time_minutes(text: Column) -> Column:
     """X13 estimated_read_time = max(1, words // 200)
     (semantic_chunker.py:214)."""
     return F.greatest(F.lit(1), F.floor(token_count(text) / 200)).cast("int")
+
+
+def char_entropy_df(df, id_col: str, text_col: str):
+    """Shannon character entropy per document (bits/char) — the gibberish/
+    binary-noise quality signal (low entropy = repetition, high = noise).
+
+    Relational form (scales, stays in codegen): explode characters, count
+    per (id, char), entropy = -sum((c/L)*log2(c/L)) per id. Two uniform
+    shuffles keyed by doc id; no Python. Returns (id_col, char_entropy)
+    with 0.0 for empty/null text, rounded to 6 (matches the SQL oracle)."""
+    from pyspark.sql.window import Window
+
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).where(F.length("ch") > 0)
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    p = F.col("c") / F.col("_L")
+    ent = (
+        counts.withColumn("_L", F.sum("c").over(Window.partitionBy(id_col)))
+        .groupBy(id_col)
+        # + 0.0 canonicalizes IEEE -0.0 (single-char docs) to +0.0
+        .agg(F.round(-F.sum(p * F.log2(p)) + F.lit(0.0), 6).alias("char_entropy"))
+    )
+    return df.select(id_col).join(ent, id_col, "left").select(
+        id_col, F.coalesce(F.col("char_entropy"), F.lit(0.0)).alias("char_entropy")
+    )
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k TF-IDF terms per document — the classic corpus-statistics
+    operator for training-data analysis (keyword extraction, topic drift).
+
+    tf = term count in doc, idf = ln(N / df) with df = #docs containing the
+    term; rank by (tfidf desc, term asc). All relational: token explode ->
+    (id, term) counts -> term document-frequency agg -> join -> window
+    top-k (WindowGroupLimit pushes the rank filter map-side). Returns
+    (id_col, term, tfidf, rnk)."""
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("_tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.round(F.col("_tfidf"), 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

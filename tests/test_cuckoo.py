@@ -1,0 +1,111 @@
+"""Cuckoo-filter seen set: membership, deletion, merge, distributed build,
+and anti-join equivalence with the exact path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eget_spark.operators.cuckoo import (
+    ShardedCuckoo,
+    anti_join_seen_cuckoo,
+    build_cuckoo,
+)
+
+URLS = [f"https://h{i % 17}.example.com/p/{i}" for i in range(5000)]
+OTHERS = [f"https://h{i % 13}.example.net/q/{i}" for i in range(5000)]
+
+
+def test_no_false_negatives_and_low_fp():
+    cf = ShardedCuckoo.sized(len(URLS), n_shards=16)
+    cf.add_many(URLS)
+    assert cf.contains_many(URLS).all()
+    fp_rate = cf.contains_many(OTHERS).mean()
+    assert fp_rate < 0.02, fp_rate
+
+
+def test_delete_restores_nonmembership():
+    cf = ShardedCuckoo.sized(2000, n_shards=8)
+    cf.add_many(URLS[:2000])
+    victims = URLS[500:700]
+    assert cf.delete_many(victims) == len(victims)
+    # non-deleted URLs still all present (deletion never disturbs others)
+    keep = URLS[:500] + URLS[700:2000]
+    assert cf.contains_many(keep).all()
+    # deleted ones are gone modulo fingerprint collisions (<2%)
+    assert cf.contains_many(victims).mean() < 0.05
+
+
+def test_stash_keeps_correctness_when_overfull():
+    # tiny filter, ~2x overload: inserts must never drop membership
+    cf = ShardedCuckoo(2, 64)  # capacity 2*64*4 = 512 slots
+    urls = URLS[:800]
+    cf.add_many(urls)
+    assert cf.contains_many(urls).all()
+    assert cf.load_factor() >= 1.0  # table full, overflow in stash
+
+
+def test_merge_equals_union():
+    a = ShardedCuckoo.sized(4000, n_shards=8)
+    b = ShardedCuckoo.sized(4000, n_shards=8)
+    a.add_many(URLS[:2000])
+    b.add_many(URLS[2000:4000])
+    a.merge(b)
+    assert a.contains_many(URLS[:4000]).all()
+
+
+def test_none_handling():
+    cf = ShardedCuckoo.sized(10)
+    cf.add_many(["x", None, "y"])
+    got = cf.contains_many([None, "x", "z" * 3, "y"])
+    assert got[0] == False and got[1] and got[3]  # noqa: E712
+
+
+def test_distributed_build_matches_driver_build(spark):
+    df = spark.createDataFrame([(u,) for u in URLS[:3000]], "url string")
+    dist = build_cuckoo(df, "url", expected=3000, n_shards=8)
+    assert dist.contains_many(URLS[:3000]).all()
+    local = ShardedCuckoo.sized(3000, n_shards=8)
+    local.add_many(URLS[:3000])
+    # same membership on members AND on a probe set (same routing/fp math)
+    probe = URLS[:3000] + OTHERS[:1000]
+    assert (dist.contains_many(probe) == local.contains_many(probe)).all()
+
+
+def test_distributed_delta_merge(spark):
+    base = build_cuckoo(
+        spark.createDataFrame([(u,) for u in URLS[:1000]], "url string"),
+        "url",
+        expected=4000,
+        n_shards=8,
+    )
+    delta = build_cuckoo(
+        spark.createDataFrame([(u,) for u in URLS[1000:2000]], "url string"),
+        "url",
+        like=base,
+    )
+    base.merge(delta)
+    assert base.contains_many(URLS[:2000]).all()
+
+
+def test_anti_join_equals_exact(spark):
+    cand = spark.createDataFrame([(u,) for u in URLS[:1500]], "url string")
+    seen = spark.createDataFrame([(u,) for u in URLS[1000:1250]], "url string")
+    cf = build_cuckoo(seen, "url", expected=1000, n_shards=8)
+    got = sorted(
+        r["url"] for r in anti_join_seen_cuckoo(cand, seen, "url", cf).collect()
+    )
+    want = sorted(set(URLS[:1500]) - set(URLS[1000:1250]))
+    assert got == want
+
+
+def test_broadcast_cached_until_mutation(spark):
+    cf = ShardedCuckoo.sized(100)
+    cf.add_many(URLS[:100])
+    b1 = cf.spark_broadcast(spark)
+    b2 = cf.spark_broadcast(spark)
+    assert b1 is b2
+    cf.add_many(URLS[100:110])
+    b3 = cf.spark_broadcast(spark)
+    assert b3 is not b1

@@ -1,0 +1,126 @@
+"""PageRank / degree analytics vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eget_spark.operators.graph import (
+    in_degree_histogram,
+    out_degrees,
+    pagerank,
+    pagerank_fixed,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _nodes_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def _py_pagerank(ids, pairs, n_iter=5, damping=0.85, nd=12):
+    n = len(ids)
+    deg: dict[int, int] = {}
+    for s, _ in pairs:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {i: 1.0 / n for i in ids}
+    for _ in range(n_iter):
+        dang = sum(p for i, p in pr.items() if i not in deg)
+        contrib: dict[int, float] = {}
+        for s, d in pairs:
+            contrib[d] = contrib.get(d, 0.0) + pr[s] / deg[s]
+        pr = {
+            i: round(
+                (1 - damping) / n + damping * (contrib.get(i, 0.0) + dang / n), nd
+            )
+            for i in ids
+        }
+    return pr
+
+
+def test_pagerank_matches_python_oracle(spark):
+    ids = list(range(12))
+    pairs = [(i, (i * 7 + 13) % 12) for i in ids] + [(i, (i * 11 + 5) % 12) for i in ids]
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank(_nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=5).collect()
+    }
+    want = _py_pagerank(ids, pairs)
+    assert got == want
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # node 3 has no out-edges: its rank must be redistributed, total mass ~1
+    ids = [0, 1, 2, 3]
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    res = pagerank(_nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=10)
+    total = res.agg(F.sum("pr")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+    want = _py_pagerank(ids, pairs, n_iter=10)
+    got = {r["id"]: r["pr"] for r in res.collect()}
+    assert got == want
+
+
+def test_pagerank_parallel_edges_weighted(spark):
+    # two parallel edges 0->1 plus 0->2: node 1 gets 2/3 of node 0's rank
+    ids = [0, 1, 2]
+    pairs = [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)]
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank(_nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=3).collect()
+    }
+    assert got == _py_pagerank(ids, pairs, n_iter=3)
+    assert got[1] > got[2]
+
+
+def _py_pagerank_fixed(ids, pairs, n_iter=5, num=17, den=20, scale=10**12):
+    n = len(ids)
+    deg: dict[int, int] = {}
+    for s, _ in pairs:
+        deg[s] = deg.get(s, 0) + 1
+    base = (scale * (den - num)) // den // n
+    pr = {i: scale // n for i in ids}
+    for _ in range(n_iter):
+        dang = sum(p for i, p in pr.items() if i not in deg)
+        contrib: dict[int, int] = {}
+        for s, d in pairs:
+            contrib[d] = contrib.get(d, 0) + pr[s] // deg[s]
+        pr = {
+            i: base + (num * (contrib.get(i, 0) + dang // n)) // den for i in ids
+        }
+    return pr
+
+
+def test_pagerank_fixed_bit_exact(spark):
+    ids = list(range(15))
+    pairs = (
+        [(i, (i * 7 + 13) % 15) for i in ids]
+        + [(i, (i * i * 3 + 5) % 15) for i in ids]
+        + [(3, 4), (3, 4)]  # parallel edges
+    )
+    # node 14 dangling: drop its out-edges
+    pairs = [(s, d) for s, d in pairs if s != 14]
+    got = {
+        r["id"]: r["pr_fp"]
+        for r in pagerank_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=5
+        ).collect()
+    }
+    assert got == _py_pagerank_fixed(ids, pairs, n_iter=5)
+
+
+def test_degree_helpers(spark):
+    ids = [0, 1, 2, 3]
+    pairs = [(0, 1), (0, 1), (1, 2), (3, 2)]
+    od = {r["src"]: r["out_deg"] for r in out_degrees(_edges_df(spark, pairs)).collect()}
+    assert od == {0: 2, 1: 1, 3: 1}
+    hist = {
+        r["in_deg"]: r["n_nodes"]
+        for r in in_degree_histogram(
+            _edges_df(spark, pairs), _nodes_df(spark, ids)
+        ).collect()
+    }
+    # node1 in-deg 2 (parallel), node2 in-deg 2, nodes 0,3 in-deg 0
+    assert hist == {0: 2, 2: 2}
