@@ -43,6 +43,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q41_indegree_hist      graph: in-degree distribution (hub-skew probe)
   q42_char_entropy       text-analysis: Shannon char entropy quality signal
   q43_tfidf_topk         corpus stats: top-3 TF-IDF terms per document
+  q44_cuckoo_seen        D1 cuckoo-filter seen set with expiry (deletes)
 """
 
 from __future__ import annotations
@@ -1458,6 +1459,34 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def q44_cuckoo_seen(spark, sf_dir):
+    """D1 via the cuckoo filter (operators/cuckoo.py) WITH expiry: seen =
+    every third URL, then every 15th is deleted from the filter (recrawl —
+    the operation a bloom cannot do); result must equal the exact anti-join
+    against the post-expiry seen set.  The delete list is a driver-side
+    sketch mutation (expiry API), not a data-plane collect."""
+    from eget_spark.operators.cuckoo import anti_join_seen_cuckoo, build_cuckoo
+
+    urls = q02_url_normalize(spark, sf_dir)
+    seen = urls.where(F.col("doc_id") % 3 == 0).select("url")
+    cf = build_cuckoo(seen, "url", expected=8192, n_shards=8)
+    expired = [
+        r["url"]
+        for r in urls.where(F.col("doc_id") % 15 == 0).select("url").collect()
+    ]
+    cf.delete_many(expired)
+    seen_after = urls.where(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 15 != 0)
+    ).select("url")
+    return anti_join_seen_cuckoo(urls, seen_after, "url", cf).select("doc_id", "url")
+
+
+_Q44_SQL = (
+    f"SELECT doc_id, url FROM ({_Q02_SQL}) "
+    "WHERE doc_id % 3 <> 0 OR doc_id % 15 = 0"
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1508,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_indegree_hist": q41_indegree_hist,
         "q42_char_entropy": q42_char_entropy,
         "q43_tfidf_topk": q43_tfidf_topk,
+        "q44_cuckoo_seen": q44_cuckoo_seen,
     }
 
 
@@ -1556,4 +1586,5 @@ def oracle_sql() -> dict[str, str]:
         "q41_indegree_hist": _Q41_SQL,
         "q42_char_entropy": _Q42_SQL,
         "q43_tfidf_topk": _Q43_SQL,
+        "q44_cuckoo_seen": _Q44_SQL,
     }

@@ -215,6 +215,14 @@ class ShardedCuckoo:
         self._dirty = True
         return self
 
+    def saturated(self, total: int) -> bool:
+        """True once ``total`` members exceed ~95% of slot capacity
+        (4-slot cuckoo tables stay fast below that load)."""
+        return total > 0.95 * self.n_shards * self.n_buckets * _SLOTS
+
+    def bit_size(self) -> int:
+        return self.n_shards * self.n_buckets * _SLOTS * 16
+
     def load_factor(self) -> float:
         filled = sum(int((s.table != 0).sum()) + len(s.stash) for s in self.shards)
         return filled / (self.n_shards * self.n_buckets * _SLOTS)

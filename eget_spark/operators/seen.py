@@ -62,6 +62,14 @@ class BloomFilter:
         self._bc = None
         self._dirty = True
 
+    def saturated(self, total: int) -> bool:
+        """True once ``total`` members exceed the sizing this filter can
+        hold at its design fp rate (crawl loop rebuilds larger then)."""
+        return total * self.k > self.m_bits
+
+    def bit_size(self) -> int:
+        return self.m_bits
+
     @classmethod
     def sized(cls, expected: int, fpp: float = 0.01, max_bits: int = 1 << 33) -> "BloomFilter":
         expected = max(1, expected)

@@ -42,6 +42,7 @@ from pyspark.sql.window import Window
 
 from ..functions.spans import assemble_markdown, link_targets
 from ..functions.urls import host_of, normalize_absolute_expr, normalize_url
+from ..operators.cuckoo import ShardedCuckoo, anti_join_seen_cuckoo, build_cuckoo
 from ..operators.links import matches_any, robots_allowed, should_include
 from ..operators.politeness import schedule_round
 from ..operators.seen import BloomFilter, anti_join_seen, build_bloom
@@ -72,6 +73,11 @@ class CrawlConfig:
     use_bloom: bool | str = False
     bloom_auto_threshold: int = 1_000_000
     bloom_fpp: float = 0.01
+    # which approximate seen-set backs the prefilter when use_bloom engages:
+    # "bloom" (OR-mergeable bits) or "cuckoo" (fingerprints; supports
+    # delete for recrawl/expiry — operators/cuckoo.py). Same correctness
+    # contract either way: prefilter + exact anti-join confirm.
+    seen_filter: str = "bloom"
     # frontier under this -> broadcast fetch join (measured: broadcasting a
     # 130k-row frontier costs ~1s while a shuffle join re-shuffles the
     # multi-GB span corpus every round); above it, pre-bucket the corpus
@@ -135,12 +141,20 @@ def crawl(
     table_dir: str | None = None,
     resume: bool = False,
     catalog: str | None = None,
+    priorities: DataFrame | None = None,
 ) -> CrawlResult:
     """Run a full crawl of the corpus graph; see module docstring.
 
     With ``table_dir`` set, per-round state goes through the RoundTable
     layer (plans/tables.py): parquet round-partitions by default, Iceberg
-    appends when ``catalog`` names a configured Iceberg catalog."""
+    appends when ``catalog`` names a configured Iceberg catalog.
+
+    ``priorities`` — optional (url, priority) DataFrame (e.g. PageRank from
+    operators/graph.py): under a constrained politeness budget, each host
+    fetches its highest-priority pending URLs first (priority desc, then
+    FIFO seq) instead of pure FIFO — the north-star's per-host priority
+    queue.  Admission order/seq semantics are unchanged; priority only
+    decides who wins a round's budget."""
     run = CrawlRun(spark, table_dir, catalog) if table_dir else None
     if not config.respect_robots_txt:
         robots_f = None
@@ -209,11 +223,14 @@ def crawl(
         # allocate a max-size filter on round 0
         return max(1024, total * 4, min(config.max_pages, 1 << 26))
 
-    bloom: BloomFilter | None = None
+    def build_filter(df, expected, like=None):
+        if config.seen_filter == "cuckoo":
+            return build_cuckoo(df, "url", expected=expected, like=like)
+        return build_bloom(df, "url", expected=expected, fpp=config.bloom_fpp, like=like)
+
+    bloom: BloomFilter | ShardedCuckoo | None = None
     if want_bloom(admitted_total):
-        bloom = build_bloom(
-            seen_df(), "url", expected=bloom_expected(admitted_total), fpp=config.bloom_fpp
-        )
+        bloom = build_filter(seen_df(), bloom_expected(admitted_total))
 
     # politeness applies only if some host actually has a crawl delay
     if robots_f is not None and robots_f.where(F.col("crawl_delay") > 0).limit(1).count() == 0:
@@ -232,10 +249,26 @@ def crawl(
         round_no += 1
         t0 = time.monotonic()
 
-        # O3: politeness split
-        fetch_now, deferred = schedule_round(
-            frontier, politeness_robots, config.round_window, config.salt_threshold
-        )
+        # O3: politeness split (priority-ordered budgets when given)
+        if priorities is not None and politeness_robots is not None:
+            fr = frontier.join(
+                priorities.select("url", F.col("priority").alias("_priority")),
+                "url",
+                "left",
+            ).withColumn("_priority", F.coalesce(F.col("_priority"), F.lit(0.0)))
+            fetch_now, deferred = schedule_round(
+                fr,
+                politeness_robots,
+                config.round_window,
+                config.salt_threshold,
+                order_cols=[F.desc("_priority"), "seq"],
+            )
+            fetch_now = fetch_now.drop("_priority")
+            deferred = deferred.drop("_priority")
+        else:
+            fetch_now, deferred = schedule_round(
+                frontier, politeness_robots, config.round_window, config.salt_threshold
+            )
         politeness_active = politeness_robots is not None
 
         # J1: fetch = join frontier against the corpus ("the corpus IS the
@@ -354,7 +387,10 @@ def crawl(
         )
 
         # J4/D1: not yet seen
-        kids = anti_join_seen(kids, seen_df(), "url", bloom=bloom)
+        if isinstance(bloom, ShardedCuckoo):
+            kids = anti_join_seen_cuckoo(kids, seen_df(), "url", bloom)
+        else:
+            kids = anti_join_seen(kids, seen_df(), "url", bloom=bloom)
 
         # F7 + O1: global admission sequence; admit while seq < max_pages.
         # The sequencing collect also yields the candidate total, so
@@ -397,19 +433,17 @@ def crawl(
         n_admitted = min(sr.total, max(0, config.max_pages - admitted_total))
         admitted_total += n_admitted
         if bloom is not None:
-            # distributed delta: same (m, k) as the running filter, built
-            # over the checkpointed admitted set and OR-merged — only bit
-            # chunks reach the driver, never URLs (verdict fix #1). Once the
-            # filter saturates (seen >> sized expectation) rebuild larger.
-            if admitted_total * bloom.k <= bloom.m_bits:
-                bloom.merge(build_bloom(admitted, "url", like=bloom))
+            # distributed delta: same shape as the running filter, built
+            # over the checkpointed admitted set and merged — only shard
+            # tables / bit chunks reach the driver, never URLs (verdict
+            # fix #1). Once the filter saturates rebuild larger.
+            if not bloom.saturated(admitted_total):
+                bloom.merge(build_filter(admitted, 0, like=bloom))
             else:
                 bloom = None  # saturated: rebuild distributed from seen below
         seen_parts.append(admitted.select("url"))  # admitted is checkpointed
         if bloom is None and want_bloom(admitted_total):
-            bloom = build_bloom(
-                seen_df(), "url", expected=bloom_expected(admitted_total), fpp=config.bloom_fpp
-            )
+            bloom = build_filter(seen_df(), bloom_expected(admitted_total))
 
         order_parts.append(admitted.withColumn("round", F.lit(round_no)))
 
@@ -484,7 +518,7 @@ def crawl(
         order=order,
         seen=seen_df(),
         stats=stats,
-        bloom_bits=bloom.m_bits if bloom is not None else None,
+        bloom_bits=bloom.bit_size() if bloom is not None else None,
     )
 
 

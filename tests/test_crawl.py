@@ -225,3 +225,42 @@ def test_crawl_auto_bloom(spark, docs_small, corpus_small, robots_small, robots_
     )
     assert hot.bloom_bits is not None  # engaged mid-crawl
     assert_equal(hot, ores)
+
+
+def test_crawl_cuckoo_equals_exact(spark, docs_small, corpus_small, robots_small, robots_dict):
+    """seen_filter='cuckoo': same crawl result as the exact path (the
+    cuckoo prefilter + exact confirm contract, mirroring the bloom test)."""
+    kw = dict(max_depth=2, max_pages=100)
+    _, ores = run_both(spark, docs_small, corpus_small, robots_small, robots_dict, **kw)
+    cfg = CrawlConfig(seed_urls=[SEED], use_bloom=True, seen_filter="cuckoo", **kw)
+    res = crawl(spark, docs_small, cfg, robots=robots_small)
+    assert_equal(res, ores)
+    assert res.bloom_bits  # a cuckoo family actually engaged
+
+
+def test_crawl_priority_budget(spark, docs_small, robots_small):
+    """Priority crawl: under a 1-fetch/round politeness budget, the
+    highest-priority pending URL wins the budget instead of FIFO; the
+    final page set is unchanged."""
+    seed = doc_url(2, 0)  # h2 has crawl_delay -> budget 1 at window 0.4
+    kw = dict(max_depth=1, max_pages=30, round_window=0.4)
+    base = crawl(spark, docs_small, CrawlConfig(seed_urls=[seed], **kw), robots=robots_small)
+    fetched = {
+        r["url"]: r["round"]
+        for r in base.pages.where(F.col("status") == "ok").collect()
+    }
+    kids = {u: rnd for u, rnd in fetched.items() if u != seed}
+    assert len(set(kids.values())) > 1  # budget 1: children spread over rounds
+    victim = max(kids, key=lambda u: (kids[u], u))  # FIFO-last child
+    assert kids[victim] > min(kids.values())
+    pri = spark.createDataFrame([(victim, 9.9)], "url string, priority double")
+    res = crawl(
+        spark, docs_small, CrawlConfig(seed_urls=[seed], **kw),
+        robots=robots_small, priorities=pri,
+    )
+    got = {
+        r["url"]: r["round"]
+        for r in res.pages.where(F.col("status") == "ok").collect()
+    }
+    assert set(got) == set(fetched)  # same pages eventually
+    assert got[victim] == min(rnd for u, rnd in got.items() if u != seed)
