@@ -153,6 +153,71 @@ def main() -> None:
         "distinct() shuffle is gone.",
     )
 
+    # 10. TF-IDF top-k: pure JVM aggs + windowed top-k
+    add(
+        "tfidf top-k (corpus stats)",
+        entry.q43_tfidf_topk(spark, SF),
+        {"HashAggregate": True, "Window": True, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+        "Token explode -> tf/df HashAggregates (map-side partials) -> "
+        "window top-k; zero Python.",
+    )
+
+    # 11. char entropy: relational explode/count/window, zero Python
+    add(
+        "char entropy (quality signal)",
+        entry.q42_char_entropy(spark, SF),
+        {"HashAggregate": True, "Window": True, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+        "Char explode -> per-(id,ch) counts -> window total -> entropy agg; "
+        "zero Python.",
+    )
+
+    # 12. PageRank iteration body (the checkpointed loop hides per-iter
+    # plans, so audit the same dataflow un-checkpointed): edges join ranks
+    # + dst aggregation with map-side partials; dangling mass via a 1-row
+    # broadcast cross join — no driver collect in the loop
+    nodes = docs.selectExpr("doc_id AS id")
+    edges = docs.selectExpr("doc_id AS src", "(doc_id * 7 + 13) % 500 AS dst")
+    from eget_spark.operators.graph import out_degrees
+
+    ranks = nodes.selectExpr("id", "CAST(1000000 AS BIGINT) AS pr_fp")
+    deg = out_degrees(edges)
+    with_deg = ranks.join(deg, ranks["id"] == deg["src"], "left")
+    dangling = with_deg.where(F.col("out_deg").isNull()).agg(
+        F.coalesce(F.sum("pr_fp"), F.lit(0)).cast("long").alias("_dang")
+    )
+    contrib = (
+        with_deg.where(F.col("out_deg").isNotNull())
+        .join(edges, "src")
+        .groupBy("dst")
+        .agg(F.sum(F.expr("pr_fp div out_deg")).alias("contrib"))
+    )
+    iter_body = (
+        nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+        .crossJoin(F.broadcast(dangling))
+        .selectExpr("id", "coalesce(contrib, 0) + _dang AS pr_fp")
+    )
+    add(
+        "pagerank iteration body",
+        iter_body,
+        {"HashAggregate": True, "partial_sum": True,
+         "BroadcastNestedLoopJoin": True, "BatchEvalPython": False},
+        "One shuffle join + one dst aggregation (map-side partial_sum) per "
+        "iteration; the dangling scalar rides a 1-row broadcast cross join.",
+    )
+
+    # 13. cuckoo anti-join: Arrow-vectorized probe + broadcast exact confirm
+    add(
+        "cuckoo seen anti-join (D1 alt)",
+        entry.q44_cuckoo_seen(spark, SF),
+        {"ArrowEvalPython": True, "BatchEvalPython": False,
+         "BroadcastHashJoin": True},
+        "Sharded-cuckoo probe is an Arrow-vectorized UDF over the cached "
+        "broadcast; positives confirmed by broadcast anti-join (identical "
+        "contract to the bloom path).",
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
