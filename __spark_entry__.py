@@ -44,6 +44,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q42_char_entropy       text-analysis: Shannon char entropy quality signal
   q43_tfidf_topk         corpus stats: top-3 TF-IDF terms per document
   q44_cuckoo_seen        D1 cuckoo-filter seen set with expiry (deletes)
+  q45_srp_lsh_pairs      dedup: embedding near-dup via SRP (hyperplane) LSH
 """
 
 from __future__ import annotations
@@ -1487,6 +1488,46 @@ _Q44_SQL = (
 )
 
 
+def q45_srp_lsh_pairs(spark, sf_dir):
+    """Embedding near-dup via signed-random-projection LSH (no label
+    blocking): deterministic integer hyperplanes -> sign bits -> band join
+    (first-band-wins) -> exact cosine verify. operators/dedup.srp_lsh_pairs."""
+    from eget_spark.operators.dedup import srp_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # synthetic embeddings are low-cosine (max pairwise ~0.51): 0.35 keeps
+    # a non-trivial surviving pair set after the band filter
+    return srp_lsh_pairs(emb, "vec_id", "embedding", n_bits=16, bands=4, threshold=0.35)
+
+
+def _q45_sql(n_bits: int = 16, bands: int = 4, threshold: float = 0.9, seed: int = 1) -> str:
+    r = n_bits // bands
+    bits = (
+        f"list_transform(generate_series(0, {n_bits - 1}), i -> "
+        "CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), d -> "
+        f"CAST(embedding[d] AS DOUBLE) * (((i*2654435761 + (d-1)*40503 + {seed}) % 2001) - 1000)"
+        ")) >= 0 THEN 1 ELSE 0 END)"
+    )
+    band_list = ", ".join(
+        f"array_to_string(bits[{b * r + 1}:{b * r + r}], '')" for b in range(bands)
+    )
+    orcond = " OR ".join(f"a.sigs[{b + 1}] = b.sigs[{b + 1}]" for b in range(bands))
+    ip = lambda x, y: (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> "
+        f"CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH sig AS (SELECT vec_id AS id, embedding, {bits} AS bits FROM embeddings),
+sb AS (SELECT id, embedding, [{band_list}] AS sigs FROM sig),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         round({ip('a', 'b')} / (sqrt({ip('a', 'a')}) * sqrt({ip('b', 'b')})), 6) AS cosine
+  FROM sb a JOIN sb b ON a.id < b.id AND ({orcond})
+)
+SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {threshold}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1538,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_char_entropy": q42_char_entropy,
         "q43_tfidf_topk": q43_tfidf_topk,
         "q44_cuckoo_seen": q44_cuckoo_seen,
+        "q45_srp_lsh_pairs": q45_srp_lsh_pairs,
     }
 
 
@@ -1587,4 +1629,5 @@ def oracle_sql() -> dict[str, str]:
         "q42_char_entropy": _Q42_SQL,
         "q43_tfidf_topk": _Q43_SQL,
         "q44_cuckoo_seen": _Q44_SQL,
+        "q45_srp_lsh_pairs": _q45_sql(threshold=0.35),
     }

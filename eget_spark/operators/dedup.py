@@ -346,3 +346,94 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def srp_signature(vec: "F.Column", n_bits: int = 16, seed: int = 1) -> "F.Column":
+    """Signed-random-projection signature: bit i = 1 iff dot(v, h_i) >= 0.
+
+    Hyperplane weights are deterministic integer arithmetic —
+    ``h_i[d] = ((i*2654435761 + d*40503 + seed) % 2001) - 1000`` — so the
+    same signature is computable in ANSI SQL, and the dot products evaluate
+    left-to-right in both engines (higher-order ``aggregate`` here,
+    ``list_sum(list_transform(...))`` there): even a near-zero dot gets the
+    same sign bit-for-bit.  ``vec`` must already be array<double>."""
+    def dot_i(i):
+        prods = F.transform(
+            vec,
+            lambda x, d: x
+            * ((i * F.lit(2654435761) + d * F.lit(40503) + F.lit(seed)) % 2001 - 1000)
+            .cast("double"),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda i: F.when(dot_i(i) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def srp_lsh_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bits: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+    seed: int = 1,
+) -> DataFrame:
+    """Embedding near-dup WITHOUT a label/IVF blocking column: random-
+    hyperplane (SRP) LSH — the embedding-space analogue of the minhash
+    band join (same shuffle profile: one band explode, one equi self-join,
+    first-band-wins emission, exact cosine verify on survivors).
+
+    Collision probability per bit is 1 - angle/pi, so banding r bits keeps
+    only small-angle (high-cosine) candidates — candidates stay
+    O(n * dup_rate), never all-pairs; at 10^10 rows the band key is the
+    shuffle/bucket key exactly like minhash_lsh_pairs."""
+    r = n_bits // bands
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select("id", "v", srp_signature(F.col("v"), n_bits, seed).alias("bits"))
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "", *[F.element_at(F.col("bits"), b * r + j + 1).cast("string") for j in range(r)]
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = (
+        v.select("id", "v", band_arr.alias("sigs"))
+        .select("id", "v", "sigs", F.posexplode("sigs").alias("band", "sig"))
+        .localCheckpoint(eager=True)  # don't recompute signatures per side
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    first_match = (
+        F.array_position(
+            F.zip_with(F.col("a.sigs"), F.col("b.sigs"), lambda x, y: x == y),
+            F.lit(True),
+        )
+        - 1
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(F.col("a.band") == first_match)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (norm(F.col("a.v")) * norm(F.col("b.v"))), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

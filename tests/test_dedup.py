@@ -145,3 +145,45 @@ def test_connected_components_vs_networkless_oracle(spark):
     assert g[9999] == (9999, False)
     for x, root in want.items():
         assert g[x] == (root, x != root)
+
+
+def test_srp_lsh_pairs_matches_numpy_oracle(spark):
+    """SRP-LSH vs a numpy reimplementation: identical hyperplanes, band
+    collisions, first-band-wins dedup, and cosine threshold."""
+    import numpy as np
+
+    from eget_spark.operators.dedup import srp_lsh_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 12)
+    # near-dups: perturb each base vector slightly; distractors random
+    vecs = list(base) + [v + 0.05 * rng.randn(12) for v in base] + list(rng.randn(10, 12))
+    V = np.array(vecs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id long, embedding array<double>",
+    )
+    n_bits, bands, r, seed, thr = 16, 4, 4, 1, 0.8
+    got = {
+        (row["id_a"], row["id_b"])
+        for row in srp_lsh_pairs(
+            df, "vec_id", "embedding", n_bits=n_bits, bands=bands, threshold=thr, seed=seed
+        ).collect()
+    }
+    i = np.arange(n_bits)[:, None]
+    d = np.arange(V.shape[1])[None, :]
+    W = ((i * 2654435761 + d * 40503 + seed) % 2001) - 1000
+    bits = (V @ W.T >= 0).astype(int)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    want = set()
+    for a in range(len(V)):
+        for b in range(a + 1, len(V)):
+            collide = any(
+                (bits[a, bd * r : (bd + 1) * r] == bits[b, bd * r : (bd + 1) * r]).all()
+                for bd in range(bands)
+            )
+            if collide and round(C[a, b], 6) >= thr:
+                want.add((a, b))
+    assert want, "oracle found no pairs - test corpus broken"
+    assert got == want
