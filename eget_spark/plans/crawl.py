@@ -23,7 +23,10 @@ The engine reproduces it exactly:
 Scale notes (the 10^10 story):
 - fetch join shuffles on url — uniform (xxhash of url), hot hosts do not
   skew it; the only host-keyed operator is the politeness window, which is
-  salted (politeness.py)
+  salted (politeness.py).  For repeated crawls over one corpus snapshot,
+  pass a table written by ``tables.write_bucketed_corpus`` as ``docs`` —
+  the corpus side then scans in bucket order with NO exchange (pinned by
+  test_bucketed.py); only the frontier shuffles
 - seen membership: Bloom pre-filter + exact anti-join (seen.py)
 - every round ends in eager localCheckpoint (table mode: parquet append)
   so plan lineage stays O(1) across rounds — the Iceberg-append analogue;

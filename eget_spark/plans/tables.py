@@ -19,6 +19,8 @@ else is unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,3 +94,41 @@ class CrawlRun:
         self.admitted = RoundTable(spark, root, "admitted", catalog)
         self.pending = RoundTable(spark, root, "pending", catalog)
         self.log = RoundTable(spark, root, "log", catalog)
+
+
+def write_bucketed_corpus(
+    docs: DataFrame, name: str, buckets: int = 64, sort: bool = True
+) -> DataFrame:
+    """Register the fetch corpus as a parquet table bucketed (and sorted)
+    on ``doc_id`` — the co-located-join layout for the crawl's J1 fetch
+    join at 100 TB: the corpus side of ``frontier JOIN corpus ON
+    url = doc_id`` is read in bucket order with NO exchange; only the
+    (much smaller) frontier shuffles into the bucket partitioning.  Any
+    repeated-scan workload (multi-crawl fleets over one corpus snapshot)
+    amortizes the one-time bucketing write across every subsequent round
+    of every crawl.
+
+    Pass the returned table handle (or ``spark.table(name)``) as ``docs``
+    to ``crawl()`` — Catalyst picks up the bucket spec automatically; no
+    engine changes needed.  Bucket count should match (or divide) the
+    session's shuffle partitioning at scale.  (Iceberg deployments express
+    the same layout as a bucket-partitioned table; this writer covers the
+    parquet/catalog-less sandbox.)"""
+    spark = docs.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # an orphaned managed-table location (crashed earlier write, catalog
+    # lost across sessions) blocks CREATE: clear it
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file"):
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(wh.path or wh.netloc, name.lower()), ignore_errors=True
+        )
+    w = docs.write.mode("overwrite").format("parquet").bucketBy(buckets, "doc_id")
+    if sort:
+        w = w.sortBy("doc_id")
+    w.saveAsTable(name)
+    return spark.table(name)

@@ -7,6 +7,7 @@ conf; the engine code itself never assumes local mode.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +46,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("EGET_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed-table warehouse (write_bucketed_corpus); keep it out of
+        # the repo cwd — on a cluster this is the catalog's table location
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "EGET_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "eget_warehouse"),
+            ),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
