@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.text import (
+    char_entropy_df,
     lang_id_df,
     quality_score,
     shingles,
@@ -33,7 +34,7 @@ from .functions.text import (
     token_count,
 )
 from .operators.chunker import chunk_semantic, chunk_sentences
-from .operators.dedup import dedup_groups, minhash_lsh_pairs
+from .operators.dedup import dedup_groups, minhash_lsh_pairs, srp_lsh_pairs
 
 
 @dataclass
@@ -49,6 +50,7 @@ def prepare_training_data(
     text_col: str = "text",
     min_quality: float = 0.0,
     max_stopword_ratio: float | None = None,
+    min_entropy: float | None = None,
     languages: list[str] | None = None,
     near_dup: bool = True,
     near_dup_threshold: float = 0.85,
@@ -56,8 +58,16 @@ def prepare_training_data(
     bands: int = 4,
     shingle_k: int = 3,
     chunker: str = "semantic",
+    embeddings: DataFrame | None = None,
+    emb_vec_col: str = "embedding",
+    emb_threshold: float = 0.95,
 ) -> PrepResult:
-    """Annotate, filter, dedup (exact + near-dup groups), and chunk."""
+    """Annotate, filter, dedup (exact + near-dup groups), and chunk.
+
+    ``min_entropy`` adds the char-entropy floor (drops repetition/noise
+    docs).  ``embeddings`` — optional (id_col, emb_vec_col) table: adds a
+    semantic near-dup stage via SRP LSH (cosine >= ``emb_threshold``
+    within shared hyperplane bands) after the text near-dup stage."""
     base = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
@@ -67,10 +77,14 @@ def prepare_training_data(
         .withColumn("stop_ratio", stopword_ratio(F.col("text")))
         .withColumn("n_tokens", token_count(F.col("text")))
     )
+    if min_entropy is not None:
+        annotated = annotated.join(char_entropy_df(base, "id", "text"), "id", "left")
 
     keep = F.col("quality") >= F.lit(min_quality)
     if max_stopword_ratio is not None:
         keep = keep & (F.col("stop_ratio") <= F.lit(max_stopword_ratio))
+    if min_entropy is not None:
+        keep = keep & (F.col("char_entropy") >= F.lit(min_entropy))
     if languages:
         keep = keep & F.col("pred_lang").isin(languages)
     quality_pass = annotated.where(keep)
@@ -120,6 +134,25 @@ def prepare_training_data(
         dropped = dropped.unionByName(
             groups.where(F.col("is_duplicate")).select(
                 "id", F.lit("near_duplicate").alias("reason")
+            )
+        )
+
+    if embeddings is not None:
+        # semantic near-dup: SRP hyperplane bands -> exact cosine verify —
+        # candidates stay O(n * dup_rate) (same profile as the text LSH)
+        emb = embeddings.select(
+            F.col(id_col).alias("id"), F.col(emb_vec_col).alias("v")
+        ).join(survivors.select("id"), "id", "left_semi")
+        epairs = srp_lsh_pairs(emb, "id", "v", threshold=emb_threshold).select(
+            "id_a", "id_b"
+        )
+        egroups = dedup_groups(survivors, epairs, "id")
+        survivors = survivors.join(
+            egroups.where(~F.col("is_duplicate")).select("id"), "id", "left_semi"
+        )
+        dropped = dropped.unionByName(
+            egroups.where(F.col("is_duplicate")).select(
+                "id", F.lit("embedding_near_duplicate").alias("reason")
             )
         )
 

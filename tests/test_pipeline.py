@@ -77,3 +77,40 @@ def test_prepare_sentence_chunker_and_stopword_gate(spark):
     )
     assert res.chunks.count() > 0
     assert "sentence_count" in res.chunks.columns
+
+
+def test_prepare_entropy_and_embedding_stages(spark):
+    rows = []
+    for i in range(8):
+        rows.append((i, f"# Doc\n\nThe document {i} is about topic{i} and the system writes it well."))
+    rows.append((50, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))  # entropy ~0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # embeddings: docs 3 and 4 are semantic twins; others orthogonal-ish
+    import random
+
+    rng = random.Random(3)
+    embs = []
+    base34 = [rng.gauss(0, 1) for _ in range(16)]
+    for i, _ in rows:
+        if i == 4:
+            v = [x + rng.gauss(0, 0.01) for x in base34]
+        elif i == 3:
+            v = base34
+        else:
+            v = [rng.gauss(0, 1) for _ in range(16)]
+        embs.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(embs, "doc_id long, embedding array<double>")
+
+    res = prepare_training_data(
+        docs,
+        min_entropy=1.0,
+        near_dup=False,
+        embeddings=emb,
+        emb_threshold=0.9,
+    )
+    kept = {r["id"] for r in res.docs.select("id").collect()}
+    dropped = {r["id"]: r["reason"] for r in res.dropped.collect()}
+    assert dropped[50] == "quality_filter"  # entropy floor folded into keep
+    assert 3 in kept and 4 not in kept
+    assert dropped[4] == "embedding_near_duplicate"
+    assert kept == {0, 1, 2, 3, 5, 6, 7}
