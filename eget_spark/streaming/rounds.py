@@ -81,3 +81,38 @@ def chunk_stream(spark: SparkSession, table_dir: str, out_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_host_throughput(
+    docs_stream: DataFrame,
+    time_col: str = "fetched_at",
+    window: str = "10 seconds",
+    slide: str = "5 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Sliding-window per-host fetch throughput with a late-data watermark
+    — the crawl-monitoring aggregation (pages/s per host, the A1/A2
+    counters as a continuous query).
+
+    Append-mode semantics: a (window, host) row is emitted exactly once,
+    when the watermark passes the window end; events later than
+    ``watermark`` behind the max seen event time are dropped (bounded
+    state — at web scale the per-host window state is what keeps this
+    O(active hosts), not O(history)).  The caller supplies the event-time
+    column (e.g. stamp rounds at append time with current_timestamp())."""
+    w = F.window(F.col(time_col), window, slide)
+    return (
+        docs_stream.withWatermark(time_col, watermark)
+        .groupBy(w.alias("w"), "host")
+        .agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "fetched",
+            "ok",
+        )
+    )

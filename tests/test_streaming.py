@@ -94,3 +94,61 @@ def test_stream_first_seen_exactly_once(spark, tmp_path):
     flags = {(r["host"], r["url"]): r["overflow"] for r in rows}
     assert flags[("a.x", "u4")] is True  # beyond cap: flagged, not dropped
     assert flags[("a.x", "u3")] is False
+
+
+def test_windowed_throughput_watermark_drops_late(spark, tmp_path):
+    """Watermarked sliding windows: finalized windows emit exactly once
+    (append mode), and an event older than the watermark is dropped."""
+    from eget_spark.streaming.rounds import windowed_host_throughput
+
+    src = str(tmp_path / "wsrc")
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    schema = "host string, status string, fetched_at timestamp"
+    base = "2026-01-01 00:0{m}:{s:02d}"
+
+    def write_rows(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("basePath", src)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            windowed_host_throughput(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0) + dt.timedelta(seconds=s)
+    # batch 1: events at 1s, 6s push windows; 100s advances watermark to 70s
+    write_rows(
+        [("a", "ok", t(1)), ("a", "missing", t(6)), ("a", "ok", t(100))],
+        "b1",
+    )
+    run_once()
+    # batch 2: 30s is 40s behind the 70s watermark -> dropped;
+    # 150s moves the watermark to 120s, closing the 100s event's windows
+    write_rows([("a", "ok", t(30)), ("a", "ok", t(150))], "b2")
+    run_once()
+
+    got = {
+        (r["window_start"].second + r["window_start"].minute * 60, r["fetched"], r["ok"])
+        for r in spark.read.parquet(out).where("window_start >= '2025-12-31'").collect()
+    }
+    # windows of events 1s/6s (5s grid, 10s width) + the 100s event's two
+    # windows; nothing from the dropped 30s event
+    assert (95, 1, 1) in got and (100, 1, 1) in got
+    assert (0, 2, 1) in got  # [0,10): events at 1s(ok) + 6s(missing)
+    assert not any(ws in (25, 30) for ws, _, _ in got)
