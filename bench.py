@@ -85,9 +85,37 @@ def run_crawl_bench(spark, scale: str = "medium", max_pages: int = 30000):
     }
 
 
+def calibrate(cpus: int) -> dict:
+    """Fixed CPU workload timings — context for cross-round comparisons on
+    a shared host (this VM shows ±30%+ wall variance under neighbor load;
+    see BENCH/BASELINE.md).  t1 = single-thread seconds, mt = the same
+    total work spread over `cpus` threads (ideal mt == t1/cpus)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    def unit(seed: int) -> float:
+        a = np.random.RandomState(seed).rand(600, 600)
+        for _ in range(4):
+            a = a @ a
+            a /= np.abs(a).max()
+        return float(a[0, 0])
+
+    t0 = time.monotonic()
+    for s in range(4):
+        unit(s)
+    t1 = time.monotonic() - t0
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=cpus) as ex:
+        list(ex.map(unit, range(cpus)))
+    mt = time.monotonic() - t0
+    return {"t1_4units_sec": round(t1, 3), "mt_1unit_each_sec": round(mt, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    calib = calibrate(cpus)
 
     import __spark_entry__ as entry
     from eget_spark.session import get_spark
@@ -128,6 +156,7 @@ def main() -> None:
         "sf": sf_val,
         "crawl": crawl_stats,
         "cpus": cpus,
+        "calib": calib,
     }
     print(json.dumps(out))
     spark.stop()
