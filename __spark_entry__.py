@@ -45,6 +45,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q43_tfidf_topk         corpus stats: top-3 TF-IDF terms per document
   q44_cuckoo_seen        D1 cuckoo-filter seen set with expiry (deletes)
   q45_srp_lsh_pairs      dedup: embedding near-dup via SRP (hyperplane) LSH
+  q46_priority_schedule  O2/O3 priority-queue budget scheduling
 """
 
 from __future__ import annotations
@@ -1528,6 +1529,62 @@ SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {threshold}
 """
 
 
+def q46_priority_schedule(spark, sf_dir):
+    """O2/O3 priority variant: each delayed host's budget goes to its
+    highest-priority pending URLs (priority desc, then FIFO seq) — the
+    north-star per-host priority queue as schedule_round order_cols.
+    Priority = doc_id % 7 (derived, deterministic).  Oracle = the same
+    window rank in SQL."""
+    from eget_spark.operators.politeness import schedule_round
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 40).cast("string"),
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit(1).alias("depth"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.col("doc_id").cast("long").alias("seq"),
+        (F.col("doc_id") % 7).cast("double").alias("priority"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}", [], 2.0 if i < 20 else 0.0) for i in range(40)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    fetch_now, deferred = schedule_round(
+        frontier, robots, round_window=10.0,
+        order_cols=[F.desc("priority"), "seq"],
+    )
+    keep = ["host", "url", "seq"]
+    return fetch_now.select(*keep).unionByName(
+        deferred.select(*keep).withColumn(
+            "host", F.concat(F.lit("deferred:"), F.col("host"))
+        )
+    )
+
+
+_Q46_SQL = """
+WITH f AS (
+  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+         'https://h' || CAST(doc_id % 40 AS VARCHAR) || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id AS BIGINT) AS seq,
+         doc_id % 40 AS hid,
+         doc_id % 7 AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT host, url, seq, hid,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, seq) AS rk
+  FROM f
+)
+SELECT CASE WHEN hid < 20 AND rk > 5 THEN 'deferred:' || host ELSE host END AS host,
+       url, seq
+FROM ranked
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1580,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_tfidf_topk": q43_tfidf_topk,
         "q44_cuckoo_seen": q44_cuckoo_seen,
         "q45_srp_lsh_pairs": q45_srp_lsh_pairs,
+        "q46_priority_schedule": q46_priority_schedule,
     }
 
 
@@ -1630,4 +1688,5 @@ def oracle_sql() -> dict[str, str]:
         "q43_tfidf_topk": _Q43_SQL,
         "q44_cuckoo_seen": _Q44_SQL,
         "q45_srp_lsh_pairs": _q45_sql(threshold=0.35),
+        "q46_priority_schedule": _Q46_SQL,
     }
