@@ -67,6 +67,11 @@ class CrawlConfig:
     respect_robots_txt: bool = True
     # engine extensions
     restrict_domain: bool = True  # False: whole-web crawl (multi-host fleets)
+    # per-domain admission cap (spider-trap / crawl-equity control): at most
+    # this many pages ever admitted per host. None = unlimited (reference
+    # parity). Enforced at admission in candidate order, so semantics equal
+    # the sequential reference loop with a host counter (tests/oracle.py).
+    max_pages_per_host: int | None = None
     fast_normalize: bool = False  # True: native #?-strip (absolute-URL corpora)
     round_window: float = 10.0  # politeness budget horizon per round
     # False: exact anti-join only. True: bloom prefilter from round 0.
@@ -172,12 +177,24 @@ def crawl(
     if state is None:
         # S1 seed ingestion: add_url(url, 0, None) per seed; duplicate seeds
         # dedup first-occurrence-wins exactly like add_url's seen check
-        # (queue_manager.py:46-57), THEN the admission cap slices
+        # (queue_manager.py:46-57); caps (global + per-host) apply in
+        # enumeration order like the sequential admit loop
+        from urllib.parse import urlparse as _urlparse
+
+        kept: list[str] = []
+        _hc: dict[str, int] = {}
+        for u in dict.fromkeys(config.seed_urls):
+            if len(kept) >= config.max_pages:
+                break
+            if config.max_pages_per_host is not None:
+                h = _urlparse(u).netloc
+                if _hc.get(h, 0) >= config.max_pages_per_host:
+                    continue
+                _hc[h] = _hc.get(h, 0) + 1
+            kept.append(u)
         seeds = [
             (u, None, 0, None, i)
-            for i, u in enumerate(
-                list(dict.fromkeys(config.seed_urls))[: config.max_pages]
-            )
+            for i, u in enumerate(kept)
             if 0 <= config.max_depth
         ]
         frontier = spark.createDataFrame(
@@ -210,6 +227,15 @@ def crawl(
             pages_parts = []
         order_parts = [run.admitted.read_upto(round_no)]
         frontier_count = frontier.count()
+
+    # per-host admission counters (max_pages_per_host): a tiny (host, _n)
+    # table, rebuilt from the admitted history on resume
+    host_counts: DataFrame | None = None
+    if config.max_pages_per_host is not None:
+        hc_src = frontier if state is None else run.admitted.read_upto(round_no)
+        host_counts = _checkpoint(
+            hc_src.groupBy("host").agg(F.count("*").cast("long").alias("_n"))
+        )
 
     def seen_df() -> DataFrame:
         return _union_all(seen_parts)
@@ -395,6 +421,31 @@ def crawl(
         else:
             kids = anti_join_seen(kids, seen_df(), "url", bloom=bloom)
 
+        # per-host admission cap: prior admitted count + this round's exact
+        # per-host candidate rank must stay within the cap. One shuffle on
+        # host; rejected hosts stay full forever, so this equals the
+        # sequential host-counter admit loop (oracle). A pathologically hot
+        # host makes this window skewed — at whole-web scale pair it with
+        # exclude_patterns or accept the single-reducer cost for that host
+        # (the rank must be exact for cap determinism; cf. politeness
+        # salting where budgets may be split approximately).
+        if config.max_pages_per_host is not None:
+            w_h = Window.partitionBy("_khost").orderBy("parent_seq", "url")
+            kids = (
+                kids.withColumn("_khost", host_of(F.col("url")))
+                .join(
+                    host_counts.withColumnRenamed("host", "_khost"),
+                    "_khost",
+                    "left",
+                )
+                .withColumn("_hrk", F.row_number().over(w_h))
+                .where(
+                    F.coalesce(F.col("_n"), F.lit(0)) + F.col("_hrk")
+                    <= config.max_pages_per_host
+                )
+                .drop("_khost", "_n", "_hrk")
+            )
+
         # F7 + O1: global admission sequence; admit while seq < max_pages.
         # The sequencing collect also yields the candidate total, so
         # n_admitted = clamp(cap headroom) — no extra count job.
@@ -445,6 +496,14 @@ def crawl(
             else:
                 bloom = None  # saturated: rebuild distributed from seen below
         seen_parts.append(admitted.select("url"))  # admitted is checkpointed
+        if config.max_pages_per_host is not None:
+            host_counts = _checkpoint(
+                host_counts.unionByName(
+                    admitted.groupBy("host").agg(F.count("*").cast("long").alias("_n"))
+                )
+                .groupBy("host")
+                .agg(F.sum("_n").cast("long").alias("_n"))
+            )
         if bloom is None and want_bloom(admitted_total):
             bloom = build_filter(seen_df(), bloom_expected(admitted_total))
 

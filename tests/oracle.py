@@ -50,6 +50,7 @@ class OracleConfig:
     respect_robots_txt: bool = True
     restrict_domain: bool = True
     round_window: float = 10.0
+    max_pages_per_host: int | None = None
 
 
 @dataclass
@@ -95,8 +96,15 @@ def oracle_crawl(
     order: list[tuple] = []
     pending: list[tuple] = []  # (seq, url, depth, parent)
 
+    host_admitted: dict[str, int] = {}
+
     def admit(url: str, depth: int, parent: str | None, rnd: int) -> None:
         if url not in seen and depth <= config.max_depth and len(seen) < config.max_pages:
+            if config.max_pages_per_host is not None:
+                h = urlparse(url).netloc
+                if host_admitted.get(h, 0) >= config.max_pages_per_host:
+                    return
+                host_admitted[h] = host_admitted.get(h, 0) + 1
             seq = len(seen)
             seen[url] = seq
             order.append((seq, url, depth, parent, rnd))

@@ -264,3 +264,17 @@ def test_crawl_priority_budget(spark, docs_small, robots_small):
     }
     assert set(got) == set(fetched)  # same pages eventually
     assert got[victim] == min(rnd for u, rnd in got.items() if u != seed)
+
+
+def test_crawl_host_cap_matches_oracle(spark, docs_small, corpus_small, robots_small, robots_dict):
+    """max_pages_per_host: admission-order host caps equal the sequential
+    oracle's host counter (whole-web multi-seed mode), and the cap binds."""
+    seeds = [doc_url(i, 0) for i in range(4)]
+    kw = dict(max_depth=3, max_pages=120, restrict_domain=False, max_pages_per_host=10)
+    res = crawl(spark, docs_small, CrawlConfig(seed_urls=seeds, **kw), robots=robots_small)
+    ores = oracle_crawl(corpus_small, OracleConfig(seed_urls=seeds, **kw), robots=robots_dict)
+    assert_equal(res, ores)
+    per_host = {r["host"]: r["n"] for r in
+                res.order.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert max(per_host.values()) <= 10
+    assert 10 in per_host.values()
