@@ -109,3 +109,38 @@ def test_broadcast_cached_until_mutation(spark):
     cf.add_many(URLS[100:110])
     b3 = cf.spark_broadcast(spark)
     assert b3 is not b1
+
+
+def test_cuckoo_set_semantics_property():
+    """Property: after ANY interleaving of adds and member-deletes, every
+    current member is still reported present (no false negatives — the
+    D1 correctness contract the crawl's exact-confirm path relies on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    universe = [f"https://u{i}.test/p/{i}" for i in range(60)]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.booleans(), st.integers(min_value=0, max_value=59)),
+            max_size=150,
+        )
+    )
+    def run(ops):
+        cf = ShardedCuckoo(4, 64)
+        members: set[str] = set()
+        for is_add, i in ops:
+            u = universe[i]
+            if is_add:
+                cf.add_many([u])
+                members.add(u)
+            elif u in members:
+                # delete only members (deleting a non-member may evict a
+                # colliding fingerprint - documented cuckoo caveat)
+                cf.delete_many([u])
+                members.discard(u)
+        if members:
+            assert cf.contains_many(sorted(members)).all()
+
+    run()
