@@ -41,6 +41,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--no-robots-txt", action="store_true")
     p.add_argument("--whole-web", action="store_true", help="do not restrict to the seed domain")
     p.add_argument("--use-bloom", default="auto", choices=["auto", "true", "false"])
+    p.add_argument("--seen-filter", default="bloom", choices=["bloom", "cuckoo"],
+                   help="approximate seen-set backing (cuckoo supports expiry deletes)")
+    p.add_argument("--max-pages-per-host", type=int, default=None,
+                   help="per-domain admission cap (spider-trap control)")
+    p.add_argument("--priorities", default=None,
+                   help="parquet path of a (url, priority) table (e.g. PageRank) — "
+                        "politeness budgets then go priority-first per host")
     p.add_argument("--round-window", type=float, default=10.0)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--output", default=None, help="optional parquet path for the final pages table")
@@ -75,11 +82,15 @@ def main(argv: list[str]) -> int:
         restrict_domain=not args.whole_web,
         round_window=args.round_window,
         use_bloom={"auto": "auto", "true": True, "false": False}[args.use_bloom],
+        seen_filter=args.seen_filter,
+        max_pages_per_host=args.max_pages_per_host,
     )
+    priorities = spark.read.parquet(args.priorities) if args.priorities else None
     t0 = time.monotonic()
     res = crawl(
         spark, docs, cfg, robots=robots,
         table_dir=args.table_dir, resume=args.resume, catalog=args.catalog,
+        priorities=priorities,
     )
     if args.output:
         res.pages.write.mode("overwrite").parquet(args.output)
