@@ -90,16 +90,18 @@ def calibrate(cpus: int) -> dict:
     a shared host (this VM shows ±30%+ wall variance under neighbor load;
     see BENCH/BASELINE.md).  t1 = single-thread seconds, mt = the same
     total work spread over `cpus` threads (ideal mt == t1/cpus)."""
+    import hashlib
     from concurrent.futures import ThreadPoolExecutor
 
-    import numpy as np
-
-    def unit(seed: int) -> float:
-        a = np.random.RandomState(seed).rand(600, 600)
-        for _ in range(4):
-            a = a @ a
-            a /= np.abs(a).max()
-        return float(a[0, 0])
+    def unit(seed: int) -> str:
+        # blake2b releases the GIL on large buffers and uses exactly one
+        # core — unlike numpy matmul, whose BLAS threads would contaminate
+        # the single-thread measurement
+        buf = bytes([seed & 0xFF]) * (8 << 20)
+        h = hashlib.blake2b()
+        for _ in range(8):
+            h.update(buf)
+        return h.hexdigest()
 
     t0 = time.monotonic()
     for s in range(4):

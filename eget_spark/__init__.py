@@ -11,8 +11,12 @@ snapshot 2025-09-12) as declarative Spark DataFrame dataflow:
   ``doc_id:string, spans:array<struct<kind,text,media_ref,offset>>``
 - span -> markdown assembly, metadata extraction, semantic & sentence
   chunking, PDF/DOCX/XLSX -> span converters
-- scale extensions: Bloom-filtered seen-set, per-host politeness scheduling
-  with skew salting, exact/minhash/simhash dedup, ANN similarity search.
+- scale extensions: Bloom- or cuckoo-filtered seen-set (cuckoo = deletable,
+  for recrawl/expiry), per-host politeness scheduling with skew salting and
+  optional priority-queue ordering (PageRank from operators/graph.py),
+  per-host page caps, exact/minhash/simhash/SRP dedup, ANN similarity
+  search, bucketed-corpus co-located fetch joins, watermarked streaming
+  monitoring aggregations.
 
 Everything is DataFrame/SQL-first; Python only ever runs inside
 Arrow-vectorized pandas UDFs (`pandas_udf` / `applyInPandas` /
