@@ -53,6 +53,7 @@ from ..operators.sequence import with_global_seq
 from .tables import CrawlRun
 
 FRONTIER_COLS = ["url", "host", "depth", "parent_url", "seq"]
+_FRONTIER_SCHEMA = "url string, host string, depth int, parent_url string, seq long"
 
 
 @dataclass
@@ -372,121 +373,135 @@ def crawl(
                 fetch_now.select(*FRONTIER_COLS, F.lit(round_no).alias("round"))
             )
 
-        # X1 + F1-F5: harvest, normalize, filter
-        parents = hits.where(F.col("depth") < config.max_depth)
-        kids = parents.select(
-            F.col("url").alias("base"),
-            F.col("seq").alias("parent_seq"),
-            F.col("depth").alias("parent_depth"),
-            F.explode(link_targets(F.col("spans"))).alias("href"),
-        )
-        if config.fast_normalize:
-            # corpus guarantees absolute http(s) hrefs: stay in codegen
-            kids = kids.withColumn("url", normalize_absolute_expr(F.col("href")))
+        if admitted_total >= config.max_pages:
+            # page budget exhausted: no candidate can pass the seq <
+            # max_pages admission gate, so skip harvest/normalize/dedup/
+            # sequencing for the remaining politeness-drain rounds
+            # (measured: ~20 s/round at the 30k-page bench once the cap
+            # binds). Materialize the previous round's deferred admitted
+            # checkpoint first — no other job this round would.
+            if pending_sr is not None:
+                frontier.count()
+                pending_sr.unpersist()
+                pending_sr = None
+            admitted = spark.createDataFrame([], _FRONTIER_SCHEMA)
+            n_admitted = 0
         else:
-            kids = kids.withColumn(
-                "url", normalize_url(F.col("href"), F.col("base"))
-            ).where(F.col("url").isNotNull())
-        if config.restrict_domain:
-            kids = kids.where(
-                should_include(
-                    F.col("url"),
-                    config.base_domain,
-                    config.exclude_patterns,
-                    config.include_patterns,
-                )
+            # X1 + F1-F5: harvest, normalize, filter
+            parents = hits.where(F.col("depth") < config.max_depth)
+            kids = parents.select(
+                F.col("url").alias("base"),
+                F.col("seq").alias("parent_seq"),
+                F.col("depth").alias("parent_depth"),
+                F.explode(link_targets(F.col("spans"))).alias("href"),
             )
-        else:
-            # web-scale mode: same pipeline minus the F2 domain equality
-            if config.exclude_patterns:
-                kids = kids.where(~matches_any(F.col("url"), config.exclude_patterns))
-            if config.include_patterns:
-                kids = kids.where(matches_any(F.col("url"), config.include_patterns))
-        kids = robots_allowed(kids, robots_f, config.respect_robots_txt)
+            if config.fast_normalize:
+                # corpus guarantees absolute http(s) hrefs: stay in codegen
+                kids = kids.withColumn("url", normalize_absolute_expr(F.col("href")))
+            else:
+                kids = kids.withColumn(
+                    "url", normalize_url(F.col("href"), F.col("base"))
+                ).where(F.col("url").isNotNull())
+            if config.restrict_domain:
+                kids = kids.where(
+                    should_include(
+                        F.col("url"),
+                        config.base_domain,
+                        config.exclude_patterns,
+                        config.include_patterns,
+                    )
+                )
+            else:
+                # web-scale mode: same pipeline minus the F2 domain equality
+                if config.exclude_patterns:
+                    kids = kids.where(~matches_any(F.col("url"), config.exclude_patterns))
+                if config.include_patterns:
+                    kids = kids.where(matches_any(F.col("url"), config.include_patterns))
+            kids = robots_allowed(kids, robots_f, config.respect_robots_txt)
 
-        # D2 per-page set semantics + D3 first-seen-wins across parents,
-        # fused into ONE url-partitioned window (rows tied on parent_seq are
-        # same-page duplicates — identical in every kept column — so a
-        # single keep-first covers both dedups with a single shuffle)
-        w = Window.partitionBy("url").orderBy("parent_seq")
-        kids = (
-            kids.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "href")
-        )
-
-        # J4/D1: not yet seen
-        if isinstance(bloom, ShardedCuckoo):
-            kids = anti_join_seen_cuckoo(kids, seen_df(), "url", bloom)
-        else:
-            kids = anti_join_seen(kids, seen_df(), "url", bloom=bloom)
-
-        # per-host admission cap: prior admitted count + this round's exact
-        # per-host candidate rank must stay within the cap. One shuffle on
-        # host; rejected hosts stay full forever, so this equals the
-        # sequential host-counter admit loop (oracle). A pathologically hot
-        # host makes this window skewed — at whole-web scale pair it with
-        # exclude_patterns or accept the single-reducer cost for that host
-        # (the rank must be exact for cap determinism; cf. politeness
-        # salting where budgets may be split approximately).
-        if config.max_pages_per_host is not None:
-            w_h = Window.partitionBy("_khost").orderBy("parent_seq", "url")
+            # D2 per-page set semantics + D3 first-seen-wins across parents,
+            # fused into ONE url-partitioned window (rows tied on parent_seq are
+            # same-page duplicates — identical in every kept column — so a
+            # single keep-first covers both dedups with a single shuffle)
+            w = Window.partitionBy("url").orderBy("parent_seq")
             kids = (
-                kids.withColumn("_khost", host_of(F.col("url")))
-                .join(
-                    host_counts.withColumnRenamed("host", "_khost"),
-                    "_khost",
-                    "left",
-                )
-                .withColumn("_hrk", F.row_number().over(w_h))
-                .where(
-                    F.coalesce(F.col("_n"), F.lit(0)) + F.col("_hrk")
-                    <= config.max_pages_per_host
-                )
-                .drop("_khost", "_n", "_hrk")
+                kids.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "href")
             )
 
-        # F7 + O1: global admission sequence; admit while seq < max_pages.
-        # The sequencing collect also yields the candidate total, so
-        # n_admitted = clamp(cap headroom) — no extra count job.
-        # bucket = floor(parent_seq / 1024): monotone in the leading order
-        # key, so per-bucket ranks + bucket prefix offsets give the exact
-        # global rank with ONE hash exchange — no range-bound sampling pass
-        # (which would re-run this whole candidate pipeline) and a constant
-        # literal, so the generated code is identical every round
-        sr = with_global_seq(
-            kids,
-            ["parent_seq", "url"],
-            start=admitted_total,
-            num_partitions=_seq_partitions(spark, frontier_count),
-            bucket_expr=F.floor(F.col("parent_seq") / F.lit(1024)),
-        )
-        # the sequencing job above also materialized the PREVIOUS round's
-        # deferred admitted checkpoint (it is this round's frontier/seen
-        # input) — its sequencing persist can be freed now
-        if pending_sr is not None:
-            pending_sr.unpersist()
-            pending_sr = None
-        admitted = sr.df.where(F.col("seq") < config.max_pages).select(
-            F.col("url"),
-            host_of(F.col("url")).alias("host"),
-            (F.col("parent_depth") + 1).alias("depth"),
-            F.col("base").alias("parent_url"),
-            F.col("seq"),
-        )
-        if run is None and not politeness_active:
-            # in-memory fast path: defer materialization — the checkpoint
-            # computes inside the NEXT round's sequencing job (one job per
-            # round instead of two); table/politeness modes materialize now
-            # (their per-round writes/counts need it anyway)
-            admitted = admitted.localCheckpoint(eager=False)
-            pending_sr = sr
-        else:
-            admitted = _checkpoint(admitted)
-            sr.unpersist()
-        n_admitted = min(sr.total, max(0, config.max_pages - admitted_total))
+            # J4/D1: not yet seen
+            if isinstance(bloom, ShardedCuckoo):
+                kids = anti_join_seen_cuckoo(kids, seen_df(), "url", bloom)
+            else:
+                kids = anti_join_seen(kids, seen_df(), "url", bloom=bloom)
+
+            # per-host admission cap: prior admitted count + this round's exact
+            # per-host candidate rank must stay within the cap. One shuffle on
+            # host; rejected hosts stay full forever, so this equals the
+            # sequential host-counter admit loop (oracle). A pathologically hot
+            # host makes this window skewed — at whole-web scale pair it with
+            # exclude_patterns or accept the single-reducer cost for that host
+            # (the rank must be exact for cap determinism; cf. politeness
+            # salting where budgets may be split approximately).
+            if config.max_pages_per_host is not None:
+                w_h = Window.partitionBy("_khost").orderBy("parent_seq", "url")
+                kids = (
+                    kids.withColumn("_khost", host_of(F.col("url")))
+                    .join(
+                        host_counts.withColumnRenamed("host", "_khost"),
+                        "_khost",
+                        "left",
+                    )
+                    .withColumn("_hrk", F.row_number().over(w_h))
+                    .where(
+                        F.coalesce(F.col("_n"), F.lit(0)) + F.col("_hrk")
+                        <= config.max_pages_per_host
+                    )
+                    .drop("_khost", "_n", "_hrk")
+                )
+
+            # F7 + O1: global admission sequence; admit while seq < max_pages.
+            # The sequencing collect also yields the candidate total, so
+            # n_admitted = clamp(cap headroom) — no extra count job.
+            # bucket = floor(parent_seq / 1024): monotone in the leading order
+            # key, so per-bucket ranks + bucket prefix offsets give the exact
+            # global rank with ONE hash exchange — no range-bound sampling pass
+            # (which would re-run this whole candidate pipeline) and a constant
+            # literal, so the generated code is identical every round
+            sr = with_global_seq(
+                kids,
+                ["parent_seq", "url"],
+                start=admitted_total,
+                num_partitions=_seq_partitions(spark, frontier_count),
+                bucket_expr=F.floor(F.col("parent_seq") / F.lit(1024)),
+            )
+            # the sequencing job above also materialized the PREVIOUS round's
+            # deferred admitted checkpoint (it is this round's frontier/seen
+            # input) — its sequencing persist can be freed now
+            if pending_sr is not None:
+                pending_sr.unpersist()
+                pending_sr = None
+            admitted = sr.df.where(F.col("seq") < config.max_pages).select(
+                F.col("url"),
+                host_of(F.col("url")).alias("host"),
+                (F.col("parent_depth") + 1).alias("depth"),
+                F.col("base").alias("parent_url"),
+                F.col("seq"),
+            )
+            if run is None and not politeness_active:
+                # in-memory fast path: defer materialization — the checkpoint
+                # computes inside the NEXT round's sequencing job (one job per
+                # round instead of two); table/politeness modes materialize now
+                # (their per-round writes/counts need it anyway)
+                admitted = admitted.localCheckpoint(eager=False)
+                pending_sr = sr
+            else:
+                admitted = _checkpoint(admitted)
+                sr.unpersist()
+            n_admitted = min(sr.total, max(0, config.max_pages - admitted_total))
         admitted_total += n_admitted
-        if bloom is not None:
+        if bloom is not None and n_admitted > 0:
             # distributed delta: same shape as the running filter, built
             # over the checkpointed admitted set and merged — only shard
             # tables / bit chunks reach the driver, never URLs (verdict
@@ -495,8 +510,9 @@ def crawl(
                 bloom.merge(build_filter(admitted, 0, like=bloom))
             else:
                 bloom = None  # saturated: rebuild distributed from seen below
-        seen_parts.append(admitted.select("url"))  # admitted is checkpointed
-        if config.max_pages_per_host is not None:
+        if n_admitted > 0:
+            seen_parts.append(admitted.select("url"))  # admitted is checkpointed
+        if config.max_pages_per_host is not None and n_admitted > 0:
             host_counts = _checkpoint(
                 host_counts.unionByName(
                     admitted.groupBy("host").agg(F.count("*").cast("long").alias("_n"))
@@ -507,7 +523,8 @@ def crawl(
         if bloom is None and want_bloom(admitted_total):
             bloom = build_filter(seen_df(), bloom_expected(admitted_total))
 
-        order_parts.append(admitted.withColumn("round", F.lit(round_no)))
+        if n_admitted > 0:
+            order_parts.append(admitted.withColumn("round", F.lit(round_no)))
 
         if politeness_active:
             frontier = _checkpoint(deferred.select(FRONTIER_COLS).unionByName(admitted))
