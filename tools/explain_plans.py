@@ -218,6 +218,40 @@ def main() -> None:
         "contract to the bloom path).",
     )
 
+    # 14. SRP LSH pairs: band equi-join, zero Python (hyperplane signatures
+    # are higher-order column expressions)
+    add(
+        "srp lsh pairs (embedding near-dup)",
+        entry.q45_srp_lsh_pairs(spark, SF),
+        {"BatchEvalPython": False, "ArrowEvalPython": False},
+        "Sign-bit signatures via higher-order transform/aggregate; banded "
+        "equi self-join on the checkpointed buckets; exact cosine verify "
+        "in codegen.",
+    )
+
+    # 15. per-host page cap: one host-keyed window + broadcast-joined
+    # running counts, zero Python
+    from eget_spark.plans.crawl import CrawlConfig, crawl
+    from eget_spark.synth import build_docs, doc_url
+
+    docs_sm = build_docs(spark, "small", n_partitions=8)
+    cap_res = crawl(
+        spark,
+        docs_sm,
+        CrawlConfig(
+            seed_urls=[doc_url(0, 0)], max_depth=1, max_pages=50,
+            respect_robots_txt=False, max_pages_per_host=10,
+        ),
+        robots=None,
+    )
+    add(
+        "per-host page cap (admission order table)",
+        cap_res.order,
+        {"BatchEvalPython": False},
+        "Host-cap rank + count join run inside the per-round checkpoint "
+        "pipeline; the materialized order table carries no Python stages.",
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
