@@ -82,6 +82,12 @@ class CrawlConfig:
     use_bloom: bool | str = False
     bloom_auto_threshold: int = 1_000_000
     bloom_fpp: float = 0.01
+    # seen-set plan hygiene: the per-round seen parts are compacted into a
+    # single checkpoint whenever their count exceeds this, keeping the
+    # every-round anti-join plan O(1)-wide instead of O(rounds) (a
+    # 10^4-round politeness crawl would otherwise rebuild an ever-wider
+    # union each round)
+    seen_compact_parts: int = 64
     # which approximate seen-set backs the prefilter when use_bloom engages:
     # "bloom" (OR-mergeable bits) or "cuckoo" (fingerprints; supports
     # delete for recrawl/expiry — operators/cuckoo.py). Same correctness
@@ -512,6 +518,8 @@ def crawl(
                 bloom = None  # saturated: rebuild distributed from seen below
         if n_admitted > 0:
             seen_parts.append(admitted.select("url"))  # admitted is checkpointed
+            if len(seen_parts) > config.seen_compact_parts:
+                seen_parts = [_checkpoint(_union_all(seen_parts))]
         if config.max_pages_per_host is not None and n_admitted > 0:
             host_counts = _checkpoint(
                 host_counts.unionByName(

@@ -278,3 +278,17 @@ def test_crawl_host_cap_matches_oracle(spark, docs_small, corpus_small, robots_s
                 res.order.groupBy("host").agg(F.count("*").alias("n")).collect()}
     assert max(per_host.values()) <= 10
     assert 10 in per_host.values()
+
+
+def test_crawl_seen_compaction_identical(spark, docs_small, corpus_small, robots_small, robots_dict):
+    """seen-part compaction (plan-hygiene for long crawls) must not change
+    any result: force it every 2 rounds on a multi-round politeness crawl."""
+    seed = doc_url(2, 0)
+    kw = dict(max_depth=3, max_pages=40, round_window=5.0)
+    cfg = CrawlConfig(seed_urls=[seed], seen_compact_parts=2, **kw)
+    res = crawl(spark, docs_small, cfg, robots=robots_small)
+    ores = oracle_crawl(
+        corpus_small, OracleConfig(seed_urls=[seed], **kw), robots=robots_dict
+    )
+    assert_equal(res, ores)
+    assert len(res.stats) > 3  # multiple compactions actually occurred
