@@ -46,6 +46,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q44_cuckoo_seen        D1 cuckoo-filter seen set with expiry (deletes)
   q45_srp_lsh_pairs      dedup: embedding near-dup via SRP (hyperplane) LSH
   q46_priority_schedule  O2/O3 priority-queue budget scheduling
+  q47_stratified_sample  corpus balancing: deterministic per-stratum sample
 """
 
 from __future__ import annotations
@@ -1585,6 +1586,29 @@ FROM ranked
 """
 
 
+def q47_stratified_sample(spark, sf_dir):
+    """Training-pipeline corpus balancing: deterministic stratified sample
+    — 7 docs per source, chosen by md5('s1' || doc_id) order
+    (operators/sampling.stratified_sample; WindowGroupLimit top-k)."""
+    from eget_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(docs, "source", 7, "doc_id", seed="s1")
+
+
+_Q47_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 7
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1638,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_cuckoo_seen": q44_cuckoo_seen,
         "q45_srp_lsh_pairs": q45_srp_lsh_pairs,
         "q46_priority_schedule": q46_priority_schedule,
+        "q47_stratified_sample": q47_stratified_sample,
     }
 
 
@@ -1689,4 +1714,5 @@ def oracle_sql() -> dict[str, str]:
         "q44_cuckoo_seen": _Q44_SQL,
         "q45_srp_lsh_pairs": _q45_sql(threshold=0.35),
         "q46_priority_schedule": _Q46_SQL,
+        "q47_stratified_sample": _Q47_SQL,
     }

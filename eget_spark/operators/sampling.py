@@ -1,0 +1,40 @@
+"""Deterministic stratified sampling (training-data corpus balancing).
+
+A 100 TB corpus is rarely trained on whole: pipelines subsample per
+stratum (language, source, quality bucket) to a target count. Random
+sampling breaks reproducibility and resume; this operator instead ranks
+rows *within each stratum by a stable hash of their id* and keeps the
+first n — a deterministic, seed-able, order-independent sample that is
+identical across retries, partitionings, and engines (md5 is the rank
+key, available in both Spark and ANSI SQL).
+
+Plan shape: one hash-partitioned window per stratum with
+WindowGroupLimit pushing the rank filter map-side — no global sort, no
+driver involvement; skewed strata cost one reducer each at worst, and
+the rank filter discards rows before shuffle where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Keep ``n_per_group`` rows per ``group_col`` value, chosen by md5
+    hash order of ``seed || id`` (ties broken by id) — deterministic and
+    reproducible. Returns the input columns unchanged."""
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_srk", F.row_number().over(w))
+        .where(F.col("_srk") <= n_per_group)
+        .drop("_srk")
+    )
