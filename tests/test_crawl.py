@@ -292,3 +292,33 @@ def test_crawl_seen_compaction_identical(spark, docs_small, corpus_small, robots
     )
     assert_equal(res, ores)
     assert len(res.stats) > 3  # multiple compactions actually occurred
+
+
+def test_crawl_edge_cases(spark, docs_small, robots_small):
+    """Pins the verify-probe edges: missing seed (clean stop, one failed
+    page), max_pages=1 (seed only), max_depth=0 (no child generation)."""
+    miss = crawl(
+        spark, docs_small,
+        CrawlConfig(seed_urls=["https://h0.example.com/p/99999"], max_depth=2, max_pages=10),
+        robots=robots_small,
+    )
+    assert len(miss.stats) == 1
+    assert (miss.stats[0].attempted, miss.stats[0].success, miss.stats[0].failed) == (1, 0, 1)
+    rows = miss.pages.collect()
+    assert len(rows) == 1 and rows[0]["status"] == "missing"
+
+    one = crawl(
+        spark, docs_small,
+        CrawlConfig(seed_urls=[SEED], max_depth=3, max_pages=1),
+        robots=robots_small,
+    )
+    assert one.order.count() == 1 and one.seen.count() == 1
+    assert one.pages.where(F.col("status") == "ok").count() == 1
+
+    shallow = crawl(
+        spark, docs_small,
+        CrawlConfig(seed_urls=[SEED], max_depth=0, max_pages=10),
+        robots=robots_small,
+    )
+    assert shallow.order.count() == 1
+    assert shallow.pages.count() == 1
