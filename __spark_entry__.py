@@ -47,6 +47,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q45_srp_lsh_pairs      dedup: embedding near-dup via SRP (hyperplane) LSH
   q46_priority_schedule  O2/O3 priority-queue budget scheduling
   q47_stratified_sample  corpus balancing: deterministic per-stratum sample
+  q48_anchor_stats       backlink profile: anchor-text counts per target
 """
 
 from __future__ import annotations
@@ -1609,6 +1610,51 @@ SELECT doc_id, source FROM ranked WHERE rk <= 7
 """
 
 
+def q48_anchor_stats(spark, sf_dir):
+    """Backlink profile: anchor-text counts per link target, harvested from
+    the span corpus via the higher-order link walk
+    (functions/spans.link_anchor_pairs) — anchors derived as 'a'||(src%5)
+    so the histogram is non-trivial."""
+    from eget_spark.functions.spans import link_anchor_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    url = lambda c: F.concat(F.lit(_URL_PREFIX), c.cast("string"))
+    anchor = F.concat(F.lit("a"), (d % 5).cast("string"))
+    mk = lambda dst, off: F.struct(
+        F.lit("link").alias("kind"),
+        anchor.alias("text"),
+        url(dst).alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    corp = docs.select(
+        F.array(
+            mk((d * 7 + 13) % n, 0),
+            mk((d * 11 + 5) % n, 1),
+            mk((d * 13 + 7) % n, 2),
+        ).alias("spans")
+    )
+    pairs = corp.select(
+        F.explode(link_anchor_pairs(F.col("spans"))).alias("p")
+    ).select("p.target", "p.anchor")
+    return pairs.groupBy("target", "anchor").agg(F.count("*").alias("n_links"))
+
+
+_Q48_SQL = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*7+13) % (SELECT c FROM n) AS dst FROM documents
+  UNION ALL SELECT doc_id, (doc_id*11+5) % (SELECT c FROM n) FROM documents
+  UNION ALL SELECT doc_id, (doc_id*13+7) % (SELECT c FROM n) FROM documents
+)
+SELECT 'https://crawl.test/p/' || CAST(dst AS VARCHAR) AS target,
+       'a' || CAST(src % 5 AS VARCHAR) AS anchor,
+       count(*) AS n_links
+FROM e GROUP BY target, anchor
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1663,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_srp_lsh_pairs": q45_srp_lsh_pairs,
         "q46_priority_schedule": q46_priority_schedule,
         "q47_stratified_sample": q47_stratified_sample,
+        "q48_anchor_stats": q48_anchor_stats,
     }
 
 
@@ -1715,4 +1762,5 @@ def oracle_sql() -> dict[str, str]:
         "q45_srp_lsh_pairs": _q45_sql(threshold=0.35),
         "q46_priority_schedule": _Q46_SQL,
         "q47_stratified_sample": _Q47_SQL,
+        "q48_anchor_stats": _Q48_SQL,
     }

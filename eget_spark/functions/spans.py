@@ -132,6 +132,20 @@ def link_targets(spans: Column) -> Column:
     return F.transform(links, lambda s: s["media_ref"])
 
 
+def link_anchor_pairs(spans: Column) -> Column:
+    """X1 companion: (target, anchor) pairs of all `link` spans, in offset
+    order — the backlink/anchor-text harvest (anchor text aggregated per
+    target is the classic web-corpus relevance signal). Pure higher-order
+    SQL, zero Python."""
+    links = F.filter(spans, lambda s: s["kind"] == F.lit("link"))
+    return F.transform(
+        links,
+        lambda s: F.struct(
+            s["media_ref"].alias("target"), s["text"].alias("anchor")
+        ),
+    )
+
+
 def span_kind_counts(spans: Column, kind: str) -> Column:
     """A5: per-doc count of spans of one kind (converter counters,
     pdf_converter.py:50-54 analogue) — higher-order, zero Python."""

@@ -87,3 +87,19 @@ def test_link_targets_and_kind_counts(spark):
     ).collect()[0]
     assert row["t"] == ["https://x.com/1", "/rel"]
     assert row["nl"] == 2 and row["ni"] == 1
+
+
+def test_link_anchor_pairs(spark):
+    from eget_spark.functions.spans import link_anchor_pairs
+    from pyspark.sql import functions as F
+
+    mk = lambda kind, text, ref, off: (kind, text, ref, off)
+    df = spark.createDataFrame(
+        [([mk("heading", "h", "", 0), mk("link", "click", "https://a/1", 1),
+           mk("text", "t", "", 2), mk("link", "more", "https://a/2", 3)],)],
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    got = df.select(link_anchor_pairs(F.col("spans")).alias("p")).first()["p"]
+    assert [(r["target"], r["anchor"]) for r in got] == [
+        ("https://a/1", "click"), ("https://a/2", "more")
+    ]
