@@ -1455,7 +1455,7 @@ scored AS (
 ),
 ranked AS (
   SELECT doc_id, term, tfidf,
-         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+         row_number() OVER (PARTITION BY doc_id ORDER BY round(tfidf, 6) DESC, term) AS rnk
   FROM scored
 )
 SELECT doc_id, term, round(tfidf, 6) AS tfidf, CAST(rnk AS INT) AS rnk

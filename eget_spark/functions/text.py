@@ -326,7 +326,13 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
         "term",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("_tfidf"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_tfidf").desc(), F.col("term"))
+    # rank on the ROUNDED score: tied scores from distinct (tf, df) pairs
+    # (e.g. 2*ln(2) vs ln(4)) can differ by an ulp between JVM and DuckDB
+    # libm, which would flip row_number order cross-engine; rounding first
+    # resolves such ties identically via the term tiebreak (round-2 advice)
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("_tfidf"), 6).desc(), F.col("term")
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)

@@ -100,6 +100,17 @@ class CuckooShard:
         self.stash.append((i, cur))  # saturated: no false negatives, ever
 
     def delete(self, i1: int, fp: int) -> bool:
+        # Stash FIRST (round-2 advice): if the deleted member's own copy
+        # was stash-spilled while another member with a colliding 16-bit
+        # fp occupies a probed bucket, clearing the table slot first would
+        # remove the other member's copy.  (Membership still survives that
+        # ordering because stash probes are fp-only — contains_batch —
+        # but stash-first keeps each delete paired with its own copy.)
+        for j, (si, sfp) in enumerate(self.stash):
+            # stash entries live anywhere on fp's eviction orbit; match on fp
+            if sfp == fp:
+                del self.stash[j]
+                return True
         mask = self.n_buckets - 1
         i2 = (i1 ^ int(_fp_hash(np.array([fp], dtype=np.uint16), mask)[0])) & mask
         for i in (i1, i2):
@@ -107,11 +118,6 @@ class CuckooShard:
             hit = np.nonzero(row == fp)[0]
             if len(hit):
                 row[hit[0]] = 0
-                return True
-        for j, (si, sfp) in enumerate(self.stash):
-            # stash entries live anywhere on fp's eviction orbit; match on fp
-            if sfp == fp:
-                del self.stash[j]
                 return True
         return False
 

@@ -320,13 +320,22 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= threshold.
 
-    Blocking: when a coarse cluster column (label/IVF cell) exists, only
-    intra-block pairs are scored — the O(n^2) kill. Cosine is computed with
-    higher-order fns in float64 (zip_with + aggregate), no Python."""
+    Blocking: a coarse cluster column (label/IVF cell) is REQUIRED — only
+    intra-block pairs are scored, which is the O(n^2) kill. Cosine is
+    computed with higher-order fns in float64 (zip_with + aggregate), no
+    Python.
+
+    ``label_col=None`` delegates to :func:`srp_lsh_pairs` (random-
+    hyperplane LSH), the correct unlabeled path at scale: a single-block
+    self-join here would be a full cartesian — exactly the quadratic plan
+    this module exists to prevent. Callers who truly want exact all-pairs
+    on a provably tiny input can add a constant label column explicitly."""
+    if label_col is None:
+        return srp_lsh_pairs(emb, id_col, vec_col, threshold=threshold)
     v = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        *( [F.col(label_col).alias("blk")] if label_col else [F.lit(0).alias("blk")] ),
+        F.col(label_col).alias("blk"),
     )
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))

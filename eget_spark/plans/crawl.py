@@ -171,6 +171,15 @@ def crawl(
     queue.  Admission order/seq semantics are unchanged; priority only
     decides who wins a round's budget."""
     run = CrawlRun(spark, table_dir, catalog) if table_dir else None
+    if priorities is not None:
+        # uniqueness guard: the table is arbitrary user parquet
+        # (jobs/crawl_job.py --priorities); duplicate urls would multiply
+        # frontier rows through the left join below — duplicate fetches,
+        # duplicate page emissions, inflated attempted counters. One
+        # max-agg makes the join key provably unique (round-2 advice).
+        priorities = priorities.groupBy("url").agg(
+            F.max("priority").alias("priority")
+        )
     if not config.respect_robots_txt:
         robots_f = None
     else:
@@ -451,9 +460,19 @@ def crawl(
             # (the rank must be exact for cap determinism; cf. politeness
             # salting where budgets may be split approximately).
             if config.max_pages_per_host is not None:
+                # pre-filter: candidates of ALREADY-FULL hosts never reach
+                # the rank window — once a spider-trap host hits its cap,
+                # its (potentially 10^8) future candidates cost an
+                # anti-join probe, not a single-reducer sort (round-2
+                # advice). Semantics unchanged: a full host admits nothing
+                # either way, and the rank below stays exact for the rest.
+                full_hosts = host_counts.where(
+                    F.col("_n") >= config.max_pages_per_host
+                ).select(F.col("host").alias("_khost"))
                 w_h = Window.partitionBy("_khost").orderBy("parent_seq", "url")
                 kids = (
                     kids.withColumn("_khost", host_of(F.col("url")))
+                    .join(F.broadcast(full_hosts), "_khost", "left_anti")
                     .join(
                         host_counts.withColumnRenamed("host", "_khost"),
                         "_khost",

@@ -115,18 +115,27 @@ def write_bucketed_corpus(
     the same layout as a bucket-partitioned table; this writer covers the
     parquet/catalog-less sandbox.)"""
     spark = docs.sparkSession
+    if "." in name:
+        # a qualified name (db.tbl) lives at <db>.db/<tbl>, not
+        # warehouse/<name> — the orphan-cleanup below would compute the
+        # wrong path and silently skip it; reject rather than mis-clean
+        # (round-2 advice)
+        raise ValueError(
+            "write_bucketed_corpus takes an unqualified table name "
+            f"(got {name!r}); set the database via spark.catalog first"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     # an orphaned managed-table location (crashed earlier write, catalog
     # lost across sessions) blocks CREATE: clear it
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-    if wh.scheme in ("", "file"):
+    wh_path = wh.path or wh.netloc
+    if wh.scheme in ("", "file") and wh_path:
+        # empty warehouse conf would make the rmtree cwd-relative — skip
         import shutil
 
-        shutil.rmtree(
-            os.path.join(wh.path or wh.netloc, name.lower()), ignore_errors=True
-        )
+        shutil.rmtree(os.path.join(wh_path, name.lower()), ignore_errors=True)
     w = docs.write.mode("overwrite").format("parquet").bucketBy(buckets, "doc_id")
     if sort:
         w = w.sortBy("doc_id")
