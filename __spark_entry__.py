@@ -48,6 +48,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q46_priority_schedule  O2/O3 priority-queue budget scheduling
   q47_stratified_sample  corpus balancing: deterministic per-stratum sample
   q48_anchor_stats       backlink profile: anchor-text counts per target
+  q49_docx_convert       C2 end-to-end: stdlib DOCX byte decode -> spans
 """
 
 from __future__ import annotations
@@ -1655,6 +1656,71 @@ FROM e GROUP BY target, anchor
 """
 
 
+def q49_docx_convert(spark, sf_dir):
+    """C2 end-to-end on real bytes: 24 .docx archives are synthesized
+    in-memory (stdlib ooxml writer), decoded by the stdlib
+    zipfile+ElementTree path inside convert_files' distributed
+    mapInPandas, and exploded to one row per span.  Every field of every
+    block derives from simple arithmetic on the file index, so DuckDB
+    reproduces the EXPECTED span table (kind, text, order) independently
+    — including the reference walk quirk that a same-level numId run
+    keeps only its last list item (docx_converter.py:259-272)."""
+    from eget_spark.sources.converters import convert_files
+    from eget_spark.sources.ooxml import build_docx_bytes
+
+    n = 24
+    rows = []
+    for i in range(n):
+        blocks = [
+            {"type": "heading", "text": f"Doc {i}", "level": (i % 3) + 1},
+            {
+                "type": "paragraph",
+                "runs": [
+                    (f"alpha{i}", i % 2 == 0, False, False),
+                    (f"beta{i}", False, i % 3 == 0, False),
+                ],
+            },
+            {"type": "list", "items": [f"item {i} first", f"item {i} last"]},
+            {"type": "paragraph", "runs": [(f"closing {i}", False, False, False)]},
+            {"type": "table", "rows": [["k", "v"], [f"r{i}", str(i * i)]]},
+        ]
+        rows.append((f"mem://docx/{i:04d}.docx", bytearray(build_docx_bytes(blocks))))
+    files = spark.createDataFrame(rows, "path string, content binary")
+    return (
+        convert_files(files, dedupe_content=False)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").cast("int").alias("pos"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
+_Q49_SQL = r"""
+WITH i AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 24)),
+spans AS (
+  SELECT i, 0 AS pos, 'heading' AS kind,
+         repeat('#', CAST(i % 3 + 1 AS INT)) || ' Doc ' || i AS text FROM i
+  UNION ALL
+  SELECT i, 1, 'paragraph',
+         CASE WHEN i % 2 = 0 THEN '**alpha' || i || '**' ELSE 'alpha' || i END ||
+         CASE WHEN i % 3 = 0 THEN '*beta' || i || '*' ELSE 'beta' || i END FROM i
+  UNION ALL
+  SELECT i, 2, 'list', 'item ' || i || ' last' FROM i
+  UNION ALL
+  SELECT i, 3, 'paragraph', 'closing ' || i FROM i
+  UNION ALL
+  SELECT i, 4, 'table',
+         'k' || chr(9) || 'v' || chr(10) || 'r' || i || chr(9) || (i * i) FROM i
+)
+SELECT 'mem://docx/' || lpad(CAST(i AS VARCHAR), 4, '0') || '.docx' AS doc_id,
+       CAST(pos AS INT) AS pos, kind, text
+FROM spans
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1710,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_priority_schedule": q46_priority_schedule,
         "q47_stratified_sample": q47_stratified_sample,
         "q48_anchor_stats": q48_anchor_stats,
+        "q49_docx_convert": q49_docx_convert,
     }
 
 
@@ -1763,4 +1830,5 @@ def oracle_sql() -> dict[str, str]:
         "q46_priority_schedule": _Q46_SQL,
         "q47_stratified_sample": _Q47_SQL,
         "q48_anchor_stats": _Q48_SQL,
+        "q49_docx_convert": _Q49_SQL,
     }

@@ -301,66 +301,43 @@ def docx_blocks_to_spans(blocks: list[dict]) -> list[dict]:
     return spans
 
 
-# --- binaryFile -> spans (import-gated decoders) -----------------------------
+# --- binaryFile -> spans (library decoders with stdlib fallback) -------------
 
 
 def _decode_pdf(data: bytes) -> list[str]:
+    """PDF bytes -> page texts.  PyPDF2 when installed (cluster parity);
+    otherwise the stdlib zlib FlateDecode extractor (sources/pdfmini.py)
+    covers uncompressed and Flate text streams — the common case the
+    reference handles (pdf_converter.py:23-121)."""
     try:
         import io
 
         import PyPDF2  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "PDF byte decoding requires PyPDF2 (not in this environment); "
-            "use pdf_text_to_spans on extracted text"
-        ) from e
+    except ImportError:
+        from .pdfmini import decode_pdf_bytes
+
+        return decode_pdf_bytes(data)
     reader = PyPDF2.PdfReader(io.BytesIO(data))
     return [p.extract_text() or "" for p in reader.pages]
 
 
-def _decode_docx(data: bytes) -> list[dict]:
-    """DOCX bytes -> the block model consumed by docx_blocks_to_spans,
-    reproducing the reference walk (docx_converter.py:33-339) faithfully,
-    including its list state machine's quirks:
+def docx_events_to_blocks(props: dict, events) -> list[dict]:
+    """The reference DOCX body walk (docx_converter.py:33-339) as a pure
+    state machine over a decoded event stream — shared by the python-docx
+    and stdlib (sources/ooxml.py) decode paths so their list/heading
+    semantics can never drift.  Events: ``("p", {"text", "style", "runs",
+    "num"})`` / ``("tbl", rows)``; ``num`` is None or
+    ``{"level": int, "list_id": str}``.
 
+    Reference quirks reproduced deliberately:
     - headings do NOT close open lists (only a regular paragraph or a
       numId change does — :124-150, :290-294), so list blocks appear where
       they are *closed*, not where they start;
     - a list still open at end-of-document is never flushed (convert()
       :66-71 has no final _close_current_list) and is dropped;
     - the level-stack pop discards prior same-level items of the same
-      numId run (:259-272), keeping only the last.
-    Import-gated on python-docx like _decode_pdf is on PyPDF2."""
-    try:
-        import io
-
-        from docx import Document  # noqa: F401
-        from docx.oxml.table import CT_Tbl
-        from docx.oxml.text.paragraph import CT_P
-        from docx.table import Table
-        from docx.text.paragraph import Paragraph
-    except ImportError as e:
-        raise NotImplementedError(
-            "DOCX byte decoding requires python-docx (not in this "
-            "environment); use docx_blocks_to_spans on a decoded block model"
-        ) from e
-
-    doc = Document(io.BytesIO(data))
+      numId run (:259-272), keeping only the last."""
     blocks: list[dict] = []
-
-    props = {}
-    cp = doc.core_properties
-    for key in (
-        "title", "author", "comments", "category", "last_modified_by",
-        "revision", "keywords", "subject",
-    ):
-        v = getattr(cp, key, None)
-        if v is not None and v != "":
-            props[key] = str(v)
-    for key in ("created", "modified"):
-        v = getattr(cp, key, None)
-        if v is not None:
-            props[key] = v.isoformat()
     if props:
         blocks.append({"type": "metadata", "props": props})
 
@@ -376,6 +353,77 @@ def _decode_docx(data: bytes) -> list[dict]:
         list_stack.clear()
         current_list_id = None
 
+    for kind, payload in events:
+        if kind == "p":
+            text = payload["text"]
+            if not text.strip():
+                continue
+            style_name = payload.get("style") or "Normal"
+            if style_name.startswith("Heading"):
+                try:
+                    blocks.append(
+                        {"type": "heading", "text": text, "level": int(style_name[-1])}
+                    )
+                    continue
+                except ValueError:
+                    pass
+            num = payload.get("num")
+            if num is not None:
+                ordered = bool(re.match(r"^\d+\.?\s", text.strip()))
+                if current_list_id != num["list_id"]:
+                    close_lists()
+                    current_list_id = num["list_id"]
+                while list_stack and list_stack[-1]["level"] >= num["level"]:
+                    list_stack.pop()
+                list_stack.append(
+                    {"level": num["level"], "ordered": ordered, "items": []}
+                )
+                list_stack[-1]["items"].append(text.strip())
+                continue
+            close_lists()
+            blocks.append({"type": "paragraph", "runs": payload["runs"]})
+        elif kind == "tbl":
+            if payload:
+                blocks.append({"type": "table", "rows": payload})
+    # NOTE deliberately NO close_lists() here — reference parity (see above)
+    return blocks
+
+
+def _decode_docx(data: bytes) -> list[dict]:
+    """DOCX bytes -> the block model consumed by docx_blocks_to_spans.
+    python-docx when installed (cluster parity); otherwise the stdlib
+    zipfile+ElementTree decoder (sources/ooxml.py).  Both paths feed the
+    SAME walk (docx_events_to_blocks) — only byte->event decoding
+    differs."""
+    try:
+        import io
+
+        from docx import Document  # noqa: F401
+        from docx.oxml.table import CT_Tbl
+        from docx.oxml.text.paragraph import CT_P
+        from docx.table import Table
+        from docx.text.paragraph import Paragraph
+    except ImportError:
+        from .ooxml import decode_docx_bytes
+
+        props, events = decode_docx_bytes(data)
+        return docx_events_to_blocks(props, events)
+
+    doc = Document(io.BytesIO(data))
+    props = {}
+    cp = doc.core_properties
+    for key in (
+        "title", "author", "comments", "category", "last_modified_by",
+        "revision", "keywords", "subject",
+    ):
+        v = getattr(cp, key, None)
+        if v is not None and v != "":
+            props[key] = str(v)
+    for key in ("created", "modified"):
+        v = getattr(cp, key, None)
+        if v is not None:
+            props[key] = v.isoformat()
+
     def list_info(p) -> dict | None:
         if p._element.pPr is None:
             return None
@@ -386,58 +434,43 @@ def _decode_docx(data: bytes) -> list[dict]:
         num_id = num_pr[0].xpath("./w:numId/@w:val")
         if not (ilvl and num_id):
             return None
-        ordered = bool(re.match(r"^\d+\.?\s", p.text.strip()))
-        return {"level": int(ilvl[0]), "list_id": num_id[0], "ordered": ordered}
+        return {"level": int(ilvl[0]), "list_id": num_id[0]}
 
+    events = []
     for element in doc.element.body:
         if isinstance(element, CT_P):
             p = Paragraph(element, doc)
-            if not p.text.strip():
-                continue
-            style_name = p.style.name if p.style else "Normal"
-            if style_name.startswith("Heading"):
-                try:
-                    blocks.append(
-                        {"type": "heading", "text": p.text, "level": int(style_name[-1])}
-                    )
-                    continue
-                except ValueError:
-                    pass
-            li = list_info(p)
-            if li is not None:
-                if current_list_id != li["list_id"]:
-                    close_lists()
-                    current_list_id = li["list_id"]
-                while list_stack and list_stack[-1]["level"] >= li["level"]:
-                    list_stack.pop()
-                list_stack.append(
-                    {"level": li["level"], "ordered": li["ordered"], "items": []}
+            events.append(
+                (
+                    "p",
+                    {
+                        "text": p.text,
+                        "style": p.style.name if p.style else "Normal",
+                        "num": list_info(p),
+                        "runs": [
+                            (r.text, bool(r.bold), bool(r.italic), bool(r.underline))
+                            for r in p.runs
+                        ],
+                    },
                 )
-                list_stack[-1]["items"].append(p.text.strip())
-                continue
-            close_lists()
-            blocks.append(
-                {
-                    "type": "paragraph",
-                    "runs": [
-                        (r.text, bool(r.bold), bool(r.italic), bool(r.underline))
-                        for r in p.runs
-                    ],
-                }
             )
         elif isinstance(element, CT_Tbl):
             table = Table(element, doc)
-            rows = [
-                [
-                    " ".join(q.text.strip() for q in cell.paragraphs if q.text.strip())
-                    for cell in row.cells
-                ]
-                for row in table.rows
-            ]
-            if rows:
-                blocks.append({"type": "table", "rows": rows})
-    # NOTE deliberately NO close_lists() here — reference parity (see above)
-    return blocks
+            events.append(
+                (
+                    "tbl",
+                    [
+                        [
+                            " ".join(
+                                q.text.strip() for q in cell.paragraphs if q.text.strip()
+                            )
+                            for cell in row.cells
+                        ]
+                        for row in table.rows
+                    ],
+                )
+            )
+    return docx_events_to_blocks(props, events)
 
 
 def _decode_xlsx(data: bytes) -> list[tuple[str, list[list]]]:
@@ -445,16 +478,16 @@ def _decode_xlsx(data: bytes) -> list[tuple[str, list[list]]]:
     per xlsx_converter.py:22-151: data_only values, and a sheet is included
     only if its FIRST row has a non-None cell (_has_content :96-104 checks
     row 1 only — a sheet whose data starts at row 2 is skipped; reference
-    quirk, reproduced). Import-gated on openpyxl."""
+    quirk, reproduced).  openpyxl when installed; stdlib
+    zipfile+ElementTree decoder (sources/ooxml.py) otherwise."""
     try:
         import io
 
         from openpyxl import load_workbook  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "XLSX byte decoding requires openpyxl (not in this environment); "
-            "use xlsx_sheets_to_spans on a decoded sheet model"
-        ) from e
+    except ImportError:
+        from .ooxml import decode_xlsx_bytes
+
+        return decode_xlsx_bytes(data)
     wb = load_workbook(io.BytesIO(data), data_only=True, read_only=True)
     try:
         out: list[tuple[str, list[list]]] = []

@@ -93,44 +93,58 @@ def test_metadata_block_to_span():
     assert render_spans(spans).strip() == "# H"
 
 
-def test_decoders_gate_cleanly_when_libs_absent():
+def test_decoders_reject_garbage_bytes():
+    """Non-zip bytes fail loudly (BadZipFile or the library's error),
+    never a silent empty result — with or without the optional libs."""
     import pytest
 
     from eget_spark.sources.converters import _decode_docx, _decode_xlsx
 
-    if not _has("docx"):
-        with pytest.raises(NotImplementedError):
-            _decode_docx(b"PK\x03\x04")
-    if not _has("openpyxl"):
-        with pytest.raises(NotImplementedError):
-            _decode_xlsx(b"PK\x03\x04")
+    with pytest.raises(Exception):
+        _decode_docx(b"PK\x03\x04not a real archive")
+    with pytest.raises(Exception):
+        _decode_xlsx(b"PK\x03\x04not a real archive")
+
+
+def _docx_test_bytes() -> bytes:
+    """Synthesize the roundtrip fixture: python-docx when installed
+    (cluster parity), the stdlib ooxml writer otherwise — either way the
+    decode under test runs unconditionally."""
+    if _has("docx"):
+        import io
+
+        from docx import Document
+
+        d = Document()
+        d.add_heading("Title", level=1)
+        p = d.add_paragraph()
+        p.add_run("bold").bold = True
+        d.add_paragraph("item one", style="List Bullet")
+        d.add_paragraph("item two", style="List Bullet")
+        t = d.add_table(rows=1, cols=2)
+        t.rows[0].cells[0].text = "a"
+        t.rows[0].cells[1].text = "b"
+        buf = io.BytesIO()
+        d.save(buf)
+        return buf.getvalue()
+    from eget_spark.sources.ooxml import build_docx_bytes
+
+    return build_docx_bytes(
+        [
+            {"type": "heading", "text": "Title", "level": 1},
+            {"type": "paragraph", "runs": [("bold", True, False, False)]},
+            {"type": "list", "items": ["item one", "item two"]},
+            {"type": "table", "rows": [["a", "b"]]},
+        ]
+    )
 
 
 def test_docx_decode_roundtrip():
-    """Activates when python-docx is installed (cluster environments):
-    byte decode -> block model -> spans, reference walk semantics."""
-    import pytest
-
-    if not _has("docx"):
-        pytest.skip("python-docx not installed")
-    import io
-
-    from docx import Document
-
+    """Byte decode -> block model -> spans, reference walk semantics —
+    runs in every environment (stdlib zipfile+ElementTree fallback)."""
     from eget_spark.sources.converters import _decode_docx, docx_blocks_to_spans
 
-    d = Document()
-    d.add_heading("Title", level=1)
-    p = d.add_paragraph()
-    p.add_run("bold").bold = True
-    d.add_paragraph("item one", style="List Bullet")
-    d.add_paragraph("item two", style="List Bullet")
-    t = d.add_table(rows=1, cols=2)
-    t.rows[0].cells[0].text = "a"
-    t.rows[0].cells[1].text = "b"
-    buf = io.BytesIO()
-    d.save(buf)
-    blocks = _decode_docx(buf.getvalue())
+    blocks = _decode_docx(_docx_test_bytes())
     kinds = [b["type"] for b in blocks]
     assert "heading" in kinds and "paragraph" in kinds and "table" in kinds
     spans = docx_blocks_to_spans(blocks)
@@ -139,32 +153,116 @@ def test_docx_decode_roundtrip():
     assert any(s["kind"] == "table" and s["text"] == "a\tb" for s in spans)
 
 
+def test_docx_stdlib_decode_walk_quirks():
+    """The stdlib path must reproduce the reference walk quirks exactly:
+    same-level pop keeps only the LAST item of a numId run; an open list
+    is closed by the next plain paragraph (AFTER an intervening table);
+    a list open at end-of-document is dropped."""
+    from eget_spark.sources.converters import (
+        docx_blocks_to_spans,
+        docx_events_to_blocks,
+    )
+    from eget_spark.sources.ooxml import build_docx_bytes, decode_docx_bytes
+
+    data = build_docx_bytes(
+        [
+            {"type": "heading", "text": "H", "level": 2},
+            {"type": "list", "items": ["one", "two"]},
+            {"type": "table", "rows": [["x"]]},
+            {"type": "paragraph", "runs": [("closer", False, False, False)]},
+            {"type": "list", "items": ["never flushed"]},
+        ],
+        props={"title": "T", "author": "Au"},
+    )
+    blocks = docx_events_to_blocks(*decode_docx_bytes(data))
+    assert blocks[0]["type"] == "metadata" and blocks[0]["props"]["author"] == "Au"
+    assert [b["type"] for b in blocks[1:]] == ["heading", "table", "list", "paragraph"]
+    # pop-at-same-level quirk: only the last item of the run survives
+    assert blocks[3]["items"] == ["two"]
+    # trailing open list dropped (no close at end-of-document)
+    assert all("never flushed" not in str(b) for b in blocks)
+    spans = docx_blocks_to_spans(blocks)
+    assert spans[1]["text"] == "## H"
+
+
+def _xlsx_test_bytes() -> bytes:
+    if _has("openpyxl"):
+        import io
+
+        from openpyxl import Workbook
+
+        wb = Workbook()
+        ws = wb.active
+        ws.title = "Data"
+        ws.append(["h1", "h2", None])
+        ws.append([1.0, "x", None])
+        ws2 = wb.create_sheet("EmptyFirstRow")
+        ws2.append([None, None])
+        ws2.append(["hidden", "data"])
+        buf = io.BytesIO()
+        wb.save(buf)
+        return buf.getvalue()
+    from eget_spark.sources.ooxml import build_xlsx_bytes
+
+    return build_xlsx_bytes(
+        [
+            ("Data", [["h1", "h2", None], [1.0, "x", None]]),
+            ("EmptyFirstRow", [[None, None], ["hidden", "data"]]),
+        ]
+    )
+
+
 def test_xlsx_decode_roundtrip():
-    """Activates when openpyxl is installed: first-row content gate,
-    trailing-None strip, X20 cell formatting."""
-    import pytest
-
-    if not _has("openpyxl"):
-        pytest.skip("openpyxl not installed")
-    import io
-
-    from openpyxl import Workbook
-
+    """First-row content gate, trailing-None strip, X20 cell formatting —
+    runs in every environment (stdlib fallback)."""
     from eget_spark.sources.converters import _decode_xlsx, xlsx_sheets_to_spans
 
-    wb = Workbook()
-    ws = wb.active
-    ws.title = "Data"
-    ws.append(["h1", "h2", None])
-    ws.append([1.0, "x", None])
-    ws2 = wb.create_sheet("EmptyFirstRow")
-    ws2.append([None, None])
-    ws2.append(["hidden", "data"])
-    buf = io.BytesIO()
-    wb.save(buf)
-    sheets = _decode_xlsx(buf.getvalue())
+    sheets = _decode_xlsx(_xlsx_test_bytes())
     # sheet with empty first row skipped (xlsx_converter.py:96-104 quirk)
     assert [s[0] for s in sheets] == ["Data"]
     spans = xlsx_sheets_to_spans(sheets)
     assert spans[0]["text"] == "## Sheet: Data"
     assert spans[1]["text"] == "h1\th2\n1\tx"  # 1.0 -> '1' (X20)
+
+
+def test_xlsx_stdlib_types_dates_and_gaps():
+    """Stdlib cell typing: shared/inline strings, bools, date-styled
+    serials -> datetime (X20 renders isoformat), column gaps -> None."""
+    from datetime import datetime
+
+    from eget_spark.sources.converters import xlsx_sheets_to_spans
+    from eget_spark.sources.ooxml import build_xlsx_bytes, decode_xlsx_bytes
+
+    rows = [
+        ["name", "when", "n", "ok"],
+        ["a", datetime(2024, 3, 1, 12, 30), 2.5, True],
+        ["gap", None, 7, False],
+    ]
+    sheets = decode_xlsx_bytes(build_xlsx_bytes([("S", rows)]))
+    assert sheets[0][0] == "S"
+    got = sheets[0][1]
+    assert got[1][1] == datetime(2024, 3, 1, 12, 30)
+    assert got[1][2] == 2.5 and got[1][3] is True
+    assert got[2][1] is None and got[2][2] == 7
+    spans = xlsx_sheets_to_spans(sheets)
+    assert "2024-03-01T12:30:00" in spans[1]["text"]
+
+
+def test_pdf_decode_roundtrip():
+    """C1 end-to-end without PyPDF2: build a Flate PDF, extract the text
+    layer with the stdlib parser, classify through pdf_text_to_spans."""
+    from eget_spark.sources.converters import _decode_pdf, pdf_text_to_spans
+    from eget_spark.sources.pdfmini import build_pdf_bytes
+
+    pages = [
+        "Chapter 1\nOpening paragraph text here.\n- alpha\n- beta",
+        "SECTION TWO\nSecond page (with parens) and a \\ backslash.",
+    ]
+    data = build_pdf_bytes(pages)
+    assert _decode_pdf(data) == pages
+    # uncompressed streams decode identically
+    assert _decode_pdf(build_pdf_bytes(pages, compress=False)) == pages
+    spans = pdf_text_to_spans("", _decode_pdf(data))
+    kinds = [s["kind"] for s in spans]
+    assert kinds.count("heading") >= 3  # 2 page markers + 'Chapter 1'
+    assert "list" in kinds and "paragraph" in kinds
