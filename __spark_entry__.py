@@ -49,6 +49,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q47_stratified_sample  corpus balancing: deterministic per-stratum sample
   q48_anchor_stats       backlink profile: anchor-text counts per target
   q49_docx_convert       C2 end-to-end: stdlib DOCX byte decode -> spans
+  q50_ttl_recrawl        S4 TTL expiry + recrawl: refetch exactly the expired
 """
 
 from __future__ import annotations
@@ -1721,6 +1722,52 @@ FROM spans
 """
 
 
+def q50_ttl_recrawl(spark, sf_dir):
+    """TTL/recrawl (plans/crawl.recrawl — cache_service.py:77-99 Redis-TTL
+    semantics as dataflow): run the q01 crawl, expire every URL whose doc
+    id % 3 == 0, recrawl.  With an unchanged corpus the refetched set must
+    be EXACTLY the expired subset at its prior depths — which the oracle
+    reconstructs independently as the BFS min-depth set filtered by the
+    same arithmetic predicate."""
+    from eget_spark.plans.crawl import CrawlConfig, crawl, recrawl
+
+    corpus = _graph_corpus(spark, sf_dir).persist()
+    corpus.count()
+    cfg = CrawlConfig(
+        seed_urls=[f"{_URL_PREFIX}0"],
+        max_depth=6,
+        max_pages=1_000_000_000,
+        respect_robots_txt=False,
+        fast_normalize=True,
+    )
+    prior = crawl(spark, corpus, cfg, robots=None)
+    doc_num = F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+    expired = prior.order.where(doc_num % 3 == 0).select("url")
+    res = recrawl(spark, corpus, cfg, prior, expired, robots=None)
+    out = res.order.select("url", F.col("depth").cast("int").alias("depth"))
+    corpus.unpersist()
+    return out
+
+
+_Q50_SQL = """
+WITH RECURSIVE
+n AS (SELECT count(*) AS c FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id*7+13) % (SELECT c FROM n) AS dst FROM documents
+  UNION ALL SELECT doc_id, (doc_id*11+5) % (SELECT c FROM n) FROM documents
+  UNION ALL SELECT doc_id, (doc_id*13+7) % (SELECT c FROM n) FROM documents
+),
+bfs AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+  UNION ALL
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.id WHERE b.depth < 6
+)
+SELECT 'https://crawl.test/p/' || CAST(id AS VARCHAR) AS url,
+       CAST(min(depth) AS INT) AS depth
+FROM bfs GROUP BY id HAVING id % 3 = 0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1777,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_stratified_sample": q47_stratified_sample,
         "q48_anchor_stats": q48_anchor_stats,
         "q49_docx_convert": q49_docx_convert,
+        "q50_ttl_recrawl": q50_ttl_recrawl,
     }
 
 
@@ -1831,4 +1879,5 @@ def oracle_sql() -> dict[str, str]:
         "q47_stratified_sample": _Q47_SQL,
         "q48_anchor_stats": _Q48_SQL,
         "q49_docx_convert": _Q49_SQL,
+        "q50_ttl_recrawl": _Q50_SQL,
     }

@@ -26,9 +26,13 @@ Arrow-vectorized pandas UDFs (`pandas_udf` / `applyInPandas` /
 __version__ = "0.1.0"
 
 from .api import chunk, convert, scrape, scrape_html  # noqa: E402,F401
-from .operators.cuckoo import ShardedCuckoo, build_cuckoo  # noqa: E402,F401
+from .operators.cuckoo import (  # noqa: E402,F401
+    ShardedCuckoo,
+    build_cuckoo,
+    expire_from_filter,
+)
 from .operators.graph import pagerank, pagerank_fixed  # noqa: E402,F401
-from .plans.crawl import CrawlConfig, CrawlResult, crawl  # noqa: E402,F401
+from .plans.crawl import CrawlConfig, CrawlResult, crawl, recrawl  # noqa: E402,F401
 from .plans.tables import write_bucketed_corpus  # noqa: E402,F401
 from .pipeline import prepare_training_data  # noqa: E402,F401
 from .session import get_spark  # noqa: E402,F401

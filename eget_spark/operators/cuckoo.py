@@ -362,3 +362,42 @@ def anti_join_seen_cuckoo(
     return definite_new.unionByName(
         positives.join(F.broadcast(found), url_col, "left_anti")
     )
+
+
+def expire_from_filter(cf: ShardedCuckoo, df: DataFrame, url_col: str = "url") -> int:
+    """TTL expiry, filter side (cache_service.py:77-99 maps Redis key TTL
+    to a delete of the expired members): remove every URL in ``df`` from
+    the filter so a later crawl re-admits exactly those.  Routing
+    (blake2b -> shard/bucket/fp) runs distributed in mapInPandas; only
+    compact int64 triplets reach the driver — URLs themselves are never
+    collected (same invariant as build_cuckoo).  Returns the number of
+    fingerprints actually removed."""
+    route_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+    n_shards, n_buckets = cf.n_shards, cf.n_buckets
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [v for v in pdf[url_col] if v is not None]
+            if not vals:
+                continue
+            shard, bucket, fp = _route_arrays(vals, n_shards, n_buckets)
+            yield pd.DataFrame(
+                {
+                    "shard": shard.astype(np.int32),
+                    "bucket": bucket.astype(np.int64),
+                    "fp": fp.astype(np.int64),
+                }
+            )
+
+    rows = df.select(url_col).mapInPandas(route, schema=route_schema).collect()
+    n = 0
+    for r in rows:
+        n += cf.shards[r["shard"]].delete(int(r["bucket"]), int(r["fp"]))
+    cf._dirty = True
+    return n

@@ -157,6 +157,8 @@ def crawl(
     resume: bool = False,
     catalog: str | None = None,
     priorities: DataFrame | None = None,
+    seed_frontier: DataFrame | None = None,
+    prior_seen: DataFrame | None = None,
 ) -> CrawlResult:
     """Run a full crawl of the corpus graph; see module docstring.
 
@@ -169,7 +171,23 @@ def crawl(
     fetches its highest-priority pending URLs first (priority desc, then
     FIFO seq) instead of pure FIFO — the north-star's per-host priority
     queue.  Admission order/seq semantics are unchanged; priority only
-    decides who wins a round's budget."""
+    decides who wins a round's budget.
+
+    ``seed_frontier`` — distributed alternative to ``config.seed_urls``
+    for seeds too large to enumerate on the driver (the recrawl/TTL path:
+    10^8 expired URLs are a DataFrame, never a Python list).  Columns:
+    ``url`` required; ``depth``/``parent_url`` optional (default 0/NULL);
+    ``order`` optional long defining enumeration order for first-wins
+    dedup and cap semantics (default: url sort).  The same admission
+    rules as the list path apply — first-occurrence dedup, global
+    ``max_pages`` and ``max_pages_per_host`` caps in enumeration order —
+    but relationally (windows + with_global_seq), no driver loop.
+
+    ``prior_seen`` — URLs already crawled in an earlier run that must NOT
+    be re-fetched (the still-fresh cache subset under TTL semantics).
+    They pre-seed the seen set: any seed or discovered link hitting them
+    is dropped by the normal anti-join.  Both caps budget THIS run's
+    admissions; prior-run pages don't count against them."""
     run = CrawlRun(spark, table_dir, catalog) if table_dir else None
     if priorities is not None:
         # uniqueness guard: the table is arbitrary user parquet
@@ -190,7 +208,69 @@ def crawl(
     else:
         state = None
 
-    if state is None:
+    if state is None and seed_frontier is None and prior_seen is not None:
+        # list seeds + a warm seen set: route through the DataFrame seed
+        # path so fresh (cached) seeds are anti-joined out and the
+        # remaining ones get a compact admission sequence
+        seed_frontier = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(dict.fromkeys(config.seed_urls))],
+            "url string, order long",
+        )
+
+    if state is None and seed_frontier is not None:
+        # S1, distributed: the same admission rules as the list path —
+        # first-occurrence dedup, max_pages + per-host caps in enumeration
+        # order — expressed as windows over the seed DataFrame (the
+        # recrawl path seeds from a 10^8-row expired table, never a list)
+        sf = seed_frontier
+        if "depth" not in sf.columns:
+            sf = sf.withColumn("depth", F.lit(0))
+        if "parent_url" not in sf.columns:
+            sf = sf.withColumn("parent_url", F.lit(None).cast("string"))
+        if "order" not in sf.columns:
+            sf = sf.withColumn("order", F.lit(0).cast("long"))
+        sf = sf.where(F.col("depth") <= config.max_depth)
+        if prior_seen is not None:
+            sf = sf.join(prior_seen.select("url"), "url", "left_anti")
+        w_dup = Window.partitionBy("url").orderBy("order")
+        sf = (
+            sf.withColumn("_rn", F.row_number().over(w_dup))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("host", host_of(F.col("url")))
+        )
+        if config.max_pages_per_host is not None:
+            w_h = Window.partitionBy("host").orderBy("order", "url")
+            sf = (
+                sf.withColumn("_hrk", F.row_number().over(w_h))
+                .where(F.col("_hrk") <= config.max_pages_per_host)
+                .drop("_hrk")
+            )
+        sr0 = with_global_seq(
+            sf,
+            ["order", "url"],
+            start=0,
+            num_partitions=_seq_partitions(spark, 1),
+        )
+        frontier = _checkpoint(
+            sr0.df.where(F.col("seq") < config.max_pages).select(FRONTIER_COLS)
+        )
+        sr0.unpersist()
+        frontier_count = frontier.count()
+        seen_parts = (
+            [prior_seen.select("url")] if prior_seen is not None else []
+        ) + [frontier.select("url")]
+        admitted_total = frontier_count
+        success_total = 0
+        round_no = 0
+        stats = []
+        if run:
+            run.admitted.append(frontier.withColumn("round", F.lit(0)), 0)
+            run.pending.append(frontier, 0)
+            _write_log(run, 0, 0, 0, 0, frontier_count, 0, admitted_total, 0)
+        pages_parts = []
+        order_parts = [frontier.withColumn("round", F.lit(0))]
+    elif state is None:
         # S1 seed ingestion: add_url(url, 0, None) per seed; duplicate seeds
         # dedup first-occurrence-wins exactly like add_url's seen check
         # (queue_manager.py:46-57); caps (global + per-host) apply in
@@ -607,7 +687,7 @@ def crawl(
                 F.lit(None).cast(docs.schema["spans"].dataType).alias("spans"),
             )
         )
-    pages = pages_parts[0] if len(pages_parts) == 1 else _union_all(pages_parts)
+    pages = _union_all(pages_parts) if pages_parts else None
     if not pages_parts:
         pages = spark.createDataFrame(
             [],
@@ -695,3 +775,62 @@ def _load_state(spark: SparkSession, run):
         if x["round"] > 0
     ]
     return frontier, seen, last["admitted_total"], last["success_total"], r, stats
+
+
+def recrawl(
+    spark: SparkSession,
+    docs: DataFrame,
+    config: CrawlConfig,
+    prior: CrawlResult,
+    expired: DataFrame,
+    robots: DataFrame | None = None,
+    seen_cuckoo: "ShardedCuckoo | None" = None,
+    table_dir: str | None = None,
+    catalog: str | None = None,
+    priorities: DataFrame | None = None,
+) -> CrawlResult:
+    """TTL/recrawl flow — the dataflow form of the reference's 24h Redis
+    cache TTL (cache_service.py:77-99: SET ... EX ttl; an expired key
+    means the next scrape refetches).
+
+    ``expired`` — a DataFrame whose ``url`` column names the TTL-expired
+    subset of ``prior`` (the caller's predicate, e.g.
+    ``pages.where(F.col("fetched_at") < cutoff)``; the engine stores no
+    wall-clock column, so expiry is the caller's policy).  Semantics:
+
+    - expired URLs are re-admitted at their PRIOR crawl position (depth,
+      parent, admission order from ``prior.order``) and refetched;
+    - still-fresh URLs are the cache: carried into the seen set, never
+      refetched, and never re-admitted via links on refetched pages;
+    - links discovered on refetched pages that were never seen at all
+      (corpus changed since the prior crawl) are crawled normally, BFS
+      from the refetched parents.
+
+    With an unchanged corpus the refetched set is EXACTLY the expired
+    subset (pinned by the q50 oracle and tests/test_crawl_recrawl).
+
+    ``seen_cuckoo`` — optional persistent seen filter from the prior
+    crawl: the expired fingerprints are deleted from it distributedly
+    (operators/cuckoo.expire_from_filter — the delete capability that
+    justifies cuckoo over bloom) so the same filter object can keep
+    serving an incremental-crawl fleet without a rebuild."""
+    exp = expired.select("url").dropDuplicates(["url"])
+    carried = _checkpoint(prior.seen.select("url").join(exp, "url", "left_anti"))
+    if seen_cuckoo is not None:
+        from ..operators.cuckoo import expire_from_filter
+
+        expire_from_filter(seen_cuckoo, exp, "url")
+    seeds = prior.order.join(exp, "url", "left_semi").select(
+        "url", "depth", "parent_url", F.col("seq").alias("order")
+    )
+    return crawl(
+        spark,
+        docs,
+        config,
+        robots=robots,
+        table_dir=table_dir,
+        catalog=catalog,
+        priorities=priorities,
+        seed_frontier=seeds,
+        prior_seen=carried,
+    )
