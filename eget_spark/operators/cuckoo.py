@@ -21,7 +21,8 @@ independent there is no cross-partition eviction chain; merge re-inserts
 the other filter's fingerprints shard-by-shard (fingerprint + bucket index
 is all an insert needs — the alt index is recoverable by XOR).
 
-Vectorization: hashing (blake2b batch) and probe index/gather math are
+Vectorization: hashing (JVM xxhash64 columns on DataFrame paths,
+Spark-compatible XXH64 for driver lists) and probe index/gather math are
 numpy array ops over whole Arrow batches; only the O(1)-amortized
 placement walk per new entry is scalar Python, and it is insert-only (the
 probe path — the per-round hot path — is fully vectorized).
@@ -41,7 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .seen import BloomFilter
+from .seen import BloomFilter, url_hash_exprs
+from .seen import _as_u64 as _hash_u64
 
 _SLOTS = 4
 _MAX_KICKS = 500
@@ -54,14 +56,21 @@ def _fp_hash(fp: np.ndarray, mask: int) -> np.ndarray:
         return (fp.astype(np.uint64) * _FP_MUL) & np.uint64(mask)
 
 
-def _route_arrays(values, n_shards: int, n_buckets: int):
-    """Batch URL -> (shard, bucket, fingerprint) arrays (one blake2b per
-    URL, shared with the bloom's hashing; all index math vectorized)."""
-    h1, h2 = BloomFilter._h12_arrays(values)
+def _route_hashes(h1: np.ndarray, h2: np.ndarray, n_shards: int, n_buckets: int):
+    """(h1, h2) uint64 arrays -> (shard, bucket, fingerprint) — pure
+    numpy; h2 must already be odd-forced (the bloom convention)."""
     shard = h1 % np.uint64(n_shards)
     bucket = (h1 >> np.uint64(32)) % np.uint64(n_buckets)
     fp = (h2 % np.uint64(65535) + np.uint64(1)).astype(np.uint16)
     return shard, bucket, fp
+
+
+def _route_arrays(values, n_shards: int, n_buckets: int):
+    """Batch URL -> (shard, bucket, fingerprint) arrays.  Driver-side
+    lists only: DataFrame paths hash JVM-side (seen.url_hash_exprs) and
+    route via _route_hashes — no per-row Python in the hot path."""
+    h1, h2 = BloomFilter._h12_arrays(values)
+    return _route_hashes(h1, h2, n_shards, n_buckets)
 
 
 class CuckooShard:
@@ -277,10 +286,12 @@ def build_cuckoo(
 
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vals = [v for v in pdf[url_col] if v is not None]
-            if not vals:
+            if not len(pdf):
                 continue
-            shard, bucket, fp = _route_arrays(vals, n_shards, n_buckets)
+            # hashes computed JVM-side: pure numpy routing here
+            h1 = _hash_u64(pdf["_h1"])
+            h2 = _hash_u64(pdf["_h2"]) | np.uint64(1)
+            shard, bucket, fp = _route_hashes(h1, h2, n_shards, n_buckets)
             yield pd.DataFrame(
                 {
                     "shard": shard.astype(np.int32),
@@ -310,8 +321,9 @@ def build_cuckoo(
             T.StructField("fp", T.LongType()),
         ]
     )
+    h1e, h2e = url_hash_exprs(url_col)
     rows = (
-        df.select(url_col)
+        df.select(h1e.alias("_h1"), h2e.alias("_h2"))
         .mapInPandas(route, schema=route_schema)
         .groupBy("shard")
         .applyInPandas(build_shard, schema=out_schema)
@@ -328,17 +340,26 @@ def build_cuckoo(
 
 
 def cuckoo_maybe_contains(spark, cf: ShardedCuckoo, url):
-    """Column predicate: True iff the filter *may* contain url (vectorized
-    probe over the cached broadcast)."""
+    """Column predicate: True iff the filter *may* contain url.  Hashing
+    is JVM-side (url_hash_exprs); the UDF receives int64 pairs and probes
+    with pure numpy gathers."""
     bc = cf.spark_broadcast(spark)
 
     @F.pandas_udf(T.BooleanType())
-    def probe(urls: pd.Series) -> pd.Series:
+    def probe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
         flt = ShardedCuckoo.__new__(ShardedCuckoo)
         flt.__setstate__(bc.value)
-        return pd.Series(flt.contains_many(urls.tolist()))
+        h1 = _hash_u64(h1s)
+        h2 = _hash_u64(h2s) | np.uint64(1)
+        shard, bucket, fp = _route_hashes(h1, h2, flt.n_shards, flt.n_buckets)
+        hit = np.zeros(len(h1), dtype=bool)
+        for s in np.unique(shard).tolist():
+            m = shard == s
+            hit[m] = flt.shards[s].contains_batch(bucket[m], fp[m])
+        return pd.Series(hit)
 
-    return probe(url)
+    h1e, h2e = url_hash_exprs(url)
+    return probe(h1e, h2e)
 
 
 def anti_join_seen_cuckoo(
@@ -368,7 +389,7 @@ def expire_from_filter(cf: ShardedCuckoo, df: DataFrame, url_col: str = "url") -
     """TTL expiry, filter side (cache_service.py:77-99 maps Redis key TTL
     to a delete of the expired members): remove every URL in ``df`` from
     the filter so a later crawl re-admits exactly those.  Routing
-    (blake2b -> shard/bucket/fp) runs distributed in mapInPandas; only
+    (xxhash64 -> shard/bucket/fp) runs JVM-side + numpy in mapInPandas; only
     compact int64 triplets reach the driver — URLs themselves are never
     collected (same invariant as build_cuckoo).  Returns the number of
     fingerprints actually removed."""
@@ -383,10 +404,11 @@ def expire_from_filter(cf: ShardedCuckoo, df: DataFrame, url_col: str = "url") -
 
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vals = [v for v in pdf[url_col] if v is not None]
-            if not vals:
+            if not len(pdf):
                 continue
-            shard, bucket, fp = _route_arrays(vals, n_shards, n_buckets)
+            h1 = _hash_u64(pdf["_h1"])
+            h2 = _hash_u64(pdf["_h2"]) | np.uint64(1)
+            shard, bucket, fp = _route_hashes(h1, h2, n_shards, n_buckets)
             yield pd.DataFrame(
                 {
                     "shard": shard.astype(np.int32),
@@ -395,7 +417,12 @@ def expire_from_filter(cf: ShardedCuckoo, df: DataFrame, url_col: str = "url") -
                 }
             )
 
-    rows = df.select(url_col).mapInPandas(route, schema=route_schema).collect()
+    h1e, h2e = url_hash_exprs(url_col)
+    rows = (
+        df.select(h1e.alias("_h1"), h2e.alias("_h2"))
+        .mapInPandas(route, schema=route_schema)
+        .collect()
+    )
     n = 0
     for r in rows:
         n += cf.shards[r["shard"]].delete(int(r["bucket"]), int(r["fp"]))

@@ -73,3 +73,52 @@ def test_bloom_broadcast_cached_until_mutation(spark):
     bf.add_many(["y"])
     b3 = bf.spark_broadcast(spark)
     assert b3 is not b1
+
+
+def test_python_xxh64_matches_spark_xxhash64(spark):
+    """The driver-side hash derivation must be bit-identical to the JVM
+    url_hash_exprs columns — the whole filter contract (list API inserts
+    must be findable by DataFrame probes and vice versa) rests on this."""
+    from pyspark.sql import functions as F
+
+    from eget_spark.operators.seen import url_hash_exprs, xxh64_url
+
+    urls = [
+        "", "a", "abc", "abcd", "abcdefg", "abcdefgh",
+        "https://h0.example.com/p/00000",
+        "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+        "unicode-✓-café-\U0001f40d",
+    ]
+    h1e, h2e = url_hash_exprs("url")
+    rows = (
+        spark.createDataFrame([(u,) for u in urls], "url string")
+        .select("url", h1e.alias("h1"), h2e.alias("h2"))
+        .collect()
+    )
+    mask = (1 << 64) - 1
+    for r in rows:
+        p1, p2 = xxh64_url(r["url"])
+        assert p1 == r["h1"] & mask, r["url"]
+        assert p2 == r["h2"] & mask, r["url"]
+
+
+def test_bloom_list_and_dataframe_paths_interoperate(spark):
+    """Members inserted by the distributed (JVM-hash) build are found by
+    the driver-list probe API and vice versa."""
+    from pyspark.sql import functions as F
+
+    from eget_spark.operators.seen import bloom_maybe_contains, build_bloom
+
+    urls = [f"https://h{i % 3}.example.com/p/{i:05d}" for i in range(400)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    bf = build_bloom(df, "url", expected=1000)
+    # driver-list probes see the DataFrame-built members
+    assert bf.contains_many(urls).all()
+    # DataFrame probes see driver-list inserts
+    bf.add_many(["https://extra.example.com/only-driver"])
+    probe = spark.createDataFrame(
+        [("https://extra.example.com/only-driver",), ("https://nope.example.com/x",)],
+        "url string",
+    ).select("url", bloom_maybe_contains(spark, bf, F.col("url")).alias("hit"))
+    got = {r["url"]: r["hit"] for r in probe.collect()}
+    assert got["https://extra.example.com/only-driver"] is True
