@@ -116,3 +116,59 @@ def windowed_host_throughput(
             "ok",
         )
     )
+
+
+def stream_discovered_urls(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The crawl run's discovery stream: each round's fetched URLs plus
+    their parent URLs, as (host, url) rows.  Deliberately duplicate-rich —
+    a parent recurs in every child row and across rounds — so it is a
+    faithful stand-in for the raw link-discovery firehose a continuous
+    crawler shards by host."""
+    from ..functions.urls import host_of
+
+    docs = stream_crawled_docs(spark, table_dir)
+    own = docs.select("host", "url")
+    parents = docs.where(F.col("parent_url").isNotNull()).select(
+        host_of(F.col("parent_url")).alias("host"),
+        F.col("parent_url").alias("url"),
+    )
+    return own.unionByName(parents)
+
+
+def streaming_crawl_seen(
+    spark: SparkSession,
+    table_dir: str,
+    query_name: str = "stream_seen",
+    max_files_per_trigger: int = 1,
+):
+    """End-to-end streaming crawl face: round appends -> discovery stream
+    -> keyed first-seen dedup (streaming/seen.stream_first_seen) -> memory
+    sink.  ``max_files_per_trigger=1`` forces one micro-batch per round
+    file so the cross-batch state path (not just in-batch dedup) is
+    exercised; the resulting set must equal the batch crawl's seen set —
+    pinned by tests/test_streaming.py::test_streaming_crawl_seen_equals_batch."""
+    from .seen import stream_first_seen
+
+    src = (
+        spark.readStream.schema(CRAWLED_STREAM_SCHEMA)
+        .option("basePath", f"{table_dir}/docs")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{table_dir}/docs/round=*")
+    )
+    from ..functions.urls import host_of
+
+    own = src.select("host", "url")
+    parents = src.where(F.col("parent_url").isNotNull()).select(
+        host_of(F.col("parent_url")).alias("host"),
+        F.col("parent_url").alias("url"),
+    )
+    firsts = stream_first_seen(own.unionByName(parents))
+    q = (
+        firsts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -152,3 +152,24 @@ def test_windowed_throughput_watermark_drops_late(spark, tmp_path):
     assert (95, 1, 1) in got and (100, 1, 1) in got
     assert (0, 2, 1) in got  # [0,10): events at 1s(ok) + 6s(missing)
     assert not any(ws in (25, 30) for ws, _, _ in got)
+
+
+def test_streaming_crawl_seen_equals_batch(spark, docs_small, robots_small, tmp_path):
+    """End-to-end streaming crawl face: the duplicate-rich discovery
+    stream (fetched urls + recurring parents, one micro-batch per round
+    file) through the keyed first-seen dedup must reproduce EXACTLY the
+    batch crawl's seen set — stream == batch."""
+    from eget_spark.streaming.rounds import streaming_crawl_seen
+
+    d = str(tmp_path / "srun")
+    cfg = CrawlConfig(seed_urls=[doc_url(0, 0)], max_depth=3, max_pages=60)
+    res = crawl(spark, docs_small, cfg, robots=robots_small, table_dir=d)
+    batch_seen = {r["url"] for r in res.seen.collect()}
+
+    streaming_crawl_seen(spark, d, query_name="sc_seen")
+    rows = spark.sql("SELECT host, url, overflow FROM sc_seen").collect()
+    stream_seen = {r["url"] for r in rows}
+    # exactly-once: no URL emitted twice, none flagged overflow
+    assert len(rows) == len(stream_seen)
+    assert not any(r["overflow"] for r in rows)
+    assert stream_seen == batch_seen
