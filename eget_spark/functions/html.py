@@ -19,10 +19,24 @@ Reference pipeline (services/scraper/scraper.py):
 
 BeautifulSoup/html2text are not in this environment; the DOM walk uses a
 minimal stdlib-`html.parser` tree. X6 is a faithful reimplementation of the
-reference walker; X5 implements the html2text feature subset the reference
-relies on (headings, emphasis, links, images, lists, code via
-[code]-marks, blockquote, hr) — byte parity with html2text itself is not
-claimed (library absent), the X5+X6 composition is pinned by golden tests.
+reference walker; X5 transcribes html2text's emission rules for the
+feature set the reference config exercises (body_width=0, mark_code,
+`*`/`**` marks, tables kept): headings, emphasis, links, images,
+[code]-marks, hr, NESTED lists (``"  " * nest_count`` indent, per-level
+ol counters, sublists on following lines), blockquote continuation
+(``> `` per line, ``>`` on blank separator lines, ``>>`` when nested)
+and html2text's table shape (``a| b`` rows — later cells ``| ``-prefixed
+— with a ``---|---`` underline after the FIRST row only).  The X5+X6
+composition is pinned by golden tests incl. adversarial nesting.
+
+Known divergences from html2text itself (library absent, documented not
+silent):
+- no character escaping of markdown metachars in text runs
+  (escape_snob=False in the reference config minimizes, but html2text
+  still escapes some; we escape none);
+- `<br>` inside emphasis/link labels collapses to a space;
+- reflowing/wrapping differences cannot arise (body_width=0 both sides);
+- html2text pads `<ol>` markers past 9 differently (its own TODO).
 """
 
 from __future__ import annotations
@@ -376,40 +390,95 @@ def _inline(node: Node) -> str:
     return inner
 
 
+def _sep(lines: list[str]) -> None:
+    """Paragraph break: one blank line between blocks (html2text's p())."""
+    if lines and lines[-1] != "":
+        lines.append("")
+
+
+def _emit_list(node: Node, lines: list[str], depth: int) -> None:
+    """html2text li emission: indent ``"  " * nest_count`` where
+    nest_count counts the enclosing lists INCLUDING this one, marker
+    ``* `` for ul and a per-level ``N. `` counter for ol; a nested list
+    inside an <li> continues on the following lines at deeper indent,
+    with no blank line between levels."""
+    num = 0
+    indent = "  " * depth
+    for c in node.children:
+        if c.tag != "li":
+            continue
+        inline_parts = [
+            _inline(g) for g in c.children if g.tag not in ("ul", "ol")
+        ]
+        text = "".join(inline_parts).strip()
+        if node.tag == "ol":
+            num += 1
+            marker = f"{num}. "
+        else:
+            marker = "* "
+        if text:
+            lines.append(indent + marker + text)
+        for g in c.children:
+            if g.tag in ("ul", "ol"):
+                _emit_list(g, lines, depth + 1)
+
+
+def _quote_line(line: str) -> str:
+    """html2text blockquote prefixing: ``bq = ">" * depth + " "`` — one
+    level per pass; a line already quoted gains a bare ``>`` so nesting
+    renders ``>> text``.  Blank separator lines become ``>``."""
+    if not line:
+        return ">"
+    if line.startswith(">"):
+        return ">" + line
+    return "> " + line
+
+
 def _block(node: Node, out: list[str], list_stack: list) -> None:
     tag = node.tag
     if tag in _HEADING:
+        _sep(out)
         out.append("#" * _HEADING[tag] + " " + _inline(node).strip())
         return
     if tag == "p":
         t = _inline(node).strip()
         if t:
-            out.append(t)
+            _sep(out)
+            out.extend(t.split("\n"))
         return
     if tag in ("ul", "ol"):
-        items = []
-        idx = 1
-        for c in node.children:
-            if c.tag == "li":
-                marker = f"{idx}. " if tag == "ol" else "  * "
-                items.append(marker + _inline(c).strip())
-                idx += 1
+        items: list[str] = []
+        _emit_list(node, items, depth=1)
         if items:
-            out.append("\n".join(items))
+            _sep(out)
+            out.extend(items)
         return
     if tag == "pre":
         # mark_code=True emits [code]..[/code]; X6 rewrites to fences
-        out.append("[code]\n" + node.text().strip("\n") + "\n[/code]")
+        _sep(out)
+        out.extend(("[code]\n" + node.text().strip("\n") + "\n[/code]").split("\n"))
         return
     if tag == "blockquote":
-        t = _inline(node).strip()
-        if t:
-            out.append("> " + t)
+        inner: list[str] = []
+        for c in node.children:
+            _block(c, inner, list_stack)
+        while inner and inner[-1] == "":
+            inner.pop()
+        while inner and inner[0] == "":
+            inner.pop(0)
+        if inner:
+            _sep(out)
+            out.extend(_quote_line(x) for x in inner)
         return
     if tag == "hr":
+        _sep(out)
         out.append("* * *")
         return
     if tag == "table":
+        # html2text row shape: first cell bare, later cells "| "-prefixed
+        # ("a| b"), soft break per row, and a "---|---" underline after
+        # the FIRST row (td_count columns) — scraper.py's config keeps
+        # tables (ignore_tables=False, pad_tables default off)
         rows = []
         for tr in node.find_all({"tr"}):
             cells = [
@@ -418,16 +487,18 @@ def _block(node: Node, out: list[str], list_stack: list) -> None:
                 if c.tag in ("td", "th")
             ]
             if cells:
-                rows.append("| " + " | ".join(cells) + " |")
+                rows.append(cells)
         if rows:
-            if len(rows) > 1:
-                ncols = rows[0].count("|") - 1
-                rows.insert(1, "|" + "---|" * ncols)
-            out.append("\n".join(rows))
+            _sep(out)
+            out.append("| ".join(rows[0]))
+            out.append("|".join(["---"] * max(len(rows[0]), 1)))
+            for cells in rows[1:]:
+                out.append("| ".join(cells))
         return
     if tag in ("img", "a", "strong", "em", "b", "i", "code", ""):
         t = _inline(node).strip()
         if t:
+            _sep(out)
             out.append(t)
         return
     for c in node.children:
@@ -437,7 +508,11 @@ def _block(node: Node, out: list[str], list_stack: list) -> None:
 def dom_to_markdown(root: Node) -> str:
     out: list[str] = []
     _block(root, out, [])
-    return "\n\n".join(p for p in out if p.strip())
+    while out and out[0] == "":
+        out.pop(0)
+    while out and out[-1] == "":
+        out.pop()
+    return "\n".join(out)
 
 
 # --- X6: post-process walker (scraper.py:543-662, exact semantics) ----------

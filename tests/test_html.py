@@ -233,3 +233,69 @@ def test_spark_structured_face(spark):
     assert dict(sd["openGraph"]) == {"title": "T"}
     assert sd["metaData"]["language"] == "de"
     assert rows[1]["sd"]["jsonLd"] == []  # null html -> empty fallback shape
+
+
+def test_x5_nested_lists_blockquote_table_parity():
+    """html2text emission-rule transcription (scraper.py:285-298 config):
+    nested list indentation, per-level ol counters, blockquote
+    continuation/nesting, and the first-row-underline table shape."""
+    from eget_spark.functions.html import dom_to_markdown, parse_html
+
+    got = dom_to_markdown(parse_html(
+        "<ul><li>a<ul><li>a1</li><li>a2<ol><li>deep</li></ol></li></ul></li>"
+        "<li>b</li></ul>"
+    ))
+    assert got == "\n".join([
+        "  * a",
+        "    * a1",
+        "    * a2",
+        "      1. deep",
+        "  * b",
+    ])
+
+    got = dom_to_markdown(parse_html(
+        "<ol><li>one</li><li>two<ul><li>sub</li></ul></li><li>three</li></ol>"
+    ))
+    assert got == "  1. one\n  2. two\n    * sub\n  3. three"
+
+    got = dom_to_markdown(parse_html(
+        "<blockquote><p>first</p><p>second</p>"
+        "<blockquote><p>inner</p></blockquote></blockquote>"
+    ))
+    assert got == "> first\n>\n> second\n>\n>> inner"
+
+    got = dom_to_markdown(parse_html(
+        "<table><tr><th>a</th><th>b</th></tr>"
+        "<tr><td>1</td><td></td></tr><tr><td>3</td><td>4</td></tr></table>"
+    ))
+    assert got == "a| b\n---|---\n1| \n3| 4"
+
+    # blockquote wrapping a list then a paragraph: every line quoted,
+    # blank separators become bare '>'
+    got = dom_to_markdown(parse_html(
+        "<blockquote><ul><li>q-item</li></ul><p>tail</p></blockquote>"
+    ))
+    assert got == ">   * q-item\n>\n> tail"
+
+
+def test_x5_x6_composition_on_nested_structures():
+    """The full pipeline (clean -> markdown -> post-process) keeps nested
+    structure intact: sublists stay indented, quote lines survive."""
+    html = (
+        "<html><body><main><h2>T</h2>"
+        "<ul><li>top<ul><li>sub</li></ul></li></ul>"
+        "<blockquote><p>quoted</p></blockquote>"
+        "<table><tr><th>h1</th><th>h2</th></tr><tr><td>x</td><td>y</td></tr></table>"
+        "</main></body></html>"
+    )
+    from eget_spark.functions.html import html_to_markdown
+
+    md = html_to_markdown(html)
+    assert "## T" in md
+    assert "  * top\n    * sub" in md
+    assert "> quoted" in md
+    # reference QUIRK (scraper.py:304,558): _list_pattern = (\n\s*)-([^\s])
+    # rewrites html2text's table underline '---|---' to '- --|---' and the
+    # X6 line-walker then treats it as a list start (blank line before) —
+    # the reference mangles its own tables this way, so we must too
+    assert "h1| h2\n\n- --|---\nx| y" in md
