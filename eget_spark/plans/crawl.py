@@ -148,6 +148,35 @@ def _seq_partitions(spark: SparkSession, frontier_count: int) -> int:
     return max(1, min(cap, -(-est_kids // _SEQ_ROWS_PER_PARTITION)))
 
 
+def apply_host_cap(
+    kids: DataFrame, host_counts: DataFrame, cap: int
+) -> DataFrame:
+    """Per-host admission cap for one round's candidates: prior admitted
+    count (``host_counts`` = (host, _n)) + this round's exact per-host
+    candidate rank must stay within ``cap``.
+
+    Pre-filter first (round-2 advice): candidates of ALREADY-FULL hosts
+    are dropped by a broadcast anti-join BEFORE the rank window — once a
+    spider-trap host hits its cap, its (potentially 10^8) future
+    candidates cost an anti-join probe, not a single-reducer sort.
+    Semantics unchanged: a full host admits nothing either way, and the
+    rank stays exact for the remaining hosts (the exactness the cap
+    determinism oracle requires).  Pinned by
+    tests/test_crawl.py::test_apply_host_cap_prefilters_full_hosts."""
+    full_hosts = host_counts.where(F.col("_n") >= cap).select(
+        F.col("host").alias("_khost")
+    )
+    w_h = Window.partitionBy("_khost").orderBy("parent_seq", "url")
+    return (
+        kids.withColumn("_khost", host_of(F.col("url")))
+        .join(F.broadcast(full_hosts), "_khost", "left_anti")
+        .join(host_counts.withColumnRenamed("host", "_khost"), "_khost", "left")
+        .withColumn("_hrk", F.row_number().over(w_h))
+        .where(F.coalesce(F.col("_n"), F.lit(0)) + F.col("_hrk") <= cap)
+        .drop("_khost", "_n", "_hrk")
+    )
+
+
 def crawl(
     spark: SparkSession,
     docs: DataFrame,
@@ -540,30 +569,8 @@ def crawl(
             # (the rank must be exact for cap determinism; cf. politeness
             # salting where budgets may be split approximately).
             if config.max_pages_per_host is not None:
-                # pre-filter: candidates of ALREADY-FULL hosts never reach
-                # the rank window — once a spider-trap host hits its cap,
-                # its (potentially 10^8) future candidates cost an
-                # anti-join probe, not a single-reducer sort (round-2
-                # advice). Semantics unchanged: a full host admits nothing
-                # either way, and the rank below stays exact for the rest.
-                full_hosts = host_counts.where(
-                    F.col("_n") >= config.max_pages_per_host
-                ).select(F.col("host").alias("_khost"))
-                w_h = Window.partitionBy("_khost").orderBy("parent_seq", "url")
-                kids = (
-                    kids.withColumn("_khost", host_of(F.col("url")))
-                    .join(F.broadcast(full_hosts), "_khost", "left_anti")
-                    .join(
-                        host_counts.withColumnRenamed("host", "_khost"),
-                        "_khost",
-                        "left",
-                    )
-                    .withColumn("_hrk", F.row_number().over(w_h))
-                    .where(
-                        F.coalesce(F.col("_n"), F.lit(0)) + F.col("_hrk")
-                        <= config.max_pages_per_host
-                    )
-                    .drop("_khost", "_n", "_hrk")
+                kids = apply_host_cap(
+                    kids, host_counts, config.max_pages_per_host
                 )
 
             # F7 + O1: global admission sequence; admit while seq < max_pages.

@@ -322,3 +322,40 @@ def test_crawl_edge_cases(spark, docs_small, robots_small):
     )
     assert shallow.order.count() == 1
     assert shallow.pages.count() == 1
+
+
+def test_apply_host_cap_prefilters_full_hosts(spark):
+    """The spider-trap guard: candidates of an already-full host are
+    anti-joined away BEFORE the per-host rank window (plan shows the
+    broadcast LeftAnti below the window), and the admitted rows equal the
+    sequential host-counter semantics."""
+    from pyspark.sql import functions as F
+
+    from eget_spark.plans.crawl import apply_host_cap
+
+    # hot host h0 already at cap 3; h1 has headroom 1 of 3
+    host_counts = spark.createDataFrame(
+        [("h0.example.com", 3), ("h1.example.com", 2)], "host string, _n long"
+    )
+    kids = spark.createDataFrame(
+        [(f"https://h0.example.com/p/{i:05d}", 10 + i) for i in range(50)]
+        + [(f"https://h1.example.com/p/{i:05d}", 100 + i) for i in range(5)]
+        + [(f"https://h2.example.com/p/{i:05d}", 200 + i) for i in range(4)],
+        "url string, parent_seq long",
+    )
+    out = apply_host_cap(kids, host_counts, cap=3)
+    got = sorted(r["url"] for r in out.collect())
+    # h0 full -> nothing; h1 -> exactly 1 (lowest parent_seq); h2 -> 3 of 4
+    assert got == [
+        "https://h1.example.com/p/00000",
+        "https://h2.example.com/p/00000",
+        "https://h2.example.com/p/00001",
+        "https://h2.example.com/p/00002",
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the anti-join must sit BELOW the window (pre-filter, not post)
+    anti = plan.find("LeftAnti")
+    win = plan.find("Window")
+    assert anti != -1 and win != -1
+    assert anti > win  # physical plans print top-down: deeper = later
+    assert "BroadcastHashJoin" in plan
