@@ -550,12 +550,18 @@ def convert_files(files: DataFrame, dedupe_content: bool = True) -> DataFrame:
         keyed = work.withColumn(
             "key", F.concat_ws(":", F.col("ext"), F.sha2(F.col("content"), 256))
         )
+        converted = keyed.dropDuplicates(["key"]).select(
+            "key", "ext", "content"
+        ).mapInPandas(run, schema=f"key string, spans {_SPANS_DDL}")
+        joined = keyed.select("path", "key").join(converted, "key")
     else:
-        keyed = work.withColumn("key", F.col("path"))  # paths are unique
-    converted = keyed.dropDuplicates(["key"]).select(
-        "key", "ext", "content"
-    ).mapInPandas(run, schema=f"key string, spans {_SPANS_DDL}")
-    joined = keyed.select("path", "key").join(converted, "key")
+        # paths are unique by contract: decode in place, no dedup
+        # aggregate and no join-back shuffle
+        joined = work.withColumn("key", F.col("path")).select(
+            "key", "ext", "content"
+        ).mapInPandas(run, schema=f"key string, spans {_SPANS_DDL}").withColumn(
+            "path", F.col("key")
+        )
     return joined.select(
         F.col("path").alias("doc_id"),
         "spans",

@@ -252,6 +252,57 @@ def main() -> None:
         "pipeline; the materialized order table carries no Python stages.",
     )
 
+    # 16. bloom probe: hashing in codegen (xxhash64 columns), probe UDF
+    # receives int64 pairs — no per-row Python hashing (round-3)
+    from eget_spark.operators.seen import BloomFilter, bloom_maybe_contains
+
+    bf = BloomFilter.sized(1000, 0.01)
+    bf.add_many(["https://h.example.com/p/1"])
+    add(
+        "bloom probe (xxhash64-keyed, D1)",
+        urls.withColumn("m", bloom_maybe_contains(spark, bf, F.col("url"))),
+        {"xxhash64": True, "ArrowEvalPython": True, "BatchEvalPython": False},
+        "The filter key (xxhash64(url), xxhash64(url, 1)) is computed in "
+        "whole-stage codegen; the Arrow UDF does pure numpy bit gathers "
+        "over int64 arrays.",
+    )
+
+    # 17. full-host pre-filter: broadcast LeftAnti BELOW the rank window
+    # (spider-trap candidates never reach the single-reducer sort)
+    from eget_spark.plans.crawl import apply_host_cap
+
+    hc = spark.createDataFrame([("h0", 10)], "host string, _n long")
+    kids = docs.selectExpr(
+        "'https://h' || CAST(doc_id % 3 AS STRING) || '.x/p/' || doc_id AS url",
+        "CAST(doc_id AS BIGINT) AS parent_seq",
+    )
+    capped = apply_host_cap(kids, hc, cap=10)
+    p_cap = plan_of(capped)
+    add(
+        "host-cap pre-filter (spider-trap guard)",
+        capped,
+        {"BroadcastHashJoin": True, "Window": True, "BatchEvalPython": False},
+        "Full hosts drop via broadcast anti-join before the per-host rank "
+        "window (ordering also pytest-pinned: LeftAnti prints below "
+        "Window).",
+    )
+    checks.append(
+        (
+            "host-cap pre-filter: LeftAnti below Window",
+            -1 < p_cap.find("Window") < p_cap.find("LeftAnti"),
+        )
+    )
+
+    # 18. binary conversion (C1-C3): the mapInPandas decode is the only
+    # Python stage; dedupe-by-content agg stays JVM-side
+    add(
+        "binary file conversion (q49 path)",
+        entry.q49_docx_convert(spark, SF).limit(1),
+        {"MapInPandas": True, "BatchEvalPython": False},
+        "Byte decode runs in one Arrow mapInPandas stage; explode/select "
+        "around it are codegen.",
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
