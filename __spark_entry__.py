@@ -50,6 +50,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q48_anchor_stats       backlink profile: anchor-text counts per target
   q49_docx_convert       C2 end-to-end: stdlib DOCX byte decode -> spans
   q50_ttl_recrawl        S4 TTL expiry + recrawl: refetch exactly the expired
+  q51_xlsx_convert       C3 end-to-end: stdlib XLSX byte decode -> spans
 """
 
 from __future__ import annotations
@@ -1768,6 +1769,66 @@ FROM bfs GROUP BY id HAVING id % 3 = 0
 """
 
 
+def q51_xlsx_convert(spark, sf_dir):
+    """C3 end-to-end on real bytes: 16 .xlsx workbooks synthesized
+    in-memory (stdlib ooxml writer) — two sheets each, the second with an
+    empty first row so the reference's row-1-only content gate
+    (xlsx_converter.py:96-104) must drop it — decoded by the stdlib
+    zipfile+ElementTree path inside convert_files, exploded to span rows.
+    Cell values (ints, floats, strings, bools) derive from arithmetic on
+    the file index so DuckDB reproduces the expected spans independently,
+    including X20 formatting (float->int collapse, bool str())."""
+    from eget_spark.sources.converters import convert_files
+    from eget_spark.sources.ooxml import build_xlsx_bytes
+
+    n = 16
+    rows = []
+    for i in range(n):
+        sheets = [
+            (
+                f"S{i}",
+                [
+                    ["name", "qty", "ok"],
+                    [f"row{i}", float(i * 3), i % 2 == 0],
+                    [f"alt{i}", i + 0.5, None],
+                ],
+            ),
+            ("Hidden", [[None, None], ["never", "seen"]]),
+        ]
+        rows.append((f"mem://xlsx/{i:04d}.xlsx", bytearray(build_xlsx_bytes(sheets))))
+    files = spark.createDataFrame(rows, "path string, content binary")
+    return (
+        convert_files(files, dedupe_content=False)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").cast("int").alias("pos"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
+_Q51_SQL = r"""
+WITH i AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 16)),
+spans AS (
+  SELECT i, 0 AS pos, 'heading' AS kind, '## Sheet: S' || i AS text FROM i
+  UNION ALL
+  SELECT i, 1, 'table',
+    'name' || chr(9) || 'qty' || chr(9) || 'ok' || chr(10) ||
+    'row' || i || chr(9) || (i * 3) || chr(9) ||
+      CASE WHEN i % 2 = 0 THEN 'True' ELSE 'False' END || chr(10) ||
+    'alt' || i || chr(9) || (i + 0.5) || chr(9)
+  FROM i
+)
+-- the trailing chr(9): the walk pads short rows back to max_cols with ''
+-- (xlsx_converter.py:104-151), so the tab-joined row ends in an empty cell
+SELECT 'mem://xlsx/' || lpad(CAST(i AS VARCHAR), 4, '0') || '.xlsx' AS doc_id,
+       CAST(pos AS INT) AS pos, kind, text
+FROM spans
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1825,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_anchor_stats": q48_anchor_stats,
         "q49_docx_convert": q49_docx_convert,
         "q50_ttl_recrawl": q50_ttl_recrawl,
+        "q51_xlsx_convert": q51_xlsx_convert,
     }
 
 
@@ -1880,4 +1942,5 @@ def oracle_sql() -> dict[str, str]:
         "q48_anchor_stats": _Q48_SQL,
         "q49_docx_convert": _Q49_SQL,
         "q50_ttl_recrawl": _Q50_SQL,
+        "q51_xlsx_convert": _Q51_SQL,
     }
