@@ -124,10 +124,25 @@ def decode_media(media: DataFrame) -> DataFrame:
             from PIL import Image  # noqa: F401  (real path, absent here)
         except ImportError:
             Image = None
+        from .png import is_png, png_size
+
         for pdf in batches:
             out = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                d = decode_fake(bytes(payload))
+                b = bytes(payload)
+                if is_png(b):
+                    # real image payload: header-only sizing (stdlib), no
+                    # full pixel decode in the metadata pass
+                    w, h = png_size(b)
+                    d = {
+                        "kind": "image",
+                        "width": w,
+                        "height": h,
+                        "n_frames": 1,
+                        "bytes": len(b),
+                    }
+                else:
+                    d = decode_fake(b)
                 d["media_ref"] = ref
                 out.append(d)
             if out:
@@ -143,14 +158,39 @@ def encode_image_data_uri(
     SOURCE byte size exceeds max_size_kb, resize by scale=sqrt(max/cur)
     with LANCZOS; JPEG flattens RGBA/LA onto white at quality=85; emit a
     data:image/..;base64 URI; any failure -> None (the reference swallows
-    and logs).  Import-gated on PIL like the byte decoders."""
+    and logs).
+
+    Without PIL, PNG payloads run through the stdlib codec
+    (functions/png.py): same sqrt resize rule and data-URI framing,
+    nearest-neighbor in place of LANCZOS (dimension-exact, pixel-values
+    divergence documented there).  JPEG output without PIL stays
+    NotImplementedError — no stdlib JPEG encoder exists."""
     try:
         from PIL import Image
     except ImportError as e:
-        raise NotImplementedError(
-            "image re-encode requires PIL (not in this environment); "
-            "resize_images covers the metadata-side rule"
-        ) from e
+        from .png import decode_png, encode_png, is_png, resize_nearest
+
+        if format.upper() != "PNG":
+            raise NotImplementedError(
+                f"{format} re-encode requires PIL (not in this environment); "
+                "PNG re-encode runs via the stdlib codec, and resize_images "
+                "covers the metadata-side rule"
+            ) from e
+        import base64
+
+        try:
+            if not is_png(image_data):
+                return None
+            arr = decode_png(image_data)
+            current_size = len(image_data) / 1024
+            if current_size > max_size_kb:
+                scale = (max_size_kb / current_size) ** 0.5
+                h, w = arr.shape[:2]
+                arr = resize_nearest(arr, max(1, int(w * scale)), max(1, int(h * scale)))
+            encoded = base64.b64encode(encode_png(arr)).decode("utf-8")
+            return f"data:image/png;base64,{encoded}"
+        except Exception:
+            return None
     import base64
     import io
 

@@ -83,8 +83,11 @@ def test_reencode_gate_and_pil_roundtrip(spark):
     from eget_spark.functions.media import encode_image_data_uri, reencode_images
 
     if importlib.util.find_spec("PIL") is None:
+        # PNG runs via the stdlib codec now: malformed bytes -> None (the
+        # reference swallows failures); JPEG output stays PIL-gated
+        assert encode_image_data_uri(b"\x89PNG....", "PNG") is None
         with pytest.raises(NotImplementedError):
-            encode_image_data_uri(b"\x89PNG....")
+            encode_image_data_uri(b"\xff\xd8\xff....", "JPEG")
         return
     import base64
     import io
@@ -111,3 +114,133 @@ def test_reencode_gate_and_pil_roundtrip(spark):
             io.BytesIO(base64.b64decode(uri2.split(",", 1)[1]))
         )
         assert img3.size == (int(800 * scale), int(600 * scale))
+
+
+def test_png_codec_roundtrip_all_shapes():
+    """Stdlib PNG codec: encode->decode is identity for gray/RGB/RGBA."""
+    import numpy as np
+
+    from eget_spark.functions.png import decode_png, encode_png, png_size
+
+    rng = np.random.default_rng(7)
+    for shape in [(13, 17), (8, 9, 3), (5, 6, 4)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        data = encode_png(arr)
+        assert png_size(data) == (shape[1], shape[0])
+        back = decode_png(data)
+        assert back.shape == arr.shape and (back == arr).all()
+
+
+def test_png_decode_all_filter_types():
+    """Decoder must reconstruct Sub/Up/Average/Paeth filtered scanlines —
+    a hand-built PNG applies a different filter per row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from eget_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    # build scanlines with filters [0,1,2,3,4] row by row (encoder side of
+    # the filters, so decode must invert each)
+    h, w, ch = arr.shape
+    bpp = ch
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+    base = encode_png(arr)  # reuse header/trailer framing
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        base[:8]
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(data) == arr).all()
+
+
+def test_reencode_images_stdlib_png(spark):
+    """X19 end-to-end without PIL: oversized PNG payloads are resized by
+    the sqrt rule and re-emitted as data:image/png URIs; small ones pass
+    through at original dimensions."""
+    import base64
+
+    import numpy as np
+
+    from eget_spark.functions.media import reencode_images
+    from eget_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)  # ~190KB png
+    small = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        ("m1", "image", bytearray(encode_png(big)), (256, 256, 1, 0)),
+        ("m2", "image", bytearray(encode_png(small)), (16, 16, 1, 0)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,bytes:long>",
+    )
+    out = {
+        r["media_ref"]: r["data_uri"]
+        for r in reencode_images(media, format="PNG", max_size_kb=50).collect()
+    }
+    assert out["m2"] is not None and out["m2"].startswith("data:image/png;base64,")
+    small_back = decode_png(base64.b64decode(out["m2"].split(",", 1)[1]))
+    assert (small_back == small).all()  # under the size cap: no resize
+    big_raw = len(encode_png(big)) / 1024
+    scale = (50 / big_raw) ** 0.5
+    big_back = decode_png(base64.b64decode(out["m1"].split(",", 1)[1]))
+    assert big_back.shape[:2] == (int(256 * scale), int(256 * scale))
+
+
+def test_decode_media_real_png_header(spark):
+    """decode_media sizes real PNG payloads from IHDR (no pixel decode),
+    alongside fake-codec payloads in the same batch."""
+    import numpy as np
+
+    from eget_spark.functions.media import decode_media, encode_fake
+    from eget_spark.functions.png import encode_png
+
+    png = encode_png(np.zeros((12, 34, 3), dtype=np.uint8))
+    rows = [
+        ("p1", "image", bytearray(png), (0, 0, 0, 0)),
+        ("f1", "video", bytearray(encode_fake("video", 64, 48, 30, "s")), (0, 0, 0, 0)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,bytes:long>",
+    )
+    got = {r["media_ref"]: r for r in decode_media(media).collect()}
+    assert (got["p1"]["width"], got["p1"]["height"]) == (34, 12)
+    assert got["p1"]["kind"] == "image" and got["p1"]["bytes"] == len(png)
+    assert (got["f1"]["width"], got["f1"]["n_frames"]) == (64, 30)
