@@ -51,6 +51,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q49_docx_convert       C2 end-to-end: stdlib DOCX byte decode -> spans
   q50_ttl_recrawl        S4 TTL expiry + recrawl: refetch exactly the expired
   q51_xlsx_convert       C3 end-to-end: stdlib XLSX byte decode -> spans
+  q52_png_decode         multimodal: REAL PNG payloads through decode_media
 """
 
 from __future__ import annotations
@@ -1829,6 +1830,58 @@ FROM spans
 """
 
 
+def q52_png_decode(spark, sf_dir):
+    """Multimodal, REAL codec: 40 PNG payloads (stdlib encoder, gradient
+    pixels) with index-derived dimensions go through decode_media's
+    header-only IHDR sizing inside mapInPandas; DuckDB reproduces the
+    per-bucket dimension aggregates from the same arithmetic.  Unlike q38
+    (fake-codec plumbing), the bytes here are genuine PNGs."""
+    import numpy as np
+
+    from eget_spark.functions.media import decode_media
+    from eget_spark.functions.png import encode_png
+
+    n = 40
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 7) * 8, 16 + (i % 5) * 8
+        # deterministic gradient, no RNG
+        arr = (
+            (np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 5 + i) % 256
+        ).astype(np.uint8)
+        rows.append(
+            (
+                f"png{i:03d}",
+                "image",
+                bytearray(encode_png(arr)),
+                (0, 0, 0, 0),
+            )
+        )
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, "
+        "meta struct<width:int,height:int,n_frames:int,bytes:long>",
+    )
+    return (
+        decode_media(media)
+        .groupBy((F.regexp_extract("media_ref", r"(\d+)$", 1).cast("long") % 7).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+        )
+    )
+
+
+_Q52_SQL = """
+WITH i AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 40))
+SELECT i % 7 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(16 + (i % 7) * 8) AS BIGINT) AS sum_width,
+       CAST(sum(16 + (i % 5) * 8) AS BIGINT) AS sum_height
+FROM i GROUP BY bucket
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1887,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_docx_convert": q49_docx_convert,
         "q50_ttl_recrawl": q50_ttl_recrawl,
         "q51_xlsx_convert": q51_xlsx_convert,
+        "q52_png_decode": q52_png_decode,
     }
 
 
@@ -1943,4 +1997,5 @@ def oracle_sql() -> dict[str, str]:
         "q49_docx_convert": _Q49_SQL,
         "q50_ttl_recrawl": _Q50_SQL,
         "q51_xlsx_convert": _Q51_SQL,
+        "q52_png_decode": _Q52_SQL,
     }

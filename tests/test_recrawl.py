@@ -131,3 +131,40 @@ def test_expire_from_filter_deletes_exactly_expired(spark, docs_small, robots_sm
         spark, docs_small, cfg, prior, expired, robots=robots_small, seen_cuckoo=cf
     )
     assert {r["url"] for r in res.pages.collect()} == exp_set
+
+
+def test_seed_frontier_df_equals_list_seed_path(spark, docs_small, robots_small):
+    """The distributed seed path (windowed dedup + caps + global seq) must
+    admit exactly what the driver-list path admits for the same seed
+    multiset, order, and caps — duplicates dropped first-occurrence-wins,
+    per-host cap in enumeration order, max_pages truncation."""
+    from pyspark.sql import functions as F
+
+    seeds = (
+        [doc_url(0, i) for i in range(6)]
+        + [doc_url(0, 2), doc_url(0, 0)]  # duplicates
+        + [doc_url(1, i) for i in range(4)]
+        + [doc_url(2, 0)]
+    )
+    kw = dict(max_depth=0, max_pages=8, max_pages_per_host=3)
+    list_res = crawl(
+        spark, docs_small, CrawlConfig(seed_urls=seeds, **kw), robots=robots_small
+    )
+    sf = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(seeds)], "url string, order long"
+    )
+    df_res = crawl(
+        spark,
+        docs_small,
+        CrawlConfig(seed_urls=["https://unused.example.com/"], **kw),
+        robots=robots_small,
+        seed_frontier=sf,
+    )
+    want = [
+        (r["seq"], r["url"]) for r in list_res.order.orderBy("seq").collect()
+    ]
+    got = [(r["seq"], r["url"]) for r in df_res.order.orderBy("seq").collect()]
+    assert got == want
+    assert {r["url"] for r in df_res.seen.collect()} == {
+        r["url"] for r in list_res.seen.collect()
+    }
