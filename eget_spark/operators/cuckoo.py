@@ -374,9 +374,10 @@ def anti_join_seen_cuckoo(
     if cuckoo is None:
         return candidates.join(seen, url_col, "left_anti")
     spark = candidates.sparkSession
+    # checkpoint: flagged feeds three consumers (cf. seen.anti_join_seen)
     flagged = candidates.withColumn(
         "_maybe_seen", cuckoo_maybe_contains(spark, cuckoo, F.col(url_col))
-    )
+    ).localCheckpoint(eager=False)
     definite_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
     positives = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
     found = seen.join(F.broadcast(positives.select(url_col)), url_col, "left_semi")

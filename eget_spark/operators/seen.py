@@ -371,9 +371,14 @@ def anti_join_seen(
     if bloom is None:
         return candidates.join(seen, url_col, "left_anti")
     spark = candidates.sparkSession
+    # checkpoint the flagged frame: it feeds THREE consumers (the
+    # definite-new branch, the broadcast of positives, and the confirmed
+    # anti-join) — without it the whole upstream candidate pipeline
+    # (fetch join, harvest, normalize, filters, probe) executes three
+    # times per round; measured ~8 s/round at the 350k-page bench
     flagged = candidates.withColumn(
         "_maybe_seen", bloom_maybe_contains(spark, bloom, F.col(url_col))
-    )
+    ).localCheckpoint(eager=False)
     definite_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
     positives = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
     # exact confirm WITHOUT shuffling the (huge) seen side: semi-join seen
