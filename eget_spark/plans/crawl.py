@@ -280,6 +280,13 @@ def crawl(
             ["order", "url"],
             start=0,
             num_partitions=_seq_partitions(spark, 1),
+            # monotone in the leading key -> one hash exchange, no
+            # range-sampling pass that would compute the seed pipeline
+            # twice (same trick as the kids sequencing). Callers seeding
+            # 10^8 rows (recrawl) supply a spread-out `order` (prior
+            # seq); a constant default order degrades to one bucket,
+            # which is fine at list-seed sizes.
+            bucket_expr=F.floor(F.col("order") / F.lit(1024)),
         )
         frontier = _checkpoint(
             sr0.df.where(F.col("seq") < config.max_pages).select(FRONTIER_COLS)
