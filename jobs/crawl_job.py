@@ -51,22 +51,32 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--round-window", type=float, default=10.0)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--output", default=None, help="optional parquet path for the final pages table")
+    p.add_argument("--recrawl-expired-where", default=None,
+                   help="TTL recrawl: SQL predicate over the PRIOR run's pages "
+                        "table at --table-dir (e.g. \"round <= 2\"); matching "
+                        "URLs are refetched at their prior crawl position, the "
+                        "rest served from cache. The recrawl itself writes "
+                        "round state to --recrawl-table-dir if given.")
+    p.add_argument("--recrawl-table-dir", default=None,
+                   help="round-state dir for the recrawl run (optional)")
     return p.parse_args(argv)
 
 
-def main(argv: list[str]) -> int:
+def main(argv: list[str], spark=None) -> int:
     args = parse_args(argv)
-    from pyspark.sql import SparkSession
+    owns_session = spark is None
+    if owns_session:
+        from pyspark.sql import SparkSession
 
-    b = SparkSession.builder.appName("eget_spark_crawl")
-    if args.shuffle_partitions:
-        b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
-    b = (
-        b.config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-    )
-    spark = b.getOrCreate()
+        b = SparkSession.builder.appName("eget_spark_crawl")
+        if args.shuffle_partitions:
+            b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        b = (
+            b.config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+        )
+        spark = b.getOrCreate()
 
     from eget_spark.plans.crawl import CrawlConfig, crawl
 
@@ -87,11 +97,35 @@ def main(argv: list[str]) -> int:
     )
     priorities = spark.read.parquet(args.priorities) if args.priorities else None
     t0 = time.monotonic()
-    res = crawl(
-        spark, docs, cfg, robots=robots,
-        table_dir=args.table_dir, resume=args.resume, catalog=args.catalog,
-        priorities=priorities,
-    )
+    if args.recrawl_expired_where:
+        # TTL recrawl against a completed prior run's round state
+        if not args.table_dir:
+            raise SystemExit("--recrawl-expired-where requires --table-dir "
+                             "of the prior run")
+        from eget_spark.plans.crawl import CrawlResult, recrawl
+        from eget_spark.plans.tables import CrawlRun
+
+        prior_run = CrawlRun(spark, args.table_dir, args.catalog)
+        prior_pages = prior_run.docs.read().drop("partition_id")
+        prior_order = prior_run.admitted.read()
+        prior = CrawlResult(
+            pages=prior_pages,
+            order=prior_order,
+            seen=prior_order.select("url"),
+            stats=[],
+        )
+        expired = prior_pages.where(args.recrawl_expired_where).select("url")
+        res = recrawl(
+            spark, docs, cfg, prior, expired, robots=robots,
+            table_dir=args.recrawl_table_dir, catalog=args.catalog,
+            priorities=priorities,
+        )
+    else:
+        res = crawl(
+            spark, docs, cfg, robots=robots,
+            table_dir=args.table_dir, resume=args.resume, catalog=args.catalog,
+            priorities=priorities,
+        )
     if args.output:
         res.pages.write.mode("overwrite").parquet(args.output)
         n_pages = spark.read.parquet(args.output).count()
@@ -112,7 +146,8 @@ def main(argv: list[str]) -> int:
             }
         )
     )
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
