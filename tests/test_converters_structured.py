@@ -266,3 +266,91 @@ def test_pdf_decode_roundtrip():
     kinds = [s["kind"] for s in spans]
     assert kinds.count("heading") >= 3  # 2 page markers + 'Chapter 1'
     assert "list" in kinds and "paragraph" in kinds
+
+
+def test_xlsx_stdlib_shared_strings_and_row_gaps():
+    """Real-world XLSX stores strings via sharedStrings.xml (our writer
+    uses inline strings) — hand-build an archive exercising the shared
+    table, multi-run <si> concatenation, missing rows, and column gaps."""
+    import io
+    import zipfile
+
+    from eget_spark.sources.ooxml import decode_xlsx_bytes
+
+    ct = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        "</Types>"
+    )
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="SS" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">'
+        "<si><t>hello</t></si>"
+        "<si><r><t>multi</t></r><r><t xml:space=\"preserve\"> run</t></r></si>"
+        "</sst>"
+    )
+    # row 1: A1 shared[0], C1 shared[1] (gap at B1); row 3 exists, row 2 missing
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>'
+        '<row r="3"><c r="B3"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    sheets = decode_xlsx_bytes(buf.getvalue())
+    assert [t for t, _ in sheets] == ["SS"]
+    rows = sheets[0][1]
+    assert rows[0] == ["hello", None, "multi run"]  # gap -> None, si runs joined
+    assert rows[1] == []  # missing row preserved as empty
+    assert rows[2] == [None, 42]
+
+
+def test_docx_stdlib_tabs_breaks_and_toggle_props():
+    """Run text must include w:tab/w:br controls (python-docx Run.text
+    parity) and toggle props respect explicit off values."""
+    import io
+    import zipfile
+
+    from eget_spark.sources.ooxml import decode_docx_bytes
+
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        "<w:body>"
+        "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t></w:r></w:p>"
+        '<w:p><w:r><w:rPr><w:b w:val="0"/><w:i/></w:rPr><w:t>styled</w:t></w:r></w:p>'
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    props, events = decode_docx_bytes(buf.getvalue())
+    assert props == {}
+    (k1, p1), (k2, p2) = events
+    assert p1["text"] == "a\tb\nc"
+    text, bold, italic, underline = p2["runs"][0]
+    assert (text, bold, italic, underline) == ("styled", False, True, False)
