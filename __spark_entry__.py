@@ -52,6 +52,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q50_ttl_recrawl        S4 TTL expiry + recrawl: refetch exactly the expired
   q51_xlsx_convert       C3 end-to-end: stdlib XLSX byte decode -> spans
   q52_png_decode         multimodal: REAL PNG payloads through decode_media
+  q53_contamination      decontamination: benchmark n-gram overlap flags
 """
 
 from __future__ import annotations
@@ -1882,6 +1883,53 @@ FROM i GROUP BY bucket
 """
 
 
+def q53_contamination(spark, sf_dir):
+    """Training-data decontamination (GPT-3 appendix-C recipe): flag every
+    corpus doc sharing a word 5-gram with the 'benchmark' slice
+    (doc_id % 97 == 0).  Benchmark docs flag themselves (that IS
+    contamination); chance 5-gram collisions between random-vocab docs
+    are counted identically by both engines.  Spark: codegen shingles +
+    broadcast-hash join (operators/decontaminate.py); oracle: DuckDB
+    list-slice n-grams + join."""
+    from eget_spark.operators.decontaminate import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    bench = docs.where(F.col("doc_id").cast("long") % 97 == 0)
+    return contamination_flags(docs, bench, n=5).select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_bench_texts",
+        "n_shared_grams",
+    )
+
+
+_Q53_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 5
+  UNION
+  SELECT doc_id, array_to_string(t, ' ') FROM toks WHERE len(t) < 5
+),
+d AS (SELECT DISTINCT doc_id, s FROM grams),
+b AS (SELECT DISTINCT doc_id AS bench_id, s FROM grams WHERE doc_id % 97 = 0),
+pairs AS (
+  SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+  FROM d JOIN b USING (s)
+  GROUP BY d.doc_id, b.bench_id
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_texts,
+       CAST(sum(n_shared) AS BIGINT) AS n_shared_grams
+FROM pairs GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1941,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_ttl_recrawl": q50_ttl_recrawl,
         "q51_xlsx_convert": q51_xlsx_convert,
         "q52_png_decode": q52_png_decode,
+        "q53_contamination": q53_contamination,
     }
 
 
@@ -1998,4 +2047,5 @@ def oracle_sql() -> dict[str, str]:
         "q50_ttl_recrawl": _Q50_SQL,
         "q51_xlsx_convert": _Q51_SQL,
         "q52_png_decode": _Q52_SQL,
+        "q53_contamination": _Q53_SQL,
     }

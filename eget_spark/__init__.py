@@ -34,5 +34,9 @@ from .operators.cuckoo import (  # noqa: E402,F401
 from .operators.graph import pagerank, pagerank_fixed  # noqa: E402,F401
 from .plans.crawl import CrawlConfig, CrawlResult, crawl, recrawl  # noqa: E402,F401
 from .plans.tables import write_bucketed_corpus  # noqa: E402,F401
+from .operators.decontaminate import (  # noqa: E402,F401
+    contamination_flags,
+    decontaminate,
+)
 from .pipeline import prepare_training_data  # noqa: E402,F401
 from .session import get_spark  # noqa: E402,F401
