@@ -53,6 +53,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q51_xlsx_convert       C3 end-to-end: stdlib XLSX byte decode -> spans
   q52_png_decode         multimodal: REAL PNG payloads through decode_media
   q53_contamination      decontamination: benchmark n-gram overlap flags
+  q54_proportional_mix   corpus mixing to target domain proportions
 """
 
 from __future__ import annotations
@@ -1930,6 +1931,37 @@ FROM pairs GROUP BY doc_id
 """
 
 
+def q54_proportional_mix(spark, sf_dir):
+    """Corpus mixing to target domain proportions (the reweighting step of
+    a training-data pipeline): 60% src0 / 30% src1 / 10% src2 of a
+    40-doc budget, everything else dropped; rows chosen in the same
+    stable md5-of-id order as q47 so the mix is deterministic and
+    engine-reproducible (operators/sampling.proportional_mix)."""
+    from eget_spark.operators.sampling import proportional_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return proportional_mix(
+        docs, "source", {"src0": 0.6, "src1": 0.3, "src2": 0.1}, 40,
+        "doc_id", seed="m1",
+    )
+
+
+_Q54_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('m1' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked
+WHERE (source = 'src0' AND rk <= 24)
+   OR (source = 'src1' AND rk <= 12)
+   OR (source = 'src2' AND rk <= 4)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -1990,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_xlsx_convert": q51_xlsx_convert,
         "q52_png_decode": q52_png_decode,
         "q53_contamination": q53_contamination,
+        "q54_proportional_mix": q54_proportional_mix,
     }
 
 
@@ -2048,4 +2081,5 @@ def oracle_sql() -> dict[str, str]:
         "q51_xlsx_convert": _Q51_SQL,
         "q52_png_decode": _Q52_SQL,
         "q53_contamination": _Q53_SQL,
+        "q54_proportional_mix": _Q54_SQL,
     }

@@ -38,3 +38,42 @@ def stratified_sample(
         .where(F.col("_srk") <= n_per_group)
         .drop("_srk")
     )
+
+
+def proportional_mix(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    total: int,
+    id_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic corpus mixing to target proportions: keep
+    ``round(weights[g] * total)`` rows of each stratum ``g`` (strata
+    absent from ``weights`` are dropped), chosen by the same stable
+    md5-of-id order as :func:`stratified_sample` — the
+    domain-reweighting step of a training-data pipeline (e.g. 60% web /
+    30% code / 10% academic), reproducible across retries, partitionings,
+    and engines.
+
+    Per-stratum targets are fixed driver-side arithmetic on the weights
+    dict (no data-dependent planning); a stratum with fewer rows than its
+    target contributes all of them — callers wanting exact totals
+    re-normalize weights to observed counts first.  Plan shape is
+    stratified_sample's: one window per stratum, WindowGroupLimit,
+    no global sort."""
+    targets = {g: int(round(w * total)) for g, w in weights.items()}
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    cap = F.coalesce(
+        *[
+            F.when(F.col(group_col) == g, F.lit(n))
+            for g, n in sorted(targets.items())
+        ],
+        F.lit(0),
+    ) if targets else F.lit(0)
+    return (
+        df.withColumn("_srk", F.row_number().over(w))
+        .where(F.col("_srk") <= cap)
+        .drop("_srk")
+    )

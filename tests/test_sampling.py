@@ -28,3 +28,24 @@ def test_stratified_sample_deterministic_and_partition_invariant(spark):
         [(1, "only"), (2, "only")], "doc_id long, source string"
     )
     assert len(_rows(stratified_sample(small, "source", 7, "doc_id"))) == 2
+
+
+def test_proportional_mix_targets_and_determinism(spark):
+    from eget_spark.operators.sampling import proportional_mix
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(100)], "id long, g string"
+    )
+    out = proportional_mix(df, "g", {"g0": 0.5, "g1": 0.3, "g2": 0.2}, 20, "id")
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"g0": 10, "g1": 6, "g2": 4}  # g3 dropped entirely
+    # deterministic: same rows on re-run
+    again = proportional_mix(df, "g", {"g0": 0.5, "g1": 0.3, "g2": 0.2}, 20, "id")
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+    # undersized stratum contributes everything it has
+    tiny = proportional_mix(df, "g", {"g0": 1.0}, 200, "id")
+    assert tiny.count() == 25
+    # empty weights -> empty result
+    assert proportional_mix(df, "g", {}, 20, "id").count() == 0
