@@ -107,7 +107,7 @@ def _run_text(r) -> str:
     for child in r:
         tag = child.tag
         if tag == _W + "t":
-            parts.append(child.text or "")
+            parts.append(ooxml_unescape(child.text or ""))
         elif tag == _W + "tab":
             parts.append("\t")
         elif tag in (_W + "br", _W + "cr"):
@@ -206,7 +206,9 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
         return []
     out = []
     for si in root.findall(_S + "si"):
-        out.append("".join(t.text or "" for t in si.iter(_S + "t")))
+        out.append(
+            ooxml_unescape("".join(t.text or "" for t in si.iter(_S + "t")))
+        )
     return out
 
 
@@ -262,7 +264,9 @@ def _cell_value(c, shared: list[str], date_xfs: set[int]):
         is_el = c.find(_S + "is")
         if is_el is None:
             return None
-        return "".join(el.text or "" for el in is_el.iter(_S + "t"))
+        return ooxml_unescape(
+            "".join(el.text or "" for el in is_el.iter(_S + "t"))
+        )
     v = c.find(_S + "v")
     if v is None or v.text is None:
         return None
@@ -270,7 +274,7 @@ def _cell_value(c, shared: list[str], date_xfs: set[int]):
     if t == "s":
         return shared[int(raw)]
     if t == "str" or t == "e":
-        return raw
+        return ooxml_unescape(raw)
     if t == "b":
         return bool(int(raw))
     num = float(raw)
@@ -354,9 +358,31 @@ _RELS_XML = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 {rels}</Relationships>"""
 
 
+# XML 1.0 cannot represent control characters / lone surrogates at all;
+# OOXML stores them as _xHHHH_ escapes (ECMA-376 §22.4.2.4, the same
+# convention Excel itself writes). \r is technically legal XML but parsers
+# normalize it to \n in text content, so it must be escaped to roundtrip.
+_ILLEGAL_XML_RE = re.compile(
+    "[\x00-\x08\x0b\x0c\x0d\x0e-\x1f\ud800-\udfff￾￿]"
+)
+_X_ESC_RE = re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _ooxml_escape_chars(s: str) -> str:
+    # a literal "_xHHHH_" in user text is itself escaped (_x005F_xHHHH_)
+    s = _X_ESC_RE.sub(lambda m: "_x005F_x" + m.group(1) + "_", s)
+    return _ILLEGAL_XML_RE.sub(lambda m: "_x%04X_" % ord(m.group()), s)
+
+
+def ooxml_unescape(s: str) -> str:
+    """Decode OOXML _xHHHH_ character escapes (readers apply this to every
+    string cell / run text; _x005F_xHHHH_ resolves to the literal)."""
+    return _X_ESC_RE.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _esc(s: str) -> str:
     return (
-        str(s)
+        _ooxml_escape_chars(str(s))
         .replace("&", "&amp;")
         .replace("<", "&lt;")
         .replace(">", "&gt;")
