@@ -169,7 +169,21 @@ def main() -> None:
     max_attempts = int(os.environ.get("EGET_BENCH_ATTEMPTS", "3"))
     min_attempts = min(2, max_attempts)
     attempts: list[tuple[dict, dict, dict]] = []  # (calib, timings, crawl)
-    attempts.append((calib, *run_suite()))
+
+    def bracketed(pre: dict) -> tuple[dict, dict, dict]:
+        # calibrate BEFORE and AFTER the suite, keep the quieter probe:
+        # bursty neighbor load can hit one probe but not the measured run,
+        # and attributing a loud probe to a quiet run mislabels the record
+        t, c = run_suite()
+        post = calibrate(cpus)
+        best = min(pre, post, key=lambda x: x["mt_1unit_each_sec"])
+        best = dict(best)
+        best["t1_4units_sec"] = min(
+            pre["t1_4units_sec"], post["t1_4units_sec"]
+        )
+        return best, t, c
+
+    attempts.append(bracketed(calib))
 
     def t1_ref() -> float:
         return min(c["t1_4units_sec"] for c, _, _ in attempts)
@@ -178,7 +192,7 @@ def main() -> None:
         len(attempts) < min_attempts
         or not any(quiet(c, t1_ref()) for c, _, _ in attempts)
     ):
-        attempts.append((calibrate(cpus), *run_suite()))
+        attempts.append(bracketed(calibrate(cpus)))
 
     best_q: dict[str, float] = {
         name: min(t[name] for _, t, _ in attempts) for name in HEADLINE
