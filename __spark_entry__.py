@@ -54,6 +54,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q52_png_decode         multimodal: REAL PNG payloads through decode_media
   q53_contamination      decontamination: benchmark n-gram overlap flags
   q54_proportional_mix   corpus mixing to target domain proportions
+  q55_trap_scores        spider-trap analytics: URL-template mining per host
 """
 
 from __future__ import annotations
@@ -1962,6 +1963,60 @@ WHERE (source = 'src0' AND rk <= 24)
 """
 
 
+_Q55_URLS = """
+CASE WHEN doc_id % 7 = 0
+     THEN 'https://trap.example.com/cal/' || doc_id || '/day/' || (doc_id % 12)
+     WHEN doc_id % 3 = 0
+     THEN 'https://h' || (doc_id % 5) || '.example.com/about'
+     WHEN doc_id % 3 = 1
+     THEN 'https://h' || (doc_id % 5) || '.example.com/p/' || doc_id
+     ELSE 'https://h' || (doc_id % 5) || '.example.com/q?id=' || doc_id
+          || '&tok=' || md5(CAST(doc_id AS STRING))
+END
+"""
+
+
+def q55_trap_scores(spark, sf_dir):
+    """Spider-trap analytics (operators/traps.py): URL-template mining
+    over an arithmetic URL corpus — digit runs -> N, >=8-char hex (the
+    md5 session token) -> H, query values -> V; per host the dominant
+    template's share is the trap score. The synthetic trap host collapses
+    to ONE template (score 1.0); real hosts spread across several."""
+    from eget_spark.operators.traps import trap_scores
+
+    urls = _t(spark, sf_dir, "documents").selectExpr(f"({_Q55_URLS}) AS url")
+    return trap_scores(urls)
+
+
+_Q55_SQL = f"""
+WITH urls AS (SELECT ({_Q55_URLS}) AS url FROM documents),
+t AS (
+  SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(url, '[0-9a-fA-F]{{8,}}', 'H', 'g'),
+             '\\d+', 'N', 'g'),
+           '=([^&#/]*)', '=V', 'g') AS template
+  FROM urls
+),
+tc AS (SELECT host, template, count(*) AS n_urls FROM t GROUP BY host, template),
+ranked AS (
+  SELECT host, template, n_urls,
+         row_number() OVER (
+           PARTITION BY host ORDER BY n_urls DESC, template DESC
+         ) AS rk,
+         sum(n_urls) OVER (PARTITION BY host) AS tot,
+         count(*) OVER (PARTITION BY host) AS ntpl,
+         max(n_urls) OVER (PARTITION BY host) AS topn
+  FROM tc
+)
+SELECT host, CAST(tot AS BIGINT) AS n_urls, CAST(ntpl AS BIGINT) AS n_templates,
+       template AS top_template, CAST(topn AS BIGINT) AS top_template_n,
+       round(CAST(topn AS DOUBLE) / tot, 6) AS trap_score
+FROM ranked WHERE rk = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2023,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_png_decode": q52_png_decode,
         "q53_contamination": q53_contamination,
         "q54_proportional_mix": q54_proportional_mix,
+        "q55_trap_scores": q55_trap_scores,
     }
 
 
@@ -2082,4 +2138,5 @@ def oracle_sql() -> dict[str, str]:
         "q52_png_decode": _Q52_SQL,
         "q53_contamination": _Q53_SQL,
         "q54_proportional_mix": _Q54_SQL,
+        "q55_trap_scores": _Q55_SQL,
     }

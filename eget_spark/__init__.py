@@ -38,5 +38,6 @@ from .operators.decontaminate import (  # noqa: E402,F401
     contamination_flags,
     decontaminate,
 )
+from .operators.traps import trap_scores, url_template  # noqa: E402,F401
 from .pipeline import prepare_training_data  # noqa: E402,F401
 from .session import get_spark  # noqa: E402,F401

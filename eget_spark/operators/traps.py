@@ -1,0 +1,61 @@
+"""Spider-trap analytics: URL-template mining per host.
+
+Crawl traps (calendars, faceted search, session-id paths) generate
+unbounded URL families that differ only in numeric/hex path segments.
+Mining the frontier or seen set for dominant URL *templates* — the URL
+with digit runs and long hex runs collapsed to placeholders — surfaces
+them before they eat the politeness budget, and feeds the per-host cap /
+exclude-pattern controls (`CrawlConfig.max_pages_per_host`,
+`exclude_patterns`) with evidence instead of guesses.
+
+Pure column expressions (regexp_replace + aggregates), zero Python; one
+shuffle keyed on (host, template), then a tiny per-host aggregate — at
+10^10 URLs the template collapse is map-side and the per-host result is
+O(hosts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import host_of
+
+
+def url_template(url) -> "F.Column":
+    """Collapse volatile URL segments: digit runs -> N, >=8-char hex runs
+    -> H (session ids / content hashes).  Query strings keep their keys
+    but lose their values (the classic faceted-search trap shape)."""
+    c = F.col(url) if isinstance(url, str) else url
+    t = F.regexp_replace(c, r"[0-9a-fA-F]{8,}", "H")
+    t = F.regexp_replace(t, r"\d+", "N")
+    return F.regexp_replace(t, r"=([^&#/]*)", "=V")
+
+
+def template_counts(
+    urls: DataFrame, url_col: str = "url", host_col: str | None = None
+) -> DataFrame:
+    """(host, template, n_urls) — the template histogram."""
+    host = F.col(host_col) if host_col else host_of(F.col(url_col))
+    return (
+        urls.select(host.alias("host"), url_template(F.col(url_col)).alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+
+
+def trap_scores(
+    urls: DataFrame, url_col: str = "url", host_col: str | None = None
+) -> DataFrame:
+    """Per host: total URLs, distinct templates, the dominant template and
+    its share.  ``trap_score`` (dominant template's fraction of the
+    host's URLs) near 1.0 with a large n_urls = one URL family dominates
+    the host — the trap signature."""
+    tc = template_counts(urls, url_col, host_col)
+    return tc.groupBy("host").agg(
+        F.sum("n_urls").cast("long").alias("n_urls"),
+        F.count("*").cast("long").alias("n_templates"),
+        F.max_by("template", F.struct("n_urls", "template")).alias("top_template"),
+        F.max("n_urls").cast("long").alias("top_template_n"),
+        F.round(F.max("n_urls") / F.sum("n_urls"), 6).alias("trap_score"),
+    )
