@@ -109,17 +109,15 @@ class CuckooShard:
         self.stash.append((i, cur))  # saturated: no false negatives, ever
 
     def delete(self, i1: int, fp: int) -> bool:
-        # Stash FIRST (round-2 advice): if the deleted member's own copy
-        # was stash-spilled while another member with a colliding 16-bit
-        # fp occupies a probed bucket, clearing the table slot first would
-        # remove the other member's copy.  (Membership still survives that
-        # ordering because stash probes are fp-only — contains_batch —
-        # but stash-first keeps each delete paired with its own copy.)
-        for j, (si, sfp) in enumerate(self.stash):
-            # stash entries live anywhere on fp's eviction orbit; match on fp
-            if sfp == fp:
-                del self.stash[j]
-                return True
+        # Table FIRST (round-3 advice — the round-2 stash-first order was
+        # a bug): a table probe matches on (bucket, fp), the same
+        # granularity membership is tracked at, so clearing a table slot
+        # can only remove a copy this member is indistinguishable from.
+        # Stash-first with an fp-only match could consume an *unrelated*
+        # stashed member's entry on a colliding 16-bit fp, leaving the
+        # deleted member's table copy alive (never refetched by recrawl)
+        # and making the stashed member a false negative (anti-join emits
+        # it as definite-new without the exact confirm).
         mask = self.n_buckets - 1
         i2 = (i1 ^ int(_fp_hash(np.array([fp], dtype=np.uint16), mask)[0])) & mask
         for i in (i1, i2):
@@ -127,6 +125,15 @@ class CuckooShard:
             hit = np.nonzero(row == fp)[0]
             if len(hit):
                 row[hit[0]] = 0
+                return True
+        # Stash as last resort, and only entries on this fingerprint's own
+        # bucket orbit {i1, i2}: the eviction walk only ever moves a
+        # fingerprint between its two buckets, so a stashed (si, fp) with
+        # si outside the orbit belongs to a different member and must
+        # survive this delete.
+        for j, (si, sfp) in enumerate(self.stash):
+            if sfp == fp and si in (i1, i2):
+                del self.stash[j]
                 return True
         return False
 
@@ -144,7 +151,10 @@ class CuckooShard:
         hit = (self.table[i1.astype(np.int64)] == fp_col).any(axis=1)
         hit |= (self.table[i2.astype(np.int64)] == fp_col).any(axis=1)
         for si, sfp in self.stash:
-            hit |= fp == sfp
+            # orbit-constrained: a stashed fp only matches probes whose
+            # bucket pair contains its recorded bucket (fewer false
+            # positives than fp-only, and consistent with delete())
+            hit |= (fp == sfp) & ((i1 == si) | (i2 == si))
         return hit
 
 
@@ -322,8 +332,12 @@ def build_cuckoo(
         ]
     )
     h1e, h2e = url_hash_exprs(url_col)
+    # isNotNull: xxhash64(NULL) would collapse every null row onto the
+    # fixed (seed, hashInt(1, seed)) sentinel — the documented contract is
+    # None -> never a member (round-3 advice)
     rows = (
-        df.select(h1e.alias("_h1"), h2e.alias("_h2"))
+        df.where(F.col(url_col).isNotNull())
+        .select(h1e.alias("_h1"), h2e.alias("_h2"))
         .mapInPandas(route, schema=route_schema)
         .groupBy("shard")
         .applyInPandas(build_shard, schema=out_schema)
@@ -358,8 +372,10 @@ def cuckoo_maybe_contains(spark, cf: ShardedCuckoo, url):
             hit[m] = flt.shards[s].contains_batch(bucket[m], fp[m])
         return pd.Series(hit)
 
-    h1e, h2e = url_hash_exprs(url)
-    return probe(h1e, h2e)
+    c = F.col(url) if isinstance(url, str) else url
+    h1e, h2e = url_hash_exprs(c)
+    # null url -> False, symmetric with build_cuckoo's isNotNull gate
+    return F.when(c.isNull(), F.lit(False)).otherwise(probe(h1e, h2e))
 
 
 def anti_join_seen_cuckoo(
@@ -419,8 +435,17 @@ def expire_from_filter(cf: ShardedCuckoo, df: DataFrame, url_col: str = "url") -
             )
 
     h1e, h2e = url_hash_exprs(url_col)
+    # dropDuplicates on the 128-bit hash pair (round-3 advice): duplicate
+    # input rows would each issue another delete for the same (bucket, fp),
+    # and the extra deletes remove OTHER members' colliding fingerprints
+    # (false negatives) and inflate the count.  Deduping on (_h1, _h2) —
+    # rather than collected triplets — keeps distinct URLs that collide in
+    # the 16-bit fp each entitled to their own delete.  Nulls are excluded
+    # for the same reason as build_cuckoo (xxhash64(NULL) sentinel).
     rows = (
-        df.select(h1e.alias("_h1"), h2e.alias("_h2"))
+        df.where(F.col(url_col).isNotNull())
+        .select(h1e.alias("_h1"), h2e.alias("_h2"))
+        .dropDuplicates(["_h1", "_h2"])
         .mapInPandas(route, schema=route_schema)
         .collect()
     )

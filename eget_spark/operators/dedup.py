@@ -317,6 +317,7 @@ def embedding_near_dup_pairs(
     vec_col: str,
     label_col: str | None = None,
     threshold: float = 0.95,
+    approximate_when_unlabeled: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= threshold.
 
@@ -325,12 +326,24 @@ def embedding_near_dup_pairs(
     computed with higher-order fns in float64 (zip_with + aggregate), no
     Python.
 
-    ``label_col=None`` delegates to :func:`srp_lsh_pairs` (random-
-    hyperplane LSH), the correct unlabeled path at scale: a single-block
-    self-join here would be a full cartesian — exactly the quadratic plan
-    this module exists to prevent. Callers who truly want exact all-pairs
-    on a provably tiny input can add a constant label column explicitly."""
+    ``label_col=None`` is APPROXIMATE (round-3 advice: surfaced in the
+    signature, not just prose): it delegates to :func:`srp_lsh_pairs`
+    (random-hyperplane LSH), which returns a probabilistic *subset* of the
+    >=threshold pairs — band misses are possible.  That is the correct
+    unlabeled path at scale: a single-block self-join here would be a full
+    cartesian — exactly the quadratic plan this module exists to prevent.
+    Callers needing exact recall must either pass a blocking column, or
+    pass ``approximate_when_unlabeled=False`` to get a loud error instead
+    of a silent recall change (then add a constant label column if the
+    input is provably tiny)."""
     if label_col is None:
+        if not approximate_when_unlabeled:
+            raise ValueError(
+                "label_col=None without approximate_when_unlabeled=True would "
+                "require an exact all-pairs cartesian; pass a blocking "
+                "label_col for exact intra-block recall (a constant column "
+                "on provably tiny inputs), or accept SRP-LSH approximation."
+            )
         return srp_lsh_pairs(emb, id_col, vec_col, threshold=threshold)
     v = emb.select(
         F.col(id_col).alias("id"),

@@ -322,8 +322,13 @@ def build_bloom(
         return pd.DataFrame({"off": [pdf["off"].iloc[0]], "chunk": [acc.tobytes()]})
 
     h1e, h2e = url_hash_exprs(url_col)
+    # isNotNull: xxhash64(NULL) returns the seed, so null rows would all
+    # insert the fixed (42, hashInt(1, 42)) sentinel and make every null
+    # candidate "maybe seen"; the documented contract is None -> never a
+    # member (round-3 advice)
     merged = (
-        df.select(h1e.alias("_h1"), h2e.alias("_h2"))
+        df.where(F.col(url_col).isNotNull())
+        .select(h1e.alias("_h1"), h2e.alias("_h2"))
         .mapInPandas(partials, schema=schema)
         .groupBy("off")
         .applyInPandas(or_merge, schema=schema)
@@ -352,8 +357,11 @@ def bloom_maybe_contains(spark, bloom: BloomFilter, url):
         bf = BloomFilter(m, k, bits)
         return pd.Series(bf.contains_hashes(_as_u64(h1), _as_u64(h2) | _U64(1)))
 
-    h1e, h2e = url_hash_exprs(url)
-    return probe(h1e, h2e)
+    c = F.col(url) if isinstance(url, str) else url
+    h1e, h2e = url_hash_exprs(c)
+    # null url -> False (never "maybe seen"): xxhash64(NULL) is the seed
+    # sentinel, which build_bloom now excludes — keep probe symmetric
+    return F.when(c.isNull(), F.lit(False)).otherwise(probe(h1e, h2e))
 
 
 def anti_join_seen(

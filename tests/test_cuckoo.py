@@ -111,6 +111,81 @@ def test_broadcast_cached_until_mutation(spark):
     assert b3 is not b1
 
 
+def test_delete_is_table_first_not_stash_first():
+    """Round-3 advice regression (high): deleting a TABLE-resident member
+    while an unrelated member with a colliding 16-bit fp sits in the stash
+    must clear the table copy and leave the stash entry alone.  The old
+    stash-first order consumed the stash entry (false negative for the
+    stashed member) and left the deleted member's copy alive."""
+    from eget_spark.operators.cuckoo import CuckooShard
+
+    s = CuckooShard(64)  # mask 63; fp=7 displaces by 19, so orbit(3,7)={3,16}
+    s.insert(3, 7)       # member A, table-resident at bucket 3
+    s.stash.append((5, 7))  # member B: colliding fp, OFF A's orbit
+    assert s.delete(3, 7) is True
+    assert s.table[3].tolist().count(7) == 0, "A's table copy must be cleared"
+    assert s.stash == [(5, 7)], "B's stash entry must survive A's delete"
+
+
+def test_delete_stash_matches_own_orbit_only():
+    from eget_spark.operators.cuckoo import CuckooShard
+
+    # stash-resident member on its own orbit is deletable via either bucket
+    s = CuckooShard(64)
+    s.stash.append((16, 7))  # orbit(3,7) = {3, 16}
+    assert s.delete(3, 7) is True and s.stash == []
+    # off-orbit stash entry is a DIFFERENT member: delete must miss it
+    s2 = CuckooShard(64)
+    s2.stash.append((5, 7))
+    assert s2.delete(3, 7) is False and s2.stash == [(5, 7)]
+
+
+def test_contains_stash_orbit_constrained():
+    """Stash probes match (fp, bucket-orbit), not fp alone — symmetric with
+    delete() and strictly fewer false positives."""
+    from eget_spark.operators.cuckoo import CuckooShard
+
+    s = CuckooShard(64)
+    s.stash.append((5, 7))  # a member whose buckets include 5
+    on = s.contains_batch(np.array([5], dtype=np.uint64), np.array([7], dtype=np.uint16))
+    off = s.contains_batch(np.array([3], dtype=np.uint64), np.array([7], dtype=np.uint16))
+    assert bool(on[0]) and not bool(off[0])
+
+
+def test_expire_dedupes_duplicate_rows(spark):
+    """Round-3 advice regression (low): duplicate URLs in the expiry input
+    must delete each member once — extra deletes would strip OTHER members'
+    colliding fingerprints (false negatives) and inflate the count."""
+    from eget_spark.operators.cuckoo import expire_from_filter
+
+    cf = ShardedCuckoo.sized(1000, n_shards=4)
+    cf.add_many(URLS[:1000])
+    dup = spark.createDataFrame(
+        [(u,) for u in URLS[100:150] * 5] + [(None,)], "url string"
+    )
+    assert expire_from_filter(cf, dup, "url") == 50
+    keep = URLS[:100] + URLS[150:1000]
+    assert cf.contains_many(keep).all(), "non-expired members must survive"
+
+
+def test_null_urls_never_members(spark):
+    """Round-3 advice regression (low): xxhash64(NULL) is the seed sentinel;
+    builds must skip null rows and probes must report null as not-seen."""
+    from eget_spark.operators.cuckoo import cuckoo_maybe_contains
+
+    df = spark.createDataFrame(
+        [(u,) for u in URLS[:200]] + [(None,)] * 3, "url string"
+    )
+    cf = build_cuckoo(df, "url", expected=200, n_shards=4)
+    probe = spark.createDataFrame([(None,), (URLS[0],)], "url string")
+    got = (
+        probe.withColumn("hit", cuckoo_maybe_contains(spark, cf, F.col("url")))
+        .orderBy(F.col("url").asc_nulls_first())
+        .collect()
+    )
+    assert got[0]["hit"] is False and got[1]["hit"] is True
+
+
 def test_cuckoo_set_semantics_property():
     """Property: after ANY interleaving of adds and member-deletes, every
     current member is still reported present (no false negatives — the

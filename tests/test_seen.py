@@ -52,6 +52,27 @@ def test_bloom_delta_like_build(spark):
     assert all(bloom.contains(f"b{i}") for i in range(300))
 
 
+def test_bloom_null_urls_never_members(spark):
+    """Round-3 advice regression: xxhash64(NULL) returns the seed, so null
+    rows would all hash to one sentinel; build skips them and the probe
+    column reports null as not-seen (the documented None -> False
+    contract of the driver-side APIs, now held on DataFrames too)."""
+    from pyspark.sql import functions as F
+
+    from eget_spark.operators.seen import bloom_maybe_contains
+
+    urls = [f"https://n{i}.example.com/{i}" for i in range(300)]
+    df = spark.createDataFrame([(u,) for u in urls] + [(None,)] * 4, "url string")
+    bloom = build_bloom(df, "url", expected=300, fpp=0.01)
+    probe = spark.createDataFrame([(None,), (urls[0],), (urls[299],)], "url string")
+    got = (
+        probe.withColumn("hit", bloom_maybe_contains(spark, bloom, F.col("url")))
+        .orderBy(F.col("url").asc_nulls_first())
+        .collect()
+    )
+    assert got[0]["hit"] is False and got[1]["hit"] and got[2]["hit"]
+
+
 def test_bloom_vectorized_matches_scalar():
     bf = BloomFilter.sized(500, 0.01)
     vals = [f"u{i}" for i in range(200)]
