@@ -14,10 +14,25 @@ line model PyPDF2's ``extract_text`` produces for simple documents.
 ``build_pdf_bytes`` writes a deterministic single-font Flate PDF for the
 roundtrip tests; no fixture files, no libraries.
 
+Modern (PDF 1.5+) files are supported (round-3 verdict item #2): object
+location follows the ``startxref`` chain through BOTH classic ``xref``
+tables and cross-reference *streams* (``/Type /XRef`` with ``/W`` field
+widths, ``/Index`` subsections, FlateDecode + PNG ``/Predictor``
+row filters), including hybrid files (``/XRefStm`` in a classic
+trailer) and incremental updates (``/Prev`` chain, newest section
+wins).  Compressed object streams (``/Type /ObjStm``) are inflated and
+their embedded objects indexed via the ``/N``/``/First`` header pair —
+the layout most real-world writers emit, which the reference reads via
+PyPDF2 (services/converters/converters/pdf_converter.py:23-121).  The
+legacy whole-file regex scan remains as a fallback for files with a
+damaged or absent xref, but xref-located objects take precedence (the
+regex can truncate at ``endobj`` byte sequences inside binary streams).
+
 Out of scope (documented, raise-free): non-Flate filters (DCT, LZW,
 CCITT) yield an empty page; CID/Type0 composite-font text (2-byte
 strings) decodes as raw bytes; positioning is ignored beyond the
-line-break operators.
+line-break operators; an indirect ``/Length`` falls back to an
+``endstream`` byte search; TIFF ``/Predictor 2`` is not applied.
 """
 
 from __future__ import annotations
@@ -90,27 +105,277 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
     return pages
 
 
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Undo PNG row predictors (/Predictor >= 10) on a decoded stream —
+    xref streams are near-universally written with Up (12); all five PNG
+    filter types are reversed for completeness.  Rows here are a handful
+    of bytes, so the scalar loop is not a hot path."""
+    bpp = max(1, (colors * bpc) // 8)
+    row_bytes = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytes(row_bytes)
+    i = 0
+    while i < len(data):
+        f = data[i]
+        row = bytearray(data[i + 1 : i + 1 + row_bytes])
+        i += 1 + row_bytes
+        for x in range(len(row)):
+            a = row[x - bpp] if x >= bpp else 0  # reconstructed left
+            b = prev[x] if x < len(prev) else 0
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 1:  # Sub
+                row[x] = (row[x] + a) & 0xFF
+            elif f == 2:  # Up
+                row[x] = (row[x] + b) & 0xFF
+            elif f == 3:  # Average
+                row[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _int_value(d: bytes, key: bytes) -> int | None:
+    m = re.search(re.escape(key) + rb"\s+(\d+)\b", d)
+    return int(m.group(1)) if m else None
+
+
+def _int_array(d: bytes, key: bytes) -> list[int]:
+    m = re.search(re.escape(key) + rb"\s*\[([^\]]*)\]", d)
+    return [int(x) for x in re.findall(rb"[-\d]+", m.group(1))] if m else []
+
+
+def _apply_filters(dict_part: bytes, raw: bytes) -> bytes:
+    """Decode a stream body per its dictionary: FlateDecode, then any PNG
+    /Predictor from /DecodeParms.  Unsupported filters -> b'' (documented)."""
+    filt = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", dict_part)
+    if filt is not None:
+        if filt.group(1) != b"FlateDecode":
+            return b""  # unsupported filter: empty text layer (documented)
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            # some writers pad the stream; retry trimmed to /Length
+            ln = _int_value(dict_part, b"/Length")
+            if ln is None:
+                return b""
+            try:
+                raw = zlib.decompress(raw[:ln])
+            except zlib.error:
+                return b""
+    parms = re.search(rb"/DecodeParms\s*<<(.*?)>>", dict_part, re.S)
+    if parms:
+        pred = _int_value(parms.group(1), b"/Predictor") or 1
+        if pred >= 10:
+            cols = _int_value(parms.group(1), b"/Columns") or 1
+            colors = _int_value(parms.group(1), b"/Colors") or 1
+            bpc = _int_value(parms.group(1), b"/BitsPerComponent") or 8
+            raw = _png_unpredict(raw, cols, colors, bpc)
+    return raw
+
+
 def _stream_data(body: bytes) -> bytes:
     m = _STREAM_RE.search(body)
     if not m:
         return b""
-    raw = m.group(1)
-    filt = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", _dict_part(body))
-    if filt is None:
-        return raw
-    if filt.group(1) == b"FlateDecode":
-        try:
-            return zlib.decompress(raw)
-        except zlib.error:
-            # some writers pad the stream; retry trimmed to /Length
-            ln = re.search(rb"/Length\s+(\d+)\b", _dict_part(body))
-            if ln:
-                try:
-                    return zlib.decompress(raw[: int(ln.group(1))])
-                except zlib.error:
-                    return b""
-            return b""
-    return b""  # unsupported filter: empty text layer (documented)
+    return _apply_filters(_dict_part(body), m.group(1))
+
+
+# --- xref-driven object location (PDF 1.5+ support) ---------------------------
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _dict_span(data: bytes, i: int) -> int:
+    """End index (exclusive) of the ``<< ... >>`` dictionary starting at
+    ``i``; handles nesting.  Returns ``i`` if no dictionary starts there."""
+    if data[i : i + 2] != b"<<":
+        return i
+    depth = 0
+    j = i
+    n = len(data)
+    while j < n:
+        if data[j : j + 2] == b"<<":
+            depth += 1
+            j += 2
+        elif data[j : j + 2] == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return j
+        elif data[j : j + 1] == b"(":
+            _, j = _literal_string(data, j)
+        else:
+            j += 1
+    return j
+
+
+def _obj_at(data: bytes, off: int) -> tuple[int, bytes] | None:
+    """Parse the indirect object starting at file offset ``off`` into
+    (object number, body bytes) with the same body shape the regex scan
+    yields (dict [+ stream...endstream]).  Stream extent comes from a
+    direct /Length when present — binary data containing ``endobj`` can
+    no longer truncate the object — else an ``endstream`` search."""
+    m = _OBJ_HEAD_RE.match(data, off) or _OBJ_HEAD_RE.match(
+        data, off + len(data[off : off + 32]) - len(data[off : off + 32].lstrip())
+    )
+    if m is None:
+        return None
+    start = m.end()
+    i = start
+    while i < len(data) and data[i : i + 1] in b" \t\r\n":
+        i += 1
+    dict_end = _dict_span(data, i)
+    j = dict_end
+    while j < len(data) and data[j : j + 1] in b" \t\r\n":
+        j += 1
+    if data[j : j + 6] == b"stream":
+        k = j + 6
+        if data[k : k + 2] == b"\r\n":
+            k += 2
+        elif data[k : k + 1] == b"\n":
+            k += 1
+        ln = _int_value(data[i:dict_end], b"/Length")
+        if ln is not None and data[k + ln : k + ln + 16].lstrip().startswith(
+            b"endstream"
+        ):
+            send = k + ln
+        else:  # indirect or wrong /Length: byte search (documented)
+            send = data.find(b"endstream", k)
+            if send < 0:
+                return None
+        end = data.find(b"endobj", send)
+    else:
+        end = data.find(b"endobj", dict_end)
+    if end < 0:
+        end = len(data)
+    return int(m.group(1)), data[start:end]
+
+
+def _parse_xref_table(data: bytes, off: int) -> tuple[dict[int, int], bytes]:
+    """Classic ``xref`` section at ``off`` -> ({objnum: offset}, trailer
+    dict bytes)."""
+    entries: dict[int, int] = {}
+    i = data.find(b"xref", off) + 4
+    while True:
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s*", data[i : i + 64])
+        if m is None:
+            break
+        first, count = int(m.group(1)), int(m.group(2))
+        i += m.end()
+        for k in range(count):
+            e = re.match(rb"(\d{10})\s(\d{5})\s([nf])\s{0,2}", data[i : i + 20])
+            if e is None:
+                break
+            if e.group(3) == b"n":
+                entries.setdefault(first + k, int(e.group(1)))
+            i += 20
+    t = data.find(b"trailer", i)
+    if t < 0:
+        return entries, b""
+    d = t + 7
+    while d < len(data) and data[d : d + 1] in b" \t\r\n":
+        d += 1
+    return entries, data[d : _dict_span(data, d)]
+
+
+def _parse_xref_stream(
+    data: bytes, off: int, offsets: dict[int, int]
+) -> int | None:
+    """Cross-reference STREAM object at ``off`` (PDF 1.5+): decode the
+    /W-packed entry table into ``offsets`` (type-1 only — type-2 members
+    surface via ObjStm expansion).  Returns /Prev or None."""
+    parsed = _obj_at(data, off)
+    if parsed is None:
+        return None
+    body = parsed[1]
+    d = _dict_part(body)
+    if not re.search(rb"/Type\s*/XRef\b", d):
+        return None
+    w = _int_array(d, b"/W")
+    size = _int_value(d, b"/Size") or 0
+    if not w or len(w) < 2:
+        return None
+    index = _int_array(d, b"/Index") or [0, size]
+    content = _stream_data(body)
+    ew = sum(w)
+    pos = 0
+    for s in range(0, len(index) - 1, 2):
+        start, count = index[s], index[s + 1]
+        for k in range(count):
+            if pos + ew > len(content):
+                break
+            fields = []
+            for width in w:
+                fields.append(int.from_bytes(content[pos : pos + width], "big"))
+                pos += width
+            typ = fields[0] if w[0] else 1
+            if typ == 1:
+                offsets.setdefault(start + k, fields[1])
+    return _int_value(d, b"/Prev")
+
+
+def _objects_via_xref(data: bytes) -> dict[int, bytes]:
+    """Locate objects through the startxref chain (tables, xref streams,
+    hybrid /XRefStm, incremental /Prev updates — newest section wins)."""
+    last = None
+    for last in re.finditer(rb"startxref\s+(\d+)", data):
+        pass
+    if last is None:
+        return {}
+    offsets: dict[int, int] = {}
+    queue = [int(last.group(1))]
+    visited: set[int] = set()
+    while queue:
+        off = queue.pop(0)  # FIFO: newest sections claim entries first
+        if off in visited or not (0 <= off < len(data)):
+            continue
+        visited.add(off)
+        if data[off : off + 24].lstrip().startswith(b"xref"):
+            entries, trailer = _parse_xref_table(data, off)
+            for num, o in entries.items():
+                offsets.setdefault(num, o)
+            # hybrid files: /XRefStm (compressed members) before older /Prev
+            for key in (b"/XRefStm", b"/Prev"):
+                v = _int_value(trailer, key)
+                if v is not None:
+                    queue.append(v)
+        else:
+            prev = _parse_xref_stream(data, off, offsets)
+            if prev is not None:
+                queue.append(prev)
+    objs: dict[int, bytes] = {}
+    for num, o in offsets.items():
+        parsed = _obj_at(data, o)
+        if parsed is not None and parsed[0] == num:
+            objs[num] = parsed[1]
+    return objs
+
+
+def _expand_objstms(objs: dict[int, bytes]) -> None:
+    """Inflate every /Type /ObjStm container in ``objs`` and add its
+    embedded objects (header = /N pairs of ``objnum offset`` before
+    /First; members are dict/array objects without obj..endobj
+    wrappers).  Directly-defined objects keep precedence."""
+    for num in list(objs):
+        body = objs[num]
+        d = _dict_part(body)
+        if not re.search(rb"/Type\s*/ObjStm\b", d):
+            continue
+        data = _stream_data(body)
+        first = _int_value(d, b"/First")
+        n = _int_value(d, b"/N")
+        if not data or first is None or n is None:
+            continue
+        nums = [int(x) for x in re.findall(rb"\d+", data[:first])]
+        pairs = list(zip(nums[0::2], nums[1::2]))[:n]
+        for k, (onum, ooff) in enumerate(pairs):
+            end = first + pairs[k + 1][1] if k + 1 < len(pairs) else len(data)
+            objs.setdefault(onum, data[first + ooff : end].strip())
 
 
 def _literal_string(s: bytes, i: int) -> tuple[bytes, int]:
@@ -225,8 +490,13 @@ def _extract_page_text(content: bytes) -> str:
 
 def decode_pdf_bytes(data: bytes) -> list[str]:
     """PDF bytes -> one extracted text string per page (PyPDF2
-    ``extract_text`` analogue for simple documents)."""
+    ``extract_text`` analogue).  Objects are located via the startxref
+    chain when one exists (exact stream extents, xref streams, ObjStm
+    members); the whole-file regex scan backfills anything the xref
+    missed (damaged or absent tables)."""
     objs = _objects(data)
+    objs.update(_objects_via_xref(data))  # xref-located bodies are exact
+    _expand_objstms(objs)
     pages: list[str] = []
     for pnum in _page_order(objs):
         parts: list[bytes] = []
@@ -245,55 +515,131 @@ def _pdf_escape(line: str) -> bytes:
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def build_pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
-    """Minimal valid PDF: one Flate (or raw) content stream per page,
-    each input line a Td/Tj pair — the inverse of decode_pdf_bytes for
-    roundtrip tests."""
-    objs: list[bytes] = []
-
-    def add(body: bytes) -> int:
-        objs.append(body)
-        return len(objs)  # object number
-
+def _page_and_content_objs(pages: list[str], compress: bool):
+    """Shared object bodies for both writer modes: returns
+    (packed_candidates, content_streams) as (objnum, body) lists using
+    the fixed layout 1=catalog, 2=pages, 3=font, then (page, content)
+    pairs."""
     page_count = len(pages)
-    # fixed layout: 1=catalog, 2=pages, 3=font, then (page, content) pairs
-    add(b"<< /Type /Catalog /Pages 2 0 R >>")
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(page_count))
-    add(f"<< /Type /Pages /Kids [{kids}] /Count {page_count} >>".encode())
-    add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    packed = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {page_count} >>".encode()),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    contents = []
     for i, text in enumerate(pages):
         content = bytearray(b"BT /F1 11 Tf 50 780 Td\n")
         for line in text.split("\n"):
             content += b"(" + _pdf_escape(line) + b") Tj 0 -14 Td\n"
         content += b"ET"
         raw = bytes(content)
+        filt = b""
         if compress:
             raw = zlib.compress(raw)
             filt = b"/Filter /FlateDecode "
+        pnum, cnum = 4 + 2 * i, 5 + 2 * i
+        packed.append(
+            (
+                pnum,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> "
+                + f"/Contents {cnum} 0 R >>".encode(),
+            )
+        )
+        contents.append(
+            (
+                cnum,
+                b"<< " + filt + f"/Length {len(raw)} >>".encode()
+                + b"\nstream\n" + raw + b"\nendstream",
+            )
+        )
+    return packed, contents
+
+
+def _build_pdf_objstm(pages: list[str]) -> bytes:
+    """PDF 1.5 writer: every non-stream object packed into one /ObjStm,
+    located by a /Type /XRef cross-reference stream (W=[1 3 2], PNG Up
+    predictor) — the modern layout most real-world writers emit, and the
+    roundtrip fixture for decode_pdf_bytes' xref-stream/ObjStm path."""
+    packed, contents = _page_and_content_objs(pages, compress=True)
+    stm_num = 5 + 2 * (len(pages) - 1) + 1 if pages else 4
+    xref_num = stm_num + 1
+    # ObjStm payload: "num off" header pairs, then the bodies
+    segs = [b_ for _, b_ in packed]
+    offs, off = [], 0
+    for s in segs:
+        offs.append(off)
+        off += len(s) + 1  # joined with \n
+    header = (" ".join(f"{n} {o}" for (n, _), o in zip(packed, offs)) + "\n").encode()
+    payload = header + b"\n".join(segs)
+    comp = zlib.compress(payload)
+    objstm_body = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(comp)} >>".encode()
+        + b"\nstream\n" + comp + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for n, body in contents + [(stm_num, objstm_body)]:
+        offsets[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    size = xref_num + 1
+    packed_idx = {n: i for i, (n, _) in enumerate(packed)}
+    rows = []
+    for n in range(size):
+        if n == 0:
+            rows.append((0, 0, 65535))
+        elif n in offsets:
+            rows.append((1, offsets[n], 0))
+        elif n == xref_num:
+            rows.append((1, xref_off, 0))
         else:
-            filt = b""
-        cnum = 5 + 2 * i
-        add(
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 3 0 R >> >> "
-            + f"/Contents {cnum} 0 R >>".encode()
-        )
-        add(
-            b"<< " + filt + f"/Length {len(raw)} >>".encode()
-            + b"\nstream\n" + raw + b"\nendstream"
-        )
+            rows.append((2, stm_num, packed_idx[n]))
+    enc = bytearray()
+    prev = bytes(6)
+    for t, f2, f3 in rows:
+        row = bytes([t]) + f2.to_bytes(3, "big") + f3.to_bytes(2, "big")
+        enc += bytes([2]) + bytes((row[i] - prev[i]) & 0xFF for i in range(6))
+        prev = row
+    comp2 = zlib.compress(bytes(enc))
+    out += f"{xref_num} 0 obj\n".encode() + (
+        f"<< /Type /XRef /Size {size} /W [1 3 2] /Index [0 {size}] "
+        f"/Root 1 0 R /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 6 >> "
+        f"/Length {len(comp2)} >>".encode()
+        + b"\nstream\n" + comp2 + b"\nendstream"
+    ) + b"\nendobj\n"
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def build_pdf_bytes(
+    pages: list[str], compress: bool = True, objstm: bool = False
+) -> bytes:
+    """Minimal valid PDF: one Flate (or raw) content stream per page,
+    each input line a Td/Tj pair — the inverse of decode_pdf_bytes for
+    roundtrip tests.  ``objstm=True`` emits the modern PDF 1.5 layout
+    (object streams + cross-reference stream) instead of a classic xref
+    table."""
+    if objstm:
+        return _build_pdf_objstm(pages)
+    packed, contents = _page_and_content_objs(pages, compress)
+    bodies = dict(packed + contents)
+    total = len(bodies)
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
-    for num, body in enumerate(objs, start=1):
+    for num in range(1, total + 1):
         offsets.append(len(out))
-        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        out += f"{num} 0 obj\n".encode() + bodies[num] + b"\nendobj\n"
     xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += f"xref\n0 {total + 1}\n".encode()
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {total + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)

@@ -268,6 +268,109 @@ def test_pdf_decode_roundtrip():
     assert "list" in kinds and "paragraph" in kinds
 
 
+def test_pdf_objstm_xref_stream_roundtrip():
+    """C1 modern layout (round-3 verdict item #2): PDF 1.5 with every
+    non-stream object packed into a /ObjStm compressed object stream and
+    located by a /Type /XRef cross-reference stream (W fields, PNG Up
+    predictor) decodes identically to the classic-xref build."""
+    from eget_spark.sources.converters import _decode_pdf
+    from eget_spark.sources.pdfmini import build_pdf_bytes, decode_pdf_bytes
+
+    pages = [
+        "Chapter 1\nOpening paragraph text here.\n- alpha\n- beta",
+        "SECTION TWO\nSecond page (with parens) and a \\ backslash.",
+        "tail page",
+    ]
+    modern = build_pdf_bytes(pages, objstm=True)
+    assert b"/ObjStm" in modern and b"/XRef" in modern
+    assert b"\nxref\n" not in modern and b"trailer" not in modern  # no classic table
+    assert decode_pdf_bytes(modern) == pages
+    assert _decode_pdf(modern) == pages  # converter entry sees it too
+    assert decode_pdf_bytes(build_pdf_bytes(pages)) == pages  # classic unchanged
+
+
+def test_pdf_xref_locates_objects_with_endobj_in_stream_bytes():
+    """Binary stream payloads may contain the byte sequence 'endobj';
+    the regex whole-file scan truncates there, but xref-driven location
+    slices the stream by /Length so the object survives intact."""
+    from eget_spark.sources.pdfmini import _obj_at, _objects
+
+    payload = b"xxxx endobj 99 0 obj forged endobj" + b"y" * 6
+    data = (
+        b"7 0 obj\n<< /Length %d >>\nstream\n" % len(payload)
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    num, body = _obj_at(data, 0)
+    assert num == 7 and payload in body
+    # the regex scan demonstrably truncates the same object
+    assert payload not in _objects(data)[7]
+
+
+def test_pdf_incremental_update_prev_chain():
+    """Incremental updates: an appended xref section with /Prev must win
+    for the objects it redefines while older sections still locate the
+    rest (newest-first precedence)."""
+    from eget_spark.sources.pdfmini import build_pdf_bytes, decode_pdf_bytes
+
+    base = build_pdf_bytes(["original text"])
+    # previous startxref offset of the base file
+    import re
+
+    prev_off = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    # append a replacement content stream for object 5 (the page content)
+    new_raw = b"BT /F1 11 Tf 50 780 Td\n(updated text) Tj 0 -14 Td\nET"
+    obj_off = len(base)
+    update = (
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(new_raw)
+        + new_raw
+        + b"\nendstream\nendobj\n"
+    )
+    xref_off = obj_off + len(update)
+    update += (
+        b"xref\n5 1\n"
+        + b"%010d 00000 n \n" % obj_off
+        + b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n" % prev_off
+        + b"startxref\n%d\n%%%%EOF\n" % xref_off
+    )
+    assert decode_pdf_bytes(base + update) == ["updated text"]
+
+
+def test_png_unpredict_filters():
+    """All five PNG row filters reverse correctly (xref streams usually
+    use Up=2, but writers may emit any)."""
+    from eget_spark.sources.pdfmini import _png_unpredict
+
+    rows = [bytes([10, 20, 30, 40]), bytes([15, 25, 35, 45]), bytes([5, 5, 5, 5])]
+
+    def enc(filters):
+        out, prev = bytearray(), bytes(4)
+        for f, r in zip(filters, rows):
+            out.append(f)
+            for x in range(4):
+                a = r[x - 1] if x >= 1 else 0
+                b, c = prev[x], (prev[x - 1] if x >= 1 else 0)
+                if f == 0:
+                    out.append(r[x])
+                elif f == 1:
+                    out.append((r[x] - a) & 0xFF)
+                elif f == 2:
+                    out.append((r[x] - b) & 0xFF)
+                elif f == 3:
+                    out.append((r[x] - ((a + b) >> 1)) & 0xFF)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out.append((r[x] - pred) & 0xFF)
+            prev = r
+        return bytes(out)
+
+    want = b"".join(rows)
+    for trio in ([0, 1, 2], [3, 4, 2], [4, 4, 4]):
+        assert _png_unpredict(enc(trio), columns=4) == want
+
+
 def test_xlsx_stdlib_shared_strings_and_row_gaps():
     """Real-world XLSX stores strings via sharedStrings.xml (our writer
     uses inline strings) — hand-build an archive exercising the shared
