@@ -50,6 +50,7 @@ from ..operators.links import matches_any, robots_allowed, should_include
 from ..operators.politeness import schedule_round
 from ..operators.seen import BloomFilter, anti_join_seen, build_bloom
 from ..operators.sequence import with_global_seq
+from ..operators.traps import url_template
 from .tables import CrawlRun
 
 FRONTIER_COLS = ["url", "host", "depth", "parent_url", "seq"]
@@ -73,6 +74,18 @@ class CrawlConfig:
     # parity). Enforced at admission in candidate order, so semantics equal
     # the sequential reference loop with a host counter (tests/oracle.py).
     max_pages_per_host: int | None = None
+    # automatic spider-trap throttle (operators/traps.py wired in as crawl
+    # control, round-3 verdict item #3): after each round the admitted
+    # history's URL-template histogram is updated; a host whose dominant
+    # template reaches this share (with >= auto_trap_min_urls admitted) is
+    # excluded from ALL future admission — its already-admitted pages
+    # still fetch, and other hosts are untouched.  The template collapse
+    # is pure map-side regexp_replace; the exclusion is a tiny broadcast
+    # anti-join, so a flagged calendar/faceted-search host costs O(1) per
+    # round instead of flooding the frontier.  None = off (default;
+    # reference parity — eGet has no such control).
+    auto_trap_threshold: float | None = None
+    auto_trap_min_urls: int = 50
     fast_normalize: bool = False  # True: native #?-strip (absolute-URL corpora)
     round_window: float = 10.0  # politeness budget horizon per round
     # False: exact anti-join only. True: bloom prefilter from round 0.
@@ -369,6 +382,19 @@ def crawl(
             hc_src.groupBy("host").agg(F.count("*").cast("long").alias("_n"))
         )
 
+    # spider-trap throttle state: running (host, template, _n) histogram of
+    # admitted URLs (rebuilt from admitted history on resume); trap hosts
+    # are derived from it lazily each round — a tiny aggregate over a
+    # checkpointed frame, O(hosts x templates)
+    tmpl_counts: DataFrame | None = None
+    if config.auto_trap_threshold is not None:
+        tc_src = frontier if state is None else run.admitted.read_upto(round_no)
+        tmpl_counts = _checkpoint(
+            tc_src.select("host", url_template(F.col("url")).alias("template"))
+            .groupBy("host", "template")
+            .agg(F.count("*").cast("long").alias("_n"))
+        )
+
     def seen_df() -> DataFrame:
         return _union_all(seen_parts)
 
@@ -567,6 +593,30 @@ def crawl(
             else:
                 kids = anti_join_seen(kids, seen_df(), "url", bloom=bloom)
 
+            # automatic spider-trap exclusion: candidates of flagged hosts
+            # drop via a broadcast anti-join BEFORE sequencing (same shape
+            # as the full-host pre-filter below) — the template collapse
+            # that feeds the flag is map-side regexp_replace over the
+            # admitted history, never this round's candidate set
+            if tmpl_counts is not None:
+                trap_hosts = (
+                    tmpl_counts.groupBy("host")
+                    .agg(F.sum("_n").alias("_tot"), F.max("_n").alias("_top"))
+                    .where(
+                        (F.col("_tot") >= config.auto_trap_min_urls)
+                        & (
+                            F.col("_top")
+                            >= F.lit(config.auto_trap_threshold) * F.col("_tot")
+                        )
+                    )
+                    .select(F.col("host").alias("_thost"))
+                )
+                kids = (
+                    kids.withColumn("_thost", host_of(F.col("url")))
+                    .join(F.broadcast(trap_hosts), "_thost", "left_anti")
+                    .drop("_thost")
+                )
+
             # per-host admission cap: prior admitted count + this round's exact
             # per-host candidate rank must stay within the cap. One shuffle on
             # host; rejected hosts stay full forever, so this equals the
@@ -639,6 +689,20 @@ def crawl(
                     admitted.groupBy("host").agg(F.count("*").cast("long").alias("_n"))
                 )
                 .groupBy("host")
+                .agg(F.sum("_n").cast("long").alias("_n"))
+            )
+        if tmpl_counts is not None and n_admitted > 0:
+            # re-aggregate so the trap aggregate always sees ONE row per
+            # (host, template) — same compaction discipline as host_counts
+            tmpl_counts = _checkpoint(
+                tmpl_counts.unionByName(
+                    admitted.select(
+                        "host", url_template(F.col("url")).alias("template")
+                    )
+                    .groupBy("host", "template")
+                    .agg(F.count("*").cast("long").alias("_n"))
+                )
+                .groupBy("host", "template")
                 .agg(F.sum("_n").cast("long").alias("_n"))
             )
         if bloom is None and want_bloom(admitted_total):

@@ -359,3 +359,99 @@ def test_apply_host_cap_prefilters_full_hosts(spark):
     assert anti != -1 and win != -1
     assert anti > win  # physical plans print top-down: deeper = later
     assert "BroadcastHashJoin" in plan
+
+
+# --- automatic spider-trap throttle (operators/traps.py as crawl control) ----
+
+_TRAP_DDL = (
+    "doc_id string, spans array<struct<"
+    "kind string, text string, media_ref string, offset int>>"
+)
+
+
+def _link_doc(url, targets):
+    spans = [("heading", "t", "", 0)] + [
+        ("link", f"l{i}", t, i + 1) for i, t in enumerate(targets)
+    ]
+    return (url, spans)
+
+
+def _trap_corpus(spark):
+    """One calendar-trap host (an unbounded ?day=N family) plus one normal
+    host with digit-free, template-diverse paths."""
+    T = "https://trap.example.com"
+    G = "https://good.example.com"
+    # path-segment trap (/cal/12): the reference's normalization strips
+    # query strings, so ?day=N families are already collapsed by F1 —
+    # digit path segments are the family that actually reaches admission
+    rows = [_link_doc(f"{T}/idx", [f"{T}/cal/{k}" for k in range(1, 6)])]
+    for k in range(1, 61):
+        rows.append(_link_doc(f"{T}/cal/{k}", [f"{T}/cal/{k + 5}"]))
+    rows.append(_link_doc(f"{G}/idx", [f"{G}/alpha", f"{G}/beta"]))
+    rows.append(_link_doc(f"{G}/alpha", [f"{G}/alpha/x", f"{G}/alpha/y"]))
+    rows.append(_link_doc(f"{G}/beta", [f"{G}/beta/x", f"{G}/beta/y"]))
+    for leaf in ("alpha/x", "alpha/y", "beta/x", "beta/y"):
+        rows.append(_link_doc(f"{G}/{leaf}", []))
+    return spark.createDataFrame(rows, _TRAP_DDL), T, G
+
+
+def test_auto_trap_throttles_trap_host_only(spark):
+    """Once the trap host's dominant URL template crosses the threshold
+    with enough admissions, its future candidates are excluded — the
+    non-trap host's crawl (urls, depths, lineage) is untouched."""
+    docs, T, G = _trap_corpus(spark)
+    base = dict(max_depth=10, max_pages=500, restrict_domain=False)
+    seeds = [f"{T}/idx", f"{G}/idx"]
+    off = crawl(spark, docs, CrawlConfig(seed_urls=seeds, **base))
+    on = crawl(
+        spark,
+        docs,
+        CrawlConfig(
+            seed_urls=seeds, auto_trap_threshold=0.8, auto_trap_min_urls=10, **base
+        ),
+    )
+
+    def by_host(res, host):
+        return {
+            (r["url"], r["depth"], r["parent_url"])
+            for r in res.order.collect()
+            if r["host"] == host
+        }
+
+    assert by_host(on, "good.example.com") == by_host(off, "good.example.com")
+    # untouched crawl admits the whole depth-10 calendar chain: idx + day1..50
+    assert len(by_host(off, "trap.example.com")) == 51
+    # throttled: after round 2 the histogram is 11 urls with the /cal/N
+    # template at 10/11 > 0.8 -> flagged; rounds 3+ admit nothing new
+    assert len(by_host(on, "trap.example.com")) == 11
+
+
+def test_auto_trap_inert_without_traps(spark):
+    """A corpus with no trap host crawls identically (order, pages,
+    markdown) with the policy on or off — the control is zero-impact
+    until the trap signature actually appears."""
+    docs, T, G = _trap_corpus(spark)
+    good_only = docs.where(F.col("doc_id").startswith("https://good"))
+    base = dict(
+        seed_urls=[f"{G}/idx"], max_depth=10, max_pages=500, restrict_domain=False
+    )
+    off = crawl(spark, good_only, CrawlConfig(**base))
+    on = crawl(
+        spark,
+        good_only,
+        CrawlConfig(auto_trap_threshold=0.8, auto_trap_min_urls=10, **base),
+    )
+
+    def order_rows(res):
+        return [
+            (r["seq"], r["url"], r["host"], r["depth"], r["parent_url"])
+            for r in res.order.orderBy("seq").collect()
+        ]
+
+    def page_rows(res):
+        return sorted(
+            (r["url"], r["status"], r["markdown"]) for r in res.pages.collect()
+        )
+
+    assert order_rows(on) == order_rows(off)
+    assert page_rows(on) == page_rows(off)

@@ -303,6 +303,42 @@ def main() -> None:
         "around it are codegen.",
     )
 
+    # 19. auto-trap exclusion: template collapse is map-side regexp (no
+    # Python, no shuffle on the candidate side); flagged hosts drop via
+    # broadcast anti-join
+    from eget_spark.operators.traps import url_template
+    from eget_spark.functions.urls import host_of as _host_of
+
+    tmpl_counts = spark.createDataFrame(
+        [("h0.x", "https://h0.x/cal/N", 100), ("h0.x", "https://h0.x/idx", 1)],
+        "host string, template string, _n long",
+    )
+    trap_hosts = (
+        tmpl_counts.groupBy("host")
+        .agg(F.sum("_n").alias("_tot"), F.max("_n").alias("_top"))
+        .where((F.col("_tot") >= 50) & (F.col("_top") >= 0.8 * F.col("_tot")))
+        .select(F.col("host").alias("_thost"))
+    )
+    trap_kids = (
+        kids.withColumn("_thost", _host_of(F.col("url")))
+        .join(F.broadcast(trap_hosts), "_thost", "left_anti")
+        .drop("_thost")
+        .withColumn("template", url_template(F.col("url")))
+    )
+    add(
+        "auto-trap exclusion (crawl control, q55 feed)",
+        trap_kids,
+        {
+            "BroadcastHashJoin": True,
+            "regexp_replace": True,
+            "BatchEvalPython": False,
+            "ArrowEvalPython": False,
+        },
+        "Candidates of flagged hosts drop via broadcast LeftAnti; the URL "
+        "template collapse is pure codegen regexp_replace (map-side at any "
+        "scale).",
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
