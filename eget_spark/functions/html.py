@@ -22,8 +22,10 @@ minimal stdlib-`html.parser` tree. X6 is a faithful reimplementation of the
 reference walker; X5 transcribes html2text's emission rules for the
 feature set the reference config exercises (body_width=0, mark_code,
 `*`/`**` marks, tables kept): headings, emphasis, links, images,
-[code]-marks, hr, NESTED lists (``"  " * nest_count`` indent, per-level
-ol counters, sublists on following lines), blockquote continuation
+[code]-marks, hr, NESTED lists (two spaces per enclosing list, three for
+a ul directly under an ol — the 2024.2.26 alignment rule — with
+per-level UNPADDED ol counters matching html2text's own >9 TODO,
+sublists on following lines), blockquote continuation
 (``> `` per line, ``>`` on blank separator lines, ``>>`` when nested)
 and html2text's table shape (``a| b`` rows — later cells ``| ``-prefixed
 — with a ``---|---`` underline after the FIRST row only).  The X5+X6
@@ -35,8 +37,10 @@ silent):
   (escape_snob=False in the reference config minimizes, but html2text
   still escapes some; we escape none);
 - `<br>` inside emphasis/link labels collapses to a space;
-- reflowing/wrapping differences cannot arise (body_width=0 both sides);
-- html2text pads `<ol>` markers past 9 differently (its own TODO).
+- reflowing/wrapping differences cannot arise (body_width=0 both sides).
+(The former `<ol>`-past-9 delta is closed: html2text 2024.2.26 emits
+unpadded ``N. `` markers — its in-source TODO — and indents a ul under
+an ol by three spaces; both rules are now transcribed and golden-pinned.)
 """
 
 from __future__ import annotations
@@ -396,14 +400,23 @@ def _sep(lines: list[str]) -> None:
         lines.append("")
 
 
-def _emit_list(node: Node, lines: list[str], depth: int) -> None:
-    """html2text li emission: indent ``"  " * nest_count`` where
-    nest_count counts the enclosing lists INCLUDING this one, marker
-    ``* `` for ul and a per-level ``N. `` counter for ol; a nested list
-    inside an <li> continues on the following lines at deeper indent,
-    with no blank line between levels."""
+def _emit_list(node: Node, lines: list[str], stack: tuple[str, ...]) -> None:
+    """html2text li emission (transcribed from html2text 2024.2.26 — the
+    reference's pinned version — ``handle_tag`` for "li"): the indent is
+    built per enclosing list, outermost first, INCLUDING this one: two
+    spaces per level, except a ``ul`` whose parent list is an ``ol``
+    contributes THREE spaces (aligning bullets under the ``N. `` marker).
+    Marker is ``* `` for ul and an UNPADDED per-level ``N. `` counter for
+    ol — html2text leaves items past 9 misaligned (its own in-source
+    TODO), so we do too.  A nested list inside an <li> continues on the
+    following lines at deeper indent, with no blank line between
+    levels."""
     num = 0
-    indent = "  " * depth
+    indent = ""
+    parent = None
+    for name in stack:
+        indent += "   " if parent == "ol" and name == "ul" else "  "
+        parent = name
     for c in node.children:
         if c.tag != "li":
             continue
@@ -420,7 +433,7 @@ def _emit_list(node: Node, lines: list[str], depth: int) -> None:
             lines.append(indent + marker + text)
         for g in c.children:
             if g.tag in ("ul", "ol"):
-                _emit_list(g, lines, depth + 1)
+                _emit_list(g, lines, stack + (g.tag,))
 
 
 def _quote_line(line: str) -> str:
@@ -448,7 +461,7 @@ def _block(node: Node, out: list[str], list_stack: list) -> None:
         return
     if tag in ("ul", "ol"):
         items: list[str] = []
-        _emit_list(node, items, depth=1)
+        _emit_list(node, items, stack=(tag,))
         if items:
             _sep(out)
             out.extend(items)

@@ -18,9 +18,6 @@ provides:
   synthesize real files in-memory (no fixtures on disk, no libraries).
 
 Known deltas vs the library decoders (documented, not silent):
-- DOCX merged table cells: python-docx's ``row.cells`` repeats a
-  horizontally-merged cell per grid column; the stdlib path emits one
-  entry per ``w:tc`` (no gridSpan expansion).
 - XLSX dates: cells styled with a date number format are converted from
   the 1900-epoch serial via the standard 1899-12-30 base (Excel's
   leap-year-bug convention for serials > 59); sub-day precision is
@@ -160,15 +157,32 @@ def _para_event(p, styles: dict[str, str]) -> dict:
 
 
 def _table_rows(tbl) -> list[list[str]]:
+    """Rows of cell text with python-docx ``row.cells`` merge semantics
+    (docx_converter.py:319-339 iterates ``row.cells``): a horizontally
+    merged ``w:tc`` (``w:gridSpan``) repeats per grid column, and a
+    vertical-merge continuation (``w:vMerge`` without ``restart``)
+    repeats the text of the cell above in the same grid column."""
     rows: list[list[str]] = []
     for tr in tbl.findall(_W + "tr"):
-        cells = []
+        cells: list[str] = []
         for tc in tr.findall(_W + "tc"):
             paras = [
                 "".join(_run_text(r) for r in p.findall(_W + "r"))
                 for p in tc.findall(_W + "p")
             ]
-            cells.append(" ".join(t.strip() for t in paras if t.strip()))
+            text = " ".join(t.strip() for t in paras if t.strip())
+            span = 1
+            tcpr = tc.find(_W + "tcPr")
+            if tcpr is not None:
+                gs = tcpr.find(_W + "gridSpan")
+                if gs is not None:
+                    span = max(1, int(gs.get(_W + "val") or 1))
+                vm = tcpr.find(_W + "vMerge")
+                if vm is not None and (vm.get(_W + "val") or "continue") != "restart":
+                    prev = rows[-1] if rows else []
+                    if len(prev) > len(cells):
+                        text = prev[len(cells)]
+            cells.extend([text] * span)
         rows.append(cells)
     return rows
 
@@ -433,13 +447,30 @@ def build_docx_bytes(
                     f'<w:r><w:t xml:space="preserve">{_esc(text)}</w:t></w:r></w:p>'
                 )
         elif t == "table":
+            # a cell given as (text, span) emits w:gridSpan (horizontal
+            # merge); (text, span, "restart"|"continue") adds w:vMerge —
+            # the merged-cell roundtrip fixtures
             trs = []
             for row in b["rows"]:
-                tcs = "".join(
-                    f'<w:tc><w:p><w:r><w:t xml:space="preserve">{_esc(c)}</w:t></w:r></w:p></w:tc>'
-                    for c in row
-                )
-                trs.append(f"<w:tr>{tcs}</w:tr>")
+                tcs = []
+                for c in row:
+                    span, vmerge = 1, None
+                    if isinstance(c, tuple):
+                        if len(c) >= 3:
+                            vmerge = c[2]
+                        c, span = c[0], c[1]
+                    tc_props = []
+                    if span > 1:
+                        tc_props.append(f'<w:gridSpan w:val="{span}"/>')
+                    if vmerge is not None:
+                        tc_props.append(f'<w:vMerge w:val="{vmerge}"/>')
+                    pr = f"<w:tcPr>{''.join(tc_props)}</w:tcPr>" if tc_props else ""
+                    tcs.append(
+                        f"<w:tc>{pr}<w:p><w:r>"
+                        f'<w:t xml:space="preserve">{_esc(c)}</w:t>'
+                        "</w:r></w:p></w:tc>"
+                    )
+                trs.append(f"<w:tr>{''.join(tcs)}</w:tr>")
             body.append(f"<w:tbl>{''.join(trs)}</w:tbl>")
     doc_xml = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

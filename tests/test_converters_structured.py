@@ -248,6 +248,36 @@ def test_xlsx_stdlib_types_dates_and_gaps():
     assert "2024-03-01T12:30:00" in spans[1]["text"]
 
 
+def test_docx_merged_cells_match_python_docx_row_cells():
+    """C2 delta closed (round-3 verdict item #6): python-docx ``row.cells``
+    repeats a horizontally merged cell per grid column (gridSpan) and a
+    vertical-merge continuation cell carries the text of the cell above —
+    the stdlib decode now matches (docx_converter.py:319-339)."""
+    from eget_spark.sources.ooxml import build_docx_bytes, decode_docx_bytes
+
+    data = build_docx_bytes(
+        [
+            {
+                "type": "table",
+                "rows": [
+                    [("Merged AB", 2), "C"],
+                    ["a", "b", "c"],
+                    [("Tall", 1, "restart"), "x", "y"],
+                    [("", 1, "continue"), "p", "q"],
+                ],
+            }
+        ]
+    )
+    _, events = decode_docx_bytes(data)
+    (kind, rows), = [e for e in events if e[0] == "tbl"]
+    assert rows == [
+        ["Merged AB", "Merged AB", "C"],  # gridSpan=2 repeats per column
+        ["a", "b", "c"],
+        ["Tall", "x", "y"],
+        ["Tall", "p", "q"],  # vMerge continue carries the cell above
+    ]
+
+
 def test_pdf_decode_roundtrip():
     """C1 end-to-end without PyPDF2: build a Flate PDF, extract the text
     layer with the stdlib parser, classify through pdf_text_to_spans."""

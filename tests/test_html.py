@@ -253,10 +253,30 @@ def test_x5_nested_lists_blockquote_table_parity():
         "  * b",
     ])
 
+    # html2text 2024.2.26: a ul directly under an ol indents THREE spaces
+    # for that level (bullets align under the "N. " marker)
     got = dom_to_markdown(parse_html(
         "<ol><li>one</li><li>two<ul><li>sub</li></ul></li><li>three</li></ol>"
     ))
-    assert got == "  1. one\n  2. two\n    * sub\n  3. three"
+    assert got == "  1. one\n  2. two\n     * sub\n  3. three"
+
+    # ol markers past 9 stay UNPADDED (html2text's own in-source TODO)
+    items = "".join(f"<li>i{k}</li>" for k in range(1, 12))
+    got = dom_to_markdown(parse_html(f"<ol>{items}</ol>"))
+    assert got.split("\n")[8] == "  9. i9"
+    assert got.split("\n")[9] == "  10. i10"
+    assert got.split("\n")[10] == "  11. i11"
+
+    # ol under ol keeps the two-space step; ul under ul too
+    got = dom_to_markdown(parse_html(
+        "<ol><li>a<ol><li>a1</li></ol></li></ol>"
+    ))
+    assert got == "  1. a\n    1. a1"
+    # deep mix: ol > ul > ol -> 2 + 3 + 2 spaces
+    got = dom_to_markdown(parse_html(
+        "<ol><li>a<ul><li>b<ol><li>c</li></ol></li></ul></li></ol>"
+    ))
+    assert got == "  1. a\n     * b\n       1. c"
 
     got = dom_to_markdown(parse_html(
         "<blockquote><p>first</p><p>second</p>"
