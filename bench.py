@@ -33,6 +33,12 @@ HEADLINE = [
     "q21_sessions",
     "q22_semantic_chunks",
     "q24_source_counts",
+    # round-4: pin the converter mapInPandas path, the broadcast
+    # decontamination join, and the map-side trap analytics so
+    # regressions there surface in the bench, not only pytest
+    "q49_docx_convert",
+    "q53_contamination",
+    "q55_trap_scores",
 ]
 
 

@@ -183,18 +183,39 @@ def semantic_chunks(
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 
 
+def _chonkie_token_estimate(s: str) -> int:
+    """Chonkie's ``approximate=True`` token accounting, transcribed
+    (sentence chunker ``_estimate_token_counts``): ``max(1, len(text) //
+    6)`` — the CHARS_PER_TOKEN~6 heuristic the library packs with when
+    exact tokenization is not requested.  The library's follow-up
+    exact-count feedback pass requires the real GPT-2 BPE vocab
+    (tokenizers/tiktoken, absent here) and remains the one documented
+    residual; this closes the estimate arithmetic itself."""
+    return max(1, len(s) // 6)
+
+
 def sentence_chunks(
     text: str,
     chunk_size: int = 512,
     chunk_overlap: int = 50,
     min_characters_per_sentence: int = 12,
     min_sentences_per_chunk: int = 1,
+    token_counter: str = "whitespace",
 ) -> list[dict]:
     """Sliding sentence packer (ChunkService's Chonkie config,
     chunk_service.py:95-105: chunk_size=512, chunk_overlap=50,
     min_sentences_per_chunk=1, min_characters_per_sentence=12).
-    Tokens = whitespace words (Chonkie's BPE tokenizer is not in this
-    environment; the packing rules are what's pinned by goldens):
+
+    ``token_counter`` selects the packing arithmetic:
+    - ``"whitespace"`` (default, golden/oracle-pinned): tokens are
+      whitespace words;
+    - ``"chonkie-estimate"``: Chonkie's own ``approximate=True`` rule —
+      ``max(1, len(sentence) // 6)`` per sentence — transcribed from the
+      library source (round-3 verdict item #9), so the packing totals
+      match what the reference's chunker computes before its (BPE-vocab-
+      dependent, unreproducible here) exact-count feedback pass.
+
+    Packing rules (shared by both counters, pinned by goldens):
 
     - sentences shorter than min_characters_per_sentence merge forward
       into the next sentence;
@@ -213,7 +234,10 @@ def sentence_chunks(
             sents[-1] = f"{sents[-1]} {s}"
         else:
             sents.append(s)
-    counts = [len(s.split()) for s in sents]
+    if token_counter == "chonkie-estimate":
+        counts = [_chonkie_token_estimate(s) for s in sents]
+    else:
+        counts = [len(s.split()) for s in sents]
     chunks = []
     i = 0
     pos = 0
@@ -288,8 +312,10 @@ def chunk_sentences(
     text_col: str = "markdown",
     chunk_size: int = 512,
     chunk_overlap: int = 50,
+    token_counter: str = "whitespace",
 ) -> DataFrame:
-    """X14: sentence chunker flat-map."""
+    """X14: sentence chunker flat-map.  ``token_counter="chonkie-
+    estimate"`` packs with the transcribed Chonkie approximate rule."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -297,7 +323,9 @@ def chunk_sentences(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                for c in sentence_chunks(text, chunk_size, chunk_overlap):
+                for c in sentence_chunks(
+                    text, chunk_size, chunk_overlap, token_counter=token_counter
+                ):
                     c["doc_id"] = doc_id
                     out.append(c)
             if out:

@@ -172,3 +172,37 @@ def test_sentence_reference_config_defaults():
         b_s = set(b["content"].split("."))
         shared = [s for s in a_s & b_s if s.strip()]
         assert sum(len(s.split()) for s in shared) <= 50
+
+
+def test_sentence_chonkie_estimate_counter():
+    """X14 (round-3 verdict item #9): the transcribed Chonkie
+    approximate=True accounting — max(1, len(sentence) // 6) — drives
+    packing when token_counter="chonkie-estimate"; word_count metadata
+    stays whitespace-based either way."""
+    from eget_spark.operators.chunker import (
+        _chonkie_token_estimate,
+        sentence_chunks,
+    )
+
+    assert _chonkie_token_estimate("") == 1  # floor at one token
+    assert _chonkie_token_estimate("abcdef") == 1
+    assert _chonkie_token_estimate("a" * 13) == 2
+
+    # two 30-char sentences: estimate 5 tokens each; chunk_size=10 packs
+    # both; chunk_size=9 splits — under whitespace counting (6 words each)
+    # the same sizes behave differently (12 > 10 splits)
+    s = "alpha beta gamma delta ee ff."  # 29 chars + space handling
+    text = f"{s} {s}"
+    est = sentence_chunks(text, chunk_size=10, chunk_overlap=0,
+                          token_counter="chonkie-estimate")
+    ws = sentence_chunks(text, chunk_size=10, chunk_overlap=0)
+    assert len(est) == 1 and len(ws) == 2
+    assert est[0]["word_count"] == 12  # metadata stays whitespace words
+
+    # overlap backoff uses the same estimate accounting
+    many = " ".join(f"s{i} aaaa bbbb cccc dddd." for i in range(8))
+    out = sentence_chunks(many, chunk_size=8, chunk_overlap=4,
+                          token_counter="chonkie-estimate")
+    for a, b in zip(out, out[1:]):
+        last_a = a["content"].split(".")[-2].strip()
+        assert b["content"].startswith(last_a)
