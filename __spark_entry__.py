@@ -55,6 +55,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q53_contamination      decontamination: benchmark n-gram overlap flags
   q54_proportional_mix   corpus mixing to target domain proportions
   q55_trap_scores        spider-trap analytics: URL-template mining per host
+  q56_pdf_objstm_convert C1 modern PDF: ObjStm/xref-stream byte decode -> spans
 """
 
 from __future__ import annotations
@@ -2017,6 +2018,60 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q56_pdf_objstm_convert(spark, sf_dir):
+    """C1 end-to-end on MODERN PDF bytes (round-4): 24 PDF 1.5 files —
+    every non-stream object packed in a /ObjStm compressed object stream,
+    located via a /Type /XRef cross-reference stream with PNG Up
+    predictor — are synthesized in-memory, decoded by the stdlib
+    xref-stream/ObjStm parser inside convert_files' distributed
+    mapInPandas, and exploded to one row per span.  Page texts are plain
+    lowercase sentences, so the classification walk
+    (pdf_converter.py:105-357) deterministically yields a page-marker
+    heading plus one paragraph per page — reproducible in DuckDB from
+    the file index alone."""
+    from eget_spark.sources.converters import convert_files
+    from eget_spark.sources.pdfmini import build_pdf_bytes
+
+    n = 24
+    rows = []
+    for i in range(n):
+        pages = [
+            f"alpha {i} {p} one.\nbeta {i} {p} two." for p in (1, 2)
+        ]
+        rows.append(
+            (f"mem://pdf/{i:04d}.pdf", bytearray(build_pdf_bytes(pages, objstm=True)))
+        )
+    files = spark.createDataFrame(rows, "path string, content binary")
+    return (
+        convert_files(files, dedupe_content=False)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").cast("int").alias("pos"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
+_Q56_SQL = r"""
+WITH i AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 24)),
+p AS (SELECT CAST(range AS BIGINT) AS p FROM range(1, 3)),
+spans AS (
+  SELECT i, p, CAST((p - 1) * 2 AS INT) AS pos,
+         'heading' AS kind, '## Page ' || p AS text FROM i CROSS JOIN p
+  UNION ALL
+  SELECT i, p, CAST((p - 1) * 2 + 1 AS INT),
+         'paragraph',
+         'alpha ' || i || ' ' || p || ' one. beta ' || i || ' ' || p || ' two.'
+  FROM i CROSS JOIN p
+)
+SELECT 'mem://pdf/' || lpad(CAST(i AS VARCHAR), 4, '0') || '.pdf' AS doc_id,
+       pos, kind, text
+FROM spans
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2079,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_contamination": q53_contamination,
         "q54_proportional_mix": q54_proportional_mix,
         "q55_trap_scores": q55_trap_scores,
+        "q56_pdf_objstm_convert": q56_pdf_objstm_convert,
     }
 
 
@@ -2139,4 +2195,5 @@ def oracle_sql() -> dict[str, str]:
         "q53_contamination": _Q53_SQL,
         "q54_proportional_mix": _Q54_SQL,
         "q55_trap_scores": _Q55_SQL,
+        "q56_pdf_objstm_convert": _Q56_SQL,
     }
