@@ -220,9 +220,9 @@ def _obj_at(data: bytes, off: int) -> tuple[int, bytes] | None:
     yields (dict [+ stream...endstream]).  Stream extent comes from a
     direct /Length when present — binary data containing ``endobj`` can
     no longer truncate the object — else an ``endstream`` search."""
-    m = _OBJ_HEAD_RE.match(data, off) or _OBJ_HEAD_RE.match(
-        data, off + len(data[off : off + 32]) - len(data[off : off + 32].lstrip())
-    )
+    while off < len(data) and data[off : off + 1] in b" \t\r\n":
+        off += 1
+    m = _OBJ_HEAD_RE.match(data, off)
     if m is None:
         return None
     start = m.end()

@@ -45,6 +45,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="approximate seen-set backing (cuckoo supports expiry deletes)")
     p.add_argument("--max-pages-per-host", type=int, default=None,
                    help="per-domain admission cap (spider-trap control)")
+    p.add_argument("--auto-trap-threshold", type=float, default=None,
+                   help="auto spider-trap throttle: exclude a host from "
+                        "future admission once its dominant URL-template "
+                        "share reaches this fraction (operators/traps.py "
+                        "wired into the loop)")
+    p.add_argument("--auto-trap-min-urls", type=int, default=50,
+                   help="minimum admitted URLs before a host can be "
+                        "trap-flagged")
     p.add_argument("--priorities", default=None,
                    help="parquet path of a (url, priority) table (e.g. PageRank) — "
                         "politeness budgets then go priority-first per host")
@@ -94,6 +102,8 @@ def main(argv: list[str], spark=None) -> int:
         use_bloom={"auto": "auto", "true": True, "false": False}[args.use_bloom],
         seen_filter=args.seen_filter,
         max_pages_per_host=args.max_pages_per_host,
+        auto_trap_threshold=args.auto_trap_threshold,
+        auto_trap_min_urls=args.auto_trap_min_urls,
     )
     priorities = spark.read.parquet(args.priorities) if args.priorities else None
     t0 = time.monotonic()

@@ -50,3 +50,31 @@ def test_crawl_job_then_recrawl(spark, docs_small, robots_small, tmp_path, capsy
     expired = {r["url"] for r in pages1.where("round <= 1").collect()}
     refetched = {r["url"] for r in spark.read.parquet(out2).collect()}
     assert refetched == expired and expired
+
+
+def test_crawl_job_auto_trap_flags(spark, docs_small, robots_small, tmp_path, capsys):
+    """--auto-trap-threshold reaches CrawlConfig: the synth corpus's
+    /p/NNNNN family is one template per host, so a tiny min-urls throttles
+    admission vs the unthrottled run."""
+    from jobs.crawl_job import main
+
+    corpus = str(tmp_path / "corpus")
+    robots = str(tmp_path / "robots")
+    docs_small.write.parquet(corpus)
+    robots_small.write.parquet(robots)
+
+    def run(extra):
+        rc = main(
+            [
+                "--corpus", corpus, "--robots", robots,
+                "--seeds", doc_url(0, 0),
+                "--max-depth", "4", "--max-pages", "200",
+            ] + extra,
+            spark=spark,
+        )
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    throttled = run(["--auto-trap-threshold", "0.8", "--auto-trap-min-urls", "5"])
+    free = run([])
+    assert throttled["pages"] < free["pages"]

@@ -73,10 +73,43 @@ def main() -> None:
     scale = sys.argv[2] if len(sys.argv) > 2 else "medium"
     max_pages = int(sys.argv[3]) if len(sys.argv) > 3 else 30000
 
+    # quiet-window gate (round-3 lesson: the contended 800k attempt had a
+    # pre-run ceiling of 0.774 — no job can evidence >=0.8 in such a
+    # window, so don't even start). Recalibrate with backoff until the
+    # host's own 4x scaling ceiling clears the bar; bracket the runs with
+    # a post-calibration so contention that starts mid-run is caught too.
+    min_ceiling = float(os.environ.get("EGET_SCALING_MIN_CEILING", "0.85"))
+    retries = int(os.environ.get("EGET_SCALING_CALIB_RETRIES", "4"))
     hw = hardware_calibration(n)
+    for _ in range(retries):
+        if hw["ceiling_eff"] >= min_ceiling:
+            break
+        print(json.dumps({"calib_retry": hw["ceiling_eff"]}), flush=True)
+        time.sleep(30)
+        hw = hardware_calibration(n)
+    if hw["ceiling_eff"] < min_ceiling:
+        print(json.dumps({
+            "rejected_contended": True,
+            "hardware_ceiling_eff": hw["ceiling_eff"],
+            "note": "host never reached a quiet window; record NOT written",
+        }))
+        return
+
     lo = one_run(n, scale, max_pages)
     hi = one_run(4 * n, scale, max_pages)
+    post = hardware_calibration(n)
+    # the truer ceiling estimate is the quieter probe (noise only lowers it)
+    if post["ceiling_eff"] > hw["ceiling_eff"]:
+        hw = post
     eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0
+    if post["ceiling_eff"] < min_ceiling:
+        print(json.dumps({
+            "rejected_contended": True,
+            "post_run_ceiling_eff": post["ceiling_eff"],
+            "raw_eff": round(eff, 3),
+            "note": "contention began mid-run; record NOT written",
+        }))
+        return
     result = {
         "metric": "frontier expansion throughput (URLs fetched+extracted/sec)",
         "scale": scale,
@@ -137,8 +170,17 @@ boundary replaces browser latency, so the comparable number is the
 end-to-end fetch+extract pipeline throughput above (~3 orders of magnitude
 higher on one node).
 """
+    marker = "<!-- hand-curated sections below: preserved across regenerations -->"
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        preserved = marker + old.split(marker, 1)[1] if marker in old else ""
+    except FileNotFoundError:
+        preserved = ""
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
+        if preserved:
+            f.write("\n" + preserved)
 
 
 if __name__ == "__main__":
