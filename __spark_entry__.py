@@ -56,6 +56,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q54_proportional_mix   corpus mixing to target domain proportions
   q55_trap_scores        spider-trap analytics: URL-template mining per host
   q56_pdf_objstm_convert C1 modern PDF: ObjStm/xref-stream byte decode -> spans
+  q57_repetition_quality Gopher repetition filters: dup-line + top-bigram frac
 """
 
 from __future__ import annotations
@@ -2072,6 +2073,77 @@ FROM spans
 """
 
 
+def q57_repetition_quality(spark, sf_dir):
+    """Gopher/MassiveText repetition quality rules
+    (operators/quality_rules.py): per document, the duplicated-line
+    fraction (count and character accounting) and the character coverage
+    of the most frequent word bigram — the standard removal signals for
+    template/boilerplate-dominated documents in web-scale training-data
+    pipelines.  Pure relational (two explode->groupBy shuffles + doc_id
+    joins), zero Python."""
+    from eget_spark.operators.quality_rules import repetition_signals
+
+    return repetition_signals(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+_Q57_SQL = r"""
+WITH lines AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+  ) WHERE trim(line) <> ''
+),
+per_line AS (
+  SELECT doc_id, line, count(*) AS cnt, length(line) * count(*) AS chars
+  FROM lines GROUP BY doc_id, line
+),
+lr AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_lines,
+         round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+               / sum(cnt), 6) AS dup_line_frac,
+         round(CAST(sum(CASE WHEN cnt > 1 THEN chars ELSE 0 END) AS DOUBLE)
+               / sum(chars), 6) AS dup_line_char_frac
+  FROM per_line GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id, length(text) AS text_len,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, text_len, unnest(
+    CASE WHEN len(ws) >= 2
+         THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+         ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM words
+),
+counted AS (
+  SELECT doc_id, text_len, bigram, count(*) AS n
+  FROM bigrams GROUP BY doc_id, text_len, bigram
+),
+top AS (
+  SELECT doc_id, bigram, n, text_len,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY n DESC, bigram ASC
+         ) AS rk
+  FROM counted
+)
+SELECT d.doc_id AS id,
+       COALESCE(lr.n_lines, 0) AS n_lines,
+       COALESCE(lr.dup_line_frac, 0.0) AS dup_line_frac,
+       COALESCE(lr.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       t.bigram AS top_bigram,
+       CAST(COALESCE(t.n, 0) AS BIGINT) AS top_bigram_n,
+       COALESCE(round(CAST(t.n * length(t.bigram) AS DOUBLE) / t.text_len, 6),
+                0.0) AS top_bigram_char_frac
+FROM documents d
+LEFT JOIN lr ON lr.doc_id = d.doc_id
+LEFT JOIN (SELECT * FROM top WHERE rk = 1) t ON t.doc_id = d.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2135,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_proportional_mix": q54_proportional_mix,
         "q55_trap_scores": q55_trap_scores,
         "q56_pdf_objstm_convert": q56_pdf_objstm_convert,
+        "q57_repetition_quality": q57_repetition_quality,
     }
 
 
@@ -2196,4 +2269,5 @@ def oracle_sql() -> dict[str, str]:
         "q54_proportional_mix": _Q54_SQL,
         "q55_trap_scores": _Q55_SQL,
         "q56_pdf_objstm_convert": _Q56_SQL,
+        "q57_repetition_quality": _Q57_SQL,
     }

@@ -1,0 +1,160 @@
+"""Repetition-based quality rules (Gopher/MassiveText-style filters).
+
+Large-scale training-data pipelines drop documents dominated by repeated
+content — boilerplate navigation, scraped templates, degenerate
+generations.  The canonical signals (Rae et al., "Scaling Language
+Models: ... Gopher", 2021, Table A1 — public paper) are the fraction of
+the document duplicated at line granularity and the share of characters
+covered by its most frequent word n-gram.  This module computes three of
+them relationally so they run at corpus scale:
+
+- ``dup_line_frac``     — duplicated lines / total lines
+- ``dup_line_char_frac``— characters in duplicated lines / total line chars
+- ``top_bigram_char_frac`` — characters covered by the most frequent word
+  bigram (count x bigram length) / total characters of text
+
+Exact definitions (pinned so the DuckDB oracle reproduces them):
+lines are ``\\n``-split segments whose ``trim`` is non-empty (engine
+``trim`` = ASCII-space trim in both Spark and DuckDB — a tab-only line
+counts as non-empty); a line is
+"duplicated" when its exact text occurs more than once in the document
+(ALL its occurrences count as duplicated, Gopher's accounting); words
+are ``\\s+``-split non-empty tokens; the top bigram is chosen by
+(count DESC, bigram ASC) so ties break identically in any engine; the
+bigram's covered characters use its single-space joined length.
+
+Scale shape: two explode->groupBy aggregations keyed on (doc_id, line) /
+(doc_id, bigram) — uniform hash shuffles partitioned by document content,
+no skewed keys beyond pathological single-doc repetition (bounded by doc
+length), no Python anywhere (codegen end to end), and the final joins are
+on doc_id.  At 100 TB each signal is one shuffle of the exploded
+representation, the same cost class as the shingle/minhash pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def line_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_lines, dup_line_frac, dup_line_char_frac) per document.
+
+    Documents with no non-empty lines get 0.0 fractions (kept, not
+    dropped — the length filters handle empty docs)."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).where(F.trim(F.col("line")) != "")
+    per_line = lines.groupBy("id", "line").agg(F.count("*").alias("cnt"))
+    per_line = per_line.withColumn("chars", F.length("line") * F.col("cnt"))
+    agg = per_line.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("chars")).otherwise(0))
+            / F.sum("chars"),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+    return _fill_lines(df.select(F.col(id_col).alias("id")), agg)
+
+
+def _fill_lines(base, agg):
+    return base.join(agg, "id", "left").select(
+        "id",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+    )
+
+
+def top_bigram_coverage(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, top_bigram, top_bigram_n, top_bigram_char_frac) per document.
+
+    Coverage = count(top bigram) * length(bigram joined with one space)
+    / length(text).  Documents with fewer than two words get NULL bigram
+    and 0.0 coverage."""
+    return _fill_top(
+        df.select(F.col(id_col).alias("id")), _top_agg(df, id_col, text_col)
+    )
+
+
+def _top_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).alias("text_len"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+        ).alias("ws"),
+    )
+    # guard: Spark's sequence(0, -1) counts DOWN, so docs with <2 words
+    # must short-circuit to an empty array (explode then yields no rows
+    # and such docs fall out until the left join back)
+    bigrams = words.select(
+        "id",
+        "text_len",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - F.lit(2)),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ws", i + 1), F.element_at("ws", i + 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("id", "text_len", "bigram").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("n").cast("long").alias("top_bigram_n"),
+            F.round(
+                F.col("n") * F.length("bigram") / F.col("text_len"), 6
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+
+def _fill_top(base, top):
+    # carries every base column (the id table, or the line-signal table
+    # when composing repetition_signals) plus the filled bigram columns
+    return base.join(top, "id", "left").select(
+        *base.columns,
+        "top_bigram",
+        F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+        F.coalesce("top_bigram_char_frac", F.lit(0.0)).alias(
+            "top_bigram_char_frac"
+        ),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """All repetition quality signals joined on the document id — the
+    Gopher-filter input table (thresholds are the caller's policy; the
+    paper uses e.g. dup_line_frac > 0.30 or top-2gram coverage > 0.20 as
+    removal rules).  The line table (already id-complete from its own
+    fill) serves as the join base for the bigram aggregate, so the
+    combined signal needs three corpus scans, not four."""
+    return _fill_top(
+        line_repetition(df, id_col, text_col), _top_agg(df, id_col, text_col)
+    )
