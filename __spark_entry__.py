@@ -57,6 +57,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q55_trap_scores        spider-trap analytics: URL-template mining per host
   q56_pdf_objstm_convert C1 modern PDF: ObjStm/xref-stream byte decode -> spans
   q57_repetition_quality Gopher repetition filters: dup-line + top-bigram frac
+  q58_line_dedup         CCNet-style cross-corpus line dedup + reassembly
 """
 
 from __future__ import annotations
@@ -2144,6 +2145,55 @@ LEFT JOIN (SELECT * FROM top WHERE rk = 1) t ON t.doc_id = d.doc_id
 """
 
 
+def q58_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb-style cross-corpus line dedup
+    (operators/line_dedup.py): repeated non-blank lines are dropped
+    corpus-wide (first occurrence in doc order, then line order, wins;
+    blank lines always survive), documents reassembled in line order.
+    The winner per distinct line is a map-side-combined min-struct
+    aggregate — no hot-key window — so a boilerplate line occurring on
+    every page collapses before the shuffle."""
+    from eget_spark.operators.line_dedup import dedup_lines
+
+    return dedup_lines(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_Q58_SQL = r"""
+WITH lines AS (
+  SELECT doc_id AS id, doc_id AS ord,
+         unnest(range(len(string_split(text, chr(10))))) AS idx,
+         unnest(string_split(text, chr(10))) AS line
+  FROM documents
+),
+nonblank AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY line ORDER BY ord, idx
+  ) AS rk FROM lines WHERE trim(line) <> ''
+),
+kept AS (
+  SELECT id, idx, line FROM nonblank WHERE rk = 1
+  UNION ALL
+  SELECT id, idx, line FROM lines WHERE trim(line) = ''
+),
+reassembled AS (
+  SELECT id, string_agg(line, chr(10) ORDER BY idx) AS text,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM kept GROUP BY id
+),
+totals AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS total FROM lines GROUP BY id
+)
+SELECT d.doc_id AS id,
+       COALESCE(r.text, '') AS text,
+       COALESCE(r.n_lines, 0) AS n_lines,
+       CAST(COALESCE(t.total, 0) - COALESCE(r.n_lines, 0) AS BIGINT)
+         AS n_dropped
+FROM documents d
+LEFT JOIN reassembled r ON r.id = d.doc_id
+LEFT JOIN totals t ON t.id = d.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2208,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_trap_scores": q55_trap_scores,
         "q56_pdf_objstm_convert": q56_pdf_objstm_convert,
         "q57_repetition_quality": q57_repetition_quality,
+        "q58_line_dedup": q58_line_dedup,
     }
 
 
@@ -2270,4 +2321,5 @@ def oracle_sql() -> dict[str, str]:
         "q55_trap_scores": _Q55_SQL,
         "q56_pdf_objstm_convert": _Q56_SQL,
         "q57_repetition_quality": _Q57_SQL,
+        "q58_line_dedup": _Q58_SQL,
     }

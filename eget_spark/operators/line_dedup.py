@@ -1,0 +1,89 @@
+"""Cross-corpus line deduplication (CCNet / RefinedWeb-style).
+
+Web corpora repeat the same non-content lines across millions of pages —
+navigation labels, cookie banners, footers.  CCNet (Wenzek et al. 2019)
+and RefinedWeb (Penedo et al. 2023) — public papers — drop duplicated
+lines at corpus granularity, keeping one occurrence, which removes
+boilerplate without document-level dedup's recall problems.
+
+Exact semantics (pinned so the DuckDB oracle reproduces them):
+documents are ordered by an ``order_col`` (default: the id itself,
+ascending); each document's text splits on ``\\n`` into indexed lines;
+a BLANK line (engine ``trim`` = ASCII-space trim -> empty) is never
+deduplicated (paragraph structure survives); a non-blank line's FIRST
+occurrence in (document order, line index) order is kept and every later
+exact duplicate across the whole corpus is dropped.  Surviving lines
+reassemble in original index order joined with ``\\n``.
+
+Scale shape (the 100 TB story): the winner per distinct line is computed
+with ``groupBy(line).agg(min(struct(ord, idx)))`` — a HashAggregate with
+map-side partial combine, so a line occurring 10^8 times (every page's
+"Home") collapses to one row per map task BEFORE the shuffle; no
+single-reducer hot key, unlike a window over the line column.  The
+keep-side join then shuffles the exploded lines once on line text, and
+reassembly is one groupBy(id) with sort inside the aggregated array —
+three shuffles total, each keyed uniformly (line hash, line hash, id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order_col: str | None = None,
+) -> DataFrame:
+    """(id, text, n_lines, n_dropped) with corpus-wide duplicate lines
+    removed (first occurrence wins in document order, then line order).
+
+    ``order_col`` must be unique per document when given (ties would make
+    "first" ambiguous); by default the id itself orders documents."""
+    ord_expr = F.col(order_col) if order_col else F.col(id_col)
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        ord_expr.alias("ord"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    blank = F.trim(F.col("line")) == ""
+    nonblank = lines.where(~blank)
+    # map-side-combined winner per distinct line: min (document order,
+    # line index, id) — the id rides along to identify the winner row
+    winners = nonblank.groupBy("line").agg(
+        F.min(F.struct("ord", "idx", "id")).alias("w")
+    )
+    kept_nonblank = nonblank.join(winners, "line").where(
+        (F.col("ord") == F.col("w.ord"))
+        & (F.col("idx") == F.col("w.idx"))
+        & (F.col("id") == F.col("w.id"))
+    ).select("id", "idx", "line")
+    kept = kept_nonblank.unionByName(
+        lines.where(blank).select("id", "idx", "line")
+    )
+    reassembled = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").cast("long").alias("_total"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(reassembled, "id", "left")
+        .join(totals, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            (F.coalesce("_total", F.lit(0)) - F.coalesce("n_lines", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
