@@ -58,6 +58,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q56_pdf_objstm_convert C1 modern PDF: ObjStm/xref-stream byte decode -> spans
   q57_repetition_quality Gopher repetition filters: dup-line + top-bigram frac
   q58_line_dedup         CCNet-style cross-corpus line dedup + reassembly
+  q59_pii_scrub          PII detection+redaction (email/IP/phone), map-side
 """
 
 from __future__ import annotations
@@ -2194,6 +2195,108 @@ LEFT JOIN totals t ON t.id = d.doc_id
 """
 
 
+def q59_pii_scrub(spark, sf_dir):
+    """PII scrubbing (operators/pii.py): C4/MassiveText-style redaction of
+    emails, IPv4s, and phone numbers with per-document detection
+    counters.  The synthetic corpus contains no PII, so the query first
+    injects deterministic doc_id-derived PII footers (email / IP / phone
+    by doc_id%4, none for %4==0) — both engines compute the identical
+    injection, then scrub it.  Entirely map-side ``regexp_replace`` /
+    ``regexp_count`` column expressions: at 100 TB this pass is
+    zero-shuffle and pipelines with the scan that feeds it."""
+    from eget_spark.operators.pii import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = (
+        F.when(
+            did % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did * 7) % 256).cast("string"),
+                F.lit(" logged"),
+            ),
+        )
+        .when(
+            did % 4 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" or mail ops"),
+                did.cast("string"),
+                F.lit("@corp.example.org"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return scrub_pii(
+        d.select(did.alias("doc_id"), injected.alias("text")), "doc_id", "text"
+    )
+
+
+_Q59_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 4 = 1 THEN text || ' reach user'
+                || CAST(doc_id AS VARCHAR) || '@example.com now'
+           WHEN doc_id % 4 = 2 THEN text || ' from 10.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                || CAST((doc_id * 7) % 256 AS VARCHAR) || ' logged'
+           WHEN doc_id % 4 = 3 THEN text || ' call +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' or mail ops' || CAST(doc_id AS VARCHAR)
+                || '@corp.example.org'
+           ELSE text
+         END AS text
+  FROM documents
+),
+stage1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS after_email
+  FROM aug
+),
+stage2 AS (
+  SELECT *,
+         regexp_replace(after_email, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                        '<IP>', 'g') AS after_ip
+  FROM stage1
+)
+SELECT doc_id AS id,
+       regexp_replace(after_ip, '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}',
+                      '<PHONE>', 'g') AS text,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(after_email,
+            '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(after_ip,
+            '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}')) AS BIGINT)
+         AS n_phones,
+       (len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(after_email,
+              '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+        + len(regexp_extract_all(after_ip,
+              '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}'))) > 0 AS has_pii
+FROM stage2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2259,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_pdf_objstm_convert": q56_pdf_objstm_convert,
         "q57_repetition_quality": q57_repetition_quality,
         "q58_line_dedup": q58_line_dedup,
+        "q59_pii_scrub": q59_pii_scrub,
     }
 
 
@@ -2322,4 +2426,5 @@ def oracle_sql() -> dict[str, str]:
         "q56_pdf_objstm_convert": _Q56_SQL,
         "q57_repetition_quality": _Q57_SQL,
         "q58_line_dedup": _Q58_SQL,
+        "q59_pii_scrub": _Q59_SQL,
     }

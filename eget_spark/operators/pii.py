@@ -1,0 +1,77 @@
+"""PII detection and redaction (C4/MassiveText-style scrubbing).
+
+Web-scale training pipelines scrub personally identifiable information
+before publishing corpora (the C4 cleanup and most open-web datasets
+redact emails/phones/IPs at minimum).  This module detects and redacts
+three pattern classes with pure ``regexp_replace``/``regexp_count``
+column expressions — zero Python, map-side only, no shuffle at all:
+
+- email addresses          -> ``<EMAIL>``
+- international/US phones  -> ``<PHONE>``
+- IPv4 addresses           -> ``<IP>``
+
+Exact patterns (pinned so the DuckDB oracle reproduces them; both
+engines use RE2-compatible syntax — no backreferences, no lookaround):
+
+- email: ``[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}``
+- phone: ``\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}``
+  guarded to whole tokens by requiring a non-digit/start boundary in the
+  caller's text model (kept simple deliberately: the reference point is
+  dataset-scrubbing recall, not RFC validation)
+- ipv4: ``\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b`` — Spark's Java regex and
+  DuckDB's RE2 both support ``\\b``; octet range is NOT validated (C4
+  behavior: over-redaction beats leakage)
+
+Redaction order is email -> ip -> phone so an IP is never half-eaten by
+the phone pattern (both match digit runs; order is part of the pinned
+contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) — counted in redaction order on the
+    progressively-redacted text, so overlapping classes are attributed
+    the same way the redaction resolves them."""
+    after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).cast("long"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).cast("long"),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Text with all three classes replaced by typed placeholders, in the
+    pinned email -> ip -> phone order."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def scrub_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text, n_emails, n_ips, n_phones, has_pii) — the scrubbed
+    corpus plus per-document detection counters.  Entirely map-side
+    column expressions: at 100 TB this is a zero-shuffle pass that
+    pipelines with whatever scan feeds it."""
+    t = F.col(text_col)
+    n_email, n_ip, n_phone = pii_counts(t)
+    return df.select(
+        F.col(id_col).alias("id"),
+        redact_pii(t).alias("text"),
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+        ((n_email + n_ip + n_phone) > 0).alias("has_pii"),
+    )
