@@ -83,11 +83,20 @@ def run_crawl_bench(spark, scale: str = "medium", max_pages: int = 30000):
     wall = time.monotonic() - t0
     attempted = sum(s.attempted for s in res.stats)
     docs.unpersist()
+    # per-round detail: lets the scaling harness separate the BFS ramp
+    # (rounds whose frontier is still tiny — fixed job-latency cost at any
+    # parallelism) from steady-state rounds, which are what a 10^10-URL
+    # crawl spends ~100% of its life in
+    detail = [
+        {"round": s.round, "attempted": s.attempted, "dur": round(s.duration_sec, 3)}
+        for s in res.stats
+    ]
     return {
         "wall_sec": round(wall, 3),
         "urls_attempted": attempted,
         "rounds": len(res.stats),
         "urls_per_sec": round(attempted / wall, 2),
+        "rounds_detail": detail,
     }
 
 

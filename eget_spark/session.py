@@ -43,7 +43,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("EGET_DRIVER_MEM", "8g"))
+        # local mode runs every executor thread inside the driver JVM, so
+        # the heap must be sized for the PARALLELISM, not for a driver:
+        # 8g on this 125 GiB host produced GCLocker allocation stalls at
+        # local[8] on the benchxxl corpus — GC pressure that grows with
+        # core count and silently taxes exactly the wide leg of the
+        # N-vs-4N scaling evidence.  32g leaves ample room for python
+        # workers; a cluster submit overrides with executor memory conf.
+        .config("spark.driver.memory", os.environ.get("EGET_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # bucketed-table warehouse (write_bucketed_corpus); keep it out of
