@@ -39,6 +39,7 @@ HEADLINE = [
     "q49_docx_convert",
     "q53_contamination",
     "q55_trap_scores",
+    "q59_pii_scrub",
 ]
 
 
