@@ -339,6 +339,25 @@ def main() -> None:
         "scale).",
     )
 
+    # 20. PII scrubbing: a single codegen project over the scan — no
+    # exchange, no Python; regexp_replace/regexp_count stay JVM-side
+    from eget_spark.operators.pii import scrub_pii
+
+    add(
+        "PII scrub (q59)",
+        scrub_pii(
+            spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", "text"
+        ),
+        {
+            "Exchange": False,
+            "BatchEvalPython": False,
+            "ArrowEvalPython": False,
+            "regexp_replace": True,
+        },
+        "Redaction + counters are one map-side projection fused with the "
+        "parquet scan: zero shuffle at any corpus size.",
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
