@@ -35,6 +35,7 @@ from .functions.text import (
 )
 from .operators.chunker import chunk_semantic, chunk_sentences
 from .operators.dedup import dedup_groups, minhash_lsh_pairs, srp_lsh_pairs
+from .operators.pii import pii_counts, redact_pii
 
 
 @dataclass
@@ -61,13 +62,20 @@ def prepare_training_data(
     embeddings: DataFrame | None = None,
     emb_vec_col: str = "embedding",
     emb_threshold: float = 0.95,
+    scrub_pii: bool = False,
 ) -> PrepResult:
     """Annotate, filter, dedup (exact + near-dup groups), and chunk.
 
     ``min_entropy`` adds the char-entropy floor (drops repetition/noise
     docs).  ``embeddings`` — optional (id_col, emb_vec_col) table: adds a
     semantic near-dup stage via SRP LSH (cosine >= ``emb_threshold``
-    within shared hyperplane bands) after the text near-dup stage."""
+    within shared hyperplane bands) after the text near-dup stage.
+    ``scrub_pii=True`` redacts emails/IPv4s/phones (operators/pii.py)
+    AFTER dedup — so dedup keys see the raw bytes and a redaction can
+    never merge two distinct documents — and BEFORE chunking, so chunks
+    inherit the scrubbed text; per-doc counters land on ``docs`` as
+    ``n_pii_emails`` / ``n_pii_ips`` / ``n_pii_phones``.  Map-side only:
+    the stage adds zero shuffles to the pipeline."""
     base = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
@@ -154,6 +162,15 @@ def prepare_training_data(
             egroups.where(F.col("is_duplicate")).select(
                 "id", F.lit("embedding_near_duplicate").alias("reason")
             )
+        )
+
+    if scrub_pii:
+        n_e, n_i, n_p = pii_counts(F.col("text"))
+        survivors = (
+            survivors.withColumn("n_pii_emails", n_e)
+            .withColumn("n_pii_ips", n_i)
+            .withColumn("n_pii_phones", n_p)
+            .withColumn("text", redact_pii(F.col("text")))
         )
 
     # the chunkers' output contract keys docs by string id (engine doc ids

@@ -114,3 +114,39 @@ def test_prepare_entropy_and_embedding_stages(spark):
     assert 3 in kept and 4 not in kept
     assert dropped[4] == "embedding_near_duplicate"
     assert kept == {0, 1, 2, 3, 5, 6, 7}
+
+
+def test_prepare_pii_scrub_stage(spark):
+    df = _corpus(spark)
+    # plant PII on doc 3; doc 5's dup group must still collapse (dedup
+    # runs on raw bytes, scrub after)
+    df = df.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" mail bob@example.com from 10.1.2.3 call +1-555-0100 end"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    res = prepare_training_data(
+        df, min_quality=0.4, languages=["en"], shingle_k=2, scrub_pii=True
+    )
+    rows = {r["id"]: r for r in res.docs.collect()}
+    assert 100 not in rows and 101 not in rows  # dedup unaffected
+    r3 = rows[3]
+    assert (r3["n_pii_emails"], r3["n_pii_ips"], r3["n_pii_phones"]) == (1, 1, 1)
+    assert r3["text"].endswith(" mail <EMAIL> from <IP> call <PHONE> end")
+    # counters are zero and text untouched elsewhere
+    assert all(
+        (v["n_pii_emails"], v["n_pii_ips"], v["n_pii_phones"]) == (0, 0, 0)
+        for k, v in rows.items()
+        if k != 3
+    )
+    # chunks inherit the scrubbed text
+    chunk_text = " ".join(
+        r["content"]
+        for r in res.chunks.where(F.col("doc_id") == "3").collect()
+    )
+    assert "bob@example.com" not in chunk_text and "<EMAIL>" in chunk_text
