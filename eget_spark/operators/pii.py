@@ -14,10 +14,17 @@ Exact patterns (pinned so the DuckDB oracle reproduces them; both
 engines use RE2-compatible syntax — no backreferences, no lookaround):
 
 - email: ``[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}``
-- phone: ``\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}``
-  guarded to whole tokens by requiring a non-digit/start boundary in the
-  caller's text model (kept simple deliberately: the reference point is
-  dataset-scrubbing recall, not RFC validation)
+- phone: ``(^|[^0-9])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)``
+  replaced with ``$1<PHONE>`` — the leading boundary is a *consumed
+  capture group* (start-of-text or one non-digit), not a lookbehind,
+  because DuckDB's RE2 has no lookaround; the group is restored via the
+  backreference so redaction never eats the boundary char.  The guard
+  prevents partial-token redaction inside longer digit runs (e.g. in
+  ``1234-567-8901`` nothing matches, instead of redacting a suffix and
+  leaving a stray leading ``1``).  The optional tail group picks up a
+  fourth segment (extensions, ``+1-555-123-4567``).  Kept simple
+  deliberately: the reference point is dataset-scrubbing recall, not
+  RFC validation.
 - ipv4: ``\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b`` — Spark's Java regex and
   DuckDB's RE2 both support ``\\b``; octet range is NOT validated (C4
   behavior: over-redaction beats leakage)
@@ -34,7 +41,12 @@ from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
-PHONE_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}"
+# Boundary-guarded: group 1 consumes start-of-text or one non-digit and is
+# restored by the `$1` backreference in the replacement (RE2-safe — no
+# lookbehind).  Group 2 is the phone body; group 3 an optional 4th segment.
+PHONE_BODY_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?"
+PHONE_RE = r"(^|[^0-9])(" + PHONE_BODY_RE + r")"
+PHONE_SUB = "$1<PHONE>"  # Java/Spark syntax; DuckDB + Python `re` use \1
 
 
 def pii_counts(text: Column) -> tuple[Column, Column, Column]:
@@ -55,7 +67,7 @@ def redact_pii(text: Column) -> Column:
     pinned email -> ip -> phone order."""
     out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, IPV4_RE, "<IP>")
-    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PHONE_RE, PHONE_SUB)
 
 
 def scrub_pii(

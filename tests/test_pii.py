@@ -59,6 +59,13 @@ CASES = [
     # 999.999.999.999 is NOT octet-validated (C4-style over-redaction)
     (5, "bad ip 999.999.999.999 ok", "bad ip <IP> ok", 0, 1, 0),
     (6, "", "", 0, 0, 0),
+    # boundary guard: a longer digit run never gets a suffix redacted
+    # (no stray residue digit before <PHONE>)
+    (7, "order 1234-567-8901 shipped", "order 1234-567-8901 shipped", 0, 0, 0),
+    # optional 4th segment (extension form) is swallowed whole
+    (8, "fax +1-555-123-4567 now", "fax <PHONE> now", 0, 0, 1),
+    # phone at start of text (the ^ alternative of the guard group)
+    (9, "555-123-4567 was dialed", "<PHONE> was dialed", 0, 0, 1),
 ]
 
 
@@ -69,7 +76,7 @@ def _py_scrub(text: str):
     n_ip = len(re.findall(IPV4_RE, after_email))
     after_ip = re.sub(IPV4_RE, "<IP>", after_email)
     n_phone = len(re.findall(PHONE_RE, after_ip))
-    redacted = re.sub(PHONE_RE, "<PHONE>", after_ip)
+    redacted = re.sub(PHONE_RE, r"\1<PHONE>", after_ip)
     return redacted, n_email, n_ip, n_phone
 
 
