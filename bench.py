@@ -77,28 +77,44 @@ def run_crawl_bench(spark, scale: str = "medium", max_pages: int = 30000):
         restrict_domain=False,
         use_bloom=os.environ.get("EGET_BENCH_BLOOM", "0") == "1",
     )
-    t0 = time.monotonic()
-    res = crawl(spark, docs, cfg, robots=None)
-    # force full extraction (markdown assembly) — part of the metric
-    res.pages.select(F.sum(F.length("markdown"))).collect()
-    wall = time.monotonic() - t0
-    attempted = sum(s.attempted for s in res.stats)
+
+    def timed_crawl() -> dict:
+        t0 = time.monotonic()
+        res = crawl(spark, docs, cfg, robots=None)
+        # force full extraction (markdown assembly) — part of the metric
+        res.pages.select(F.sum(F.length("markdown"))).collect()
+        wall = time.monotonic() - t0
+        attempted = sum(s.attempted for s in res.stats)
+        # per-round detail: lets the scaling harness separate the BFS
+        # ramp (rounds whose frontier is still tiny — fixed job-latency
+        # cost at any parallelism) from steady-state rounds, which are
+        # what a 10^10-URL crawl spends ~100% of its life in
+        detail = [
+            {
+                "round": s.round,
+                "attempted": s.attempted,
+                "dur": round(s.duration_sec, 3),
+            }
+            for s in res.stats
+        ]
+        return {
+            "wall_sec": round(wall, 3),
+            "urls_attempted": attempted,
+            "rounds": len(res.stats),
+            "urls_per_sec": round(attempted / wall, 2),
+            "rounds_detail": detail,
+        }
+
+    # min-per-rep within the attempt (round-4 lesson, same medicine the
+    # scaling harness takes): a single ~25 s crawl measurement is exposed
+    # to one-sided neighbor noise; repeat it and keep the quietest run
+    reps = max(1, int(os.environ.get("EGET_BENCH_CRAWL_REPS", "2")))
+    runs = [timed_crawl() for _ in range(reps)]
     docs.unpersist()
-    # per-round detail: lets the scaling harness separate the BFS ramp
-    # (rounds whose frontier is still tiny — fixed job-latency cost at any
-    # parallelism) from steady-state rounds, which are what a 10^10-URL
-    # crawl spends ~100% of its life in
-    detail = [
-        {"round": s.round, "attempted": s.attempted, "dur": round(s.duration_sec, 3)}
-        for s in res.stats
-    ]
-    return {
-        "wall_sec": round(wall, 3),
-        "urls_attempted": attempted,
-        "rounds": len(res.stats),
-        "urls_per_sec": round(attempted / wall, 2),
-        "rounds_detail": detail,
-    }
+    best = min(runs, key=lambda r: r["wall_sec"])
+    best["reps"] = reps
+    best["rep_walls"] = [r["wall_sec"] for r in runs]
+    return best
 
 
 def calibrate(cpus: int) -> dict:

@@ -12,6 +12,18 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(8g, ~25% of MemTotal), floor 2g — see the heap-sizing note in
+    get_spark for the measurements behind the 8g cap."""
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = int(next(ln for ln in fh if ln.startswith("MemTotal")).split()[1])
+        gb = max(2, min(8, kb // (4 * 1024 * 1024)))
+    except (OSError, StopIteration, ValueError):
+        gb = 8
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "eget_spark",
     cores: int | None = None,
@@ -43,14 +55,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # local mode runs every executor thread inside the driver JVM, so
-        # the heap must be sized for the PARALLELISM, not for a driver:
-        # 8g on this 125 GiB host produced GCLocker allocation stalls at
-        # local[8] on the benchxxl corpus — GC pressure that grows with
-        # core count and silently taxes exactly the wide leg of the
-        # N-vs-4N scaling evidence.  32g leaves ample room for python
-        # workers; a cluster submit overrides with executor memory conf.
-        .config("spark.driver.memory", os.environ.get("EGET_DRIVER_MEM", "32g"))
+        # Local-mode heap sizing is a real trade-off, measured both ways:
+        # 8g produced GCLocker allocation stalls at local[8] on the 800k
+        # benchxxl corpus (round 4), but 32g made the 30k-page frontier
+        # bench 2.2-2.5x SLOWER end-to-end (round-5 bisect, interleaved:
+        # 8g -> 1316 URLs/s, 16g -> ~1100, 32g -> 450-583; monotonic in
+        # heap size, reproducible in quiet windows — heap size itself,
+        # not host noise).  So the LIBRARY default stays small (min(8g,
+        # ~25% of MemTotal)); jobs that cache million-doc corpora in
+        # local mode (tools/bench_scaling.py xxl runs) set
+        # EGET_DRIVER_MEM=32g explicitly.  A cluster submit overrides
+        # with executor memory conf and none of this applies.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("EGET_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # bucketed-table warehouse (write_bucketed_corpus); keep it out of

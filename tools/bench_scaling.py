@@ -73,6 +73,15 @@ def main() -> None:
     scale = sys.argv[2] if len(sys.argv) > 2 else "medium"
     max_pages = int(sys.argv[3]) if len(sys.argv) > 3 else 30000
 
+    # Heap: million-doc cached corpora need a big heap (8g GCLocker-stalled
+    # the 800k xxl run, round 4), but an oversized heap slows small-corpus
+    # rounds 2.2-2.5x (round-5 bisect — see eget_spark/session.py).  The
+    # JVM heap is fixed at first launch in this process, so set it before
+    # any session exists.
+    os.environ.setdefault(
+        "EGET_DRIVER_MEM", "32g" if max_pages >= 100_000 else "8g"
+    )
+
     # quiet-window gate (round-3 lesson: the contended 800k attempt had a
     # pre-run ceiling of 0.774 — no job can evidence >=0.8 in such a
     # window, so don't even start). Recalibrate with backoff until the
