@@ -59,6 +59,8 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q57_repetition_quality Gopher repetition filters: dup-line + top-bigram frac
   q58_line_dedup         CCNet-style cross-corpus line dedup + reassembly
   q59_pii_scrub          PII detection+redaction (email/IP/phone), map-side
+  q60_pdf_cid_convert    C1 CID/Type0 font PDF: ToUnicode CMap decode -> spans
+  q61_pdf_lzw_convert    C1 LZWDecode-filtered PDF: stdlib LZW decode -> spans
 """
 
 from __future__ import annotations
@@ -2298,6 +2300,114 @@ FROM stage2
 """
 
 
+def q60_pdf_cid_convert(spark, sf_dir):
+    """C1 on CID/Type0 composite-font PDFs (round-5): 24 files whose
+    page text is written as 2-byte Identity-H codes and recovered
+    through each font's embedded /ToUnicode CMap
+    (sources/pdfmini.py) — the layout of non-Latin and
+    professionally-typeset documents, which the reference reads via
+    PyPDF2 (pdf_converter.py:105-121).  Decoded inside convert_files'
+    distributed mapInPandas and exploded to one row per span; page
+    texts are Greek lowercase sentences reproducible in DuckDB from the
+    file index alone."""
+    from eget_spark.sources.converters import convert_files
+    from eget_spark.sources.pdfmini import build_pdf_type0_bytes
+
+    n = 24
+    rows = []
+    for i in range(n):
+        pages = [
+            f"αλφα {i} {p} ένα. βήτα {i} {p} δύο." for p in (1, 2)
+        ]
+        rows.append(
+            (
+                f"mem://cid/{i:04d}.pdf",
+                bytearray(build_pdf_type0_bytes(pages)),
+            )
+        )
+    files = spark.createDataFrame(rows, "path string, content binary")
+    return (
+        convert_files(files, dedupe_content=False)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").cast("int").alias("pos"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
+_Q60_SQL = r"""
+WITH i AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 24)),
+p AS (SELECT CAST(range AS BIGINT) AS p FROM range(1, 3)),
+spans AS (
+  SELECT i, p, CAST((p - 1) * 2 AS INT) AS pos,
+         'heading' AS kind, '## Page ' || p AS text FROM i CROSS JOIN p
+  UNION ALL
+  SELECT i, p, CAST((p - 1) * 2 + 1 AS INT),
+         'paragraph',
+         'αλφα ' || i || ' ' || p || ' ένα. βήτα ' || i || ' ' || p || ' δύο.'
+  FROM i CROSS JOIN p
+)
+SELECT 'mem://cid/' || lpad(CAST(i AS VARCHAR), 4, '0') || '.pdf' AS doc_id,
+       pos, kind, text
+FROM spans
+"""
+
+
+def q61_pdf_lzw_convert(spark, sf_dir):
+    """C1 on LZWDecode-filtered PDFs (round-5): 24 classic-xref files
+    whose content streams are LZW-compressed (PDF spec 7.4.4,
+    EarlyChange=1), decoded by the stdlib LZW implementation in
+    sources/pdfmini.py inside convert_files' distributed mapInPandas.
+    Same reproducible-text scheme as q56."""
+    from eget_spark.sources.converters import convert_files
+    from eget_spark.sources.pdfmini import build_pdf_bytes
+
+    n = 24
+    rows = []
+    for i in range(n):
+        pages = [
+            f"delta {i} {p} one.\nepsilon {i} {p} two." for p in (1, 2)
+        ]
+        rows.append(
+            (
+                f"mem://lzw/{i:04d}.pdf",
+                bytearray(build_pdf_bytes(pages, compress="lzw")),
+            )
+        )
+    files = spark.createDataFrame(rows, "path string, content binary")
+    return (
+        convert_files(files, dedupe_content=False)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").cast("int").alias("pos"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
+_Q61_SQL = r"""
+WITH i AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 24)),
+p AS (SELECT CAST(range AS BIGINT) AS p FROM range(1, 3)),
+spans AS (
+  SELECT i, p, CAST((p - 1) * 2 AS INT) AS pos,
+         'heading' AS kind, '## Page ' || p AS text FROM i CROSS JOIN p
+  UNION ALL
+  SELECT i, p, CAST((p - 1) * 2 + 1 AS INT),
+         'paragraph',
+         'delta ' || i || ' ' || p || ' one. epsilon ' || i || ' ' || p || ' two.'
+  FROM i CROSS JOIN p
+)
+SELECT 'mem://lzw/' || lpad(CAST(i AS VARCHAR), 4, '0') || '.pdf' AS doc_id,
+       pos, kind, text
+FROM spans
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2364,6 +2474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_repetition_quality": q57_repetition_quality,
         "q58_line_dedup": q58_line_dedup,
         "q59_pii_scrub": q59_pii_scrub,
+        "q60_pdf_cid_convert": q60_pdf_cid_convert,
+        "q61_pdf_lzw_convert": q61_pdf_lzw_convert,
     }
 
 
@@ -2428,4 +2540,6 @@ def oracle_sql() -> dict[str, str]:
         "q57_repetition_quality": _Q57_SQL,
         "q58_line_dedup": _Q58_SQL,
         "q59_pii_scrub": _Q59_SQL,
+        "q60_pdf_cid_convert": _Q60_SQL,
+        "q61_pdf_lzw_convert": _Q61_SQL,
     }

@@ -28,11 +28,21 @@ legacy whole-file regex scan remains as a fallback for files with a
 damaged or absent xref, but xref-located objects take precedence (the
 regex can truncate at ``endobj`` byte sequences inside binary streams).
 
-Out of scope (documented, raise-free): non-Flate filters (DCT, LZW,
-CCITT) yield an empty page; CID/Type0 composite-font text (2-byte
-strings) decodes as raw bytes; positioning is ignored beyond the
-line-break operators; an indirect ``/Length`` falls back to an
-``endstream`` byte search; TIFF ``/Predictor 2`` is not applied.
+Round-5 additions: ``LZWDecode`` streams decode via a stdlib LZW
+implementation (spec 7.4.4, /EarlyChange honored), and CID/Type0
+composite-font text decodes through the font's embedded ``/ToUnicode``
+CMap (codespacerange + bfchar + both bfrange forms; 2-byte Identity-H
+and 1-byte simple fonts) with per-page /Font resource resolution and
+/Parent inheritance — the path the reference gets from PyPDF2
+(pdf_converter.py:105-121) for non-Latin and professionally-typeset
+documents.
+
+Out of scope (documented, raise-free): image codecs as content filters
+(DCT, CCITT, JBIG2, JPX) yield an empty page; Type0 text WITHOUT a
+/ToUnicode CMap (raw CID-keyed fonts needing the font program's CMap)
+decodes as raw bytes; positioning is ignored beyond the line-break
+operators; an indirect ``/Length`` falls back to an ``endstream`` byte
+search; TIFF ``/Predictor 2`` is not applied.
 """
 
 from __future__ import annotations
@@ -139,6 +149,102 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> 
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF ``LZWDecode`` (spec 7.4.4): TIFF-convention LZW — MSB-first
+    bit packing, 9..12-bit variable code width, clear=256, EOD=257,
+    ``/EarlyChange`` (default 1) widening one entry before the table
+    fills.  The reference reads these via PyPDF2
+    (services/converters/converters/pdf_converter.py:105-121)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return bytes(out)  # corrupt stream: keep what decoded
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return bytes(out)  # corrupt stream
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Fixture-side inverse of ``_lzw_decode`` (EarlyChange=1): generates
+    the code sequence with a standard encoder table, then packs bit
+    widths by SIMULATING the decoder's width schedule — correct for any
+    conforming decoder by construction.  Used by ``build_pdf_bytes`` to
+    synthesize LZW test fixtures; never on a hot path."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    codes: list[int] = [256]  # leading clear, as real writers emit
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+        else:
+            codes.append(table[w])
+            if nxt < 4096:
+                table[wc] = nxt
+                nxt += 1
+            w = c
+    if w:
+        codes.append(table[w])
+    codes.append(257)
+    # pack: width at each position = what the decoder will expect
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    width = 9
+    dictlen = 258
+    prev_seen = False
+    for code in codes:
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+        if code == 256:
+            width, dictlen, prev_seen = 9, 258, False
+            continue
+        if code == 257:
+            break
+        if prev_seen and dictlen < 4096:
+            dictlen += 1
+        prev_seen = True
+        if dictlen + 1 >= (1 << width) and width < 12:
+            width += 1
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _int_value(d: bytes, key: bytes) -> int | None:
     m = re.search(re.escape(key) + rb"\s+(\d+)\b", d)
     return int(m.group(1)) if m else None
@@ -154,19 +260,28 @@ def _apply_filters(dict_part: bytes, raw: bytes) -> bytes:
     /Predictor from /DecodeParms.  Unsupported filters -> b'' (documented)."""
     filt = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", dict_part)
     if filt is not None:
-        if filt.group(1) != b"FlateDecode":
-            return b""  # unsupported filter: empty text layer (documented)
-        try:
-            raw = zlib.decompress(raw)
-        except zlib.error:
-            # some writers pad the stream; retry trimmed to /Length
-            ln = _int_value(dict_part, b"/Length")
-            if ln is None:
-                return b""
+        if filt.group(1) == b"FlateDecode":
             try:
-                raw = zlib.decompress(raw[:ln])
+                raw = zlib.decompress(raw)
             except zlib.error:
-                return b""
+                # some writers pad the stream; retry trimmed to /Length
+                ln = _int_value(dict_part, b"/Length")
+                if ln is None:
+                    return b""
+                try:
+                    raw = zlib.decompress(raw[:ln])
+                except zlib.error:
+                    return b""
+        elif filt.group(1) == b"LZWDecode":
+            parms0 = re.search(rb"/DecodeParms\s*<<(.*?)>>", dict_part, re.S)
+            early = 1
+            if parms0:
+                e = re.search(rb"/EarlyChange\s+([01])\b", parms0.group(1))
+                if e:
+                    early = int(e.group(1))
+            raw = _lzw_decode(raw, early)
+        else:
+            return b""  # unsupported filter: empty text layer (documented)
     parms = re.search(rb"/DecodeParms\s*<<(.*?)>>", dict_part, re.S)
     if parms:
         pred = _int_value(parms.group(1), b"/Predictor") or 1
@@ -268,12 +383,16 @@ def _parse_xref_table(data: bytes, off: int) -> tuple[dict[int, int], bytes]:
         first, count = int(m.group(1)), int(m.group(2))
         i += m.end()
         for k in range(count):
+            # entries are SPEC'd as exactly 20 bytes, but some real-world
+            # writers emit 19 (lone \n terminator) — advance by the
+            # matched length, not a fixed stride, so a 19-byte entry
+            # doesn't misalign every entry after it
             e = re.match(rb"(\d{10})\s(\d{5})\s([nf])\s{0,2}", data[i : i + 20])
             if e is None:
                 break
             if e.group(3) == b"n":
                 entries.setdefault(first + k, int(e.group(1)))
-            i += 20
+            i += e.end()
     t = data.find(b"trailer", i)
     if t < 0:
         return entries, b""
@@ -378,6 +497,126 @@ def _expand_objstms(objs: dict[int, bytes]) -> None:
             objs.setdefault(onum, data[first + ooff : end].strip())
 
 
+# --- CID/Type0 composite fonts: /ToUnicode CMap decode ------------------------
+
+_HEX_ITEM_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _hex_to_uni(h: bytes) -> str:
+    """Destination hex of a bfchar/bfrange -> Unicode (UTF-16BE code
+    units, surrogate pairs included)."""
+    if len(h) % 4:  # pad odd-length writers emit for 1-byte dsts
+        h = h.rjust((len(h) + 3) // 4 * 4, b"0")
+    return bytes.fromhex(h.decode("ascii", "ignore")).decode(
+        "utf-16-be", errors="replace"
+    )
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
+    """Parse a /ToUnicode CMap stream: ``begincodespacerange`` (source
+    code byte length), ``beginbfchar`` pairs, and ``beginbfrange``
+    triples in both the incrementing-destination and array forms.
+    Returns (code -> unicode string, code length in bytes)."""
+    m2u: dict[int, str] = {}
+    code_len = 0
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", cmap, re.S):
+        for h in _HEX_ITEM_RE.finditer(m.group(1)):
+            code_len = max(code_len, len(h.group(1)) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        for pair in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            m2u[int(pair.group(1), 16)] = _hex_to_uni(pair.group(2))
+            code_len = max(code_len, len(pair.group(1)) // 2)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        for r in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+            m.group(1),
+        ):
+            lo, hi = int(r.group(1), 16), int(r.group(2), 16)
+            code_len = max(code_len, len(r.group(1)) // 2)
+            dst = r.group(3)
+            if dst.startswith(b"["):  # explicit per-code destinations
+                for k, d in enumerate(_HEX_ITEM_RE.findall(dst)):
+                    if lo + k > hi:
+                        break
+                    m2u[lo + k] = _hex_to_uni(d)
+            else:  # incrementing form: the LAST BYTE of dst increments
+                hexs = dst[1:-1]
+                hexs = hexs.rjust((len(hexs) + 3) // 4 * 4, b"0")
+                base = bytearray.fromhex(hexs.decode("ascii"))
+                for k in range(hi - lo + 1):
+                    b2 = bytearray(base)
+                    b2[-1] = (base[-1] + k) & 0xFF
+                    m2u[lo + k] = bytes(b2).decode("utf-16-be", errors="replace")
+    return m2u, (code_len or 2)
+
+
+def _cmap_decoder(m2u: dict[int, str], code_len: int):
+    """String-bytes -> text through a ToUnicode map; unmapped codes
+    become U+FFFD (PyPDF2 leaves them out; a visible replacement is the
+    more debuggable contract for a corpus pipeline)."""
+
+    def dec(b: bytes) -> str:
+        return "".join(
+            m2u.get(int.from_bytes(b[i : i + code_len], "big"), "�")
+            for i in range(0, len(b) - code_len + 1, code_len)
+        )
+
+    return dec
+
+
+def _resolve_dict(objs: dict[int, bytes], body: bytes, key: bytes) -> bytes:
+    """Value of /key as dictionary bytes — inline ``<< ... >>`` or an
+    indirect reference."""
+    m = re.search(re.escape(key) + rb"\s*<<", body)
+    if m:
+        start = m.end() - 2
+        return body[start : _dict_span(body, start)]
+    ref = _ref_value(body, key)
+    if ref is not None and ref in objs:
+        return _dict_part(objs[ref])
+    return b""
+
+
+def _page_fonts(objs: dict[int, bytes], page_num: int) -> dict:
+    """Font-name -> decoder map for one page: every /Font resource entry
+    carrying a /ToUnicode CMap gets a CMap decoder (2-byte Identity-H
+    Type0 fonts and 1-byte simple fonts alike); fonts without one fall
+    back to the default byte decode.  /Resources inherits through
+    /Parent, as the page-tree spec allows."""
+    body = _dict_part(objs[page_num])
+    res = b""
+    for _ in range(8):  # bounded /Parent walk
+        res = _resolve_dict(objs, body, b"/Resources")
+        if res:
+            break
+        parent = _ref_value(body, b"/Parent")
+        if parent is None or parent not in objs:
+            break
+        body = _dict_part(objs[parent])
+    if not res:
+        return {}
+    fonts: dict[str, object] = {}
+    fdict = _resolve_dict(objs, res, b"/Font")
+    for m in re.finditer(rb"/([A-Za-z0-9_.+-]+)\s+(\d+)\s+\d+\s+R", fdict):
+        fobj = objs.get(int(m.group(2)))
+        if fobj is None:
+            continue
+        tu = _ref_value(_dict_part(fobj), b"/ToUnicode")
+        if tu is None or tu not in objs:
+            continue
+        cmap = _stream_data(objs[tu])
+        if not cmap:
+            continue
+        m2u, code_len = _parse_tounicode(cmap)
+        if m2u:
+            fonts[m.group(1).decode("ascii", "ignore")] = _cmap_decoder(
+                m2u, code_len
+            )
+    return fonts
+
+
 def _literal_string(s: bytes, i: int) -> tuple[bytes, int]:
     """Parse a (...) literal starting at the '('; returns (bytes, next i)."""
     out = bytearray()
@@ -419,13 +658,20 @@ def _decode_pdf_text(b: bytes) -> str:
     return b.decode("utf-8", errors="replace")
 
 
-def _extract_page_text(content: bytes) -> str:
-    """Evaluate the text operators of one content stream into lines."""
+def _extract_page_text(content: bytes, fonts: dict | None = None) -> str:
+    """Evaluate the text operators of one content stream into lines.
+    ``fonts`` maps resource font names (the /F1 of ``/F1 12 Tf``) to
+    string decoders — CID/Type0 fonts with a /ToUnicode CMap decode
+    2-byte codes to Unicode; everything else takes the default byte
+    decode.  The selected font persists across BT/ET (text state is not
+    reset by the spec)."""
     lines: list[str] = []
     cur: list[str] = []
     i = 0
     n = len(content)
     stack: list[bytes] = []  # operand strings pending an operator
+    decode = _decode_pdf_text
+    last_name = ""
 
     def newline() -> None:
         if cur:
@@ -440,6 +686,12 @@ def _extract_page_text(content: bytes) -> str:
             s, i = _literal_string(content, i)
             stack.append(s)
             continue
+        if c == b"/":
+            m = re.match(rb"/([A-Za-z0-9_.+-]+)", content[i : i + 64])
+            if m:
+                last_name = m.group(1).decode("ascii", "ignore")
+                i += m.end()
+                continue
         if c == b"<" and content[i + 1:i + 2] != b"<":
             j = content.find(b">", i)
             if j < 0:
@@ -455,21 +707,24 @@ def _extract_page_text(content: bytes) -> str:
             op = m.group(0)
             if op == b"Tj":
                 if stack:
-                    cur.append(_decode_pdf_text(stack[-1]))
+                    cur.append(decode(stack[-1]))
                 stack.clear()
             elif op == b"TJ":
                 # array form: every pushed string in order, kerning ignored
-                cur.extend(_decode_pdf_text(s) for s in stack)
+                cur.extend(decode(s) for s in stack)
                 stack.clear()
             elif op == b"'":
                 newline()
                 if stack:
-                    cur.append(_decode_pdf_text(stack[-1]))
+                    cur.append(decode(stack[-1]))
                 stack.clear()
             elif op == b'"':
                 newline()
                 if stack:
-                    cur.append(_decode_pdf_text(stack[-1]))
+                    cur.append(decode(stack[-1]))
+                stack.clear()
+            elif op == b"Tf":
+                decode = (fonts or {}).get(last_name, _decode_pdf_text)
                 stack.clear()
             elif op in (b"Td", b"TD", b"T*"):
                 newline()
@@ -503,7 +758,7 @@ def decode_pdf_bytes(data: bytes) -> list[str]:
         for cref in _ref_list(_dict_part(objs[pnum]), b"/Contents"):
             if cref in objs:
                 parts.append(_stream_data(objs[cref]))
-        pages.append(_extract_page_text(b"\n".join(parts)))
+        pages.append(_extract_page_text(b"\n".join(parts), _page_fonts(objs, pnum)))
     return pages
 
 
@@ -535,7 +790,10 @@ def _page_and_content_objs(pages: list[str], compress: bool):
         content += b"ET"
         raw = bytes(content)
         filt = b""
-        if compress:
+        if compress == "lzw":
+            raw = _lzw_encode(raw)
+            filt = b"/Filter /LZWDecode "
+        elif compress:
             raw = zlib.compress(raw)
             filt = b"/Filter /FlateDecode "
         pnum, cnum = 4 + 2 * i, 5 + 2 * i
@@ -615,8 +873,111 @@ def _build_pdf_objstm(pages: list[str]) -> bytes:
     return bytes(out)
 
 
+def build_pdf_type0_bytes(pages: list[str]) -> bytes:
+    """Deterministic PDF with a CID/Type0 (Identity-H) font: page text
+    is written as 2-byte hex-string codes assigned per unique character
+    (sorted order, code 1 upward) and mapped back via an embedded
+    /ToUnicode CMap (codespacerange + bfchar blocks of <=100 entries +
+    one bfrange exercising the incrementing form).  The roundtrip
+    fixture for the composite-font decode path — the layout
+    professionally-typeset and non-Latin PDFs use, which the reference
+    reads via PyPDF2 (pdf_converter.py:105-121)."""
+    chars = sorted({c for t in pages for c in t if c != "\n"})
+    code_of = {c: i + 1 for i, c in enumerate(chars)}
+    page_count = len(pages)
+    kids = " ".join(f"{5 + 2 * i} 0 R" for i in range(page_count))
+    bodies: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {page_count} >>".encode(),
+        3: (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            b"/Encoding /Identity-H /ToUnicode 4 0 R >>"
+        ),
+    }
+    # ToUnicode CMap: first (up to) 8 codes via ONE incrementing bfrange
+    # per contiguous-destination run, the rest via bfchar blocks
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin begincmap",
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange",
+    ]
+    items = [(code_of[c], c) for c in chars]
+    # incrementing bfrange form is only valid while the LAST BYTE of the
+    # destination increments without overflow; emit runs of consecutive
+    # codepoints that share their high bytes
+    runs: list[list[tuple[int, str]]] = []
+    for code, ch in items:
+        if (
+            runs
+            and code == runs[-1][-1][0] + 1
+            and ord(ch) == ord(runs[-1][-1][1]) + 1
+            and ord(ch) <= 0xFFFF
+            and (ord(ch) >> 8) == (ord(runs[-1][-1][1]) >> 8)
+        ):
+            runs[-1].append((code, ch))
+        else:
+            runs.append([(code, ch)])
+    range_runs = [r for r in runs if len(r) >= 2][:1]  # exercise the form once
+    ranged = {code for r in range_runs for code, _ in r}
+    for r in range_runs:
+        lines.append(b"1 beginbfrange")
+        lines.append(
+            f"<{r[0][0]:04x}> <{r[-1][0]:04x}> "
+            f"<{ord(r[0][1]):04x}>".encode()
+        )
+        lines.append(b"endbfrange")
+    rest = [(code, ch) for code, ch in items if code not in ranged]
+    for blk in range(0, len(rest), 100):
+        chunk = rest[blk : blk + 100]
+        lines.append(f"{len(chunk)} beginbfchar".encode())
+        for code, ch in chunk:
+            dst = ch.encode("utf-16-be").hex()
+            lines.append(f"<{code:04x}> <{dst}>".encode())
+        lines.append(b"endbfchar")
+    lines += [b"endcmap end end"]
+    cmap = b"\n".join(lines)
+    comp = zlib.compress(cmap)
+    bodies[4] = (
+        f"<< /Filter /FlateDecode /Length {len(comp)} >>".encode()
+        + b"\nstream\n" + comp + b"\nendstream"
+    )
+    for i, text in enumerate(pages):
+        content = bytearray(b"BT /F1 11 Tf 50 780 Td\n")
+        for line in text.split("\n"):
+            hx = "".join(f"{code_of[c]:04x}" for c in line)
+            content += b"<" + hx.encode() + b"> Tj 0 -14 Td\n"
+        content += b"ET"
+        raw = zlib.compress(bytes(content))
+        pnum, cnum = 5 + 2 * i, 6 + 2 * i
+        bodies[pnum] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            + f"/Contents {cnum} 0 R >>".encode()
+        )
+        bodies[cnum] = (
+            f"<< /Filter /FlateDecode /Length {len(raw)} >>".encode()
+            + b"\nstream\n" + raw + b"\nendstream"
+        )
+    total = len(bodies)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num in range(1, total + 1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + bodies[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {total + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {total + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 def build_pdf_bytes(
-    pages: list[str], compress: bool = True, objstm: bool = False
+    pages: list[str], compress: bool | str = True, objstm: bool = False
 ) -> bytes:
     """Minimal valid PDF: one Flate (or raw) content stream per page,
     each input line a Td/Tj pair — the inverse of decode_pdf_bytes for

@@ -487,3 +487,105 @@ def test_docx_stdlib_tabs_breaks_and_toggle_props():
     assert p1["text"] == "a\tb\nc"
     text, bold, italic, underline = p2["runs"][0]
     assert (text, bold, italic, underline) == ("styled", False, True, False)
+
+
+def test_pdf_lzw_filter_roundtrip():
+    """Round-5: LZWDecode content streams (pdfmini spec-7.4.4 stdlib
+    implementation) decode identically to Flate — including variable
+    code-width growth past 9 bits and the KwKwK self-referencing case."""
+    from eget_spark.sources.pdfmini import (
+        _lzw_decode,
+        _lzw_encode,
+        build_pdf_bytes,
+        decode_pdf_bytes,
+    )
+
+    # unit roundtrips: repetitive (deep table), alternating (KwKwK-ish),
+    # and one long enough to push the code width to 11+ bits
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaaaaaaaaaaaa",
+        b"abababababababababab",
+        (b"the quick brown fox jumps over the lazy dog. " * 300),
+        bytes(range(256)) * 30,
+    ]
+    for blob in cases:
+        assert _lzw_decode(_lzw_encode(blob)) == blob
+    # end-to-end through the PDF object graph
+    pages = [
+        "Chapter 1\nrepeat repeat repeat repeat repeat.",
+        "tail page with more text layers.",
+    ]
+    lzw_pdf = build_pdf_bytes(pages, compress="lzw")
+    assert b"/LZWDecode" in lzw_pdf and b"/FlateDecode" not in lzw_pdf
+    assert decode_pdf_bytes(lzw_pdf) == pages
+
+
+def test_pdf_type0_tounicode_cmap():
+    """Round-5 (verdict item #3): CID/Type0 composite-font text decodes
+    through the embedded /ToUnicode CMap — 2-byte Identity-H codes,
+    non-Latin text, surrogate pairs, and both bfrange forms."""
+    from eget_spark.sources.converters import _decode_pdf
+    from eget_spark.sources.pdfmini import (
+        _parse_tounicode,
+        build_pdf_type0_bytes,
+        decode_pdf_bytes,
+    )
+
+    pages = [
+        "αλφα βήτα γάμμα 123.",
+        "日本語のテスト 😀 mixed latin.",
+    ]
+    pdf = build_pdf_type0_bytes(pages)
+    assert b"/Type0" in pdf and b"/Identity-H" in pdf and b"/ToUnicode" in pdf
+    assert decode_pdf_bytes(pdf) == pages
+    assert _decode_pdf(pdf) == pages  # converter entry path
+
+    # CMap parser unit: bfchar + incrementing bfrange + array bfrange
+    cmap = b"""
+/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0001> <0041>
+<0002> <4e2d>
+endbfchar
+2 beginbfrange
+<0010> <0012> <0061>
+<0020> <0021> [<00c9> <d83dde00>]
+endbfrange
+endcmap end end
+"""
+    m2u, code_len = _parse_tounicode(cmap)
+    assert code_len == 2
+    assert m2u[1] == "A" and m2u[2] == "中"
+    assert (m2u[0x10], m2u[0x11], m2u[0x12]) == ("a", "b", "c")
+    assert m2u[0x20] == "É" and m2u[0x21] == "\U0001f600"
+
+
+def test_pdf_xref_19_byte_entries():
+    """Round-5 (advice item): classic xref entries written as 19 bytes
+    (lone \\n line ending) must not misalign the table scan — the parser
+    advances by the matched entry length, not a fixed 20-byte stride."""
+    import re
+
+    from eget_spark.sources.pdfmini import (
+        _parse_xref_table,
+        build_pdf_bytes,
+        decode_pdf_bytes,
+    )
+
+    pages = ["page one text.", "page two text."]
+    pdf = build_pdf_bytes(pages)
+    x = pdf.find(b"xref")
+    narrowed = pdf[:x] + pdf[x:].replace(b" n \n", b" n\n").replace(
+        b" f \n", b" f\n"
+    )
+    off = int(re.search(rb"startxref\s+(\d+)", narrowed).group(1))
+    wide_entries, _ = _parse_xref_table(pdf, off)
+    narrow_entries, _ = _parse_xref_table(narrowed, off)
+    assert narrow_entries == wide_entries and len(narrow_entries) >= 6
+    assert decode_pdf_bytes(narrowed) == pages
