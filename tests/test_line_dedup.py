@@ -65,3 +65,37 @@ def test_line_dedup_scale_shape(spark):
     plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_plan_has_no_line_keyed_join(spark):
+    """Round-5 skew hardening: the kept-line set comes straight out of
+    the min-struct aggregate — the plan must contain NO join at all on
+    the exploded-lines side before reassembly (a join keyed on line text
+    would send every copy of a 10^8-occurrence boilerplate line to one
+    reducer)."""
+    import re
+
+    from eget_spark.operators.line_dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "home\nabout\nhome"), (2, "home\ncontact")],
+        "doc_id long, text string",
+    )
+    plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
+    # the only joins allowed are the id-keyed reassembly joins
+
+    for m in re.finditer(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan):
+        assert "line" not in m.group(0), m.group(0)
+
+
+def test_hot_line_corpus_correct(spark):
+    """A synthesized hot-key corpus (one boilerplate line on every doc)
+    still dedups exactly per the Python oracle."""
+    from eget_spark.operators.line_dedup import dedup_lines
+
+    rows = [(i, f"Home\nunique {i} content\nHome") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["text"], r["n_lines"], r["n_dropped"])
+           for r in dedup_lines(df).collect()}
+    want = _oracle(rows)
+    assert got == want
