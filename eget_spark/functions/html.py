@@ -33,11 +33,16 @@ composition is pinned by golden tests incl. adversarial nesting.
 
 Known divergences from html2text itself (library absent, documented not
 silent):
-- no character escaping of markdown metachars in text runs
-  (escape_snob=False in the reference config minimizes, but html2text
-  still escapes some; we escape none);
 - `<br>` inside emphasis/link labels collapses to a space;
+- entity references: stdlib html.parser (convert_charrefs=True) merges a
+  decoded entity into the surrounding text chunk, so e.g. ``&#45; x`` at
+  a chunk start escapes as ``\\- x`` where html2text (entity_char=True
+  path) would not escape it;
 - reflowing/wrapping differences cannot arise (body_width=0 both sides).
+(The former no-metachar-escaping delta is closed: round 5 transcribes
+utils.escape_md_section at escape_snob=False — backslash everywhere in
+non-code text runs, plus the chunk-^-anchored dot/plus/dash escapes —
+see _escape_md_section.)
 (The former `<ol>`-past-9 delta is closed: html2text 2024.2.26 emits
 unpadded ``N. `` markers — its in-source TODO — and indents a ul under
 an ol by three spaces; both rules are now transcribed and golden-pinned.)
@@ -368,10 +373,34 @@ _HEADING = {f"h{i}": i for i in range(1, 7)}
 _WS_RE = re.compile(r"\s+")
 
 
-def _inline(node: Node) -> str:
+# html2text 2024.2.26 utils.escape_md_section at escape_snob=False (the
+# reference config, scraper.py:285-298): backslashes always; a dot after
+# leading digits, a plus, or a dash escape only at the start of a DATA
+# CHUNK or after a newline within it (the library's ^-anchored MULTILINE
+# matchers run per handle_data chunk, BEFORE whitespace collapsing — so
+# "see <b>x</b> 1. thing" escapes the mid-line "1." too, because the
+# chunk " 1. thing" starts with it; transcribed quirk, not a choice).
+_MD_BACKSLASH_RE = re.compile(r"(\\)")
+_MD_DOT_RE = re.compile(r"^(\s*\d+)(\.)(?=\s)", re.M)
+_MD_PLUS_RE = re.compile(r"^(\s*)(\+)(?=\s)", re.M)
+_MD_DASH_RE = re.compile(r"^(\s*)(-)(?=\s|\-)", re.M)
+
+
+def _escape_md_section(text: str) -> str:
+    text = _MD_BACKSLASH_RE.sub(r"\\\1", text)
+    text = _MD_DOT_RE.sub(r"\1\\\2", text)
+    text = _MD_PLUS_RE.sub(r"\1\\\2", text)
+    return _MD_DASH_RE.sub(r"\1\\\2", text)
+
+
+def _inline(node: Node, in_code: bool = False) -> str:
     if node.tag == "":
-        return _WS_RE.sub(" ", node.attrs.get("text", ""))
-    inner = "".join(_inline(c) for c in node.children)
+        raw = node.attrs.get("text", "")
+        if not in_code:  # html2text: no escaping when self.code/self.pre
+            raw = _escape_md_section(raw)
+        return _WS_RE.sub(" ", raw)
+    in_code = in_code or node.tag == "code"
+    inner = "".join(_inline(c, in_code) for c in node.children)
     if node.tag in ("strong", "b"):
         return f"**{inner.strip()}**" if inner.strip() else ""
     if node.tag in ("em", "i"):

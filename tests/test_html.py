@@ -319,3 +319,34 @@ def test_x5_x6_composition_on_nested_structures():
     # X6 line-walker then treats it as a list start (blank line before) —
     # the reference mangles its own tables this way, so we must too
     assert "h1| h2\n\n- --|---\nx| y" in md
+
+
+def test_markdown_metachar_escaping_snob_false():
+    """Round-5 (verdict item #7): transcription of html2text 2024.2.26
+    utils.escape_md_section at escape_snob=False — backslash everywhere
+    in non-code text runs; dot-after-digits / plus / dash escaped at the
+    start of a data chunk (or after an internal newline), INCLUDING
+    mid-output-line chunk starts (the library's ^-anchored quirk)."""
+    from eget_spark.functions.html import html_to_markdown
+
+    cases = [
+        ("<p>1. not a list</p>", "1\\. not a list"),
+        ("<p>- dash start</p>", "\\- dash start"),
+        ("<p>-- double dash</p>", "\\-- double dash"),
+        ("<p>+ plus start</p>", "\\+ plus start"),
+        ("<p>a + b stays</p>", "a + b stays"),
+        ("<p>version 1.2 stays</p>", "version 1.2 stays"),
+        ("<p>back\\slash</p>", "back\\\\slash"),
+        # chunk-start quirk: the text chunk after </b> starts with ' 1.'
+        ("<p>see <b>x</b> 1. thing</p>", "see **x** 1\\. thing"),
+        # no escaping inside code spans / pre blocks
+        ("<p><code>1. x\\y</code></p>", "`1. x\\y`"),
+    ]
+    for html, want in cases:
+        got = html_to_markdown(f"<html><body>{html}</body></html>")
+        assert got == want, (html, got)
+    pre = html_to_markdown(
+        "<html><body><pre>- raw\n1. raw\n\\raw</pre></body></html>"
+    )
+    assert "- raw" in pre and "1. raw" in pre and "\\raw" in pre
+    assert "\\-" not in pre and "\\\\" not in pre
