@@ -455,3 +455,53 @@ def test_auto_trap_inert_without_traps(spark):
 
     assert order_rows(on) == order_rows(off)
     assert page_rows(on) == page_rows(off)
+
+
+def test_trap_fetch_budget_throttles_residual_fetches(spark):
+    """Round-5 (verdict item #8): with trap_fetch_budget set, a flagged
+    host's ALREADY-ADMITTED pages fetch at most budget-per-round through
+    the standard politeness scheduler (deferral preserves FIFO order);
+    the admitted set is unchanged vs auto-trap alone, every admitted page
+    still gets fetched eventually, and the non-trap host is
+    byte-identical."""
+    docs, T, G = _trap_corpus(spark)
+    base = dict(max_depth=10, max_pages=500, restrict_domain=False)
+    seeds = [f"{T}/idx", f"{G}/idx"]
+    trap_cfg = dict(auto_trap_threshold=0.8, auto_trap_min_urls=10)
+    on = crawl(spark, docs, CrawlConfig(seed_urls=seeds, **trap_cfg, **base))
+    bud = crawl(
+        spark,
+        docs,
+        CrawlConfig(seed_urls=seeds, trap_fetch_budget=2, **trap_cfg, **base),
+    )
+
+    def by_host(res, host):
+        return {
+            (r["url"], r["depth"], r["parent_url"])
+            for r in res.order.collect()
+            if r["host"] == host
+        }
+
+    # same admissions either way; good host untouched
+    assert by_host(bud, "good.example.com") == by_host(on, "good.example.com")
+    assert by_host(bud, "trap.example.com") == by_host(on, "trap.example.com")
+    # every admitted trap page still fetched (delayed, not dropped)
+    trap_pages = bud.pages.where(
+        (F.col("host") == "trap.example.com") & (F.col("status") == "ok")
+    )
+    assert trap_pages.count() == 11
+    # flagging lands after round 2 (11 admitted, 10/11 > 0.8): from round
+    # 3 on, the trap host fetches at most 2 per round — and must actually
+    # defer (more rounds than the unbudgeted run)
+    per_round = {
+        r["round"]: r["cnt"]
+        for r in trap_pages.groupBy("round").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert all(c <= 2 for rnd, c in per_round.items() if rnd >= 3), per_round
+    assert len(bud.stats) > len(on.stats)
+    # FIFO within the throttled host: fetch order follows admission seq
+    rounds_by_seq = [
+        r["round"]
+        for r in trap_pages.orderBy("seq").select("round").collect()
+    ]
+    assert rounds_by_seq == sorted(rounds_by_seq)
