@@ -61,6 +61,8 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q59_pii_scrub          PII detection+redaction (email/IP/phone), map-side
   q60_pdf_cid_convert    C1 CID/Type0 font PDF: ToUnicode CMap decode -> spans
   q61_pdf_lzw_convert    C1 LZWDecode-filtered PDF: stdlib LZW decode -> spans
+  q62_image_near_dup     perceptual image dedup: aHash pairs over real PNGs
+  q63_image_dedup_groups image dedup groups: connected components + canonical
 """
 
 from __future__ import annotations
@@ -2408,6 +2410,135 @@ FROM spans
 """
 
 
+def _q62_media(spark, n: int = 24):
+    """Shared fixture for q62/q63: n grayscale gradient PNGs (REAL stdlib
+    codec bytes) in groups of 3 — base, +1 brightness (aHash-invariant:
+    no pixel wraps, so every bit compare shifts equally), and a sparse
+    +60 bump on (y+x)%9==0 pixels (flips a few bits).  All dimensions are
+    multiples of 8, so nearest-neighbor sampling positions are exact
+    integers ((y8*h)//8 == y8*(h//8)) and DuckDB reproduces the pixel,
+    mean-bit, and Hamming arithmetic from the closed-form gradient."""
+    import numpy as np
+
+    from eget_spark.functions.png import encode_png
+
+    rows = []
+    for i in range(n):
+        g, v = i // 3, i % 3
+        a, b, c = 1 + g % 3, 1 + g % 4, (g * 11) % 40
+        w, h = 8 * (1 + g % 4), 8 * (1 + g % 3)
+        arr = (
+            np.arange(h)[:, None] * a + np.arange(w)[None, :] * b + c
+        ).astype(np.int64)
+        if v == 1:
+            arr = arr + 1
+        elif v == 2:
+            arr = arr + (np.add.outer(np.arange(h), np.arange(w)) % 9 == 0) * 60
+        rows.append(
+            (f"img{i:03d}", bytearray(encode_png((arr % 256).astype(np.uint8))))
+        )
+    rows.append(("bad000", bytearray(b"not a png")))  # dropped by decode
+    return spark.createDataFrame(rows, "media_ref string, payload binary")
+
+
+_Q62_PIXEL_SQL = r"""
+WITH imgs AS (
+  SELECT i, i % 3 AS v,
+         1 + (i // 3) % 3 AS a, 1 + (i // 3) % 4 AS b,
+         ((i // 3) * 11) % 40 AS c,
+         8 * (1 + (i // 3) % 4) AS w, 8 * (1 + (i // 3) % 3) AS h
+  FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 24))
+),
+grid AS (SELECT CAST(range AS BIGINT) AS q FROM range(0, 8)),
+pix AS (
+  SELECT imgs.i, y.q * 8 + x.q AS k,
+         (a * (y.q * (h // 8)) + b * (x.q * (w // 8)) + c
+          + CASE WHEN v = 1 THEN 1
+                 WHEN v = 2 AND ((y.q * (h // 8)) + (x.q * (w // 8))) % 9 = 0
+                   THEN 60
+                 ELSE 0 END) % 256 AS p
+  FROM imgs CROSS JOIN grid y CROSS JOIN grid x
+),
+tot AS (SELECT i, sum(p) AS total FROM pix GROUP BY i),
+bits AS (
+  SELECT pix.i, k, CASE WHEN p * 64 > total THEN 1 ELSE 0 END AS bit
+  FROM pix JOIN tot USING (i)
+)
+"""
+
+
+def q62_image_near_dup(spark, sf_dir):
+    """Perceptual image dedup, REAL pixels end-to-end: 24 stdlib-encoded
+    PNGs -> one Arrow-batched mapInPandas decode+aHash pass
+    (operators/image_dedup.py) -> pigeonhole band equi-join (shared with
+    text SimHash, operators/dedup.hamming_pairs) -> exact bit_count(xor)
+    Hamming verify.  The reference stores screenshots as opaque base64
+    (services/crawler/crawler_service.py) with no image dedup; this is
+    the training-pipeline extension.  DuckDB recomputes the sampled
+    pixels, mean-threshold bits, and all-pairs Hamming from the same
+    closed-form gradient arithmetic — the band join must therefore be
+    COMPLETE (pigeonhole: hamming<=3 < 4 bands forces a matching slice)."""
+    from eget_spark.operators.image_dedup import near_dup_image_pairs
+
+    return near_dup_image_pairs(_q62_media(spark)).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+_Q62_SQL = (
+    _Q62_PIXEL_SQL
+    + r""",
+ham AS (
+  SELECT x.i AS ia, y.i AS ib,
+         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+  FROM bits x JOIN bits y ON x.k = y.k AND x.i < y.i
+  GROUP BY x.i, y.i
+)
+SELECT printf('img%03d', ia) AS id_a, printf('img%03d', ib) AS id_b,
+       CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 3
+"""
+)
+
+
+def q63_image_dedup_groups(spark, sf_dir):
+    """Image dedup GROUPS: the q62 pair set closed under connectivity
+    (operators/dedup.connected_components hash-min label propagation),
+    canonical = min media_ref per component, singletons map to
+    themselves.  The oracle closes the same pair set with a recursive CTE
+    (min reachable id), so Spark's iterative join-agg loop is checked
+    against an independent fixpoint formulation."""
+    from eget_spark.operators.image_dedup import dedup_images
+
+    return dedup_images(_q62_media(spark))
+
+
+_Q63_SQL = (
+    _Q62_PIXEL_SQL.replace("WITH imgs", "WITH RECURSIVE imgs", 1)
+    + r""",
+ham AS (
+  SELECT x.i AS ia, y.i AS ib,
+         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+  FROM bits x JOIN bits y ON x.k = y.k AND x.i < y.i
+  GROUP BY x.i, y.i
+),
+edges AS (
+  SELECT ia AS src, ib AS dst FROM ham WHERE hamming <= 3
+  UNION ALL
+  SELECT ib, ia FROM ham WHERE hamming <= 3
+),
+reach AS (
+  SELECT i AS id, i AS lbl FROM imgs
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT printf('img%03d', id) AS media_ref,
+       printf('img%03d', min(lbl)) AS canonical
+FROM reach GROUP BY id
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2476,6 +2607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_pii_scrub": q59_pii_scrub,
         "q60_pdf_cid_convert": q60_pdf_cid_convert,
         "q61_pdf_lzw_convert": q61_pdf_lzw_convert,
+        "q62_image_near_dup": q62_image_near_dup,
+        "q63_image_dedup_groups": q63_image_dedup_groups,
     }
 
 
@@ -2542,4 +2675,6 @@ def oracle_sql() -> dict[str, str]:
         "q59_pii_scrub": _Q59_SQL,
         "q60_pdf_cid_convert": _Q60_SQL,
         "q61_pdf_lzw_convert": _Q61_SQL,
+        "q62_image_near_dup": _Q62_SQL,
+        "q63_image_dedup_groups": _Q63_SQL,
     }

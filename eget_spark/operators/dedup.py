@@ -187,34 +187,55 @@ def simhash_pairs(
     slice, so candidates come from equi-joins on (band, slice) — no O(n^2).
     Exact Hamming verify via bit_count(xor). Returns (id_a, id_b, hamming).
     """
-    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
     sigs = simhash(df, id_col, text_col, bits).localCheckpoint(eager=True)
+    return hamming_pairs(sigs, "simhash", bits, max_hamming=max_hamming, bands=bands)
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    bits: int,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "id",
+) -> DataFrame:
+    """Pairs (id_a < id_b) of integer signatures within Hamming distance
+    <= max_hamming, via pigeonhole band blocking (shared by text SimHash
+    and image aHash dedup).
+
+    Two signatures within Hamming distance < bands must agree on at least
+    one of `bands` bit-slices, so candidates come from equi-joins on
+    (band, slice) — never all-pairs; exact verify is bit_count(xor).
+    First-band-wins emission (the earliest agreeing slice, recomputed from
+    the joined signatures) removes the pair-set distinct() shuffle.
+    Callers should checkpoint/persist `sigs` if it is expensive to
+    recompute — it appears on both sides of the self-join.
+    """
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
     width = bits // bands
+    sigs = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("_sig"))
     slices = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * width)
+            F.shiftright(F.col("_sig"), b * width)
             .bitwiseAND(F.lit((1 << width) - 1))
             .alias("slice"),
         )
         for b in range(bands)
     ]
     buckets = sigs.select(
-        "id", "simhash", F.explode(F.array(*slices)).alias("bs")
-    ).select("id", "simhash", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+        "id", "_sig", F.explode(F.array(*slices)).alias("bs")
+    ).select("id", "_sig", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
     a, b = buckets.alias("a"), buckets.alias("b")
-    # first-band-wins (no pair-set distinct() shuffle): both simhashes are
-    # present post-join, so the earliest agreeing slice is recomputed from
-    # them directly and the pair is emitted only from that band
     mask = (1 << width) - 1
     slice_eq = F.array(
         *[
-            F.shiftright(F.col("a.simhash"), i * width).bitwiseAND(F.lit(mask))
-            == F.shiftright(F.col("b.simhash"), i * width).bitwiseAND(F.lit(mask))
+            F.shiftright(F.col("a._sig"), i * width).bitwiseAND(F.lit(mask))
+            == F.shiftright(F.col("b._sig"), i * width).bitwiseAND(F.lit(mask))
             for i in range(bands)
         ]
     )
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -226,12 +247,11 @@ def simhash_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("a._sig").bitwiseXOR(F.col("b._sig"))
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )
-    return pairs
 
 
 def connected_components(
