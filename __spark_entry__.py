@@ -63,6 +63,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q61_pdf_lzw_convert    C1 LZWDecode-filtered PDF: stdlib LZW decode -> spans
   q62_image_near_dup     perceptual image dedup: aHash pairs over real PNGs
   q63_image_dedup_groups image dedup groups: connected components + canonical
+  q64_passage_dedup      ExactSubstr passage removal: dup n-gram cover cut
 """
 
 from __future__ import annotations
@@ -2539,6 +2540,80 @@ FROM reach GROUP BY id
 )
 
 
+def q64_passage_dedup(spark, sf_dir):
+    """ExactSubstr-style duplicated-passage removal (Lee et al. 2021,
+    token n-gram form — operators/passage_dedup.py pins the semantics):
+    every doc_id % 3 == 0 gets the same 9-token boilerplate suffix, so
+    ~1/3 of the corpus shares heavy duplicate 5-grams (the hot-gram skew
+    case) on top of whatever 5-grams the raw corpus already repeats; the
+    first occurrence in doc order keeps its text, every later covered
+    token is cut.  Oracle: row_number-per-gram + range-cover anti-join."""
+    from eget_spark.operators.passage_dedup import dedup_passages
+
+    boiler = " the quick brown fox jumps over the lazy dog"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.trim("text"), F.lit(boiler))
+        )
+        .otherwise(F.trim("text"))
+        .alias("text"),
+    )
+    return dedup_passages(docs, n=5)
+
+
+_Q64_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN trim(text) || ' the quick brown fox jumps over the lazy dog'
+              ELSE trim(text) END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS t
+  FROM docs
+),
+tok AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS idx, t[i] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) u(i)
+),
+grams AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, array_to_string(t[i:i+4], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 3)) u(i)
+  WHERE len(t) >= 5
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+removed AS (
+  SELECT DISTINCT t.doc_id, t.idx
+  FROM tok t JOIN dups d
+    ON t.doc_id = d.doc_id AND t.idx >= d.pos AND t.idx < d.pos + 5
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM removed r WHERE r.doc_id = t.doc_id AND r.idx = t.idx
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+  FROM kept GROUP BY doc_id
+),
+rem AS (SELECT doc_id, count(*) AS n_removed FROM removed GROUP BY doc_id)
+SELECT toks.doc_id, coalesce(agg.text, '') AS text,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed
+FROM toks LEFT JOIN agg USING (doc_id) LEFT JOIN rem USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2609,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_pdf_lzw_convert": q61_pdf_lzw_convert,
         "q62_image_near_dup": q62_image_near_dup,
         "q63_image_dedup_groups": q63_image_dedup_groups,
+        "q64_passage_dedup": q64_passage_dedup,
     }
 
 
@@ -2677,4 +2753,5 @@ def oracle_sql() -> dict[str, str]:
         "q61_pdf_lzw_convert": _Q61_SQL,
         "q62_image_near_dup": _Q62_SQL,
         "q63_image_dedup_groups": _Q63_SQL,
+        "q64_passage_dedup": _Q64_SQL,
     }

@@ -358,6 +358,72 @@ def main() -> None:
         "parquet scan: zero shuffle at any corpus size.",
     )
 
+    # 21. image aHash near-dup: ONE Arrow mapInPandas decode pass; the
+    # candidate join is the pigeonhole band equi-join (hash join on
+    # (band, slice)), exact verify in codegen bit_count(xor)
+    from eget_spark.operators.image_dedup import image_ahash, near_dup_image_pairs
+
+    media_img = entry._q62_media(spark)
+    add(
+        "image aHash decode pass (q62 stage 1)",
+        image_ahash(media_img),
+        {"MapInPandas": True, "BatchEvalPython": False},
+        "PNG decode + aHash is ONE Arrow mapInPandas stage; the payload "
+        "column dies at its output (only 64-bit signatures shuffle "
+        "downstream).",
+    )
+    img_pairs = near_dup_image_pairs(media_img)
+    p_img = plan_of(img_pairs)
+    add(
+        "image aHash near-dup pairs (q62)",
+        img_pairs,
+        {
+            "BatchEvalPython": False,
+            "bit_count": True,
+            "CartesianProduct": False,
+        },
+        "The signature frame is checkpointed once (it feeds both sides of "
+        "the self-join); candidates come from the band/slice equi hash "
+        "join shared with text SimHash; Hamming verify is codegen "
+        "bit_count(xor).",
+    )
+    checks.append(
+        (
+            "image near-dup: band self-join is an equi hash join",
+            ("SortMergeJoin" in p_img) or ("ShuffledHashJoin" in p_img)
+            or ("BroadcastHashJoin" in p_img),
+        )
+    )
+
+    # 22. passage dedup (ExactSubstr, q64): winner-per-gram is a partial
+    # (map-side combined) HashAggregate; token-cover marking is
+    # higher-order filter/exists inside the doc row — no Python anywhere
+    from eget_spark.operators.passage_dedup import dedup_passages
+
+    pd_df = dedup_passages(
+        spark.read.parquet(f"{SF}/documents.parquet"), n=5
+    )
+    p_pd = plan_of(pd_df)
+    add(
+        "passage dedup (ExactSubstr, q64)",
+        pd_df,
+        {
+            "BatchEvalPython": False,
+            "ArrowEvalPython": False,
+            "MapInPandas": False,
+            "partial_min": True,
+        },
+        "Duplicate-gram winners come from a map-side-combined min-struct "
+        "HashAggregate (singleton grams never re-join); cover marking is "
+        "codegen higher-order filter/exists over the per-doc dup array.",
+    )
+    checks.append(
+        (
+            "passage dedup: gram winner agg is HashAggregate",
+            "HashAggregate" in p_pd,
+        )
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
