@@ -64,6 +64,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q62_image_near_dup     perceptual image dedup: aHash pairs over real PNGs
   q63_image_dedup_groups image dedup groups: connected components + canonical
   q64_passage_dedup      ExactSubstr passage removal: dup n-gram cover cut
+  q65_gopher_filters     Gopher Table-A1 document filters, zero-shuffle pass
 """
 
 from __future__ import annotations
@@ -2614,6 +2615,76 @@ FROM toks LEFT JOIN agg USING (doc_id) LEFT JOIN rem USING (doc_id)
 """
 
 
+def q65_gopher_filters(spark, sf_dir):
+    """The full non-repetition Gopher/MassiveText document-filter rule set
+    (Rae et al. 2021 Table A1 — word-count bounds, mean word length,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, required-stopword hits, and the combined gopher_pass
+    verdict) as ONE zero-shuffle scan-side projection
+    (operators/quality_rules.gopher_signals): every signal is a
+    higher-order array expression, no Exchange, no Python."""
+    from eget_spark.operators.quality_rules import gopher_signals
+
+    return gopher_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_Q65_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)),
+                     l -> l <> '') AS ls,
+         length(text) - length(replace(text, '#', '')) AS hash_n,
+         (length(text) - length(replace(text, '...', ''))) / 3.0 AS ell3,
+         length(text) - length(replace(text, '…', '')) AS ell1
+  FROM documents
+),
+sig AS (
+  SELECT id,
+         len(ws) AS n_words,
+         len(ls) AS n_lines,
+         list_sum(list_transform(ws, w -> length(w))) AS word_chars,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+         hash_n + ell3 + ell1 AS symbols,
+         len(list_filter(ls, l -> starts_with(l, '- ')
+                              OR starts_with(l, '* ')
+                              OR starts_with(l, '•'))) AS bullet_lines,
+         len(list_filter(ls, l -> ends_with(l, '...')
+                              OR ends_with(l, '…'))) AS ellipsis_lines,
+         len(list_intersect(
+               list_distinct(list_transform(ws, w -> lower(w))),
+               ['and','be','have','of','that','the','to','with'])) AS stop_hits
+  FROM base
+),
+out AS (
+  SELECT id,
+         CAST(n_words AS BIGINT) AS n_words,
+         CASE WHEN n_words > 0 THEN round(word_chars / n_words, 6)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN round(alpha_words / n_words, 6)
+              ELSE 0.0 END AS alpha_word_frac,
+         CASE WHEN n_words > 0 THEN round(symbols / n_words, 6)
+              ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN n_lines > 0 THEN round(bullet_lines / n_lines, 6)
+              ELSE 0.0 END AS bullet_line_frac,
+         CASE WHEN n_lines > 0 THEN round(ellipsis_lines / n_lines, 6)
+              ELSE 0.0 END AS ellipsis_line_frac,
+         CAST(stop_hits AS INT) AS stopword_hits
+  FROM sig
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stopword_hits >= 2) AS gopher_pass
+FROM out
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2685,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_image_near_dup": q62_image_near_dup,
         "q63_image_dedup_groups": q63_image_dedup_groups,
         "q64_passage_dedup": q64_passage_dedup,
+        "q65_gopher_filters": q65_gopher_filters,
     }
 
 
@@ -2754,4 +2826,5 @@ def oracle_sql() -> dict[str, str]:
         "q62_image_near_dup": _Q62_SQL,
         "q63_image_dedup_groups": _Q63_SQL,
         "q64_passage_dedup": _Q64_SQL,
+        "q65_gopher_filters": _Q65_SQL,
     }

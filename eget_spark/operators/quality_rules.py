@@ -158,3 +158,114 @@ def repetition_signals(
     return _fill_top(
         line_repetition(df, id_col, text_col), _top_agg(df, id_col, text_col)
     )
+
+
+# The eight "must contain two of" stop words from Gopher Table A1
+# (Rae et al. 2021, public paper).  Sorted so cross-engine list
+# comparisons are order-independent by construction.
+GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+_BULLETS = ("- ", "* ", "•")  # dash/star require a following space
+_ELLIPSES = ("...", "…")
+
+
+def gopher_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The non-repetition Gopher/MassiveText document filters (Rae et al.
+    2021, Table A1) as ONE zero-shuffle column-expression pass — every
+    signal is a higher-order array function over the words/lines of the
+    document, so the whole operator is a scan-side projection (no
+    Exchange, no Python, whole-stage codegen end to end; the repetition
+    signals, which genuinely need shuffles, live in
+    :func:`repetition_signals`).
+
+    Pinned definitions (so the DuckDB oracle reproduces them exactly):
+
+    - words  = ``\\s+``-split non-empty tokens of the raw text
+    - lines  = ``\\n``-split segments, ASCII-space-trimmed, non-empty
+    - ``n_words``          — word count (Gopher keeps 50..100,000)
+    - ``mean_word_len``    — sum(len(word))/n_words (keeps 3..10)
+    - ``alpha_word_frac``  — words containing ``[A-Za-z]`` / n_words
+      (keeps >= 0.80)
+    - ``symbol_word_ratio``— (# count + non-overlapping ``...`` count +
+      ``…`` count) / n_words (keeps <= 0.10); the ellipsis count is
+      replace-based, i.e. ``....`` counts once
+    - ``bullet_line_frac`` — trimmed lines starting with ``- ``/``* ``/
+      ``•`` / lines (keeps <= 0.90)
+    - ``ellipsis_line_frac`` — trimmed lines ending with ``...`` or
+      ``…`` / lines (keeps <= 0.30)
+    - ``stopword_hits``    — DISTINCT members of the 8-word Gopher stop
+      list present among lowercased words (keeps >= 2)
+    - ``gopher_pass``      — the conjunction of all seven rules above
+
+    Documents with no words (or no lines) get 0.0 for the affected
+    fractions and fail ``gopher_pass`` via the word-count floor."""
+    text = F.col(text_col)
+    ws = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    # NB: an explicit one-arg lambda — passing F.trim directly would let
+    # transform bind its (element, index) pair to trim's deprecated
+    # two-parameter (str, trimStr) signature
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    n_words = F.size(ws)
+    n_lines = F.size(lines)
+
+    def frac(num, den):
+        return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+    word_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    hash_count = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    ell3 = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / F.lit(3)
+    ell1 = F.length(text) - F.length(F.replace(text, F.lit("…")))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith(F.lit(_BULLETS[0]))
+            | l.startswith(F.lit(_BULLETS[1]))
+            | l.startswith(F.lit(_BULLETS[2])),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith(F.lit(_ELLIPSES[0]))
+            | l.endswith(F.lit(_ELLIPSES[1])),
+        )
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(ws, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        frac(word_chars, n_words).alias("mean_word_len"),
+        frac(alpha_words, n_words).alias("alpha_word_frac"),
+        frac(hash_count + ell3 + ell1, n_words).alias("symbol_word_ratio"),
+        frac(bullet_lines, n_lines).alias("bullet_line_frac"),
+        frac(ellipsis_lines, n_lines).alias("ellipsis_line_frac"),
+        stop_hits.cast("int").alias("stopword_hits"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stopword_hits") >= 2),
+    )

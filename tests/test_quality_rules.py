@@ -71,3 +71,88 @@ def test_repetition_signals_no_python_in_plan(spark):
     df = spark.createDataFrame([("a", "x y\nx y")], "doc_id string, text string")
     plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _gopher_oracle(text: str) -> dict:
+    words = [w for w in re.split(r"\s+", text) if w]
+    lines = [ln.strip(" ") for ln in text.split("\n") if ln.strip(" ")]
+    n_words, n_lines = len(words), len(lines)
+    hash_n = text.count("#")
+    # replace-based non-overlapping '...' count, as pinned in the module
+    ell3 = (len(text) - len(text.replace("...", ""))) / 3
+    ell1 = len(text) - len(text.replace("…", ""))
+    alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+    bullets = sum(
+        1 for ln in lines if ln.startswith(("- ", "* ", "•"))
+    )
+    ells = sum(1 for ln in lines if ln.endswith(("...", "…")))
+    stop_hits = len(
+        {w.lower() for w in words}
+        & {"and", "be", "have", "of", "that", "the", "to", "with"}
+    )
+    f = lambda num, den: round(num / den, 6) if den else 0.0
+    out = {
+        "n_words": n_words,
+        "mean_word_len": f(sum(len(w) for w in words), n_words),
+        "alpha_word_frac": f(alpha, n_words),
+        "symbol_word_ratio": f(hash_n + ell3 + ell1, n_words),
+        "bullet_line_frac": f(bullets, n_lines),
+        "ellipsis_line_frac": f(ells, n_lines),
+        "stopword_hits": stop_hits,
+    }
+    out["gopher_pass"] = (
+        50 <= n_words <= 100_000
+        and 3.0 <= out["mean_word_len"] <= 10.0
+        and out["symbol_word_ratio"] <= 0.1
+        and out["bullet_line_frac"] <= 0.9
+        and out["ellipsis_line_frac"] <= 0.3
+        and out["alpha_word_frac"] >= 0.8
+        and out["stopword_hits"] >= 2
+    )
+    return out
+
+
+def test_gopher_signals_match_python_oracle(spark):
+    from eget_spark.operators.quality_rules import gopher_signals
+
+    docs = [
+        ("good", "the quick brown fox and that dog have gone to town " * 6),
+        ("bullets", "- one\n- two\n* three\n• four\nplain text line"),
+        ("ellipses", "to be continued...\nand then…\nthe end"),
+        ("hashes", "### heading # tag # tag # " + "word " * 60),
+        ("numeric", " ".join(str(i) for i in range(80))),
+        ("short", "too few words here"),
+        ("longwords", " ".join(["supercalifragilistic"] * 60)),
+        ("dots", "wait.... what....." + " the and of to be " * 20),
+        ("empty", ""),
+        ("ws", "   \n  \n"),
+        ("nostop", "lorem ipsum dolor sit amet " * 12),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["id"]: r for r in gopher_signals(df).collect()}
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        want = _gopher_oracle(text)
+        r = got[doc_id]
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert abs(r[k] - v) < 1e-9, (doc_id, k, r[k], v)
+            else:
+                assert r[k] == v, (doc_id, k, r[k], v)
+    assert got["good"]["gopher_pass"] is True
+    # each trap fixture fails for its designed reason
+    assert got["numeric"]["alpha_word_frac"] == 0.0
+    assert got["hashes"]["symbol_word_ratio"] > 0.0
+    assert got["longwords"]["mean_word_len"] > 10.0
+    assert got["nostop"]["stopword_hits"] < 2
+
+
+def test_gopher_signals_zero_shuffle_zero_python(spark):
+    from eget_spark.operators.quality_rules import gopher_signals
+
+    df = spark.createDataFrame(
+        [("a", "x y\n- b ...")], "doc_id string, text string"
+    )
+    plan = gopher_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure scan-side projection

@@ -424,6 +424,26 @@ def main() -> None:
         )
     )
 
+    # 23. Gopher document filters (q65): every signal is a higher-order
+    # array expression — one scan-side projection, zero shuffle, zero
+    # Python (same cost class as the PII scrub)
+    from eget_spark.operators.quality_rules import gopher_signals
+
+    add(
+        "Gopher document filters (q65)",
+        gopher_signals(
+            spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", "text"
+        ),
+        {
+            "Exchange": False,
+            "BatchEvalPython": False,
+            "ArrowEvalPython": False,
+        },
+        "Word/line signals and the combined gopher_pass verdict are one "
+        "map-side projection fused with the parquet scan: zero shuffle at "
+        "any corpus size.",
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
