@@ -65,6 +65,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q63_image_dedup_groups image dedup groups: connected components + canonical
   q64_passage_dedup      ExactSubstr passage removal: dup n-gram cover cut
   q65_gopher_filters     Gopher Table-A1 document filters, zero-shuffle pass
+  q66_unigram_lm_score   CCNet-style unigram-LM mean-logprob doc scoring
 """
 
 from __future__ import annotations
@@ -2685,6 +2686,43 @@ FROM out
 """
 
 
+def q66_unigram_lm_score(spark, sf_dir):
+    """CCNet-style language-model quality ranking, unigram reduction
+    (operators/lm_score.py): train an add-one-smoothed unigram LM on the
+    corpus itself (one map-side-combined token count; the N/V scalars
+    ride a 1-row broadcast), then score every document by its mean token
+    log-probability — the standard perplexity-filter signal in web-scale
+    training-data pipelines, as pure dataflow."""
+    from eget_spark.operators.lm_score import unigram_doc_scores
+
+    return unigram_doc_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_Q66_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+doc_tok AS (SELECT doc_id, tok, count(*) AS k FROM toks GROUP BY doc_id, tok),
+vocab AS (SELECT tok, sum(k) AS cnt FROM doc_tok GROUP BY tok),
+scal AS (SELECT sum(cnt) AS n_total, count(*) AS v_size FROM vocab),
+scored AS (
+  SELECT d.doc_id,
+         sum(d.k) AS n_tokens,
+         round(sum(ln((v.cnt + 1) / (s.n_total + s.v_size)) * d.k) / sum(d.k),
+               6) AS lm_score
+  FROM doc_tok d JOIN vocab v USING (tok) CROSS JOIN scal s
+  GROUP BY d.doc_id
+)
+SELECT docs.doc_id AS id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.lm_score
+FROM documents docs LEFT JOIN scored s ON docs.doc_id = s.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2757,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_image_dedup_groups": q63_image_dedup_groups,
         "q64_passage_dedup": q64_passage_dedup,
         "q65_gopher_filters": q65_gopher_filters,
+        "q66_unigram_lm_score": q66_unigram_lm_score,
     }
 
 
@@ -2827,4 +2866,5 @@ def oracle_sql() -> dict[str, str]:
         "q63_image_dedup_groups": _Q63_SQL,
         "q64_passage_dedup": _Q64_SQL,
         "q65_gopher_filters": _Q65_SQL,
+        "q66_unigram_lm_score": _Q66_SQL,
     }

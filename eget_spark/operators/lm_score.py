@@ -92,10 +92,16 @@ def unigram_doc_scores(
         lm = unigram_lm(df, id_col, text_col)
     doc_toks = _tok_rows(df, id_col, text_col)
     # unseen tokens (only possible with an external lm) fall to the
-    # smoothing floor ln(1/(N+V)); the scalars ride every lm row
+    # smoothing floor ln(1/(N+V)); the scalars ride a 1-row broadcast of
+    # their own — the left join nulls the lm columns for unseen tokens,
+    # so the floor cannot be computed from the joined row
+    scalars = lm.agg(
+        F.max("n_total").alias("n_total"), F.max("v_size").alias("v_size")
+    )
     floor = F.log(1 / (F.col("n_total") + F.col("v_size")))
     scored = (
-        doc_toks.join(lm, "tok", "left")
+        doc_toks.join(lm.select("tok", "logprob"), "tok", "left")
+        .crossJoin(F.broadcast(scalars))
         .withColumn("lp", F.coalesce(F.col("logprob"), floor))
         .groupBy("id")
         .agg(

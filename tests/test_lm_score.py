@@ -1,0 +1,96 @@
+"""Unigram-LM document scoring vs a Python oracle."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+
+def _tok(t: str) -> list[str]:
+    return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+
+def _oracle(train: list[str], score: list[tuple[str, str]]):
+    c = Counter()
+    for t in train:
+        c.update(_tok(t))
+    n, v = sum(c.values()), len(c)
+    out = {}
+    for did, t in score:
+        ts = _tok(t)
+        if not ts:
+            out[did] = (0, None)
+        else:
+            s = sum(math.log((c[x] + 1) / (n + v)) for x in ts) / len(ts)
+            out[did] = (len(ts), round(s, 6))
+    return out
+
+
+DOCS = [
+    ("prose", "The cat sat on the mat and the cat was very happy there."),
+    ("gibberish", "zxqv qzxw vvvv zzzz xkcd qqqq!!!"),
+    ("empty", ""),
+    ("punct", "?!... --- ###"),
+    ("mixed", "The zxqv cat."),
+    ("repeat", "the the the the"),
+]
+
+
+def test_self_scored_matches_python_oracle(spark):
+    from eget_spark.operators.lm_score import unigram_doc_scores
+
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    want = _oracle([t for _, t in DOCS], DOCS)
+    got = {r["id"]: r for r in unigram_doc_scores(df).collect()}
+    assert len(got) == len(DOCS)
+    for did, (wn, ws) in want.items():
+        r = got[did]
+        assert r["n_tokens"] == wn, did
+        if ws is None:
+            assert r["lm_score"] is None, did
+        else:
+            assert abs(r["lm_score"] - ws) < 1e-9, (did, r["lm_score"], ws)
+    # the filter's whole point: prose scores above gibberish
+    assert got["prose"]["lm_score"] > got["gibberish"]["lm_score"]
+
+
+def test_external_lm_floors_unseen_tokens(spark):
+    from eget_spark.operators.lm_score import unigram_doc_scores, unigram_lm
+
+    train = ["the cat sat", "the dog ran", "the cat ran"]
+    tdf = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(train)], "doc_id string, text string"
+    )
+    lm = unigram_lm(tdf, "doc_id", "text")
+    score_docs = [("in", "the cat"), ("out", "zzz qqq"), ("half", "the zzz")]
+    sdf = spark.createDataFrame(score_docs, "doc_id string, text string")
+    got = {r["id"]: r for r in unigram_doc_scores(sdf, lm=lm).collect()}
+
+    c = Counter()
+    for t in train:
+        c.update(_tok(t))
+    n, v = sum(c.values()), len(c)
+    floor = math.log(1 / (n + v))
+    for did, t in score_docs:
+        ts = _tok(t)
+        s = sum(
+            math.log((c[x] + 1) / (n + v)) if x in c else floor for x in ts
+        ) / len(ts)
+        assert abs(got[did]["lm_score"] - round(s, 6)) < 1e-9, did
+    assert got["out"]["lm_score"] == round(floor, 6)
+    assert got["in"]["lm_score"] > got["half"]["lm_score"] > got["out"]["lm_score"]
+
+
+def test_lm_plan_map_side_combined_no_python(spark):
+    from eget_spark.operators.lm_score import unigram_doc_scores
+
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    plan = (
+        unigram_doc_scores(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # both the vocab count and the doc-token reduction partial-combine
+    # map-side (the Zipf hot-token medicine)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan  # scalars ride a broadcast
