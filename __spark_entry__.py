@@ -66,6 +66,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q64_passage_dedup      ExactSubstr passage removal: dup n-gram cover cut
   q65_gopher_filters     Gopher Table-A1 document filters, zero-shuffle pass
   q66_unigram_lm_score   CCNet-style unigram-LM mean-logprob doc scoring
+  q67_semantic_dedup     SemDeDup: intra-cell cosine groups, keep-farthest
 """
 
 from __future__ import annotations
@@ -2723,6 +2724,91 @@ FROM documents docs LEFT JOIN scored s ON docs.doc_id = s.doc_id
 """
 
 
+def q67_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic dedup of the embedding corpus
+    (operators/semdedup.py): intra-cell cosine pairs (>= 0.25 on the
+    low-cosine synthetic embeddings) -> connected components -> per-group
+    representative = the member with the LOWEST cosine to its cell
+    centroid (ties -> lowest id), everything else flagged dropped.
+    Oracle: recursive-CTE reachability + centroid cosine + row_number."""
+    from eget_spark.operators.semdedup import semantic_dedup
+
+    out = semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        threshold=0.25,
+    )
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("component").cast("long"),
+        "centroid_cosine",
+        F.col("keep_id").cast("long"),
+        "is_kept",
+    )
+
+
+_Q67_SQL = r"""
+WITH RECURSIVE v AS (
+  SELECT vec_id AS id, label AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM v a JOIN v b ON a.cell = b.cell AND a.id < b.id
+  WHERE round(
+      list_sum(list_transform(generate_series(1, len(a.v)),
+                              i -> a.v[i] * b.v[i])) /
+      (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+       sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.25
+),
+edges AS (
+  SELECT ia AS src, ib AS dst FROM pairs
+  UNION ALL
+  SELECT ib, ia FROM pairs
+),
+reach AS (
+  SELECT id, id AS lbl FROM v
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+dims AS (
+  SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM v
+),
+cent AS (
+  SELECT cell, list(m ORDER BY dim) AS centroid
+  FROM (SELECT cell, dim, avg(x) AS m FROM dims GROUP BY cell, dim)
+  GROUP BY cell
+),
+mem AS (
+  SELECT v.id, comp.component,
+         round(
+           list_sum(list_transform(generate_series(1, len(v.v)),
+                                   i -> v.v[i] * c.centroid[i])) /
+           (sqrt(list_sum(list_transform(v.v, x -> x*x))) *
+            sqrt(list_sum(list_transform(c.centroid, x -> x*x)))), 6)
+           AS centroid_cosine
+  FROM v JOIN cent c ON c.cell = v.cell JOIN comp ON comp.id = v.id
+),
+reps AS (
+  SELECT component, id AS keep_id FROM (
+    SELECT component, id,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY centroid_cosine, id) AS rn
+    FROM mem) WHERE rn = 1
+)
+SELECT CAST(m.id AS BIGINT) AS id,
+       CAST(m.component AS BIGINT) AS component,
+       m.centroid_cosine,
+       CAST(r.keep_id AS BIGINT) AS keep_id,
+       m.id = r.keep_id AS is_kept
+FROM mem m JOIN reps r USING (component)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2796,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_passage_dedup": q64_passage_dedup,
         "q65_gopher_filters": q65_gopher_filters,
         "q66_unigram_lm_score": q66_unigram_lm_score,
+        "q67_semantic_dedup": q67_semantic_dedup,
     }
 
 
@@ -2867,4 +2954,5 @@ def oracle_sql() -> dict[str, str]:
         "q64_passage_dedup": _Q64_SQL,
         "q65_gopher_filters": _Q65_SQL,
         "q66_unigram_lm_score": _Q66_SQL,
+        "q67_semantic_dedup": _Q67_SQL,
     }
