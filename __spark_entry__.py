@@ -67,6 +67,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q65_gopher_filters     Gopher Table-A1 document filters, zero-shuffle pass
   q66_unigram_lm_score   CCNet-style unigram-LM mean-logprob doc scoring
   q67_semantic_dedup     SemDeDup: intra-cell cosine groups, keep-farthest
+  q68_token_budget_sample  per-stratum token-budget prefix sampling
 """
 
 from __future__ import annotations
@@ -2809,6 +2810,46 @@ FROM mem m JOIN reps r USING (component)
 """
 
 
+def q68_token_budget_sample(spark, sf_dir):
+    """Token-budget corpus sampling (operators/sampling.token_budget_sample):
+    training mixes are specified in tokens, not documents — keep, per
+    source, the md5-of-id-ordered prefix of documents whose inclusive
+    running whitespace-token sum stays within a 600-token budget.
+    Deterministic across retries, partitionings, and engines."""
+    from eget_spark.operators.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return token_budget_sample(d, "source", 600, "doc_id", "n_tokens", seed="tb1")
+
+
+_Q68_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))
+           AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY md5('tb1' || CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM d
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM r WHERE run <= 600
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2883,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_gopher_filters": q65_gopher_filters,
         "q66_unigram_lm_score": q66_unigram_lm_score,
         "q67_semantic_dedup": q67_semantic_dedup,
+        "q68_token_budget_sample": q68_token_budget_sample,
     }
 
 
@@ -2955,4 +2997,5 @@ def oracle_sql() -> dict[str, str]:
         "q65_gopher_filters": _Q65_SQL,
         "q66_unigram_lm_score": _Q66_SQL,
         "q67_semantic_dedup": _Q67_SQL,
+        "q68_token_budget_sample": _Q68_SQL,
     }

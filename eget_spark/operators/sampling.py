@@ -77,3 +77,41 @@ def proportional_mix(
         .where(F.col("_srk") <= cap)
         .drop("_srk")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    id_col: str,
+    tokens_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic sampling to a TOKEN budget per stratum — the unit
+    training mixes are actually specified in ("200B tokens of web, 50B of
+    code"), not document counts.  Rows are taken in the same stable
+    md5-of-id order as :func:`stratified_sample`; a row is kept iff its
+    INCLUSIVE running token sum stays within ``budget`` — the kept set is
+    a strict prefix of the stratum's hash order, so it is reproducible
+    across retries/partitionings/engines and only ever shrinks when the
+    budget does.  (Consequence, pinned: a stratum whose FIRST hash-ordered
+    row already exceeds the budget contributes nothing; callers wanting
+    best-fit packing want a different operator.)
+
+    Plan shape: one running-sum window per stratum (the cumulative sum
+    needs the stratum's rows on one reducer — same skew bound as the
+    other samplers; strata are languages/sources, i.e. few and fat, and
+    the window evaluates streaming without materializing the frame)."""
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "_run", F.sum(F.col(tokens_col).cast("long")).over(w)
+        )
+        .where(F.col("_run") <= budget)
+        .drop("_run")
+    )

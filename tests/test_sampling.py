@@ -49,3 +49,48 @@ def test_proportional_mix_targets_and_determinism(spark):
     assert tiny.count() == 25
     # empty weights -> empty result
     assert proportional_mix(df, "g", {}, 20, "id").count() == 0
+
+
+def test_token_budget_sample_prefix_semantics(spark):
+    import hashlib
+
+    from eget_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, f"g{i % 3}", 10 + (i * 7) % 40) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    budget = 120
+    out = token_budget_sample(df, "source", budget, "doc_id", "n_tokens", seed="t")
+    got = sorted((r["source"], r["doc_id"]) for r in out.collect())
+
+    # python oracle: per-stratum md5 order, inclusive running sum <= budget
+    want = []
+    for g in ("g0", "g1", "g2"):
+        members = sorted(
+            (r for r in rows if r[1] == g),
+            key=lambda r: (hashlib.md5(f"t{r[0]}".encode()).hexdigest(), r[0]),
+        )
+        run = 0
+        for did, _, k in members:
+            run += k
+            if run > budget:
+                break
+            want.append((g, did))
+    assert got == sorted(want)
+    # each kept stratum is within budget and nonempty here
+    sums = {}
+    for (g, did) in got:
+        sums[g] = sums.get(g, 0) + next(r[2] for r in rows if r[0] == did)
+    assert all(s <= budget for s in sums.values()) and len(sums) == 3
+
+    # pinned edge: an oversized FIRST row empties its stratum
+    big = spark.createDataFrame(
+        [(1, "x", 999), (2, "x", 1)], "doc_id long, source string, n_tokens long"
+    )
+    first = sorted(
+        [1, 2], key=lambda i: (hashlib.md5(f"t{i}".encode()).hexdigest(), i)
+    )[0]
+    kept = token_budget_sample(big, "source", 100, "doc_id", "n_tokens", seed="t")
+    if first == 1:
+        assert kept.count() == 0
+    else:
+        assert [r["doc_id"] for r in kept.collect()] == [2]
