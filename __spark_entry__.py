@@ -68,6 +68,8 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q66_unigram_lm_score   CCNet-style unigram-LM mean-logprob doc scoring
   q67_semantic_dedup     SemDeDup: intra-cell cosine groups, keep-farthest
   q68_token_budget_sample  per-stratum token-budget prefix sampling
+  q69_top_trigram_coverage Gopher top word-trigram char coverage
+  q70_dup_ngram_cover    Gopher duplicated-trigram char cover fraction
 """
 
 from __future__ import annotations
@@ -2850,6 +2852,95 @@ FROM r WHERE run <= 600
 """
 
 
+def q69_top_trigram_coverage(spark, sf_dir):
+    """Gopher top word-TRIGRAM character coverage (the paper removes on
+    the top 2/3/4-gram; q57 covers the bigram) — generalized
+    operators/quality_rules.top_ngram_coverage at n=3: one
+    explode->groupBy(id, gram) count + WindowGroupLimit top-1, ties
+    pinned (count DESC, gram ASC)."""
+    from eget_spark.operators.quality_rules import top_ngram_coverage
+
+    return top_ngram_coverage(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+_Q69_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS text_len,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, text_len, array_to_string(t[i:i+2], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 3
+),
+counted AS (
+  SELECT doc_id, text_len, g, count(*) AS n
+  FROM grams GROUP BY doc_id, text_len, g
+),
+top AS (
+  SELECT doc_id, g, n, text_len,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g) AS rk
+  FROM counted
+)
+SELECT d.doc_id AS id,
+       t.g AS top_ngram,
+       CAST(coalesce(t.n, 0) AS BIGINT) AS top_ngram_n,
+       coalesce(round(t.n * length(t.g) / t.text_len, 6), 0.0)
+         AS top_ngram_char_frac
+FROM documents d
+LEFT JOIN (SELECT * FROM top WHERE rk = 1) t ON d.doc_id = t.doc_id
+"""
+
+
+def q70_dup_ngram_cover(spark, sf_dir):
+    """Gopher duplicated word-n-gram CHARACTER coverage at n=3
+    (operators/quality_rules.dup_ngram_char_frac): fraction of word
+    characters covered by any trigram occurring more than once in the
+    document, each covered word counted once (position-cover accounting,
+    the same machinery class as q64's passage cover cut)."""
+    from eget_spark.operators.quality_rules import dup_ngram_char_frac
+
+    return dup_ngram_char_frac(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+_Q70_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+         array_to_string(t[i:i+2], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 3
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, g) AS cnt
+    FROM grams
+  ) WHERE cnt > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + o.x AS ti FROM dup, UNNEST(range(0, 3)) o(x)
+),
+cchars AS (
+  SELECT c.doc_id, sum(length(tk.t[CAST(c.ti AS INT) + 1])) AS cc
+  FROM cov c JOIN toks tk USING (doc_id) GROUP BY c.doc_id
+),
+base AS (
+  SELECT doc_id, len(t) AS n_words,
+         coalesce(list_sum(list_transform(t, w -> length(w))), 0) AS wchars
+  FROM toks
+)
+SELECT b.doc_id AS id, CAST(b.n_words AS BIGINT) AS n_words,
+       CASE WHEN cc IS NOT NULL AND wchars > 0
+            THEN round(cc / wchars, 6) ELSE 0.0 END AS dup_ngram_char_frac
+FROM base b LEFT JOIN cchars USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -2925,6 +3016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_unigram_lm_score": q66_unigram_lm_score,
         "q67_semantic_dedup": q67_semantic_dedup,
         "q68_token_budget_sample": q68_token_budget_sample,
+        "q69_top_trigram_coverage": q69_top_trigram_coverage,
+        "q70_dup_ngram_cover": q70_dup_ngram_cover,
     }
 
 
@@ -2998,4 +3091,6 @@ def oracle_sql() -> dict[str, str]:
         "q66_unigram_lm_score": _Q66_SQL,
         "q67_semantic_dedup": _Q67_SQL,
         "q68_token_budget_sample": _Q68_SQL,
+        "q69_top_trigram_coverage": _Q69_SQL,
+        "q70_dup_ngram_cover": _Q70_SQL,
     }

@@ -39,15 +39,21 @@ from pyspark.sql.window import Window
 
 
 def line_repetition(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
 ) -> DataFrame:
     """(id, n_lines, dup_line_frac, dup_line_char_frac) per document.
 
-    Documents with no non-empty lines get 0.0 fractions (kept, not
-    dropped — the length filters handle empty docs)."""
+    ``sep`` is the segment delimiter (a regex): ``"\\n"`` gives Gopher's
+    duplicated-LINE fractions, ``"\\n\\n+"`` its duplicated-PARAGRAPH
+    fractions — the same accounting at both granularities.  Documents
+    with no non-empty segments get 0.0 fractions (kept, not dropped —
+    the length filters handle empty docs)."""
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        F.explode(F.split(F.col(text_col), sep)).alias("line"),
     ).where(F.trim(F.col("line")) != "")
     per_line = lines.groupBy("id", "line").agg(F.count("*").alias("cnt"))
     per_line = per_line.withColumn("chars", F.length("line") * F.col("cnt"))
@@ -89,47 +95,136 @@ def top_bigram_coverage(
     )
 
 
-def _top_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    words = df.select(
+def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col).alias("id"),
         F.length(F.col(text_col)).alias("text_len"),
         F.filter(
             F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
         ).alias("ws"),
     )
-    # guard: Spark's sequence(0, -1) counts DOWN, so docs with <2 words
-    # must short-circuit to an empty array (explode then yields no rows
-    # and such docs fall out until the left join back)
-    bigrams = words.select(
-        "id",
-        "text_len",
-        F.explode(
-            F.when(
-                F.size("ws") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - F.lit(2)),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("ws", i + 1), F.element_at("ws", i + 2)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bigram"),
+
+
+def _gram_array(n: int):
+    """Array of space-joined word n-grams of ``ws`` (empty when <n words).
+
+    Guard: Spark's sequence(0, -1) counts DOWN, so docs with <n words
+    must short-circuit to an empty array (explode then yields no rows and
+    such docs fall out until the left join back)."""
+    return F.when(
+        F.size("ws") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - F.lit(n)),
+            lambda i: F.array_join(F.slice(F.col("ws"), i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_agg(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, prefix: str = "top_bigram"
+) -> DataFrame:
+    words = _words(df, id_col, text_col)
+    grams = words.select(
+        "id", "text_len", F.explode(_gram_array(n)).alias("gram")
     )
-    counted = bigrams.groupBy("id", "text_len", "bigram").agg(
+    counted = grams.groupBy("id", "text_len", "gram").agg(
         F.count("*").alias("n")
     )
-    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("bigram"))
+    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("gram"))
     return (
         counted.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .select(
             "id",
-            F.col("bigram").alias("top_bigram"),
-            F.col("n").cast("long").alias("top_bigram_n"),
+            F.col("gram").alias(prefix),
+            F.col("n").cast("long").alias(f"{prefix}_n"),
             F.round(
-                F.col("n") * F.length("bigram") / F.col("text_len"), 6
-            ).alias("top_bigram_char_frac"),
+                F.col("n") * F.length("gram") / F.col("text_len"), 6
+            ).alias(f"{prefix}_char_frac"),
         )
+    )
+
+
+def top_ngram_coverage(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(id, top_ngram, top_ngram_n, top_ngram_char_frac) per document —
+    the Gopher top word-n-gram character-coverage signal for any n (the
+    paper removes on the top 2/3/4-gram; the bigram wrapper keeps q57's
+    column names).  Coverage = count(top gram) * length(gram joined with
+    one space) / length(text); ties break (count DESC, gram ASC); docs
+    with <n words get NULL gram and 0.0 coverage."""
+    top = _top_agg(df, id_col, text_col, n=n, prefix="top_ngram")
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(top, "id", "left").select(
+        "id",
+        "top_ngram",
+        F.coalesce("top_ngram_n", F.lit(0)).alias("top_ngram_n"),
+        F.coalesce("top_ngram_char_frac", F.lit(0.0)).alias(
+            "top_ngram_char_frac"
+        ),
+    )
+
+
+def dup_ngram_char_frac(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, n_words, dup_ngram_char_frac) — Gopher's duplicated word
+    n-gram CHARACTER coverage: the fraction of word characters covered by
+    any n-gram occurring more than once IN the document, each covered
+    word counted once however many duplicated grams overlap it (the
+    position-cover accounting the dup-5..10-gram rules of Table A1 use).
+
+    Pinned: words are ``\\s+``-split non-empty tokens; the denominator is
+    the sum of word lengths (whitespace does not count on either side of
+    the ratio); docs with <n words (or no duplicated grams) get 0.0.
+
+    Scale shape: one explode->groupBy(id, gram) count (map-side combined,
+    keys bounded by doc content), duplicated grams' position lists fold
+    back to ONE covered-index array per doc (groupBy(id) over gram rows),
+    and the char accounting is a higher-order aggregate against the doc's
+    own word array — no per-token shuffle, no Python."""
+    words = _words(df, id_col, text_col).select(
+        "id",
+        "ws",
+        F.size("ws").cast("long").alias("n_words"),
+        F.aggregate(
+            F.col("ws"), F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("wchars"),
+    )
+    grams = words.select("id", F.posexplode(_gram_array(n)).alias("pos", "gram"))
+    dup = (
+        grams.groupBy("id", "gram")
+        .agg(F.count("*").alias("cnt"), F.collect_list("pos").alias("ps"))
+        .where(F.col("cnt") > 1)
+    )
+    cover = dup.groupBy("id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(
+                    F.flatten(
+                        F.transform(
+                            "ps", lambda p: F.sequence(p, p + F.lit(n - 1))
+                        )
+                    )
+                )
+            )
+        ).alias("covered")
+    )
+    covered_chars = F.aggregate(
+        F.col("covered"),
+        F.lit(0).cast("long"),
+        lambda acc, ti: acc + F.length(F.element_at(F.col("ws"), ti + 1)),
+    )
+    return words.join(cover, "id", "left").select(
+        "id",
+        "n_words",
+        F.when(
+            F.col("covered").isNotNull() & (F.col("wchars") > 0),
+            F.round(covered_chars / F.col("wchars"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_char_frac"),
     )
 
 

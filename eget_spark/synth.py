@@ -76,6 +76,17 @@ SCALES = {
         links=(6, 12),
         body_spans=(20, 40),
     ),
+    # ~2M docs: the size-robustness corpus for a SECOND scaling-evidence
+    # point at the same 2->8 pair (higher-core pairs are hardware-capped
+    # on this sandbox: measured calibration ceilings ~0.78-0.83 at 4->16,
+    # ~0.64 at 8->32 — below the >=0.8 criterion ANY job could evidence)
+    "benchxxxl": CorpusSpec(
+        n_hosts=2048,
+        pages_hot=30000,
+        pages_other=970,
+        links=(6, 12),
+        body_spans=(20, 40),
+    ),
 }
 
 

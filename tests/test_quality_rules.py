@@ -73,6 +73,85 @@ def test_repetition_signals_no_python_in_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def _dup_cover_oracle(text: str, n: int) -> tuple[int, float]:
+    words = [w for w in re.split(r"\s+", text) if w]
+    wchars = sum(len(w) for w in words)
+    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    c = Counter(grams)
+    covered: set[int] = set()
+    for i, g in enumerate(grams):
+        if c[g] > 1:
+            covered.update(range(i, i + n))
+    cc = sum(len(words[i]) for i in covered)
+    return len(words), (round(cc / wchars, 6) if covered and wchars else 0.0)
+
+
+def test_dup_ngram_char_frac_matches_oracle(spark):
+    from eget_spark.operators.quality_rules import dup_ngram_char_frac
+
+    docs = [
+        ("boiler", "click here now to buy click here now please"),
+        ("fullrep", "a b c a b c a b c"),
+        ("clean", "every word here is entirely different always"),
+        ("overlap", "x y x y x y z"),  # overlapping dup bigram chains
+        ("short", "one two"),
+        ("empty", ""),
+    ]
+    for n in (2, 3):
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        got = {
+            r["id"]: r for r in dup_ngram_char_frac(df, n=n).collect()
+        }
+        for doc_id, text in docs:
+            wn, wf = _dup_cover_oracle(text, n)
+            assert got[doc_id]["n_words"] == wn, (doc_id, n)
+            assert abs(got[doc_id]["dup_ngram_char_frac"] - wf) < 1e-9, (
+                doc_id,
+                n,
+                got[doc_id]["dup_ngram_char_frac"],
+                wf,
+            )
+    # the designed separations hold
+    assert got["fullrep"]["dup_ngram_char_frac"] == 1.0
+    assert got["clean"]["dup_ngram_char_frac"] == 0.0
+
+
+def test_top_ngram_coverage_generalizes_bigram(spark):
+    from eget_spark.operators.quality_rules import (
+        top_bigram_coverage,
+        top_ngram_coverage,
+    )
+
+    docs = [
+        ("a", "the cat sat on the cat sat again"),
+        ("b", "one two"),
+        ("c", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    tri = {r["id"]: r for r in top_ngram_coverage(df, n=3).collect()}
+    assert tri["a"]["top_ngram"] == "the cat sat" and tri["a"]["top_ngram_n"] == 2
+    assert tri["b"]["top_ngram"] is None and tri["b"]["top_ngram_char_frac"] == 0.0
+    # n=2 path must agree with the original bigram operator
+    bi_new = {
+        (r["id"], r["top_ngram"], r["top_ngram_n"], r["top_ngram_char_frac"])
+        for r in top_ngram_coverage(df, n=2).collect()
+    }
+    bi_old = {
+        (r["id"], r["top_bigram"], r["top_bigram_n"], r["top_bigram_char_frac"])
+        for r in top_bigram_coverage(df).collect()
+    }
+    assert bi_new == bi_old
+
+
+def test_line_repetition_paragraph_sep(spark):
+    from eget_spark.operators.quality_rules import line_repetition
+
+    text = "para one here\n\npara two\n\npara one here\n\nlast"
+    df = spark.createDataFrame([("a", text)], "doc_id string, text string")
+    r = line_repetition(df, sep=r"\n\n+").collect()[0]
+    assert r["n_lines"] == 4 and abs(r["dup_line_frac"] - 0.5) < 1e-9
+
+
 def _gopher_oracle(text: str) -> dict:
     words = [w for w in re.split(r"\s+", text) if w]
     lines = [ln.strip(" ") for ln in text.split("\n") if ln.strip(" ")]
