@@ -63,6 +63,10 @@ def prepare_training_data(
     emb_vec_col: str = "embedding",
     emb_threshold: float = 0.95,
     scrub_pii: bool = False,
+    gopher_rules: bool = False,
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.20,
+    min_lm_score: float | None = None,
 ) -> PrepResult:
     """Annotate, filter, dedup (exact + near-dup groups), and chunk.
 
@@ -70,7 +74,15 @@ def prepare_training_data(
     docs).  ``embeddings`` — optional (id_col, emb_vec_col) table: adds a
     semantic near-dup stage via SRP LSH (cosine >= ``emb_threshold``
     within shared hyperplane bands) after the text near-dup stage.
-    ``scrub_pii=True`` redacts emails/IPv4s/phones (operators/pii.py)
+    ``gopher_rules=True`` adds the Gopher/MassiveText Table-A1 stage:
+    documents must pass the zero-shuffle word/line/symbol/stopword rules
+    (``gopher_pass``) AND stay under the repetition ceilings
+    (``max_dup_line_frac``, ``max_top_bigram_frac`` — the paper's 0.30 /
+    0.20); dropped docs get reason ``gopher_filter``.  ``min_lm_score``
+    adds the CCNet-style unigram-LM floor (mean token log-prob, natural
+    log, trained on the post-quality corpus itself); reason
+    ``lm_score_filter``.  ``scrub_pii=True`` redacts emails/IPv4s/phones
+    (operators/pii.py)
     AFTER dedup — so dedup keys see the raw bytes and a redaction can
     never merge two distinct documents — and BEFORE chunking, so chunks
     inherit the scrubbed text; per-doc counters land on ``docs`` as
@@ -99,6 +111,48 @@ def prepare_training_data(
     dropped = annotated.where(~keep).select(
         "id", F.lit("quality_filter").alias("reason")
     )
+
+    if gopher_rules:
+        from .operators.quality_rules import gopher_signals, repetition_signals
+
+        sig = gopher_signals(quality_pass, "id", "text").select(
+            "id", "gopher_pass"
+        )
+        rep = repetition_signals(quality_pass, "id", "text").select(
+            "id", "dup_line_frac", "top_bigram_char_frac"
+        )
+        verdict = sig.join(rep, "id").withColumn(
+            "_gk",
+            F.col("gopher_pass")
+            & (F.col("dup_line_frac") <= F.lit(max_dup_line_frac))
+            & (F.col("top_bigram_char_frac") <= F.lit(max_top_bigram_frac)),
+        )
+        dropped = dropped.unionByName(
+            verdict.where(~F.col("_gk")).select(
+                "id", F.lit("gopher_filter").alias("reason")
+            )
+        )
+        quality_pass = quality_pass.join(
+            verdict.where(F.col("_gk")).select("id"), "id", "left_semi"
+        )
+
+    if min_lm_score is not None:
+        from .operators.lm_score import unigram_doc_scores
+
+        lm = unigram_doc_scores(quality_pass, "id", "text").select(
+            "id", "lm_score"
+        )
+        dropped = dropped.unionByName(
+            lm.where(
+                F.col("lm_score").isNull()
+                | (F.col("lm_score") < F.lit(min_lm_score))
+            ).select("id", F.lit("lm_score_filter").alias("reason"))
+        )
+        quality_pass = quality_pass.join(
+            lm.where(F.col("lm_score") >= F.lit(min_lm_score)).select("id"),
+            "id",
+            "left_semi",
+        )
 
     # exact dedup: min-id representative per md5(text) — one shuffle on a
     # short key

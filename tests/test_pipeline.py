@@ -150,3 +150,49 @@ def test_prepare_pii_scrub_stage(spark):
         for r in res.chunks.where(F.col("doc_id") == "3").collect()
     )
     assert "bob@example.com" not in chunk_text and "<EMAIL>" in chunk_text
+
+
+def test_prepare_gopher_and_lm_stages(spark):
+    rows = []
+    # 20 healthy docs: enough words (>=50), stopwords, varied lines
+    base = (
+        "# Doc\n\nThe document describes the system and that it should "
+        "have been written with care to be read of and by people. "
+    )
+    for i in range(20):
+        rows.append((i, base + " ".join(f"term{i}x{k} value" for k in range(30))))
+    # gopher trap: boilerplate-dominated doc (dup lines >> 0.30) that the
+    # base quality gate would keep
+    nav = "the menu is home and about with contact of course to be seen"
+    rows.append((300, "# Doc\n\n" + "\n".join([nav] * 12)))
+    # lm trap: healthy shape but out-of-distribution vocabulary
+    rows.append(
+        (
+            301,
+            base
+            + " ".join(f"zzqx{k}v wvvqz{k} qqzx{k}b" for k in range(20)),
+        )
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    res = prepare_training_data(
+        df, languages=["en"], shingle_k=2, gopher_rules=True
+    )
+    dropped = {r["id"]: r["reason"] for r in res.dropped.collect()}
+    kept = {r["id"] for r in res.docs.select("id").collect()}
+    assert dropped.get(300) == "gopher_filter"
+    assert all(i in kept for i in range(20)), dropped
+
+    res2 = prepare_training_data(
+        df.where(F.col("doc_id") != 300),
+        languages=["en"],
+        shingle_k=2,
+        min_lm_score=-5.5,  # healthy docs score ~-4.4, the junk-vocab doc ~-6.4
+    )
+    dropped2 = {r["id"]: r["reason"] for r in res2.dropped.collect()}
+    assert dropped2.get(301) == "lm_score_filter"
+    # and the stage is off by default: same corpus, no lm floor -> 301 kept
+    res3 = prepare_training_data(
+        df.where(F.col("doc_id") != 300), languages=["en"], shingle_k=2
+    )
+    assert 301 in {r["id"] for r in res3.docs.select("id").collect()}
