@@ -444,6 +444,52 @@ def main() -> None:
         "any corpus size.",
     )
 
+    # 24. unigram-LM scoring (q66): token counts partial-combine map-side
+    # (Zipf hot keys collapse per map task); the N/V scalars ride a
+    # broadcast, never a cartesian; no Python anywhere
+    from eget_spark.operators.lm_score import unigram_doc_scores
+
+    add(
+        "unigram-LM doc scoring (q66)",
+        unigram_doc_scores(
+            spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", "text"
+        ),
+        {
+            "BatchEvalPython": False,
+            "ArrowEvalPython": False,
+            "CartesianProduct": False,
+            "partial_count": True,
+            "BroadcastNestedLoopJoin": True,  # the 1-row scalar ride-along
+        },
+        "LM training is one map-side-combined HashAggregate on token; the "
+        "model scalars join as a broadcast single row; scoring joins "
+        "per-doc DISTINCT tokens only.",
+    )
+
+    # 25. SemDeDup (q67): intra-cell pairs via an equi hash join on the
+    # cell (never cartesian), centroids broadcast, keep decision is a
+    # codegen min-struct aggregate
+    from eget_spark.operators.semdedup import semantic_dedup
+
+    add(
+        "SemDeDup semantic dedup (q67)",
+        semantic_dedup(
+            spark.read.parquet(f"{SF}/embeddings.parquet"),
+            "vec_id",
+            "embedding",
+            "label",
+            threshold=0.25,
+        ),
+        {
+            "BatchEvalPython": False,
+            "ArrowEvalPython": False,
+            "CartesianProduct": False,
+        },
+        "Pairing is blocked on the cell column (equi join); the centroid "
+        "table broadcasts; the representative is a min-struct aggregate "
+        "keyed on the component.",
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
