@@ -40,6 +40,11 @@ HEADLINE = [
     "q53_contamination",
     "q55_trap_scores",
     "q59_pii_scrub",
+    # round-5: pin the zero-shuffle Gopher filter pass, the unigram-LM
+    # train+score join, and the duplicated-n-gram cover accounting
+    "q65_gopher_filters",
+    "q66_unigram_lm_score",
+    "q70_dup_ngram_cover",
 ]
 
 
