@@ -70,6 +70,9 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q68_token_budget_sample  per-stratum token-budget prefix sampling
   q69_top_trigram_coverage Gopher top word-trigram char coverage
   q70_dup_ngram_cover    Gopher duplicated-trigram char cover fraction
+  q71_curation_profile   per-source corpus-health aggregate
+  q72_blocklist_flags    C4-style blocklist word flagging, zero-shuffle
+  q73_dedup_cluster_histogram  dedup component-size histogram
 """
 
 from __future__ import annotations
@@ -2941,6 +2944,125 @@ FROM base b LEFT JOIN cchars USING (doc_id)
 """
 
 
+def q71_curation_profile(spark, sf_dir):
+    """Per-source curation profile — the corpus-health dashboard aggregate
+    a curation loop runs between pipeline stages: docs, token mass, mean
+    quality score, and the fraction passing a 0.5 quality floor, per
+    source.  One map-side projection + one groupBy(source)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        quality_score(F.col("text")).alias("q"),
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+        )
+        .cast("long")
+        .alias("toks"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(
+            F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("pass_rate"),
+    )
+
+
+_Q71_SQL = f"""
+WITH q AS ({_Q11_SQL}),
+t AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))
+           AS toks
+  FROM documents
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t.toks) AS BIGINT) AS n_tokens,
+       round(avg(q.quality), 6) AS avg_quality,
+       round(sum(CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+FROM t JOIN q USING (doc_id)
+GROUP BY t.source
+"""
+
+
+# a small pinned blocklist that actually intersects the synthetic corpus
+# vocabulary (C4 drops pages containing any blocklisted word; the list is
+# the caller's policy — these three stand in for it deterministically)
+_Q72_BLOCKLIST = ["batch", "dup", "spark"]
+
+
+def q72_blocklist_flags(spark, sf_dir):
+    """C4-style blocklist filtering signal: per document, the number of
+    (lowercased, whitespace-split) words that appear in a pinned
+    blocklist, and the drop verdict.  Zero-shuffle higher-order pass,
+    same cost class as q65/q59."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    blocked = F.size(
+        F.filter(
+            ws,
+            lambda w: F.lower(w).isin(_Q72_BLOCKLIST),
+        )
+    )
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        blocked.cast("long").alias("n_blocked"),
+        (blocked > 0).alias("is_blocked"),
+    )
+
+
+_Q72_SQL = r"""
+SELECT doc_id AS id,
+       CAST(len(list_filter(
+              list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''),
+              w -> list_contains(['batch','dup','spark'], lower(w))))
+            AS BIGINT) AS n_blocked,
+       len(list_filter(
+              list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''),
+              w -> list_contains(['batch','dup','spark'], lower(w)))) > 0
+         AS is_blocked
+FROM documents
+"""
+
+
+def q73_dedup_cluster_histogram(spark, sf_dir):
+    """Dedup cluster-size histogram — the scale-health diagnostic of a
+    dedup pass (a giant cluster means boilerplate is gluing the corpus
+    together): connected components over the q14 MinHash-LSH pair set,
+    components of size >= 2 bucketed by size."""
+    from eget_spark.operators.dedup import dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4, k=3)
+    groups = dedup_groups(docs, pairs, "doc_id")
+    return (
+        groups.groupBy("keep_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .where(F.col("cluster_size") >= 2)
+        .groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long"), "n_clusters")
+    )
+
+
+def _q73_sql() -> str:
+    return f"""
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM (
+  SELECT keep_id, count(*) AS cluster_size
+  FROM ({_q37_sql()})
+  GROUP BY keep_id
+) WHERE cluster_size >= 2
+GROUP BY cluster_size
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -3018,6 +3140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_token_budget_sample": q68_token_budget_sample,
         "q69_top_trigram_coverage": q69_top_trigram_coverage,
         "q70_dup_ngram_cover": q70_dup_ngram_cover,
+        "q71_curation_profile": q71_curation_profile,
+        "q72_blocklist_flags": q72_blocklist_flags,
+        "q73_dedup_cluster_histogram": q73_dedup_cluster_histogram,
     }
 
 
@@ -3093,4 +3218,7 @@ def oracle_sql() -> dict[str, str]:
         "q68_token_budget_sample": _Q68_SQL,
         "q69_top_trigram_coverage": _Q69_SQL,
         "q70_dup_ngram_cover": _Q70_SQL,
+        "q71_curation_profile": _Q71_SQL,
+        "q72_blocklist_flags": _Q72_SQL,
+        "q73_dedup_cluster_histogram": _q73_sql(),
     }
