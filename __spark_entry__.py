@@ -73,6 +73,10 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q71_curation_profile   per-source corpus-health aggregate
   q72_blocklist_flags    C4-style blocklist word flagging, zero-shuffle
   q73_dedup_cluster_histogram  dedup component-size histogram
+  q74_bm25_topk          BM25 keyword search top-k (one broadcast stat row)
+  q75_bigram_lm_score    stupid-backoff bigram LM doc scoring
+  q76_recrawl_priority   Cho/Garcia-Molina change-rate recrawl scheduling
+  q77_hll_distinct       HyperLogLog distinct sketch, bit-exact registers
 """
 
 from __future__ import annotations
@@ -3063,6 +3067,228 @@ GROUP BY cluster_size
 """
 
 
+def q74_bm25_topk(spark, sf_dir):
+    """BM25 keyword search (operators/search.py): top-20 documents for the
+    query {spark, window, merge} — corpus stats reduce to ONE single-row
+    broadcast aggregate, per-doc term frequencies are array filters (no
+    explode), and top-k plans as TakeOrderedAndProject.  Zero wide
+    shuffles."""
+    from eget_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["spark", "window", "merge"],
+        k=20,
+    )
+
+
+_Q74_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(length(l) AS BIGINT) AS dl,
+         CAST(length(list_filter(l, x -> x = 'spark'))  AS BIGINT) AS tf0,
+         CAST(length(list_filter(l, x -> x = 'window')) AS BIGINT) AS tf1,
+         CAST(length(list_filter(l, x -> x = 'merge'))  AS BIGINT) AS tf2
+  FROM d
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN tf0 > 0 THEN
+             ((ln(1.0 + ((n - df0) + 0.5) / (df0 + 0.5)) * tf0) * 2.2)
+               / (tf0 + 1.2 * (0.25 + (0.75 * dl) / (sumdl / n)))
+            ELSE 0.0 END)
+         + (CASE WHEN tf1 > 0 THEN
+             ((ln(1.0 + ((n - df1) + 0.5) / (df1 + 0.5)) * tf1) * 2.2)
+               / (tf1 + 1.2 * (0.25 + (0.75 * dl) / (sumdl / n)))
+            ELSE 0.0 END)
+         + (CASE WHEN tf2 > 0 THEN
+             ((ln(1.0 + ((n - df2) + 0.5) / (df2 + 0.5)) * tf2) * 2.2)
+               / (tf2 + 1.2 * (0.25 + (0.75 * dl) / (sumdl / n)))
+            ELSE 0.0 END), 6) AS score
+  FROM base CROSS JOIN st
+)
+SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+FROM (SELECT * FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20)
+"""
+
+
+def q75_bigram_lm_score(spark, sf_dir):
+    """Stupid-backoff bigram LM scoring (operators/lm_score.py, Brants et
+    al. 2007): the LM trains on the reference subcorpus (doc_id % 3 = 0 —
+    the CCNet train-on-clean/score-on-crawl setup, so backoff and the OOV
+    floor are genuinely exercised), then every document scores by its mean
+    bigram ln S.  Bigrams come from zip_with over the token array (no
+    positional self-join)."""
+    from eget_spark.operators.lm_score import bigram_doc_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_doc_scores(docs, docs.where(F.col("doc_id") % 3 == 0))
+
+
+_Q75_SQL = r"""
+WITH docs_l AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+tr_l AS (SELECT * FROM docs_l WHERE doc_id % 3 = 0),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(l) AS tok FROM tr_l) GROUP BY tok
+),
+scal AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total FROM uni),
+tr_pos AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM tr_l
+),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM (SELECT a.w AS w1, b.w AS w2
+        FROM tr_pos a JOIN tr_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+  GROUP BY w1, w2
+),
+all_pos AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM docs_l
+),
+doc_bi AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM all_pos a JOIN all_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+  GROUP BY doc_id, w1, w2
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+         round(sum((CASE WHEN b.c12 > 0 THEN ln(b.c12 / u1.cnt)
+                    ELSE ln((0.4 * (coalesce(u2.cnt, 0) + 0.5)) / (s.t_total + 1.0))
+                    END) * d.k) / sum(d.k), 6) AS lm2_score
+  FROM doc_bi d
+  LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+  LEFT JOIN uni u1 ON u1.tok = d.w1
+  LEFT JOIN uni u2 ON u2.tok = d.w2
+  CROSS JOIN scal s
+  GROUP BY d.doc_id
+)
+SELECT docs.doc_id AS id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.lm2_score
+FROM documents docs LEFT JOIN scored s ON s.doc_id = docs.doc_id
+"""
+
+
+def q76_recrawl_priority(spark, sf_dir):
+    """Change-rate recrawl scheduling (operators/recrawl.py, Cho &
+    Garcia-Molina): the events table plays the fetch log (page = user_id,
+    fetch time = ts, content fingerprint = event_type); per page, count
+    fingerprint transitions over the fetch sequence, estimate changes/day,
+    and rank pages fetch-first by rate.  One shuffle: the lag window and
+    the per-page aggregate share the partitioning key."""
+    from eget_spark.operators.recrawl import change_rates, recrawl_priority
+
+    ev = _t(spark, sf_dir, "events")
+    rates = change_rates(
+        ev, id_col="user_id", ts_col="ts", fp_col="event_type",
+        tiebreak_col="event_id",
+    )
+    return recrawl_priority(rates)
+
+
+_Q76_SQL = r"""
+WITH seq AS (
+  SELECT user_id AS id, epoch_us(ts) AS us,
+         CASE WHEN event_type <> lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+agg AS (
+  SELECT id,
+         CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changes,
+         CAST(max(us) - min(us) AS BIGINT) AS span_us
+  FROM seq GROUP BY id
+)
+SELECT id, n_fetches, n_changes, span_us,
+       CASE WHEN span_us > 0
+            THEN round((n_changes * 86400000000.0) / span_us, 6) END AS rate_per_day,
+       CAST(row_number() OVER (
+         ORDER BY CASE WHEN span_us > 0
+                       THEN round((n_changes * 86400000000.0) / span_us, 6) END
+                  DESC NULLS LAST, id) AS INT) AS priority
+FROM agg
+"""
+
+
+def q77_hll_distinct(spark, sf_dir):
+    """HyperLogLog cardinality sketch (operators/hll.py, Flajolet et al.
+    2007) estimating distinct (visitor, action) pairs in the event log —
+    the frontier-size estimator shape: groupBy(bucket) IS the distributed
+    sketch (map-side combined to <= 256 rows per task), registers are
+    bit-exact cross-engine (md5 hash + integer smear/bit_count rho + an
+    integer-scaled harmonic sum), floats appear only in the final
+    exactly-rounded multiply/divide chain."""
+    from eget_spark.operators.hll import hll_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat_ws(
+        ":", F.col("user_id").cast("string"), F.col("event_type")
+    )
+    return hll_estimate(ev, key, p=8)
+
+
+_Q77_SQL = r"""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(concat(CAST(user_id AS VARCHAR), ':', event_type)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+rho AS (
+  SELECT bucket, CAST((52 - bit_count(s32)) + 1 AS INT) AS rho FROM (
+    SELECT bucket, s16 | (s16 >> 32) AS s32 FROM (
+      SELECT bucket, s8 | (s8 >> 16) AS s16 FROM (
+        SELECT bucket, s4 | (s4 >> 8) AS s8 FROM (
+          SELECT bucket, s2 | (s2 >> 4) AS s4 FROM (
+            SELECT bucket, s1 | (s1 >> 2) AS s2 FROM (
+              SELECT h & 255 AS bucket, (h >> 8) | ((h >> 8) >> 1) AS s1 FROM h))))))
+),
+regs AS (
+  SELECT r.bucket, CAST(coalesce(mx.reg, 0) AS INT) AS reg
+  FROM (SELECT range AS bucket FROM range(256)) r
+  LEFT JOIN (SELECT bucket, max(rho) AS reg FROM rho GROUP BY bucket) mx
+    ON mx.bucket = r.bucket
+),
+one AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+         CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS sum_scaled
+  FROM regs
+)
+SELECT m, v_zero, sum_scaled,
+       round(CASE WHEN ((((0.7213 / (1.0 + 1.079 / 256)) * 256.0) * 256.0) * 9007199254740992.0) / sum_scaled <= 640.0
+                   AND v_zero > 0
+             THEN 256.0 * ln(256.0 / v_zero)
+             ELSE ((((0.7213 / (1.0 + 1.079 / 256)) * 256.0) * 256.0) * 9007199254740992.0) / sum_scaled
+             END, 2) AS estimate
+FROM one
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -3143,6 +3369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_curation_profile": q71_curation_profile,
         "q72_blocklist_flags": q72_blocklist_flags,
         "q73_dedup_cluster_histogram": q73_dedup_cluster_histogram,
+        "q74_bm25_topk": q74_bm25_topk,
+        "q75_bigram_lm_score": q75_bigram_lm_score,
+        "q76_recrawl_priority": q76_recrawl_priority,
+        "q77_hll_distinct": q77_hll_distinct,
     }
 
 
@@ -3221,4 +3451,8 @@ def oracle_sql() -> dict[str, str]:
         "q71_curation_profile": _Q71_SQL,
         "q72_blocklist_flags": _Q72_SQL,
         "q73_dedup_cluster_histogram": _q73_sql(),
+        "q74_bm25_topk": _Q74_SQL,
+        "q75_bigram_lm_score": _Q75_SQL,
+        "q76_recrawl_priority": _Q76_SQL,
+        "q77_hll_distinct": _Q77_SQL,
     }

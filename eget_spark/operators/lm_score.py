@@ -120,3 +120,115 @@ def unigram_doc_scores(
             "lm_score",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM with stupid backoff
+# ---------------------------------------------------------------------------
+
+STUPID_BACKOFF_ALPHA = 0.4
+
+
+def _bigram_arr(text_col: str):
+    """Per-row array of space-joined bigrams, built WITHOUT an explode or a
+    positional self-join: zip the token array against itself shifted by one
+    (`zip_with(slice(a,1,n-1), slice(a,2,n-1))`) — a pure codegen'd
+    projection.  Empty for docs with < 2 tokens."""
+    a = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+    n = F.size(a)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(a, 1, n - 1),
+            F.slice(a, 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    )
+
+
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2, k): per-document distinct bigrams with in-doc counts."""
+    bg = df.select(
+        F.col(id_col).alias("id"), F.explode(_bigram_arr(text_col)).alias("bg")
+    ).select(
+        "id",
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"),
+    )
+    return bg.groupBy("id", "w1", "w2").agg(F.count("*").cast("long").alias("k"))
+
+
+def bigram_doc_scores(
+    df: DataFrame,
+    train_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = STUPID_BACKOFF_ALPHA,
+) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the public web-scale LM
+    recipe: no normalization, unnormalized score S instead of P):
+
+        S(w2 | w1) = c(w1 w2) / c(w1)                 if c(w1 w2) > 0
+                   = alpha * (c(w2) + 0.5) / (T + 1)  otherwise
+
+    where counts come from the TRAINING corpus, T = its total token count,
+    and the +0.5/+1 floor keeps OOV words finite (the CCNet-style smoothing
+    floor, pinned so the SQL oracle reproduces it exactly).  A doc's score
+    is its mean bigram ln S; docs with < 2 tokens score NULL.
+
+    Scale shape (100 TB): the LM is two map-side-combined counts (bigram,
+    unigram) over the training corpus; scoring reduces each doc to its
+    DISTINCT bigrams (partial combine bounds hot-bigram fan-in), then
+    hash-joins against the two count tables on unique keys — replication-
+    free joins, AQE splits residual skew.  The T scalar rides a 1-row
+    broadcast.  No driver loops, no collect.
+
+    Returns (id, n_bigrams, lm2_score).
+    """
+    uni = (
+        _tok_rows(train_df, id_col, text_col)
+        .groupBy("tok")
+        .agg(F.sum("k").cast("long").alias("cnt"))
+    )
+    bi = (
+        _bigram_rows(train_df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.sum("k").cast("long").alias("c12"))
+    )
+    scalars = uni.agg(F.sum("cnt").cast("long").alias("t_total"))
+    doc_bi = _bigram_rows(df, id_col, text_col)
+    floor = F.log(
+        F.lit(alpha)
+        * (F.coalesce(F.col("c2"), F.lit(0)) + 0.5)
+        / (F.col("t_total") + 1.0)
+    )
+    scored = (
+        doc_bi.join(bi, ["w1", "w2"], "left")
+        .join(uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("c1")), "w1", "left")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("cnt").alias("c2")), "w2", "left")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "lp",
+            F.when(F.col("c12") > 0, F.log(F.col("c12") / F.col("c1"))).otherwise(
+                floor
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("lp") * F.col("k")) / F.sum("k"), 6).alias(
+                "lm2_score"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm2_score",
+        )
+    )

@@ -1,0 +1,99 @@
+"""Recrawl scheduling from observed change history.
+
+An incremental crawler re-fetches each page on a cadence matched to how
+often it actually changes (Cho & Garcia-Molina 2003, "Effective page
+refresh policies for web crawlers" — the public foundation of freshness-
+driven recrawl).  The reference exposes the raw ingredient — a 24 h cache
+TTL per URL (/root/reference/services/cache/cache_service.py) — i.e. ONE
+fixed recrawl interval for every page; this operator derives a PER-PAGE
+interval from the fetch log instead.
+
+Input: a fetch-history table (page id, fetch timestamp, content
+fingerprint).  Per page, order fetches by time and count fingerprint
+transitions; the change-rate MLE observed at sample points is
+
+    rate = n_changes / span          (span = last fetch - first fetch)
+
+reported per day.  Pages that changed more recently per unit time are
+re-fetched first: priority rank = dense order on (rate desc, id).
+
+Scale shape (100 TB of fetch logs): ONE shuffle — the lag window
+partitions by page id, and the follow-up per-page aggregate groups on the
+same key, so Catalyst reuses the exchange (the window's hash partitioning
+satisfies the aggregate's distribution).  All arithmetic is integer
+microseconds plus one exactly-rounded division — engine-identical, no
+libm.  The rank window is a global sort of ONE row per page (the already-
+aggregated table), not of the log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+US_PER_DAY = 86_400_000_000
+
+
+def change_rates(
+    fetches: DataFrame,
+    id_col: str = "page_id",
+    ts_col: str = "ts",
+    fp_col: str = "fingerprint",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(id, n_fetches, n_changes, span_us, rate_per_day) per page.
+
+    ``rate_per_day`` is NULL for pages with zero observed span (a single
+    fetch, or all fetches at one instant) — no evidence either way.
+    ``tiebreak_col`` pins the fetch order when timestamps can collide.
+    """
+    # timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ alike and is
+    # timezone-independent for NTZ — parity with DuckDB's epoch_us on
+    # naive timestamps regardless of the session zone
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    order = [us.asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(id_col).orderBy(*order)
+    # group on the UN-aliased window key so the aggregate's required
+    # distribution is satisfied by the window's hashpartitioning — one
+    # exchange total (aliasing first would break the reuse)
+    seq = fetches.select(
+        F.col(id_col),
+        us.alias("_us"),
+        (F.col(fp_col) != F.lag(fp_col).over(w)).cast("long").alias("_chg"),
+    )
+    agg = seq.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.coalesce(F.sum("_chg"), F.lit(0)).cast("long").alias("n_changes"),
+        (F.max("_us") - F.min("_us")).cast("long").alias("span_us"),
+    ).withColumnRenamed(id_col, "id")
+    rate = F.round(F.col("n_changes") * float(US_PER_DAY) / F.col("span_us"), 6)
+    return agg.withColumn(
+        "rate_per_day", F.when(F.col("span_us") > 0, rate)
+    )
+
+
+def recrawl_priority(rates: DataFrame) -> DataFrame:
+    """Append the fetch-first rank: highest change rate first, NULL-rate
+    (single-observation) pages last, id as the deterministic tiebreak.
+
+    (rate desc NULLS LAST, id asc) is rewritten as the ascending key
+    (-rate with NULL -> +inf, id) and ranked by
+    :func:`~eget_spark.operators.sequence.with_global_seq` — the exact
+    global rank via range exchange + per-partition row_number + prefix
+    offsets, never a single-partition window (there is one RANK ROW PER
+    PAGE; at 10^10 pages a global window would serialize the lot)."""
+    from .sequence import with_global_seq
+
+    keyed = rates.withColumn(
+        "_nk",
+        F.when(F.col("rate_per_day").isNull(), F.lit(float("inf"))).otherwise(
+            -F.col("rate_per_day")
+        ),
+    )
+    res = with_global_seq(keyed, ["_nk", "id"], start=1, seq_col="priority")
+    return res.df.withColumn("priority", F.col("priority").cast("int")).drop("_nk")

@@ -1,0 +1,104 @@
+"""BM25 keyword search over the document corpus.
+
+The classic retrieval scorer (Robertson & Sparck Jones probabilistic
+relevance framework; the BM25 form is public in Robertson et al., TREC-3):
+for a query Q = {t_1..t_q},
+
+    score(D, Q) = sum_i idf(t_i) * tf_i * (k1 + 1)
+                          / (tf_i + k1 * (1 - b + b * |D| / avgdl))
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+
+In a crawl/curation pipeline this is the "find the docs about X" primitive
+(contamination probes, topic audits, corpus QA) — the reference exposes
+search-shaped scraping (`/root/reference/api/v1/endpoints/scrape.py`) but no
+ranking; BM25 is the standard public ranking function for the job.
+
+Scale shape (100 TB): the query term list is tiny and rides INSIDE the
+expression tree — per-document tf_i is an array `filter` over the token
+array (no explode, no per-term shuffle).  Corpus statistics (N, sum |D|,
+df per term) reduce to ONE single-row aggregate (map-side combined), which
+re-enters via a 1-row broadcast cross join.  Scoring is then a pure
+projection, and top-k is `orderBy().limit(k)` — Spark plans
+TakeOrderedAndProject (per-partition heap + driver merge of k rows), never
+a global sort shuffle.  Zero wide shuffles end-to-end.
+
+Determinism: every arithmetic op except `ln` is IEEE exactly-rounded and
+therefore engine-identical; scores are rounded to 6 decimals before
+ranking and ties break on doc id, the repo-wide recipe for cross-engine
+(JVM vs DuckDB libm) ulp tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .lm_score import TOKEN_SPLIT
+
+
+def _tok_arr(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 score for ``query_terms``.
+
+    Returns (id_col, score, rnk) — score rounded to 6, rank dense from 1,
+    ties broken by id. Documents matching no query term are excluded.
+    """
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    arr = _tok_arr(text_col).alias("_l")
+
+    # single-arg closure factory: a `lambda x, t=t:` default arg would make
+    # F.filter bind its optional (element, index) TWO-arg form
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    base = df.select(F.col(id_col), arr).select(
+        id_col,
+        F.size("_l").cast("long").alias("_dl"),
+        *[
+            F.size(F.filter("_l", _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_dl").cast("long").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    avgdl = F.col("_sumdl") / F.col("_n")
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}")
+        idf = F.log(
+            1.0 + (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        norm = tf + k1 * (1.0 - b + b * F.col("_dl") / avgdl)
+        parts.append(F.when(tf > 0, idf * tf * (k1 + 1.0) / norm).otherwise(F.lit(0.0)))
+    score = F.round(sum(parts[1:], parts[0]), 6)
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .select(id_col, score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    # rnk over the k already-selected rows: the single-partition window is
+    # trivial (k rows post-TakeOrdered), not a corpus-wide sort
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int"))

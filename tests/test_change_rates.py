@@ -1,0 +1,84 @@
+"""Change-rate recrawl scheduling (operators/recrawl.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from eget_spark.operators.recrawl import US_PER_DAY, change_rates, recrawl_priority
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        [(pid, T0 + dt.timedelta(hours=h), fp, i) for i, (pid, h, fp) in enumerate(rows)],
+        "page_id string, ts timestamp_ntz, fingerprint string, fetch_id long",
+    )
+
+
+def test_counts_fingerprint_transitions(spark):
+    log = _log(
+        spark,
+        [
+            ("a", 0, "x"), ("a", 12, "x"), ("a", 24, "y"), ("a", 48, "y"),
+            ("b", 0, "x"), ("b", 24, "y"), ("b", 48, "x"),
+            ("c", 0, "x"),
+        ],
+    )
+    rows = {
+        r["id"]: r
+        for r in change_rates(log, "page_id", "ts", "fingerprint", "fetch_id").collect()
+    }
+    assert (rows["a"]["n_fetches"], rows["a"]["n_changes"]) == (4, 1)
+    assert (rows["b"]["n_fetches"], rows["b"]["n_changes"]) == (3, 2)
+    # a: 1 change over 2 days; b: 2 changes over 2 days
+    assert rows["a"]["rate_per_day"] == 0.5
+    assert rows["b"]["rate_per_day"] == 1.0
+    # single observation: no span, no rate
+    assert rows["c"]["span_us"] == 0 and rows["c"]["rate_per_day"] is None
+
+
+def test_priority_rate_desc_nulls_last(spark):
+    log = _log(
+        spark,
+        [
+            ("a", 0, "x"), ("a", 24, "y"),   # 1 change / day
+            ("b", 0, "x"), ("b", 24, "x"),   # 0 changes
+            ("c", 0, "x"),                    # unknown
+        ],
+    )
+    pri = {
+        r["id"]: r["priority"]
+        for r in recrawl_priority(
+            change_rates(log, "page_id", "ts", "fingerprint", "fetch_id")
+        ).collect()
+    }
+    assert pri == {"a": 1, "b": 2, "c": 3}
+
+
+def test_tiebreak_pins_order_at_equal_timestamps(spark):
+    # two fetches at the same instant: fetch_id orders them x -> y (1 change)
+    log = _log(spark, [("a", 0, "x"), ("a", 0, "y")])
+    r = change_rates(log, "page_id", "ts", "fingerprint", "fetch_id").collect()[0]
+    assert r["n_changes"] == 1 and r["span_us"] == 0
+    assert r["rate_per_day"] is None
+
+
+def test_rate_uses_microsecond_span(spark):
+    log = _log(spark, [("a", 0, "x"), ("a", 6, "y")])  # 6h span, 1 change
+    r = change_rates(log, "page_id", "ts", "fingerprint", "fetch_id").collect()[0]
+    assert r["span_us"] == 6 * 3600 * 10**6
+    assert r["rate_per_day"] == round(US_PER_DAY / r["span_us"], 6) == 4.0
+
+
+def test_window_and_agg_share_one_exchange(spark):
+    log = _log(spark, [("a", 0, "x"), ("a", 12, "y"), ("b", 0, "x")]).repartition(4)
+    plan = (
+        change_rates(log, "page_id", "ts", "fingerprint", "fetch_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the lag window's hashpartitioning(id) satisfies the groupBy(id)
+    # distribution: exactly one exchange on the log
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -94,3 +94,66 @@ def test_lm_plan_map_side_combined_no_python(spark):
     # map-side (the Zipf hot-token medicine)
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan  # scalars ride a broadcast
+
+
+def test_bigram_stupid_backoff_matches_python_oracle(spark):
+    import math
+    import re
+
+    from eget_spark.operators.lm_score import bigram_doc_scores
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "the cat ate the fish",
+        "a completely unseen zebra sentence",
+        "cat",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    train_ids = [0, 1]
+    got = {
+        r["id"]: (r["n_bigrams"], r["lm2_score"])
+        for r in bigram_doc_scores(df, df.where(df.doc_id.isin(train_ids))).collect()
+    }
+
+    tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    for i in train_ids:
+        ts = tok(texts[i])
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    t_total = sum(uni.values())
+    for i, text in enumerate(texts):
+        ts = tok(text)
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            assert got[i] == (0, None)
+            continue
+        lps = []
+        for a, b in pairs:
+            if bi.get((a, b), 0) > 0:
+                lps.append(math.log(bi[(a, b)] / uni[a]))
+            else:
+                lps.append(math.log(0.4 * (uni.get(b, 0) + 0.5) / (t_total + 1.0)))
+        assert got[i] == (len(pairs), round(sum(lps) / len(pairs), 6))
+
+
+def test_bigram_seen_scores_above_backoff(spark):
+    from eget_spark.operators.lm_score import bigram_doc_scores
+
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta", "zeta eta theta iota"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    scores = {
+        r["id"]: r["lm2_score"]
+        for r in bigram_doc_scores(df, df.where(df.doc_id < 2)).collect()
+    }
+    # in-domain doc outscores the fully-OOV doc
+    assert scores[0] > scores[2]

@@ -1,0 +1,87 @@
+"""BM25 search (operators/search.py) vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from eget_spark.operators.search import bm25_topk
+
+TEXTS = [
+    "spark window merge spark spark",
+    "the quick brown fox jumps over the lazy dog",
+    "window window window merge",
+    "merge sort and hash join in spark",
+    "nothing relevant here at all",
+    "spark",
+    "",
+    "spark spark spark spark spark spark spark spark spark spark",
+]
+
+
+def _tok(s: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def _py_bm25(texts, terms, k1=1.2, b=0.75):
+    toks = [_tok(t) for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    df = {t: sum(1 for d in toks if t in d) for t in terms}
+    out = {}
+    for i, d in enumerate(toks):
+        s = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(d) / avgdl))
+        if round(s, 6) > 0:
+            out[i] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_python_oracle(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    terms = ["spark", "window", "merge"]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, "doc_id", "text", terms, k=20).collect()
+    }
+    expect = _py_bm25(TEXTS, terms)
+    assert got == {k: round(v, 6) for k, v in expect.items()}
+
+
+def test_bm25_rank_order_and_k_cutoff(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    rows = bm25_topk(df, "doc_id", "text", ["spark"], k=2).collect()
+    assert [r["rnk"] for r in rows] == [1, 2]
+    assert len(rows) == 2
+    # rank 1 = the doc that is ALL query term (shortest normalization, max tf)
+    full = bm25_topk(df, "doc_id", "text", ["spark"], k=20).collect()
+    scores = [r["score"] for r in full]
+    assert scores == sorted(scores, reverse=True)
+    assert rows[0]["score"] == full[0]["score"]
+
+
+def test_bm25_no_match_returns_empty(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    assert bm25_topk(df, "doc_id", "text", ["zzzmissing"], k=5).count() == 0
+
+
+def test_bm25_plan_is_take_ordered_no_wide_shuffle(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    plan = bm25_topk(df, "doc_id", "text", ["spark", "merge"], k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the only exchange is the single-row stats reduction (partial agg ->
+    # 1-row broadcast); no hash-partitioned corpus shuffle
+    assert "hashpartitioning" not in plan
