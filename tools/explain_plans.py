@@ -490,6 +490,89 @@ def main() -> None:
         "keyed on the component.",
     )
 
+    # 26. BM25 search (q74): corpus stats are ONE single-row aggregate
+    # re-entering via broadcast; per-term tf is an array filter (no
+    # explode); top-k is TakeOrderedAndProject — zero wide shuffle of the
+    # corpus, no Python
+    from eget_spark.operators.search import bm25_topk
+
+    add(
+        "BM25 top-k search (q74)",
+        bm25_topk(
+            spark.read.parquet(f"{SF}/documents.parquet"),
+            "doc_id",
+            "text",
+            ["spark", "window", "merge"],
+            k=20,
+        ),
+        {
+            "TakeOrderedAndProject": True,
+            "hashpartitioning": False,
+            "BatchEvalPython": False,
+            "ArrowEvalPython": False,
+        },
+        "Per-doc term frequencies are codegen'd array filters; N/avgdl/df "
+        "reduce to one broadcast row; the only exchanges are the 1-row "
+        "stat reduction and the k-row TakeOrdered merge.",
+    )
+
+    # 27. HLL distinct sketch (q77): groupBy(bucket) partial-combines to
+    # <= m rows per map task before the (m-row) shuffle; hash/rho are
+    # integer expressions — no Python, no wide data shuffle
+    from eget_spark.operators.hll import hll_registers
+
+    add(
+        "HyperLogLog registers (q77)",
+        hll_registers(
+            spark.read.parquet(f"{SF}/events.parquet"),
+            F.concat_ws(
+                ":", F.col("user_id").cast("string"), F.col("event_type")
+            ),
+        ),
+        {
+            "partial_max": True,
+            "BatchEvalPython": False,
+            "ArrowEvalPython": False,
+        },
+        "The register build is a map-side-combined max per bucket: each "
+        "task ships at most m=256 rows regardless of input size — the "
+        "sketch IS the aggregate.",
+    )
+
+    # 28. change-rate recrawl scheduling (q76): the lag window and the
+    # per-page aggregate share hashpartitioning(page_id) — exactly one
+    # exchange of the fetch log
+    from eget_spark.operators.recrawl import change_rates
+
+    # executedPlan string (not explain-formatted): the exchange count
+    # check needs the inline "Exchange hashpartitioning(...)" form
+    p_cr = (
+        change_rates(
+            spark.read.parquet(f"{SF}/events.parquet"),
+            id_col="user_id",
+            ts_col="ts",
+            fp_col="event_type",
+            tiebreak_col="event_id",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    out.append(
+        "## change-rate recrawl scheduling (q76)\n\nThe lag window's "
+        "hashpartitioning(user_id) satisfies the groupBy(user_id) "
+        "distribution: one exchange of the log.\n\n```\n" + p_cr + "\n```\n"
+    )
+    checks.append(
+        (
+            "change rates: window + agg share one exchange",
+            p_cr.count("Exchange hashpartitioning") == 1,
+        )
+    )
+    checks.append(
+        ("change rates: no Python", "EvalPython" not in p_cr)
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
