@@ -77,6 +77,7 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q75_bigram_lm_score    stupid-backoff bigram LM doc scoring
   q76_recrawl_priority   Cho/Garcia-Molina change-rate recrawl scheduling
   q77_hll_distinct       HyperLogLog distinct sketch, bit-exact registers
+  q78_kmeans_cells       fixed-point Lloyd k-means (IVF cell training)
 """
 
 from __future__ import annotations
@@ -3289,6 +3290,26 @@ FROM one
 """
 
 
+def q78_kmeans_cells(spark, sf_dir):
+    """IVF coarse-quantizer training (operators/kmeans.py): 2 Lloyd steps
+    of k=4 k-means over the embeddings, ALL integer fixed point (1e-6
+    scaled, floor(+0.5), md5-seeded init, ties to the lowest cell) so the
+    unrolled-CTE oracle reproduces every assignment bit-for-bit — the
+    pagerank_fixed recipe applied to clustering.  Centroids are
+    driver-side sketch state embedded as literals: assignment is a
+    zero-shuffle codegen'd projection; each Lloyd step costs one
+    map-side-combined groupBy(cell, dim)."""
+    from eget_spark.operators.kmeans import kmeans_fp
+
+    return kmeans_fp(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, n_iter=2)
+
+
+def _q78_sql() -> str:
+    from eget_spark.operators.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql("embeddings", "vec_id", "embedding", k=4, n_iter=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -3373,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_bigram_lm_score": q75_bigram_lm_score,
         "q76_recrawl_priority": q76_recrawl_priority,
         "q77_hll_distinct": q77_hll_distinct,
+        "q78_kmeans_cells": q78_kmeans_cells,
     }
 
 
@@ -3455,4 +3477,5 @@ def oracle_sql() -> dict[str, str]:
         "q75_bigram_lm_score": _Q75_SQL,
         "q76_recrawl_priority": _Q76_SQL,
         "q77_hll_distinct": _Q77_SQL,
+        "q78_kmeans_cells": _q78_sql(),
     }
