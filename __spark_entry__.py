@@ -78,6 +78,8 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q76_recrawl_priority   Cho/Garcia-Molina change-rate recrawl scheduling
   q77_hll_distinct       HyperLogLog distinct sketch, bit-exact registers
   q78_kmeans_cells       fixed-point Lloyd k-means (IVF cell training)
+  q79_warc_roundtrip     WARC 1.0 sink+source roundtrip (plain + .gz members)
+  q80_sitemap_parse      sitemaps.org urlset parsing (roadmap item)
 """
 
 from __future__ import annotations
@@ -3310,6 +3312,114 @@ def _q78_sql() -> str:
     return kmeans_oracle_sql("embeddings", "vec_id", "embedding", k=4, n_iter=2)
 
 
+def q79_warc_roundtrip(spark, sf_dir):
+    """WARC 1.0 sink+source end-to-end on real bytes (sources/warc.py):
+    documents become HTTP-response records, the sink packs one WARC blob
+    per partition (plain for even doc_ids' files, per-record gzip members
+    — the seekable Common Crawl .warc.gz layout — for odd), the reader
+    parses them back in one Arrow pass.  Every record field derives from
+    arithmetic on doc_id, so DuckDB reproduces the expected record table
+    independently of the bytes."""
+    from eget_spark.sources.warc import read_warc, write_warc_partitions
+
+    d = F.col("doc_id")
+    recs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://w"), (d % 7).cast("string"),
+            F.lit(".example.org/d/"), d.cast("string"),
+        ).alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(d % 5 == 0, F.lit(404)).otherwise(F.lit(200)).alias("status"),
+        F.when(d % 2 == 0, F.lit("text/html"))
+        .otherwise(F.lit("text/plain"))
+        .alias("ctype"),
+        (d % 2 == 0).alias("_even"),
+    )
+    files_plain = write_warc_partitions(
+        recs.where("_even").repartition(4, "url"),
+        status_col="status", content_type_col="ctype",
+    )
+    files_gz = write_warc_partitions(
+        recs.where(~F.col("_even")).repartition(4, "url"),
+        status_col="status", content_type_col="ctype", gzip_members=True,
+    )
+    parsed = read_warc(
+        files_plain.unionByName(files_gz).select(
+            F.col("file_name").alias("path"), "content"
+        )
+    )
+    return parsed.select(
+        "url", "status", "content_type",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+_Q79_SQL = r"""
+SELECT 'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS INT) AS status,
+       CASE WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS content_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def q80_sitemap_parse(spark, sf_dir):
+    """Sitemap-based crawling, the reference's roadmap item
+    (readme.md:420), over sitemaps.org-0.9 XML (sources/sitemaps.py):
+    per-host <urlset> documents are BUILT distributedly (groupBy host over
+    string fragments) and parsed back by the stdlib-ElementTree Arrow
+    pass.  Entry fields derive from doc_id arithmetic, so the oracle
+    recomputes the parsed table without touching XML."""
+    from eget_spark.sources.sitemaps import parse_sitemaps
+
+    d = F.col("doc_id")
+    frag = F.concat(
+        F.lit("<url><loc>https://s"), (d % 5).cast("string"),
+        F.lit(".example.org/p/"), d.cast("string"),
+        F.lit("</loc><lastmod>2024-01-"),
+        F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>"),
+        F.when(d % 3 == 0, F.lit("daily"))
+        .when(d % 3 == 1, F.lit("weekly"))
+        .otherwise(F.lit("monthly")),
+        F.lit("</changefreq><priority>0."),
+        (d % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    host = F.concat(F.lit("s"), (d % 5).cast("string"), F.lit(".example.org"))
+    sm = (
+        _t(spark, sf_dir, "documents")
+        .select(host.alias("host"), frag.alias("frag"))
+        .groupBy("host")
+        .agg(F.concat_ws("", F.collect_list("frag")).alias("body"))
+        .select(
+            F.concat(F.lit("https://"), "host", F.lit("/sitemap.xml")).alias("url"),
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                "body",
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    return parse_sitemaps(sm).select(
+        "sitemap_url", "loc", "lastmod", "changefreq", "priority"
+    )
+
+
+_Q80_SQL = r"""
+SELECT 'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/sitemap.xml' AS sitemap_url,
+       'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS loc,
+       '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+       CASE WHEN doc_id % 3 = 0 THEN 'daily'
+            WHEN doc_id % 3 = 1 THEN 'weekly'
+            ELSE 'monthly' END AS changefreq,
+       CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS priority
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -3395,6 +3505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_recrawl_priority": q76_recrawl_priority,
         "q77_hll_distinct": q77_hll_distinct,
         "q78_kmeans_cells": q78_kmeans_cells,
+        "q79_warc_roundtrip": q79_warc_roundtrip,
+        "q80_sitemap_parse": q80_sitemap_parse,
     }
 
 
@@ -3478,4 +3590,6 @@ def oracle_sql() -> dict[str, str]:
         "q76_recrawl_priority": _Q76_SQL,
         "q77_hll_distinct": _Q77_SQL,
         "q78_kmeans_cells": _q78_sql(),
+        "q79_warc_roundtrip": _Q79_SQL,
+        "q80_sitemap_parse": _Q80_SQL,
     }

@@ -1,0 +1,205 @@
+"""Sitemap XML source — seed discovery for sitemap-based crawling.
+
+The reference lists "Add support for sitemap-based crawling" on its
+roadmap (/root/reference/readme.md:420) but ships no implementation; this
+is the engine's version, from the PUBLIC sitemaps.org 0.9 protocol:
+``<urlset>`` leaves carry (loc, lastmod, changefreq, priority) page
+entries, ``<sitemapindex>`` nodes reference child sitemaps (the 50k-URL /
+50 MB per-file caps force big sites into index trees).
+
+Dataflow: sitemaps arrive as (url, xml) rows — the same table shape the
+robots source uses; parsing is ONE Arrow `mapInPandas` pass (stdlib
+ElementTree, namespace-agnostic).  Index expansion is a bounded
+broadcast-join loop (index trees are shallow — depth 2 in practice), and
+the resulting seed frontier feeds ``crawl(seed_frontier=...)`` ordered by
+(priority desc, loc) — the protocol's own hint order.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SITEMAP_XMLNS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+PARSED_DDL = (
+    "sitemap_url string, kind string, loc string, lastmod string, "
+    "changefreq string, priority double"
+)
+
+
+# ---------------------------------------------------------------------------
+# writers (synthetic fixtures / tests)
+# ---------------------------------------------------------------------------
+
+
+def build_urlset_xml(entries: list[dict]) -> str:
+    """entries: [{loc, lastmod?, changefreq?, priority?}] -> urlset XML."""
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<urlset xmlns="{SITEMAP_XMLNS}">',
+    ]
+    for e in entries:
+        parts.append("<url>")
+        parts.append(f"<loc>{e['loc']}</loc>")
+        for k in ("lastmod", "changefreq", "priority"):
+            if e.get(k) is not None:
+                parts.append(f"<{k}>{e[k]}</{k}>")
+        parts.append("</url>")
+    parts.append("</urlset>")
+    return "".join(parts)
+
+
+def build_sitemapindex_xml(locs: list[str]) -> str:
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<sitemapindex xmlns="{SITEMAP_XMLNS}">',
+    ]
+    for loc in locs:
+        parts.append(f"<sitemap><loc>{loc}</loc></sitemap>")
+    parts.append("</sitemapindex>")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def parse_sitemap_xml(xml: str) -> list[dict]:
+    """One sitemap document -> entry dicts.  urlset entries have
+    kind='url'; sitemapindex children have kind='sitemap' (loc only).
+    Namespace- and case-tolerant; malformed XML yields []."""
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return []
+    root_kind = _local(root.tag)
+    out: list[dict] = []
+    for child in root:
+        tag = _local(child.tag)
+        if root_kind == "urlset" and tag == "url":
+            kind = "url"
+        elif root_kind == "sitemapindex" and tag == "sitemap":
+            kind = "sitemap"
+        else:
+            continue
+        fields: dict[str, str] = {}
+        for f in child:
+            fields[_local(f.tag)] = (f.text or "").strip()
+        if not fields.get("loc"):
+            continue
+        pr = None
+        if kind == "url" and fields.get("priority") not in (None, ""):
+            try:
+                pr = float(fields["priority"])
+            except ValueError:
+                pr = None
+        out.append(
+            {
+                "kind": kind,
+                "loc": fields["loc"],
+                "lastmod": fields.get("lastmod"),
+                "changefreq": fields.get("changefreq"),
+                "priority": pr,
+            }
+        )
+    return out
+
+
+def parse_sitemaps(
+    df: DataFrame, url_col: str = "url", xml_col: str = "xml"
+) -> DataFrame:
+    """(url, xml) rows -> one row per sitemap entry.  One Arrow pass, no
+    shuffle (documents parse independently)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for u, x in zip(b[url_col], b[xml_col]):
+                for e in parse_sitemap_xml(x or ""):
+                    rows.append(
+                        (u, e["kind"], e["loc"], e["lastmod"],
+                         e["changefreq"], e["priority"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "sitemap_url", "kind", "loc", "lastmod",
+                    "changefreq", "priority",
+                ],
+            )
+
+    return df.mapInPandas(run, PARSED_DDL)
+
+
+# ---------------------------------------------------------------------------
+# index expansion + seeding
+# ---------------------------------------------------------------------------
+
+
+def expand_sitemap_indexes(
+    sitemaps: DataFrame,
+    roots: DataFrame,
+    url_col: str = "url",
+    xml_col: str = "xml",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Resolve index trees: start from ``roots`` (url rows), repeatedly
+    parse + follow kind='sitemap' locs back into the ``sitemaps`` corpus
+    (semi-join on url), accumulating every kind='url' entry.  Bounded by
+    ``max_depth`` (protocol trees are depth <= 2; the bound also defuses
+    index cycles).  Frontier joins are broadcast — index files are few."""
+    frontier = roots.select(F.col(url_col).alias("_u")).distinct()
+    seen = frontier
+    urls_parts: list[DataFrame] = []
+    for _ in range(max_depth):
+        batch = sitemaps.join(
+            F.broadcast(frontier), sitemaps[url_col] == F.col("_u"), "leftsemi"
+        )
+        parsed = parse_sitemaps(batch, url_col, xml_col)
+        urls_parts.append(parsed.where(F.col("kind") == "url"))
+        nxt = (
+            parsed.where(F.col("kind") == "sitemap")
+            .select(F.col("loc").alias("_u"))
+            .distinct()
+            .join(F.broadcast(seen), "_u", "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        frontier = nxt
+        seen = seen.unionByName(nxt).distinct()
+    out = urls_parts[0]
+    for p in urls_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sitemap_seed_frontier(parsed: DataFrame) -> DataFrame:
+    """Distinct page URLs ordered by the protocol's own hint:
+    (priority desc nulls last, loc) -> (url, seq) for
+    ``crawl(seed_frontier=...)``.  Rank via the range-partitioned exact
+    sequence, never a single-partition window."""
+    from ..operators.sequence import with_global_seq
+
+    pages = (
+        parsed.where(F.col("kind") == "url")
+        .groupBy("loc")
+        .agg(F.max("priority").alias("priority"))
+        .withColumn(
+            "_nk",
+            F.when(F.col("priority").isNull(), F.lit(float("inf"))).otherwise(
+                -F.col("priority")
+            ),
+        )
+    )
+    res = with_global_seq(pages, ["_nk", "loc"], start=0, seq_col="seq")
+    return res.df.select(F.col("loc").alias("url"), "seq")

@@ -1,0 +1,270 @@
+"""WARC 1.0 (ISO 28500) reader/writer — the web-archive interchange format.
+
+A web-scale crawler's natural bulk I/O is WARC: Common Crawl publishes it,
+archive tooling consumes it.  The reference stores crawl results as JSON
+API payloads (/root/reference/services/crawler/crawler_service.py); at
+100 TB the engine needs the archival format instead.  Implemented from the
+PUBLIC spec (ISO 28500 / the IIPC warc-specifications text): version line,
+CRLF named fields, Content-Length octet counts, two trailing CRLFs per
+record, and optional per-record gzip members (the Common Crawl layout —
+a .warc.gz is a CONCATENATION of independently-gzipped records, so a
+reader can seek to any record).
+
+Everything is stdlib (gzip, io, hashlib); the distributed read is ONE
+Arrow `mapInPandas` pass over `binaryFile` rows (or any (path, content)
+table) — files parse independently, so parallelism = file count and the
+operator needs no shuffle at all.  The sink mirrors it: one WARC blob per
+input partition, records in deterministic (sort-key) order.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CRLF = b"\r\n"
+
+WARC_RECORDS_DDL = (
+    "path string, record_idx int, url string, warc_date string, "
+    "status int, content_type string, payload binary"
+)
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _record_id(url: str, date: str) -> str:
+    """Deterministic RFC-4122-shaped id (md5-derived): WARC requires a
+    unique WARC-Record-ID per record; hashing (url, date) keeps the writer
+    reproducible, which the roundtrip oracles rely on."""
+    h = hashlib.md5(f"{url}\x00{date}".encode()).hexdigest()
+    return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+
+def build_record_bytes(
+    url: str,
+    payload: bytes,
+    date: str = "2024-01-01T00:00:00Z",
+    status: int = 200,
+    content_type: str = "text/html",
+    reason: str | None = None,
+) -> bytes:
+    """One WARC response record: WARC headers + an HTTP/1.1 response block."""
+    reason = reason or {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
+        status, "Unknown"
+    )
+    http = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode() + payload
+    headers = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: response" + CRLF
+        + f"WARC-Record-ID: {_record_id(url, date)}".encode() + CRLF
+        + f"WARC-Date: {date}".encode() + CRLF
+        + f"WARC-Target-URI: {url}".encode() + CRLF
+        + b"Content-Type: application/http;msgtype=response" + CRLF
+        + f"Content-Length: {len(http)}".encode() + CRLF
+    )
+    return headers + CRLF + http + CRLF + CRLF
+
+
+def build_warc_bytes(records: list[dict], gzip_members: bool = False) -> bytes:
+    """records: [{url, payload, date?, status?, content_type?}] -> one WARC
+    file.  ``gzip_members=True`` gzips each record independently (the
+    seekable Common Crawl .warc.gz layout)."""
+    out = io.BytesIO()
+    for r in records:
+        raw = build_record_bytes(
+            r["url"],
+            r["payload"],
+            date=r.get("date", "2024-01-01T00:00:00Z"),
+            status=int(r.get("status", 200)),
+            content_type=r.get("content_type", "text/html"),
+        )
+        if gzip_members:
+            # mtime pinned: gzip headers embed a timestamp; 0 keeps the
+            # bytes deterministic
+            out.write(gzip.compress(raw, mtime=0))
+        else:
+            out.write(raw)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+def _inflate(data: bytes) -> bytes:
+    """Transparently inflate (multi-member) gzip; plain bytes pass through
+    (sniffed on the 1f 8b magic).  ``gzip.decompress`` handles member
+    concatenation — exactly the seekable .warc.gz layout."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    return gzip.decompress(data)
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """All response records of one WARC file (plain or per-record gzip):
+    [{url, warc_date, status, content_type, payload}].  Non-response
+    records (warcinfo, request, metadata) are skipped.  Tolerates LF-only
+    header lines and case-insensitive field names."""
+    data = _inflate(data)
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # seek the version line
+        vstart = data.find(b"WARC/", pos)
+        if vstart < 0:
+            break
+        # the FIRST blank line ends the header block — an LF-only header
+        # section can be followed by CRLF pairs later in the body, so
+        # take whichever terminator occurs earliest
+        e_crlf = data.find(b"\r\n\r\n", vstart)
+        e_lf = data.find(b"\n\n", vstart)
+        if e_crlf < 0 and e_lf < 0:
+            break
+        if e_lf < 0 or (0 <= e_crlf <= e_lf):
+            hdr_end, sep = e_crlf, 4
+        else:
+            hdr_end, sep = e_lf, 2
+        headers: dict[str, str] = {}
+        for line in data[vstart:hdr_end].splitlines()[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                    "latin-1"
+                )
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        body = data[hdr_end + sep : hdr_end + sep + length]
+        pos = hdr_end + sep + length
+        if headers.get("warc-type", "").lower() != "response":
+            continue
+        status = 0
+        content_type = ""
+        payload = body
+        if body[:5] == b"HTTP/":
+            b_crlf = body.find(b"\r\n\r\n")
+            b_lf = body.find(b"\n\n")
+            if b_lf < 0 or (0 <= b_crlf <= b_lf):
+                he, hs = b_crlf, 4
+            else:
+                he, hs = b_lf, 2
+            if he >= 0:
+                head = body[:he]
+                payload = body[he + hs :]
+                lines = head.splitlines()
+                parts = lines[0].split(b" ", 2)
+                if len(parts) >= 2:
+                    try:
+                        status = int(parts[1])
+                    except ValueError:
+                        status = 0
+                for line in lines[1:]:
+                    k, _, v = line.partition(b":")
+                    if _ and k.strip().lower() == b"content-type":
+                        content_type = v.strip().decode("latin-1")
+        records.append(
+            {
+                "url": headers.get("warc-target-uri", ""),
+                "warc_date": headers.get("warc-date", ""),
+                "status": status,
+                "content_type": content_type,
+                "payload": payload,
+            }
+        )
+    return records
+
+
+# ---------------------------------------------------------------------------
+# distributed read / write
+# ---------------------------------------------------------------------------
+
+
+def read_warc(files: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
+    """(path, content) rows -> one row per response record.  One Arrow
+    mapInPandas pass; no shuffle (files parse independently — at Common
+    Crawl scale parallelism is the segment-file count)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b[path_col], b[content_col]):
+                for i, r in enumerate(parse_warc_bytes(bytes(content))):
+                    rows.append(
+                        (path, i, r["url"], r["warc_date"], r["status"],
+                         r["content_type"], r["payload"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "record_idx", "url", "warc_date", "status",
+                    "content_type", "payload",
+                ],
+            )
+
+    return files.mapInPandas(run, WARC_RECORDS_DDL)
+
+
+def write_warc_partitions(
+    docs: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    status_col: str | None = None,
+    content_type_col: str | None = None,
+    date_col: str | None = None,
+    order_col: str | None = None,
+    gzip_members: bool = False,
+) -> DataFrame:
+    """The WARC sink: one (file_name, content) row per input partition,
+    records ordered by ``order_col`` (default: url) within the file so the
+    bytes are a pure function of the partition's row SET.  Pre-partition
+    (e.g. ``df.repartition(n, "host")``) to control file layout."""
+    import pandas as pd
+
+    order = order_col or url_col
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        rows = []
+        for b in batches:
+            rows.append(b)
+        if not rows:
+            return
+        part = pd.concat(rows).sort_values(order, kind="mergesort")
+        records = []
+        for _, r in part.iterrows():
+            records.append(
+                {
+                    "url": r[url_col],
+                    "payload": bytes(r[payload_col]),
+                    "status": int(r[status_col]) if status_col else 200,
+                    "content_type": r[content_type_col]
+                    if content_type_col
+                    else "text/html",
+                    "date": r[date_col] if date_col else "2024-01-01T00:00:00Z",
+                }
+            )
+        blob = build_warc_bytes(records, gzip_members=gzip_members)
+        name = hashlib.md5(
+            "\x00".join(str(r["url"]) for r in records).encode()
+        ).hexdigest()
+        yield pd.DataFrame(
+            [(f"part-{name}.warc" + (".gz" if gzip_members else ""), blob, len(records))],
+            columns=["file_name", "content", "n_records"],
+        )
+
+    return docs.mapInPandas(run, "file_name string, content binary, n_records long")

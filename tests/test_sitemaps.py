@@ -1,0 +1,92 @@
+"""Sitemap source (sources/sitemaps.py)."""
+
+from __future__ import annotations
+
+from eget_spark.sources.sitemaps import (
+    build_sitemapindex_xml,
+    build_urlset_xml,
+    expand_sitemap_indexes,
+    parse_sitemap_xml,
+    parse_sitemaps,
+    sitemap_seed_frontier,
+)
+
+
+def test_parse_urlset_fields_and_optionals():
+    xml = build_urlset_xml(
+        [
+            {"loc": "https://a/1", "lastmod": "2024-01-02",
+             "changefreq": "daily", "priority": "0.8"},
+            {"loc": "https://a/2"},  # optionals absent
+        ]
+    )
+    got = parse_sitemap_xml(xml)
+    assert got[0] == {
+        "kind": "url", "loc": "https://a/1", "lastmod": "2024-01-02",
+        "changefreq": "daily", "priority": 0.8,
+    }
+    assert got[1]["loc"] == "https://a/2"
+    assert got[1]["lastmod"] is None and got[1]["priority"] is None
+
+
+def test_parse_tolerates_no_namespace_and_garbage():
+    bare = "<urlset><url><loc>https://b/1</loc></url></urlset>"
+    assert parse_sitemap_xml(bare)[0]["loc"] == "https://b/1"
+    assert parse_sitemap_xml("<not xml") == []
+    assert parse_sitemap_xml("<urlset><url></url></urlset>") == []  # no loc
+
+
+def test_parse_sitemapindex():
+    xml = build_sitemapindex_xml(["https://a/sm1.xml", "https://a/sm2.xml"])
+    got = parse_sitemap_xml(xml)
+    assert [e["kind"] for e in got] == ["sitemap", "sitemap"]
+    assert [e["loc"] for e in got] == ["https://a/sm1.xml", "https://a/sm2.xml"]
+
+
+def test_expand_index_tree_and_seed_order(spark):
+    # root index -> two urlsets; one loc is shared to prove distinct
+    sm_rows = [
+        ("https://a/sitemap.xml",
+         build_sitemapindex_xml(["https://a/sm1.xml", "https://a/sm2.xml"])),
+        ("https://a/sm1.xml", build_urlset_xml(
+            [{"loc": "https://a/p1", "priority": "0.9"},
+             {"loc": "https://a/p2", "priority": "0.1"}])),
+        ("https://a/sm2.xml", build_urlset_xml(
+            [{"loc": "https://a/p2", "priority": "0.5"},
+             {"loc": "https://a/p3"}])),
+        # unreferenced sitemap must NOT contribute
+        ("https://a/orphan.xml", build_urlset_xml([{"loc": "https://a/px"}])),
+    ]
+    sitemaps = spark.createDataFrame(sm_rows, "url string, xml string")
+    roots = spark.createDataFrame([("https://a/sitemap.xml",)], "url string")
+    pages = expand_sitemap_indexes(sitemaps, roots)
+    seeds = sitemap_seed_frontier(pages).collect()
+    order = [r["url"] for r in sorted(seeds, key=lambda r: r["seq"])]
+    # p1 (0.9) > p2 (max(0.1, 0.5)=0.5) > p3 (no priority -> last)
+    assert order == ["https://a/p1", "https://a/p2", "https://a/p3"]
+
+
+def test_index_cycle_is_bounded(spark):
+    sm_rows = [
+        ("https://c/a.xml", build_sitemapindex_xml(["https://c/b.xml"])),
+        ("https://c/b.xml", build_sitemapindex_xml(["https://c/a.xml"])),
+    ]
+    sitemaps = spark.createDataFrame(sm_rows, "url string, xml string")
+    roots = spark.createDataFrame([("https://c/a.xml",)], "url string")
+    pages = expand_sitemap_indexes(sitemaps, roots, max_depth=4)
+    assert pages.count() == 0  # terminates, no urls
+
+
+def test_parse_sitemaps_distributed_matches_local(spark):
+    rows = [
+        (f"https://h{i}/sitemap.xml", build_urlset_xml(
+            [{"loc": f"https://h{i}/p/{j}", "priority": f"0.{j}"}
+             for j in range(4)]))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "url string, xml string").repartition(3)
+    got = {(r["sitemap_url"], r["loc"], r["priority"])
+           for r in parse_sitemaps(df).collect()}
+    expect = {(u, e["loc"], e["priority"])
+              for u, x in rows for e in parse_sitemap_xml(x)}
+    assert got == expect

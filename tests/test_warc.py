@@ -1,0 +1,101 @@
+"""WARC 1.0 reader/writer (sources/warc.py)."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from eget_spark.sources.warc import (
+    build_record_bytes,
+    build_warc_bytes,
+    parse_warc_bytes,
+    read_warc,
+    write_warc_partitions,
+)
+
+RECS = [
+    {"url": f"https://h{i % 3}.example.org/p/{i}", "payload": f"body {i} x".encode(),
+     "status": 404 if i % 5 == 0 else 200,
+     "content_type": "text/plain" if i % 2 else "text/html"}
+    for i in range(12)
+]
+
+
+def test_roundtrip_plain_and_gzip_members():
+    for gz in (False, True):
+        blob = build_warc_bytes(RECS, gzip_members=gz)
+        if gz:
+            assert blob[:2] == b"\x1f\x8b"
+        got = parse_warc_bytes(blob)
+        assert len(got) == len(RECS)
+        for r, e in zip(got, RECS):
+            assert r["url"] == e["url"]
+            assert r["status"] == e["status"]
+            assert r["content_type"] == e["content_type"]
+            assert r["payload"] == e["payload"]
+
+
+def test_gzip_members_are_independently_seekable():
+    # the Common Crawl contract: each record is its own gzip member, so a
+    # reader can inflate any single member without the others
+    blob = build_warc_bytes(RECS[:3], gzip_members=True)
+    first_len = len(gzip.compress(build_record_bytes(
+        RECS[0]["url"], RECS[0]["payload"], status=RECS[0]["status"],
+        content_type=RECS[0]["content_type"]), mtime=0))
+    one = parse_warc_bytes(blob[:first_len])
+    assert len(one) == 1 and one[0]["url"] == RECS[0]["url"]
+
+
+def test_skips_non_response_records_and_lf_only_headers():
+    warcinfo = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:x:1>\r\n"
+                b"Content-Length: 4\r\n\r\nabcd\r\n\r\n")
+    lf_resp = (b"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://a/b\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\nContent-Length: 44\n\n"
+               b"HTTP/1.1 200 OK\nContent-Type: text/html\n\nhi!"
+               b"\r\n\r\n")
+    got = parse_warc_bytes(warcinfo + lf_resp)
+    assert len(got) == 1
+    assert got[0]["url"] == "https://a/b" and got[0]["payload"] == b"hi!"
+    assert got[0]["status"] == 200
+
+
+def test_payload_length_is_octet_exact():
+    # binary payload with CRLFs and WARC/ inside: Content-Length framing
+    # must carve it exactly (no delimiter scanning)
+    tricky = b"\r\n\r\nWARC/1.0\r\nnot a record\x00\xff" * 3
+    blob = build_warc_bytes([{"url": "https://t/x", "payload": tricky}])
+    got = parse_warc_bytes(blob)
+    assert len(got) == 1 and got[0]["payload"] == tricky
+
+
+def test_distributed_roundtrip_preserves_record_set(spark):
+    df = spark.createDataFrame(
+        [(r["url"], bytearray(r["payload"]), r["status"], r["content_type"])
+         for r in RECS],
+        "url string, payload binary, status int, ctype string",
+    ).repartition(3, "url")
+    files = write_warc_partitions(
+        df, status_col="status", content_type_col="ctype", gzip_members=True
+    )
+    assert files.count() <= 3
+    parsed = read_warc(files.select(F.col("file_name").alias("path"), "content"))
+    got = {
+        (r["url"], r["status"], r["content_type"], bytes(r["payload"]))
+        for r in parsed.collect()
+    }
+    assert got == {
+        (r["url"], r["status"], r["content_type"], r["payload"]) for r in RECS
+    }
+
+
+def test_sink_bytes_are_partition_set_deterministic(spark):
+    df = spark.createDataFrame(
+        [(r["url"], bytearray(r["payload"])) for r in RECS],
+        "url string, payload binary",
+    )
+    a = write_warc_partitions(df.repartition(1)).collect()
+    b = write_warc_partitions(df.orderBy(F.rand(7)).repartition(1)).collect()
+    assert len(a) == len(b) == 1
+    assert bytes(a[0]["content"]) == bytes(b[0]["content"])
+    assert a[0]["file_name"] == b[0]["file_name"]
