@@ -80,6 +80,8 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q78_kmeans_cells       fixed-point Lloyd k-means (IVF cell training)
   q79_warc_roundtrip     WARC 1.0 sink+source roundtrip (plain + .gz members)
   q80_sitemap_parse      sitemaps.org urlset parsing (roadmap item)
+  q81_robots_parse       raw robots.txt bodies -> structured rules table
+  q82_snapshot_diff      incremental-crawl delta (added/removed/changed)
 """
 
 from __future__ import annotations
@@ -3420,6 +3422,116 @@ FROM documents
 """
 
 
+def q81_robots_parse(spark, sf_dir):
+    """Raw robots.txt body parsing (sources/robots_txt.py): per-host
+    bodies are BUILT distributedly from doc_id arithmetic (User-agent
+    group header, Crawl-delay, a mix of plain-prefix Disallow, wildcard
+    Disallow, $-anchored Allow, comment lines, and a Sitemap directive),
+    then parsed back by the RFC 9309 grouping pass into the structured
+    robots table robots_allowed consumes.  The oracle recomputes the rule
+    list from the same arithmetic — comments dropped, file order kept,
+    prefix fast-path rules counted."""
+    from eget_spark.sources.robots_txt import parse_robots
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("r"), (d % 4).cast("string"), F.lit(".example.org"))
+    line = (
+        F.when(d % 3 == 2, F.concat(F.lit("# note "), d.cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("Allow: /a/"), d.cast("string"), F.lit("$")))
+        .when(d % 6 == 0, F.concat(F.lit("Disallow: /p/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("Disallow: /p/"), d.cast("string"), F.lit("*")))
+    )
+    bodies = (
+        _t(spark, sf_dir, "documents")
+        .select(host.alias("host"), F.struct(d.alias("d"), line.alias("l")).alias("s"))
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_list("s")).alias("ls"))
+        .select(
+            "host",
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: 0."),
+                F.regexp_extract("host", r"^r(\d)", 1),
+                F.lit("\n"),
+                F.concat_ws("\n", F.transform("ls", lambda s: s["l"])),
+                F.lit("\nSitemap: https://"), F.col("host"), F.lit("/sitemap.xml"),
+            ).alias("body"),
+        )
+    )
+    parsed = parse_robots(bodies)
+    return parsed.select(
+        "host", "crawl_delay",
+        F.size("disallow_prefixes").cast("long").alias("n_prefixes"),
+        F.size("sitemaps").cast("long").alias("n_sitemaps"),
+        F.posexplode("rules").alias("rule_idx", "r"),
+    ).select(
+        "host",
+        F.col("rule_idx").cast("int"),
+        F.col("r.allow").alias("allow"),
+        F.col("r.pattern").alias("pattern"),
+        "crawl_delay", "n_prefixes", "n_sitemaps",
+    )
+
+
+_Q81_SQL = r"""
+WITH r AS (
+  SELECT doc_id, doc_id % 4 AS h FROM documents WHERE doc_id % 3 <> 2
+),
+p AS (SELECT h, CAST(count(*) FILTER (WHERE doc_id % 6 = 0) AS BIGINT) AS n_prefixes
+      FROM r GROUP BY h)
+SELECT 'r' || CAST(r.h AS VARCHAR) || '.example.org' AS host,
+       CAST(row_number() OVER (PARTITION BY r.h ORDER BY r.doc_id) - 1 AS INT) AS rule_idx,
+       (r.doc_id % 3 = 1) AS allow,
+       CASE WHEN r.doc_id % 3 = 1 THEN '/a/' || CAST(r.doc_id AS VARCHAR) || '$'
+            WHEN r.doc_id % 6 = 0 THEN '/p/' || CAST(r.doc_id AS VARCHAR)
+            ELSE '/p/' || CAST(r.doc_id AS VARCHAR) || '*' END AS pattern,
+       CAST('0.' || CAST(r.h AS VARCHAR) AS DOUBLE) AS crawl_delay,
+       p.n_prefixes,
+       CAST(1 AS BIGINT) AS n_sitemaps
+FROM r JOIN p ON p.h = r.h
+"""
+
+
+def q82_snapshot_diff(spark, sf_dir):
+    """Incremental-crawl delta (operators/snapshot_diff.py): snapshot A =
+    docs with doc_id%10 != 9, snapshot B = docs with doc_id%10 != 0 and
+    the text of every doc_id%7 == 0 page rewritten — the diff must report
+    exactly the planted added/removed/changed/unchanged partition.  One
+    full-outer join on the URL key over scan-side md5 fingerprints."""
+    from eget_spark.operators.snapshot_diff import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://d.example.org/p/"), d.cast("string"))
+    base = docs.select(url.alias("url"), "text", d.alias("doc_id"))
+    old = base.where(d % 10 != 9)
+    new = base.where(d % 10 != 0).withColumn(
+        "text",
+        F.when(d % 7 == 0, F.concat(F.lit("v2 "), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, new, "url", "text").select("key", "status", "old_fp", "new_fp")
+
+
+_Q82_SQL = r"""
+WITH base AS (
+  SELECT 'https://d.example.org/p/' || CAST(doc_id AS VARCHAR) AS key,
+         doc_id, text
+  FROM documents
+),
+o AS (SELECT key, md5(text) AS old_fp FROM base WHERE doc_id % 10 <> 9),
+n AS (SELECT key, md5(CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END) AS new_fp
+      FROM base WHERE doc_id % 10 <> 0)
+SELECT coalesce(o.key, n.key) AS key,
+       CASE WHEN o.old_fp IS NULL THEN 'added'
+            WHEN n.new_fp IS NULL THEN 'removed'
+            WHEN o.old_fp = n.new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_fp, n.new_fp
+FROM o FULL OUTER JOIN n ON o.key = n.key
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -3507,6 +3619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_kmeans_cells": q78_kmeans_cells,
         "q79_warc_roundtrip": q79_warc_roundtrip,
         "q80_sitemap_parse": q80_sitemap_parse,
+        "q81_robots_parse": q81_robots_parse,
+        "q82_snapshot_diff": q82_snapshot_diff,
     }
 
 
@@ -3592,4 +3706,6 @@ def oracle_sql() -> dict[str, str]:
         "q78_kmeans_cells": _q78_sql(),
         "q79_warc_roundtrip": _Q79_SQL,
         "q80_sitemap_parse": _Q80_SQL,
+        "q81_robots_parse": _Q81_SQL,
+        "q82_snapshot_diff": _Q82_SQL,
     }

@@ -1,0 +1,56 @@
+"""Crawl snapshot diff — what changed between two crawls of the same web.
+
+An incremental crawler needs the delta between crawl N and crawl N+1:
+which URLs appeared, vanished, changed content, or stayed identical —
+both for recrawl scheduling (operators/recrawl.py consumes the change
+signal) and for incremental downstream processing (only re-chunk/re-embed
+the changed slice).  The reference's cache layer answers this one URL at
+a time (services/cache/cache_service.py hash comparison on refetch); at
+corpus scale it is one relational pass.
+
+Semantics (pinned for the oracle): URLs join full-outer on the key;
+``status`` is
+
+- ``added``     — in the new snapshot only
+- ``removed``   — in the old snapshot only
+- ``changed``   — in both, fingerprints differ
+- ``unchanged`` — in both, fingerprints equal
+
+Scale shape (100 TB): ONE shuffle — the full-outer SortMergeJoin on the
+URL key; fingerprints (here md5 of the content column, computed scan-side)
+keep the shuffled payload at ~48 bytes/row regardless of document size.
+Counting by status afterwards is a map-side-combined 4-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    content_col: str = "text",
+) -> DataFrame:
+    """(key, status, old_fp, new_fp) — one row per URL in either snapshot."""
+    o = old.select(
+        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("old_fp")
+    )
+    n = new.select(
+        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("new_fp")
+    )
+    j = o.join(n, "key", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("key", status.alias("status"), "old_fp", "new_fp")
+
+
+def diff_counts(diff: DataFrame) -> DataFrame:
+    """(status, n) — the 4-row crawl-delta report."""
+    return diff.groupBy("status").agg(F.count("*").cast("long").alias("n"))

@@ -573,6 +573,42 @@ def main() -> None:
         ("change rates: no Python", "EvalPython" not in p_cr)
     )
 
+    # 29. fixed-point k-means (q78): centroid literals ride inside the
+    # assignment projection — no Exchange, no Python, no k-way explosion
+    from eget_spark.operators.kmeans import _best as _km_best
+    from eget_spark.operators.kmeans import vec_fp
+
+    add(
+        "k-means literal-centroid assignment (q78)",
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(F.col("vec_id"), vec_fp(F.col("embedding")).alias("vfp"))
+        .select("vec_id", _km_best([[0] * 64, [1000] * 64])["cidx"].alias("cell")),
+        {
+            "Exchange": False,
+            "BatchEvalPython": False,
+            "ArrowEvalPython": False,
+        },
+        "Assignment against k literal centroids is a pure codegen'd "
+        "projection fused with the scan; each Lloyd step's only shuffle "
+        "is the map-side-combined groupBy(cell, dim).",
+    )
+
+    # 30. WARC read (q79): one Arrow pass over (path, content) — files
+    # parse independently, zero shuffle (parallelism = file count)
+    from eget_spark.sources.warc import read_warc
+
+    add(
+        "WARC distributed read (q79)",
+        read_warc(
+            spark.createDataFrame(
+                [("a.warc", bytearray(b""))], "path string, content binary"
+            )
+        ),
+        {"Exchange": False, "ArrowEvalPython": True},
+        "The reader is a single mapInPandas stage — the only Python in "
+        "the operator, Arrow-batched, with no shuffle before or after.",
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
