@@ -82,6 +82,12 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q80_sitemap_parse      sitemaps.org urlset parsing (roadmap item)
   q81_robots_parse       raw robots.txt bodies -> structured rules table
   q82_snapshot_diff      incremental-crawl delta (added/removed/changed)
+  q83_sequence_packing   next-fit training-sequence packing (pad-free batching)
+  q84_hits               HITS hubs/authorities (frontier priority signal)
+  q85_redirect_chains    redirect-chain resolution by pointer doubling
+  q86_cms_host_counts    count-min sketch host frequencies (heavy hitters)
+  q87_feed_parse         RSS 2.0 / Atom 1.0 feed source parsing
+  q88_content_sniff      magic-byte content-type sniffing (converter router)
 """
 
 from __future__ import annotations
@@ -3532,6 +3538,305 @@ FROM o FULL OUTER JOIN n ON o.key = n.key
 """
 
 
+def q83_sequence_packing(spark, sf_dir):
+    """Training-sequence packing (operators/packing.pack_sequences):
+    documents fill fixed 512-token training sequences NEXT-FIT, sharded
+    by doc_id%16 and taken in md5-of-id order within the shard — the
+    standard pad-free batching step of an LLM data pipeline.  Packing is
+    a left fold, so the Spark side is one applyInPandas per shard and the
+    oracle is the equivalent recursive CTE."""
+    from eget_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(
+        d, "doc_id", "n_tokens", capacity=512, n_shards=16, seed="pk1"
+    )
+
+
+_Q83_SQL = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         row_number() OVER (
+           PARTITION BY shard
+           ORDER BY md5('pk1' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM d
+),
+s AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_no, CAST(0 AS BIGINT) AS "offset",
+         n_tokens AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+         CASE WHEN s.fill + o.n_tokens <= 512 THEN s.seq_no ELSE s.seq_no + 1 END,
+         CASE WHEN s.fill + o.n_tokens <= 512 THEN s.fill ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN s.fill + o.n_tokens <= 512 THEN s.fill + o.n_tokens ELSE o.n_tokens END
+  FROM s JOIN o ON o.shard = s.shard AND o.rn = s.rn + 1
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, seq_no, "offset" AS offset, n_tokens
+FROM s
+"""
+
+
+def q84_hits(spark, sf_dir):
+    """Kleinberg HITS hubs & authorities over the analytics link graph
+    (operators/graph.hits_fixed) — the second classic frontier-priority
+    signal next to q40's PageRank (hubs = link-rich index pages,
+    authorities = content pages).  4 synchronous iterations of pure
+    unnormalized int64 arithmetic from the all-ones hub vector, bit-exact
+    vs the unrolled-CTE oracle (no normalization = no float ties)."""
+    from eget_spark.operators.graph import hits_fixed
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    h = hits_fixed(nodes, edges, n_iter=4)
+    return h.select(F.col("id").alias("doc_id"), "auth_fp", "hub_fp")
+
+
+def _q84_sql(n_iter: int = 4) -> str:
+    parts = [
+        "WITH ",
+        _EDGES_SQL.lstrip(),
+        ",\nh0 AS (SELECT doc_id AS id, CAST(1 AS BIGINT) AS h FROM documents)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT d.doc_id AS id, CAST(coalesce(s.v, 0) AS BIGINT) AS a
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS id, sum(h.h) AS v
+    FROM edges e JOIN h{i-1} h ON h.id = e.src GROUP BY e.dst) s
+  ON s.id = d.doc_id),
+h{i} AS (
+  SELECT d.doc_id AS id, CAST(coalesce(s.v, 0) AS BIGINT) AS h
+  FROM documents d LEFT JOIN (
+    SELECT e.src AS id, sum(a.a) AS v
+    FROM edges e JOIN a{i} a ON a.id = e.dst GROUP BY e.src) s
+  ON s.id = d.doc_id)"""
+        )
+    parts.append(
+        f"\nSELECT a{n_iter}.id AS doc_id, a{n_iter}.a AS auth_fp,"
+        f" h{n_iter}.h AS hub_fp FROM a{n_iter}"
+        f" JOIN h{n_iter} ON h{n_iter}.id = a{n_iter}.id"
+    )
+    return "".join(parts)
+
+
+def q85_redirect_chains(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.resolve_redirects):
+    the synthetic redirect map sends doc i -> (7i+13) mod n unless
+    i%3 == 0 (terminal), yielding chains and genuine cycles; pointer
+    doubling (3 self-joins = 8 hops) resolves every id to its final
+    target, with cycles/over-length chains reported unresolved at the
+    8-hop cap.  Oracle: the equivalent bounded recursive CTE walk."""
+    from eget_spark.operators.redirects import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    universe = docs.select(d.alias("id"))
+    redirects = docs.where(d % 3 != 0).select(
+        d.alias("src"), ((d * 7 + 13) % n).alias("dst")
+    )
+    r = resolve_redirects(universe, redirects, max_hops=8)
+    return r.select(
+        F.col("id").alias("doc_id"), "final_id", "hops", "resolved"
+    )
+
+
+_Q85_SQL = r"""
+WITH RECURSIVE n AS (SELECT count(*) AS c FROM documents),
+walk AS (
+  SELECT doc_id AS id, doc_id AS cur, CAST(0 AS BIGINT) AS hops,
+         (doc_id % 3 = 0) AS done
+  FROM documents
+  UNION ALL
+  SELECT id, (cur*7+13) % (SELECT c FROM n), hops + 1,
+         (((cur*7+13) % (SELECT c FROM n)) % 3 = 0)
+  FROM walk WHERE NOT done AND hops < 8
+)
+SELECT id AS doc_id, cur AS final_id, hops, done AS resolved
+FROM walk WHERE done OR hops = 8
+"""
+
+
+def q86_cms_host_counts(spark, sf_dir):
+    """Count-min sketch host frequencies (operators/cms.cms_counts):
+    hosts are drawn with a skewed quadratic-residue map (doc_id^2 mod 31
+    — non-uniform by design), the 4x64 sketch is built with the
+    repo-standard 60-bit md5 hashes, and every host's exact count is
+    reported next to its min-over-rows estimate.  Bit-exact vs the same
+    construction in SQL (estimates AND collisions must match)."""
+    from eget_spark.operators.cms import cms_counts
+
+    d = F.col("doc_id")
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("h"), ((d * d) % 31).cast("string"), F.lit(".example.org")
+        ).alias("host")
+    )
+    return cms_counts(hosts, "host", depth=4, width=64)
+
+
+_Q86_SQL = r"""
+WITH k AS (
+  SELECT 'h' || CAST((doc_id*doc_id) % 31 AS VARCHAR) || '.example.org' AS host
+  FROM documents
+),
+e AS (
+  SELECT host, j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || host), 1, 15))
+              AS BIGINT) % 64 AS bucket
+  FROM k, UNNEST([0, 1, 2, 3]) AS u(j)
+),
+sk AS (SELECT j, bucket, count(*) AS c FROM e GROUP BY j, bucket),
+keys AS (SELECT host, count(*) AS exact_n FROM k GROUP BY host),
+kb AS (SELECT DISTINCT host, j, bucket FROM e)
+SELECT keys.host, CAST(keys.exact_n AS BIGINT) AS exact_n,
+       CAST(min(sk.c) AS BIGINT) AS cms_n
+FROM keys
+JOIN kb ON kb.host = keys.host
+JOIN sk ON sk.j = kb.j AND sk.bucket = kb.bucket
+GROUP BY keys.host, keys.exact_n
+"""
+
+
+def q87_feed_parse(spark, sf_dir):
+    """RSS/Atom feed parsing (sources/feeds.py): per-host feed documents
+    are BUILT distributedly (groupBy host over per-entry XML fragments —
+    even hosts RSS 2.0, odd hosts Atom 1.0) and parsed back by the
+    stdlib-ElementTree Arrow pass.  Entry fields derive from doc_id
+    arithmetic, so the oracle recomputes the parsed table without
+    touching XML."""
+    from eget_spark.sources.feeds import parse_feeds
+
+    d = F.col("doc_id")
+    hid = (d % 6).cast("string")
+    link = F.concat(
+        F.lit("https://f"), hid, F.lit(".example.org/p/"), d.cast("string")
+    )
+    date = F.concat(
+        F.lit("2024-02-"), F.lpad((d % 28 + 1).cast("string"), 2, "0")
+    )
+    rss_frag = F.concat(
+        F.lit("<item><title>Post "), d.cast("string"),
+        F.lit("</title><link>"), link,
+        F.lit("</link><guid>urn:doc:"), d.cast("string"),
+        F.lit("</guid><pubDate>"), date, F.lit("</pubDate></item>"),
+    )
+    atom_frag = F.concat(
+        F.lit("<entry><title>Post "), d.cast("string"),
+        F.lit('</title><link href="'), link,
+        F.lit('"/><id>urn:doc:'), d.cast("string"),
+        F.lit("</id><updated>"), date, F.lit("</updated></entry>"),
+    )
+    feeds = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("f"), hid, F.lit(".example.org")).alias("host"),
+            (d % 2 == 0).alias("_rss"),
+            F.when(d % 2 == 0, rss_frag).otherwise(atom_frag).alias("frag"),
+        )
+        .groupBy("host", "_rss")
+        .agg(F.concat_ws("", F.collect_list("frag")).alias("body"))
+        .select(
+            F.concat(F.lit("https://"), "host", F.lit("/feed.xml")).alias("url"),
+            F.when(
+                F.col("_rss"),
+                F.concat(
+                    F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                          '<rss version="2.0"><channel><title>'),
+                    F.col("host"), F.lit("</title>"), F.col("body"),
+                    F.lit("</channel></rss>"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                          '<feed xmlns="http://www.w3.org/2005/Atom"><title>'),
+                    F.col("host"), F.lit("</title>"), F.col("body"),
+                    F.lit("</feed>"),
+                )
+            ).alias("xml"),
+        )
+    )
+    return parse_feeds(feeds).select(
+        "feed_url", "kind", "title", "link", "entry_id", "updated"
+    )
+
+
+_Q87_SQL = r"""
+SELECT 'https://f' || CAST(doc_id % 6 AS VARCHAR) || '.example.org/feed.xml' AS feed_url,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       'Post ' || CAST(doc_id AS VARCHAR) AS title,
+       'https://f' || CAST(doc_id % 6 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS link,
+       'urn:doc:' || CAST(doc_id AS VARCHAR) AS entry_id,
+       '2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS updated
+FROM documents
+"""
+
+
+def q88_content_sniff(spark, sf_dir):
+    """Magic-byte content-type sniffing (functions/sniff.py): every doc's
+    text is wrapped in one of seven containers (PNG/JPEG/GIF/PDF/gzip/
+    zip magic prefixes, or an HTML doctype) chosen by doc_id%7, and the
+    zero-shuffle JVM sniffer must recover exactly the planted type.  The
+    oracle knows the plant, so any sniff miss is a value mismatch."""
+    from eget_spark.functions.sniff import sniff_content_type
+
+    d = F.col("doc_id")
+    k = d % 7
+    prefix = (
+        F.when(k == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(k == 1, F.unhex(F.lit("FFD8FFE0")))
+        .when(k == 2, F.encode(F.lit("GIF89a"), "utf-8"))
+        .when(k == 3, F.encode(F.lit("%PDF-1.4"), "utf-8"))
+        .when(k == 4, F.unhex(F.lit("1F8B08")))
+        .when(k == 5, F.unhex(F.lit("504B0304")))
+        .otherwise(F.encode(F.lit("<!DOCTYPE html>"), "utf-8"))
+    )
+    payloads = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(prefix, F.encode("text", "utf-8")).alias("payload"),
+    )
+    return payloads.select(
+        "doc_id",
+        sniff_content_type(F.col("payload")).alias("content_type"),
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+    )
+
+
+_Q88_SQL = r"""
+SELECT doc_id,
+       CASE doc_id % 7
+         WHEN 0 THEN 'image/png'
+         WHEN 1 THEN 'image/jpeg'
+         WHEN 2 THEN 'image/gif'
+         WHEN 3 THEN 'application/pdf'
+         WHEN 4 THEN 'application/gzip'
+         WHEN 5 THEN 'application/zip'
+         ELSE 'text/html'
+       END AS content_type,
+       CAST(octet_length(encode(text))
+            + CASE doc_id % 7 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 6
+                              WHEN 3 THEN 8 WHEN 4 THEN 3 WHEN 5 THEN 4
+                              ELSE 15 END AS BIGINT) AS payload_bytes
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -3621,6 +3926,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_sitemap_parse": q80_sitemap_parse,
         "q81_robots_parse": q81_robots_parse,
         "q82_snapshot_diff": q82_snapshot_diff,
+        "q83_sequence_packing": q83_sequence_packing,
+        "q84_hits": q84_hits,
+        "q85_redirect_chains": q85_redirect_chains,
+        "q86_cms_host_counts": q86_cms_host_counts,
+        "q87_feed_parse": q87_feed_parse,
+        "q88_content_sniff": q88_content_sniff,
     }
 
 
@@ -3708,4 +4019,10 @@ def oracle_sql() -> dict[str, str]:
         "q80_sitemap_parse": _Q80_SQL,
         "q81_robots_parse": _Q81_SQL,
         "q82_snapshot_diff": _Q82_SQL,
+        "q83_sequence_packing": _Q83_SQL,
+        "q84_hits": _q84_sql(),
+        "q85_redirect_chains": _Q85_SQL,
+        "q86_cms_host_counts": _Q86_SQL,
+        "q87_feed_parse": _Q87_SQL,
+        "q88_content_sniff": _Q88_SQL,
     }

@@ -45,6 +45,11 @@ HEADLINE = [
     "q65_gopher_filters",
     "q66_unigram_lm_score",
     "q70_dup_ngram_cover",
+    # round-5b: pin the per-shard Arrow packing fold, the count-min
+    # sketch build+broadcast estimate, and the zero-shuffle sniffer
+    "q83_sequence_packing",
+    "q86_cms_host_counts",
+    "q88_content_sniff",
 ]
 
 

@@ -101,6 +101,70 @@ def pagerank(
     return ranks
 
 
+def hits_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Fixed-iteration integer HITS (Kleinberg hubs & authorities) — the
+    other classic frontier-priority signal next to :func:`pagerank_fixed`
+    (hubs = index pages worth re-crawling for links, authorities = content
+    pages worth fetching first).
+
+    Pure unnormalized integer arithmetic from the all-ones hub vector:
+    ``a_k(v) = sum(h_{k-1}(u) for (u,v) in E)``, ``h_k(u) = sum(a_k(v)
+    for (u,v) in E)`` — sums of int64 are order-independent, so the result
+    is bit-exact across partitionings and engines with NO normalization
+    step (ranking is scale-invariant; a cross-engine-safe normalizer would
+    need 128-bit division).  Values grow ~(max_in_deg * max_out_deg) per
+    iteration — callers at web scale keep n_iter small (<=6) or right-shift
+    both vectors by a fixed power of two per iteration (also deterministic);
+    the default 4 is safe to max degree ~1000.
+
+    Per iteration: one join + hash-agg per half-step (edges against the
+    current vector, map-side partial sums), ranks localCheckpoint-ed so
+    lineage stays O(1) — the same scale shape as pagerank_fixed.
+
+    Returns (id, auth_fp, hub_fp).
+    """
+    hubs = nodes.select("id", F.lit(1).cast("long").alias("h")).localCheckpoint()
+    auths = nodes.select("id", F.lit(0).cast("long").alias("a"))
+    for _ in range(n_iter):
+        a_sum = (
+            edges.join(hubs, edges["src"] == hubs["id"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("_a"))
+        )
+        auths = (
+            nodes.join(a_sum, nodes["id"] == a_sum["dst"], "left")
+            .select(
+                "id", F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias("a")
+            )
+            .localCheckpoint()
+        )
+        h_sum = (
+            edges.join(auths, edges["dst"] == auths["id"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("_h"))
+        )
+        hubs = (
+            nodes.join(h_sum, nodes["id"] == h_sum["src"], "left")
+            .select(
+                "id", F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("h")
+            )
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(auths, "id", "left")
+        .join(hubs, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("a"), F.lit(0)).alias("auth_fp"),
+            F.coalesce(F.col("h"), F.lit(0)).alias("hub_fp"),
+        )
+    )
+
+
 def pagerank_fixed(
     nodes: DataFrame,
     edges: DataFrame,

@@ -124,3 +124,48 @@ def test_degree_helpers(spark):
     }
     # node1 in-deg 2 (parallel), node2 in-deg 2, nodes 0,3 in-deg 0
     assert hist == {0: 2, 2: 2}
+
+
+def _py_hits(ids, pairs, n_iter=4):
+    h = {i: 1 for i in ids}
+    a = {i: 0 for i in ids}
+    for _ in range(n_iter):
+        a = {i: 0 for i in ids}
+        for s, d in pairs:
+            a[d] += h[s]
+        h = {i: 0 for i in ids}
+        for s, d in pairs:
+            h[s] += a[d]
+    return a, h
+
+
+def test_hits_matches_python_oracle(spark):
+    from eget_spark.operators.graph import hits_fixed
+
+    ids = list(range(15))
+    pairs = [(i, (i * 7 + 13) % 15) for i in ids] + [
+        (i, (i * i * 3 + 5) % 15) for i in ids
+    ]
+    got = {
+        r["id"]: (r["auth_fp"], r["hub_fp"])
+        for r in hits_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=4
+        ).collect()
+    }
+    a, h = _py_hits(ids, pairs)
+    assert got == {i: (a[i], h[i]) for i in ids}
+
+
+def test_hits_isolated_node_is_zero(spark):
+    from eget_spark.operators.graph import hits_fixed
+
+    ids = [0, 1, 2, 9]  # 9 has no edges at all
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    got = {
+        r["id"]: (r["auth_fp"], r["hub_fp"])
+        for r in hits_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=3
+        ).collect()
+    }
+    assert got[9] == (0, 0)
+    assert all(v >= 0 for pair in got.values() for v in pair)

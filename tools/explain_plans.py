@@ -604,9 +604,73 @@ def main() -> None:
                 [("a.warc", bytearray(b""))], "path string, content binary"
             )
         ),
-        {"Exchange": False, "ArrowEvalPython": True},
+        {"Exchange": False, "MapInPandas": True},
         "The reader is a single mapInPandas stage — the only Python in "
         "the operator, Arrow-batched, with no shuffle before or after.",
+    )
+
+    # 31. content sniffing (q88): pure codegen'd projection over the
+    # binary column — no shuffle, no Python
+    from eget_spark.functions.sniff import sniff_content_type
+
+    add(
+        "content-type sniff (q88)",
+        docs.select(
+            sniff_content_type(F.encode("text", "utf-8")).alias("ct")
+        ),
+        {"Exchange": False, "EvalPython": False},
+        "Magic-byte detection is column algebra fused with the scan.",
+    )
+
+    # 32. count-min sketch (q86): build collapses map-side to <=depth*width
+    # cells (partial_count), estimate joins the tiny sketch broadcast
+    from eget_spark.operators.cms import cms_counts
+
+    p_cms = plan_of(
+        cms_counts(
+            docs.selectExpr("'h' || (doc_id % 31) AS host"), "host"
+        )
+    )
+    out.append(
+        "## count-min sketch (q86)\n\nSketch build is a map-side-combined "
+        "aggregation into <=256 cells; the estimate side broadcast-joins "
+        "the sketch — the big side never shuffles for the join.\n\n```\n"
+        + p_cms + "\n```\n"
+    )
+    checks.append(("cms: map-side partial combine", "partial_count" in p_cms))
+    checks.append(("cms: sketch join is broadcast", "BroadcastHashJoin" in p_cms))
+    checks.append(("cms: no sort-merge join", "SortMergeJoin" not in p_cms))
+    checks.append(("cms: no Python", "EvalPython" not in p_cms))
+
+    # 33. sequence packing (q83): exactly ONE exchange (the shard
+    # partitioning) feeding the per-shard Arrow fold
+    from eget_spark.operators.packing import pack_sequences
+
+    # executedPlan string (inline "Exchange hashpartitioning(...)" form)
+    # for the exchange-count check, same as the change-rates audit
+    p_pk = (
+        pack_sequences(
+            docs.selectExpr("doc_id", "n_chars AS n_tokens"),
+            "doc_id", "n_tokens", 512,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    out.append(
+        "## training-sequence packing (q83)\n\nThe next-fit fold runs "
+        "once per shard (FlatMapGroupsInPandas) behind a single shard "
+        "exchange; everything upstream is codegen'd projection.\n\n```\n"
+        + p_pk + "\n```\n"
+    )
+    checks.append(
+        (
+            "packing: one shard exchange",
+            p_pk.count("Exchange hashpartitioning") == 1,
+        )
+    )
+    checks.append(
+        ("packing: Arrow per-shard fold", "FlatMapGroupsInPandas" in p_pk)
     )
 
     out.append("## Check summary\n")
