@@ -3837,6 +3837,167 @@ FROM documents
 """
 
 
+def _q89_audio(spark, n: int = 12):
+    """Shared fixture for q89: n REAL WAV payloads (stdlib ``wave``
+    writer) — clip g is 16-bit PCM, 1 + g%2 channels, rate 8000 +
+    1000*(g%3) Hz, 200 + 25*g frames, flat sample
+    s(j) = ((j*(g+3)) % 2048) - 1024 (an integer sawtooth), so DuckDB
+    reproduces every sample, the per-channel sign-flip count, and the
+    floor-division duration from the closed form."""
+    import numpy as np
+
+    from eget_spark.functions.audio import encode_wav
+
+    rows = []
+    for g in range(n):
+        ch = 1 + g % 2
+        j = np.arange((200 + 25 * g) * ch, dtype=np.int64)
+        s = (j * (g + 3)) % 2048 - 1024
+        rows.append(
+            (
+                f"wav{g:03d}",
+                bytearray(encode_wav(s, 8000 + 1000 * (g % 3), ch)),
+            )
+        )
+    rows.append(("bad000", bytearray(b"RIFF but not really")))
+    return spark.createDataFrame(rows, "media_ref string, payload binary")
+
+
+def q89_audio_features(spark, sf_dir):
+    """Audio decode + signal features, REAL WAV bytes end-to-end
+    (functions/audio.py): stdlib ``wave`` decode in one Arrow
+    mapInPandas pass, pinned integer contract (flat-sample sum_abs /
+    peak_abs, per-channel strict sign-flip zero crossings, floor
+    duration_us).  The reference stores media as opaque base64 blobs
+    (services/crawler/crawler_service.py) with no audio path; this is
+    the multimodal training-pipeline extension.  The undecodable
+    payload row must be dropped, everything else matched bit-exactly
+    from the oracle's sample arithmetic."""
+    from eget_spark.functions.audio import audio_features
+
+    return audio_features(_q89_audio(spark))
+
+
+_Q89_SQL = r"""
+WITH clips AS (
+  SELECT i, 1 + i % 2 AS ch, 8000 + 1000 * (i % 3) AS rate,
+         200 + 25 * i AS nf
+  FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 12))
+),
+idx AS (SELECT CAST(range AS BIGINT) AS j FROM range(0, 1000)),
+samp AS (
+  SELECT c.i, j, ch, ((j * (c.i + 3)) % 2048) - 1024 AS s
+  FROM clips c JOIN idx ON j < c.nf * c.ch
+),
+zc AS (
+  SELECT a.i, count(*) AS z
+  FROM samp a JOIN samp b ON a.i = b.i AND b.j = a.j + a.ch
+  WHERE a.s * b.s < 0
+  GROUP BY a.i
+),
+agg AS (
+  SELECT i, sum(abs(s)) AS sum_abs, max(abs(s)) AS peak_abs
+  FROM samp GROUP BY i
+)
+SELECT printf('wav%03d', c.i) AS media_ref,
+       CAST(c.rate AS INTEGER) AS sample_rate,
+       CAST(c.ch AS INTEGER) AS n_channels,
+       CAST(c.nf AS BIGINT) AS n_frames,
+       CAST(c.nf * 1000000 // c.rate AS BIGINT) AS duration_us,
+       CAST(a.sum_abs AS BIGINT) AS sum_abs,
+       CAST(a.peak_abs AS BIGINT) AS peak_abs,
+       CAST(COALESCE(z.z, 0) AS BIGINT) AS zero_crossings
+FROM clips c JOIN agg a USING (i) LEFT JOIN zc z ON z.i = c.i
+"""
+
+
+def _q90_video(spark, n: int = 10):
+    """Shared fixture for q90: n EVC1 payloads (functions/video.py) of
+    REAL stdlib-PNG frames — video g has 4 + 2*(g%3) frames of
+    8*(1+g%2) x 8 gradient pixels p(y,x) = (y*a + x*b + c_f) % 256 with
+    a = 1+g%3, b = 1+g%4, c_f = (g*7 + f*13) % 40, at fps_x1000 =
+    6000 + 1000*(g%4) — every pixel and the floor-division duration
+    are closed-form for the oracle."""
+    import numpy as np
+
+    from eget_spark.functions.video import encode_video
+
+    rows = []
+    for g in range(n):
+        w, a, b = 8 * (1 + g % 2), 1 + g % 3, 1 + g % 4
+        frames = [
+            (
+                (
+                    np.arange(8)[:, None] * a
+                    + np.arange(w)[None, :] * b
+                    + (g * 7 + f * 13) % 40
+                )
+                % 256
+            ).astype(np.uint8)
+            for f in range(4 + 2 * (g % 3))
+        ]
+        rows.append(
+            (
+                f"vid{g:03d}",
+                bytearray(encode_video(frames, 6000 + 1000 * (g % 4))),
+            )
+        )
+    rows.append(("bad000", bytearray(b"not a video")))
+    return spark.createDataFrame(rows, "media_ref string, payload binary")
+
+
+def q90_video_frame_sample(spark, sf_dir):
+    """Video frame sampling + container probe, REAL bytes end-to-end
+    (functions/video.py): EVC1 header probe (frame bytes untouched) +
+    every-2nd-frame sampling where ONLY kept frames are PNG-decoded
+    (dropped frames length-skipped) — the 100-TB shape for multimodal
+    frame extraction.  The reference has no video path
+    (services/crawler/crawler_service.py stores opaque blobs); this is
+    the training-pipeline extension.  One row per sampled frame with
+    real decoded pixel totals joined to the probe metadata; the oracle
+    recomputes both from the gradient closed form."""
+    from eget_spark.functions.video import sample_video_frames, video_probe
+
+    vids = _q90_video(spark)
+    return sample_video_frames(vids, every=2).join(
+        F.broadcast(video_probe(vids)), "media_ref"
+    )
+
+
+_Q90_SQL = r"""
+WITH vids AS (
+  SELECT i, 4 + 2 * (i % 3) AS nf, 8 * (1 + i % 2) AS w,
+         1 + i % 3 AS a, 1 + i % 4 AS b, 6000 + 1000 * (i % 4) AS fps
+  FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10))
+),
+fr AS (
+  SELECT v.*, f.q AS fidx, (v.i * 7 + f.q * 13) % 40 AS cf
+  FROM vids v
+  JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(0, 8)) f
+    ON f.q < v.nf
+  WHERE f.q % 2 = 0
+),
+pix AS (
+  SELECT fr.i, fidx, w, nf, fps,
+         sum((y.q * a + x.q * b + cf) % 256) AS pt
+  FROM fr
+  JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(0, 8)) y ON TRUE
+  JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(0, 16)) x
+    ON x.q < fr.w
+  GROUP BY fr.i, fidx, w, nf, fps
+)
+SELECT printf('vid%03d', i) AS media_ref,
+       CAST(fidx AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(pt AS BIGINT) AS pix_total,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(fps AS INTEGER) AS fps_x1000,
+       CAST(nf * 1000000000 // fps AS BIGINT) AS duration_us
+FROM pix
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -3932,6 +4093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_cms_host_counts": q86_cms_host_counts,
         "q87_feed_parse": q87_feed_parse,
         "q88_content_sniff": q88_content_sniff,
+        "q89_audio_features": q89_audio_features,
+        "q90_video_frame_sample": q90_video_frame_sample,
     }
 
 
@@ -4025,4 +4188,6 @@ def oracle_sql() -> dict[str, str]:
         "q86_cms_host_counts": _Q86_SQL,
         "q87_feed_parse": _Q87_SQL,
         "q88_content_sniff": _Q88_SQL,
+        "q89_audio_features": _Q89_SQL,
+        "q90_video_frame_sample": _Q90_SQL,
     }

@@ -673,6 +673,36 @@ def main() -> None:
         ("packing: Arrow per-shard fold", "FlatMapGroupsInPandas" in p_pk)
     )
 
+    # 34. audio features (q89) / video frame sampling (q90): each is ONE
+    # Arrow mapInPandas pass with zero shuffle — files decode where they
+    # sit, so the operators scale linearly with input splits
+    from eget_spark.functions.audio import audio_features
+    from eget_spark.functions.video import sample_video_frames, video_probe
+
+    media_av = entry._q89_audio(spark)
+    add(
+        "WAV audio features (q89): one Arrow pass, no shuffle",
+        audio_features(media_av),
+        {"MapInPandas": True, "Exchange": False, "BatchEvalPython": False},
+        "Stdlib WAV decode + pinned integer features in a single "
+        "mapInPandas stage; the payload column dies at its output.",
+    )
+    media_vid = entry._q90_video(spark)
+    add(
+        "video frame sampling (q90): decode only kept frames, no shuffle",
+        sample_video_frames(media_vid, every=2),
+        {"MapInPandas": True, "Exchange": False, "BatchEvalPython": False},
+        "EVC1 length prefixes let the sampler skip dropped frames without "
+        "decompressing them; only kept frames hit the PNG decoder.",
+    )
+    add(
+        "video header probe (q90): frame bytes untouched, no shuffle",
+        video_probe(media_vid),
+        {"MapInPandas": True, "Exchange": False, "BatchEvalPython": False},
+        "Probe reads the 12-byte header per payload — constant work per "
+        "file regardless of frame count.",
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
