@@ -3998,6 +3998,102 @@ FROM pix
 """
 
 
+def q91_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle-containment dedup
+    (operators/dedup.containment_pairs) — Broder's second measure:
+    |S(A)∩S(B)| / |S(A)|, the one that catches a short doc copied
+    verbatim into a long aggregator page where Jaccard resemblance
+    (q15) stays tiny.  Same inverted shingle index shape as q15; both
+    directed ratios emitted, filter passes if either clears the
+    threshold.  Training-pipeline extension (the reference has no
+    dedup — services/crawler/crawler_service.py stores raw pages)."""
+    from eget_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", threshold=0.1, k=3)
+
+
+_Q91_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, g FROM (
+    SELECT doc_id, unnest({_SHINGLE_SQL}) AS g FROM documents)
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / CAST(na.n AS DOUBLE), 6) AS containment_a,
+       round(i / CAST(nb.n AS DOUBLE), 6) AS containment_b
+FROM inter
+JOIN sizes na ON na.id = id_a
+JOIN sizes nb ON nb.id = id_b
+WHERE round(i / CAST(na.n AS DOUBLE), 6) >= 0.1
+   OR round(i / CAST(nb.n AS DOUBLE), 6) >= 0.1
+"""
+
+
+def q92_canonical_collapse(spark, sf_dir):
+    """rel=canonical URL collapse (operators/canonical.py): cluster key
+    = declared canonical target (normalized) else own normalized URL;
+    representative = the self-canonical target when fetched, else min
+    URL.  The reference extracts canonical_url into metadata
+    (services/scraper/scraper.py:400-403) but never collapses on it —
+    this is the metadata-only dedup tier that runs before any content
+    hashing.  Fixture: every 5-doc block shares a canonical target
+    (declarers point at the block base, one with a #fragment the
+    normalizer must strip; %5==4 docs declare nothing), query-string
+    noise on every URL exercises normalization."""
+    from eget_spark.operators.canonical import canonical_collapse
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    b = d - d % 5
+    host = F.concat(
+        F.lit("https://h"), (b % 16).cast("string"), F.lit(".example.org/p/")
+    )
+    url = F.concat(host, d.cast("string"), F.lit("?ref="), d.cast("string"))
+    base_url = F.concat(host, b.cast("string"))
+    canon = (
+        F.when(d % 5 == 1, base_url)
+        .when(d % 5 == 2, F.concat(base_url, F.lit("#top")))
+        .when(d % 5 == 3, base_url)
+    )
+    pages = docs.select(url.alias("url"), canon.alias("canonical_url"))
+    return canonical_collapse(pages)
+
+
+_Q92_SQL = r"""
+WITH mem AS (
+  SELECT doc_id AS d, doc_id - doc_id % 5 AS b,
+         CASE WHEN doc_id % 5 IN (1, 2, 3) THEN doc_id - doc_id % 5
+              ELSE doc_id END AS kd
+  FROM documents
+),
+urls AS (
+  SELECT d, kd,
+         'https://h' || CAST(b % 16 AS VARCHAR) || '.example.org/p/'
+           || CAST(d AS VARCHAR) || '?ref=' || CAST(d AS VARCHAR) AS url,
+         'https://h' || CAST(b % 16 AS VARCHAR) || '.example.org/p/'
+           || CAST(kd AS VARCHAR) AS canonical_key
+  FROM mem
+),
+reps AS (
+  SELECT kd, count(*) AS n,
+         'https://h' || CAST((kd - kd % 5) % 16 AS VARCHAR)
+           || '.example.org/p/' || CAST(kd AS VARCHAR)
+           || '?ref=' || CAST(kd AS VARCHAR) AS rep
+  FROM urls GROUP BY kd
+)
+SELECT u.url, u.canonical_key, r.rep AS representative,
+       u.url = r.rep AS is_representative,
+       CAST(r.n AS BIGINT) AS cluster_size
+FROM urls u JOIN reps r USING (kd)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -4095,6 +4191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_content_sniff": q88_content_sniff,
         "q89_audio_features": q89_audio_features,
         "q90_video_frame_sample": q90_video_frame_sample,
+        "q91_containment_pairs": q91_containment_pairs,
+        "q92_canonical_collapse": q92_canonical_collapse,
     }
 
 
@@ -4190,4 +4288,6 @@ def oracle_sql() -> dict[str, str]:
         "q88_content_sniff": _Q88_SQL,
         "q89_audio_features": _Q89_SQL,
         "q90_video_frame_sample": _Q90_SQL,
+        "q91_containment_pairs": _Q91_SQL,
+        "q92_canonical_collapse": _Q92_SQL,
     }

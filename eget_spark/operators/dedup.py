@@ -154,6 +154,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment — Broder's second
+    resemblance measure: ``containment(A in B) = |S(A) ∩ S(B)| / |S(A)|``.
+
+    Jaccard misses the aggregator case: a 100-word doc copied verbatim
+    into a 10,000-word page has tiny resemblance but containment ~1.0.
+    Returns one row per unordered pair (id_a < id_b) where EITHER
+    direction clears ``threshold``, with both directed ratios
+    (containment_a = share of A's shingles found in B, containment_b
+    symmetric), rounded to 6 places (cross-engine float pin).
+
+    Scale shape: the same inverted shingle index as
+    :func:`ngram_jaccard_pairs` (explode distinct shingles, equi-join on
+    shingle, count, join per-doc sizes).  ``max_df`` drops shingles whose
+    document frequency exceeds it from the index — the standard guard
+    against ubiquitous-gram quadratic bucket joins at corpus scale
+    (containment is then over the filtered shingle sets on BOTH the
+    numerator and the denominators, a documented approximation; None =
+    exact).
+    """
+    from ..functions.text import shingle_rows
+
+    sh = shingle_rows(df, id_col, text_col, k).distinct()
+    if max_df is not None:
+        # gram doc-freq gate: one extra agg on the shingle key; the join
+        # back is on the same key, so it shares the shuffle partitioning
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(keep, "s")
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"),
+            "id_b",
+        )
+        .withColumn("containment_a", F.round(F.col("inter") / F.col("na"), 6))
+        .withColumn("containment_b", F.round(F.col("inter") / F.col("nb"), 6))
+        .where(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Bitwise-majority signature over token hashes.
 

@@ -703,6 +703,59 @@ def main() -> None:
         "file regardless of frame count.",
     )
 
+    # 35. containment dedup (q91): inverted shingle index — candidates
+    # from the shingle equi-join, never all-pairs, no Python
+    from eget_spark.operators.dedup import containment_pairs
+
+    p_cont = plan_of(
+        containment_pairs(
+            docs.selectExpr("doc_id", "text"), "doc_id", "text", 0.1
+        )
+    )
+    out.append(
+        "## containment dedup (q91)\n\nSame inverted shingle index as "
+        "the Jaccard path: the only join on document pairs is the "
+        "shingle equi-join; both directed ratios are codegen'd "
+        "arithmetic over the joined counts.\n\n```\n" + p_cont + "\n```\n"
+    )
+    checks.append(("containment: no cartesian", "CartesianProduct" not in p_cont))
+    checks.append(("containment: no Python", "EvalPython" not in p_cont))
+    checks.append(
+        (
+            "containment: shingle equi hash/merge join",
+            ("SortMergeJoin" in p_cont)
+            or ("ShuffledHashJoin" in p_cont)
+            or ("BroadcastHashJoin" in p_cont),
+        )
+    )
+
+    # 36. canonical collapse (q92): representative election is a
+    # map-side-combined min(struct) hash aggregate (partial_min), the
+    # member join an equi-join on the cluster key — zero Python
+    from eget_spark.operators.canonical import canonical_collapse
+
+    p_canon = plan_of(
+        canonical_collapse(
+            docs.selectExpr(
+                "'https://h' || CAST(doc_id % 7 AS STRING) || '/p/' "
+                "|| CAST(doc_id AS STRING) AS url",
+                "CASE WHEN doc_id % 3 = 1 THEN 'https://h' "
+                "|| CAST(doc_id % 7 AS STRING) || '/p/' "
+                "|| CAST(doc_id - 1 AS STRING) END AS canonical_url",
+            )
+        )
+    )
+    out.append(
+        "## canonical collapse (q92)\n\nRepresentative election is a "
+        "min(struct) HashAggregate with a map-side partial, so a viral "
+        "canonical target combines before it shuffles; the member join "
+        "is an equi-join on the same key (AQE splits residual skew).\n\n"
+        "```\n" + p_canon + "\n```\n"
+    )
+    checks.append(("canonical: map-side partial_min", "partial_min" in p_canon))
+    checks.append(("canonical: no Python", "EvalPython" not in p_canon))
+    checks.append(("canonical: no cartesian", "CartesianProduct" not in p_canon))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
