@@ -4094,6 +4094,414 @@ FROM urls u JOIN reps r USING (kd)
 """
 
 
+def q93_pq_codes(spark, sf_dir):
+    """Product-quantization codes (operators/pq.py — Jegou et al. 2011,
+    the FAISS IVF-PQ compression tier): 64-dim embeddings split into 4
+    subspaces of 16 dims, an independent k=4 fixed-point Lloyd codebook
+    per subspace (same pinned recipe as q78), final assignment ONE
+    zero-shuffle literal-codebook projection emitting all 4 codes +
+    total integer distortion.  The oracle unrolls all four Lloyd chains
+    and must match every code bit-for-bit."""
+    from eget_spark.operators.pq import pq_codes
+
+    return pq_codes(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        m=4, k=4, n_iter=2,
+    )
+
+
+def _q93_sql() -> str:
+    from eget_spark.operators.pq import pq_oracle_sql
+
+    return pq_oracle_sql(
+        "embeddings", "vec_id", "embedding", dim=64, m=4, k=4, n_iter=2
+    )
+
+
+def q94_phrase_search(spark, sf_dir):
+    """Exact phrase matching (operators/search.phrase_counts): occurrence
+    count of the consecutive-token phrase "table part" per document —
+    the positional-postings primitive (Manning et al. IIR §2.4) done the
+    zero-shuffle way: the phrase rides inside the expression tree as a
+    position-sequence filter over the token array; no positional index,
+    no explode, no join.  Overlapping occurrences count."""
+    from eget_spark.operators.search import phrase_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_counts(docs, "doc_id", "text", "table part")
+
+
+_Q94_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+)
+SELECT id, n_hits FROM (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(generate_series(1, greatest(len(l) - 1, 1)),
+                              i -> l[i] = 'table' AND l[i+1] = 'part'))
+              AS BIGINT) AS n_hits
+  FROM d
+) WHERE n_hits > 0
+"""
+
+
+def q95_soft404_flags(spark, sf_dir):
+    """Soft-404 detection (operators/soft404.py — Bar-Yossef et al.
+    2004): docs %13==0 get a planted short error page (banner + 100-char
+    stub, MUST flag), %13==1 get the banner buried in a full-length page
+    (banner true, verdict false — the length gate), the rest pass
+    through.  Pure zero-shuffle column algebra; the oracle replants and
+    recomputes every signal."""
+    from eget_spark.operators.soft404 import soft404_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = (
+        F.when(
+            d % 13 == 0,
+            F.concat(
+                F.lit("404 Error: Page Not Found. "),
+                F.substring("text", 1, 100),
+            ),
+        )
+        .when(
+            d % 13 == 1,
+            F.concat(
+                F.lit("This page does not exist... just kidding: "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    pages = docs.select(d.alias("doc_id"), text.alias("text"))
+    return soft404_flags(pages, "doc_id", "text", min_chars=200)
+
+
+_Q95_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+                THEN '404 Error: Page Not Found. ' || substr(text, 1, 100)
+              WHEN doc_id % 13 = 1
+                THEN 'This page does not exist... just kidding: ' || text
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id AS id, CAST(length(t) AS BIGINT) AS n_chars,
+       regexp_matches(lower(t), '(page not found|404 error|error 404|does not exist|no longer available|nothing (was )?found)') AS has_404_pattern,
+       length(t) < 200 AS too_short,
+       regexp_matches(lower(t), '(page not found|404 error|error 404|does not exist|no longer available|nothing (was )?found)')
+         AND length(t) < 400 AS is_soft404
+FROM p
+"""
+
+
+def q96_charset_sniff(spark, sf_dir):
+    """Charset sniffing (functions/sniff.sniff_charset — WHATWG
+    encoding-sniff spirit; the reference only scrapes <meta charset>
+    AFTER decode, scraper.py:420-423): BOM tier, <meta charset>,
+    http-equiv content charset, XML declaration, pinned utf-8 default.
+    Docs are wrapped per doc_id%7 in one of six declaration styles (or
+    none); the sniffer must recover the plant.  Zero-shuffle column
+    algebra over the binary payload."""
+    from eget_spark.functions.sniff import sniff_charset
+
+    d = F.col("doc_id")
+    k = d % 7
+    body = F.encode("text", "utf-8")
+    payload = (
+        F.when(k == 0, F.concat(F.unhex(F.lit("EFBBBF")), body))
+        .when(k == 1, F.concat(F.unhex(F.lit("FFFE")), body))
+        .when(k == 2, F.concat(F.unhex(F.lit("FEFF")), body))
+        .when(
+            k == 3,
+            F.concat(
+                F.encode(
+                    F.lit('<html><head><meta charset="windows-1252"></head>'),
+                    "utf-8",
+                ),
+                body,
+            ),
+        )
+        .when(
+            k == 4,
+            F.concat(
+                F.encode(
+                    F.lit(
+                        '<html><head><meta http-equiv="Content-Type" '
+                        'content="text/html; charset=ISO-8859-2"></head>'
+                    ),
+                    "utf-8",
+                ),
+                body,
+            ),
+        )
+        .when(
+            k == 5,
+            F.concat(
+                F.encode(
+                    F.lit('<?xml version="1.0" encoding="Shift_JIS"?><root>'),
+                    "utf-8",
+                ),
+                body,
+            ),
+        )
+        .otherwise(body)
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", sniff_charset(payload).alias("charset")
+    )
+
+
+_Q96_SQL = r"""
+SELECT doc_id,
+       CASE doc_id % 7
+         WHEN 0 THEN 'utf-8'
+         WHEN 1 THEN 'utf-16le'
+         WHEN 2 THEN 'utf-16be'
+         WHEN 3 THEN 'windows-1252'
+         WHEN 4 THEN 'iso-8859-2'
+         WHEN 5 THEN 'shift_jis'
+         ELSE 'utf-8'
+       END AS charset
+FROM documents
+"""
+
+
+def q97_revalidate(spark, sf_dir):
+    """HTTP conditional-revalidation classification
+    (operators/recrawl.revalidate — RFC 9110 §13.1 as dataflow): ETag
+    strong-compare first, Last-Modified when either side lacks one,
+    refetch when no validator pair, gone when the live side dropped the
+    URL.  Fixture plants all five outcomes arithmetically; ONE url
+    equi-join + codegen CASE, no Python."""
+    from eget_spark.operators.recrawl import revalidate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://c.example.org/p/"), d.cast("string"))
+    cached = docs.select(
+        url.alias("url"),
+        F.when(d % 4 <= 1, F.concat(F.lit("e"), (d % 10).cast("string")))
+        .alias("etag"),
+        F.when((d % 4 == 0) | (d % 4 == 2), d * 1000000)
+        .cast("long")
+        .alias("last_modified"),
+    )
+    live = docs.where(d % 9 != 8).select(
+        url.alias("url"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("e"),
+                ((d + F.when(d % 8 == 0, 1).otherwise(0)) % 10).cast("string"),
+            ),
+        ).alias("etag"),
+        F.when(
+            (d % 4 == 0) | (d % 4 == 2),
+            (d + F.when(d % 3 == 0, 0).otherwise(5)) * 1000000,
+        )
+        .cast("long")
+        .alias("last_modified"),
+    )
+    return revalidate(cached, live)
+
+
+_Q97_SQL = r"""
+SELECT 'https://c.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE
+         WHEN doc_id % 9 = 8 THEN 'gone'
+         WHEN doc_id % 4 = 0 THEN
+           CASE WHEN doc_id % 8 = 0 THEN 'modified' ELSE 'not_modified' END
+         WHEN doc_id % 4 = 2 THEN
+           CASE WHEN doc_id % 3 = 0 THEN 'not_modified' ELSE 'modified' END
+         ELSE 'refetch'
+       END AS action
+FROM documents
+"""
+
+
+def q98_snapshot_retention(spark, sf_dir):
+    """Keep-last-k snapshot retention (operators/snapshot_diff.
+    retain_last_k — Iceberg expire_snapshots semantics over the row
+    history): every URL keeps its newest 2 versions.  Fixture: doc d
+    has 1 + d%4 versions at fetch_time (d*10+v)*1e6.  One hash exchange
+    on the URL key feeding a per-key window row_number."""
+    from eget_spark.operators.snapshot_diff import retain_last_k
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    snaps = docs.select(
+        F.concat(F.lit("https://s.example.org/p/"), d.cast("string")).alias(
+            "url"
+        ),
+        F.explode(F.sequence(F.lit(0), (d % 4).cast("int"))).alias("v"),
+        d.alias("_d"),
+    ).select(
+        "url", ((F.col("_d") * 10 + F.col("v")) * 1000000).alias("fetch_time")
+    )
+    return retain_last_k(snaps, k=2)
+
+
+_Q98_SQL = r"""
+WITH snaps AS (
+  SELECT 'https://s.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         (doc_id * 10 + v.q) * 1000000 AS fetch_time
+  FROM documents
+  JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(0, 4)) v
+    ON v.q <= doc_id % 4
+)
+SELECT url, fetch_time,
+       row_number() OVER (
+         PARTITION BY url
+         ORDER BY fetch_time DESC,
+                  md5(url || '|' || CAST(fetch_time AS VARCHAR))
+       ) <= 2 AS keep
+FROM snaps
+"""
+
+
+def q99_normalized_dedup(spark, sf_dir):
+    """Normalization-keyed exact dedup (functions/text.dedup_normalize —
+    CCNet/Wenzek et al. 2020 normalize-before-hash): lowercase, pinned
+    88-char accent fold, punctuation to space, whitespace collapse, THEN
+    md5-group.  Fixture: every doc gets an evil twin (upper-cased,
+    AEIOU->accented, '!!!' appended) that must land in the same group.
+    One map-side-combined groupBy(key) + key equi-join back."""
+    from eget_spark.functions.text import dedup_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pairs = docs.select((d * 2).alias("id"), F.col("text")).unionAll(
+        docs.select(
+            (d * 2 + 1).alias("id"),
+            F.concat(
+                F.translate(F.upper("text"), "AEIOU", "ÁÉÍÓÚ"), F.lit("!!!")
+            ).alias("text"),
+        )
+    )
+    norm = pairs.select("id", F.md5(dedup_normalize(F.col("text"))).alias("k"))
+    groups = norm.groupBy("k").agg(
+        F.min("id").alias("canonical"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return norm.join(groups, "k").select("id", "canonical", "group_size")
+
+
+def _q99_sql() -> str:
+    from eget_spark.functions.text import ACCENT_DST, ACCENT_SRC
+
+    fold = (
+        "translate(replace(replace(replace(lower(text), 'æ', 'ae'), "
+        f"'œ', 'oe'), 'ß', 'ss'), '{ACCENT_SRC}', '{ACCENT_DST}')"
+    )
+    return f"""
+WITH pairs AS (
+  SELECT doc_id * 2 AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1,
+         translate(upper(text), 'AEIOU', 'ÁÉÍÓÚ') || '!!!'
+  FROM documents
+),
+norm AS (
+  SELECT id,
+         md5(trim(regexp_replace({fold}, '[^a-z0-9]+', ' ', 'g'))) AS k
+  FROM pairs
+),
+g AS (SELECT k, min(id) AS canonical, count(*) AS n FROM norm GROUP BY k)
+SELECT norm.id, g.canonical, CAST(g.n AS BIGINT) AS group_size
+FROM norm JOIN g USING (k)
+"""
+
+
+def q100_registrable_domain(spark, sf_dir):
+    """eTLD+1 extraction under the pinned PSL-lite table
+    (functions/urls.registrable_domain) — the politeness/budget grouping
+    key real crawlers use instead of raw hostnames (subdomain spray
+    dodges per-host budgets; it can't dodge per-registrant ones).  Six
+    planted hostname shapes per doc_id%6 cover 2-label public suffixes,
+    deep subdomains, plain TLDs, and dotless hosts.  Pure regexp column
+    algebra, zero shuffle."""
+    from eget_spark.functions.urls import registrable_domain
+
+    d = F.col("doc_id")
+    n = (d % 20).cast("string")
+    host = (
+        F.when(d % 6 == 0, F.concat(F.lit("www.ex"), n, F.lit(".co.uk")))
+        .when(d % 6 == 1, F.concat(F.lit("blog.sub.ex"), n, F.lit(".com.au")))
+        .when(d % 6 == 2, F.concat(F.lit("ex"), n, F.lit(".org")))
+        .when(d % 6 == 3, F.concat(F.lit("a.b.c.ex"), n, F.lit(".co.jp")))
+        .when(d % 6 == 4, F.lit("localhost"))
+        .otherwise(F.concat(F.lit("ex"), n, F.lit(".io")))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        host.alias("host"),
+        registrable_domain(host).alias("registrable"),
+    )
+
+
+_Q100_SQL = r"""
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'www.ex' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+         WHEN 1 THEN 'blog.sub.ex' || CAST(doc_id % 20 AS VARCHAR) || '.com.au'
+         WHEN 2 THEN 'ex' || CAST(doc_id % 20 AS VARCHAR) || '.org'
+         WHEN 3 THEN 'a.b.c.ex' || CAST(doc_id % 20 AS VARCHAR) || '.co.jp'
+         WHEN 4 THEN 'localhost'
+         ELSE 'ex' || CAST(doc_id % 20 AS VARCHAR) || '.io'
+       END AS host,
+       CASE doc_id % 6
+         WHEN 0 THEN 'ex' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+         WHEN 1 THEN 'ex' || CAST(doc_id % 20 AS VARCHAR) || '.com.au'
+         WHEN 2 THEN 'ex' || CAST(doc_id % 20 AS VARCHAR) || '.org'
+         WHEN 3 THEN 'ex' || CAST(doc_id % 20 AS VARCHAR) || '.co.jp'
+         WHEN 4 THEN 'localhost'
+         ELSE 'ex' || CAST(doc_id % 20 AS VARCHAR) || '.io'
+       END AS registrable
+FROM documents
+"""
+
+
+def q101_adaptive_delays(spark, sf_dir):
+    """Latency-adaptive politeness (operators/politeness.adaptive_delays
+    — the Heritrix delay-factor convention): per-host crawl delay =
+    clamp(floor(2 * avg observed latency), 100, 10000) ms from a
+    synthetic fetch log (host doc_id%30, latency 50 + (doc_id*37)%400).
+    ONE map-side-combined groupBy(host); the avg is a single
+    exactly-rounded double division of int64 sums, cross-engine
+    bit-exact."""
+    from eget_spark.operators.politeness import adaptive_delays
+
+    d = F.col("doc_id")
+    log = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 30).cast("string")).alias("host"),
+        (50 + (d * 37) % 400).alias("latency_ms"),
+    )
+    return adaptive_delays(log)
+
+
+_Q101_SQL = r"""
+WITH log AS (
+  SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS host,
+         50 + (doc_id * 37) % 400 AS latency_ms
+  FROM documents
+),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(latency_ms) AS BIGINT) AS s
+  FROM log GROUP BY host
+)
+SELECT host, n_fetches,
+       CAST(least(greatest(CAST(floor(2 * (CAST(s AS DOUBLE) / n_fetches)) AS BIGINT),
+                           100), 10000) AS BIGINT) AS delay_ms
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -4193,6 +4601,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_video_frame_sample": q90_video_frame_sample,
         "q91_containment_pairs": q91_containment_pairs,
         "q92_canonical_collapse": q92_canonical_collapse,
+        "q93_pq_codes": q93_pq_codes,
+        "q94_phrase_search": q94_phrase_search,
+        "q95_soft404_flags": q95_soft404_flags,
+        "q96_charset_sniff": q96_charset_sniff,
+        "q97_revalidate": q97_revalidate,
+        "q98_snapshot_retention": q98_snapshot_retention,
+        "q99_normalized_dedup": q99_normalized_dedup,
+        "q100_registrable_domain": q100_registrable_domain,
+        "q101_adaptive_delays": q101_adaptive_delays,
     }
 
 
@@ -4290,4 +4707,13 @@ def oracle_sql() -> dict[str, str]:
         "q90_video_frame_sample": _Q90_SQL,
         "q91_containment_pairs": _Q91_SQL,
         "q92_canonical_collapse": _Q92_SQL,
+        "q93_pq_codes": _q93_sql(),
+        "q94_phrase_search": _Q94_SQL,
+        "q95_soft404_flags": _Q95_SQL,
+        "q96_charset_sniff": _Q96_SQL,
+        "q97_revalidate": _Q97_SQL,
+        "q98_snapshot_retention": _Q98_SQL,
+        "q99_normalized_dedup": _q99_sql(),
+        "q100_registrable_domain": _Q100_SQL,
+        "q101_adaptive_delays": _Q101_SQL,
     }

@@ -50,6 +50,12 @@ HEADLINE = [
     "q83_sequence_packing",
     "q86_cms_host_counts",
     "q88_content_sniff",
+    # round-5c: pin the containment shingle join, the PQ literal-codebook
+    # assignment (training loop included), and the normalize-then-hash
+    # dedup aggregate
+    "q91_containment_pairs",
+    "q93_pq_codes",
+    "q99_normalized_dedup",
 ]
 
 

@@ -54,3 +54,45 @@ def sniff_content_type(payload: Column) -> Column:
     for hex_prefix, mime in reversed(_MAGICS):
         expr = F.when(hx.startswith(hex_prefix), F.lit(mime)).otherwise(expr)
     return expr
+
+
+def sniff_charset(payload: Column) -> Column:
+    """Binary payload -> charset string, the scraper's decode router
+    (the reference extracts ``<meta charset>`` into metadata,
+    services/scraper/scraper.py:420-423; this adds the byte-level tier
+    above it).  Pinned precedence, WHATWG-encoding-sniff spirit:
+
+    1. BOM: EF BB BF -> utf-8; FF FE -> utf-16le; FE FF -> utf-16be
+    2. ``<meta charset="X">`` in the first 1024 bytes (quotes optional)
+    3. ``<meta http-equiv=... content="...charset=X">`` ditto
+    4. XML declaration ``encoding="X"``
+    5. pinned default ``utf-8``
+
+    Detected names are lower-cased verbatim (no alias table — callers
+    normalize).  Zero-shuffle column algebra like sniff_content_type:
+    one hex of 3 bytes + regexp_extracts over an ISO-8859-1-decoded
+    1 KiB prefix (every byte decodes, so the probe never errors).
+    """
+    bom = F.hex(F.substring(payload, 1, 3))
+    head = F.lower(F.decode(F.substring(payload, 1, 1024), "ISO-8859-1"))
+    meta = F.regexp_extract(
+        head, r"""<meta\s+charset\s*=\s*["']?\s*([a-z0-9._-]+)""", 1
+    )
+    http_equiv = F.regexp_extract(
+        head, r"""<meta[^>]*content\s*=\s*["'][^"']*charset=([a-z0-9._-]+)""", 1
+    )
+    xml_decl = F.regexp_extract(
+        head, r"""<\?xml[^>]*encoding\s*=\s*["']([a-z0-9._-]+)["']""", 1
+    )
+    first = F.coalesce(
+        F.nullif(meta, F.lit("")),
+        F.nullif(http_equiv, F.lit("")),
+        F.nullif(xml_decl, F.lit("")),
+        F.lit("utf-8"),
+    )
+    return (
+        F.when(bom.startswith("EFBBBF"), F.lit("utf-8"))
+        .when(bom.startswith("FFFE"), F.lit("utf-16le"))
+        .when(bom.startswith("FEFF"), F.lit("utf-16be"))
+        .otherwise(first)
+    )

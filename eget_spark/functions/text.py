@@ -343,3 +343,35 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# Latin-1 Supplement + Latin Extended-A accent folding, pinned as an
+# explicit translate map (both engines run the IDENTICAL table, so the
+# fold is engine-portable by construction — no locale/ICU dependence).
+# Source/target stay 1:1 per char (translate's contract); multi-char
+# expansions (ae, ss, oe...) are handled by replace() below.
+ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿāăąćĉċčďđēĕėęěĝğġģĥħĩīĭįıĵķĸĺļľłńņňŋōŏőŕŗřśŝşšţťŧũūŭůűųŵŷźżž"
+ACCENT_DST = "aaaaaaceeeeiiiinoooooouuuuyyaaaccccddeeeeegggghhiiiiijkkllllnnnnooorrrsssstttuuuuuuwyzzz"
+
+
+def fold_accents(text: Column) -> Column:
+    """Lower-case + accent fold via the pinned translate table, with the
+    three multi-char Latin-1 expansions (æ->ae, œ->oe, ß->ss) applied
+    first.  Zero-shuffle column algebra."""
+    t = F.lower(text)
+    t = F.replace(t, F.lit("æ"), F.lit("ae"))
+    t = F.replace(t, F.lit("œ"), F.lit("oe"))
+    t = F.replace(t, F.lit("ß"), F.lit("ss"))
+    return F.translate(t, ACCENT_SRC, ACCENT_DST)
+
+
+def dedup_normalize(text: Column) -> Column:
+    """The CCNet-style normalization applied before dedup hashing (Wenzek
+    et al. 2020 normalize: lowercase, strip accents, drop punctuation,
+    collapse whitespace) — near-dup variants that differ only in case,
+    diacritics, punctuation, or spacing hash identically afterwards.
+    Pinned pipeline: fold_accents -> non-[a-z0-9] runs to ONE space ->
+    trim.  Pure projection; pair with md5() for the dedup key."""
+    return F.trim(
+        F.regexp_replace(fold_accents(text), r"[^a-z0-9]+", " ")
+    )

@@ -86,3 +86,46 @@ def cache_key(url: Column, options_json: Column) -> Column:
 def url_hash64(url: Column) -> Column:
     """X17: 64-bit partition/bloom key for a canonical URL."""
     return F.xxhash64(url)
+
+
+# PSL-lite: the multi-label public suffixes that actually dominate crawl
+# traffic (the full Mozilla PSL is a runtime data file; this pinned subset
+# covers the high-traffic ccTLD second-level registries so politeness
+# grouping is right where it matters — en.wikipedia.org-style hostnames
+# only need the default 1-label rule).  Suffixes are matched longest-first.
+PSL_LITE = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "com.mx", "org.mx", "gob.mx",
+    "co.za", "org.za", "gov.za",
+    "com.tr", "org.tr", "gov.tr",
+    "com.ar", "com.sg", "com.hk", "com.tw", "co.nz", "org.nz",
+    "co.il", "org.il", "com.my", "com.ph", "com.vn", "com.eg",
+]
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 of a hostname under the pinned PSL-lite table — the
+    politeness/crawl-budget grouping key real crawlers use (rate-limiting
+    `a.blogspot.co.uk` by its HOSTNAME lets one registrant dodge budgets
+    via subdomains; grouping by registrable domain closes that).
+
+    Semantics: if the host ends with a listed 2-label suffix, keep 3
+    labels; else keep 2; hosts with fewer labels (bare TLDs, localhost)
+    pass through unchanged.  IP literals pass through (no dots -> or
+    all-numeric labels are left as-is only when they match the label
+    count rule — callers route IPs around DNS grouping upstream).
+    Pure column algebra: one regexp per suffix class, no UDF, no lookup
+    join — the table is part of the expression tree.
+    """
+    h = F.lower(host)
+    # longest-first: 2-label public suffix -> keep 3 labels
+    two_label = "|".join(s.replace(".", r"\.") for s in PSL_LITE)
+    keep3 = F.regexp_extract(h, r"([^.]+\.(?:" + two_label + r"))$", 1)
+    keep2 = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    return F.when(keep3 != "", keep3).when(keep2 != "", keep2).otherwise(h)

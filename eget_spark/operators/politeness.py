@@ -84,3 +84,41 @@ def schedule_round(
     fetch_now = ranked.where(F.col("_rank") <= F.col("_salt_budget")).drop(*aux)
     deferred = ranked.where(F.col("_rank") > F.col("_salt_budget")).drop(*aux)
     return free.unionByName(fetch_now), deferred
+
+
+def adaptive_delays(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    mult: int = 2,
+    min_ms: int = 100,
+    max_ms: int = 10_000,
+) -> DataFrame:
+    """Server-load-adaptive politeness: per-host crawl delay derived from
+    observed fetch latency (the public convention — e.g. Googlebot's
+    documented adaptive crawl-rate behavior, and Heritrix's
+    delay-factor-x-latency politeness setting): a server answering in
+    2 s gets a gentler schedule than one answering in 50 ms.
+
+    ``delay_ms = clamp(floor(mult * avg_latency), min_ms, max_ms)`` with
+    avg as one exactly-rounded double division of int64 sums (< 2^53, so
+    cross-engine bit-exact).  Returns (host, n_fetches, delay_ms) — feed
+    delay_ms into schedule_round as the per-host crawl_delay.
+
+    Scale shape: ONE map-side-combined groupBy(host) over the fetch log;
+    output is host-cardinality (small), broadcastable into the
+    scheduler.
+    """
+    agg = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum(F.col(latency_col).cast("long")).alias("_sum"),
+    )
+    raw = F.floor(F.lit(mult) * (F.col("_sum").cast("double") / F.col("n_fetches")))
+    return agg.select(
+        "host",
+        "n_fetches",
+        F.least(
+            F.greatest(raw, F.lit(min_ms).cast("long")),
+            F.lit(max_ms).cast("long"),
+        ).cast("long").alias("delay_ms"),
+    )

@@ -1,0 +1,224 @@
+"""Product quantization (PQ) codes over embedding columns, bit-exact.
+
+The ANN compression tier (Jegou, Douze, Schmid 2011, "Product
+quantization for nearest neighbor search" — the public recipe behind
+FAISS IVF-PQ): split each D-dim vector into ``m`` contiguous subvectors
+of D/m dims, train an INDEPENDENT k-codeword codebook per subspace, and
+store each vector as m small codes (D floats -> m * log2(k) bits).  At
+100 TB this is what makes embedding search memory-feasible: the engine's
+IVF router (operators/similarity.ivf_topk) narrows the candidate set,
+PQ codes make the in-cell scan ~100x smaller.
+
+Everything reuses the pinned fixed-point Lloyd recipe of
+operators/kmeans.py verbatim (1e-6 scaling via floor(+0.5), md5-seeded
+init, argmin ties to the lowest codeword, floor-division centroid
+update, empty cells keep their centroid) — per subspace, with the SAME
+(md5(id), id) seed rows for every subspace, so a SQL oracle reproduces
+every code bit-for-bit.
+
+Scale shape: the m codebooks are driver-side sketch state (m * k * D/m
+ints) embedded as LITERALS — final code assignment is ONE zero-shuffle
+codegen'd projection emitting all m codes at once.  Training costs
+m * n_iter map-side-combined groupBy(cell, dim) aggregates over the
+posexploded subvectors; the per-step collect is O(k * D), independent
+of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .kmeans import vec_fp
+
+
+def _dist_sub(v: Column, cent: list[int]) -> Column:
+    c = F.array(*[F.lit(int(x)).cast("long") for x in cent])
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _best_sub(v: Column, cents: list[list[int]]) -> Column:
+    return F.array_min(
+        F.array(
+            *[
+                F.named_struct(
+                    F.lit("dist"),
+                    _dist_sub(v, c),
+                    F.lit("cidx"),
+                    F.lit(i).cast("int"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Train per-subspace codebooks and emit (id, code_0..code_{m-1},
+    dist_fp) where dist_fp is the total integer quantization distortion
+    (sum of per-subspace squared L2 to the chosen codeword).  The vector
+    dimension must divide by ``m``."""
+    fp = df.select(
+        F.col(id_col).alias("id"), vec_fp(F.col(vec_col)).alias("vfp")
+    ).persist()
+    first = fp.select(F.size("vfp").alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("empty input")
+    dim = int(first[0]["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    def sub(j: int, col: Column) -> Column:
+        return F.slice(col, j * d_sub + 1, d_sub)
+
+    # one seed scan shared by every subspace: the k rows first in
+    # (md5(id), id) order, same as operators/kmeans.py
+    seed_rows = (
+        fp.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(k)
+        .collect()
+    )
+    cents = [
+        [list(r["vfp"])[j * d_sub : (j + 1) * d_sub] for r in seed_rows]
+        for j in range(m)
+    ]
+
+    for _ in range(n_iter):
+        for j in range(m):
+            assign = fp.select(
+                F.posexplode(sub(j, F.col("vfp"))).alias("pos", "x"),
+                _best_sub(sub(j, F.col("vfp")), cents[j])["cidx"].alias(
+                    "cluster"
+                ),
+            )
+            mean_rows = (
+                assign.groupBy("cluster", "pos")
+                .agg(
+                    F.floor(F.sum("x").cast("double") / F.count("*"))
+                    .cast("long")
+                    .alias("mu")
+                )
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "mu"))
+                    ).alias("pm")
+                )
+                .select(
+                    "cluster",
+                    F.transform("pm", lambda s: s["mu"]).alias("cvec"),
+                )
+                .collect()
+            )
+            new = {r["cluster"]: list(r["cvec"]) for r in mean_rows}
+            cents[j] = [new.get(i, cents[j][i]) for i in range(k)]
+
+    bests = [_best_sub(sub(j, F.col("vfp")), cents[j]) for j in range(m)]
+    total = bests[0]["dist"]
+    for b in bests[1:]:
+        total = total + b["dist"]
+    return fp.select(
+        "id",
+        *[b["cidx"].alias(f"code_{j}") for j, b in enumerate(bests)],
+        total.alias("dist_fp"),
+    )
+
+
+def pq_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+) -> str:
+    """Unrolled ANSI-SQL (DuckDB dialect) equivalent — one Lloyd CTE
+    chain per subspace, mirroring operators/kmeans.kmeans_oracle_sql."""
+    d_sub = dim // m
+
+    def dist(sv: str, cv: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({sv}, {cv}), "
+            "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+        )
+
+    parts = [
+        f"""
+WITH fp AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col},
+                        x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS vfp
+  FROM {table}
+),
+fs AS (
+  SELECT id, {", ".join(f"vfp[{j * d_sub + 1}:{(j + 1) * d_sub}] AS s{j}" for j in range(m))}
+  FROM fp
+)"""
+    ]
+    for j in range(m):
+        parts.append(
+            f""",
+c0_{j} AS (
+  SELECT (row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1) AS cidx,
+         s{j} AS cvec
+  FROM fs QUALIFY cidx < {k}
+)"""
+        )
+        for i in range(1, n_iter + 1):
+            parts.append(
+                f""",
+a{i}_{j} AS (
+  SELECT id, s{j}, cidx, dist,
+         row_number() OVER (PARTITION BY id ORDER BY dist, cidx) AS rn
+  FROM (SELECT f.id, f.s{j}, c.cidx, {dist(f"f.s{j}", "c.cvec")} AS dist
+        FROM fs f CROSS JOIN c{i-1}_{j} c)
+),
+m{i}_{j} AS (
+  SELECT cidx, list(mu ORDER BY pos) AS cvec
+  FROM (SELECT cidx, pos, CAST(floor(sum(x) / count(*)) AS BIGINT) AS mu
+        FROM (SELECT cidx, unnest(s{j}) AS x,
+                     generate_subscripts(s{j}, 1) AS pos
+              FROM a{i}_{j} WHERE rn = 1)
+        GROUP BY cidx, pos)
+  GROUP BY cidx
+),
+c{i}_{j} AS (
+  SELECT p.cidx, coalesce(n.cvec, p.cvec) AS cvec
+  FROM c{i-1}_{j} p LEFT JOIN m{i}_{j} n ON n.cidx = p.cidx
+)"""
+            )
+        parts.append(
+            f""",
+r_{j} AS (
+  SELECT id, CAST(cidx AS INT) AS code_{j}, dist AS dist_{j}
+  FROM (
+    SELECT f.id, c.cidx, {dist(f"f.s{j}", "c.cvec")} AS dist,
+           row_number() OVER (PARTITION BY f.id
+                              ORDER BY {dist(f"f.s{j}", "c.cvec")}, c.cidx) AS rn
+    FROM fs f CROSS JOIN c{n_iter}_{j} c
+  ) WHERE rn = 1
+)"""
+        )
+    joins = " ".join(f"JOIN r_{j} USING (id)" for j in range(1, m))
+    codes = ", ".join(f"code_{j}" for j in range(m))
+    dsum = " + ".join(f"dist_{j}" for j in range(m))
+    parts.append(
+        f"""
+SELECT id, {codes}, CAST({dsum} AS BIGINT) AS dist_fp
+FROM r_0 {joins}"""
+    )
+    return "".join(parts)

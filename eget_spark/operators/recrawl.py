@@ -97,3 +97,58 @@ def recrawl_priority(rates: DataFrame) -> DataFrame:
     )
     res = with_global_seq(keyed, ["_nk", "id"], start=1, seq_col="priority")
     return res.df.withColumn("priority", F.col("priority").cast("int")).drop("_nk")
+
+
+def revalidate(cached: DataFrame, live: DataFrame) -> DataFrame:
+    """HTTP conditional-revalidation classification — the dataflow form
+    of RFC 9110 §13.1 (If-None-Match / If-Modified-Since): given the
+    cache's stored validators and the live server's current ones, decide
+    per URL whether the cached copy is still fresh.  The reference's
+    cache has only a fixed TTL (services/cache/cache_service.py); real
+    recrawl fleets revalidate instead of refetching, cutting fetch bytes
+    by the unchanged fraction of the web.
+
+    Inputs: ``cached`` (url, etag?, last_modified?) and ``live``
+    (url, etag?, last_modified?) — timestamps as int64 epoch micros.
+    Pinned precedence per RFC 9110 (ETag strong-compares first;
+    Last-Modified only consulted when either side lacks an ETag):
+
+    - both ETags present:      equal -> not_modified, else modified
+    - else both LM present:    live <= cached -> not_modified, else modified
+    - cached row with no live row -> gone
+    - live row with no usable validator pair -> refetch
+
+    Output: (url, action) with action in
+    {not_modified, modified, gone, refetch}.
+
+    Scale shape: ONE equi-join on url (both sides hash-partition on the
+    key; the cache side is the big one and never broadcasts), then a
+    codegen'd CASE — no Python, no extra shuffle.
+    """
+    c = cached.select(
+        F.col("url"),
+        F.col("etag").alias("_ce"),
+        F.col("last_modified").alias("_cl"),
+    )
+    v = live.select(
+        F.col("url"),
+        F.col("etag").alias("_le"),
+        F.col("last_modified").alias("_ll"),
+        F.lit(True).alias("_live"),
+    )
+    j = c.join(v, "url", "left")
+    action = (
+        F.when(F.col("_live").isNull(), F.lit("gone"))
+        .when(
+            F.col("_ce").isNotNull() & F.col("_le").isNotNull(),
+            F.when(F.col("_ce") == F.col("_le"), F.lit("not_modified"))
+            .otherwise(F.lit("modified")),
+        )
+        .when(
+            F.col("_cl").isNotNull() & F.col("_ll").isNotNull(),
+            F.when(F.col("_ll") <= F.col("_cl"), F.lit("not_modified"))
+            .otherwise(F.lit("modified")),
+        )
+        .otherwise(F.lit("refetch"))
+    )
+    return j.select("url", action.alias("action"))

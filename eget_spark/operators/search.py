@@ -102,3 +102,47 @@ def bm25_topk(
     # trivial (k rows post-TakeOrdered), not a corpus-wide sort
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def phrase_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Exact consecutive-token phrase matching — the positional-index
+    primitive next to BM25's bag-of-words scoring (public recipe: every
+    search engine's phrase query; Manning et al., IIR §2.4 positional
+    postings).  Returns (id, n_hits) for documents containing the phrase
+    at least once, n_hits = number of occurrence positions (overlaps
+    counted — "a a a" has two hits of "a a").
+
+    Scale shape (100 TB): NO positional index is materialized — the
+    phrase is tiny and rides inside the expression tree; occurrences are
+    counted by filtering the position sequence 1..len-L+1 with an
+    all-terms-match predicate over the token array.  Pure zero-shuffle
+    codegen'd projection, same discipline as bm25_topk's tf terms: the
+    classic explode-join positional index would shuffle every token
+    position of the corpus to match a constant phrase.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    L = len(terms)
+    toks = _tok_arr(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+
+    def hit(i):
+        # F.get is 0-based and NULL (not an ANSI error) out of bounds,
+        # so the short-document fallback start below is safely false
+        cond = F.get(F.col("_t"), i - 1) == terms[0]
+        for j in range(1, L):
+            cond = cond & (F.get(F.col("_t"), i - 1 + F.lit(j)) == terms[j])
+        return cond
+
+    starts = F.sequence(F.lit(1), F.greatest(F.size("_t") - (L - 1), F.lit(1)))
+    n = F.size(F.filter(starts, hit)).cast("long")
+    return (
+        base.select("id", n.alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+    )

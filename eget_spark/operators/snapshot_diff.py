@@ -54,3 +54,31 @@ def snapshot_diff(
 def diff_counts(diff: DataFrame) -> DataFrame:
     """(status, n) — the 4-row crawl-delta report."""
     return diff.groupBy("status").agg(F.count("*").cast("long").alias("n"))
+
+
+def retain_last_k(
+    snapshots: DataFrame,
+    k: int,
+    key_col: str = "url",
+    version_col: str = "fetch_time",
+) -> DataFrame:
+    """Snapshot retention: keep the newest ``k`` versions per URL — the
+    table-maintenance step every incremental crawl store runs (Iceberg's
+    expire_snapshots expressed over the row history).  Order is
+    (version desc, then any remaining columns are irrelevant): ties on
+    the version break by the row's md5 fingerprint of the version value
+    and key — deterministic under any partitioning.
+
+    Scale shape: ONE hash exchange on the URL key feeding a window
+    row_number (rank k is tiny, the sort is per-key); output adds
+    ``keep`` so callers can either filter or anti-join the expired set.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(version_col).desc(),
+        F.md5(F.concat_ws("|", F.col(key_col), F.col(version_col).cast("string"))),
+    )
+    return snapshots.withColumn(
+        "keep", (F.row_number().over(w) <= k).alias("keep")
+    )

@@ -756,6 +756,140 @@ def main() -> None:
     checks.append(("canonical: no Python", "EvalPython" not in p_canon))
     checks.append(("canonical: no cartesian", "CartesianProduct" not in p_canon))
 
+    # 37. PQ code assignment (q93): after training, the final assignment
+    # embeds all m codebooks as literals — a zero-shuffle, zero-Python
+    # projection over the persisted fixed-point frame
+    from eget_spark.operators.pq import pq_codes
+
+    emb_small = spark.createDataFrame(
+        [(i, [((i * 7 + j) % 13) / 12.0 for j in range(8)]) for i in range(10)],
+        "id long, vec array<float>",
+    )
+    p_pq = plan_of(pq_codes(emb_small, "id", "vec", m=2, k=2, n_iter=1))
+    out.append(
+        "## PQ code assignment (q93)\n\nThe trained codebooks ride as "
+        "literals; emitting all subspace codes plus distortion is one "
+        "codegen'd projection — no shuffle, no Python, no join.\n\n```\n"
+        + p_pq + "\n```\n"
+    )
+    checks.append(("pq assign: no exchange", "Exchange" not in p_pq))
+    checks.append(("pq assign: no Python", "EvalPython" not in p_pq))
+
+    # 38. phrase search (q94) / soft-404 (q95) / charset sniff (q96):
+    # all pure zero-shuffle projections fused with the scan
+    from eget_spark.functions.sniff import sniff_charset
+    from eget_spark.operators.search import phrase_counts
+    from eget_spark.operators.soft404 import soft404_flags
+
+    add(
+        "phrase search (q94): expression-tree positions, no index",
+        phrase_counts(docs, "doc_id", "text", "table part"),
+        {"Exchange": False, "EvalPython": False},
+        "The phrase rides inside the expression tree as a position-"
+        "sequence filter over the token array — no positional index, "
+        "no explode, no join.",
+    )
+    add(
+        "soft-404 flags (q95)",
+        soft404_flags(docs, "doc_id", "text"),
+        {"Exchange": False, "EvalPython": False},
+        "One regexp + one length compare per row, fused with the scan.",
+    )
+    add(
+        "charset sniff (q96)",
+        docs.select(sniff_charset(F.encode("text", "utf-8")).alias("c")),
+        {"Exchange": False, "EvalPython": False},
+        "BOM hex + three regexp_extracts over a 1 KiB prefix — column "
+        "algebra only.",
+    )
+
+    # 39. revalidation (q97): one equi-join on url, no cartesian
+    from eget_spark.operators.recrawl import revalidate
+
+    p_rv = plan_of(
+        revalidate(
+            docs.selectExpr(
+                "CAST(doc_id AS STRING) AS url", "'e' AS etag",
+                "doc_id AS last_modified",
+            ),
+            docs.selectExpr(
+                "CAST(doc_id AS STRING) AS url", "'e' AS etag",
+                "doc_id AS last_modified",
+            ),
+        )
+    )
+    checks.append(("revalidate: no cartesian", "CartesianProduct" not in p_rv))
+    checks.append(("revalidate: no Python", "EvalPython" not in p_rv))
+    out.append(
+        "## revalidation (q97)\n\nOne url equi-join + codegen CASE.\n\n"
+        "```\n" + p_rv + "\n```\n"
+    )
+
+    # 40. retention (q98): one hash exchange feeding the per-key window
+    from eget_spark.operators.snapshot_diff import retain_last_k
+
+    p_rt = (
+        retain_last_k(
+            docs.selectExpr("CAST(doc_id AS STRING) AS url", "doc_id AS fetch_time"),
+            2,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    checks.append(
+        (
+            "retention: one url exchange",
+            p_rt.count("Exchange hashpartitioning") == 1,
+        )
+    )
+    checks.append(("retention: no Python", "EvalPython" not in p_rt))
+
+    # 41. normalized dedup (q99): winner election is map-side combined
+    from eget_spark.functions.text import dedup_normalize
+
+    norm99 = docs.select(
+        "doc_id", F.md5(dedup_normalize(F.col("text"))).alias("k")
+    )
+    g99 = norm99.groupBy("k").agg(
+        F.min("doc_id").alias("canonical"), F.count("*").alias("n")
+    )
+    p_n99 = plan_of(norm99.join(g99, "k"))
+    checks.append(("normalized dedup: partial_min", "partial_min" in p_n99))
+    checks.append(("normalized dedup: no Python", "EvalPython" not in p_n99))
+
+    # 42. registrable domain (q100): regexp column algebra, no shuffle;
+    # adaptive delays (q101): one map-side-combined host aggregate
+    from eget_spark.functions.urls import registrable_domain
+    from eget_spark.operators.politeness import adaptive_delays
+
+    add(
+        "registrable domain (q100)",
+        docs.select(
+            registrable_domain(
+                F.concat(F.lit("www.ex"), (F.col("doc_id") % 9).cast("string"), F.lit(".co.uk"))
+            ).alias("rd")
+        ),
+        {"Exchange": False, "EvalPython": False},
+        "The PSL-lite table rides inside the expression tree as one "
+        "alternation regexp — no lookup join, no Python.",
+    )
+    p_ad = plan_of(
+        adaptive_delays(
+            docs.selectExpr(
+                "'h' || CAST(doc_id % 31 AS STRING) AS host",
+                "50 + doc_id % 200 AS latency_ms",
+            )
+        )
+    )
+    checks.append(("adaptive delays: map-side partial", "partial_" in p_ad))
+    checks.append(("adaptive delays: no Python", "EvalPython" not in p_ad))
+    out.append(
+        "## adaptive politeness delays (q101)\n\nOne map-side-combined "
+        "groupBy(host); output is host-cardinality, broadcastable into "
+        "the scheduler.\n\n```\n" + p_ad + "\n```\n"
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
