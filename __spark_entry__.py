@@ -4502,6 +4502,80 @@ FROM agg
 """
 
 
+def _q102_media(spark, n: int = 18):
+    """Shared fixture for q102: n REAL palette PNGs (functions/png.
+    encode_palette_png) — image g is 8*(1+g%2) x 8 at bit depth
+    {2,4,8}[g%3], palette entry p = ((p*37+5)%256, (p*53+11)%256,
+    (p*71+17)%256), index(y,x) = (y*(1+g%3) + x*(1+g%4) + g) % 4, so
+    DuckDB reproduces every RGB byte from the closed form.  One image
+    per depth also carries tRNS alpha (g%6==5: alpha p = 64*p) to pin
+    the RGBA path."""
+    import numpy as np
+
+    from eget_spark.functions.png import encode_palette_png
+
+    pal = np.array(
+        [[(p * 37 + 5) % 256, (p * 53 + 11) % 256, (p * 71 + 17) % 256]
+         for p in range(4)],
+        dtype=np.uint8,
+    )
+    rows = []
+    for g in range(n):
+        w, a, b = 8 * (1 + g % 2), 1 + g % 3, 1 + g % 4
+        idx = (
+            (np.arange(8)[:, None] * a + np.arange(w)[None, :] * b + g) % 4
+        ).astype(np.uint8)
+        depth = (2, 4, 8)[g % 3]
+        trns = bytes([(64 * p) % 256 for p in range(4)]) if g % 6 == 5 else None
+        rows.append(
+            (f"pal{g:03d}", bytearray(encode_palette_png(idx, pal, depth, trns)))
+        )
+    rows.append(("bad000", bytearray(b"not a png")))
+    return spark.createDataFrame(rows, "media_ref string, payload binary")
+
+
+def q102_palette_png_decode(spark, sf_dir):
+    """Palette/sub-byte PNG decode, REAL bytes end-to-end
+    (functions/png.py color type 3 + PLTE + tRNS at depths 2/4/8;
+    functions/media.image_pixel_stats): web images are overwhelmingly
+    palette PNGs, and the reference's PIL path reads them natively
+    (file_utils.py) — this closes that decode gap stdlib-only.  The
+    oracle recomputes width/height/channels and the full RGB(A) byte
+    sum from the palette closed form; any bit-unpack, PLTE-lookup, or
+    alpha-expansion error is a value mismatch."""
+    from eget_spark.functions.media import image_pixel_stats
+
+    return image_pixel_stats(_q102_media(spark))
+
+
+_Q102_SQL = r"""
+WITH imgs AS (
+  SELECT i, 8 * (1 + i % 2) AS w, 1 + i % 3 AS a, 1 + i % 4 AS b,
+         CASE WHEN i % 6 = 5 THEN 4 ELSE 3 END AS ch
+  FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 18))
+),
+pix AS (
+  SELECT imgs.i, w, ch,
+         ((y.q * a + x.q * b + imgs.i) % 4) AS p
+  FROM imgs
+  JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(0, 8)) y ON TRUE
+  JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(0, 16)) x ON x.q < w
+),
+sums AS (
+  SELECT i, w, ch,
+         sum((p * 37 + 5) % 256 + (p * 53 + 11) % 256 + (p * 71 + 17) % 256
+             + CASE WHEN ch = 4 THEN (64 * p) % 256 ELSE 0 END) AS pt
+  FROM pix GROUP BY i, w, ch
+)
+SELECT printf('pal%03d', i) AS media_ref,
+       CAST(w AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(pt AS BIGINT) AS pix_total
+FROM sums
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -4610,6 +4684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_normalized_dedup": q99_normalized_dedup,
         "q100_registrable_domain": q100_registrable_domain,
         "q101_adaptive_delays": q101_adaptive_delays,
+        "q102_palette_png_decode": q102_palette_png_decode,
     }
 
 
@@ -4716,4 +4791,5 @@ def oracle_sql() -> dict[str, str]:
         "q99_normalized_dedup": _q99_sql(),
         "q100_registrable_domain": _Q100_SQL,
         "q101_adaptive_delays": _Q101_SQL,
+        "q102_palette_png_decode": _Q102_SQL,
     }

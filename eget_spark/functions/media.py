@@ -307,3 +307,40 @@ def sample_frames(media: DataFrame, every: int = 10) -> DataFrame:
             "frame_ref"
         ),
     )
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Full-pixel decode stats per image: (media_ref, width, height,
+    channels, pix_total) with pix_total = int64 sum of every channel
+    byte — the cheap whole-image signal the dedup/quality tiers key on
+    (and the oracle surface for the palette/sub-byte decode paths).
+    One Arrow pass over (media_ref, payload), zero shuffle; undecodable
+    payloads dropped (quarantine by anti-join)."""
+    import numpy as np
+
+    from .png import decode_png
+
+    schema = (
+        "media_ref string, width int, height int, channels int, "
+        "pix_total long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    arr = decode_png(bytes(payload))
+                except Exception:
+                    continue
+                h, w = arr.shape[0], arr.shape[1]
+                ch = 1 if arr.ndim == 2 else arr.shape[2]
+                rows.append((ref, w, h, ch, int(arr.astype(np.int64).sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "width", "height", "channels", "pix_total"],
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(run, schema)

@@ -2,8 +2,11 @@
 
 PNG is zlib-compressed filtered scanlines in CRC'd chunks, so a real
 byte-level codec needs only ``zlib`` + ``struct`` + numpy: this module
-decodes 8-bit gray/RGB/RGBA (all five scanline filters) and encodes
-filter-0 PNGs, which upgrades the X19 image re-encode path
+decodes gray/RGB/RGBA at depth 8, palette (PLTE, color type 3) and
+grayscale at depths 1/2/4/8 with tRNS palette alpha (all five scanline
+filters — web icons/logos/screenshots are overwhelmingly palette PNGs),
+and encodes filter-0 truecolor + palette PNGs, which upgrades the X19
+image re-encode path
 (functions/media.py — reference file_utils.py:38-75) from PIL-gated to
 fully executable for PNG payloads.  JPEG encode/decode remains PIL-gated
 (no stdlib JPEG codec exists); nearest-neighbor stands in for LANCZOS
@@ -19,8 +22,8 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-# color type -> samples per pixel (8-bit depth only)
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> samples per pixel (3 = palette indices, 1 sample/pixel)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def is_png(data: bytes) -> bool:
@@ -48,36 +51,47 @@ def _chunks(data: bytes):
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, channels) uint8 array (channels omitted for
-    grayscale).  Supports bit depth 8, color types 0/2/4/6, no interlace."""
+    grayscale).  Supports color types 0/2/3/4/6 (palette via PLTE, with
+    tRNS palette alpha -> RGBA), bit depths 1/2/4/8 for gray and palette
+    and 8 for the multi-channel types, no interlace."""
     if not is_png(data):
         raise ValueError("not a PNG")
     width = height = None
-    channels = None
+    channels = depth = color = None
+    palette = trns = None
     idat = bytearray()
     for ctype, payload in _chunks(data):
         if ctype == b"IHDR":
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth}")
             if color not in _CHANNELS:
                 raise ValueError(f"unsupported color type {color}")
+            if depth != 8 and not (color in (0, 3) and depth in (1, 2, 4)):
+                raise ValueError(f"unsupported bit depth {depth}")
             if interlace:
                 raise ValueError("interlaced PNG unsupported")
             channels = _CHANNELS[color]
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(payload, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat += payload
     if width is None:
         raise ValueError("missing IHDR")
+    if color == 3 and palette is None:
+        raise ValueError("palette image missing PLTE")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    stride = (width * channels * depth + 7) // 8
     if len(raw) != height * (stride + 1):
         raise ValueError("bad scanline data length")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = arr[:, 0]
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
+    # filtering operates on BYTES regardless of depth; bpp rounds up to 1
+    # for sub-byte pixels (PNG spec 4.5.2)
+    bpp = max(1, channels * depth // 8)
     for y in range(height):
         line = arr[y, 1:].astype(np.int32)
         f = int(filters[y])
@@ -106,9 +120,32 @@ def decode_png(data: bytes) -> np.ndarray:
                 else:
                     raise ValueError(f"bad filter {f}")
         out[y] = cur.astype(np.uint8)
+    if depth < 8:
+        # MSB-first sub-byte samples (gray levels or palette indices);
+        # trailing pad bits of each scanline are discarded
+        bits = np.unpackbits(out, axis=1)[:, : width * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        samples = (
+            bits.reshape(height, width, depth).astype(np.uint8) * weights
+        ).sum(axis=2).astype(np.uint8)
+    else:
+        samples = out
+    if color == 3:
+        idx = samples.reshape(height, width)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        rgb = palette[idx]
+        if trns is not None:
+            alpha = np.full(len(palette), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if color == 0 and depth < 8:
+        # scale to full 8-bit range: 255/(2^d-1) is integral for d=1,2,4
+        return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if channels == 1:
-        return out.reshape(height, width)
-    return out.reshape(height, width, channels)
+        return samples.reshape(height, width)
+    return samples.reshape(height, width, channels)
 
 
 def _chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -143,3 +180,42 @@ def resize_nearest(arr: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
     ys = np.minimum((np.arange(new_h) * h / new_h).astype(np.int64), h - 1)
     xs = np.minimum((np.arange(new_w) * w / new_w).astype(np.int64), w - 1)
     return arr[ys][:, xs]
+
+
+def encode_palette_png(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    depth: int = 8,
+    trns: bytes | None = None,
+    compress_level: int = 6,
+) -> bytes:
+    """(h, w) palette-index array + (n, 3) palette -> color-type-3 PNG at
+    bit depth 1/2/4/8 (MSB-first packing, filter-0 scanlines, optional
+    tRNS palette alpha).  The encoder half of the palette support —
+    mainly for tests/fixtures; production re-encode stays truecolor."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette depth must be 1/2/4/8")
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("indices must be (h, w)")
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+        raise ValueError("palette must be (n<=256, 3)")
+    if int(idx.max(initial=0)) >= (1 << depth) or int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("index exceeds depth or palette size")
+    h, w = idx.shape
+    if depth == 8:
+        rows = [idx[y].tobytes() for y in range(h)]
+    else:
+        rows = []
+        for y in range(h):
+            bits = (
+                (idx[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).astype(np.uint8).reshape(-1)
+            rows.append(np.packbits(bits).tobytes())
+    raw = b"".join(b"\x00" + r for r in rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    out = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", zlib.compress(raw, compress_level)) + _chunk(b"IEND", b"")
