@@ -4576,6 +4576,93 @@ FROM sums
 """
 
 
+def q103_asof_robots(spark, sf_dir):
+    """AS-OF join (operators/asof.py — kdb aj / merge_asof semantics,
+    union-window form): every fetch event gets the robots-policy version
+    in force at its fetch time (largest valid_from <= fetch_time per
+    host; fetches before the first version get NULL).  ONE shuffle — no
+    range cross join, no per-key Python.  Fixture: 12 hosts x 3 policy
+    versions at valid_from {50,300,550}, fetch times (doc_id*7)%1000,
+    so the governing version is closed-form for the oracle."""
+    from eget_spark.operators.asof import asof_join
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 12).cast("string"))
+    fetches = docs.select(
+        host.alias("host"),
+        d.alias("event_id"),
+        ((d * 7) % 1000).alias("fetch_time"),
+    )
+    versions = docs.where(d < 36).select(
+        host.alias("host"),
+        (F.floor(d / 12).cast("long") * 250 + 50).alias("valid_from"),
+        F.concat(F.lit("p"), d.cast("string")).alias("policy"),
+    )
+    return asof_join(
+        fetches, versions, "host", "fetch_time", "valid_from", ["policy"]
+    )
+
+
+_Q103_SQL = r"""
+SELECT 'h' || CAST(doc_id % 12 AS VARCHAR) AS host,
+       doc_id AS event_id,
+       (doc_id * 7) % 1000 AS fetch_time,
+       CASE WHEN (doc_id * 7) % 1000 < 50 THEN NULL
+            ELSE 'p' || CAST((doc_id % 12)
+                 + 12 * least(((doc_id * 7) % 1000 - 50) // 250, 2) AS VARCHAR)
+       END AS policy
+FROM documents
+"""
+
+
+def q104_range_lookup(spark, sf_dir):
+    """Range join (operators/rangejoin.py — interval bucketing, the
+    public range-join bin optimization): IP-block-style lookup of each
+    event's containing interval via bucket-EQUI-join + exact containment
+    filter, never an inequality cross join.  Overlapping intervals
+    resolve to the narrowest (pinned (width, lo, md5) winner); uncovered
+    points keep NULL.  Fixture: 40 arithmetic blocks of width 10-30 over
+    [0,1000), points (doc_id*13)%1000, bucket width 50."""
+    from eget_spark.operators.rangejoin import range_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    points = docs.select(d.alias("event_id"), ((d * 13) % 1000).alias("addr"))
+    blocks = docs.where(d < 40).select(
+        (d * 25).alias("lo"),
+        (d * 25 + 10 + (d % 3) * 10).alias("hi"),
+        F.concat(F.lit("blk"), d.cast("string")).alias("block"),
+    )
+    return range_lookup(
+        points, blocks, "event_id", "addr", "lo", "hi", ["block"],
+        bucket_width=50,
+    )
+
+
+_Q104_SQL = r"""
+WITH pts AS (
+  SELECT doc_id AS event_id, (doc_id * 13) % 1000 AS addr FROM documents
+),
+rng AS (
+  SELECT doc_id * 25 AS lo, doc_id * 25 + 10 + (doc_id % 3) * 10 AS hi,
+         'blk' || CAST(doc_id AS VARCHAR) AS block
+  FROM documents WHERE doc_id < 40
+),
+j AS (
+  SELECT event_id, block,
+         row_number() OVER (
+           PARTITION BY event_id
+           ORDER BY hi - lo, lo, md5(block)
+         ) AS rn
+  FROM pts JOIN rng ON addr >= lo AND addr < hi
+)
+SELECT p.event_id, p.addr, w.block
+FROM pts p LEFT JOIN (SELECT event_id, block FROM j WHERE rn = 1) w
+  USING (event_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -4685,6 +4772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_registrable_domain": q100_registrable_domain,
         "q101_adaptive_delays": q101_adaptive_delays,
         "q102_palette_png_decode": q102_palette_png_decode,
+        "q103_asof_robots": q103_asof_robots,
+        "q104_range_lookup": q104_range_lookup,
     }
 
 
@@ -4792,4 +4881,6 @@ def oracle_sql() -> dict[str, str]:
         "q100_registrable_domain": _Q100_SQL,
         "q101_adaptive_delays": _Q101_SQL,
         "q102_palette_png_decode": _Q102_SQL,
+        "q103_asof_robots": _Q103_SQL,
+        "q104_range_lookup": _Q104_SQL,
     }

@@ -1,0 +1,64 @@
+"""AS-OF join (operators/asof.py)."""
+
+from eget_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("h1", 1, 5), ("h1", 2, 100), ("h1", 3, 250), ("h2", 4, 10)],
+        "host string, event_id long, t long",
+    )
+    right = spark.createDataFrame(
+        [("h1", 10, "a"), ("h1", 250, "b"), ("h3", 0, "z")],
+        "host string, vt long, policy string",
+    )
+    return left, right
+
+
+def test_backward_match_and_null_before_first(spark):
+    left, right = _frames(spark)
+    out = {r["event_id"]: r["policy"] for r in asof_join(
+        left, right, "host", "t", "vt", ["policy"]).collect()}
+    # t=5 precedes the first h1 version (vt=10) -> NULL
+    # t=100 -> version a (vt=10); t=250 -> version b takes effect AT 250
+    # h2 has no versions at all -> NULL
+    assert out == {1: None, 2: "a", 3: "b", 4: None}
+
+
+def test_left_columns_preserved_and_counts(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "host", "t", "vt", ["policy"])
+    assert out.count() == 4
+    assert set(out.columns) == {"host", "event_id", "t", "policy"}
+
+
+def test_duplicate_right_timestamps_deterministic(spark):
+    left = spark.createDataFrame([("h", 1, 50)], "host string, id long, t long")
+    right = spark.createDataFrame(
+        [("h", 50, "x"), ("h", 50, "y")], "host string, vt long, policy string"
+    )
+    a = asof_join(left, right, "host", "t", "vt", ["policy"]).collect()[0]["policy"]
+    b = asof_join(
+        left.repartition(4), right.repartition(3), "host", "t", "vt", ["policy"]
+    ).collect()[0]["policy"]
+    assert a == b  # md5 tie-break pins which duplicate wins
+    assert a in ("x", "y")
+
+
+def test_python_oracle_random_shape(spark):
+    import hashlib
+
+    lrows = [(f"k{i % 5}", i, (i * 17) % 97) for i in range(60)]
+    rrows = [(f"k{i % 5}", (i * 13) % 90, f"v{i}") for i in range(25)]
+    left = spark.createDataFrame(lrows, "k string, id long, t long")
+    right = spark.createDataFrame(rrows, "k string, vt long, v string")
+    out = {r["id"]: r["v"] for r in asof_join(
+        left, right, "k", "t", "vt", ["v"]).collect()}
+
+    def tie(v):
+        return hashlib.md5(v.encode()).hexdigest()
+
+    for k, i, t in lrows:
+        cands = [(vt, tie(v), v) for (kk, vt, v) in rrows if kk == k and vt <= t]
+        expect = max(cands)[2] if cands else None
+        assert out[i] == expect, (k, i, t)

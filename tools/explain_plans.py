@@ -890,6 +890,65 @@ def main() -> None:
         "the scheduler.\n\n```\n" + p_ad + "\n```\n"
     )
 
+    # 43. as-of join (q103): union-window form — exactly ONE exchange on
+    # the key, never a range cross join or per-key Python
+    from eget_spark.operators.asof import asof_join
+
+    left43 = docs.selectExpr(
+        "'h' || CAST(doc_id % 7 AS STRING) AS host",
+        "doc_id AS event_id", "doc_id * 3 AS fetch_time",
+    )
+    right43 = docs.where("doc_id < 21").selectExpr(
+        "'h' || CAST(doc_id % 7 AS STRING) AS host",
+        "doc_id AS valid_from", "'p' || CAST(doc_id AS STRING) AS policy",
+    )
+    p_asof = (
+        asof_join(left43, right43, "host", "fetch_time", "valid_from", ["policy"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    out.append(
+        "## as-of join (q103)\n\nUnion-window form: both sides union "
+        "into one frame, ONE hash exchange on the key, one per-key sort, "
+        "a running last(ignoreNulls) fills versions forward.  No range "
+        "cross join, no per-key Python.\n\n```\n" + p_asof + "\n```\n"
+    )
+    checks.append(
+        ("asof: one key exchange", p_asof.count("Exchange hashpartitioning") == 1)
+    )
+    checks.append(("asof: no nested-loop join", "NestedLoop" not in p_asof))
+    checks.append(("asof: no Python", "EvalPython" not in p_asof))
+
+    # 44. range join (q104): interval bucketing makes it an EQUI join —
+    # the inequality stays as a post-join filter, never a join strategy
+    from eget_spark.operators.rangejoin import range_lookup
+
+    pts44 = docs.selectExpr("doc_id AS id", "(doc_id * 13) % 997 AS p")
+    rng44 = docs.where("doc_id < 30").selectExpr(
+        "doc_id * 30 AS lo", "doc_id * 30 + 20 AS hi",
+        "'b' || CAST(doc_id AS STRING) AS tag",
+    )
+    p_rj = plan_of(
+        range_lookup(pts44, rng44, "id", "p", "lo", "hi", ["tag"], bucket_width=32)
+    )
+    out.append(
+        "## range join (q104)\n\nIntervals explode to overlapped "
+        "buckets; candidates come from the bucket EQUI join; exact "
+        "containment is a filter.  No inequality join strategy "
+        "anywhere.\n\n```\n" + p_rj + "\n```\n"
+    )
+    checks.append(("range join: no nested-loop join", "NestedLoop" not in p_rj))
+    checks.append(("range join: no cartesian", "CartesianProduct" not in p_rj))
+    checks.append(
+        (
+            "range join: bucket equi join present",
+            ("SortMergeJoin" in p_rj) or ("ShuffledHashJoin" in p_rj)
+            or ("BroadcastHashJoin" in p_rj),
+        )
+    )
+    checks.append(("range join: no Python", "EvalPython" not in p_rj))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
