@@ -4663,6 +4663,141 @@ FROM pts p LEFT JOIN (SELECT event_id, block FROM j WHERE rn = 1) w
 """
 
 
+def q105_rollup_merge(spark, sf_dir):
+    """Time-bucketed rollup with mergeable partials (operators/rollup.py
+    — the TimescaleDB continuous-aggregate / Druid rollup pattern): the
+    events table splits into prior/delta halves, each rolls up to hourly
+    (bucket, event_type) partials in 1e-6 fixed point, and merge_rollups
+    folds them — the oracle computes the BATCH rollup directly, so the
+    gate checks the merge identity rollup(prior)+rollup(delta) ==
+    rollup(all) exactly.  Each rollup is one map-side-combined
+    groupBy."""
+    from eget_spark.operators.rollup import merge_rollups, rollup_events
+
+    ev = _t(spark, sf_dir, "events")
+    prior = ev.where(F.col("event_id") % 2 == 0)
+    delta = ev.where(F.col("event_id") % 2 == 1)
+    return merge_rollups(
+        rollup_events(prior, "event_type", "ts", "value"),
+        rollup_events(delta, "event_type", "ts", "value"),
+    )
+
+
+_Q105_SQL = r"""
+WITH e AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         event_type AS key,
+         CAST(floor(CAST(value AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+  FROM events
+)
+SELECT bucket_us, key, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS BIGINT) AS sum_value_fp,
+       min(v) AS min_value_fp, max(v) AS max_value_fp
+FROM e GROUP BY 1, 2
+"""
+
+
+_Q106_MEMBERS_SQL = r"""
+  SELECT 'A' AS s, 'u' || CAST(doc_id % 300 AS VARCHAR) AS v
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'B', 'u' || CAST(doc_id % 300 + 150 AS VARCHAR)
+  FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def _q106_members(spark, sf_dir):
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(d % 2 == 0).select(
+        F.lit("A").alias("s"),
+        F.concat(F.lit("u"), (d % 300).cast("string")).alias("v"),
+    )
+    b = docs.where(d % 3 == 0).select(
+        F.lit("B").alias("s"),
+        F.concat(F.lit("u"), (d % 300 + 150).cast("string")).alias("v"),
+    )
+    return a.unionByName(b)
+
+
+def q106_kmv_estimate(spark, sf_dir):
+    """KMV distinct sketch (operators/kmv.py — Bar-Yossef et al. 2002 /
+    Beyer et al. 2007 (k-1)/theta estimator) over two synthetic URL
+    sets: k=32 smallest md5-60bit hashes per set, estimate exact-below-k
+    else (k-1)/theta.  The md5 hash is identical cross-engine, so the
+    oracle reproduces the sketch AND the estimate bit-for-bit — unlike
+    HLL (q77) this sketch supports set ops (q107)."""
+    from eget_spark.operators.kmv import kmv_estimate, kmv_sketches
+
+    sk = kmv_sketches(_q106_members(spark, sf_dir), "s", "v", k=32)
+    return kmv_estimate(sk, k=32)
+
+
+_Q106_SQL = rf"""
+WITH m AS ({_Q106_MEMBERS_SQL}),
+h AS (SELECT DISTINCT s, CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+      FROM m),
+sk AS (
+  SELECT s, h FROM (
+    SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM h
+  ) WHERE rn <= 32
+)
+SELECT s AS "set", CAST(count(*) AS BIGINT) AS n_sketch,
+       round(CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+                  ELSE CAST(31 AS DOUBLE)
+                       / (max(h) / CAST(1152921504606846976 AS DOUBLE)) END,
+             6) AS est_distinct
+FROM sk GROUP BY s
+"""
+
+
+def q107_kmv_setops(spark, sf_dir):
+    """KMV set operations (operators/kmv.py): union/Jaccard/intersection
+    estimates computed purely from the two k=32 sketches (never the raw
+    sets) — union sketch = k smallest of the merged pool, jaccard =
+    fraction of it present in both sketches, intersection = jaccard x
+    union estimate.  The dedup-planning question HLL registers cannot
+    answer."""
+    from eget_spark.operators.kmv import kmv_set_ops, kmv_sketches
+
+    sk = kmv_sketches(_q106_members(spark, sf_dir), "s", "v", k=32)
+    return kmv_set_ops(sk, "A", "B", k=32)
+
+
+_Q107_SQL = rf"""
+WITH m AS ({_Q106_MEMBERS_SQL}),
+h AS (SELECT DISTINCT s, CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+      FROM m),
+sk AS (
+  SELECT s, h FROM (
+    SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM h
+  ) WHERE rn <= 32
+),
+a AS (SELECT h FROM sk WHERE s = 'A'),
+b AS (SELECT h FROM sk WHERE s = 'B'),
+pool AS (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)),
+ksk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                       FROM pool) WHERE rn <= 32),
+bo AS (SELECT a.h FROM a JOIN b ON a.h = b.h),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_sketch,
+         round(CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+                    ELSE CAST(31 AS DOUBLE)
+                         / (max(k.h) / CAST(1152921504606846976 AS DOUBLE)) END,
+               6) AS est_union,
+         CAST(sum(CASE WHEN bo.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS matches
+  FROM ksk k LEFT JOIN bo ON k.h = bo.h
+)
+SELECT n_union_sketch, est_union, matches,
+       round(matches / CAST(n_union_sketch AS DOUBLE), 6) AS jaccard,
+       round(round(matches / CAST(n_union_sketch AS DOUBLE), 6) * est_union,
+             6) AS est_intersection
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -4774,6 +4909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_palette_png_decode": q102_palette_png_decode,
         "q103_asof_robots": q103_asof_robots,
         "q104_range_lookup": q104_range_lookup,
+        "q105_rollup_merge": q105_rollup_merge,
+        "q106_kmv_estimate": q106_kmv_estimate,
+        "q107_kmv_setops": q107_kmv_setops,
     }
 
 
@@ -4883,4 +5021,7 @@ def oracle_sql() -> dict[str, str]:
         "q102_palette_png_decode": _Q102_SQL,
         "q103_asof_robots": _Q103_SQL,
         "q104_range_lookup": _Q104_SQL,
+        "q105_rollup_merge": _Q105_SQL,
+        "q106_kmv_estimate": _Q106_SQL,
+        "q107_kmv_setops": _Q107_SQL,
     }

@@ -949,6 +949,40 @@ def main() -> None:
     )
     checks.append(("range join: no Python", "EvalPython" not in p_rj))
 
+    # 45. rollup merge (q105): both the partial rollups and the merge
+    # are map-side-combined hash aggregates
+    from eget_spark.operators.rollup import merge_rollups, rollup_events
+
+    ev45 = docs.selectExpr(
+        "doc_id AS event_id",
+        "CAST(TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id) AS TIMESTAMP_NTZ) AS ts",
+        "'k' || CAST(doc_id % 3 AS STRING) AS key",
+        "CAST(doc_id % 7 AS DOUBLE) AS value",
+    )
+    p_ru = plan_of(
+        merge_rollups(
+            rollup_events(ev45.where("event_id % 2 = 0"), "key", "ts", "value"),
+            rollup_events(ev45.where("event_id % 2 = 1"), "key", "ts", "value"),
+        )
+    )
+    checks.append(("rollup: map-side partials", "partial_sum" in p_ru))
+    checks.append(("rollup: no Python", "EvalPython" not in p_ru))
+
+    # 46. KMV set ops (q107): estimates join SKETCHES (k rows), never raw
+    # sets — no cartesian, no Python
+    from eget_spark.operators.kmv import kmv_set_ops, kmv_sketches
+
+    sk46 = kmv_sketches(
+        docs.selectExpr(
+            "CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'B' END AS s",
+            "'u' || CAST(doc_id % 97 AS STRING) AS v",
+        ),
+        "s", "v", k=16,
+    )
+    p_kmv = plan_of(kmv_set_ops(sk46, "A", "B", k=16))
+    checks.append(("kmv: no cartesian", "CartesianProduct" not in p_kmv))
+    checks.append(("kmv: no Python", "EvalPython" not in p_kmv))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
