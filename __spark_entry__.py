@@ -4798,6 +4798,35 @@ FROM agg
 """
 
 
+def q108_exact_quantiles(spark, sf_dir):
+    """Exact per-source length quantiles (operators/quantiles.py):
+    p50/p90/p99 of n_chars per document source by pinned integer rank
+    arithmetic — q_p = value at 1-based rank ceil(p*n) in (n_chars,
+    doc_id) order, never an interpolation, so both engines return an
+    actual data value.  ONE hash exchange: rank window and per-key
+    aggregate share the partitioning."""
+    from eget_spark.operators.quantiles import exact_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_quantiles(docs, "source", "n_chars", "doc_id")
+
+
+_Q108_SQL = r"""
+WITH ranked AS (
+  SELECT source AS key, n_chars AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT key, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = (n * 1 + 1) // 2 THEN v END) AS q_1_2,
+       max(CASE WHEN rn = (n * 9 + 9) // 10 THEN v END) AS q_9_10,
+       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS q_99_100
+FROM ranked GROUP BY key
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -4912,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_rollup_merge": q105_rollup_merge,
         "q106_kmv_estimate": q106_kmv_estimate,
         "q107_kmv_setops": q107_kmv_setops,
+        "q108_exact_quantiles": q108_exact_quantiles,
     }
 
 
@@ -5024,4 +5054,5 @@ def oracle_sql() -> dict[str, str]:
         "q105_rollup_merge": _Q105_SQL,
         "q106_kmv_estimate": _Q106_SQL,
         "q107_kmv_setops": _Q107_SQL,
+        "q108_exact_quantiles": _Q108_SQL,
     }

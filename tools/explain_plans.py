@@ -983,6 +983,24 @@ def main() -> None:
     checks.append(("kmv: no cartesian", "CartesianProduct" not in p_kmv))
     checks.append(("kmv: no Python", "EvalPython" not in p_kmv))
 
+    # 47. exact quantiles (q108): rank window and per-key aggregate share
+    # ONE hash exchange on the key
+    from eget_spark.operators.quantiles import exact_quantiles
+
+    p_qq = (
+        exact_quantiles(docs, "source", "n_chars", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    checks.append(
+        (
+            "quantiles: one key exchange",
+            p_qq.count("Exchange hashpartitioning") == 1,
+        )
+    )
+    checks.append(("quantiles: no Python", "EvalPython" not in p_qq))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
