@@ -4827,6 +4827,61 @@ FROM ranked GROUP BY key
 """
 
 
+def q109_path_rollup(spark, sf_dir):
+    """URL path-prefix rollup (operators/pathrollup.py): every URL
+    counts toward each of its directory prefixes (depth <= 3) — the
+    site-structure analytics behind trap clustering and section-size
+    dashboards.  Prefixes generate inside the row (one transform), then
+    one explode + map-side-combined groupBy; output cardinality is
+    directories, not URLs.  Fixture: 3-level arithmetic paths plus
+    root-only URLs for the '/' bucket; the oracle rebuilds the prefix
+    multiset arithmetically, independent of Spark's string parsing."""
+    from eget_spark.operators.pathrollup import path_prefix_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.when(
+        d % 11 == 0,
+        F.concat(F.lit("https://h"), (d % 8).cast("string"),
+                 F.lit(".example.org")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://h"), (d % 8).cast("string"),
+            F.lit(".example.org/a"), (d % 3).cast("string"),
+            F.lit("/b"), (d % 5).cast("string"),
+            F.lit("/p"), d.cast("string"),
+        )
+    )
+    return path_prefix_counts(docs.select(url.alias("url")))
+
+
+_Q109_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS d,
+         'h' || CAST(doc_id % 8 AS VARCHAR) || '.example.org' AS host
+  FROM documents
+),
+pref AS (
+  SELECT host, '/' AS prefix FROM base WHERE d % 11 = 0
+  UNION ALL
+  SELECT host, '/a' || CAST(d % 3 AS VARCHAR) FROM base WHERE d % 11 <> 0
+  UNION ALL
+  SELECT host, '/a' || CAST(d % 3 AS VARCHAR) || '/b' || CAST(d % 5 AS VARCHAR)
+  FROM base WHERE d % 11 <> 0
+  UNION ALL
+  SELECT host, '/a' || CAST(d % 3 AS VARCHAR) || '/b' || CAST(d % 5 AS VARCHAR)
+               || '/p' || CAST(d AS VARCHAR)
+  FROM base WHERE d % 11 <> 0
+)
+SELECT host, prefix,
+       CAST(CASE WHEN prefix = '/' THEN 0
+                 ELSE len(string_split(prefix, '/')) - 1 END AS INTEGER)
+         AS depth,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM pref GROUP BY host, prefix
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -4942,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_kmv_estimate": q106_kmv_estimate,
         "q107_kmv_setops": q107_kmv_setops,
         "q108_exact_quantiles": q108_exact_quantiles,
+        "q109_path_rollup": q109_path_rollup,
     }
 
 
@@ -5055,4 +5111,5 @@ def oracle_sql() -> dict[str, str]:
         "q106_kmv_estimate": _Q106_SQL,
         "q107_kmv_setops": _Q107_SQL,
         "q108_exact_quantiles": _Q108_SQL,
+        "q109_path_rollup": _Q109_SQL,
     }

@@ -1001,6 +1001,23 @@ def main() -> None:
     )
     checks.append(("quantiles: no Python", "EvalPython" not in p_qq))
 
+    # 48. path rollup (q109): in-row prefix generation, one explode +
+    # map-side-combined aggregate, no Python, no joins
+    from eget_spark.operators.pathrollup import path_prefix_counts
+
+    p_pr = plan_of(
+        path_prefix_counts(
+            docs.selectExpr(
+                "'https://h' || CAST(doc_id % 5 AS STRING) || '.org/a' "
+                "|| CAST(doc_id % 3 AS STRING) || '/p' "
+                "|| CAST(doc_id AS STRING) AS url"
+            )
+        )
+    )
+    checks.append(("path rollup: map-side partial", "partial_count" in p_pr))
+    checks.append(("path rollup: no Python", "EvalPython" not in p_pr))
+    checks.append(("path rollup: no join", "Join" not in p_pr))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
