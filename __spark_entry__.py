@@ -4882,6 +4882,46 @@ FROM pref GROUP BY host, prefix
 """
 
 
+def q110_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join (operators/rangejoin.
+    interval_overlap_join): crawl-window collision pairs via the same
+    bucket equi-join as q104 PLUS the claim-bucket dedup trick — a pair
+    overlapping across k buckets emits only from the bucket containing
+    max(lo_l, lo_r), so pair dedup is a filter, not a distinct shuffle.
+    Fixture: 60 x 50 arithmetic windows; the oracle does the quadratic
+    inequality join (fine at oracle scale) and must agree pair-for-pair
+    with overlap = min(hi) - max(lo)."""
+    from eget_spark.operators.rangejoin import interval_overlap_join
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    left = docs.where(d < 60).select(
+        d.alias("crawl_a"), (d * 16).alias("lo"), (d * 16 + 24).alias("hi")
+    )
+    right = docs.where(d < 50).select(
+        d.alias("crawl_b"), (d * 20 + 8).alias("lo"),
+        (d * 20 + 40).alias("hi"),
+    )
+    return interval_overlap_join(
+        left, right, "crawl_a", "crawl_b", bucket_width=32
+    )
+
+
+_Q110_SQL = r"""
+WITH l AS (
+  SELECT doc_id AS crawl_a, doc_id * 16 AS lo, doc_id * 16 + 24 AS hi
+  FROM documents WHERE doc_id < 60
+),
+r AS (
+  SELECT doc_id AS crawl_b, doc_id * 20 + 8 AS lo, doc_id * 20 + 40 AS hi
+  FROM documents WHERE doc_id < 50
+)
+SELECT l.crawl_a, r.crawl_b,
+       least(l.hi, r.hi) - greatest(l.lo, r.lo) AS overlap
+FROM l JOIN r ON l.lo < r.hi AND r.lo < l.hi
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -4998,6 +5038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_kmv_setops": q107_kmv_setops,
         "q108_exact_quantiles": q108_exact_quantiles,
         "q109_path_rollup": q109_path_rollup,
+        "q110_interval_overlap": q110_interval_overlap,
     }
 
 
@@ -5112,4 +5153,5 @@ def oracle_sql() -> dict[str, str]:
         "q107_kmv_setops": _Q107_SQL,
         "q108_exact_quantiles": _Q108_SQL,
         "q109_path_rollup": _Q109_SQL,
+        "q110_interval_overlap": _Q110_SQL,
     }

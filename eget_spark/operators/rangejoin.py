@@ -89,3 +89,65 @@ def range_lookup(
             *[F.col(c) for c in value_cols],
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Interval x interval overlap pairs — (left_id, right_id,
+    overlap) for every pair of half-open intervals that intersect
+    (session collision, crawl-window conflict, maintenance overlap).
+
+    Same bucketing as :func:`range_lookup`, plus the CLAIM-BUCKET trick
+    to avoid a pair-set distinct: a pair overlapping across k buckets is
+    emitted ONLY from the bucket containing ``max(l_lo, r_lo)`` (the
+    first bucket where both are live) — candidate dedup costs a filter,
+    not a shuffle.  ``overlap = min(hi) - max(lo)`` in the interval
+    unit.  Scale: one bucket equi join; explosion factor = interval
+    width / bucket_width per side.
+    """
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    bw = F.lit(int(bucket_width))
+
+    def explode_side(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(idc).alias(f"{tag}_id"),
+                F.col(lo_col).alias(f"{tag}_lo"),
+                F.col(hi_col).alias(f"{tag}_hi"),
+            )
+            .where(F.col(f"{tag}_hi") > F.col(f"{tag}_lo"))
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(f"{tag}_lo") / bw).cast("long"),
+                        F.floor((F.col(f"{tag}_hi") - 1) / bw).cast("long"),
+                    )
+                ).alias("_b"),
+            )
+        )
+
+    l = explode_side(left, left_id, "l")
+    r = explode_side(right, right_id, "r")
+    start = F.greatest(F.col("l_lo"), F.col("r_lo"))
+    return (
+        l.join(r, "_b")
+        .where(
+            (F.col("l_lo") < F.col("r_hi"))
+            & (F.col("r_lo") < F.col("l_hi"))
+            & (F.col("_b") == F.floor(start / bw).cast("long"))
+        )
+        .select(
+            F.col("l_id").alias(left_id),
+            F.col("r_id").alias(right_id),
+            (F.least(F.col("l_hi"), F.col("r_hi")) - start).alias("overlap"),
+        )
+    )

@@ -61,3 +61,46 @@ def test_empty_and_degenerate_ranges(spark):
     assert out[0]["tag"] is None
     with pytest.raises(ValueError):
         range_lookup(pts, rng, "id", "p", "lo", "hi", ["tag"], bucket_width=0)
+
+
+def test_overlap_join_basic(spark):
+    from eget_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 200, 300)], "lid long, lo long, hi long")
+    right = spark.createDataFrame(
+        [(10, 50, 150), (11, 90, 210), (12, 400, 500)],
+        "rid long, lo long, hi long")
+    out = {(r["lid"], r["rid"]): r["overlap"] for r in interval_overlap_join(
+        left, right, "lid", "rid", bucket_width=32).collect()}
+    # (1,10): [50,100) -> 50; (1,11): [90,100) -> 10; (2,11): [200,210) -> 10
+    assert out == {(1, 10): 50, (1, 11): 10, (2, 11): 10}
+
+
+def test_overlap_join_no_duplicate_pairs_across_buckets(spark):
+    from eget_spark.operators.rangejoin import interval_overlap_join
+
+    # both intervals span many buckets at width 8 -> claim-bucket trick
+    # must emit the pair exactly once
+    left = spark.createDataFrame([(1, 0, 100)], "lid long, lo long, hi long")
+    right = spark.createDataFrame([(2, 10, 90)], "rid long, lo long, hi long")
+    out = interval_overlap_join(left, right, "lid", "rid", bucket_width=8)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["overlap"] == 80
+
+
+def test_overlap_join_python_oracle(spark):
+    from eget_spark.operators.rangejoin import interval_overlap_join
+
+    lrows = [(i, (i * 23) % 180, (i * 23) % 180 + 5 + i % 30) for i in range(40)]
+    rrows = [(j, (j * 31) % 170, (j * 31) % 170 + 8 + j % 20) for j in range(30)]
+    left = spark.createDataFrame(lrows, "lid long, lo long, hi long")
+    right = spark.createDataFrame(rrows, "rid long, lo long, hi long")
+    out = {(r["lid"], r["rid"]): r["overlap"] for r in interval_overlap_join(
+        left, right, "lid", "rid", bucket_width=16).collect()}
+    expect = {}
+    for li, llo, lhi in lrows:
+        for rj, rlo, rhi in rrows:
+            if llo < rhi and rlo < lhi:
+                expect[(li, rj)] = min(lhi, rhi) - max(llo, rlo)
+    assert out == expect
