@@ -1018,6 +1018,21 @@ def main() -> None:
     checks.append(("path rollup: no Python", "EvalPython" not in p_pr))
     checks.append(("path rollup: no join", "Join" not in p_pr))
 
+    # 49. interval overlap join (q110): bucket equi join, claim-bucket
+    # dedup keeps the plan distinct-free
+    from eget_spark.operators.rangejoin import interval_overlap_join
+
+    p_ov = plan_of(
+        interval_overlap_join(
+            docs.selectExpr("doc_id AS a", "doc_id * 16 AS lo", "doc_id * 16 + 24 AS hi"),
+            docs.selectExpr("doc_id AS b", "doc_id * 20 AS lo", "doc_id * 20 + 40 AS hi"),
+            "a", "b", bucket_width=32,
+        )
+    )
+    checks.append(("overlap join: no nested-loop", "NestedLoop" not in p_ov))
+    checks.append(("overlap join: no distinct/dedup agg", "Distinct" not in p_ov))
+    checks.append(("overlap join: no Python", "EvalPython" not in p_ov))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
