@@ -4922,6 +4922,69 @@ FROM l JOIN r ON l.lo < r.hi AND r.lo < l.hi
 """
 
 
+def q111_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage / OOV rate (functions/text.oov_stats): each
+    doc's share of token occurrences outside the corpus' own top-100
+    df-ranked vocabulary (ties token-asc, pinned).  Vocabulary is one
+    explode-distinct + df count + top-k; scoring embeds the vocab as an
+    isin literal — zero-join, zero-shuffle, the BM25/PQ literal-
+    small-side discipline."""
+    from eget_spark.functions.text import oov_stats
+
+    return oov_stats(_t(spark, sf_dir, "documents"), "doc_id", "text", 100)
+
+
+_Q111_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+df_ AS (
+  SELECT t, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY t
+),
+vocab AS (SELECT t FROM df_ ORDER BY dfreq DESC, t LIMIT 100),
+per AS (
+  SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 1 ELSE 0 END) AS inv
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN coalesce(p.n, 0) = 0 THEN 0.0
+            ELSE round(1.0 - p.inv / CAST(p.n AS DOUBLE), 6) END AS oov_ratio
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def q112_lang_confusion(spark, sf_dir):
+    """Lang-ID confusion matrix (functions/text.lang_id_df vs the
+    corpus' planted ``lang`` labels): (true lang, predicted lang,
+    n_docs) — the eval-loop query a curation pipeline runs after any
+    lang-ID change.  One join on doc_id + one map-side-combined
+    groupBy."""
+    from eget_spark.functions.text import lang_id_df
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id_df(docs, "doc_id", "text")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _q112_sql() -> str:
+    return (
+        "SELECT d.lang AS true_lang, p.pred_lang, "
+        "CAST(count(*) AS BIGINT) AS n_docs "
+        f"FROM documents d JOIN ({_q10_sql()}) p USING (doc_id) "
+        "GROUP BY 1, 2"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -5039,6 +5102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_exact_quantiles": q108_exact_quantiles,
         "q109_path_rollup": q109_path_rollup,
         "q110_interval_overlap": q110_interval_overlap,
+        "q111_oov_rate": q111_oov_rate,
+        "q112_lang_confusion": q112_lang_confusion,
     }
 
 
@@ -5154,4 +5219,6 @@ def oracle_sql() -> dict[str, str]:
         "q108_exact_quantiles": _Q108_SQL,
         "q109_path_rollup": _Q109_SQL,
         "q110_interval_overlap": _Q110_SQL,
+        "q111_oov_rate": _Q111_SQL,
+        "q112_lang_confusion": _q112_sql(),
     }

@@ -375,3 +375,49 @@ def dedup_normalize(text: Column) -> Column:
     return F.trim(
         F.regexp_replace(fold_accents(text), r"[^a-z0-9]+", " ")
     )
+
+
+def oov_stats(df, id_col: str, text_col: str, vocab_size: int = 100):
+    """Out-of-vocabulary rate per document against the corpus' own top
+    ``vocab_size`` tokens by document frequency (ties: token asc) — the
+    tokenizer-coverage signal a training pipeline tracks per source
+    (high OOV -> encoding explosion under any fixed vocab).
+
+    Scale shape: vocabulary = one explode-distinct + map-side-combined
+    df count + top-k (TakeOrdered, sketch-sized); scoring embeds the
+    vocab as an isin LITERAL — a zero-join, zero-shuffle projection,
+    the same literal-small-side discipline as bm25_topk and the PQ
+    codebooks.  Returns (id, n_tokens, oov_ratio) with oov_ratio = 0.0
+    for empty docs (pinned).
+
+    Tokenization is the BM25/LM discipline ([^a-z0-9]+ split, empties
+    dropped — operators/lm_score.TOKEN_SPLIT), NOT bare whitespace:
+    vocab membership must not depend on attached punctuation.
+    """
+    from ..operators.lm_score import TOKEN_SPLIT
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+        lambda t: t != F.lit(""),
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+        .distinct()
+    )
+    vocab_rows = (
+        pairs.groupBy("t")
+        .agg(F.count("*").alias("_df"))
+        .orderBy(F.col("_df").desc(), F.col("t"))
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = [r["t"] for r in vocab_rows]
+    n = F.size(toks)
+    inv = F.size(F.filter(toks, lambda t: t.isin(*vocab)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) - inv / n, 6))
+        .alias("oov_ratio"),
+    )
