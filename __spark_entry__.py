@@ -4985,6 +4985,285 @@ def _q112_sql() -> str:
     )
 
 
+def q113_allpairs_cosine(spark, sf_dir):
+    """All-pairs tf-cosine similarity via inverted-index self-join
+    (operators/allpairs.py — Bayardo et al. WWW'07 shape).  Exact
+    similarity scores, unlike the MinHash/SimHash candidate generators:
+    integer tf keeps every sum engine-exact, the df<=max_df prune bounds
+    per-term join fan-out (the 100-TB hot-posting-list control), and the
+    pair aggregate map-side-combines."""
+    from eget_spark.operators.allpairs import tf_cosine_pairs
+
+    return tf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        max_df=100, min_cos=0.3,
+    )
+
+
+_Q113_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+kept AS (SELECT term FROM tf GROUP BY term
+         HAVING count(*) >= 2 AND count(*) <= 100),
+post AS (SELECT tf.* FROM tf JOIN kept USING (term)),
+norms AS (SELECT id, sum(tf * tf) AS n2 FROM post GROUP BY id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(a.tf * b.tf) AS dot
+  FROM post a JOIN post b ON a.term = b.term AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+FROM pairs
+JOIN norms na ON na.id = id_a
+JOIN norms nb ON nb.id = id_b
+WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3
+"""
+
+
+def _q114_docs(spark, sf_dir):
+    """Boilerplate fixture: 6 hosts; every page of a host shares a
+    'welcome' line and a cross-host-colliding 'footer' line (both
+    templates at frac=0.5), 1/5 share a 'promo' line (below threshold —
+    5 is coprime with the 6-way host split, so the share is 1/5 on
+    EVERY host), d%4==0 pages carry a blank line, and each page has a
+    unique 'item' line."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = (d % 6).cast("string")
+    text = F.concat(
+        F.lit("welcome to host "), h,
+        F.lit("\nitem "), d.cast("string"),
+        F.when(d % 5 == 0, F.concat(F.lit("\npromo "), h)).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("\n")).otherwise(F.lit("")),
+        F.lit("\nfooter "), (d % 2).cast("string"),
+    )
+    return docs.select(
+        d.alias("doc_id"),
+        F.concat(F.lit("h"), h).alias("host"),
+        text.alias("text"),
+    )
+
+
+def q114_host_templates(spark, sf_dir):
+    """Host-scoped boilerplate template detection (operators/
+    boilerplate.host_templates): lines on >= ceil(frac*host_pages) of a
+    host's pages, top-max_templates per host by (n_pages desc, line
+    asc).  Counting is one explode + distinct + map-side-combined
+    groupBy(host, line); cardinality is distinct host-lines, never
+    occurrences."""
+    from eget_spark.operators.boilerplate import host_templates
+
+    return host_templates(
+        _q114_docs(spark, sf_dir), "host", "doc_id", "text",
+        frac=0.5, min_pages=5, max_templates=50,
+    )
+
+
+_Q114_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS d, 'h' || CAST(doc_id % 6 AS VARCHAR) AS host
+  FROM documents
+),
+hp AS (SELECT host, count(*) AS host_pages FROM base GROUP BY host),
+lines AS (
+  SELECT host, 'welcome to host ' || CAST(d % 6 AS VARCHAR) AS line FROM base
+  UNION ALL
+  SELECT host, 'item ' || CAST(d AS VARCHAR) FROM base
+  UNION ALL
+  SELECT host, 'promo ' || CAST(d % 6 AS VARCHAR) FROM base WHERE d % 5 = 0
+  UNION ALL
+  SELECT host, 'footer ' || CAST(d % 2 AS VARCHAR) FROM base
+),
+cnt AS (SELECT host, line, count(*) AS n_pages FROM lines GROUP BY host, line)
+SELECT c.host, c.line, CAST(c.n_pages AS BIGINT) AS n_pages,
+       CAST(h.host_pages AS BIGINT) AS host_pages
+FROM cnt c JOIN hp h USING (host)
+WHERE h.host_pages >= 5
+  AND c.n_pages >= CAST(ceil(0.5 * h.host_pages) AS BIGINT)
+"""
+
+
+def q115_strip_boilerplate(spark, sf_dir):
+    """Template-line removal (operators/boilerplate.strip_templates):
+    every occurrence of a host's template lines dropped (unlike
+    line-dedup's keep-first), blanks survive, reassembly in index
+    order.  The per-host decision table (<= max_templates lines)
+    broadcasts, so the exploded corpus never shuffles on line text."""
+    from eget_spark.operators.boilerplate import strip_templates
+
+    return strip_templates(
+        _q114_docs(spark, sf_dir), "host", "doc_id", "text",
+        frac=0.5, min_pages=5, max_templates=50,
+    )
+
+
+_Q115_SQL = r"""
+SELECT doc_id AS id,
+       'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+       'item ' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'promo ' || CAST(doc_id % 6 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN chr(10) ELSE '' END AS text,
+       CAST(1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_lines,
+       CAST(2 AS BIGINT) AS n_dropped
+FROM documents
+"""
+
+
+def q116_rate_anomalies(spark, sf_dir):
+    """Per-key event-rate anomaly detection (operators/anomaly.py):
+    z-score of each (key, bucket) count against the key's own mean/sd
+    over the densified global bucket range; integer sums keep variance
+    engine-exact (no var_pop accumulation-order dependence).  Fixture:
+    event buckets spike at bucket 0 (~6x a normal bucket)."""
+    from eget_spark.operators.anomaly import rate_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    fixture = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")).alias("k"),
+        F.when(e % 100 < 25, F.lit(0)).otherwise(e % 20).alias("bucket"),
+    )
+    return rate_anomalies(fixture, "k", "bucket", threshold=2.0)
+
+
+_Q116_SQL = r"""
+WITH ev AS (
+  SELECT 'u' || CAST(user_id % 5 AS VARCHAR) AS key,
+         CASE WHEN event_id % 100 < 25 THEN 0
+              ELSE event_id % 20 END AS b
+  FROM events
+),
+counts AS (SELECT key, b, count(*) AS cnt FROM ev GROUP BY key, b),
+rng AS (SELECT min(b) AS lo, max(b) AS hi FROM ev),
+dense AS (
+  SELECT k.key, g.b, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+  FROM (SELECT DISTINCT key FROM ev) k
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM rng),
+                                            (SELECT hi FROM rng))) AS b) g
+  LEFT JOIN counts c ON c.key = k.key AND c.b = g.b
+),
+stats AS (
+  SELECT key, count(*) AS nb, sum(cnt) AS s1, sum(cnt * cnt) AS s2
+  FROM dense GROUP BY key
+)
+SELECT d.key, d.b AS bucket, d.cnt,
+       (CAST(d.cnt AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.nb AS DOUBLE))
+         / sqrt(CAST(s.nb * s.s2 - s.s1 * s.s1 AS DOUBLE)
+                / CAST(s.nb * s.nb AS DOUBLE)) AS z
+FROM dense d JOIN stats s USING (key)
+WHERE s.nb * s.s2 - s.s1 * s.s1 > 0
+  AND abs((CAST(d.cnt AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.nb AS DOUBLE))
+          / sqrt(CAST(s.nb * s.s2 - s.s1 * s.s1 AS DOUBLE)
+                 / CAST(s.nb * s.nb AS DOUBLE))) >= 2.0
+"""
+
+
+def q117_lsh_recall(spark, sf_dir):
+    """Candidate-generator eval: MinHash-LSH candidates (q14 config)
+    scored against exact 3-shingle Jaccard >= 0.05 truth (q15 config) —
+    the recall/precision loop a curation pipeline runs before trusting
+    an approximate dedup stage.  Pure composition of dedup operators +
+    one full-outer join on the pair key; counts are integers, ratios
+    round(6)."""
+    from eget_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05, k=3).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4, k=3).select(
+        "id_a", "id_b", F.lit(1).alias("_c")
+    )
+    both = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("_c", F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(
+            F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_hit"),
+        F.round(
+            F.sum(
+                F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1).otherwise(0)
+            )
+            / F.sum(F.coalesce("_t", F.lit(0))),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.sum(
+                F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1).otherwise(0)
+            )
+            / F.sum(F.coalesce("_c", F.lit(0))),
+            6,
+        ).alias("precision"),
+    )
+
+
+def _q117_sql() -> str:
+    truth = _Q15_SQL.strip().rstrip()
+    cand = _q14_sql().strip()
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({truth})),
+cand AS ({cand}),
+j AS (
+  SELECT coalesce(t.id_a, c.id_a) AS id_a,
+         coalesce(t.id_b, c.id_b) AS id_b,
+         (t.id_a IS NOT NULL) AS in_t, (c.id_a IS NOT NULL) AS in_c
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         AS recall,
+       round(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         AS precision
+FROM j
+"""
+
+
+def q118_crawl_cube(spark, sf_dir):
+    """Crawl-analytics cube: doc counts and char volume by (source,
+    lang) with all subtotal combinations via the native CUBE operator —
+    Catalyst expands grouping sets in one pass (Expand + single
+    HashAggregate), no union of four scans.  gid disambiguates planted
+    NULLs from subtotal rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select("source", "lang", "n_docs", "sum_chars", "gid")
+    )
+
+
+_Q118_SQL = r"""
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
+FROM documents
+GROUP BY CUBE (source, lang)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -5104,6 +5383,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_interval_overlap": q110_interval_overlap,
         "q111_oov_rate": q111_oov_rate,
         "q112_lang_confusion": q112_lang_confusion,
+        "q113_allpairs_cosine": q113_allpairs_cosine,
+        "q114_host_templates": q114_host_templates,
+        "q115_strip_boilerplate": q115_strip_boilerplate,
+        "q116_rate_anomalies": q116_rate_anomalies,
+        "q117_lsh_recall": q117_lsh_recall,
+        "q118_crawl_cube": q118_crawl_cube,
     }
 
 
@@ -5221,4 +5506,10 @@ def oracle_sql() -> dict[str, str]:
         "q110_interval_overlap": _Q110_SQL,
         "q111_oov_rate": _Q111_SQL,
         "q112_lang_confusion": _q112_sql(),
+        "q113_allpairs_cosine": _Q113_SQL,
+        "q114_host_templates": _Q114_SQL,
+        "q115_strip_boilerplate": _Q115_SQL,
+        "q116_rate_anomalies": _Q116_SQL,
+        "q117_lsh_recall": _q117_sql(),
+        "q118_crawl_cube": _Q118_SQL,
     }

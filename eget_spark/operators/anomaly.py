@@ -1,0 +1,92 @@
+"""Per-key event-rate anomaly detection (z-score over time buckets).
+
+Crawl operations watch per-host fetch/error rates for spikes (a trap
+neighborhood, a misbehaving scheduler, a site going down).  This
+operator scores each (key, bucket) count against the key's own mean
+and population standard deviation over the densified bucket range —
+the plain z-score rule every monitoring stack publishes.
+
+Exact semantics (pinned so the DuckDB oracle reproduces them):
+
+- the bucket axis densifies per key over the GLOBAL [min, max] bucket
+  range (integer bucket ids; missing buckets count 0) — without
+  densification a key active in one bucket has zero variance and every
+  quiet period is invisible;
+- mean = sum/nb and population variance = (nb*sum(c^2) - sum(c)^2)/nb^2
+  are computed from exact integer sums, so the only float ops are one
+  division each plus one sqrt — correctly-rounded IEEE, identical
+  across engines (the engine-wide cross-float recipe; avoids
+  ``var_pop`` whose internal accumulation order is engine-specific);
+- z = (c - mean)/sd; buckets with sd = 0 are never anomalous;
+- output: (key, bucket, cnt, z) where |z| >= threshold.
+
+Scale shape (the 100 TB story): one map-side-combined groupBy
+(key, bucket) collapses raw events to at most keys x buckets rows;
+per-key stats aggregate those (bucket-range-bounded per key — uniform,
+no hot key possible because every key holds exactly the same densified
+bucket count); the stats join back on key is uniform for the same
+reason.  The densify explode generates keys x buckets rows from the
+distinct-keys table, never from raw events.  No window over the whole
+series, no driver data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_anomalies(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """(key, bucket, cnt, z) rows whose |z| >= threshold.
+
+    ``bucket_col`` must already be an integer bucket id (e.g.
+    ``floor(unix_timestamp(ts)/3600)`` for hourly buckets)."""
+    ev = df.select(
+        F.col(key_col).alias("key"), F.col(bucket_col).cast("long").alias("b")
+    )
+    counts = ev.groupBy("key", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    rng = ev.select(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    dense = (
+        ev.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(rng))  # one row — broadcast is exact-size
+        .select("key", F.explode(F.sequence("lo", "hi")).alias("b"))
+        .join(counts, ["key", "b"], "left")
+        .select("key", "b", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    stats = dense.groupBy("key").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    scored = dense.join(stats, "key").select(
+        "key",
+        F.col("b").alias("bucket"),
+        "cnt",
+        (
+            (
+                F.col("cnt").cast("double")
+                - F.col("s1").cast("double") / F.col("nb").cast("double")
+            )
+            / F.sqrt(
+                (
+                    (
+                        F.col("nb") * F.col("s2") - F.col("s1") * F.col("s1")
+                    ).cast("double")
+                )
+                / (F.col("nb") * F.col("nb")).cast("double")
+            )
+        ).alias("z"),
+        (F.col("nb") * F.col("s2") - F.col("s1") * F.col("s1")).alias("_v"),
+    )
+    return (
+        scored.where(
+            (F.col("_v") > 0) & (F.abs(F.col("z")) >= F.lit(float(threshold)))
+        )
+        .select("key", "bucket", "cnt", "z")
+    )

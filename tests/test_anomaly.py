@@ -1,0 +1,70 @@
+"""Rate-anomaly z-scores vs a Python oracle (densified, integer-exact)."""
+
+from __future__ import annotations
+
+import math
+
+
+def _oracle(rows, threshold):
+    from collections import Counter
+
+    counts = Counter(rows)
+    keys = {k for k, _ in rows}
+    lo = min(b for _, b in rows)
+    hi = max(b for _, b in rows)
+    out = {}
+    for k in keys:
+        series = [(b, counts.get((k, b), 0)) for b in range(lo, hi + 1)]
+        nb = len(series)
+        s1 = sum(c for _, c in series)
+        s2 = sum(c * c for _, c in series)
+        var_num = nb * s2 - s1 * s1
+        if var_num <= 0:
+            continue
+        mean = s1 / nb
+        sd = math.sqrt(var_num / (nb * nb))
+        for b, c in series:
+            z = (c - mean) / sd
+            if abs(z) >= threshold:
+                out[(k, b)] = (c, round(z, 9))
+    return out
+
+
+def test_rate_anomalies_matches_python_oracle(spark):
+    from eget_spark.operators.anomaly import rate_anomalies
+
+    rows = []
+    for k in ("h1", "h2"):
+        for b in range(10):
+            rows += [(k, b)] * 3  # steady baseline of 3/bucket
+    rows += [("h1", 4)] * 30  # spike
+    # h2 bucket 9 is quiet only via densification? no — make bucket 11
+    # exist globally so h2 has trailing zeros
+    rows += [("h3", 11)] * 3
+    df = spark.createDataFrame(rows, "k string, b long").repartition(4)
+    got = {
+        (r["key"], r["bucket"]): (r["cnt"], round(r["z"], 9))
+        for r in rate_anomalies(df, "k", "b", threshold=2.0).collect()
+    }
+    assert got == _oracle(rows, 2.0)
+    assert ("h1", 4) in got  # the planted spike is flagged
+    assert got[("h1", 4)][0] == 33
+
+
+def test_constant_series_never_anomalous(spark):
+    from eget_spark.operators.anomaly import rate_anomalies
+
+    rows = [("k", b) for b in range(5)] * 2  # constant 2 per bucket
+    df = spark.createDataFrame(rows, "k string, b long")
+    assert rate_anomalies(df, "k", "b", threshold=0.0).count() == 0
+
+
+def test_densification_flags_missing_buckets(spark):
+    from eget_spark.operators.anomaly import rate_anomalies
+
+    # key active only in bucket 0 of a global 0..9 range: its own series
+    # is (9,0,...,0); bucket 0 is the anomaly
+    rows = [("a", 0)] * 9 + [("other", b) for b in range(10)]
+    df = spark.createDataFrame(rows, "k string, b long")
+    got = {(r["key"], r["bucket"]) for r in rate_anomalies(df, "k", "b", 2.0).collect()}
+    assert ("a", 0) in got

@@ -1033,6 +1033,50 @@ def main() -> None:
     checks.append(("overlap join: no distinct/dedup agg", "Distinct" not in p_ov))
     checks.append(("overlap join: no Python", "EvalPython" not in p_ov))
 
+    # 50. all-pairs tf-cosine (q113): inverted-index equi joins only —
+    # no cartesian, no Python; pair aggregate map-side-combines
+    from eget_spark.operators.allpairs import tf_cosine_pairs
+
+    p_ap = plan_of(tf_cosine_pairs(docs, "doc_id", "text", max_df=100, min_cos=0.3))
+    checks.append(("allpairs: no cartesian", "CartesianProduct" not in p_ap))
+    checks.append(("allpairs: no Python", "EvalPython" not in p_ap))
+    checks.append(("allpairs: map-side partial pair agg", "partial_sum" in p_ap))
+
+    # 51. boilerplate strip (q115): template table broadcasts, the
+    # exploded corpus never shuffles on line text
+    from eget_spark.operators.boilerplate import strip_templates
+
+    p_bp = plan_of(
+        strip_templates(
+            docs.selectExpr(
+                "'h' || CAST(doc_id % 6 AS STRING) AS host", "doc_id", "text"
+            )
+        )
+    )
+    checks.append(("boilerplate: broadcast apply join", "BroadcastHashJoin" in p_bp))
+    checks.append(("boilerplate: no Python", "EvalPython" not in p_bp))
+
+    # 52. rate anomalies (q116): integer-sum stats, no window over the
+    # whole series, no Python
+    from eget_spark.operators.anomaly import rate_anomalies
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    p_an = plan_of(
+        rate_anomalies(
+            events.selectExpr("'u' || CAST(user_id % 5 AS STRING) AS k",
+                              "event_id % 20 AS b"),
+            "k", "b", threshold=2.0,
+        )
+    )
+    checks.append(("anomaly: no Python", "EvalPython" not in p_an))
+    checks.append(("anomaly: no window", "Window" not in p_an))
+    checks.append(("anomaly: map-side partial stats", "partial_sum" in p_an))
+
+    # 53. crawl cube (q118): single Expand + aggregate, no union of scans
+    p_cu = plan_of(entry.q118_crawl_cube(spark, SF))
+    checks.append(("cube: uses Expand", "Expand" in p_cu))
+    checks.append(("cube: single scan (no Union)", "Union" not in p_cu))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
