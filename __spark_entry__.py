@@ -5264,6 +5264,188 @@ GROUP BY CUBE (source, lang)
 """
 
 
+def q119_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth profile (functions/text.vocab_growth):
+    distinct-token count among docs with id <= t for each threshold t —
+    sizes tokenizers / predicts OOV decay as the crawl grows.  One
+    map-side-combined min per token + a tiny threshold explode; no
+    window over the corpus, no join."""
+    from eget_spark.functions.text import vocab_growth
+
+    return vocab_growth(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        thresholds=[10, 50, 200, 1000, 20000],
+    )
+
+
+_Q119_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+first_ AS (SELECT t, min(doc_id) AS first_id FROM toks GROUP BY t),
+th AS (SELECT unnest([10, 50, 200, 1000, 20000]) AS threshold)
+SELECT CAST(th.threshold AS BIGINT) AS threshold,
+       CAST(count(*) AS BIGINT) AS vocab_size
+FROM first_, th WHERE first_id <= th.threshold GROUP BY 1
+"""
+
+
+def q120_incremental_lsh(spark, sf_dir):
+    """Incremental MinHash-LSH dedup (operators/dedup.lsh_bucket_table +
+    lsh_match_against_index): docs with id%5==0 arrive as a NEW batch
+    and probe the stored LSH index of the rest of the corpus — the
+    between-crawl-batches dedup story where only the batch re-shingles
+    (cost O(batch), not O(corpus)).  Multi-band dedup is a min-aggregate
+    on the pair key, never a distinct over emitted pairs."""
+    from eget_spark.operators.dedup import (
+        lsh_bucket_table,
+        lsh_match_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = lsh_bucket_table(
+        docs.where(F.col("doc_id") % 5 != 0), "doc_id", "text",
+        num_hashes=8, bands=4, k=3,
+    )
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    out = lsh_match_against_index(
+        new, index, "doc_id", "text", num_hashes=8, bands=4, k=3
+    )
+    return out.select(
+        "new_id", "index_id", F.col("band").cast("long").alias("band")
+    )
+
+
+def _q120_sql() -> str:
+    bands = []
+    for b in range(4):
+        sig = " || '|' || ".join(f"CAST(mh{b * 2 + r} AS VARCHAR)" for r in range(2))
+        bands.append(f"SELECT id, {b} AS band, md5({sig}) AS sig FROM sigs")
+    buckets = " UNION ALL ".join(bands)
+    return f"""
+WITH sigs AS ({_minhash_sql(8)}),
+buckets AS ({buckets})
+SELECT n.id AS new_id, i.id AS index_id, CAST(min(n.band) AS BIGINT) AS band
+FROM (SELECT * FROM buckets WHERE id % 5 = 0) n
+JOIN (SELECT * FROM buckets WHERE id % 5 <> 0) i
+  ON n.band = i.band AND n.sig = i.sig AND n.id <> i.id
+GROUP BY 1, 2
+"""
+
+
+def q121_best_representatives(spark, sf_dir):
+    """Quality-aware canonical selection (operators/dedup.
+    select_representatives): within each near-dup cluster keep the doc
+    with the most extracted chars (tie: lowest id) instead of q37's
+    lowest-id convention — the curation step that keeps the
+    best-extracted copy of a template family.  CC label propagation on
+    the pair set only + ONE max(struct) per component (winner id rides
+    in the struct, no join-back)."""
+    from eget_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        select_representatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4, k=3)
+    return select_representatives(docs, pairs, "doc_id", "n_chars")
+
+
+def _q121_sql() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS ({_q14_sql()}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM e),
+reach AS (
+  SELECT id, id AS member FROM nodes
+  UNION
+  SELECT r.id, e.b FROM reach r JOIN e ON e.a = r.member
+),
+comp AS (SELECT id, min(member) AS component FROM reach GROUP BY id),
+members AS (
+  SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component,
+         d.n_chars AS m
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+reps AS (
+  SELECT component, id AS rep_id FROM (
+    SELECT component, id,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY m DESC, id ASC) AS rn
+    FROM members) WHERE rn = 1
+)
+SELECT CAST(mm.id AS BIGINT) AS id, CAST(r.rep_id AS BIGINT) AS rep_id,
+       mm.id <> r.rep_id AS is_duplicate
+FROM members mm JOIN reps r USING (component)
+"""
+
+
+def q122_source_weighted_sample(spark, sf_dir):
+    """Temperature / source-weighted Bernoulli sampling (operators/
+    sampling.bernoulli_sample): source srcK keeps rate (K+1)/20, decided
+    per row by an engine-exact integer hash compare (md5_60bit(id) <
+    floor(p*2^60)) — bit-identical across engines, retries, and cluster
+    sizes, unlike df.sample().  Pure projection+filter, zero shuffles."""
+    from eget_spark.operators.sampling import bernoulli_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    prob = (
+        F.substring(F.col("source"), 4, 10).cast("long") + 1
+    ) / F.lit(20).cast("double")
+    return bernoulli_sample(docs, "doc_id", prob, seed="mix1").select(
+        "doc_id", "source"
+    )
+
+
+_Q122_SQL = r"""
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < CAST(floor(((CAST(substr(source, 4) AS BIGINT) + 1) / CAST(20 AS DOUBLE))
+                    * 1152921504606846976.0) AS BIGINT)
+"""
+
+
+def q123_group_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sampling.
+    split_by_group): every doc of a host lands in the same split
+    (bucket = md5_60bit(host) % 10; 8/1/1), so near-dups sharing the
+    host can never straddle the train/eval boundary.  Pure projection —
+    the hash is a function of the group value itself: NO group table,
+    NO join, NO shuffle before the final stats aggregate."""
+    from eget_spark.operators.sampling import split_by_group
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"))
+    )
+    return (
+        split_by_group(docs, "host", seed="sp1")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("host").cast("long").alias("n_groups"),
+        )
+    )
+
+
+_Q123_SQL = r"""
+WITH b AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+         CAST(('0x' || substr(md5('sp1' || 'h' || CAST(doc_id % 50 AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_groups
+FROM b GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -5389,6 +5571,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_rate_anomalies": q116_rate_anomalies,
         "q117_lsh_recall": q117_lsh_recall,
         "q118_crawl_cube": q118_crawl_cube,
+        "q119_vocab_growth": q119_vocab_growth,
+        "q120_incremental_lsh": q120_incremental_lsh,
+        "q121_best_representatives": q121_best_representatives,
+        "q122_source_weighted_sample": q122_source_weighted_sample,
+        "q123_group_split": q123_group_split,
     }
 
 
@@ -5512,4 +5699,9 @@ def oracle_sql() -> dict[str, str]:
         "q116_rate_anomalies": _Q116_SQL,
         "q117_lsh_recall": _q117_sql(),
         "q118_crawl_cube": _Q118_SQL,
+        "q119_vocab_growth": _Q119_SQL,
+        "q120_incremental_lsh": _q120_sql(),
+        "q121_best_representatives": _q121_sql(),
+        "q122_source_weighted_sample": _Q122_SQL,
+        "q123_group_split": _Q123_SQL,
     }

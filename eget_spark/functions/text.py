@@ -421,3 +421,42 @@ def oov_stats(df, id_col: str, text_col: str, vocab_size: int = 100):
         .otherwise(F.round(F.lit(1.0) - inv / n, 6))
         .alias("oov_ratio"),
     )
+
+
+def vocab_growth(df, id_col: str, text_col: str, thresholds: list[int]):
+    """Vocabulary-growth (Heaps-law) profile: distinct-token count among
+    documents with ``id <= t`` for each threshold ``t`` — the corpus
+    curve that sizes tokenizers and predicts OOV decay as a crawl grows.
+
+    Exact semantics (pinned): tokens are the engine-wide TOKEN_SPLIT
+    contract; a token's first appearance is ``min(id)`` over documents
+    containing it; vocab(t) counts tokens with first_id <= t.  Returns
+    (threshold, vocab_size) sorted by threshold.
+
+    Scale shape: ONE map-side-combined groupBy(token) min-aggregate over
+    the exploded corpus (cardinality: distinct tokens); each token row
+    then explodes onto the tiny threshold list (|thresholds| rows) and a
+    second map-side-combined groupBy(threshold) counts — no window over
+    the corpus, no join, no driver data."""
+    from pyspark.sql import functions as F
+
+    from ..operators.lm_score import TOKEN_SPLIT
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    first = toks.groupBy("tok").agg(F.min("id").alias("first_id"))
+    th = F.array(*[F.lit(int(t)).cast("long") for t in sorted(thresholds)])
+    return (
+        first.select("first_id", F.explode(th).alias("threshold"))
+        .where(F.col("first_id") <= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+        .orderBy("threshold")
+    )

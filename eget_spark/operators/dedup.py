@@ -549,3 +549,108 @@ def srp_lsh_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band, sig) — the persistable MinHash-LSH index rows for a
+    corpus.  Written once to a bucketed table (bucket by sig), this is
+    the state an INCREMENTAL dedup pipeline keeps between crawl batches
+    so arriving documents never re-shingle the historical corpus."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    sig_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", F.posexplode(sig_arr).alias("band", "sig"))
+
+
+def lsh_match_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental near-dup candidates: each NEW document against a
+    stored LSH index (``lsh_bucket_table`` rows from prior batches).
+
+    Returns (new_id, index_id, band) where band is the LOWEST band the
+    pair collides in — the multi-band dedup is a min-aggregate (one
+    map-side-combined groupBy on the pair key), never a distinct over
+    emitted pairs.  Self-matches (same id in both sides) are dropped.
+
+    Scale shape (the incremental story): per batch, only the new
+    documents shingle and hash — cost O(batch), not O(corpus); the join
+    probes the index on (band, sig), which a sig-bucketed stored table
+    turns into a shuffle of the BATCH side only.  Band-key hot spots are
+    bounded exactly as in minhash_lsh_pairs (a bucket holds near-dups of
+    one another, and the index side can cap bucket size upstream)."""
+    new_buckets = lsh_bucket_table(new_df, id_col, text_col, num_hashes, bands, k)
+    return (
+        new_buckets.alias("n")
+        .join(
+            index.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.sig") == F.col("i.sig"))
+            & (F.col("n.id") != F.col("i.id")),
+        )
+        .groupBy(
+            F.col("n.id").alias("new_id"), F.col("i.id").alias("index_id")
+        )
+        .agg(F.min(F.col("n.band")).alias("band"))
+    )
+
+
+def select_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    metric_col: str,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the document with the HIGHEST ``metric_col`` (ties: lowest id)
+    instead of dedup_groups' lowest-id convention — the curation step
+    that keeps the best-extracted copy of a template-family page.
+
+    Exact semantics (pinned): clusters are connected components of the
+    pair set; rep = argmax(metric, tie min id); singletons represent
+    themselves.  Returns (id, rep_id, is_duplicate).
+
+    Scale shape: connected_components' O(diameter) label propagation on
+    the pair set only, then ONE map-side-combined max(struct) per
+    component (the line_dedup winner trick: the struct carries the
+    winner's id, so no join back onto members is needed to find it) and
+    one uniform join to map members to their rep."""
+    comps = connected_components(pairs, max_iter=max_iter)
+    members = (
+        df.select(F.col(id_col).alias("id"), F.col(metric_col).alias("_m"))
+        .join(comps, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+            "_m",
+        )
+    )
+    reps = members.groupBy("component").agg(
+        F.max(F.struct(F.col("_m"), (-F.col("id")).alias("_negid"))).alias("w")
+    ).select("component", (-F.col("w._negid")).alias("rep_id"))
+    return members.join(reps, "component").select(
+        "id",
+        "rep_id",
+        (F.col("id") != F.col("rep_id")).alias("is_duplicate"),
+    )

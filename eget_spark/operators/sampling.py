@@ -115,3 +115,73 @@ def token_budget_sample(
         .where(F.col("_run") <= budget)
         .drop("_run")
     )
+
+
+def bernoulli_sample(
+    df: DataFrame,
+    id_col: str,
+    prob_col,
+    seed: str = "",
+) -> DataFrame:
+    """Keep each row independently with its own probability — the
+    temperature / source-weighting sampler of LLM corpus mixing (each
+    source gets keep-rate w_s, fractional rates included).
+
+    Exact semantics (pinned): a row survives iff
+    ``md5_60bit(seed || id) < floor(prob * 2^60)`` — the comparison is
+    between two integers, so the decision is bit-identical across
+    engines, retries, partitionings, and cluster sizes (the property
+    ``df.sample()`` does NOT have: its outcome depends on partition
+    layout).  prob <= 0 keeps nothing, prob >= 1 keeps everything.
+
+    Plan shape: a pure projection + filter — zero shuffles, pushes past
+    any downstream exchange.  ``prob_col`` may be a column name or a
+    Column expression (e.g. a per-source rate joined in upstream)."""
+    from .kmv import md5_60bit
+
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    h = md5_60bit(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    threshold = F.floor(p.cast("double") * F.lit(float(1 << 60))).cast("long")
+    return df.where(h < threshold)
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    weights: list[int] | None = None,
+    names: list[str] | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of a GROUP
+    (host, registrable domain, dedup cluster) lands in the same split,
+    so near-duplicates that share the group can never straddle the
+    train/eval boundary — the group-aware split the eval-contamination
+    literature prescribes (Lee et al. 2022 on dedup'd eval splits).
+
+    Exact semantics (pinned): bucket = md5_60bit(seed || group) %
+    sum(weights); split i owns the half-open bucket range
+    [sum(weights[:i]), sum(weights[:i+1])).  Default 8/1/1
+    train/val/test.  Adds a ``split`` column; input columns unchanged.
+
+    Plan shape: a pure projection — the hash is computed per row from
+    the group value itself, so there is NO join against a group table
+    and NO shuffle; consistent assignment falls out of the hash being a
+    function of the group alone."""
+    from .kmv import md5_60bit
+
+    weights = weights or [8, 1, 1]
+    names = names or ["train", "val", "test"]
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = sum(weights)
+    bucket = md5_60bit(F.concat(F.lit(seed), F.col(group_col).cast("string"))) % total
+    # build CASE from the first split upward: bucket < c1 -> names[0], etc.
+    cuts = []
+    acc = 0
+    for w in weights:
+        acc += w
+        cuts.append(acc)
+    expr = F.when(bucket < cuts[0], F.lit(names[0]))
+    for i in range(1, len(names)):
+        expr = expr.when(bucket < cuts[i], F.lit(names[i]))
+    return df.withColumn("split", expr)

@@ -187,3 +187,70 @@ def test_srp_lsh_pairs_matches_numpy_oracle(spark):
                 want.add((a, b))
     assert want, "oracle found no pairs - test corpus broken"
     assert got == want
+
+
+def test_incremental_lsh_matches_full_lsh_cross_pairs(spark, docs):
+    """match-against-index == full-corpus LSH pairs restricted to
+    (new, index) cross pairs; band is the LOWEST colliding band."""
+    from pyspark.sql import functions as F
+
+    from eget_spark.operators.dedup import (
+        lsh_bucket_table,
+        lsh_match_against_index,
+        minhash_lsh_pairs,
+    )
+
+    new = docs.where(F.col("id") % 2 == 0)
+    old = docs.where(F.col("id") % 2 != 0)
+    index = lsh_bucket_table(old, "id", "text", num_hashes=8, bands=4, k=3)
+    got = {
+        (r["new_id"], r["index_id"]): r["band"]
+        for r in lsh_match_against_index(
+            new, index, "id", "text", num_hashes=8, bands=4, k=3
+        ).collect()
+    }
+    full = minhash_lsh_pairs(
+        docs, "id", "text", num_hashes=8, bands=4, k=3
+    ).collect()
+    cross = {
+        (a, b) if a % 2 == 0 else (b, a)
+        for a, b in ((r["id_a"], r["id_b"]) for r in full)
+        if (a % 2 == 0) != (b % 2 == 0)
+    }
+    assert set(got) == cross and got  # the 0/1 exact-dup pair must appear
+    # min-band: recompute from the two bucket tables without the aggregate
+    nb = lsh_bucket_table(new, "id", "text", num_hashes=8, bands=4, k=3)
+    raw = (
+        nb.alias("n")
+        .join(
+            index.alias("i"),
+            (F.col("n.band") == F.col("i.band")) & (F.col("n.sig") == F.col("i.sig")),
+        )
+        .select(F.col("n.id").alias("a"), F.col("i.id").alias("b"), F.col("n.band").alias("band"))
+        .collect()
+    )
+    mins = {}
+    for r in raw:
+        k = (r["a"], r["b"])
+        mins[k] = min(mins.get(k, 99), r["band"])
+    assert got == mins
+
+
+def test_select_representatives_quality_argmax_and_ties(spark):
+    from eget_spark.operators.dedup import select_representatives
+
+    # clusters: {1,2,3} (chain), {10,11}; 20 is a singleton
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2), (20, 7)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: (r["rep_id"], r["is_duplicate"]) for r in
+           select_representatives(docs, pairs, "doc_id", "score").collect()}
+    # max score wins; tie (2 vs 3 both 9) -> lowest id
+    assert out[1] == (2, True) and out[2] == (2, False) and out[3] == (2, True)
+    assert out[10] == (10, False) and out[11] == (10, True)
+    assert out[20] == (20, False)
+    assert len(out) == 6

@@ -94,3 +94,60 @@ def test_token_budget_sample_prefix_semantics(spark):
         assert kept.count() == 0
     else:
         assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_bernoulli_sample_matches_hash_oracle_and_edges(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from eget_spark.operators.sampling import bernoulli_sample
+
+    rows = [(i, (1 + i % 20) / 20.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, p double")
+    got = sorted(r["id"] for r in bernoulli_sample(df, "id", "p", seed="s").collect())
+    want = [
+        i
+        for i, p in rows
+        if int(hashlib.md5(f"s{i}".encode()).hexdigest()[:15], 16)
+        < int(p * (1 << 60))
+    ]
+    assert got == want
+    # partition-layout invariance (the property df.sample lacks)
+    again = sorted(
+        r["id"]
+        for r in bernoulli_sample(df.repartition(17), "id", "p", seed="s").collect()
+    )
+    assert again == got
+    # p>=1 keeps everything, p<=0 keeps nothing
+    assert bernoulli_sample(df, "id", F.lit(1.0), seed="s").count() == 300
+    assert bernoulli_sample(df, "id", F.lit(0.0), seed="s").count() == 0
+    assert bernoulli_sample(df, "id", F.lit(-0.5), seed="s").count() == 0
+
+
+def test_split_by_group_consistent_and_matches_oracle(spark):
+    import hashlib
+
+    from eget_spark.operators.sampling import split_by_group
+
+    df = spark.createDataFrame(
+        [(i, f"h{i % 37}") for i in range(400)], "id long, host string"
+    )
+    out = split_by_group(df, "host", seed="q").collect()
+    names = ["train", "val", "test"]
+    for r in out:
+        b = int(hashlib.md5(f"q{r['host']}".encode()).hexdigest()[:15], 16) % 10
+        want = names[0] if b < 8 else names[1] if b < 9 else names[2]
+        assert r["split"] == want
+    # every member of a group lands in the same split (leakage-safety)
+    per_host = {}
+    for r in out:
+        per_host.setdefault(r["host"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_host.values())
+    # custom weights/names + validation
+    w = split_by_group(df, "host", weights=[1, 1], names=["a", "b"], seed="q")
+    assert set(r["split"] for r in w.collect()) <= {"a", "b"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_by_group(df, "host", weights=[1, 2], names=["only"])

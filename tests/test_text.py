@@ -118,3 +118,27 @@ def test_stopword_ratio(spark):
     assert got[0] == round(3 / 6, 6)  # the, on, the
     assert got[1] == 0.0
     assert got[2] == 0.0
+
+
+def test_vocab_growth_matches_python_oracle(spark):
+    import re
+
+    from eget_spark.functions.text import vocab_growth
+
+    rows = [(i, f"alpha beta tok{i} tok{i % 3} gamma-{i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["threshold"]: r["vocab_size"]
+        for r in vocab_growth(df, "id", "text", [0, 5, 20, 39, 100]).collect()
+    }
+    first = {}
+    for i, text in rows:
+        for t in re.split(r"[^a-z0-9]+", text.lower()):
+            if t and t not in first:
+                first[t] = i
+    want = {
+        th: sum(1 for f in first.values() if f <= th) for th in [0, 5, 20, 39, 100]
+    }
+    assert got == want
+    # monotone non-decreasing; final threshold sees the whole vocabulary
+    assert got[100] == len(first) and got[0] <= got[5] <= got[20] <= got[39]

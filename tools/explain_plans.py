@@ -1077,6 +1077,50 @@ def main() -> None:
     checks.append(("cube: uses Expand", "Expand" in p_cu))
     checks.append(("cube: single scan (no Union)", "Union" not in p_cu))
 
+    # 54. bernoulli sample / group split (q122/q123): pure
+    # projection+filter — ZERO exchanges before any downstream agg
+    from eget_spark.operators.sampling import bernoulli_sample, split_by_group
+
+    p_be = plan_of(
+        bernoulli_sample(docs, "doc_id", F.col("n_chars") / 10000.0, seed="s")
+    )
+    checks.append(("bernoulli sample: zero exchanges", "Exchange" not in p_be))
+    checks.append(("bernoulli sample: no Python", "EvalPython" not in p_be))
+    p_sp = plan_of(
+        split_by_group(
+            docs.selectExpr("doc_id", "'h' || CAST(doc_id % 50 AS STRING) AS host"),
+            "host",
+        )
+    )
+    checks.append(("group split: zero exchanges", "Exchange" not in p_sp))
+    checks.append(("group split: no Python", "EvalPython" not in p_sp))
+
+    # 55. vocab growth (q119): both aggregates map-side-combine; no
+    # window over the corpus, no join
+    from eget_spark.functions.text import vocab_growth
+
+    p_vg = plan_of(vocab_growth(docs, "doc_id", "text", [10, 100, 1000]))
+    checks.append(("vocab growth: map-side partial min", "partial_min" in p_vg))
+    checks.append(("vocab growth: no window", "Window" not in p_vg))
+    checks.append(("vocab growth: no join", "Join" not in p_vg))
+    checks.append(("vocab growth: no Python", "EvalPython" not in p_vg))
+
+    # 56. incremental LSH (q120): batch probes the index via an equi
+    # hash join on (band, sig); pair dedup map-side-combines (min agg)
+    from eget_spark.operators.dedup import lsh_bucket_table, lsh_match_against_index
+
+    idx = lsh_bucket_table(
+        docs.where(F.col("doc_id") % 5 != 0), "doc_id", "text", 8, 4, 3
+    )
+    p_il = plan_of(
+        lsh_match_against_index(
+            docs.where(F.col("doc_id") % 5 == 0), idx, "doc_id", "text", 8, 4, 3
+        )
+    )
+    checks.append(("incremental lsh: no cartesian", "CartesianProduct" not in p_il))
+    checks.append(("incremental lsh: map-side partial min", "partial_min" in p_il))
+    checks.append(("incremental lsh: no Python", "EvalPython" not in p_il))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
