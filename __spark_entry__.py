@@ -5446,6 +5446,123 @@ FROM b GROUP BY 1
 """
 
 
+def q124_readability(spark, sf_dir):
+    """Flesch reading-ease readability (functions/text.
+    flesch_reading_ease): the classic audience-level curation signal.
+    ZERO-shuffle scan-side projection — syllables are an ``aggregate``
+    HOF fold over the token array (no explode, no groupBy, no Exchange
+    anywhere); all divisions are exactly-rounded doubles of int64
+    counts, so the score is cross-engine bit-exact."""
+    from eget_spark.functions.text import flesch_reading_ease
+
+    return flesch_reading_ease(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_Q124_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ws,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent
+  FROM documents
+),
+sig AS (
+  SELECT id,
+         CAST(n_sent AS BIGINT) AS n_sentences,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(ws,
+              w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0)
+              AS BIGINT) AS n_syllables
+  FROM base
+)
+SELECT id, n_sentences, n_words, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         round(CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE) * (n_words / CAST(n_sentences AS DOUBLE))
+               - CAST(84.6 AS DOUBLE) * (n_syllables / CAST(n_words AS DOUBLE)), 6)
+       END AS flesch
+FROM sig
+"""
+
+
+def q125_bpe_pairs(spark, sf_dir):
+    """Top-50 adjacent char-pair frequencies — the first merge-selection
+    step of BPE tokenizer training (functions/text.bpe_pair_counts).
+    The corpus compacts to its VOCABULARY first (one map-side-combined
+    groupBy(word)), so the pair explode runs over |vocab| rows, not
+    |corpus| tokens — the 100-TB tokenizer-training trick.  Tie order
+    (n desc, pair asc) makes the top-k cut engine-exact."""
+    from eget_spark.functions.text import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), "doc_id", "text", 50)
+
+
+_Q125_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, CAST(i AS INT), 2))) AS pair,
+         cnt
+  FROM vocab WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+
+def q126_domain_quality(spark, sf_dir):
+    """Per-registrable-domain quality rollup -> blocklist candidates
+    (operators/quality_rules.domain_quality_rollup — the RefinedWeb/C4
+    whole-domain curation step).  Per-doc quality converts to integer
+    micro-units so the per-domain sum is EXACT int64 (never an
+    order-dependent double sum); hosts are the q100 PSL fixture so the
+    grouping key is the registrable domain, not the raw hostname."""
+    from eget_spark.functions.text import quality_score
+    from eget_spark.functions.urls import registrable_domain
+    from eget_spark.operators.quality_rules import domain_quality_rollup
+
+    d = F.col("doc_id")
+    n = (d % 20).cast("string")
+    host = (
+        F.when(d % 6 == 0, F.concat(F.lit("www.ex"), n, F.lit(".co.uk")))
+        .when(d % 6 == 1, F.concat(F.lit("blog.sub.ex"), n, F.lit(".com.au")))
+        .when(d % 6 == 2, F.concat(F.lit("ex"), n, F.lit(".org")))
+        .when(d % 6 == 3, F.concat(F.lit("a.b.c.ex"), n, F.lit(".co.jp")))
+        .when(d % 6 == 4, F.lit("localhost"))
+        .otherwise(F.concat(F.lit("ex"), n, F.lit(".io")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        registrable_domain(host).alias("registrable"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return domain_quality_rollup(docs, "registrable", "quality", 0.55)
+
+
+def _q126_sql() -> str:
+    return f"""
+WITH q AS ({_Q11_SQL}),
+d AS (SELECT doc_id, registrable FROM ({_Q100_SQL})),
+agg AS (
+  SELECT registrable AS domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(round(quality * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS sum_quality_micro
+  FROM d JOIN q USING (doc_id) GROUP BY 1
+)
+SELECT domain, n_docs, sum_quality_micro,
+       round(sum_quality_micro / CAST(n_docs AS DOUBLE) / 1000000.0, 6)
+         AS avg_quality,
+       round(sum_quality_micro / CAST(n_docs AS DOUBLE) / 1000000.0, 6) < 0.55
+         AS low_quality
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -5576,6 +5693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_best_representatives": q121_best_representatives,
         "q122_source_weighted_sample": q122_source_weighted_sample,
         "q123_group_split": q123_group_split,
+        "q124_readability": q124_readability,
+        "q125_bpe_pairs": q125_bpe_pairs,
+        "q126_domain_quality": q126_domain_quality,
     }
 
 
@@ -5704,4 +5824,7 @@ def oracle_sql() -> dict[str, str]:
         "q121_best_representatives": _q121_sql(),
         "q122_source_weighted_sample": _Q122_SQL,
         "q123_group_split": _Q123_SQL,
+        "q124_readability": _Q124_SQL,
+        "q125_bpe_pairs": _Q125_SQL,
+        "q126_domain_quality": _q126_sql(),
     }

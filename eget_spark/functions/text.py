@@ -460,3 +460,102 @@ def vocab_growth(df, id_col: str, text_col: str, thresholds: list[int]):
         .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
         .orderBy("threshold")
     )
+
+
+def flesch_reading_ease(df, id_col: str, text_col: str):
+    """Flesch reading-ease readability score — the classic curation
+    signal for audience-level filtering of a web corpus (reference
+    scores quality by length/ratio heuristics only; this adds the
+    standard readability axis).
+
+    Exact semantics (pinned so the SQL oracle is bit-identical):
+    sentences = max(1, count of ``[.!?]+`` runs in the raw text); words
+    = engine-wide TOKEN_SPLIT tokens of lower(text); syllables(word) =
+    max(1, count of ``[aeiouy]+`` vowel groups); flesch = round(206.835
+    - 1.015*(words/sentences) - 84.6*(syllables/words), 6), NULL for
+    zero-word docs.  All divisions are exactly-rounded IEEE doubles of
+    int64 counts, so both engines compute the same bits.
+
+    Scale shape: a ZERO-SHUFFLE scan-side projection — the per-word
+    syllable sum is an ``aggregate`` higher-order fold over the token
+    array, so there is no explode, no groupBy, no Exchange anywhere;
+    the score pipelines with any downstream filter at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from ..operators.lm_score import TOKEN_SPLIT
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+    n_words = F.size(toks).cast("long")
+    n_syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.lit(1).cast("long"), F.regexp_count(w, F.lit("[aeiouy]+"))),
+    )
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        F.when(n_words > 0, flesch).alias("flesch"),
+    )
+
+
+def bpe_pair_counts(df, id_col: str, text_col: str, top_k: int = 50):
+    """Top adjacent character-pair frequencies over the corpus — the
+    first merge-selection step of BPE tokenizer training (Sennrich et
+    al. 2016), run as corpus analytics to pick merges / audit tokenizer
+    fit against a crawl.
+
+    Exact semantics (pinned): word = TOKEN_SPLIT token of lower(text);
+    each word of length L contributes its L-1 adjacent char pairs
+    weighted by the word's corpus OCCURRENCE count; output = top_k
+    pairs by (n desc, pair asc) — the deterministic tie order makes the
+    cut engine-exact.
+
+    Scale shape (the tokenizer-training trick): ONE map-side-combined
+    groupBy(word) compacts the corpus to its VOCABULARY first, so the
+    char-pair explode runs over |vocab| rows, not |corpus| tokens —
+    at 100 TB the vocab is millions of rows while token occurrences are
+    trillions.  Pair extraction is a zero-shuffle transform/substr HOF;
+    the final aggregate map-side-combines on the tiny pair space."""
+    from pyspark.sql import functions as F
+
+    from ..operators.lm_score import TOKEN_SPLIT
+
+    words = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pairs = vocab.where(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substr(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_k)
+    )

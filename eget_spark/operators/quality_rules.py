@@ -364,3 +364,44 @@ def gopher_signals(
         & (F.col("alpha_word_frac") >= 0.8)
         & (F.col("stopword_hits") >= 2),
     )
+
+
+def domain_quality_rollup(
+    df: DataFrame,
+    domain_col: str,
+    quality_col: str,
+    low_threshold: float = 0.55,
+) -> DataFrame:
+    """Per-registrable-domain quality rollup → blocklist candidates (the
+    RefinedWeb/C4 curation step: drop or down-weight whole domains whose
+    aggregate quality is poor, instead of re-judging every page).
+
+    Exact semantics (pinned, cross-engine bit-exact): each doc's quality
+    (already round(,6)) is converted to integer MICRO-units
+    (round(q*1e6) as int64) so the per-domain sum is an exact integer —
+    never an order-dependent double sum; avg_quality = round(sum_micro /
+    n / 1e6, 6); low_quality flags avg < low_threshold.
+
+    Scale shape: ONE map-side-combined groupBy(domain) over int64
+    partials; domain cardinality (millions) is tiny next to pages."""
+    q_micro = F.round(F.col(quality_col) * F.lit(1000000.0), 0).cast("long")
+    avg = F.round(
+        F.col("sum_quality_micro")
+        / F.col("n_docs")
+        / F.lit(1000000.0),
+        6,
+    )
+    return (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(q_micro).cast("long").alias("sum_quality_micro"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "sum_quality_micro",
+            avg.alias("avg_quality"),
+            (avg < F.lit(float(low_threshold))).alias("low_quality"),
+        )
+    )

@@ -235,3 +235,24 @@ def test_gopher_signals_zero_shuffle_zero_python(spark):
     plan = gopher_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # pure scan-side projection
+
+
+def test_domain_quality_rollup_exact_micro_sums(spark):
+    from eget_spark.operators.quality_rules import domain_quality_rollup
+
+    rows = [
+        ("a.com", 0.9), ("a.com", 0.8), ("a.com", 0.700001),
+        ("b.org", 0.1), ("b.org", 0.2),
+        ("c.io", 0.55),
+    ]
+    df = spark.createDataFrame(rows, "domain string, quality double")
+    got = {r["domain"]: r for r in
+           domain_quality_rollup(df, "domain", "quality", 0.55).collect()}
+    assert got["a.com"]["sum_quality_micro"] == 900000 + 800000 + 700001
+    assert got["a.com"]["avg_quality"] == round(2400001 / 3 / 1e6, 6)
+    assert got["a.com"]["low_quality"] is False
+    assert got["b.org"]["sum_quality_micro"] == 300000
+    assert got["b.org"]["low_quality"] is True
+    # exactly-at-threshold is NOT low (strict <)
+    assert got["c.io"]["low_quality"] is False
+    assert all(r["n_docs"] in (2, 3, 1) for r in got.values())

@@ -142,3 +142,51 @@ def test_vocab_growth_matches_python_oracle(spark):
     assert got == want
     # monotone non-decreasing; final threshold sees the whole vocabulary
     assert got[100] == len(first) and got[0] <= got[5] <= got[20] <= got[39]
+
+
+def test_flesch_reading_ease_matches_python_oracle(spark):
+    import re
+
+    from eget_spark.functions.text import flesch_reading_ease
+
+    rows = [
+        (0, "The cat sat. It was happy! Was it?"),
+        (1, "one two three four five"),          # no sentence punct -> 1
+        (2, ""),                                  # zero words -> NULL score
+        (3, "Extraordinary bureaucracy, undeniably."),
+        (4, "a b c d e f g h...!!"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in flesch_reading_ease(df, "id", "text").collect()}
+    for i, text in rows:
+        ws = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        sent = max(1, len(re.findall(r"[.!?]+", text)))
+        syl = sum(max(1, len(re.findall(r"[aeiouy]+", w))) for w in ws)
+        r = got[i]
+        assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (
+            sent, len(ws), syl,
+        )
+        if ws:
+            want = round(206.835 - 1.015 * (len(ws) / sent) - 84.6 * (syl / len(ws)), 6)
+            assert abs(r["flesch"] - want) < 1e-9
+        else:
+            assert r["flesch"] is None
+
+
+def test_bpe_pair_counts_matches_python_oracle(spark):
+    import re
+    from collections import Counter
+
+    from eget_spark.functions.text import bpe_pair_counts
+
+    rows = [(i, f"lower newer wider low new {'x' * (i % 3 + 1)}") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, "id", "text", 10).collect()]
+    c = Counter()
+    for _, text in rows:
+        for w in re.split(r"[^a-z0-9]+", text.lower()):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    c[w[i : i + 2]] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want

@@ -1121,6 +1121,36 @@ def main() -> None:
     checks.append(("incremental lsh: map-side partial min", "partial_min" in p_il))
     checks.append(("incremental lsh: no Python", "EvalPython" not in p_il))
 
+    # 57. readability (q124): zero-shuffle scan-side projection — the
+    # syllable sum is an aggregate HOF, no explode/groupBy at all
+    from eget_spark.functions.text import bpe_pair_counts, flesch_reading_ease
+
+    p_fl = plan_of(flesch_reading_ease(docs, "doc_id", "text"))
+    checks.append(("readability: zero exchanges", "Exchange" not in p_fl))
+    checks.append(("readability: no generate/explode", "Generate" not in p_fl))
+    checks.append(("readability: no Python", "EvalPython" not in p_fl))
+
+    # 58. BPE pairs (q125): corpus compacts to vocab first (map-side
+    # combine), pair explode runs over vocab only, final agg combines
+    p_bpe = plan_of(bpe_pair_counts(docs, "doc_id", "text", 50))
+    checks.append(("bpe pairs: map-side partial count", "partial_count" in p_bpe))
+    checks.append(("bpe pairs: map-side partial sum", "partial_sum" in p_bpe))
+    checks.append(("bpe pairs: no Python", "EvalPython" not in p_bpe))
+
+    # 59. domain rollup (q126): ONE exchange (the domain groupBy) over
+    # int64 partials; no join, no window
+    import re as _re
+
+    p_dq = plan_of(entry.q126_domain_quality(spark, SF))
+    checks.append(
+        (
+            "domain rollup: one exchange",
+            len(_re.findall(r"\(\d+\) Exchange", p_dq)) == 1,
+        )
+    )
+    checks.append(("domain rollup: no join", "Join" not in p_dq))
+    checks.append(("domain rollup: no Python", "EvalPython" not in p_dq))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
