@@ -5563,6 +5563,36 @@ FROM agg
 """
 
 
+def q127_ivf_pq_search(spark, sf_dir):
+    """IVF-PQ approximate nearest neighbors (operators/pq.ivf_pq_topk —
+    the full FAISS-style scale path): label-cell IVF routing by integer
+    centroid distance + ADC scoring against m-byte PQ codes instead of
+    raw vectors.  ALL arithmetic is fixed-point int64, so routing, code
+    assignment, distance tables, and the final top-k are bit-exact
+    against the unrolled SQL Lloyd chains."""
+    from eget_spark.operators.pq import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") % 97 == 0), "label",
+        "vec_id", "embedding", m=4, k_codes=4, n_iter=2, k=5, nprobe=2,
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "adc_fp",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _q127_sql() -> str:
+    from eget_spark.operators.pq import ivf_pq_oracle_sql
+
+    return ivf_pq_oracle_sql(
+        "embeddings", "vec_id", "embedding", "label", dim=64,
+        m=4, k_codes=4, n_iter=2, k=5, nprobe=2, query_pred="id % 97 = 0",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -5696,6 +5726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_readability": q124_readability,
         "q125_bpe_pairs": q125_bpe_pairs,
         "q126_domain_quality": q126_domain_quality,
+        "q127_ivf_pq_search": q127_ivf_pq_search,
     }
 
 
@@ -5827,4 +5858,5 @@ def oracle_sql() -> dict[str, str]:
         "q124_readability": _Q124_SQL,
         "q125_bpe_pairs": _Q125_SQL,
         "q126_domain_quality": _q126_sql(),
+        "q127_ivf_pq_search": _q127_sql(),
     }

@@ -26,8 +26,11 @@ of corpus size.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .kmeans import vec_fp
 
@@ -84,6 +87,30 @@ def pq_codes(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
+
+    def sub(j: int, col: Column) -> Column:
+        return F.slice(col, j * d_sub + 1, d_sub)
+
+    cents = train_codebooks(fp, m, k, n_iter, d_sub)
+
+    bests = [_best_sub(sub(j, F.col("vfp")), cents[j]) for j in range(m)]
+    total = bests[0]["dist"]
+    for b in bests[1:]:
+        total = total + b["dist"]
+    return fp.select(
+        "id",
+        *[b["cidx"].alias(f"code_{j}") for j, b in enumerate(bests)],
+        total.alias("dist_fp"),
+    )
+
+
+def train_codebooks(
+    fp: DataFrame, m: int, k: int, n_iter: int, d_sub: int
+) -> list[list[list[int]]]:
+    """Per-subspace fixed-point Lloyd codebooks over an (id, vfp) frame —
+    the training loop of ``pq_codes``, exposed so IVF-PQ search can
+    reuse the trained centroids for ADC distance tables.  Returns
+    cents[j][c] = d_sub int64 codeword coordinates."""
 
     def sub(j: int, col: Column) -> Column:
         return F.slice(col, j * d_sub + 1, d_sub)
@@ -147,14 +174,140 @@ def pq_codes(
                 for i in range(k)
             ]
 
+    return cents
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cell_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k_codes: int = 4,
+    n_iter: int = 2,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors (the full FAISS-style scale
+    path, Jegou et al. 2011 §IV): an IVF coarse quantizer routes each
+    query to its ``nprobe`` nearest cells, and candidates inside those
+    cells are scored by ADC — the asymmetric distance sum of per-
+    subspace lookup-table entries ``dt[j][code_j]`` — instead of raw
+    vectors.  Returns (query_id, neighbor_id, adc_fp, rank).
+
+    Exact semantics (pinned, ALL integer arithmetic so both engines
+    agree bit-for-bit): vectors quantize to 1e-6 fixed-point int64;
+    cell centroids are per-dim floor-divided means; routing ties break
+    (dist asc, cell asc); codebooks are the q93 Lloyd recipe; adc_fp =
+    sum_j ||q_sub_j - codeword[code_j]||^2 on the fp ints; final ties
+    (adc asc, neighbor_id asc); self-matches dropped.
+
+    Scale shape (why this is the 100-TB ANN story): the corpus is
+    touched ONCE to emit m-byte-scale codes (a zero-shuffle literal-
+    codebook projection — ~100x smaller than raw vectors, the scan that
+    fits in memory); routing joins queries against a BROADCAST cell-
+    centroid table; scoring joins the code table against the broadcast
+    routed queries on the cell key — candidates stream, the only
+    shuffle is the per-query top-k window, partitioned by query_id."""
+    fp = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(cell_col).alias("cell"),
+        vec_fp(F.col(vec_col)).alias("vfp"),
+    ).persist()
+    first = fp.select(F.size("vfp").alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("empty corpus")
+    dim = int(first[0]["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    def sub(j: int, col: Column) -> Column:
+        return F.slice(col, j * d_sub + 1, d_sub)
+
+    cents = train_codebooks(fp.select("id", "vfp"), m, k_codes, n_iter, d_sub)
+
+    # m-byte-scale code table: one zero-shuffle projection over the corpus
     bests = [_best_sub(sub(j, F.col("vfp")), cents[j]) for j in range(m)]
-    total = bests[0]["dist"]
-    for b in bests[1:]:
-        total = total + b["dist"]
-    return fp.select(
+    codes = fp.select(
         "id",
+        "cell",
         *[b["cidx"].alias(f"code_{j}") for j, b in enumerate(bests)],
-        total.alias("dist_fp"),
+    )
+
+    # integer cell centroids (floor-divided per-dim means)
+    ccent = (
+        fp.select("cell", F.posexplode("vfp").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.floor(F.sum("x").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("mu")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s["mu"],
+            ).alias("cvec")
+        )
+    )
+
+    def l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # per-query ADC distance tables: m x k_codes int64 lookup entries,
+    # computed once per query in the same projection
+    qfp = queries.select(
+        F.col(id_col).alias("query_id"), vec_fp(F.col(vec_col)).alias("qfp")
+    )
+    dt = F.array(
+        *[
+            F.array(*[_dist_sub(sub(j, F.col("qfp")), c) for c in cents[j]])
+            for j in range(m)
+        ]
+    )
+    routed = (
+        qfp.select("query_id", "qfp", dt.alias("dt"))
+        .join(F.broadcast(ccent))
+        .select(
+            "query_id", "dt", "cell", l2(F.col("qfp"), F.col("cvec")).alias("cd")
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cd").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .where(F.col("crank") <= nprobe)
+        .select("query_id", "dt", "cell")
+    )
+    adc = reduce(
+        lambda a, j: a + F.get(F.get(F.col("dt"), F.lit(j)), F.col(f"code_{j}")),
+        range(1, m),
+        F.get(F.get(F.col("dt"), F.lit(0)), F.col("code_0")),
+    )
+    scored = (
+        codes.join(F.broadcast(routed), "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            adc.alias("adc_fp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_fp").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
     )
 
 
@@ -243,3 +396,78 @@ SELECT id, {codes}, CAST({dsum} AS BIGINT) AS dist_fp
 FROM r_0 {joins}"""
     )
     return "".join(parts)
+
+
+def ivf_pq_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 4,
+    n_iter: int = 2,
+    k: int = 5,
+    nprobe: int = 2,
+    query_pred: str = "id % 97 = 0",
+) -> str:
+    """DuckDB-dialect oracle for ``ivf_pq_topk`` with queries drawn from
+    the corpus by ``query_pred`` (over the aliased ``id``).  Reuses the
+    full per-subspace Lloyd CTE chain of ``pq_oracle_sql`` (prefix up to
+    the r_j assignment CTEs), then adds IVF routing and ADC scoring —
+    every distance is BIGINT arithmetic, so the match is bit-exact."""
+    d_sub = dim // m
+    base = pq_oracle_sql(table, id_col, vec_col, dim, m, k_codes, n_iter)
+    # keep everything up to (not including) the final SELECT of the base
+    prefix = base[: base.rindex("\nSELECT id,")]
+
+    def dist(sv: str, cv: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({sv}, {cv}), "
+            "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+        )
+
+    code_joins = " ".join(f"JOIN r_{j} USING (id)" for j in range(1, m))
+    cb_joins = " ".join(
+        f"JOIN c{n_iter}_{j} cb{j} ON cb{j}.cidx = x.code_{j}" for j in range(m)
+    )
+    adc = " + ".join(dist(f"qs.s{j}", f"cb{j}.cvec") for j in range(m))
+    return f"""{prefix},
+codes AS (
+  SELECT id, {", ".join(f"code_{j}" for j in range(m))} FROM r_0 {code_joins}
+),
+cellof AS (SELECT {id_col} AS id, {cell_col} AS cell FROM {table}),
+ccent AS (
+  SELECT cell, list(mu ORDER BY pos) AS cvec
+  FROM (SELECT cell, pos, CAST(floor(sum(x) / count(*)) AS BIGINT) AS mu
+        FROM (SELECT c.cell, unnest(f.vfp) AS x,
+                     generate_subscripts(f.vfp, 1) AS pos
+              FROM fp f JOIN cellof c USING (id))
+        GROUP BY cell, pos)
+  GROUP BY cell
+),
+routed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.id
+                              ORDER BY {dist("q.vfp", "c.cvec")}, c.cell) AS rn
+    FROM (SELECT * FROM fp WHERE {query_pred}) q CROSS JOIN ccent c
+  ) WHERE rn <= {nprobe}
+),
+qsub AS (SELECT id AS query_id, {", ".join(f"s{j}" for j in range(m))}
+         FROM fs WHERE {query_pred}),
+scored AS (
+  SELECT r.query_id, x.id AS neighbor_id,
+         CAST({adc} AS BIGINT) AS adc_fp
+  FROM routed r
+  JOIN cellof cf ON cf.cell = r.cell
+  JOIN codes x ON x.id = cf.id AND x.id <> r.query_id
+  JOIN qsub qs ON qs.query_id = r.query_id
+  {cb_joins}
+)
+SELECT query_id, neighbor_id, adc_fp, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_fp, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -47,3 +47,82 @@ def test_deterministic_across_partitionings(spark):
     a = pq_codes(_emb(spark, rows).repartition(1), "id", "vec", m=4, k=3, n_iter=2)
     b = pq_codes(_emb(spark, rows).repartition(7), "id", "vec", m=4, k=3, n_iter=2)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_pq_topk_matches_python_adc_oracle(spark):
+    """Full python oracle: fixed-point vectors, trained codebooks (via
+    train_codebooks), floor-div cell centroids, integer routing + ADC,
+    pinned tie orders — compared row-for-row against ivf_pq_topk."""
+    from eget_spark.operators.kmeans import vec_fp
+    from eget_spark.operators.pq import ivf_pq_topk, pq_codes, train_codebooks
+    from pyspark.sql import functions as F
+
+    m, k_codes, n_iter, k, nprobe, dim = 2, 2, 2, 3, 1, 8
+    rows = []
+    for i in range(16):
+        base = 0.0 if i % 2 == 0 else 100.0
+        rows.append((i, i % 2, [base + ((i * 7 + j * 3) % 11) / 10.0 for j in range(dim)]))
+    # exact duplicate of vector 0 as id 16 (same cell 0)
+    rows.append((16, 0, list(rows[0][2])))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_fp"])
+        for r in ivf_pq_topk(
+            df, df.where(F.col("vec_id").isin(0, 3)), "label",
+            "vec_id", "embedding", m, k_codes, n_iter, k, nprobe,
+        ).collect()
+    }
+
+    # python oracle ------------------------------------------------------
+    fp_df = df.select(
+        F.col("vec_id").alias("id"), vec_fp(F.col("embedding")).alias("vfp")
+    )
+    fps = {r["id"]: list(r["vfp"]) for r in fp_df.collect()}
+    d_sub = dim // m
+    cents = train_codebooks(fp_df, m, k_codes, n_iter, d_sub)
+    codes = {
+        r["id"]: [r[f"code_{j}"] for j in range(m)]
+        for r in pq_codes(df, "vec_id", "embedding", m, k_codes, n_iter).collect()
+    }
+    cells = {i: lab for i, lab, _ in rows}
+    # floor-div integer centroids per cell
+    ccent = {}
+    for lab in {0, 1}:
+        members = [fps[i] for i in fps if cells[i] == lab]
+        ccent[lab] = [
+            sum(v[p] for v in members) // len(members) for p in range(dim)
+        ]
+    want = {}
+    for q in (0, 3):
+        qfp = fps[q]
+        routed = sorted(
+            ((sum((qfp[p] - c[p]) ** 2 for p in range(dim)), lab)
+             for lab, c in ccent.items())
+        )[:nprobe]
+        probe = {lab for _, lab in routed}
+        dt = [
+            [sum((qfp[j * d_sub + p] - cent[p]) ** 2 for p in range(d_sub))
+             for cent in cents[j]]
+            for j in range(m)
+        ]
+        cand = sorted(
+            (sum(dt[j][codes[i][j]] for j in range(m)), i)
+            for i in fps
+            if i != q and cells[i] in probe
+        )[:k]
+        for rank, (adc, i) in enumerate(cand, 1):
+            want[(q, rank)] = (i, adc)
+    assert got == want
+    # the rank-1 ADC for query 0 is the floor — query 0's own quantization
+    # distortion (its exact duplicate id 16 shares its codes; with k=2
+    # codewords other same-code neighbors tie and id-asc picks the lowest)
+    q0fp = fps[0]
+    dt0 = [
+        [sum((q0fp[j * d_sub + p] - cent[p]) ** 2 for p in range(d_sub))
+         for cent in cents[j]]
+        for j in range(m)
+    ]
+    assert got[(0, 1)][1] == sum(min(dt0[j]) for j in range(m))
+    assert codes[got[(0, 1)][0]] == codes[0] == codes[16]

@@ -1151,6 +1151,15 @@ def main() -> None:
     checks.append(("domain rollup: no join", "Join" not in p_dq))
     checks.append(("domain rollup: no Python", "EvalPython" not in p_dq))
 
+    # 60. IVF-PQ search (q127): centroid routing and candidate scoring
+    # are broadcast joins (the corpus-side code table never shuffles on
+    # the join); no cartesian, no Python anywhere
+    p_ipq = plan_of(entry.q127_ivf_pq_search(spark, SF))
+    checks.append(("ivfpq: broadcast joins", "BroadcastHashJoin" in p_ipq))
+    checks.append(("ivfpq: no cartesian", "CartesianProduct" not in p_ipq))
+    checks.append(("ivfpq: no shuffled join", "SortMergeJoin" not in p_ipq))
+    checks.append(("ivfpq: no Python", "EvalPython" not in p_ipq))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
