@@ -5593,6 +5593,101 @@ def _q127_sql() -> str:
     )
 
 
+def q128_adaptive_quality(spark, sf_dir):
+    """Adaptive per-language quality filtering (operators/quality_rules.
+    adaptive_quality_filter — the FineWeb-style curation step): each
+    lang drops its own bottom decile by the q108 exact-rank cutoff
+    arithmetic, so low-resource languages aren't wiped out by an
+    English-tuned global threshold.  One window shuffle on lang; the
+    |langs|-row cutoff table broadcasts back — no second corpus
+    shuffle."""
+    from eget_spark.functions.text import quality_score
+    from eget_spark.operators.quality_rules import adaptive_quality_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    return adaptive_quality_filter(docs, "lang", "quality", "doc_id", 1, 10)
+
+
+def _q128_sql() -> str:
+    return f"""
+WITH q AS ({_Q11_SQL}),
+j AS (SELECT d.doc_id, d.lang, q.quality
+      FROM documents d JOIN q USING (doc_id)),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM j),
+c AS (SELECT lang, max(quality) AS cutoff
+      FROM r WHERE rn = CAST(floor((n * 1 + 9) / 10) AS BIGINT) GROUP BY lang)
+SELECT j.doc_id AS id, j.lang AS "group", j.quality AS score, c.cutoff,
+       j.quality >= c.cutoff AS keep
+FROM j JOIN c USING (lang)
+"""
+
+
+def q129_meta_robots(spark, sf_dir):
+    """Meta-robots / X-Robots-Tag indexing-consent gate (functions/
+    metadata.robots_directives): noindex blocks page storage, nofollow
+    blocks link expansion, ``none`` implies both; the header value
+    unions with the first robots meta tag.  HTML fixture: doc_id%4
+    plants no-tag/noindex/nofollow/both; doc_id%5==0 adds a noindex
+    header.  Zero-shuffle regexp column algebra; the final verdicts
+    pipe straight into the crawl loop's store/expand filters."""
+    from eget_spark.functions.metadata import robots_directives
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>d</title>"),
+        F.when(d % 4 == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(d % 4 == 2, F.lit('<meta name="robots" content="nofollow">'))
+        .when(d % 4 == 3, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    header = F.when(d % 5 == 0, F.lit("NOINDEX")).otherwise(F.lit(""))
+    noindex, nofollow = robots_directives(html, header)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        (~noindex).alias("store_page"),
+        (~nofollow).alias("expand_links"),
+    )
+
+
+_Q129_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         '<html><head><title>d</title>' ||
+         CASE doc_id % 4
+           WHEN 1 THEN '<meta name="robots" content="noindex">'
+           WHEN 2 THEN '<meta name="robots" content="nofollow">'
+           WHEN 3 THEN '<meta name="robots" content="noindex, nofollow">'
+           ELSE ''
+         END || '</head><body>x</body></html>' AS html,
+         CASE WHEN doc_id % 5 = 0 THEN 'NOINDEX' ELSE '' END AS hdr
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           lower(regexp_extract(html, '<meta\s+name="robots"\s+content="([^"]*)"', 1, 'i'))
+           || ',' || lower(hdr),
+           '[,\s]+') AS toks
+  FROM base
+)
+SELECT doc_id,
+       list_has_any(toks, ['noindex', 'none']) AS noindex,
+       list_has_any(toks, ['nofollow', 'none']) AS nofollow,
+       NOT list_has_any(toks, ['noindex', 'none']) AS store_page,
+       NOT list_has_any(toks, ['nofollow', 'none']) AS expand_links
+FROM d
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -5727,6 +5822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_bpe_pairs": q125_bpe_pairs,
         "q126_domain_quality": q126_domain_quality,
         "q127_ivf_pq_search": q127_ivf_pq_search,
+        "q128_adaptive_quality": q128_adaptive_quality,
+        "q129_meta_robots": q129_meta_robots,
     }
 
 
@@ -5859,4 +5956,6 @@ def oracle_sql() -> dict[str, str]:
         "q125_bpe_pairs": _Q125_SQL,
         "q126_domain_quality": _q126_sql(),
         "q127_ivf_pq_search": _q127_sql(),
+        "q128_adaptive_quality": _q128_sql(),
+        "q129_meta_robots": _Q129_SQL,
     }

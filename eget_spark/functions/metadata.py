@@ -107,3 +107,31 @@ def metadata_renamed_map(spans: Column) -> Column:
         return out.when(k.startswith("og:"), generic).otherwise(k)
 
     return F.transform_keys(m, rename)
+
+
+def robots_directives(html, header=None):
+    """(noindex, nofollow) boolean columns from a page's robots meta tag
+    plus an optional X-Robots-Tag header value — the indexing-consent
+    gate real crawlers apply AFTER fetch (RFC 9309 governs fetching;
+    meta robots / X-Robots-Tag govern storing and link expansion).
+
+    Exact semantics (pinned for the SQL oracle): the FIRST
+    ``<meta name="robots" content="...">`` occurrence (double quotes,
+    name-before-content, case-insensitive) is unioned with the header
+    value; directives split on commas/whitespace; ``none`` implies both
+    noindex and nofollow.  Pure regexp column algebra — zero shuffle,
+    zero Python."""
+    from pyspark.sql import functions as F
+
+    content = F.lower(
+        F.regexp_extract(
+            html, r'(?i)<meta\s+name="robots"\s+content="([^"]*)"', 1
+        )
+    )
+    combined = F.concat_ws(
+        ",", content, F.lower(F.coalesce(header, F.lit("")) if header is not None else F.lit(""))
+    )
+    toks = F.split(combined, r"[,\s]+")
+    noindex = F.arrays_overlap(toks, F.array(F.lit("noindex"), F.lit("none")))
+    nofollow = F.arrays_overlap(toks, F.array(F.lit("nofollow"), F.lit("none")))
+    return noindex, nofollow

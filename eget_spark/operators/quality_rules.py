@@ -405,3 +405,51 @@ def domain_quality_rollup(
             (avg < F.lit(float(low_threshold))).alias("low_quality"),
         )
     )
+
+
+def adaptive_quality_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    num: int = 1,
+    den: int = 10,
+) -> DataFrame:
+    """Adaptive (percentile-based) quality filtering — the FineWeb-style
+    curation step: instead of one global cutoff, each group (language,
+    source) drops its own bottom num/den score fraction, so low-resource
+    languages aren't wiped out by an English-tuned threshold.
+
+    Exact semantics (pinned): cutoff(group) = the ceil(n*num/den)-th
+    score in (score asc, id asc) order — the same rank arithmetic as
+    operators/quantiles.exact_quantiles; keep = score >= cutoff.
+    Returns (id, group, score, cutoff, keep) for every input row.
+
+    Scale shape: ONE window shuffle on the group key computes ranks and
+    cutoffs; the cutoff table is |groups| rows and BROADCASTS back onto
+    the corpus — no second corpus shuffle."""
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy(group_col).orderBy(F.col(score_col), F.col(id_col))
+    wn = _W.partitionBy(group_col)
+    ranked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        F.col(score_col).alias("score"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wn).alias("_n"),
+    )
+    target = F.floor((F.col("_n") * num + (den - 1)) / F.lit(den)).cast("long")
+    cuts = (
+        ranked.where(F.col("_rn") == target)
+        .groupBy("group")
+        .agg(F.max("score").alias("cutoff"))
+    )
+    return (
+        ranked.select("id", "group", "score")
+        .join(F.broadcast(cuts), "group")
+        .select(
+            "id", "group", "score", "cutoff",
+            (F.col("score") >= F.col("cutoff")).alias("keep"),
+        )
+    )

@@ -256,3 +256,50 @@ def test_domain_quality_rollup_exact_micro_sums(spark):
     # exactly-at-threshold is NOT low (strict <)
     assert got["c.io"]["low_quality"] is False
     assert all(r["n_docs"] in (2, 3, 1) for r in got.values())
+
+
+def test_adaptive_quality_filter_rank_cutoffs(spark):
+    from eget_spark.operators.quality_rules import adaptive_quality_filter
+
+    # two groups with known score ladders; bottom-decile cutoff = the
+    # ceil(n/10)-th score ascending (ties pinned by id)
+    rows = [(i, "a", float(i)) for i in range(20)]          # n=20 -> rank 2
+    rows += [(100 + i, "b", 5.0) for i in range(5)]         # all equal, n=5 -> rank 1
+    df = spark.createDataFrame(rows, "id long, g string, s double")
+    got = {r["id"]: r for r in
+           adaptive_quality_filter(df, "g", "s", "id", 1, 10).collect()}
+    # group a: cutoff = score at asc rank 2 = 1.0; id 0 (score 0.0) dropped
+    assert got[0]["cutoff"] == 1.0 and got[0]["keep"] is False
+    assert got[1]["keep"] is True and got[19]["keep"] is True
+    # group b: all scores equal -> cutoff 5.0, everyone kept (>=)
+    assert all(got[100 + i]["keep"] is True for i in range(5))
+    # every row of the input comes back exactly once
+    assert len(got) == 25
+
+
+def test_robots_directives_parsing_and_none(spark):
+    from eget_spark.functions.metadata import robots_directives
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, '<meta name="robots" content="noindex">', ""),
+        (1, '<meta name="robots" content="NOFOLLOW">', ""),
+        (2, '<meta name="robots" content="none">', ""),
+        (3, "<p>no tag</p>", ""),
+        (4, "<p>no tag</p>", "noindex, nofollow"),
+        (5, '<meta name="robots" content="index, follow">', ""),
+        (6, '<meta NAME="robots" CONTENT="noindex">', ""),  # case-insensitive tag
+    ]
+    df = spark.createDataFrame(rows, "id long, html string, hdr string")
+    ni, nf = robots_directives(F.col("html"), F.col("hdr"))
+    got = {r["id"]: (r["ni"], r["nf"]) for r in
+           df.select("id", ni.alias("ni"), nf.alias("nf")).collect()}
+    assert got == {
+        0: (True, False),
+        1: (False, True),
+        2: (True, True),   # none implies both
+        3: (False, False),
+        4: (True, True),   # header union
+        5: (False, False),
+        6: (True, False),
+    }

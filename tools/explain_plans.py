@@ -1160,6 +1160,19 @@ def main() -> None:
     checks.append(("ivfpq: no shuffled join", "SortMergeJoin" not in p_ipq))
     checks.append(("ivfpq: no Python", "EvalPython" not in p_ipq))
 
+    # 61. adaptive quality filter (q128): one window exchange on the
+    # group key; the cutoff table broadcasts back (no second corpus
+    # shuffle, no sort-merge join)
+    p_aq = plan_of(entry.q128_adaptive_quality(spark, SF))
+    checks.append(("adaptive quality: broadcast cutoff join", "BroadcastHashJoin" in p_aq))
+    checks.append(("adaptive quality: no sort-merge join", "SortMergeJoin" not in p_aq))
+    checks.append(("adaptive quality: no Python", "EvalPython" not in p_aq))
+
+    # 62. meta robots (q129): pure scan-side regexp algebra
+    p_mr = plan_of(entry.q129_meta_robots(spark, SF))
+    checks.append(("meta robots: zero exchanges", "Exchange" not in p_mr))
+    checks.append(("meta robots: no Python", "EvalPython" not in p_mr))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
