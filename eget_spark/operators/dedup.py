@@ -600,6 +600,14 @@ def lsh_match_against_index(
     bounded exactly as in minhash_lsh_pairs (a bucket holds near-dups of
     one another, and the index side can cap bucket size upstream)."""
     new_buckets = lsh_bucket_table(new_df, id_col, text_col, num_hashes, bands, k)
+    return lsh_probe(new_buckets, index)
+
+
+def lsh_probe(new_buckets: DataFrame, index: DataFrame) -> DataFrame:
+    """The probe join of ``lsh_match_against_index`` over ALREADY-built
+    bucket rows — exposed so a streaming maintainer that must also
+    append the batch's buckets to the index computes them exactly once.
+    Returns (new_id, index_id, band=min colliding band)."""
     return (
         new_buckets.alias("n")
         .join(
