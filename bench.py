@@ -56,6 +56,12 @@ HEADLINE = [
     "q91_containment_pairs",
     "q93_pq_codes",
     "q99_normalized_dedup",
+    # round-5d: pin the zero-shuffle readability HOF fold, the
+    # vocab-compacted BPE pair aggregate, and the broadcast-only IVF-PQ
+    # ANN search (routing + ADC scoring)
+    "q124_readability",
+    "q125_bpe_pairs",
+    "q127_ivf_pq_search",
 ]
 
 
