@@ -480,13 +480,26 @@ def flesch_reading_ease(df, id_col: str, text_col: str):
     syllable sum is an ``aggregate`` higher-order fold over the token
     array, so there is no explode, no groupBy, no Exchange anywhere;
     the score pipelines with any downstream filter at 100 TB."""
-    from pyspark.sql import functions as F
+    n_sent, n_words, n_syll, flesch = _flesch_parts(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
 
+
+def flesch_score(text: Column) -> Column:
+    """The ``flesch_reading_ease`` score as a pure column expression —
+    NULL for zero-word docs; same pinned semantics."""
+    return _flesch_parts(text)[3]
+
+
+def _flesch_parts(text: Column):
     from ..operators.lm_score import TOKEN_SPLIT
 
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != F.lit("")
-    )
+    toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != F.lit(""))
     n_words = F.size(toks).cast("long")
     n_syll = F.aggregate(
         toks,
@@ -496,7 +509,7 @@ def flesch_reading_ease(df, id_col: str, text_col: str):
     )
     n_sent = F.greatest(
         F.lit(1).cast("long"),
-        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"),
+        F.regexp_count(text, F.lit(r"[.!?]+")).cast("long"),
     )
     flesch = F.round(
         F.lit(206.835)
@@ -504,13 +517,7 @@ def flesch_reading_ease(df, id_col: str, text_col: str):
         - F.lit(84.6) * (n_syll / n_words),
         6,
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        n_sent.alias("n_sentences"),
-        n_words.alias("n_words"),
-        n_syll.alias("n_syllables"),
-        F.when(n_words > 0, flesch).alias("flesch"),
-    )
+    return n_sent, n_words, n_syll, F.when(n_words > 0, flesch)
 
 
 def bpe_pair_counts(df, id_col: str, text_col: str, top_k: int = 50):

@@ -137,12 +137,18 @@ def bernoulli_sample(
     Plan shape: a pure projection + filter — zero shuffles, pushes past
     any downstream exchange.  ``prob_col`` may be a column name or a
     Column expression (e.g. a per-source rate joined in upstream)."""
+    return df.where(bernoulli_keep(id_col, prob_col, seed))
+
+
+def bernoulli_keep(id_col: str, prob_col, seed: str = ""):
+    """The ``bernoulli_sample`` keep decision as a boolean column — for
+    pipelines that must also record which rows were sampled OUT."""
     from .kmv import md5_60bit
 
     p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
     h = md5_60bit(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     threshold = F.floor(p.cast("double") * F.lit(float(1 << 60))).cast("long")
-    return df.where(h < threshold)
+    return h < threshold
 
 
 def split_by_group(

@@ -67,6 +67,15 @@ def prepare_training_data(
     max_dup_line_frac: float = 0.30,
     max_top_bigram_frac: float = 0.20,
     min_lm_score: float | None = None,
+    min_flesch: float | None = None,
+    adaptive_quality_den: int | None = None,
+    best_representative: bool = False,
+    source_weights: dict[str, float] | None = None,
+    source_col: str = "source",
+    mix_seed: str = "",
+    split_by: str | None = None,
+    split_weights: list[int] | None = None,
+    split_seed: str = "",
 ) -> PrepResult:
     """Annotate, filter, dedup (exact + near-dup groups), and chunk.
 
@@ -87,9 +96,29 @@ def prepare_training_data(
     never merge two distinct documents — and BEFORE chunking, so chunks
     inherit the scrubbed text; per-doc counters land on ``docs`` as
     ``n_pii_emails`` / ``n_pii_ips`` / ``n_pii_phones``.  Map-side only:
-    the stage adds zero shuffles to the pipeline."""
+    the stage adds zero shuffles to the pipeline.
+
+    Round-5 stages: ``min_flesch`` adds the readability floor (zero
+    shuffle — a pure column); ``adaptive_quality_den`` drops each
+    predicted language's bottom 1/den quality fraction (FineWeb-style
+    per-group cutoffs; reason ``adaptive_quality_filter``);
+    ``best_representative=True`` keeps the HIGHEST-quality member of
+    each near-dup cluster instead of the lowest id; ``source_weights``
+    applies engine-exact per-source Bernoulli keep rates AFTER dedup
+    (the corpus-mixing step; unlisted sources keep rate 1.0; reason
+    ``source_sampled_out``); ``split_by`` adds a leakage-safe
+    group-consistent ``split`` column (8/1/1 train/val/test by default)
+    to the surviving docs."""
+    carry = [
+        c
+        for c in dict.fromkeys(
+            ([source_col] if source_weights is not None else [])
+            + ([split_by] if split_by else [])
+        )
+        if c in docs.columns and c not in (id_col, text_col)
+    ]
     base = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        F.col(id_col).alias("id"), F.col(text_col).alias("text"), *carry
     )
     annotated = (
         base.join(lang_id_df(base, "id", "text"), "id", "left")
@@ -99,18 +128,41 @@ def prepare_training_data(
     )
     if min_entropy is not None:
         annotated = annotated.join(char_entropy_df(base, "id", "text"), "id", "left")
+    if min_flesch is not None:
+        from .functions.text import flesch_score
+
+        annotated = annotated.withColumn("flesch", flesch_score(F.col("text")))
 
     keep = F.col("quality") >= F.lit(min_quality)
     if max_stopword_ratio is not None:
         keep = keep & (F.col("stop_ratio") <= F.lit(max_stopword_ratio))
     if min_entropy is not None:
         keep = keep & (F.col("char_entropy") >= F.lit(min_entropy))
+    if min_flesch is not None:
+        keep = keep & F.col("flesch").isNotNull() & (
+            F.col("flesch") >= F.lit(min_flesch)
+        )
     if languages:
         keep = keep & F.col("pred_lang").isin(languages)
     quality_pass = annotated.where(keep)
     dropped = annotated.where(~keep).select(
         "id", F.lit("quality_filter").alias("reason")
     )
+
+    if adaptive_quality_den is not None:
+        from .operators.quality_rules import adaptive_quality_filter
+
+        aq = adaptive_quality_filter(
+            quality_pass, "pred_lang", "quality", "id", 1, adaptive_quality_den
+        )
+        dropped = dropped.unionByName(
+            aq.where(~F.col("keep")).select(
+                "id", F.lit("adaptive_quality_filter").alias("reason")
+            )
+        )
+        quality_pass = quality_pass.join(
+            aq.where(F.col("keep")).select("id"), "id", "left_semi"
+        )
 
     if gopher_rules:
         from .operators.quality_rules import gopher_signals, repetition_signals
@@ -189,7 +241,12 @@ def prepare_training_data(
             )
             .select("id_a", "id_b")
         )
-        groups = dedup_groups(survivors, pairs, "id")
+        if best_representative:
+            from .operators.dedup import select_representatives
+
+            groups = select_representatives(survivors, pairs, "id", "quality")
+        else:
+            groups = dedup_groups(survivors, pairs, "id")
         survivors = survivors.join(
             groups.where(~F.col("is_duplicate")).select("id"), "id", "left_semi"
         )
@@ -216,6 +273,33 @@ def prepare_training_data(
             egroups.where(F.col("is_duplicate")).select(
                 "id", F.lit("embedding_near_duplicate").alias("reason")
             )
+        )
+
+    if source_weights is not None:
+        from functools import reduce as _reduce
+
+        from .operators.sampling import bernoulli_keep
+
+        prob = _reduce(
+            lambda acc, kv: acc.when(
+                F.col(source_col) == F.lit(kv[0]), F.lit(float(kv[1]))
+            ),
+            sorted(source_weights.items()),
+            F.when(F.lit(False), F.lit(0.0)),
+        ).otherwise(F.lit(1.0))
+        cond = bernoulli_keep("id", prob, seed=mix_seed)
+        dropped = dropped.unionByName(
+            survivors.where(~cond).select(
+                "id", F.lit("source_sampled_out").alias("reason")
+            )
+        )
+        survivors = survivors.where(cond)
+
+    if split_by is not None:
+        from .operators.sampling import split_by_group
+
+        survivors = split_by_group(
+            survivors, split_by, weights=split_weights, seed=split_seed
         )
 
     if scrub_pii:

@@ -196,3 +196,96 @@ def test_prepare_gopher_and_lm_stages(spark):
         df.where(F.col("doc_id") != 300), languages=["en"], shingle_k=2
     )
     assert 301 in {r["id"] for r in res3.docs.select("id").collect()}
+
+
+def test_prepare_round5_stages(spark):
+    """min_flesch / adaptive_quality_den / best_representative /
+    source_weights / split_by wire correctly and account every doc."""
+    import hashlib
+
+    docs = _corpus(spark).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("keepall")).otherwise(
+            F.lit("rare")
+        ),
+    ).withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+    )
+    res = prepare_training_data(
+        docs,
+        min_quality=0.3,
+        adaptive_quality_den=10,
+        best_representative=True,
+        source_weights={"rare": 0.5},   # keepall unlisted -> rate 1.0
+        mix_seed="m",
+        split_by="host",
+        split_seed="s",
+    )
+    surv = res.docs.collect()
+    dropped = {r["id"]: r["reason"] for r in res.dropped.collect()}
+    # full accounting: every input doc is surviving xor dropped
+    ids = {r["id"] for r in surv}
+    assert ids.isdisjoint(dropped)
+    assert ids | set(dropped) == {r["doc_id"] for r in docs.collect()}
+    # adaptive stage fired (bottom decile of en docs dropped)
+    assert "adaptive_quality_filter" in set(dropped.values())
+    # source sampling: every kept 'rare' doc passes the hash rule; every
+    # sampled-out doc is 'rare' (keepall rate is 1.0)
+    for r in surv:
+        if r["source"] == "rare":
+            assert int(hashlib.md5(f"m{r['id']}".encode()).hexdigest()[:15], 16) < int(
+                0.5 * (1 << 60)
+            )
+    out_ids = {i for i, why in dropped.items() if why == "source_sampled_out"}
+    srcs = {r["doc_id"]: r["source"] for r in docs.collect()}
+    assert out_ids and all(srcs[i] == "rare" for i in out_ids)
+    # split column present, group-consistent, and hash-derived
+    names = ["train", "val", "test"]
+    for r in surv:
+        b = int(hashlib.md5(f"s{r['host']}".encode()).hexdigest()[:15], 16) % 10
+        assert r["split"] == (names[0] if b < 8 else names[1] if b < 9 else names[2])
+    # chunks only reference surviving docs
+    chunk_ids = {
+        int(r["doc_id"]) for r in res.chunks.select("doc_id").distinct().collect()
+    }
+    assert chunk_ids <= ids
+
+
+def test_prepare_best_representative_keeps_highest_quality(spark):
+    # two exact-ish near dups where the HIGHER id has higher quality:
+    # default keeps lowest id, best_representative keeps the better doc
+    base = (
+        "# Doc\n\nThe quick brown fox jumps over the lazy dog and writes "
+        "long sentences about the system of the world today."
+    )
+    richer = base + " Brilliant unique additions."
+    docs = spark.createDataFrame(
+        [(1, base), (2, richer)], "doc_id long, text string"
+    )
+    default = prepare_training_data(docs, near_dup_threshold=0.5)
+    best = prepare_training_data(
+        docs, near_dup_threshold=0.5, best_representative=True
+    )
+    d_ids = {r["id"] for r in default.docs.collect()}
+    b_ids = {r["id"] for r in best.docs.collect()}
+    # they form one near-dup cluster in both runs
+    assert len(d_ids) == 1 and len(b_ids) == 1
+    assert d_ids == {1}          # lowest-id convention
+    assert b_ids == {2}          # higher quality wins
+
+
+def test_prepare_min_flesch_floor(spark):
+    # syllable-dense doc scores far below a simple one; floor drops it
+    simple = "# Doc\n\nThe cat sat on the mat. It was fun. We like it a lot."
+    dense = (
+        "# Doc\n\nExtraordinary bureaucratic organizations habitually "
+        "overcomplicate unintelligible administrative responsibilities."
+    )
+    docs = spark.createDataFrame(
+        [(1, simple), (2, dense)], "doc_id long, text string"
+    )
+    res = prepare_training_data(docs, min_quality=0.0, min_flesch=50.0)
+    assert {r["id"] for r in res.docs.collect()} == {1}
+    assert {r["id"]: r["reason"] for r in res.dropped.collect()} == {
+        2: "quality_filter"
+    }
