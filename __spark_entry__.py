@@ -5688,6 +5688,100 @@ FROM d
 """
 
 
+def q130_split_leakage(spark, sf_dir):
+    """Cross-split n-gram leakage audit (operators/decontaminate.
+    split_leakage): after the q123 host-consistent split assignment,
+    count distinct 5-grams present in two splits and the gram-level
+    collision mass — the post-split check that eval contamination
+    prescribes.  The corpus compacts to (gram, split, n_docs) first, so
+    the gram-keyed self-join never materializes doc pairs."""
+    from eget_spark.operators.decontaminate import split_leakage
+    from eget_spark.operators.sampling import split_by_group
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"))
+    )
+    return split_leakage(
+        split_by_group(docs, "host", seed="sp1"), "split", "doc_id", "text", 5
+    )
+
+
+_Q130_SQL = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5('sp1' || 'h' || CAST(doc_id % 50 AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10 AS bucket
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, text,
+         CASE WHEN bucket < 8 THEN 'train'
+              WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split
+  FROM b
+),
+toks AS (
+  SELECT doc_id, split,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM sp
+),
+grams AS (
+  SELECT doc_id, split, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 5
+  UNION
+  SELECT doc_id, split, array_to_string(t, ' ') FROM toks WHERE len(t) < 5
+),
+gs AS (
+  SELECT s, split, CAST(count(*) AS BIGINT) AS n_docs
+  FROM (SELECT DISTINCT doc_id, split, s FROM grams) GROUP BY s, split
+)
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(count(*) AS BIGINT) AS n_grams_shared,
+       CAST(sum(a.n_docs * b.n_docs) AS BIGINT) AS n_collisions
+FROM gs a JOIN gs b ON a.s = b.s AND a.split < b.split
+GROUP BY 1, 2
+"""
+
+
+def q131_circuit_breaker(spark, sf_dir):
+    """Per-host failure circuit breaker (operators/politeness.
+    host_circuit_breaker): hosts h0-h4 of the synthetic fetch log fail
+    ~70% of attempts (dead-server fixture) and trip the integer-only
+    failure-budget rule (n_failures*100 > 50*n_attempts at >=10
+    attempts); healthy hosts (~10% fail) don't.  ONE map-side-combined
+    groupBy(host); the tripped set broadcasts into admission like
+    robots verdicts."""
+    from eget_spark.operators.politeness import host_circuit_breaker
+
+    d = F.col("doc_id")
+    log = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 30).cast("string")).alias("host"),
+        F.when(d % 30 < 5, (d * 7) % 10 < 3).otherwise((d * 7) % 10 < 9).alias(
+            "ok"
+        ),
+    )
+    return host_circuit_breaker(log, "host", "ok", min_attempts=10, max_fail_pct=50)
+
+
+_Q131_SQL = r"""
+WITH log AS (
+  SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS host,
+         CASE WHEN doc_id % 30 < 5 THEN (doc_id * 7) % 10 < 3
+              ELSE (doc_id * 7) % 10 < 9 END AS ok
+  FROM documents
+),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_attempts,
+         CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_failures
+  FROM log GROUP BY host
+)
+SELECT host, n_attempts, n_failures,
+       (n_attempts >= 10 AND n_failures * 100 > 50 * n_attempts) AS tripped
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -5824,6 +5918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_ivf_pq_search": q127_ivf_pq_search,
         "q128_adaptive_quality": q128_adaptive_quality,
         "q129_meta_robots": q129_meta_robots,
+        "q130_split_leakage": q130_split_leakage,
+        "q131_circuit_breaker": q131_circuit_breaker,
     }
 
 
@@ -5958,4 +6054,6 @@ def oracle_sql() -> dict[str, str]:
         "q127_ivf_pq_search": _q127_sql(),
         "q128_adaptive_quality": _q128_sql(),
         "q129_meta_robots": _Q129_SQL,
+        "q130_split_leakage": _Q130_SQL,
+        "q131_circuit_breaker": _Q131_SQL,
     }

@@ -90,3 +90,53 @@ def decontaminate(
         "left_anti",
     )
     return clean, flagged
+
+
+def split_leakage(
+    docs: DataFrame,
+    split_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Cross-split n-gram leakage audit — the check a team runs AFTER
+    train/val/test assignment (Lee et al. 2022: duplicated n-grams
+    across the split boundary inflate eval scores).  Returns one row per
+    unordered split pair: (split_a, split_b, n_grams_shared = distinct
+    n-grams present in both splits, n_collisions = sum over shared grams
+    of n_docs_a * n_docs_b).
+
+    Scale shape (why no doc-pair join): the corpus compacts to
+    (gram, split, n_docs) first — one map-side-combined aggregate — and
+    the gram-keyed self-join then has <= |splits| rows per gram per
+    side, so collision counting never materializes doc pairs."""
+    sh = (
+        shingle_rows(docs, id_col, text_col, n)
+        .distinct()
+        .join(
+            docs.select(
+                F.col(id_col).alias("id"), F.col(split_col).alias("split")
+            ),
+            "id",
+        )
+    )
+    gs = sh.groupBy("s", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        gs.alias("a")
+        .join(
+            gs.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams_shared"),
+            F.sum(F.col("a.n_docs") * F.col("b.n_docs"))
+            .cast("long")
+            .alias("n_collisions"),
+        )
+    )

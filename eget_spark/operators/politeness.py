@@ -122,3 +122,47 @@ def adaptive_delays(
             F.lit(max_ms).cast("long"),
         ).cast("long").alias("delay_ms"),
     )
+
+
+def host_circuit_breaker(
+    fetch_log: DataFrame,
+    host_col: str,
+    ok_col: str,
+    min_attempts: int = 10,
+    max_fail_pct: int = 50,
+) -> DataFrame:
+    """Per-host failure circuit breaker — the crawler-ops rule that
+    retires hosts whose fetch failure rate exceeds a budget (dead
+    servers, bot walls, misconfigured TLS) instead of burning frontier
+    slots on them.  The reference crawler's retry/error path
+    (services/crawler error accounting) motivates the operator; here the
+    verdict feeds the standard admission filter.
+
+    Exact semantics (pinned, integer-only): tripped iff n_attempts >=
+    min_attempts AND n_failures * 100 > max_fail_pct * n_attempts — the
+    comparison is between int64 products, so no float ratio ever forms.
+    Returns (host, n_attempts, n_failures, tripped).
+
+    Scale shape: ONE map-side-combined groupBy(host) over int64
+    partials; the tripped set is tiny and broadcasts into the admission
+    anti-join exactly like robots verdicts."""
+    n = F.count(F.lit(1)).cast("long")
+    nf = F.sum(
+        F.when(F.col(ok_col).cast("boolean"), F.lit(0)).otherwise(F.lit(1))
+    ).cast("long")
+    return (
+        fetch_log.groupBy(F.col(host_col).alias("host"))
+        .agg(n.alias("n_attempts"), nf.alias("n_failures"))
+        .select(
+            "host",
+            "n_attempts",
+            "n_failures",
+            (
+                (F.col("n_attempts") >= F.lit(int(min_attempts)))
+                & (
+                    F.col("n_failures") * 100
+                    > F.lit(int(max_fail_pct)) * F.col("n_attempts")
+                )
+            ).alias("tripped"),
+        )
+    )

@@ -73,3 +73,48 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_split_leakage_matches_python_oracle(spark):
+    from eget_spark.operators.decontaminate import split_leakage
+
+    rows = [
+        (0, "train", "a b c d e f"),      # grams: abcde bcdef
+        (1, "train", "a b c d e x"),      # shares abcde? gram 'a b c d e' yes
+        (2, "test", "a b c d e f"),       # exact dup of 0 across boundary
+        (3, "test", "q r s t u v"),       # clean
+        (4, "val", "b c d e f g"),        # shares 'b c d e f' with 0/2
+        (5, "val", "short text"),         # len<5 -> whole-text gram
+        (6, "train", "short text"),       # whole-text collision with 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    got = {
+        (r["split_a"], r["split_b"]): (r["n_grams_shared"], r["n_collisions"])
+        for r in split_leakage(df, "split", "doc_id", "text", 5).collect()
+    }
+
+    def grams(t):
+        w = t.split()
+        if len(w) < 5:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    from collections import Counter, defaultdict
+
+    per_split = defaultdict(Counter)
+    for _, sp, t in rows:
+        for g in grams(t):
+            per_split[sp][g] += 1
+    want = {}
+    names = sorted(per_split)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            shared = set(per_split[a]) & set(per_split[b])
+            if shared:
+                want[(a, b)] = (
+                    len(shared),
+                    sum(per_split[a][g] * per_split[b][g] for g in shared),
+                )
+    assert got == want
+    # the exact train/test dup must register
+    assert got[("test", "train")][0] >= 2

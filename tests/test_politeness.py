@@ -103,3 +103,24 @@ def test_priority_ordering_wins_budget(spark):
     # budget 10 -> the ten priority-2 rows (seqs 2,5,...,29), FIFO within
     assert got == [(2, s) for s in range(2, 30, 3)]
     assert deferred.count() == 20
+
+
+def test_host_circuit_breaker_integer_rule_edges(spark):
+    from eget_spark.operators.politeness import host_circuit_breaker
+
+    rows = (
+        [("bad", False)] * 6 + [("bad", True)] * 4          # 60% fail, n=10
+        + [("edge", False)] * 5 + [("edge", True)] * 5      # exactly 50%, n=10
+        + [("young", False)] * 9                            # 100% fail, n=9
+        + [("good", True)] * 12 + [("good", False)]         # ~8% fail
+    )
+    df = spark.createDataFrame(rows, "host string, ok boolean")
+    got = {r["host"]: r for r in
+           host_circuit_breaker(df, "host", "ok", 10, 50).collect()}
+    assert got["bad"]["tripped"] is True
+    # exactly at the budget is NOT tripped (strict >)
+    assert got["edge"]["tripped"] is False
+    # below min_attempts never trips, however bad the rate
+    assert got["young"]["tripped"] is False and got["young"]["n_failures"] == 9
+    assert got["good"]["tripped"] is False
+    assert got["bad"]["n_attempts"] == 10 and got["bad"]["n_failures"] == 6

@@ -1173,6 +1173,24 @@ def main() -> None:
     checks.append(("meta robots: zero exchanges", "Exchange" not in p_mr))
     checks.append(("meta robots: no Python", "EvalPython" not in p_mr))
 
+    # 63. split leakage (q130): gram/split compaction before the
+    # gram-keyed self-join — no doc-pair join, map-side partials
+    p_sl = plan_of(entry.q130_split_leakage(spark, SF))
+    checks.append(("split leakage: no cartesian", "CartesianProduct" not in p_sl))
+    checks.append(("split leakage: map-side partial count", "partial_count" in p_sl))
+    checks.append(("split leakage: no Python", "EvalPython" not in p_sl))
+
+    # 64. circuit breaker (q131): one map-side-combined groupBy(host)
+    p_cb = plan_of(entry.q131_circuit_breaker(spark, SF))
+    checks.append(("circuit breaker: map-side partials", "partial_count" in p_cb))
+    checks.append(
+        (
+            "circuit breaker: one exchange",
+            len(_re.findall(r"\(\d+\) Exchange", p_cb)) == 1,
+        )
+    )
+    checks.append(("circuit breaker: no Python", "EvalPython" not in p_cb))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
