@@ -122,6 +122,18 @@ class CrawlConfig:
     broadcast_rows: int = 500_000
     max_rounds: int = 10_000
     salt_threshold: int = 100_000
+    # bounded per-URL fetch retries (SURVEY §2 mapping of the reference's
+    # tenacity x3 retry, scraper.py:252-278): a missed URL re-enqueues
+    # into the NEXT round's frontier (keeping its admission seq, flowing
+    # through politeness like any frontier row) until it has been
+    # attempted 1 + max_retries times; only then does its `missing` page
+    # row emit.  0 = off (reference-parity single attempt; the corpus-
+    # as-network model makes misses deterministic, so the default stays
+    # off and the mechanism is what a live-network fetcher would use).
+    # Retry attempt counts live in an in-memory per-run ledger — a
+    # resumed crawl restarts in-flight counts (documented, like the
+    # reference's in-process tenacity state).
+    max_retries: int = 0
 
     @property
     def base_domain(self) -> str:
@@ -458,6 +470,7 @@ def crawl(
 
     hits_parts: list[DataFrame] = []
     fetch_parts: list[DataFrame] = []  # in-memory mode: for the final misses anti-join
+    retry_ledger: DataFrame | None = None  # (url, _attempt) for in-flight retries
     attempted_list: list[int] = []
     success_list: list[int | None] = []
     counted = 0
@@ -534,6 +547,40 @@ def crawl(
         hits = hits.select(
             "url", fetch_now["host"], "depth", "parent_url", "seq", "spans"
         ).localCheckpoint(eager=False)
+
+        # bounded retries: missed URLs re-enqueue (same frontier row, same
+        # seq) until attempted 1+max_retries times; deferred URLs keep
+        # their old attempt count (they were not attempted this round)
+        retry_next = None
+        exhausted = misses
+        if config.max_retries > 0:
+            m = misses.select(*FRONTIER_COLS)
+            if retry_ledger is not None:
+                m_att = m.join(retry_ledger, "url", "left").withColumn(
+                    "_attempt", F.coalesce(F.col("_attempt"), F.lit(0)) + 1
+                )
+            else:
+                m_att = m.withColumn("_attempt", F.lit(1))
+            m_att = _checkpoint(m_att)
+            retry_next = m_att.where(
+                F.col("_attempt") <= config.max_retries
+            ).select(*FRONTIER_COLS)
+            exhausted = m_att.where(F.col("_attempt") > config.max_retries).select(
+                *FRONTIER_COLS
+            )
+            new_ledger = m_att.select("url", "_attempt")
+            if retry_ledger is not None:
+                # deferred URLs were not attempted: keep their old counts.
+                # Checkpoint only on this branch — it is the only one that
+                # would otherwise chain a semi-join per politeness round
+                new_ledger = _checkpoint(
+                    new_ledger.unionByName(
+                        retry_ledger.join(
+                            deferred.select("url"), "url", "left_semi"
+                        )
+                    )
+                )
+            retry_ledger = new_ledger
         # without politeness the whole frontier is fetched: no extra job
         attempted = fetch_now.count() if politeness_active else frontier_count
         attempted_list.append(attempted)
@@ -570,7 +617,7 @@ def crawl(
             )
 
         if run:
-            emitted = ok_rows.unionByName(_miss_rows(misses, F.lit(round_no)))
+            emitted = ok_rows.unionByName(_miss_rows(exhausted, F.lit(round_no)))
             run.docs.append(
                 emitted.withColumn("partition_id", F.spark_partition_id()), round_no
             )
@@ -766,7 +813,16 @@ def crawl(
         if n_admitted > 0:
             order_parts.append(admitted.withColumn("round", F.lit(round_no)))
 
-        if politeness_active:
+        n_retry = 0
+        if retry_next is not None:
+            parts = [admitted, retry_next]
+            if politeness_active:
+                parts.append(deferred.select(FRONTIER_COLS))
+            frontier = _checkpoint(_union_all(parts))
+            frontier_count = frontier.count()
+            # m_att is checkpointed: this count reuses it, no recompute
+            n_retry = retry_next.count()
+        elif politeness_active:
             frontier = _checkpoint(deferred.select(FRONTIER_COLS).unionByName(admitted))
             frontier_count = frontier.count()
         else:
@@ -774,7 +830,7 @@ def crawl(
             # (already checkpointed) — saves a materialization + count
             frontier = admitted
             frontier_count = n_admitted
-        n_deferred = frontier_count - n_admitted
+        n_deferred = frontier_count - n_admitted - n_retry
 
         stats.append(
             RoundStats(
@@ -812,6 +868,13 @@ def crawl(
         all_fetched = _union_all(fetch_parts)
         all_hits = _union_all([h.select("url") for h in hits_parts])
         misses_all = all_fetched.join(all_hits, "url", "left_anti")
+        if config.max_retries > 0:
+            # a retried URL appears once per attempt (distinct rounds);
+            # collapse to one missing row at its LAST attempt round — the
+            # non-retry columns are invariant across re-enqueues
+            misses_all = misses_all.groupBy(*FRONTIER_COLS).agg(
+                F.max("round").alias("round")
+            )
         pages_parts.append(
             misses_all.select(
                 "url", "host", "depth", "parent_url", "seq", "round",
