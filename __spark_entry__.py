@@ -5782,6 +5782,65 @@ FROM agg
 """
 
 
+def q132_pptx_convert(spark, sf_dir):
+    """C4 PPTX conversion end-to-end on real bytes (sources/ooxml.
+    decode_pptx_bytes + converters.pptx_events_to_spans): 18 .pptx zip
+    archives synthesized in-memory by the stdlib writer, decoded by
+    zipfile+ElementTree inside convert_files' distributed mapInPandas,
+    exploded to one row per span.  The reference DECLARES FileType.PPTX
+    (file_conversion_models.py:10) but ships its converter commented out
+    (converter_factory.py:37) — this closes the declared enum.  Every
+    field derives from arithmetic on the file index, so DuckDB
+    reproduces the expected span table independently."""
+    from eget_spark.sources.converters import convert_files
+    from eget_spark.sources.ooxml import build_pptx_bytes
+
+    rows = []
+    for i in range(18):
+        slides = [
+            {
+                "title": f"Deck {i}",
+                "paras": [
+                    (f"intro {i}", False, 0),
+                    (f"point a{i}", True, 0),
+                    (f"point b{i}", True, 1),
+                    (f"outro {i}", False, 0),
+                ],
+            },
+            {"title": None, "paras": [], "table": [["k", "v"], [f"r{i}", str(i * i)]]},
+        ]
+        rows.append((f"mem://pptx/{i:04d}.pptx", bytearray(build_pptx_bytes(slides))))
+    files = spark.createDataFrame(rows, "path string, content binary")
+    return (
+        convert_files(files, dedupe_content=False)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").cast("int").alias("pos"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
+_Q132_SQL = r"""
+WITH i AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 18)),
+spans AS (
+  SELECT i, 0 AS pos, 'heading' AS kind, '## Slide 1: Deck ' || i AS text FROM i
+  UNION ALL SELECT i, 1, 'paragraph', 'intro ' || i FROM i
+  UNION ALL SELECT i, 2, 'list',
+    'point a' || i || chr(10) || '  point b' || i FROM i
+  UNION ALL SELECT i, 3, 'paragraph', 'outro ' || i FROM i
+  UNION ALL SELECT i, 4, 'heading', '## Slide 2' FROM i
+  UNION ALL SELECT i, 5, 'table',
+    'k' || chr(9) || 'v' || chr(10) || 'r' || i || chr(9) || (i * i) FROM i
+)
+SELECT 'mem://pptx/' || lpad(CAST(i AS VARCHAR), 4, '0') || '.pptx' AS doc_id,
+       CAST(pos AS INT) AS pos, kind, text
+FROM spans
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -5920,6 +5979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_meta_robots": q129_meta_robots,
         "q130_split_leakage": q130_split_leakage,
         "q131_circuit_breaker": q131_circuit_breaker,
+        "q132_pptx_convert": q132_pptx_convert,
     }
 
 
@@ -6056,4 +6116,5 @@ def oracle_sql() -> dict[str, str]:
         "q129_meta_robots": _Q129_SQL,
         "q130_split_leakage": _Q130_SQL,
         "q131_circuit_breaker": _Q131_SQL,
+        "q132_pptx_convert": _Q132_SQL,
     }

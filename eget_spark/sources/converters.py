@@ -514,6 +514,10 @@ def _convert_one(ext: str, content: bytes) -> list[dict] | None:
         return docx_blocks_to_spans(_decode_docx(content))
     if ext == "xlsx":
         return xlsx_sheets_to_spans(_decode_xlsx(content))
+    if ext == "pptx":
+        from .ooxml import decode_pptx_bytes
+
+        return pptx_events_to_spans(decode_pptx_bytes(content))
     if ext in ("txt", "md"):
         return pdf_text_to_spans("", [content.decode("utf-8", errors="replace")])
     return None
@@ -568,3 +572,59 @@ def convert_files(files: DataFrame, dedupe_content: bool = True) -> DataFrame:
         F.lit("file://").alias("host"),
         F.array().cast("array<string>").alias("true_out_links"),
     )
+
+
+# --- C4: PPTX events -> spans (engine extension; the reference declares
+# FileType.PPTX but ships no converter — converter_factory.py:37) -------------
+
+
+def pptx_events_to_spans(slides: list[list[tuple]]) -> list[dict]:
+    """Pinned slide walk (mirrors the C3 sheet walk): per slide i
+    (1-based) a heading span ``## Slide i``, ``: <first title>``-suffixed
+    when the slide has a title; extra title paragraphs demote to
+    paragraph spans; CONSECUTIVE bullet paragraphs merge into one list
+    span (two-space indent per level); non-bullet paragraphs are
+    paragraph spans; tables render rows tab-joined, newline-stacked."""
+    spans: list[dict] = []
+    off = 0
+
+    def add(kind: str, text: str) -> None:
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": "", "offset": off})
+        off += 1
+
+    for i, events in enumerate(slides, 1):
+        titles = [e[1] for e in events if e[0] == "title"]
+        add(
+            "heading",
+            f"## Slide {i}" + (f": {titles[0]}" if titles else ""),
+        )
+        seen_title = False
+        bullets: list[str] = []
+
+        def flush() -> None:
+            nonlocal bullets
+            if bullets:
+                add("list", "\n".join(bullets))
+                bullets = []
+
+        for e in events:
+            if e[0] == "title":
+                if seen_title:
+                    flush()
+                    add("paragraph", e[1])
+                seen_title = True
+            elif e[0] == "para":
+                _, text, bullet, lvl = e
+                if bullet:
+                    bullets.append("  " * int(lvl) + text)
+                else:
+                    flush()
+                    add("paragraph", text)
+            elif e[0] == "tbl":
+                flush()
+                rows = ["\t".join(str(c) for c in row) for row in e[1] if row]
+                if rows:
+                    add("table", "\n".join(rows))
+        flush()
+    return spans

@@ -628,3 +628,178 @@ def build_xlsx_bytes(sheets: list[tuple[str, list[list]]]) -> bytes:
         zf.writestr("xl/workbook.xml", wb_xml)
         zf.writestr("xl/styles.xml", styles_xml)
     return buf.getvalue()
+
+
+# --- PPTX (C4 — engine extension: the reference DECLARES FileType.PPTX
+# [models/file_conversion_models.py:10] but ships its converter commented
+# out [converter_factory.py:37], so this closes the declared enum) --------
+
+_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+
+
+def decode_pptx_bytes(data: bytes) -> list[list[tuple]]:
+    """PPTX bytes -> per-slide ordered event lists.
+
+    Events, in spTree (document) order:
+    ``("title", text)`` — non-empty paragraph of a title/ctrTitle
+    placeholder shape; ``("para", text, bullet, level)`` — body
+    paragraph (bullet = a:buChar/a:buAutoNum present, level = a:pPr
+    @lvl, default 0); ``("tbl", rows)`` — a:tbl in a graphicFrame, cell
+    text = runs joined with '' then cells joined per row.
+
+    Slides order by their numeric index (ppt/slides/slideN.xml)."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    names = sorted(
+        (n for n in zf.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda n: int(re.search(r"slide(\d+)\.xml", n).group(1)),
+    )
+    slides: list[list[tuple]] = []
+    for name in names:
+        root = ET.fromstring(zf.read(name))
+        sptree = root.find(f"{_P}cSld/{_P}spTree")
+        events: list[tuple] = []
+        if sptree is None:
+            slides.append(events)
+            continue
+        for child in sptree:
+            if child.tag == f"{_P}sp":
+                is_title = any(
+                    ph.get("type") in ("title", "ctrTitle")
+                    for ph in child.iter(f"{_P}ph")
+                )
+                for p in child.iter(f"{_A}p"):
+                    text = "".join(t.text or "" for t in p.iter(f"{_A}t"))
+                    if not text.strip():
+                        continue
+                    if is_title:
+                        events.append(("title", text))
+                    else:
+                        ppr = p.find(f"{_A}pPr")
+                        lvl = int(ppr.get("lvl", "0")) if ppr is not None else 0
+                        bullet = ppr is not None and (
+                            ppr.find(f"{_A}buChar") is not None
+                            or ppr.find(f"{_A}buAutoNum") is not None
+                        )
+                        events.append(("para", text, bullet, lvl))
+            elif child.tag == f"{_P}graphicFrame":
+                for tbl in child.iter(f"{_A}tbl"):
+                    rows = []
+                    for tr in tbl.findall(f"{_A}tr"):
+                        rows.append(
+                            [
+                                "".join(t.text or "" for t in tc.iter(f"{_A}t"))
+                                for tc in tr.findall(f"{_A}tc")
+                            ]
+                        )
+                    events.append(("tbl", rows))
+    # deliberate: other shape kinds (pictures, charts) are skipped — the
+    # text layer is the training-data payload
+        slides.append(events)
+    return slides
+
+
+def build_pptx_bytes(slides: list[dict]) -> bytes:
+    """Minimal deterministic PPTX writer for tests/oracles.  Each slide
+    dict: {"title": str|None, "paras": [(text, bullet:bool, level:int)],
+    "table": [[cell,...],...]|None}."""
+    pn = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    an = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    rn = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+    def slide_xml(s: dict) -> str:
+        shapes = []
+        if s.get("title"):
+            shapes.append(
+                "<p:sp><p:nvSpPr><p:cNvPr id=\"2\" name=\"Title\"/><p:cNvSpPr/>"
+                "<p:nvPr><p:ph type=\"title\"/></p:nvPr></p:nvSpPr><p:spPr/>"
+                f"<p:txBody><a:bodyPr/><a:p><a:r><a:t>{_esc(s['title'])}</a:t>"
+                "</a:r></a:p></p:txBody></p:sp>"
+            )
+        paras = s.get("paras") or []
+        if paras:
+            body = []
+            for text, bullet, lvl in paras:
+                bu = "<a:buChar char=\"•\"/>" if bullet else "<a:buNone/>"
+                body.append(
+                    f"<a:p><a:pPr lvl=\"{int(lvl)}\">{bu}</a:pPr>"
+                    f"<a:r><a:t>{_esc(text)}</a:t></a:r></a:p>"
+                )
+            shapes.append(
+                "<p:sp><p:nvSpPr><p:cNvPr id=\"3\" name=\"Body\"/><p:cNvSpPr/>"
+                "<p:nvPr><p:ph type=\"body\"/></p:nvPr></p:nvSpPr><p:spPr/>"
+                f"<p:txBody><a:bodyPr/>{''.join(body)}</p:txBody></p:sp>"
+            )
+        if s.get("table"):
+            trs = []
+            for row in s["table"]:
+                tcs = "".join(
+                    f"<a:tc><a:txBody><a:bodyPr/><a:p><a:r><a:t>{_esc(str(c))}"
+                    "</a:t></a:r></a:p></a:txBody></a:tc>"
+                    for c in row
+                )
+                trs.append(f"<a:tr h=\"370840\">{tcs}</a:tr>")
+            shapes.append(
+                "<p:graphicFrame><p:nvGraphicFramePr>"
+                "<p:cNvPr id=\"4\" name=\"Table\"/><p:cNvGraphicFramePr/>"
+                "<p:nvPr/></p:nvGraphicFramePr>"
+                "<p:xfrm><a:off x=\"0\" y=\"0\"/><a:ext cx=\"1\" cy=\"1\"/></p:xfrm>"
+                f"<a:graphic><a:graphicData uri=\"http://schemas.openxmlformats.org/drawingml/2006/table\">"
+                f"<a:tbl>{''.join(trs)}</a:tbl></a:graphicData></a:graphic>"
+                "</p:graphicFrame>"
+            )
+        return (
+            "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+            f"<p:sld xmlns:p=\"{pn}\" xmlns:a=\"{an}\" xmlns:r=\"{rn}\">"
+            f"<p:cSld><p:spTree><p:nvGrpSpPr><p:cNvPr id=\"1\" name=\"\"/>"
+            "<p:cNvGrpSpPr/><p:nvPr/></p:nvGrpSpPr><p:grpSpPr/>"
+            f"{''.join(shapes)}</p:spTree></p:cSld></p:sld>"
+        )
+
+    n = len(slides)
+    ct_overrides = "".join(
+        f"<Override PartName=\"/ppt/slides/slide{i + 1}.xml\" "
+        "ContentType=\"application/vnd.openxmlformats-officedocument."
+        "presentationml.slide+xml\"/>"
+        for i in range(n)
+    )
+    content_types = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+        "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\">"
+        "<Default Extension=\"rels\" ContentType=\"application/vnd.openxmlformats-package.relationships+xml\"/>"
+        "<Default Extension=\"xml\" ContentType=\"application/xml\"/>"
+        "<Override PartName=\"/ppt/presentation.xml\" ContentType=\"application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml\"/>"
+        f"{ct_overrides}</Types>"
+    )
+    root_rels = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+        "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">"
+        "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument\" Target=\"ppt/presentation.xml\"/>"
+        "</Relationships>"
+    )
+    sld_ids = "".join(
+        f"<p:sldId id=\"{256 + i}\" r:id=\"rId{i + 1}\"/>" for i in range(n)
+    )
+    presentation = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+        f"<p:presentation xmlns:p=\"{pn}\" xmlns:r=\"{rn}\">"
+        f"<p:sldIdLst>{sld_ids}</p:sldIdLst></p:presentation>"
+    )
+    pres_rels = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+        "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">"
+        + "".join(
+            f"<Relationship Id=\"rId{i + 1}\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide\" Target=\"slides/slide{i + 1}.xml\"/>"
+            for i in range(n)
+        )
+        + "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("ppt/presentation.xml", presentation)
+        zf.writestr("ppt/_rels/presentation.xml.rels", pres_rels)
+        for i, s in enumerate(slides):
+            zf.writestr(f"ppt/slides/slide{i + 1}.xml", slide_xml(s))
+    return buf.getvalue()

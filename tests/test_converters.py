@@ -173,3 +173,57 @@ def test_convert_files_txt_and_content_dedup(spark, tmp_path):
         for r in convert_files(files, dedupe_content=False).collect()
     }
     assert {k: sorted([s.asDict() for s in v["spans"]], key=lambda s: s["offset"]) for k, v in out.items()} == no_dedup
+
+
+def test_pptx_roundtrip_and_span_walk():
+    """C4: build -> decode roundtrip (titles, bullet levels, tables in
+    spTree order) and the pinned span walk (consecutive-bullet merge,
+    extra-title demotion, heading suffix rules)."""
+    from eget_spark.sources.converters import pptx_events_to_spans
+    from eget_spark.sources.ooxml import build_pptx_bytes, decode_pptx_bytes
+
+    slides = [
+        {
+            "title": "T & <One>",
+            "paras": [
+                ("intro", False, 0),
+                ("a", True, 0),
+                ("b", True, 1),
+                ("after", False, 0),
+                ("c", True, 0),
+            ],
+        },
+        {"title": None, "paras": [("only body", False, 0)],
+         "table": [["h1", "h2"], ["x", "y & z"]]},
+    ]
+    events = decode_pptx_bytes(build_pptx_bytes(slides))
+    assert events[0][0] == ("title", "T & <One>")  # XML escaping roundtrips
+    assert ("para", "b", True, 1) in events[0]
+    assert events[1][-1] == ("tbl", [["h1", "h2"], ["x", "y & z"]])
+
+    spans = pptx_events_to_spans(events)
+    got = [(s["kind"], s["text"]) for s in spans]
+    assert got == [
+        ("heading", "## Slide 1: T & <One>"),
+        ("paragraph", "intro"),
+        ("list", "a\n  b"),       # consecutive bullets merge, level indents
+        ("paragraph", "after"),
+        ("list", "c"),            # bullet run restarts after a paragraph
+        ("heading", "## Slide 2"),
+        ("paragraph", "only body"),
+        ("table", "h1\th2\nx\ty & z"),
+    ]
+    assert [s["offset"] for s in spans] == list(range(8))
+
+
+def test_pptx_extra_title_paragraph_demotes():
+    from eget_spark.sources.converters import pptx_events_to_spans
+
+    spans = pptx_events_to_spans(
+        [[("title", "Main"), ("title", "Subtitle line"), ("para", "p", False, 0)]]
+    )
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("heading", "## Slide 1: Main"),
+        ("paragraph", "Subtitle line"),
+        ("paragraph", "p"),
+    ]
