@@ -5841,6 +5841,59 @@ FROM spans
 """
 
 
+def q133_sitemap_stale(spark, sf_dir):
+    """Sitemap-lastmod conditional recrawl set (sources/sitemaps.
+    sitemap_stale_urls): stale iff lastmod strictly newer than the
+    stored fetch time; never-fetched sitemap URLs are 'new'; missing
+    lastmod is never stale (conservative sitemaps.org reading).  ONE
+    uniform left join on the url key; the output IS plans/crawl.recrawl's
+    expired set."""
+    from eget_spark.sources.sitemaps import sitemap_stale_urls
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    parsed = docs.select(
+        F.lit("url").alias("kind"),
+        F.concat(F.lit("http://ex.com/u"), d.cast("string")).alias("loc"),
+        F.when(
+            d % 7 != 3,
+            F.date_format(
+                F.date_add(F.lit("2024-01-01").cast("date"), (d % 40).cast("int")),
+                "yyyy-MM-dd",
+            ),
+        ).alias("lastmod"),
+    )
+    fetched = docs.where(d % 5 != 0).select(
+        F.concat(F.lit("http://ex.com/u"), d.cast("string")).alias("url"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (d % 25).cast("int"))
+        .cast("timestamp")
+        .alias("fetched_at"),
+    )
+    return sitemap_stale_urls(parsed, fetched)
+
+
+_Q133_SQL = r"""
+WITH sm AS (
+  SELECT 'http://ex.com/u' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 7 <> 3
+              THEN CAST(DATE '2024-01-01' + INTERVAL (doc_id % 40) DAY AS TIMESTAMP)
+         END AS lastmod
+  FROM documents
+),
+st AS (
+  SELECT 'http://ex.com/u' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(DATE '2024-01-01' + INTERVAL (doc_id % 25) DAY AS TIMESTAMP)
+           AS fetched_at
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT sm.url, sm.lastmod, st.fetched_at,
+       CASE WHEN st.fetched_at IS NULL THEN 'new' ELSE 'stale' END AS reason
+FROM sm LEFT JOIN st USING (url)
+WHERE st.fetched_at IS NULL
+   OR (sm.lastmod IS NOT NULL AND sm.lastmod > st.fetched_at)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -5980,6 +6033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_split_leakage": q130_split_leakage,
         "q131_circuit_breaker": q131_circuit_breaker,
         "q132_pptx_convert": q132_pptx_convert,
+        "q133_sitemap_stale": q133_sitemap_stale,
     }
 
 
@@ -6117,4 +6171,5 @@ def oracle_sql() -> dict[str, str]:
         "q130_split_leakage": _Q130_SQL,
         "q131_circuit_breaker": _Q131_SQL,
         "q132_pptx_convert": _Q132_SQL,
+        "q133_sitemap_stale": _Q133_SQL,
     }

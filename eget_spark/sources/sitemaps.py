@@ -203,3 +203,43 @@ def sitemap_seed_frontier(parsed: DataFrame) -> DataFrame:
     )
     res = with_global_seq(pages, ["_nk", "loc"], start=0, seq_col="seq")
     return res.df.select(F.col("loc").alias("url"), "seq")
+
+
+def sitemap_stale_urls(
+    parsed: DataFrame,
+    fetched: DataFrame,
+    url_col: str = "url",
+    fetched_at_col: str = "fetched_at",
+) -> DataFrame:
+    """Sitemap-lastmod conditional recrawl set — the incremental-crawl
+    primitive real crawlers run between full passes: a stored page is
+    STALE iff its sitemap ``lastmod`` is strictly newer than its stored
+    fetch time; sitemap URLs never fetched are NEW.  Returns
+    (url, lastmod, fetched_at, reason in {'new', 'stale'}); fresh pages
+    are absent (they cost nothing next round — the whole point).
+
+    Exact semantics (pinned): timestamps compare as timestamps; entries
+    without a lastmod are never stale (unknown ≠ newer, the conservative
+    sitemaps.org reading).  Scale shape: ONE left join on the url key —
+    both sides uniform (a URL appears once per sitemap snapshot and once
+    in the store); output feeds plans/crawl.recrawl as the expired set."""
+    sm = parsed.where(F.col("kind") == "url").select(
+        F.col("loc").alias("url"),
+        F.to_timestamp(F.col("lastmod")).alias("lastmod"),
+    )
+    st = fetched.select(
+        F.col(url_col).alias("url"),
+        F.col(fetched_at_col).cast("timestamp").alias("fetched_at"),
+    )
+    j = sm.join(st, "url", "left")
+    return j.where(
+        F.col("fetched_at").isNull()
+        | (F.col("lastmod").isNotNull() & (F.col("lastmod") > F.col("fetched_at")))
+    ).select(
+        "url",
+        "lastmod",
+        "fetched_at",
+        F.when(F.col("fetched_at").isNull(), F.lit("new"))
+        .otherwise(F.lit("stale"))
+        .alias("reason"),
+    )

@@ -90,3 +90,28 @@ def test_parse_sitemaps_distributed_matches_local(spark):
     expect = {(u, e["loc"], e["priority"])
               for u, x in rows for e in parse_sitemap_xml(x)}
     assert got == expect
+
+
+def test_sitemap_stale_urls_semantics(spark):
+    from eget_spark.sources.sitemaps import sitemap_stale_urls
+    from pyspark.sql import functions as F
+
+    parsed = spark.createDataFrame(
+        [
+            ("url", "u1", "2024-02-01"),  # newer than fetch -> stale
+            ("url", "u2", "2024-01-01"),  # older -> fresh (absent)
+            ("url", "u3", None),          # no lastmod -> never stale
+            ("url", "u4", "2024-02-01"),  # never fetched -> new
+            ("url", "u5", "2024-01-15"),  # equal to fetch -> fresh (strict >)
+            ("sitemap", "idx", "2024-03-01"),  # index rows ignored
+        ],
+        "kind string, loc string, lastmod string",
+    )
+    fetched = spark.createDataFrame(
+        [("u1", "2024-01-15"), ("u2", "2024-01-15"), ("u3", "2024-01-15"),
+         ("u5", "2024-01-15")],
+        "url string, fetched_at string",
+    ).withColumn("fetched_at", F.col("fetched_at").cast("timestamp"))
+    got = {r["url"]: r["reason"] for r in
+           sitemap_stale_urls(parsed, fetched).collect()}
+    assert got == {"u1": "stale", "u4": "new"}

@@ -1191,6 +1191,18 @@ def main() -> None:
     )
     checks.append(("circuit breaker: no Python", "EvalPython" not in p_cb))
 
+    # 65. sitemap staleness (q133): one uniform url-key join, no
+    # cartesian, no Python
+    p_ss = plan_of(entry.q133_sitemap_stale(spark, SF))
+    checks.append(("sitemap stale: no cartesian", "CartesianProduct" not in p_ss))
+    checks.append(
+        (
+            "sitemap stale: single join",
+            len(_re.findall(r"\(\d+\) SortMergeJoin|\(\d+\) BroadcastHashJoin|\(\d+\) ShuffledHashJoin", p_ss)) == 1,
+        )
+    )
+    checks.append(("sitemap stale: no Python", "EvalPython" not in p_ss))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
