@@ -5894,6 +5894,75 @@ WHERE st.fetched_at IS NULL
 """
 
 
+def q134_hreflang_clusters(spark, sf_dir):
+    """hreflang alternate clusters (operators/canonical.
+    hreflang_clusters): pages of a 3-variant language set cluster via
+    rel=alternate edges; canonical = min x-default target when present
+    (groups with g%2==0 plant one), else min member.  Label propagation
+    on the edge set only + one map-side-combined x-default min per
+    component."""
+    from eget_spark.operators.canonical import hreflang_clusters
+
+    d = F.col("doc_id")
+    g = (d - d % 3).cast("string")
+    url = F.concat(F.lit("u"), g, F.lit("-"), (d % 3).cast("string"))
+    variants = F.array(
+        *[
+            F.struct(
+                F.concat(F.lit("u"), g, F.lit("-"), F.lit(str(v))).alias("alt_url"),
+                (
+                    F.when(d % 6 < 3, F.lit("x-default")).otherwise(F.lit("fr"))
+                    if v == 2
+                    else F.lit(["en", "de"][v])
+                ).alias("hreflang"),
+            )
+            for v in range(3)
+        ]
+    )
+    links = (
+        _t(spark, sf_dir, "documents")
+        .select(url.alias("url"), F.explode(variants).alias("v"))
+        .select("url", F.col("v.alt_url"), F.col("v.hreflang"))
+    )
+    return hreflang_clusters(links)
+
+
+_Q134_SQL = r"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, CAST(doc_id - doc_id % 3 AS VARCHAR) AS g,
+         doc_id % 3 AS v0, doc_id % 6 < 3 AS has_default
+  FROM documents
+),
+links AS (
+  SELECT 'u' || g || '-' || CAST(v0 AS VARCHAR) AS url,
+         'u' || g || '-' || CAST(u.v AS VARCHAR) AS alt_url,
+         CASE WHEN u.v = 2 AND has_default THEN 'x-default'
+              WHEN u.v = 0 THEN 'en' WHEN u.v = 1 THEN 'de'
+              ELSE 'fr' END AS hreflang
+  FROM base, UNNEST([0, 1, 2]) AS u(v)
+),
+e AS (SELECT url AS a, alt_url AS b FROM links
+      UNION ALL SELECT alt_url, url FROM links),
+nodes AS (SELECT DISTINCT a AS id FROM e),
+reach AS (
+  SELECT id, id AS member FROM nodes
+  UNION
+  SELECT r.id, e.b FROM reach r JOIN e ON e.a = r.member
+),
+comp AS (SELECT id, min(member) AS component FROM reach GROUP BY id),
+xd AS (
+  SELECT c.component, min(l.alt_url) AS xdef
+  FROM links l JOIN comp c ON c.id = l.url
+  WHERE lower(l.hreflang) = 'x-default'
+  GROUP BY c.component
+)
+SELECT comp.id AS url, comp.component AS cluster_id,
+       coalesce(xd.xdef, comp.component) AS canonical_url
+FROM comp LEFT JOIN xd USING (component)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -6034,6 +6103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_circuit_breaker": q131_circuit_breaker,
         "q132_pptx_convert": q132_pptx_convert,
         "q133_sitemap_stale": q133_sitemap_stale,
+        "q134_hreflang_clusters": q134_hreflang_clusters,
     }
 
 
@@ -6172,4 +6242,5 @@ def oracle_sql() -> dict[str, str]:
         "q131_circuit_breaker": _Q131_SQL,
         "q132_pptx_convert": _Q132_SQL,
         "q133_sitemap_stale": _Q133_SQL,
+        "q134_hreflang_clusters": _Q134_SQL,
     }

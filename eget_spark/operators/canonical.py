@@ -73,3 +73,47 @@ def canonical_collapse(
         (F.col("url") == F.col("representative")).alias("is_representative"),
         "cluster_size",
     )
+
+
+def hreflang_clusters(
+    links: DataFrame,
+    url_col: str = "url",
+    alt_col: str = "alt_url",
+    lang_col: str = "hreflang",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Language-alternate page clusters from ``<link rel="alternate"
+    hreflang=...>`` edges — the i18n companion to rel=canonical collapse
+    (canonical_collapse): all hreflang-linked variants of a page form
+    ONE cluster, and dedup/budget accounting should treat the cluster as
+    one logical document.
+
+    Exact semantics (pinned): cluster = connected component over the
+    bidirectionalized edge set (component id = min url string reachable,
+    the dedup.connected_components convention; nodes = every url
+    appearing on either side of an edge); canonical_url = the MIN
+    ``x-default`` target in the cluster when one exists (Google's
+    serving-default convention), else the min member url (= the
+    component id).  Returns (url, cluster_id, canonical_url).
+
+    Scale shape: label propagation runs on the alternate EDGE set only
+    (O(diameter) tiny for language sets); the x-default pick is one
+    map-side-combined min per component + a uniform component join."""
+    from .dedup import connected_components
+
+    edges = links.select(
+        F.col(url_col).alias("id_a"), F.col(alt_col).alias("id_b")
+    )
+    comps = connected_components(edges, max_iter=max_iter)
+    xd = (
+        links.where(F.lower(F.col(lang_col)) == "x-default")
+        .select(F.col(url_col).alias("id"), F.col(alt_col).alias("xt"))
+        .join(comps, "id")
+        .groupBy("component")
+        .agg(F.min("xt").alias("xdef"))
+    )
+    return comps.join(xd, "component", "left").select(
+        F.col("id").alias("url"),
+        F.col("component").alias("cluster_id"),
+        F.coalesce(F.col("xdef"), F.col("component")).alias("canonical_url"),
+    )

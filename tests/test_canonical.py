@@ -50,3 +50,29 @@ def test_every_page_in_exactly_one_cluster(spark):
     out = canonical_collapse(_pages(spark, rows))
     assert out.count() == 20
     assert out.select("url").distinct().count() == 20
+
+
+def test_hreflang_clusters_xdefault_and_fallback(spark):
+    from eget_spark.operators.canonical import hreflang_clusters
+
+    links = spark.createDataFrame(
+        [
+            # cluster A: en<->de<->default, x-default planted
+            ("a-en", "a-de", "de"), ("a-en", "a-x", "x-default"),
+            ("a-de", "a-en", "en"),
+            # cluster B: chain, NO x-default -> min member wins
+            ("b-1", "b-2", "en"), ("b-2", "b-3", "de"),
+            # cluster C: two x-defaults (conflicting) -> min target pinned
+            ("c-1", "c-x2", "X-DEFAULT"), ("c-2", "c-x1", "x-default"),
+            ("c-1", "c-2", "en"),
+        ],
+        "url string, alt_url string, hreflang string",
+    )
+    got = {r["url"]: (r["cluster_id"], r["canonical_url"])
+           for r in hreflang_clusters(links).collect()}
+    assert got["a-en"] == ("a-de", "a-x") and got["a-x"] == ("a-de", "a-x")
+    assert got["b-1"] == ("b-1", "b-1") and got["b-3"] == ("b-1", "b-1")
+    # min x-default target wins; matching is case-insensitive
+    assert got["c-1"] == ("c-1", "c-x1") and got["c-x2"] == ("c-1", "c-x1")
+    # every url on either side of an edge is a member
+    assert len(got) == 10
