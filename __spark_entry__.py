@@ -5963,6 +5963,68 @@ FROM comp LEFT JOIN xd USING (component)
 """
 
 
+def q135_mixture_report(spark, sf_dir):
+    """Corpus-mixture board: (split, source) doc and token counts plus
+    each cell's exact token share in PER-MILLE of its split — the report
+    a data team reads before training (composes q123 group splits with
+    the engine token contract).  Shares are integer-exact: permille =
+    cell_tokens * 1000 DIV split_tokens (true int64 division — no float
+    ratio ever forms).  One map-side-combined groupBy + a tiny
+    |splits|-row broadcast join."""
+    from eget_spark.operators.sampling import split_by_group
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"))
+    )
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    cells = (
+        split_by_group(docs, "host", seed="sp1")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(toks).cast("long").alias("n_tokens"),
+        )
+    )
+    totals = cells.groupBy("split").agg(
+        F.sum("n_tokens").alias("_split_tokens")
+    )
+    return cells.join(F.broadcast(totals), "split").select(
+        "split",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST((n_tokens * 1000) DIV _split_tokens AS BIGINT)").alias(
+            "permille_of_split"
+        ),
+    )
+
+
+_Q135_SQL = r"""
+WITH b AS (
+  SELECT doc_id, source, text,
+         CAST(('0x' || substr(md5('sp1' || 'h' || CAST(doc_id % 50 AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10 AS bucket
+  FROM documents
+),
+cells AS (
+  SELECT CASE WHEN bucket < 8 THEN 'train'
+              WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
+         source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM b GROUP BY 1, 2
+),
+tot AS (SELECT split, sum(n_tokens) AS st FROM cells GROUP BY split)
+SELECT c.split, c.source, c.n_docs, c.n_tokens,
+       CAST((c.n_tokens * 1000) // t.st AS BIGINT) AS permille_of_split
+FROM cells c JOIN tot t USING (split)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -6104,6 +6166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_pptx_convert": q132_pptx_convert,
         "q133_sitemap_stale": q133_sitemap_stale,
         "q134_hreflang_clusters": q134_hreflang_clusters,
+        "q135_mixture_report": q135_mixture_report,
     }
 
 
@@ -6243,4 +6306,5 @@ def oracle_sql() -> dict[str, str]:
         "q132_pptx_convert": _Q132_SQL,
         "q133_sitemap_stale": _Q133_SQL,
         "q134_hreflang_clusters": _Q134_SQL,
+        "q135_mixture_report": _Q135_SQL,
     }
