@@ -6025,6 +6025,24 @@ FROM cells c JOIN tot t USING (split)
 """
 
 
+def q136_bpe_stats(spark, sf_dir):
+    """BPE tokenizer training + encoding (operators/bpe.py): learn 10
+    merges from the corpus (occurrence-weighted pair argmax over the
+    compacted word VOCAB, ties lexicographic), encode every doc with the
+    greedy left-to-right fold, return per-doc (n_words, n_char_tokens,
+    n_bpe_tokens).  Everything is JVM higher-order array expressions —
+    no Python in any per-row path.  NO SQL ORACLE (iterative training
+    loop — the documented rows-only class); the pure-Python reference
+    equality lives in tests/test_bpe.py."""
+    from eget_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    return bpe_encode(docs, "doc_id", "text", merges).select(
+        "id", "n_words", "n_char_tokens", "n_bpe_tokens"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -6167,6 +6185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_sitemap_stale": q133_sitemap_stale,
         "q134_hreflang_clusters": q134_hreflang_clusters,
         "q135_mixture_report": q135_mixture_report,
+        "q136_bpe_stats": q136_bpe_stats,
     }
 
 
