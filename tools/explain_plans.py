@@ -1203,6 +1203,28 @@ def main() -> None:
     )
     checks.append(("sitemap stale: no Python", "EvalPython" not in p_ss))
 
+    # 66. hreflang clusters (q134): CC runs on the edge set; x-default
+    # pick map-side-combines; no cartesian, no Python
+    p_hc = plan_of(entry.q134_hreflang_clusters(spark, SF))
+    checks.append(("hreflang: no cartesian", "CartesianProduct" not in p_hc))
+    checks.append(("hreflang: no Python", "EvalPython" not in p_hc))
+
+    # 67. mixture report (q135): map-side partials + broadcast totals join
+    p_mx = plan_of(entry.q135_mixture_report(spark, SF))
+    checks.append(("mixture: broadcast totals join", "BroadcastHashJoin" in p_mx))
+    checks.append(("mixture: map-side partials", "partial_count" in p_mx))
+    checks.append(("mixture: no Python", "EvalPython" not in p_mx))
+
+    # 68. BPE encode (q136 path): literal-merge projection chain — zero
+    # exchanges, no Python (train loop excluded: it is the driver loop)
+    from eget_spark.operators.bpe import bpe_encode
+
+    p_bp2 = plan_of(
+        bpe_encode(docs, "doc_id", "text", [("e", "r"), ("t", "h")])
+    )
+    checks.append(("bpe encode: zero exchanges", "Exchange" not in p_bp2))
+    checks.append(("bpe encode: no Python", "EvalPython" not in p_bp2))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
