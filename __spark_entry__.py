@@ -5288,8 +5288,9 @@ WITH toks AS (
 first_ AS (SELECT t, min(doc_id) AS first_id FROM toks GROUP BY t),
 th AS (SELECT unnest([10, 50, 200, 1000, 20000]) AS threshold)
 SELECT CAST(th.threshold AS BIGINT) AS threshold,
-       CAST(count(*) AS BIGINT) AS vocab_size
-FROM first_, th WHERE first_id <= th.threshold GROUP BY 1
+       CAST(sum(CASE WHEN first_id <= th.threshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS vocab_size
+FROM first_, th GROUP BY 1
 """
 
 

@@ -115,17 +115,28 @@ def robots_directives(html, header=None):
     gate real crawlers apply AFTER fetch (RFC 9309 governs fetching;
     meta robots / X-Robots-Tag govern storing and link expansion).
 
-    Exact semantics (pinned for the SQL oracle): the FIRST
-    ``<meta name="robots" content="...">`` occurrence (double quotes,
-    name-before-content, case-insensitive) is unioned with the header
-    value; directives split on commas/whitespace; ``none`` implies both
-    noindex and nofollow.  Pure regexp column algebra — zero shuffle,
-    zero Python."""
+    Exact semantics (pinned for the SQL oracle): the FIRST robots meta
+    tag is matched across the four common syntactic forms —
+    name-before-content and content-before-name, double- OR
+    single-quoted, other attributes allowed between (a consent gate must
+    not fail open on ordinary HTML variation); form precedence when a
+    page mixes them: name-first-double, name-first-single,
+    content-first-double, content-first-single.  The tag content unions
+    with the header value; directives split on commas/whitespace;
+    ``none`` implies both noindex and nofollow.  Pure regexp column
+    algebra — zero shuffle, zero Python."""
     from pyspark.sql import functions as F
 
+    forms = [
+        r'(?i)<meta\s[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"',
+        r"(?i)<meta\s[^>]*name\s*=\s*'robots'[^>]*content\s*=\s*'([^']*)'",
+        r'(?i)<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*"robots"',
+        r"(?i)<meta\s[^>]*content\s*=\s*'([^']*)'[^>]*name\s*=\s*'robots'",
+    ]
     content = F.lower(
-        F.regexp_extract(
-            html, r'(?i)<meta\s+name="robots"\s+content="([^"]*)"', 1
+        F.coalesce(
+            *[F.nullif(F.regexp_extract(html, f, 1), F.lit("")) for f in forms],
+            F.lit(""),
         )
     )
     combined = F.concat_ws(

@@ -431,7 +431,9 @@ def vocab_growth(df, id_col: str, text_col: str, thresholds: list[int]):
     Exact semantics (pinned): tokens are the engine-wide TOKEN_SPLIT
     contract; a token's first appearance is ``min(id)`` over documents
     containing it; vocab(t) counts tokens with first_id <= t.  Returns
-    (threshold, vocab_size) sorted by threshold.
+    (threshold, vocab_size) sorted by threshold — EVERY requested
+    threshold appears (vocab_size 0 when no token qualifies), except on
+    a fully tokenless corpus, which yields no rows.
 
     Scale shape: ONE map-side-combined groupBy(token) min-aggregate over
     the exploded corpus (cardinality: distinct tokens); each token row
@@ -455,9 +457,14 @@ def vocab_growth(df, id_col: str, text_col: str, thresholds: list[int]):
     th = F.array(*[F.lit(int(t)).cast("long") for t in sorted(thresholds)])
     return (
         first.select("first_id", F.explode(th).alias("threshold"))
-        .where(F.col("first_id") <= F.col("threshold"))
         .groupBy("threshold")
-        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+        .agg(
+            F.sum(
+                F.when(F.col("first_id") <= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("vocab_size")
+        )
         .orderBy("threshold")
     )
 
@@ -520,6 +527,26 @@ def _flesch_parts(text: Column):
     return n_sent, n_words, n_syll, F.when(n_words > 0, flesch)
 
 
+def word_vocab(df, text_col: str):
+    """(word, cnt) — the corpus compacted to its word VOCABULARY under
+    the engine-wide TOKEN_SPLIT contract (one map-side-combined groupBy;
+    the shared compaction of bpe_pair_counts and operators/bpe.py, so
+    the q125 pair stats and BPE training can never drift)."""
+    from ..operators.lm_score import TOKEN_SPLIT
+
+    words = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("word")
+    )
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
 def bpe_pair_counts(df, id_col: str, text_col: str, top_k: int = 50):
     """Top adjacent character-pair frequencies over the corpus — the
     first merge-selection step of BPE tokenizer training (Sennrich et
@@ -538,19 +565,7 @@ def bpe_pair_counts(df, id_col: str, text_col: str, top_k: int = 50):
     at 100 TB the vocab is millions of rows while token occurrences are
     trillions.  Pair extraction is a zero-shuffle transform/substr HOF;
     the final aggregate map-side-combines on the tiny pair space."""
-    from pyspark.sql import functions as F
-
-    from ..operators.lm_score import TOKEN_SPLIT
-
-    words = df.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("word")
-    )
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    vocab = word_vocab(df, text_col)
     pairs = vocab.where(F.length("word") >= 2).select(
         F.explode(
             F.transform(

@@ -47,17 +47,9 @@ def _apply_merge(segs: Column, a: str, b: str) -> Column:
 
 
 def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
-    words = df.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("word")
-    )
-    return words.groupBy("word").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    from ..functions.text import word_vocab
+
+    return word_vocab(df, text_col)
 
 
 def bpe_train(

@@ -640,10 +640,13 @@ def select_representatives(
     themselves.  Returns (id, rep_id, is_duplicate).
 
     Scale shape: connected_components' O(diameter) label propagation on
-    the pair set only, then ONE map-side-combined max(struct) per
-    component (the line_dedup winner trick: the struct carries the
-    winner's id, so no join back onto members is needed to find it) and
-    one uniform join to map members to their rep."""
+    the pair set only, then ONE window pass partitioned by component
+    (rank by metric desc, id asc — id-TYPE AGNOSTIC, so string/URL doc
+    ids work; a numeric-only max(struct(metric, -id)) trick would crash
+    or NULL-out on strings under ANSI) and one uniform join to map
+    members to their rep."""
+    from pyspark.sql.window import Window as _W
+
     comps = connected_components(pairs, max_iter=max_iter)
     members = (
         df.select(F.col(id_col).alias("id"), F.col(metric_col).alias("_m"))
@@ -654,9 +657,12 @@ def select_representatives(
             "_m",
         )
     )
-    reps = members.groupBy("component").agg(
-        F.max(F.struct(F.col("_m"), (-F.col("id")).alias("_negid"))).alias("w")
-    ).select("component", (-F.col("w._negid")).alias("rep_id"))
+    w = _W.partitionBy("component").orderBy(F.col("_m").desc(), F.col("id").asc())
+    reps = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("component", F.col("id").alias("rep_id"))
+    )
     return members.join(reps, "component").select(
         "id",
         "rep_id",

@@ -97,11 +97,16 @@ def pq_codes(
     total = bests[0]["dist"]
     for b in bests[1:]:
         total = total + b["dist"]
-    return fp.select(
+    out = fp.select(
         "id",
         *[b["cidx"].alias(f"code_{j}") for j, b in enumerate(bests)],
         total.alias("dist_fp"),
     )
+    # the cache served the training collects; the single downstream scan
+    # of `out` recomputes the cheap projection — don't leak executor
+    # storage across calls in a long-lived session
+    fp.unpersist()
+    return out
 
 
 def train_codebooks(
@@ -306,9 +311,13 @@ def ivf_pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_fp").asc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
+    out = scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+    # cache served the training/centroid collects; final execution scans
+    # fp once — release the storage instead of leaking it per call
+    fp.unpersist()
+    return out
 
 
 def pq_oracle_sql(

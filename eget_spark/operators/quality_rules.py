@@ -445,9 +445,15 @@ def adaptive_quality_filter(
         .groupBy("group")
         .agg(F.max("score").alias("cutoff"))
     )
+    # null-safe group match: a NULL group is a real partition (it got a
+    # rank and a cutoff above) — a plain equi join would silently drop
+    # its rows from the output, violating the every-input-row contract
+    rows = ranked.select("id", "group", "score")
     return (
-        ranked.select("id", "group", "score")
-        .join(F.broadcast(cuts), "group")
+        rows.join(
+            F.broadcast(cuts.withColumnRenamed("group", "_cg")),
+            rows["group"].eqNullSafe(F.col("_cg")),
+        )
         .select(
             "id", "group", "score", "cutoff",
             (F.col("score") >= F.col("cutoff")).alias("keep"),

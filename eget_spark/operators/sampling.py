@@ -180,7 +180,18 @@ def split_by_group(
     if len(weights) != len(names):
         raise ValueError("weights and names must align")
     total = sum(weights)
-    bucket = md5_60bit(F.concat(F.lit(seed), F.col(group_col).cast("string"))) % total
+    # NULL groups hash as the empty string: they form one deterministic
+    # group (all NULL-group rows share a split) instead of silently
+    # landing in split=NULL via a NULL hash
+    bucket = (
+        md5_60bit(
+            F.concat(
+                F.lit(seed),
+                F.coalesce(F.col(group_col).cast("string"), F.lit("")),
+            )
+        )
+        % total
+    )
     # build CASE from the first split upward: bucket < c1 -> names[0], etc.
     cuts = []
     acc = 0

@@ -875,6 +875,18 @@ def crawl(
             misses_all = misses_all.groupBy(*FRONTIER_COLS).agg(
                 F.max("round").alias("round")
             )
+            # URLs whose retries are still IN FLIGHT when the crawl
+            # terminates (budget/round caps) emit NO missing row — the
+            # same contract as table mode, where a missing row only
+            # emits at exhaustion (in-flight work lives in pending)
+            if retry_ledger is not None:
+                misses_all = misses_all.join(
+                    retry_ledger.where(
+                        F.col("_attempt") <= config.max_retries
+                    ).select("url"),
+                    "url",
+                    "left_anti",
+                )
         pages_parts.append(
             misses_all.select(
                 "url", "host", "depth", "parent_url", "seq", "round",

@@ -105,3 +105,28 @@ def test_structured_data_fallback_shape(spark):
     assert list(sd["jsonLd"]) == []
     assert dict(sd["openGraph"]) == {}
     assert dict(sd["metaData"]) == {"language": ""}
+
+
+def test_robots_directives_attribute_order_and_quote_forms(spark):
+    from pyspark.sql import functions as F
+
+    from eget_spark.functions.metadata import robots_directives
+
+    rows = [
+        (0, '<meta content="noindex" name="robots">'),          # reversed order
+        (1, "<meta name='robots' content='nofollow'>"),         # single quotes
+        (2, '<meta charset="x"><meta name="robots" id="r" content="none">'),
+        (3, "<meta content='noindex, nofollow' name='robots'>"),
+        (4, '<meta name="viewport" content="noindex">'),        # wrong tag: open
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    ni, nf = robots_directives(F.col("html"))
+    got = {r["id"]: (r["ni"], r["nf"]) for r in
+           df.select("id", ni.alias("ni"), nf.alias("nf")).collect()}
+    assert got == {
+        0: (True, False),
+        1: (False, True),
+        2: (True, True),
+        3: (True, True),
+        4: (False, False),
+    }

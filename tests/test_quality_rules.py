@@ -303,3 +303,17 @@ def test_robots_directives_parsing_and_none(spark):
         5: (False, False),
         6: (True, False),
     }
+
+
+def test_adaptive_quality_filter_null_group_not_dropped(spark):
+    from eget_spark.operators.quality_rules import adaptive_quality_filter
+
+    rows = [(1, None, 1.0), (2, None, 2.0), (3, "g", 5.0)]
+    df = spark.createDataFrame(rows, "id long, g string, s double")
+    got = {r["id"]: r for r in
+           adaptive_quality_filter(df, "g", "s", "id", 1, 2).collect()}
+    # every input row comes back — NULL group is a real partition
+    assert set(got) == {1, 2, 3}
+    # NULL-group cutoff = rank ceil(2/2)=1 -> 1.0; both rows keep
+    assert got[1]["cutoff"] == 1.0 and got[1]["keep"] is True
+    assert got[2]["keep"] is True and got[3]["keep"] is True

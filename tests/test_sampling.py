@@ -151,3 +151,17 @@ def test_split_by_group_consistent_and_matches_oracle(spark):
 
     with pytest.raises(ValueError):
         split_by_group(df, "host", weights=[1, 2], names=["only"])
+
+
+def test_split_by_group_null_group_single_deterministic_split(spark):
+    import hashlib
+
+    from eget_spark.operators.sampling import split_by_group
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "h")], "id long, g string"
+    )
+    got = {r["id"]: r["split"] for r in split_by_group(df, "g", seed="q").collect()}
+    b = int(hashlib.md5(b"q").hexdigest()[:15], 16) % 10  # NULL hashes as ""
+    want = "train" if b < 8 else "val" if b < 9 else "test"
+    assert got[1] == want and got[2] == want and got[3] is not None

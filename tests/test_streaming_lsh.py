@@ -3,7 +3,11 @@
 from pyspark.sql import functions as F
 
 from eget_spark.operators.dedup import lsh_bucket_table, minhash_lsh_pairs
-from eget_spark.streaming.lsh_index import lsh_index_stream
+from eget_spark.streaming.lsh_index import (
+    lsh_index_stream,
+    read_lsh_index,
+    read_lsh_matches,
+)
 
 BASE = "the quick brown fox jumps over the lazy dog again and again today"
 NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
@@ -35,13 +39,13 @@ def test_stream_index_and_matches_equal_batch(spark, tmp_path):
 
     all_docs = _docs(spark, batch1 + batch2)
     # (a) drained index == batch bucket table of everything seen
-    got_idx = sorted(map(tuple, spark.read.parquet(f"{state}/index").collect()))
+    got_idx = sorted(map(tuple, read_lsh_index(spark, state).collect()))
     want_idx = sorted(
         map(tuple, lsh_bucket_table(all_docs, "id", "text", 8, 4, 3).collect())
     )
     assert got_idx == want_idx
     # (b) unordered match pairs == full-corpus LSH pairs, each exactly once
-    matches = spark.read.parquet(f"{state}/matches").collect()
+    matches = read_lsh_matches(spark, state).collect()
     got_pairs = sorted(
         (min(r["new_id"], r["index_id"]), max(r["new_id"], r["index_id"]))
         for r in matches
@@ -67,7 +71,18 @@ def test_stream_index_and_matches_equal_batch(spark, tmp_path):
     )
     q2.awaitTermination()
     assert (
-        sorted(map(tuple, spark.read.parquet(f"{state}/index").collect()))
+        sorted(map(tuple, read_lsh_index(spark, state).collect()))
         == want_idx
     )
-    assert spark.read.parquet(f"{state}/matches").count() == len(want_pairs)
+    assert read_lsh_matches(spark, state).count() == len(want_pairs)
+
+    # mid-epoch replay safety: replaying the SAME epoch (what Structured
+    # Streaming does after a crash before the epoch commit) overwrites
+    # that epoch's dirs instead of appending duplicates
+    from eget_spark.streaming.lsh_index import process_lsh_batch
+
+    process_lsh_batch(_docs(spark, batch2), 1, state, "id", "text", 8, 4, 3)
+    assert (
+        sorted(map(tuple, read_lsh_index(spark, state).collect())) == want_idx
+    )
+    assert read_lsh_matches(spark, state).count() == len(want_pairs)
