@@ -2307,22 +2307,22 @@ stage2 AS (
 )
 SELECT doc_id AS id,
        regexp_replace(after_ip,
-                      '(^|[^0-9])(\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)',
-                      '\1<PHONE>', 'g') AS text,
+                      '(^|[^0-9])(\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)([^0-9]|$)',
+                      '\1<PHONE>\4', 'g') AS text,
        CAST(len(regexp_extract_all(text,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
          AS n_emails,
        CAST(len(regexp_extract_all(after_email,
             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
        CAST(len(regexp_extract_all(after_ip,
-            '(^|[^0-9])(\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)')) AS BIGINT)
+            '(^|[^0-9])(\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)([^0-9]|$)')) AS BIGINT)
          AS n_phones,
        (len(regexp_extract_all(text,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         + len(regexp_extract_all(after_email,
               '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))
         + len(regexp_extract_all(after_ip,
-              '(^|[^0-9])(\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)'))) > 0 AS has_pii
+              '(^|[^0-9])(\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)([^0-9]|$)'))) > 0 AS has_pii
 FROM stage2
 """
 

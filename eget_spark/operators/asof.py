@@ -58,6 +58,11 @@ def asof_join(
         if c in left_cols:
             raise ValueError(f"value col {c!r} collides with a left column")
 
+    # the whole governing right row rides as ONE struct and is forward-
+    # filled atomically — per-column last(ignorenulls) would pull a NULL
+    # column's value from an OLDER version, stitching two versions
+    # together (violating "the single right row with the largest
+    # right_time <= left_time")
     r = right.select(
         F.col(key),
         F.col(right_time).alias("_t"),
@@ -67,7 +72,7 @@ def asof_join(
         F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in value_cols])).alias(
             "_tie"
         ),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_v"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left_cols if c not in (key, left_time)],
     )
@@ -76,7 +81,16 @@ def asof_join(
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit("").alias("_tie"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in value_cols
+            )
+            + ">"
+        )
+        .alias("_v"),
         *[F.col(c).alias(f"_l_{c}") for c in left_cols if c not in (key, left_time)],
     )
     w = (
@@ -88,12 +102,12 @@ def asof_join(
         F.col(key),
         "_t",
         "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_v", ignorenulls=True).over(w).alias("_v"),
         *[F.col(f"_l_{c}") for c in left_cols if c not in (key, left_time)],
     )
     return filled.where(F.col("_side") == 1).select(
         F.col(key),
         *[F.col(f"_l_{c}").alias(c) for c in left_cols if c not in (key, left_time)],
         F.col("_t").alias(left_time),
-        *[F.col(c) for c in value_cols],
+        *[F.col("_v")[c].alias(c) for c in value_cols],
     )

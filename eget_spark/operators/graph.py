@@ -117,9 +117,13 @@ def hits_fixed(
     is bit-exact across partitionings and engines with NO normalization
     step (ranking is scale-invariant; a cross-engine-safe normalizer would
     need 128-bit division).  Values grow ~(max_in_deg * max_out_deg) per
-    iteration — callers at web scale keep n_iter small (<=6) or right-shift
-    both vectors by a fixed power of two per iteration (also deterministic);
-    the default 4 is safe to max degree ~1000.
+    iteration, i.e. up to degree^(2*n_iter) on a dense bipartite core —
+    at the default n_iter=4 that is d^8, which stays inside int64 only
+    for max degree ~220 (220^8 ≈ 5.5e18 < 2^63; a 1000-degree link farm
+    OVERFLOWS during iteration 4: ANSI mode throws, non-ANSI wraps).
+    Callers at web scale either lower n_iter (d<=2600 at 3, d<=4e4 at 2)
+    or right-shift both vectors by a fixed power of two per iteration
+    (also deterministic) before dense cores saturate.
 
     Per iteration: one join + hash-agg per half-step (edges against the
     current vector, map-side partial sums), ranks localCheckpoint-ed so

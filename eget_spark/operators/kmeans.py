@@ -95,11 +95,19 @@ def kmeans_fp(
     ).persist()
     seed = fp.withColumn("_h", F.md5(F.col("id").cast("string")))
     cents = [list(r["vfp"]) for r in seed.orderBy("_h", "id").limit(k).collect()]
+    if len(cents) < k:
+        fp.unpersist()
+        raise ValueError(f"k={k} exceeds the {len(cents)} input rows")
 
     for _ in range(n_iter):
+        # bind the cluster id BEFORE the posexplode: an expression in the
+        # same projection as a Generate is re-evaluated once per EXPLODED
+        # row (dim x the k-centroid argmin work) — the trap pq.py:~95
+        # documents and avoids
         assign = fp.select(
-            F.posexplode("vfp").alias("pos", "x"),
-            _best(cents)["cidx"].alias("cluster"),
+            "vfp", _best(cents)["cidx"].alias("cluster")
+        ).select(
+            F.posexplode("vfp").alias("pos", "x"), F.col("cluster")
         )
         mean_rows = (
             assign.groupBy("cluster", "pos")
@@ -124,6 +132,10 @@ def kmeans_fp(
         best["cidx"].alias("cluster"),
         best["dist"].alias("dist_fp"),
     )
+    # cache served the seed scan + n_iter training jobs; the single
+    # downstream scan of `out` recomputes the cheap projection — don't
+    # leak executor storage across calls
+    fp.unpersist()
     return out
 
 

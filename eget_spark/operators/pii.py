@@ -14,17 +14,19 @@ Exact patterns (pinned so the DuckDB oracle reproduces them; both
 engines use RE2-compatible syntax — no backreferences, no lookaround):
 
 - email: ``[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}``
-- phone: ``(^|[^0-9])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)``
-  replaced with ``$1<PHONE>`` — the leading boundary is a *consumed
-  capture group* (start-of-text or one non-digit), not a lookbehind,
-  because DuckDB's RE2 has no lookaround; the group is restored via the
-  backreference so redaction never eats the boundary char.  The guard
-  prevents partial-token redaction inside longer digit runs (e.g. in
-  ``1234-567-8901`` nothing matches, instead of redacting a suffix and
-  leaving a stray leading ``1``).  The optional tail group picks up a
-  fourth segment (extensions, ``+1-555-123-4567``).  Kept simple
-  deliberately: the reference point is dataset-scrubbing recall, not
-  RFC validation.
+- phone: ``(^|[^0-9])(\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?)([^0-9]|$)``
+  replaced with ``$1<PHONE>$4`` — BOTH boundaries are *consumed capture
+  groups* (start/end of text or one non-digit), not lookaround, because
+  DuckDB's RE2 has no lookaround; the groups are restored via
+  backreferences so redaction never eats the boundary chars.  The
+  leading guard prevents suffix redaction inside longer digit runs
+  (``1234-567-8901`` matches nothing); the trailing guard prevents the
+  mirror-image PREFIX redaction (``555-123-45678`` matches nothing,
+  instead of leaving ``<PHONE>8``).  Adjacent phones separated by a
+  single non-digit redact only the first (the separator is consumed) —
+  pinned.  The optional tail group picks up a fourth segment
+  (extensions, ``+1-555-123-4567``).  Kept simple deliberately: the
+  reference point is dataset-scrubbing recall, not RFC validation.
 - ipv4: ``\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b`` — Spark's Java regex and
   DuckDB's RE2 both support ``\\b``; octet range is NOT validated (C4
   behavior: over-redaction beats leakage)
@@ -41,12 +43,16 @@ from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
-# Boundary-guarded: group 1 consumes start-of-text or one non-digit and is
-# restored by the `$1` backreference in the replacement (RE2-safe — no
-# lookbehind).  Group 2 is the phone body; group 3 an optional 4th segment.
+# Boundary-guarded on BOTH sides: group 1 consumes start-of-text or one
+# non-digit, group 4 consumes end-of-text or one non-digit; both are
+# restored by backreferences in the replacement (RE2-safe — no
+# lookaround).  Group 2 is the phone body; group 3 an optional 4th
+# segment.  The trailing guard is what stops a PREFIX of a longer digit
+# run from redacting (e.g. '555-123-45678' must not become '<PHONE>8' —
+# the mirror image of the leading-guard case '1234-567-8901').
 PHONE_BODY_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?"
-PHONE_RE = r"(^|[^0-9])(" + PHONE_BODY_RE + r")"
-PHONE_SUB = "$1<PHONE>"  # Java/Spark syntax; DuckDB + Python `re` use \1
+PHONE_RE = r"(^|[^0-9])(" + PHONE_BODY_RE + r")([^0-9]|$)"
+PHONE_SUB = "$1<PHONE>$4"  # Java/Spark syntax; DuckDB + Python `re` use \1/\4
 
 
 def pii_counts(text: Column) -> tuple[Column, Column, Column]:

@@ -41,9 +41,20 @@ def resolve_redirects(
     """
     if max_hops & (max_hops - 1):
         raise ValueError("max_hops must be a power of two")
-    # total step function: terminal nodes map to themselves with 0 hops
+    # total step function over the FULL node set (universe ∪ redirect
+    # srcs ∪ redirect dsts): terminal nodes map to themselves with 0
+    # hops.  Restricting the table to universe ids would make the
+    # doubling join silently DROP any chain that passes through a node
+    # outside the universe (a.y would find no b.x row); the output is
+    # filtered back to the universe at the end.
+    nodes = (
+        universe.select("id")
+        .unionByName(redirects.select(F.col("src").alias("id")))
+        .unionByName(redirects.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     cur = (
-        universe.join(redirects, universe["id"] == redirects["src"], "left")
+        nodes.join(redirects, nodes["id"] == redirects["src"], "left")
         .select(
             F.col("id").alias("x"),
             F.coalesce(F.col("dst"), F.col("id")).alias("y"),
@@ -69,7 +80,8 @@ def resolve_redirects(
         k *= 2
     term = redirects.select(F.col("src").alias("_t")).distinct()
     return (
-        cur.join(term, cur["y"] == F.col("_t"), "left")
+        cur.join(universe.select(F.col("id").alias("x")), "x", "left_semi")
+        .join(term, cur["y"] == F.col("_t"), "left")
         .select(
             F.col("x").alias("id"),
             F.col("y").alias("final_id"),

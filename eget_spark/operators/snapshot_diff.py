@@ -34,18 +34,29 @@ def snapshot_diff(
     key_col: str = "url",
     content_col: str = "text",
 ) -> DataFrame:
-    """(key, status, old_fp, new_fp) — one row per URL in either snapshot."""
+    """(key, status, old_fp, new_fp) — one row per URL in either snapshot.
+
+    Presence is tracked with explicit flags, NOT inferred from the
+    fingerprint: a row whose content is NULL (e.g. a recorded failed
+    fetch) has a NULL md5 but still EXISTS in its snapshot, and must
+    classify as changed/unchanged/removed — never as 'added'.  The
+    fingerprint comparison is null-safe (NULL content on both sides =
+    unchanged)."""
     o = old.select(
-        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("old_fp")
+        F.col(key_col).alias("key"),
+        F.md5(F.col(content_col)).alias("old_fp"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("new_fp")
+        F.col(key_col).alias("key"),
+        F.md5(F.col(content_col)).alias("new_fp"),
+        F.lit(True).alias("_in_new"),
     )
     j = o.join(n, "key", "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select("key", status.alias("status"), "old_fp", "new_fp")
@@ -64,10 +75,12 @@ def retain_last_k(
 ) -> DataFrame:
     """Snapshot retention: keep the newest ``k`` versions per URL — the
     table-maintenance step every incremental crawl store runs (Iceberg's
-    expire_snapshots expressed over the row history).  Order is
-    (version desc, then any remaining columns are irrelevant): ties on
-    the version break by the row's md5 fingerprint of the version value
-    and key — deterministic under any partitioning.
+    expire_snapshots expressed over the row history).  Order is version
+    desc; ties on the version break by an md5 over the FULL row (JSON of
+    every column — hashing only key|version would be CONSTANT within a
+    tie group and leave the order partition-dependent).  Rows identical
+    in every column remain interchangeable, which is outcome-identical
+    whichever is kept.
 
     Scale shape: ONE hash exchange on the URL key feeding a window
     row_number (rank k is tiny, the sort is per-key); output adds
@@ -77,7 +90,7 @@ def retain_last_k(
 
     w = Window.partitionBy(key_col).orderBy(
         F.col(version_col).desc(),
-        F.md5(F.concat_ws("|", F.col(key_col), F.col(version_col).cast("string"))),
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in snapshots.columns]))),
     )
     return snapshots.withColumn(
         "keep", (F.row_number().over(w) <= k).alias("keep")

@@ -23,10 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.rollup import merge_rollups, rollup_events
 
 
-def _latest_version(state_dir: str) -> str | None:
+def _latest_version(state_dir: str, before_epoch: int | None = None) -> str | None:
+    """Latest committed refresh; ``before_epoch`` restricts to versions
+    older than the given epoch — a replayed micro-batch must merge onto
+    the state as it was BEFORE its own (possibly half-written) refresh,
+    or the batch double-counts into itself."""
     if not os.path.isdir(state_dir):
         return None
-    vs = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    vs = [
+        d
+        for d in os.listdir(state_dir)
+        if d.startswith("v")
+        and (before_epoch is None or int(d[1:]) < before_epoch)
+    ]
     if not vs:
         return None
     return os.path.join(state_dir, max(vs, key=lambda s: int(s[1:])))
@@ -38,6 +47,29 @@ def read_rollup(spark: SparkSession, state_dir: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no rollup state under {state_dir}")
     return spark.read.parquet(latest)
+
+
+def process_rollup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    width_us: int = 3_600_000_000,
+) -> None:
+    """One refresh — module-level so the idempotency contract (same
+    epoch replayed == same state) is directly testable.  Merges onto the
+    newest version OLDER than this epoch: a checkpoint replay of epoch e
+    rebuilds v<e> from the same prior state instead of merging the delta
+    into its own earlier (possibly partial) write, which would
+    double-count the batch."""
+    spark = batch_df.sparkSession
+    part = rollup_events(batch_df, key_col, ts_col, value_col, width_us)
+    latest = _latest_version(state_dir, before_epoch=int(epoch_id))
+    if latest is not None:
+        part = merge_rollups(spark.read.parquet(latest), part)
+    part.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{epoch_id}"))
 
 
 def rollup_stream(
@@ -53,13 +85,8 @@ def rollup_stream(
     drain-everything batch-equivalent mode."""
 
     def each_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        part = rollup_events(batch_df, key_col, ts_col, value_col, width_us)
-        latest = _latest_version(state_dir)
-        if latest is not None:
-            part = merge_rollups(spark.read.parquet(latest), part)
-        part.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{epoch_id}")
+        process_rollup_batch(
+            batch_df, epoch_id, state_dir, key_col, ts_col, value_col, width_us
         )
 
     return (

@@ -62,3 +62,19 @@ def test_python_oracle_random_shape(spark):
         cands = [(vt, tie(v), v) for (kk, vt, v) in rrows if kk == k and vt <= t]
         expect = max(cands)[2] if cands else None
         assert out[i] == expect, (k, i, t)
+
+
+def test_asof_null_value_column_does_not_mix_versions(spark):
+    """A NULL column in the governing right row must come through as
+    NULL — never backfilled from an OLDER version (atomic-row fill)."""
+    from eget_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("h", 10, 5.0, "a"), ("h", 20, None, "b")],
+        "k string, t long, price double, note string",
+    )
+    left = spark.createDataFrame([("h", 25), ("h", 15)], "k string, t long")
+    got = {r["t"]: (r["price"], r["note"]) for r in
+           asof_join(left, right, "k", "t", "t", ["price", "note"]).collect()}
+    assert got[15] == (5.0, "a")
+    assert got[25] == (None, "b")  # NOT (5.0, 'b')

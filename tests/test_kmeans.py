@@ -102,3 +102,15 @@ def test_kmeans_clusters_separate_blobs(spark):
     assert sorted(len(v) for v in by_cluster.values()) == [10, 10]
     groups = sorted(by_cluster.values(), key=lambda s: min(s))
     assert groups[0] == set(range(10))
+
+
+def test_kmeans_k_exceeding_rows_raises_cleanly(spark):
+    import pytest
+
+    from eget_spark.operators.kmeans import kmeans_fp
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)], "id long, vec array<float>"
+    )
+    with pytest.raises(ValueError, match="exceeds the 3 input rows"):
+        kmeans_fp(df, "id", "vec", k=4, n_iter=1)

@@ -66,6 +66,11 @@ CASES = [
     (8, "fax +1-555-123-4567 now", "fax <PHONE> now", 0, 0, 1),
     # phone at start of text (the ^ alternative of the guard group)
     (9, "555-123-4567 was dialed", "<PHONE> was dialed", 0, 0, 1),
+    # trailing guard: a PREFIX of a longer digit run never redacts
+    # (no stray residue digit after <PHONE>)
+    (10, "code 555-123-45678 is long", "code 555-123-45678 is long", 0, 0, 0),
+    # phone at end of text (the $ alternative of the trailing guard)
+    (11, "dial 555-123-4567", "dial <PHONE>", 0, 0, 1),
 ]
 
 
@@ -76,7 +81,7 @@ def _py_scrub(text: str):
     n_ip = len(re.findall(IPV4_RE, after_email))
     after_ip = re.sub(IPV4_RE, "<IP>", after_email)
     n_phone = len(re.findall(PHONE_RE, after_ip))
-    redacted = re.sub(PHONE_RE, r"\1<PHONE>", after_ip)
+    redacted = re.sub(PHONE_RE, r"\1<PHONE>\4", after_ip)
     return redacted, n_email, n_ip, n_phone
 
 

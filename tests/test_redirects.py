@@ -63,3 +63,19 @@ def test_max_hops_power_of_two_enforced(spark):
     u, r = _dfs(spark, [0], [])
     with pytest.raises(ValueError):
         resolve_redirects(u, r, max_hops=6)
+
+
+def test_chains_through_nodes_outside_universe_resolve(spark):
+    """A redirect target absent from the universe must still resolve —
+    the doubling table covers the full node set, not just universe ids."""
+    from eget_spark.operators.redirects import resolve_redirects
+
+    universe = spark.createDataFrame([("A",), ("D",)], "id string")
+    redirects = spark.createDataFrame(
+        [("A", "B"), ("B", "C")], "src string, dst string"
+    )  # B, C never in the universe
+    got = {r["id"]: (r["final_id"], r["hops"], r["resolved"]) for r in
+           resolve_redirects(universe, redirects, max_hops=8).collect()}
+    assert got["A"] == ("C", 2, True)
+    assert got["D"] == ("D", 0, True)
+    assert set(got) == {"A", "D"}  # outside nodes don't leak into output

@@ -43,3 +43,35 @@ def test_shuffled_payload_is_fingerprints_only(spark):
     # both join children are key+fingerprint projections
     assert plan.count("md5(cast(text") == 2
     assert "old_fp" in plan and "new_fp" in plan
+
+
+def test_null_content_presence_and_retention_tiebreak(spark):
+    from eget_spark.operators.snapshot_diff import retain_last_k, snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", None), ("u3", "x")], "url string, text string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "hi"), ("u2", None), ("u4", None)], "url string, text string"
+    )
+    got = {r["key"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "u1": "changed",    # NULL -> 'hi' is a change, not an add
+        "u2": "unchanged",  # NULL on both sides
+        "u3": "removed",
+        "u4": "added",      # genuinely absent from old
+    }
+    # retention tiebreak: same (url, version) but different content —
+    # the winner is partitioning-independent (full-row hash order)
+    snaps = spark.createDataFrame(
+        [("u", 5, "a"), ("u", 5, "b"), ("u", 3, "c")],
+        "url string, fetch_time long, content string",
+    )
+    keep1 = sorted(
+        (r["content"], r["keep"]) for r in retain_last_k(snaps, 1).collect()
+    )
+    keep2 = sorted(
+        (r["content"], r["keep"])
+        for r in retain_last_k(snaps.repartition(7), 1).collect()
+    )
+    assert keep1 == keep2 and sum(1 for _, k in keep1 if k) == 1

@@ -51,3 +51,28 @@ def test_stream_equals_batch(spark, tmp_path):
     )
     q2.awaitTermination()
     assert sorted(map(tuple, read_rollup(spark, state).collect())) == want
+
+
+def test_rollup_replay_same_epoch_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch with its own epoch id (what Structured
+    Streaming does after a crash before the epoch commit) rebuilds that
+    version from the PRIOR state — never double-merges the batch."""
+    from eget_spark.streaming.rollup import process_rollup_batch
+
+    src = str(tmp_path / "events")
+    rows1 = [((i * 700) % 7200, "k0", 1.0) for i in range(10)]
+    rows2 = [((i * 433) % 7200, "k0", 2.0) for i in range(8)]
+    _write_events(spark, src, rows1, 0)
+    _write_events(spark, src, rows2, 1)
+    state = str(tmp_path / "state")
+    b1 = spark.read.parquet(f"{src}/batch=0")
+    b2 = spark.read.parquet(f"{src}/batch=1")
+    process_rollup_batch(b1, 0, state, "key", "ts", "value")
+    process_rollup_batch(b2, 1, state, "key", "ts", "value")
+    want = sorted(map(tuple, read_rollup(spark, state).collect()))
+    # crash-replay of epoch 1: state must be unchanged
+    process_rollup_batch(b2, 1, state, "key", "ts", "value")
+    assert sorted(map(tuple, read_rollup(spark, state).collect())) == want
+    # and even a replay of epoch 0 leaves the LATEST version correct
+    process_rollup_batch(b1, 0, state, "key", "ts", "value")
+    assert sorted(map(tuple, read_rollup(spark, state).collect())) == want
