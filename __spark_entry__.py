@@ -6044,6 +6044,75 @@ def q136_bpe_stats(spark, sf_dir):
     )
 
 
+def q137_trained_ivf(spark, sf_dir):
+    """IVF ANN over TRAINED cells — the realistic index-build path: q78's
+    fixed-point Lloyd k-means assigns every vector to one of k=4 learned
+    cells (instead of q18's planted labels), and the q18 router then
+    probes nprobe cells by centroid cosine.  End-to-end the whole ANN
+    story is oracle-exact: the Lloyd chains unroll in SQL, and the
+    routing/scoring reuses the pinned round-6 cosine arithmetic."""
+    from eget_spark.operators.kmeans import kmeans_fp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = kmeans_fp(emb, "vec_id", "embedding", k=4, n_iter=2).select(
+        F.col("id").alias("vec_id"), F.col("cluster")
+    )
+    corpus = emb.join(cells, "vec_id").select("vec_id", "cluster", "embedding")
+    queries = corpus.where(F.col("vec_id") % 97 == 0)
+    out = ivf_topk(corpus, queries, "cluster", "vec_id", "embedding", k=5, nprobe=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _q137_sql() -> str:
+    from eget_spark.operators.kmeans import kmeans_oracle_sql
+
+    km = kmeans_oracle_sql("embeddings", "vec_id", "embedding", k=4, n_iter=2)
+    return f"""
+WITH v AS ({_VECS_SQL}),
+km AS (SELECT * FROM ({km})),
+corpus AS (
+  SELECT v.vec_id, km.cluster AS cell, v.v
+  FROM v JOIN km ON km.id = v.vec_id
+),
+dims AS (
+  SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM corpus
+),
+cent AS (
+  SELECT cell, list(m ORDER BY dim) AS centroid
+  FROM (SELECT cell, dim, avg(x) AS m FROM dims GROUP BY cell, dim)
+  GROUP BY cell
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id % 97 = 0),
+routed AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+      row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY round(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*c.centroid[i])) /
+          (sqrt(list_sum(list_transform(q.qv, x -> x*x))) * sqrt(list_sum(list_transform(c.centroid, x -> x*x)))), 6) DESC,
+        c.cell) AS crank
+    FROM q, cent c)
+  WHERE crank <= 2
+),
+scored AS (
+  SELECT r.query_id, e.vec_id AS neighbor_id,
+    round(list_sum(list_transform(generate_series(1, len(r.qv)), i -> r.qv[i]*e.v[i])) /
+      (sqrt(list_sum(list_transform(r.qv, x -> x*x))) * sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cosine
+  FROM routed r JOIN corpus e ON e.cell = r.cell AND e.vec_id <> r.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -6187,6 +6256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_hreflang_clusters": q134_hreflang_clusters,
         "q135_mixture_report": q135_mixture_report,
         "q136_bpe_stats": q136_bpe_stats,
+        "q137_trained_ivf": q137_trained_ivf,
     }
 
 
@@ -6327,4 +6397,5 @@ def oracle_sql() -> dict[str, str]:
         "q133_sitemap_stale": _Q133_SQL,
         "q134_hreflang_clusters": _Q134_SQL,
         "q135_mixture_report": _Q135_SQL,
+        "q137_trained_ivf": _q137_sql(),
     }
