@@ -6113,6 +6113,178 @@ QUALIFY rank <= 5
 """
 
 
+def q138_trustrank(spark, sf_dir):
+    """Graph op: 5-iteration fixed-point TrustRank (Gyöngyi et al., VLDB
+    2004) over the analytics link graph — PageRank personalized on the
+    trusted seed set doc_id % 17 == 0.  Teleport and dangling mass go
+    only to seeds, so link-farm shapes (high in-degree, unreachable from
+    trust) converge to 0; a priority crawl demotes them before fetching.
+    Same int64 fixed-point discipline as q40 (operators/graph.
+    trustrank_fixed), bit-exact vs the unrolled-CTE oracle."""
+    from eget_spark.operators.graph import trustrank_fixed
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    seeds = nodes.where(F.col("id") % 17 == 0)
+    tr = trustrank_fixed(nodes, edges, seeds, n_iter=5)
+    return tr.select(F.col("id").alias("doc_id"), "tr_fp")
+
+
+def _q138_sql(
+    n_iter: int = 5, damp_num: int = 17, damp_den: int = 20, scale: int = 10**12
+) -> str:
+    base = (
+        f"(({scale} * {damp_den - damp_num}) // {damp_den})"
+        " // (SELECT c FROM s)"
+    )
+    parts = [
+        "WITH ",
+        _EDGES_SQL.lstrip(),
+        ",\ns AS (SELECT count(*) AS c FROM documents WHERE doc_id % 17 = 0)",
+        ",\nodeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f""",
+p0 AS (SELECT doc_id AS id,
+              CASE WHEN doc_id % 17 = 0 THEN {scale} // (SELECT c FROM s)
+                   ELSE 0 END AS tr_fp
+       FROM documents)""",
+    ]
+    for i in range(1, n_iter + 1):
+        dang = (
+            f"(SELECT coalesce(sum(p.tr_fp), 0) FROM p{i-1} p "
+            f"LEFT JOIN odeg o ON o.src = p.id WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT d.doc_id AS id,
+         CAST(CASE WHEN d.doc_id % 17 = 0 THEN {base} ELSE 0 END
+              + ({damp_num} * (coalesce(t.contrib, 0)
+                               + CASE WHEN d.doc_id % 17 = 0
+                                      THEN {dang} // (SELECT c FROM s)
+                                      ELSE 0 END)) // {damp_den}
+           AS BIGINT) AS tr_fp
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS id, sum(p.tr_fp // o.od) AS contrib
+    FROM edges e JOIN odeg o ON o.src = e.src JOIN p{i-1} p ON p.id = e.src
+    GROUP BY e.dst) t ON t.id = d.doc_id)"""
+        )
+    parts.append(f"\nSELECT id AS doc_id, tr_fp FROM p{n_iter}")
+    return "".join(parts)
+
+
+def q139_budget_apportion(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of a 10,007-slot global
+    fetch budget across sources in proportion to their int64 char volume
+    (operators/politeness.apportion_budget) — the exact-integer step
+    between a priority signal and schedule_round's per-host budgets:
+    sum(budget) == 10007 EXACTLY, no float ratio, ties pinned by key."""
+    from eget_spark.operators.politeness import apportion_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("weight")
+    )
+    out = apportion_budget(w, 10007, key_col="source", weight_col="weight")
+    return out.select(F.col("key").alias("source"), "weight", "budget")
+
+
+_Q139_SQL = """
+WITH w AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, weight,
+         (10007 * weight) // (SELECT sum(weight) FROM w) AS base,
+         (10007 * weight) % (SELECT sum(weight) FROM w) AS rem
+  FROM w
+)
+SELECT source, weight,
+       CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+                             <= (SELECT 10007 - sum(base) FROM q)
+                        THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM q
+"""
+
+
+def q140_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (operators/mirrors.mirror_host_pairs):
+    exact content-set Jaccard between host pairs — the Bharat/Broder
+    mirror signal that demotes a host's REMAINING frontier once its
+    content set matches an already-crawled host's.  The corpus plants
+    mirrors deterministically: every doc serves on host doc_id % 5, and
+    docs with doc_id % 3 == 0 ALSO serve on host (doc_id+1) % 5, so
+    adjacent hosts overlap partially.  All arithmetic int64 (permille by
+    floor division); hashes = the repo-standard portable md5-60bit."""
+    from eget_spark.operators.mirrors import mirror_host_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    h = lambda e: F.concat(F.lit("h"), (e % 5).cast("string")).alias("host")
+    corpus = docs.select(h(F.col("doc_id")), "text").unionAll(
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            h(F.col("doc_id") + 1), "text"
+        )
+    )
+    return mirror_host_pairs(corpus, "host", "text", max_hosts_per_hash=64)
+
+
+_Q140_SQL = """
+WITH corpus AS (
+  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host, text FROM documents
+  UNION ALL
+  SELECT 'h' || CAST((doc_id + 1) % 5 AS VARCHAR) AS host, text
+  FROM documents WHERE doc_id % 3 = 0
+),
+sets AS (
+  SELECT DISTINCT host,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM corpus
+),
+sizes AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM sets GROUP BY host),
+kept AS (
+  SELECT s.host, s.h FROM sets s
+  JOIN (SELECT h FROM sets GROUP BY h HAVING count(*) <= 64) k ON k.h = s.h
+),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM kept a JOIN kept b ON a.h = b.h AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT p.host_a, p.host_b, sa.n AS n_a, sb.n AS n_b, p.n_common,
+       CAST((1000 * p.n_common) // (sa.n + sb.n - p.n_common) AS BIGINT)
+         AS jac_permille
+FROM pairs p
+JOIN sizes sa ON sa.host = p.host_a
+JOIN sizes sb ON sb.host = p.host_b
+"""
+
+
+def q141_balanced_shards(spark, sf_dir):
+    """Size-balanced output-shard assignment (operators/packing.
+    striped_shards): documents rank by (n_chars desc, doc_id asc) and
+    stripe round-robin over 7 shards — the deterministic LPT form that
+    keeps 100 TB output files near-equal without sequential state.  The
+    global rank uses the bucketed with_global_seq path (range exchange +
+    prefix offsets), never a single-partition window."""
+    from eget_spark.operators.packing import striped_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = striped_shards(docs, "doc_id", "n_chars", n_shards=7)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("size").alias("n_chars"),
+        "shard",
+    )
+
+
+_Q141_SQL = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 7
+         AS BIGINT) AS shard
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -6257,6 +6429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_mixture_report": q135_mixture_report,
         "q136_bpe_stats": q136_bpe_stats,
         "q137_trained_ivf": q137_trained_ivf,
+        "q138_trustrank": q138_trustrank,
+        "q139_budget_apportion": q139_budget_apportion,
+        "q140_mirror_hosts": q140_mirror_hosts,
+        "q141_balanced_shards": q141_balanced_shards,
     }
 
 
@@ -6398,4 +6574,8 @@ def oracle_sql() -> dict[str, str]:
         "q134_hreflang_clusters": _Q134_SQL,
         "q135_mixture_report": _Q135_SQL,
         "q137_trained_ivf": _q137_sql(),
+        "q138_trustrank": _q138_sql(),
+        "q139_budget_apportion": _Q139_SQL,
+        "q140_mirror_hosts": _Q140_SQL,
+        "q141_balanced_shards": _Q141_SQL,
     }

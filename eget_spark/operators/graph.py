@@ -169,6 +169,91 @@ def hits_fixed(
     )
 
 
+def trustrank_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    damp_num: int = 17,
+    damp_den: int = 20,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-point TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004):
+    PageRank personalized on a trusted seed set — teleport (and dangling
+    mass) goes ONLY to ``seeds``, so trust flows outward along links and
+    pages unreachable from any seed converge to 0.  The standard
+    link-spam demotion signal for frontier prioritization: a page with
+    high in-degree but near-zero TrustRank is the link-farm shape, and a
+    priority crawl orders its politeness budget by ``tr_fp`` instead of
+    (or blended with) raw PageRank.
+
+    Same integer discipline as :func:`pagerank_fixed` (int64 in units of
+    ``1/scale``, floor division, bit-exact across partitionings and
+    engines); the only deltas are the teleport vector (uniform over the
+    ``s = |seeds|`` trusted nodes instead of all ``n``) and the start
+    vector (``scale // s`` on seeds, 0 elsewhere).
+
+    Scale shape: identical to pagerank_fixed — per iteration ONE
+    edges-vs-ranks join + ONE dst aggregation, dangling mass via a 1-row
+    broadcast, ranks localCheckpoint-ed so lineage stays O(1).  The seed
+    flag is joined ONCE before the loop and rides the rank table (seeds
+    is typically tiny — a curated whitelist — so that join broadcasts).
+
+    Returns (id, tr_fp) with tr_fp ≈ trustrank * scale.
+    """
+    s = seeds.count()
+    if s == 0:
+        return nodes.select("id", F.lit(0).cast("long").alias("tr_fp"))
+    deg = out_degrees(edges).localCheckpoint()
+    base_s = (scale * (damp_den - damp_num)) // damp_den // s
+    flagged = (
+        nodes.join(
+            seeds.select(F.col("id").alias("_sid")).distinct(),
+            nodes["id"] == F.col("_sid"),
+            "left",
+        )
+        .select("id", F.col("_sid").isNotNull().alias("is_seed"))
+        .localCheckpoint()
+    )
+    ranks = flagged.select(
+        "id",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(scale // s))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("tr_fp"),
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        with_deg = ranks.join(deg, ranks["id"] == deg["src"], "left")
+        dangling = with_deg.where(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("tr_fp"), F.lit(0)).cast("long").alias("_dang")
+        )
+        contrib = (
+            with_deg.where(F.col("out_deg").isNotNull())
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("tr_fp div out_deg")).alias("contrib"))
+        )
+        ranks = (
+            flagged.join(contrib, flagged["id"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed"), F.lit(base_s)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damp_num} * (coalesce(contrib, 0)"
+                        f" + (CASE WHEN is_seed THEN _dang div {s}"
+                        f" ELSE 0 END))) div {damp_den}"
+                    )
+                ).cast("long").alias("tr_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", "tr_fp")
+
+
 def pagerank_fixed(
     nodes: DataFrame,
     edges: DataFrame,

@@ -1,0 +1,107 @@
+"""Mirror-host detection: host pairs serving (near-)identical content sets.
+
+Training-data-pipeline extension (no single reference operator): web-scale
+corpora are full of mirrors — the same site under several hostnames (CDN
+aliases, www/apex splits, scraped re-hosts, country mirrors).  Per-document
+dedup already collapses the *documents*, but the crawler itself wants the
+signal one level up: if host B's content set is a copy of host A's, B's
+remaining frontier should be demoted or dropped *before* fetching (the
+Bharat/Broder WWW'99 mirror-detection setting).  This operator computes
+exact content-set Jaccard between host pairs from the crawled sample.
+
+Pinned semantics (engine-exact, integer-only):
+
+- a host's content set = DISTINCT ``md5_60bit(text)`` over its documents
+  (the repo-standard portable 60-bit hash — kmv.py:37);
+- for every unordered host pair with >= 1 shared hash:
+  ``n_common`` = |A ∩ B|, sides ordered ``host_a < host_b``;
+- ``jac_permille = (1000 * n_common) // (n_a + n_b - n_common)`` — true
+  int64 floor division, no float ratio ever forms;
+- pairs below ``min_permille`` are dropped (default 0 keeps every
+  overlapping pair);
+- with ``max_hosts_per_hash`` set, hashes shared by MORE than that many
+  hosts are excluded from ``n_common`` (ubiquitous boilerplate is not
+  mirror evidence) while ``n_a``/``n_b`` stay the full set sizes — the
+  estimate can only go DOWN, never invent a mirror (same one-sided
+  semantics as allpairs.py's df-prune, and pinned identically in the
+  oracle).
+
+Scale shape (100 TB): the corpus first compacts to DISTINCT (host, h) —
+one map-side-combined aggregate; everything after runs on that table,
+which is bounded by (hosts x distinct-docs-per-host), not raw pages.
+The pair generation is a hash-keyed self-join whose fan-out per hash is
+(#hosts sharing that hash choose 2); ``max_hosts_per_hash`` prunes
+ubiquitous content (empty pages, boilerplate shells served by thousands
+of hosts) BEFORE the join — the same df-prune discipline as the
+all-pairs similarity join (allpairs.py).  Per-host set sizes are a tiny
+|hosts|-row aggregate that hash-joins (or broadcasts) onto the pair
+table.  No window over URL rows, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kmv import md5_60bit
+
+
+def host_content_sets(
+    df: DataFrame, host_col: str, text_col: str
+) -> DataFrame:
+    """(host, h): each host's distinct content-hash set."""
+    return df.select(
+        F.col(host_col).alias("host"),
+        md5_60bit(F.col(text_col)).alias("h"),
+    ).distinct()
+
+
+def mirror_host_pairs(
+    df: DataFrame,
+    host_col: str,
+    text_col: str,
+    min_permille: int = 0,
+    max_hosts_per_hash: int | None = 64,
+) -> DataFrame:
+    """(host_a, host_b, n_a, n_b, n_common, jac_permille) per overlapping
+    host pair — see the module docstring for the pinned semantics."""
+    sets = host_content_sets(df, host_col, text_col)
+    sizes = sets.groupBy("host").agg(F.count("*").cast("long").alias("n"))
+    if max_hosts_per_hash is not None:
+        hh = sets.groupBy("h").agg(F.count("*").alias("_nh"))
+        sets = (
+            sets.join(
+                hh.where(F.col("_nh") <= int(max_hosts_per_hash)), "h"
+            ).drop("_nh")
+        )
+    left = sets.select(F.col("host").alias("host_a"), "h")
+    right = sets.select(F.col("host").alias("host_b"), "h")
+    pairs = (
+        left.join(right, "h")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    out = (
+        pairs.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b")),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "(1000 * n_common) div (n_a + n_b - n_common)"
+            ).cast("long").alias("jac_permille"),
+        )
+    )
+    if min_permille > 0:
+        out = out.where(F.col("jac_permille") >= int(min_permille))
+    return out

@@ -88,3 +88,59 @@ def pack_sequences(
         ).alias("_k"),
     )
     return prepared.groupBy("shard").applyInPandas(_pack, _OUT_SCHEMA)
+
+
+def striped_shards(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Size-balanced output-shard assignment by striped size rank — the
+    writer-side companion to :func:`pack_sequences`.  A 100 TB corpus
+    written as N output files wants near-equal file sizes (equal-COUNT
+    splits leave the biggest shard dominated by whichever partition drew
+    the long documents; stragglers follow downstream).  Striping by
+    size rank is the deterministic round-robin form of LPT scheduling:
+
+    - rank documents by (size desc, id asc) — pinned total order;
+    - ``shard = (rank - 1) % n_shards``.
+
+    Every shard gets one document from each consecutive size band, so
+    shard byte totals differ by at most (roughly) one band's spread;
+    unlike greedy LPT the assignment is a pure rank expression —
+    reproducible across engines and partitionings, no sequential state.
+
+    Returns (id, size, shard) — feed ``df.repartition(n_shards,
+    "shard")`` (or partitionBy on write) to materialize.
+
+    Scale shape: the global size rank comes from
+    :func:`eget_spark.operators.sequence.with_global_seq` — a RANGE
+    exchange over (size, id) pairs only (16 bytes/row; the document text
+    never enters the shuffle) with per-partition ranks + prefix offsets,
+    NEVER a single-partition ``row_number() OVER (ORDER BY ...)``
+    window.  Callers at extreme scale can pre-bucket by size decile and
+    stripe within buckets, trading exactness for a narrower sort.
+    """
+    from .sequence import with_global_seq
+
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(size_col).cast("long").alias("size"),
+        (-F.col(size_col).cast("long")).alias("_negsize"),
+    )
+    res = with_global_seq(pairs, ["_negsize", "id"], start=1, seq_col="_rk")
+    out = res.df.select(
+        "id", "size", ((F.col("_rk") - 1) % int(n_shards)).cast("long").alias("shard")
+    ).localCheckpoint()
+    res.unpersist()
+    return out
+
+
+def shard_stats(assigned: DataFrame) -> DataFrame:
+    """(shard, n_docs, total_size) over :func:`striped_shards` output —
+    the balance report (map-side-combined groupBy, |shards| rows)."""
+    return assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("size").cast("long").alias("total_size"),
+    )

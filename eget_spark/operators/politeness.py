@@ -166,3 +166,93 @@ def host_circuit_breaker(
             ).alias("tripped"),
         )
     )
+
+
+def apportion_budget(
+    weights: DataFrame,
+    total_budget: int,
+    key_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global fetch
+    budget across hosts in proportion to an int64 priority weight —
+    the step between a priority signal (PageRank/TrustRank sums, quality
+    micro-units, change rates) and :func:`schedule_round`'s per-host
+    budgets.  Proportional splitting with naive rounding either loses
+    slots or oversubscribes; Hamilton's method is the classic exact fix:
+
+    - ``base = (B * w) // W`` per key (W = sum of weights, B = budget),
+    - the ``R = B - sum(base)`` leftover slots (R < #keys) go one each
+      to the keys with the largest remainders ``(B * w) % W``, ties
+      broken by key ascending (pinned, so the result is bit-exact).
+
+    Zero-weight keys can still win a leftover slot only if every
+    remainder above theirs is exhausted (standard Hamilton; with R <
+    #positive-remainder keys they get 0).  Keys with NULL weight are
+    treated as 0.  The degenerate W == 0 falls back to EQUAL
+    apportionment (base = B // #keys, the B % #keys leftover to the
+    first keys ascending), so ``sum(budget) == total_budget`` holds
+    exactly for every non-empty input with total_budget >= 0.
+
+    Returns (key, weight, budget).
+
+    Scale shape: ONE map-side-combined groupBy is assumed done by the
+    caller (this operator takes the per-key weight table, which is
+    |hosts|-sized, orders of magnitude smaller than the frontier); the
+    scalar W rides a 1-row broadcast cross join; the leftover ranking is
+    one window over the |hosts| table — never over URL rows.  All
+    arithmetic int64 (B*w needs B*max_w < 2^63 — at B=10^6 that allows
+    weights to ~9e12, far above any per-host micro-unit sum in range).
+    """
+    from pyspark.sql.window import Window
+
+    b = int(total_budget)
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    tot = weights.agg(
+        F.sum(w).cast("long").alias("_w_tot"),
+        F.count(F.lit(1)).cast("long").alias("_n_keys"),
+    )
+    quota = (
+        weights.select(F.col(key_col).alias("key"), w.alias("weight"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "weight",
+            F.when(
+                F.col("_w_tot") > 0,
+                F.expr(f"({b} * weight) div _w_tot"),
+            )
+            .otherwise(F.expr(f"{b} div _n_keys"))
+            .cast("long")
+            .alias("base"),
+            F.when(
+                F.col("_w_tot") > 0,
+                F.expr(f"({b} * weight) % _w_tot"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rem"),
+        )
+    )
+    leftover = quota.agg(
+        (F.lit(b) - F.coalesce(F.sum("base"), F.lit(0)))
+        .cast("long")
+        .alias("_left")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("rem"), F.asc("key"))
+    )
+    return (
+        quota.withColumn("_rk", rk)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            F.col("key"),
+            F.col("weight"),
+            (
+                F.col("base")
+                + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("budget"),
+        )
+    )

@@ -169,3 +169,80 @@ def test_hits_isolated_node_is_zero(spark):
     }
     assert got[9] == (0, 0)
     assert all(v >= 0 for pair in got.values() for v in pair)
+
+
+def _py_trustrank(ids, pairs, seeds, n_iter=5, num=17, den=20, scale=10**12):
+    """Pure-Python mirror of trustrank_fixed's integer arithmetic."""
+    s = len(seeds)
+    deg: dict[int, int] = {}
+    for a, _ in pairs:
+        deg[a] = deg.get(a, 0) + 1
+    base = (scale * (den - num)) // den // s
+    tr = {i: (scale // s if i in seeds else 0) for i in ids}
+    for _ in range(n_iter):
+        dang = sum(p for i, p in tr.items() if i not in deg)
+        contrib: dict[int, int] = {}
+        for a, b in pairs:
+            contrib[b] = contrib.get(b, 0) + tr[a] // deg[a]
+        tr = {
+            i: (base if i in seeds else 0)
+            + (num * (contrib.get(i, 0) + (dang // s if i in seeds else 0)))
+            // den
+            for i in ids
+        }
+    return tr
+
+
+def test_trustrank_matches_python_oracle(spark):
+    from eget_spark.operators.graph import trustrank_fixed
+
+    ids = list(range(14))
+    pairs = [(i, (i * 7 + 13) % 14) for i in ids] + [
+        (i, (i * i * 3 + 5) % 14) for i in ids
+    ]
+    seeds = {0, 3, 9}
+    got = {
+        r["id"]: r["tr_fp"]
+        for r in trustrank_fixed(
+            _nodes_df(spark, ids),
+            _edges_df(spark, pairs),
+            _nodes_df(spark, sorted(seeds)),
+            n_iter=5,
+        ).collect()
+    }
+    want = _py_trustrank(ids, pairs, seeds)
+    assert got == want
+
+
+def test_trustrank_unreachable_is_zero(spark):
+    """A node with no path from any seed must converge to exactly 0 —
+    the property PageRank lacks and the whole point of seeding."""
+    from eget_spark.operators.graph import trustrank_fixed
+
+    ids = [0, 1, 2, 3]
+    # 0 -> 1; island 2 -> 3 (no inbound from the seed component)
+    pairs = [(0, 1), (2, 3)]
+    got = {
+        r["id"]: r["tr_fp"]
+        for r in trustrank_fixed(
+            _nodes_df(spark, ids),
+            _edges_df(spark, pairs),
+            _nodes_df(spark, [0]),
+            n_iter=4,
+        ).collect()
+    }
+    assert got[2] == 0 and got[3] == 0
+    assert got[0] > 0 and got[1] > 0
+    assert got == _py_trustrank(ids, pairs, {0}, n_iter=4)
+
+
+def test_trustrank_empty_seeds(spark):
+    from eget_spark.operators.graph import trustrank_fixed
+
+    ids = [0, 1]
+    out = trustrank_fixed(
+        _nodes_df(spark, ids),
+        _edges_df(spark, [(0, 1)]),
+        _nodes_df(spark, []),
+    ).collect()
+    assert {r["tr_fp"] for r in out} == {0}

@@ -89,3 +89,51 @@ def test_offsets_are_dense_prefix_sums(spark):
     )
     for r in seqs:
         assert r["start"] == 0 and r["end"] == r["tot"]
+
+
+# --- striped size-balanced shards --------------------------------------------
+
+
+def _py_striped(rows, n_shards):
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    return {rid: i % n_shards for i, (rid, _) in enumerate(order)}
+
+
+def test_striped_shards_match_python_oracle(spark):
+    from eget_spark.operators.packing import shard_stats, striped_shards
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, nbytes long")
+    got = {
+        r["id"]: r["shard"]
+        for r in striped_shards(df, "doc_id", "nbytes", 4).collect()
+    }
+    assert got == _py_striped(rows, 4)
+
+
+def test_striped_shards_balance_bound(spark):
+    """Striping by size rank keeps shard totals within one top-band item
+    of each other on a size-skewed input."""
+    from eget_spark.operators.packing import shard_stats, striped_shards
+
+    rows = [(i, 2 ** (i % 12)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, nbytes long")
+    assigned = striped_shards(df, "doc_id", "nbytes", 5)
+    stats = {r["shard"]: r["total_size"] for r in shard_stats(assigned).collect()}
+    assert set(stats) == set(range(5))
+    sizes = sorted(r[1] for r in rows)
+    assert max(stats.values()) - min(stats.values()) <= sizes[-1]
+    # nothing lost: totals add up
+    assert sum(stats.values()) == sum(r[1] for r in rows)
+
+
+def test_striped_shards_tie_break_by_id(spark):
+    from eget_spark.operators.packing import striped_shards
+
+    rows = [(i, 100) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, nbytes long")
+    got = {
+        r["id"]: r["shard"]
+        for r in striped_shards(df, "doc_id", "nbytes", 3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 1, 5: 2}

@@ -124,3 +124,78 @@ def test_host_circuit_breaker_integer_rule_edges(spark):
     assert got["young"]["tripped"] is False and got["young"]["n_failures"] == 9
     assert got["good"]["tripped"] is False
     assert got["bad"]["n_attempts"] == 10 and got["bad"]["n_failures"] == 6
+
+
+# --- largest-remainder budget apportionment ---------------------------------
+
+
+def _py_apportion(weights: dict, b: int) -> dict:
+    w_tot = sum(weights.values())
+    if w_tot <= 0:
+        return {k: 0 for k in weights}
+    base = {k: (b * w) // w_tot for k, w in weights.items()}
+    rem = {k: (b * w) % w_tot for k, w in weights.items()}
+    left = b - sum(base.values())
+    order = sorted(weights, key=lambda k: (-rem[k], k))
+    out = dict(base)
+    for k in order[:left]:
+        out[k] += 1
+    return out
+
+
+def test_apportion_matches_python_oracle(spark):
+    from eget_spark.operators.politeness import apportion_budget
+
+    weights = {"a": 5, "b": 3, "c": 3, "d": 1, "e": 0}
+    df = spark.createDataFrame(
+        list(weights.items()), "host string, weight long"
+    )
+    got = {
+        r["key"]: r["budget"]
+        for r in apportion_budget(df, 100, "host", "weight").collect()
+    }
+    assert got == _py_apportion(weights, 100)
+    assert sum(got.values()) == 100
+
+
+def test_apportion_exact_total_and_ties(spark):
+    """Three equal weights, budget not divisible by 3: ties break by key
+    ascending, total is exact."""
+    from eget_spark.operators.politeness import apportion_budget
+
+    df = spark.createDataFrame(
+        [("x", 7), ("y", 7), ("z", 7)], "host string, weight long"
+    )
+    got = {
+        r["key"]: r["budget"]
+        for r in apportion_budget(df, 10, "host", "weight").collect()
+    }
+    assert got == {"x": 4, "y": 3, "z": 3}
+
+
+def test_apportion_zero_and_null_weights(spark):
+    from eget_spark.operators.politeness import apportion_budget
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", None), ("c", 0)], "host string, weight long"
+    )
+    got = {
+        r["key"]: r["budget"]
+        for r in apportion_budget(df, 5, "host", "weight").collect()
+    }
+    assert got == {"a": 5, "b": 0, "c": 0}
+
+
+def test_apportion_all_zero_weights(spark):
+    """W == 0: bases are 0, the leftover still distributes (key asc) so
+    the total stays exact."""
+    from eget_spark.operators.politeness import apportion_budget
+
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "host string, weight long"
+    )
+    got = {
+        r["key"]: r["budget"]
+        for r in apportion_budget(df, 3, "host", "weight").collect()
+    }
+    assert sum(got.values()) == 3

@@ -1225,6 +1225,79 @@ def main() -> None:
     checks.append(("bpe encode: zero exchanges", "Exchange" not in p_bp2))
     checks.append(("bpe encode: no Python", "EvalPython" not in p_bp2))
 
+    # 69. trustrank (q138 path): the iteration body (pre-checkpoint, same
+    # construction as the pagerank iteration-body check) — edges join +
+    # dst agg with map-side partial sums, dangling mass broadcast, the
+    # seed flag a plain column (CASE, no per-iteration seed join)
+    nodes138 = docs.select(F.col("doc_id").alias("id"))
+    edges138 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 13) % 500).alias("dst")
+    )
+    flagged138 = nodes138.withColumn("is_seed", F.col("id") % 17 == 0)
+    tranks = flagged138.selectExpr(
+        "id", "is_seed", "CASE WHEN is_seed THEN 1000 ELSE 0 END AS tr_fp"
+    )
+    tdeg = out_degrees(edges138)
+    twd = tranks.join(tdeg, tranks["id"] == tdeg["src"], "left")
+    tdang = twd.where(F.col("out_deg").isNull()).agg(
+        F.coalesce(F.sum("tr_fp"), F.lit(0)).cast("long").alias("_dang")
+    )
+    tcontrib = (
+        twd.where(F.col("out_deg").isNotNull())
+        .join(edges138, "src")
+        .groupBy("dst")
+        .agg(F.sum(F.expr("tr_fp div out_deg")).alias("contrib"))
+    )
+    t_body = (
+        flagged138.join(tcontrib, flagged138["id"] == tcontrib["dst"], "left")
+        .crossJoin(F.broadcast(tdang))
+        .selectExpr(
+            "id",
+            "CASE WHEN is_seed THEN 7 ELSE 0 END"
+            " + coalesce(contrib, 0) + CASE WHEN is_seed THEN _dang ELSE 0 END"
+            " AS tr_fp",
+        )
+    )
+    p_tr = plan_of(t_body)
+    checks.append(("trustrank body: dangling mass broadcast", "BroadcastNestedLoopJoin" in p_tr))
+    checks.append(("trustrank body: map-side partial sums", "partial_sum" in p_tr))
+    checks.append(("trustrank body: no Python", "EvalPython" not in p_tr))
+
+    # 70. budget apportionment (q139): scalars ride broadcasts; the only
+    # window is over the |hosts| table; no Python
+    p_ap = plan_of(entry.q139_budget_apportion(spark, SF))
+    checks.append(("apportion: broadcast scalar joins", "BroadcastNestedLoopJoin" in p_ap))
+    checks.append(("apportion: map-side partials", "partial_sum" in p_ap))
+    checks.append(("apportion: no Python", "EvalPython" not in p_ap))
+
+    # 71. mirror hosts (q140): corpus compacts via HashAggregate before the
+    # hash-keyed self-join; no cartesian, no Python
+    p_mh = plan_of(entry.q140_mirror_hosts(spark, SF))
+    checks.append(("mirror hosts: no cartesian", "CartesianProduct" not in p_mh))
+    checks.append(("mirror hosts: pre-join distinct aggregate", "HashAggregate" in p_mh))
+    checks.append(("mirror hosts: no Python", "EvalPython" not in p_mh))
+
+    # 72. striped shards (q141): the rank machinery it delegates to
+    # (with_global_seq's pre-checkpoint frame — striped_shards itself
+    # returns a localCheckpoint, whose plan is a bare RDD scan): a
+    # RANGE exchange feeds a PARTITIONED rank window + broadcast prefix
+    # offsets — never a single-partition global window
+    from eget_spark.operators.sequence import with_global_seq
+
+    sh_pairs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("n_chars").cast("long").alias("size"),
+        (-F.col("n_chars").cast("long")).alias("_negsize"),
+    )
+    sh_res = with_global_seq(sh_pairs, ["_negsize", "id"], start=1, seq_col="_rk")
+    p_sh = plan_of(
+        sh_res.df.select("id", "size", ((F.col("_rk") - 1) % 7).alias("shard"))
+    )
+    sh_res.unpersist()
+    checks.append(("striped shards: partitioned rank window", "Window" in p_sh and "SinglePartition" not in p_sh))
+    checks.append(("striped shards: broadcast prefix offsets", "BroadcastHashJoin" in p_sh))
+    checks.append(("striped shards: no Python", "EvalPython" not in p_sh))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
