@@ -6285,6 +6285,128 @@ FROM documents
 """
 
 
+def q142_focused_priorities(spark, sf_dir):
+    """Focused-crawl frontier scoring (operators/focus.py, the
+    Chakrabarti/Shark-Search family): pages score by topic-keyword
+    occurrence count (zero-shuffle array probe), candidates inherit
+    ``(rel(parent) * 1) div 2`` from their BEST inbound parent — one
+    src join + one map-side max per dst, the single-shuffle shape of a
+    PageRank iteration.  All int64; priorities order schedule_round."""
+    from eget_spark.operators.focus import focused_priorities, keyword_relevance
+
+    docs = _t(spark, sf_dir, "documents")
+    _, edges = _arith_edges(spark, sf_dir)
+    rel = keyword_relevance(docs, "doc_id", "text", ["spark", "query", "join"])
+    out = focused_priorities(rel, edges, decay_num=1, decay_den=2)
+    return out.select(F.col("dst").alias("doc_id"), "priority")
+
+
+_Q142_SQL = f"""
+WITH {_EDGES_SQL.lstrip()},
+rel AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_TOKS_SQL},
+                              t -> t IN ('spark', 'query', 'join')))
+           AS BIGINT) AS rel
+  FROM documents
+)
+SELECT e.dst AS doc_id, CAST(max((r.rel * 1) // 2) AS BIGINT) AS priority
+FROM edges e JOIN rel r ON r.doc_id = e.src
+GROUP BY e.dst
+"""
+
+
+def q143_ngram_novelty(spark, sf_dir):
+    """Marginal-novelty scoring (operators/novelty.py): the permille of
+    each doc's distinct word trigrams that NO earlier doc (smaller
+    doc_id) already contributed — first-occurrence-wins lifted from
+    lines (q58) to n-grams; low-novelty docs are cut or downsampled
+    before training.  One distinct explode + one min-per-gram aggregate
+    + a unique-key join back; int64 floor-division permille."""
+    from eget_spark.operators.novelty import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=3).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_novel", "novelty_permille"
+    )
+
+
+_Q143_SQL = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({_SHINGLE_SQL}) AS gram FROM documents
+  )
+),
+f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+s AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN g.doc_id = f.first_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_novel
+  FROM g JOIN f ON f.gram = g.gram
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN coalesce(s.n_grams, 0) > 0
+                 THEN (1000 * s.n_novel) // s.n_grams
+                 ELSE 1000 END AS BIGINT) AS novelty_permille
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+
+def q144_site_size_estimate(spark, sf_dir):
+    """Lincoln-Petersen capture-recapture site-size estimation
+    (operators/recrawl.site_size_estimate): two independent 60%% crawl
+    samples per source (hash-deterministic Bernoulli draws, q122
+    discipline); est = (n_a * n_b) div n_common answers "how big is
+    this host" before committing frontier budget.  All int64."""
+    from eget_spark.operators.kmv import md5_60bit
+    from eget_spark.operators.recrawl import site_size_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    pick = lambda tag: (
+        md5_60bit(F.concat(F.lit(tag), F.col("doc_id").cast("string"))) % 5
+        < 3
+    )
+    a = docs.where(pick("cap-a")).select("source", "doc_id")
+    b = docs.where(pick("cap-b")).select("source", "doc_id")
+    out = site_size_estimate(a, b, "source", "doc_id")
+    return out.select(
+        F.col("key").alias("source"), "n_a", "n_b", "n_common", "est_size"
+    )
+
+
+_Q144_SQL = """
+WITH a AS (
+  SELECT DISTINCT source, doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5('cap-a' || CAST(doc_id AS VARCHAR)), 1, 15))
+          AS BIGINT) % 5 < 3
+),
+b AS (
+  SELECT DISTINCT source, doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5('cap-b' || CAST(doc_id AS VARCHAR)), 1, 15))
+          AS BIGINT) % 5 < 3
+),
+na AS (SELECT source, CAST(count(*) AS BIGINT) AS n_a FROM a GROUP BY source),
+nb AS (SELECT source, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY source),
+m AS (
+  SELECT a.source, CAST(count(*) AS BIGINT) AS n_common
+  FROM a JOIN b ON a.source = b.source AND a.doc_id = b.doc_id
+  GROUP BY a.source
+)
+SELECT coalesce(na.source, nb.source) AS source,
+       CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+       CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       CAST(CASE WHEN coalesce(n_common, 0) > 0
+                 THEN (n_a * n_b) // n_common END AS BIGINT) AS est_size
+FROM na FULL OUTER JOIN nb ON na.source = nb.source
+LEFT JOIN m ON m.source = coalesce(na.source, nb.source)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -6433,6 +6555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_budget_apportion": q139_budget_apportion,
         "q140_mirror_hosts": q140_mirror_hosts,
         "q141_balanced_shards": q141_balanced_shards,
+        "q142_focused_priorities": q142_focused_priorities,
+        "q143_ngram_novelty": q143_ngram_novelty,
+        "q144_site_size_estimate": q144_site_size_estimate,
     }
 
 
@@ -6578,4 +6703,7 @@ def oracle_sql() -> dict[str, str]:
         "q139_budget_apportion": _Q139_SQL,
         "q140_mirror_hosts": _Q140_SQL,
         "q141_balanced_shards": _Q141_SQL,
+        "q142_focused_priorities": _Q142_SQL,
+        "q143_ngram_novelty": _Q143_SQL,
+        "q144_site_size_estimate": _Q144_SQL,
     }

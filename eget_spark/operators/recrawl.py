@@ -152,3 +152,58 @@ def revalidate(cached: DataFrame, live: DataFrame) -> DataFrame:
         .otherwise(F.lit("refetch"))
     )
     return j.select("url", action.alias("action"))
+
+
+def site_size_estimate(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    key_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Lincoln-Petersen capture-recapture estimate of per-site page
+    counts from two independent crawl samples — the crawl-planning
+    question ("how big is this host, really?") answered *before*
+    committing frontier budget to it.  Two partial crawls of the same
+    host rarely see the same pages; the overlap rate estimates the
+    unseen mass:
+
+    ``n_hat = (n_a * n_b) div m`` where n_a/n_b are the per-key sample
+    sizes (distinct ids) and m = |A ∩ B|.  Integer floor division —
+    bit-exact; keys with m = 0 return NULL ``est_size`` (disjoint
+    samples carry no size signal — the standard undefined case).
+
+    Returns (key, n_a, n_b, n_common, est_size).
+
+    Scale shape: each side compacts to DISTINCT (key, id) — map-side-
+    combined; sizes are two tiny |keys|-row aggregates; the overlap is
+    ONE inner join on the (key, id) pair key (unique per side, nothing
+    replicates) followed by a map-side-combined count.  Everything
+    downstream of the distincts is |keys|-sized.
+    """
+    a = sample_a.select(
+        F.col(key_col).alias("key"), F.col(id_col).alias("id")
+    ).distinct()
+    b = sample_b.select(
+        F.col(key_col).alias("key"), F.col(id_col).alias("id")
+    ).distinct()
+    na = a.groupBy("key").agg(F.count("*").cast("long").alias("n_a"))
+    nb = b.groupBy("key").agg(F.count("*").cast("long").alias("n_b"))
+    m = (
+        a.join(b, ["key", "id"])
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        na.join(nb, "key", "outer")
+        .join(m, "key", "left")
+        .select(
+            "key",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.when(
+                F.coalesce(F.col("n_common"), F.lit(0)) > 0,
+                F.expr("(n_a * n_b) div n_common"),
+            ).cast("long").alias("est_size"),
+        )
+    )

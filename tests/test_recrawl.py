@@ -168,3 +168,48 @@ def test_seed_frontier_df_equals_list_seed_path(spark, docs_small, robots_small)
     assert {r["url"] for r in df_res.seen.collect()} == {
         r["url"] for r in list_res.seen.collect()
     }
+
+
+# --- Lincoln-Petersen site-size estimation ------------------------------------
+
+
+def test_site_size_estimate_matches_python(spark):
+    from eget_spark.operators.recrawl import site_size_estimate
+
+    a_rows = [("h1", i) for i in range(6)] + [("h2", i) for i in range(3)]
+    b_rows = [("h1", i) for i in range(3, 9)] + [("h2", i) for i in range(10, 12)]
+    a = spark.createDataFrame(a_rows, "host string, url long")
+    b = spark.createDataFrame(b_rows, "host string, url long")
+    got = {
+        r["key"]: (r["n_a"], r["n_b"], r["n_common"], r["est_size"])
+        for r in site_size_estimate(a, b, "host", "url").collect()
+    }
+    # h1: n_a=6, n_b=6, overlap {3,4,5} -> est = 36 // 3 = 12
+    assert got["h1"] == (6, 6, 3, 12)
+    # h2: disjoint samples -> NULL estimate
+    assert got["h2"] == (3, 2, 0, None)
+
+
+def test_site_size_estimate_one_sided_key(spark):
+    """A key present in only one sample still reports, est NULL."""
+    from eget_spark.operators.recrawl import site_size_estimate
+
+    a = spark.createDataFrame([("only-a", 1)], "host string, url long")
+    b = spark.createDataFrame([("only-b", 2)], "host string, url long")
+    got = {
+        r["key"]: (r["n_a"], r["n_b"], r["n_common"], r["est_size"])
+        for r in site_size_estimate(a, b, "host", "url").collect()
+    }
+    assert got == {"only-a": (1, 0, 0, None), "only-b": (0, 1, 0, None)}
+
+
+def test_site_size_estimate_dedups_samples(spark):
+    """Duplicate (key, id) rows in a sample count once."""
+    from eget_spark.operators.recrawl import site_size_estimate
+
+    a = spark.createDataFrame(
+        [("h", 1), ("h", 1), ("h", 2)], "host string, url long"
+    )
+    b = spark.createDataFrame([("h", 1), ("h", 1)], "host string, url long")
+    r = site_size_estimate(a, b, "host", "url").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_common"], r["est_size"]) == (2, 1, 1, 2)

@@ -1298,6 +1298,27 @@ def main() -> None:
     checks.append(("striped shards: broadcast prefix offsets", "BroadcastHashJoin" in p_sh))
     checks.append(("striped shards: no Python", "EvalPython" not in p_sh))
 
+    # 73. focused priorities (q142): keyword probe is zero-Python
+    # expression work; one join + map-side max per dst
+    p_fp = plan_of(entry.q142_focused_priorities(spark, SF))
+    checks.append(("focused priorities: map-side partial max", "partial_max" in p_fp))
+    checks.append(("focused priorities: no cartesian", "CartesianProduct" not in p_fp))
+    checks.append(("focused priorities: no Python", "EvalPython" not in p_fp))
+
+    # 74. ngram novelty (q143): distinct + min-per-gram aggregates
+    # map-side-combine; no window over the corpus; no Python
+    p_nv = plan_of(entry.q143_ngram_novelty(spark, SF))
+    checks.append(("ngram novelty: map-side partial min", "partial_min" in p_nv))
+    checks.append(("ngram novelty: no cartesian", "CartesianProduct" not in p_nv))
+    checks.append(("ngram novelty: no Python", "EvalPython" not in p_nv))
+
+    # 75. site-size estimate (q144): distinct compaction + pair-key join,
+    # everything downstream |keys|-sized; no Python
+    p_cr = plan_of(entry.q144_site_size_estimate(spark, SF))
+    checks.append(("site size: map-side partial count", "partial_count" in p_cr))
+    checks.append(("site size: no cartesian", "CartesianProduct" not in p_cr))
+    checks.append(("site size: no Python", "EvalPython" not in p_cr))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
