@@ -6407,6 +6407,123 @@ LEFT JOIN m ON m.source = coalesce(na.source, nb.source)
 """
 
 
+def q145_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl coverage audit (sources/sitemaps.
+    sitemap_coverage): per host, how much of the DECLARED url inventory
+    was actually fetched (uncrawled = missed budget) and how many
+    fetched urls the sitemap never listed (orphan/trap suspects).  One
+    full-outer join on the (host, url) pair key + one map-side
+    groupBy(host); permille by int64 floor division."""
+    from eget_spark.sources.sitemaps import sitemap_coverage
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (d % 10).cast("string")).alias("host")
+    url = F.concat(F.lit("http://ex.com/u"), d.cast("string")).alias("url")
+    sitemap = docs.where(d % 4 != 1).select(host, url)
+    crawled = docs.where(d % 3 != 0).select(host, url)
+    return sitemap_coverage(sitemap, crawled)
+
+
+_Q145_SQL = """
+WITH s AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+         'http://ex.com/u' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id % 4 <> 1
+),
+c AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+         'http://ex.com/u' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id % 3 <> 0
+),
+j AS (
+  SELECT coalesce(s.host, c.host) AS host,
+         CASE WHEN s.url IS NOT NULL THEN 1 ELSE 0 END AS in_s,
+         CASE WHEN c.url IS NOT NULL THEN 1 ELSE 0 END AS in_c
+  FROM s FULL OUTER JOIN c ON s.host = c.host AND s.url = c.url
+),
+a AS (
+  SELECT host,
+         CAST(sum(in_s) AS BIGINT) AS n_sitemap,
+         CAST(sum(in_c) AS BIGINT) AS n_crawled,
+         CAST(sum(in_s * in_c) AS BIGINT) AS n_both
+  FROM j GROUP BY host
+)
+SELECT host, n_sitemap, n_crawled, n_both,
+       CAST(n_sitemap - n_both AS BIGINT) AS n_uncrawled,
+       CAST(n_crawled - n_both AS BIGINT) AS n_orphan,
+       CAST(CASE WHEN n_sitemap > 0 THEN (1000 * n_both) // n_sitemap END
+         AS BIGINT) AS coverage_permille
+FROM a
+"""
+
+
+def q146_link_reciprocity(spark, sf_dir):
+    """Per-node reciprocal-link profile (operators/graph.
+    link_reciprocity) — the link-exchange spam feature next to q138's
+    TrustRank: over the distinct self-loop-free edge set, the permille
+    of a node's out-links that are reciprocated.  One distinct
+    compaction + one reversed-pair-key self left-semi join + one
+    map-side groupBy; int64 only."""
+    from eget_spark.operators.graph import link_reciprocity
+
+    _, edges = _arith_edges(spark, sf_dir)
+    out = link_reciprocity(edges)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_out", "n_recip", "recip_permille"
+    )
+
+
+_Q146_SQL = f"""
+WITH {_EDGES_SQL.lstrip()},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+r AS (
+  SELECT e.src, CASE WHEN e2.src IS NOT NULL THEN 1 ELSE 0 END AS rcp
+  FROM e LEFT JOIN e e2 ON e2.src = e.dst AND e2.dst = e.src
+)
+SELECT src AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum(rcp) AS BIGINT) AS n_recip,
+       CAST((1000 * sum(rcp)) // count(*) AS BIGINT) AS recip_permille
+FROM r GROUP BY src
+"""
+
+
+def q147_jaccard_histogram(spark, sf_dir):
+    """Dedup-threshold calibration (operators/dedup.jaccard_histogram):
+    the exact shingle-Jaccard distribution over all overlapping pairs,
+    bucketed by integer floor division ((10*inter) div union — no float
+    bucket edges, bucket 10 = exact dups) — the curve curation reads
+    before committing q14/q15's near-dup threshold."""
+    from eget_spark.operators.dedup import jaccard_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_histogram(docs, "doc_id", "text", k=3, buckets=10)
+
+
+_Q147_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, g FROM (
+    SELECT doc_id, unnest({_SHINGLE_SQL}) AS g FROM documents)
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT (10 * i) // (na.n + nb.n - i) AS bucket
+  FROM inter
+  JOIN sizes na ON na.id = id_a
+  JOIN sizes nb ON nb.id = id_b
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY bucket
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -6558,6 +6675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_focused_priorities": q142_focused_priorities,
         "q143_ngram_novelty": q143_ngram_novelty,
         "q144_site_size_estimate": q144_site_size_estimate,
+        "q145_sitemap_coverage": q145_sitemap_coverage,
+        "q146_link_reciprocity": q146_link_reciprocity,
+        "q147_jaccard_histogram": q147_jaccard_histogram,
     }
 
 
@@ -6706,4 +6826,7 @@ def oracle_sql() -> dict[str, str]:
         "q142_focused_priorities": _Q142_SQL,
         "q143_ngram_novelty": _Q143_SQL,
         "q144_site_size_estimate": _Q144_SQL,
+        "q145_sitemap_coverage": _Q145_SQL,
+        "q146_link_reciprocity": _Q146_SQL,
+        "q147_jaccard_histogram": _Q147_SQL,
     }

@@ -668,3 +668,67 @@ def select_representatives(
         "rep_id",
         (F.col("id") != F.col("rep_id")).alias("is_duplicate"),
     )
+
+
+def jaccard_histogram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    buckets: int = 10,
+) -> DataFrame:
+    """Pairwise-similarity histogram — the dedup-threshold CALIBRATION
+    step: before committing a near-dup cutoff (q14/q15's threshold),
+    curation looks at the distribution of exact shingle-Jaccard over all
+    overlapping pairs; a bimodal histogram (noise floor vs true near-dup
+    mass) picks the valley as the threshold.
+
+    Pinned semantics (integer-only, engine-exact): over all pairs with
+    >= 1 shared distinct k-shingle, ``bucket = (buckets * inter) div
+    union`` — so bucket b (0-based) covers J in [b/buckets, (b+1)/
+    buckets), with exact duplicates (J = 1.0) landing in bucket
+    ``buckets`` of their own.  Returns (bucket, n_pairs), only non-empty
+    buckets.  No float Jaccard ever forms — no rounding-tie fragility at
+    bucket edges.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` (one distinct
+    shingle compaction, the inverted-index self-join, map-side-combined
+    pair counts) with the final histogram a second tiny map-side
+    aggregate; callers at web scale pre-prune hot shingles exactly as
+    q15 does (df-prune) before calibrating.
+    """
+    from ..functions.text import shingle_rows
+
+    sh = (
+        shingle_rows(df, id_col, text_col, k)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    b = int(buckets)
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"),
+            "id_b",
+        )
+        .select(
+            F.expr(f"({b} * inter) div (na + nb - inter)")
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

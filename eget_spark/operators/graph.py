@@ -311,3 +311,50 @@ def pagerank_fixed(
             .localCheckpoint()
         )
     return ranks
+
+
+def link_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-node reciprocal-link profile — the link-exchange spam signal
+    that complements :func:`trustrank_fixed`: organic linking is mostly
+    one-way, while "you link me, I link you" exchanges produce nodes
+    whose out-links are overwhelmingly reciprocated (Becchetti et al.'s
+    web-spam features; degree-normalized, so farms can't hide behind
+    volume).
+
+    Pinned semantics (integer-only): over the DISTINCT directed edge set
+    with self-loops removed, an edge (a, b) is RECIPROCAL iff (b, a) is
+    also present.  Returns (id, n_out, n_recip, recip_permille) for
+    every node with >= 1 qualifying out-edge, where ``recip_permille =
+    (1000 * n_recip) div n_out``.
+
+    Scale shape: one map-side distinct compaction, then ONE self
+    left-semi join on the reversed pair key (unique both sides — no
+    fan-out) to mark reciprocated edges, and one map-side-combined
+    groupBy(src).  Parallel edges collapse in the distinct, so a spam
+    farm repeating a link 10^6 times costs one row, not a hot key.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    marked = e.join(rev, ["src", "dst"], "left_semi").select(
+        "src", "dst", F.lit(1).alias("_r")
+    )
+    return (
+        e.join(marked, ["src", "dst"], "left")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.count("*").cast("long").alias("n_out"),
+            F.sum(F.coalesce(F.col("_r"), F.lit(0))).cast("long").alias("n_recip"),
+        )
+        .select(
+            "id",
+            "n_out",
+            "n_recip",
+            F.expr("(1000 * n_recip) div n_out").cast("long").alias(
+                "recip_permille"
+            ),
+        )
+    )

@@ -243,3 +243,52 @@ def sitemap_stale_urls(
         .otherwise(F.lit("stale"))
         .alias("reason"),
     )
+
+
+def sitemap_coverage(sitemap: DataFrame, crawled: DataFrame) -> DataFrame:
+    """Per-host sitemap-vs-crawl coverage audit — the crawl-ops report
+    that closes the loop between a site's DECLARED url inventory
+    (sitemaps.org urlsets, q80/q133) and what the crawler actually
+    fetched: uncrawled sitemap URLs are missed budget, crawled URLs
+    absent from the sitemap are orphan/spider-trap suspects.
+
+    Inputs are (host, url) tables (duplicates tolerated — both compact
+    to DISTINCT first).  Pinned semantics (integer-only):
+
+    - ``n_sitemap`` / ``n_crawled``: distinct urls per host per side;
+    - ``n_both``: urls on both sides;  ``n_uncrawled`` = sitemap-only;
+      ``n_orphan`` = crawled-only;
+    - ``coverage_permille = (1000 * n_both) div n_sitemap`` (NULL for
+      hosts that published no sitemap).
+
+    Hosts appearing on either side report.  Scale shape: two map-side
+    distinct compactions, ONE full-outer join on the (host, url) pair
+    key (unique per side — nothing replicates), one map-side-combined
+    groupBy(host).  Everything downstream of the join is |hosts|-sized.
+    """
+    s = sitemap.select(
+        F.col("host"), F.col("url"), F.lit(1).alias("_s")
+    ).distinct()
+    c = crawled.select(
+        F.col("host"), F.col("url"), F.lit(1).alias("_c")
+    ).distinct()
+    both = s.join(c, ["host", "url"], "outer")
+    agg = both.groupBy("host").agg(
+        F.sum(F.coalesce(F.col("_s"), F.lit(0))).cast("long").alias("n_sitemap"),
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long").alias("n_crawled"),
+        F.sum(
+            F.when(F.col("_s").isNotNull() & F.col("_c").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_both"),
+    )
+    return agg.select(
+        "host",
+        "n_sitemap",
+        "n_crawled",
+        "n_both",
+        (F.col("n_sitemap") - F.col("n_both")).cast("long").alias("n_uncrawled"),
+        (F.col("n_crawled") - F.col("n_both")).cast("long").alias("n_orphan"),
+        F.when(
+            F.col("n_sitemap") > 0,
+            F.expr("(1000 * n_both) div n_sitemap"),
+        ).cast("long").alias("coverage_permille"),
+    )

@@ -254,3 +254,38 @@ def test_select_representatives_quality_argmax_and_ties(spark):
     assert out[10] == (10, False) and out[11] == (10, True)
     assert out[20] == (20, False)
     assert len(out) == 6
+
+
+def test_jaccard_histogram_matches_python(spark):
+    from eget_spark.operators.dedup import jaccard_histogram
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c d e"),      # exact dup of 0 -> bucket 10
+        (2, "a b c x y z"),    # partial overlap with 0/1
+        (3, "p q r s"),        # disjoint: no pairs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(text, n=3):
+        toks = text.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    gs = {i: grams(t) for i, t in rows}
+    want: dict[int, int] = {}
+    ids = sorted(gs)
+    for x in ids:
+        for y in ids:
+            if x < y and gs[x] & gs[y]:
+                i = len(gs[x] & gs[y])
+                u = len(gs[x]) + len(gs[y]) - i
+                b = (10 * i) // u
+                want[b] = want.get(b, 0) + 1
+    got = {
+        r["bucket"]: r["n_pairs"]
+        for r in jaccard_histogram(df, "doc_id", "text", 3, 10).collect()
+    }
+    assert got == want
+    assert got[10] == 1  # the exact-dup pair has its own bucket

@@ -246,3 +246,24 @@ def test_trustrank_empty_seeds(spark):
         _nodes_df(spark, []),
     ).collect()
     assert {r["tr_fp"] for r in out} == {0}
+
+
+def test_link_reciprocity_matches_python(spark):
+    from eget_spark.operators.graph import link_reciprocity
+
+    pairs = [
+        (0, 1), (1, 0),          # reciprocal pair
+        (0, 2),                  # one-way
+        (2, 2),                  # self-loop: dropped
+        (0, 1), (0, 1),          # parallel edges collapse
+        (3, 0),                  # one-way into the exchange
+    ]
+    got = {
+        r["id"]: (r["n_out"], r["n_recip"], r["recip_permille"])
+        for r in link_reciprocity(_edges_df(spark, pairs)).collect()
+    }
+    # 0: out {1, 2}; (0,1) reciprocated -> 1/2 = 500 permille
+    # 1: out {0}; reciprocated -> 1000
+    # 2: only the self-loop -> no qualifying out-edge, absent
+    # 3: out {0}; not reciprocated -> 0
+    assert got == {0: (2, 1, 500), 1: (1, 1, 1000), 3: (1, 0, 0)}

@@ -115,3 +115,32 @@ def test_sitemap_stale_urls_semantics(spark):
     got = {r["url"]: r["reason"] for r in
            sitemap_stale_urls(parsed, fetched).collect()}
     assert got == {"u1": "stale", "u4": "new"}
+
+
+def test_sitemap_coverage_matches_python(spark):
+    from eget_spark.sources.sitemaps import sitemap_coverage
+
+    s = spark.createDataFrame(
+        [("h1", "a"), ("h1", "b"), ("h1", "c"), ("h2", "x"),
+         ("h1", "a")],  # duplicate listing counts once
+        "host string, url string",
+    )
+    c = spark.createDataFrame(
+        [("h1", "a"), ("h1", "z"), ("h3", "q")],
+        "host string, url string",
+    )
+    got = {
+        r["host"]: (
+            r["n_sitemap"], r["n_crawled"], r["n_both"],
+            r["n_uncrawled"], r["n_orphan"], r["coverage_permille"],
+        )
+        for r in sitemap_coverage(s, c).collect()
+    }
+    assert got == {
+        # h1: 3 listed, 2 crawled, 1 overlap -> coverage 333
+        "h1": (3, 2, 1, 2, 1, 333),
+        # h2: listed but never crawled
+        "h2": (1, 0, 0, 1, 0, 0),
+        # h3: crawled with no sitemap -> permille NULL
+        "h3": (0, 1, 0, 0, 1, None),
+    }

@@ -1319,6 +1319,27 @@ def main() -> None:
     checks.append(("site size: no cartesian", "CartesianProduct" not in p_cr))
     checks.append(("site size: no Python", "EvalPython" not in p_cr))
 
+    # 76. sitemap coverage (q145): one pair-key outer join, map-side
+    # host aggregate, no Python
+    p_sc = plan_of(entry.q145_sitemap_coverage(spark, SF))
+    checks.append(("sitemap coverage: no cartesian", "CartesianProduct" not in p_sc))
+    checks.append(("sitemap coverage: map-side partials", "partial_sum" in p_sc))
+    checks.append(("sitemap coverage: no Python", "EvalPython" not in p_sc))
+
+    # 77. link reciprocity (q146): distinct compaction + reversed-pair
+    # semi join; no fan-out joins, no Python
+    p_lr = plan_of(entry.q146_link_reciprocity(spark, SF))
+    checks.append(("reciprocity: semi join marks pairs", "LeftSemi" in p_lr))
+    checks.append(("reciprocity: no cartesian", "CartesianProduct" not in p_lr))
+    checks.append(("reciprocity: no Python", "EvalPython" not in p_lr))
+
+    # 78. jaccard histogram (q147): inverted-index self-join shape with
+    # map-side pair counts; the histogram is a second tiny aggregate
+    p_jh = plan_of(entry.q147_jaccard_histogram(spark, SF))
+    checks.append(("jaccard histogram: map-side partial count", "partial_count" in p_jh))
+    checks.append(("jaccard histogram: no cartesian", "CartesianProduct" not in p_jh))
+    checks.append(("jaccard histogram: no Python", "EvalPython" not in p_jh))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
