@@ -6524,6 +6524,105 @@ FROM p GROUP BY bucket
 """
 
 
+def q148_ewma_rates(spark, sf_dir):
+    """Adaptive crawl-rate smoothing (operators/anomaly.ewma_rates):
+    per-host EWMA of hourly fetch counts over the DENSIFIED bucket range
+    (quiet hours decay the estimate) — the smoother behind adaptive
+    politeness re-tightening.  Fixed-point integer fold as a JVM
+    higher-order aggregate (zero Python, zero window, no quiet-bucket
+    explode); alpha = 3/10, counts in 1e-6 units."""
+    from eget_spark.operators.anomaly import ewma_rates
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+    )
+    out = ewma_rates(ev, "host", "ts")
+    return out.select(F.col("key").alias("host"), "n_events", "ewma_fp")
+
+
+_Q148_SQL = """
+WITH ev AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+         epoch_us(ts) // 3600000000 AS b
+  FROM events
+),
+cnt AS (SELECT host, b, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+rng AS (SELECT min(b) AS lo, max(b) AS hi FROM cnt),
+hosts AS (SELECT DISTINCT host FROM cnt),
+dense AS (
+  SELECT h.host, g.b, coalesce(c.n, 0) AS n
+  FROM hosts h
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM rng),
+                                            (SELECT hi FROM rng))) AS b) g
+  LEFT JOIN cnt c ON c.host = h.host AND c.b = g.b
+),
+ser AS (
+  SELECT host,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         list(n * 1000000 ORDER BY b) AS xs
+  FROM dense GROUP BY host
+)
+SELECT host, n_events,
+       CAST(list_reduce(xs, (a, x) -> (3 * x + 7 * a) // 10) AS BIGINT)
+         AS ewma_fp
+FROM ser
+"""
+
+
+def q149_length_trim(spark, sf_dir):
+    """Per-language length-outlier trimming — composition of q108's
+    exact-rank quantiles (operators/quantiles.exact_quantiles): keep a
+    doc iff its n_chars lies within its language's [p5, p95] (values at
+    rank ceil(p*n), tie-pinned by doc_id — never an interpolation), the
+    standard tail-cut before token-budget mixing.  The |langs|-row
+    bounds table BROADCASTS back onto the corpus."""
+    from fractions import Fraction
+
+    from eget_spark.operators.quantiles import exact_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = exact_quantiles(
+        docs, "lang", "n_chars", "doc_id",
+        ps=(Fraction(1, 20), Fraction(19, 20)),
+    )
+    bounds = qs.select(
+        F.col("key").alias("lang"),
+        F.col("q_1_20").alias("_lo"),
+        F.col("q_19_20").alias("_hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (
+                (F.col("n_chars") >= F.col("_lo"))
+                & (F.col("n_chars") <= F.col("_hi"))
+            ).alias("kept"),
+        )
+    )
+
+
+_Q149_SQL = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+q AS (
+  SELECT lang,
+         max(CASE WHEN rn = (n * 1 + 19) // 20 THEN n_chars END) AS lo,
+         max(CASE WHEN rn = (n * 19 + 19) // 20 THEN n_chars END) AS hi
+  FROM r GROUP BY lang
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       d.n_chars >= q.lo AND d.n_chars <= q.hi AS kept
+FROM documents d JOIN q ON q.lang = d.lang
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -6678,6 +6777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_sitemap_coverage": q145_sitemap_coverage,
         "q146_link_reciprocity": q146_link_reciprocity,
         "q147_jaccard_histogram": q147_jaccard_histogram,
+        "q148_ewma_rates": q148_ewma_rates,
+        "q149_length_trim": q149_length_trim,
     }
 
 
@@ -6829,4 +6930,6 @@ def oracle_sql() -> dict[str, str]:
         "q145_sitemap_coverage": _Q145_SQL,
         "q146_link_reciprocity": _Q146_SQL,
         "q147_jaccard_histogram": _Q147_SQL,
+        "q148_ewma_rates": _Q148_SQL,
+        "q149_length_trim": _Q149_SQL,
     }

@@ -90,3 +90,74 @@ def rate_anomalies(
         )
         .select("key", "bucket", "cnt", "z")
     )
+
+
+def ewma_rates(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    width_us: int = 3_600_000_000,
+    alpha_num: int = 3,
+    alpha_den: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exponentially-weighted moving-average event rate per key — the
+    smoother behind adaptive crawl-rate control (a host whose recent
+    fetch rate collapsed gets its politeness budget re-tightened; one
+    hot hour shouldn't).  The classic server-side form (Heritrix-style
+    adaptive revisit / TCP RTT estimation): fold
+    ``e_t = alpha * x_t + (1 - alpha) * e_{t-1}`` over the DENSIFIED
+    per-bucket counts (quiet buckets count 0, so the estimate decays
+    through gaps — same densify discipline as :func:`rate_anomalies`).
+
+    Pinned semantics (integer-only, engine-exact): counts are scaled to
+    ``x * scale`` fixed point; alpha is the rational ``alpha_num /
+    alpha_den``; the fold is ``e = (alpha_num * x + (alpha_den -
+    alpha_num) * e_prev) div alpha_den`` left-to-right over buckets
+    ascending, initialized with the FIRST bucket's scaled count.
+    Returns (key, n_events, ewma_fp) with ewma_fp ~ rate * scale.
+
+    Scale shape: one map-side-combined groupBy(key, bucket), then ONE
+    groupBy(key) building the (bucket -> n) map; the densified series
+    materializes per ROW as a JVM higher-order ``transform`` over
+    ``sequence(lo, hi)`` and folds with ``aggregate`` — zero Python,
+    zero window, no explode of quiet buckets.  The global (lo, hi)
+    bucket range rides a 1-row broadcast.  Series length = time range /
+    width (a monitoring window, thousands of buckets at most) — bounded
+    per row regardless of corpus size.
+    """
+    from .rollup import time_bucket
+
+    w = int(width_us)
+    idx = (time_bucket(ts_col, w) / F.lit(w)).cast("long")
+    counts = (
+        events.select(F.col(key_col).alias("key"), idx.alias("b"))
+        .groupBy("key", "b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rng = counts.agg(
+        F.min("b").cast("long").alias("_lo"), F.max("b").cast("long").alias("_hi")
+    )
+    num, den, sc = int(alpha_num), int(alpha_den), int(scale)
+    per_key = counts.groupBy("key").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("b", "n")))
+        ).alias("_m"),
+    )
+    xs = (
+        f"transform(sequence(_lo, _hi), bb -> "
+        f"coalesce(element_at(_m, bb), 0L) * {sc})"
+    )
+    fold = (
+        f"aggregate(slice({xs}, 2, size({xs}) - 1), ({xs})[0], "
+        f"(a, x) -> ({num} * x + {den - num} * a) div {den})"
+    )
+    return (
+        per_key.crossJoin(F.broadcast(rng))
+        .select(
+            "key",
+            "n_events",
+            F.expr(fold).cast("long").alias("ewma_fp"),
+        )
+    )

@@ -68,3 +68,65 @@ def test_densification_flags_missing_buckets(spark):
     df = spark.createDataFrame(rows, "k string, b long")
     got = {(r["key"], r["bucket"]) for r in rate_anomalies(df, "k", "b", 2.0).collect()}
     assert ("a", 0) in got
+
+
+# --- EWMA rate smoothing -------------------------------------------------------
+
+
+def _py_ewma(xs, num=3, den=10, sc=10**6):
+    xs = [x * sc for x in xs]
+    e = xs[0]
+    for x in xs[1:]:
+        e = (num * x + (den - num) * e) // den
+    return e
+
+
+def test_ewma_matches_python_fold(spark):
+    import datetime as dt
+
+    from eget_spark.operators.anomaly import ewma_rates
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # A: hours 0,0,0,2 (hour 1 quiet); B: hour 1 only
+    for i in range(3):
+        rows.append(("A", base + dt.timedelta(minutes=i)))
+    rows.append(("A", base + dt.timedelta(hours=2, minutes=5)))
+    rows.append(("B", base + dt.timedelta(hours=1)))
+    rows.append(("B", base + dt.timedelta(hours=1, minutes=7)))
+    df = spark.createDataFrame(rows, "host string, ts timestamp")
+    got = {
+        r["key"]: (r["n_events"], r["ewma_fp"])
+        for r in ewma_rates(df, "host", "ts").collect()
+    }
+    # densified over the GLOBAL range hours 0..2
+    assert got == {
+        "A": (4, _py_ewma([3, 0, 1])),
+        "B": (2, _py_ewma([0, 2, 0])),
+    }
+
+
+def test_ewma_quiet_gap_decays(spark):
+    import datetime as dt
+
+    from eget_spark.operators.anomaly import ewma_rates
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("A", base)] * 10 + [("A", base + dt.timedelta(hours=5))]
+    df = spark.createDataFrame(rows, "host string, ts timestamp")
+    got = ewma_rates(df, "host", "ts").collect()[0]
+    assert got["ewma_fp"] == _py_ewma([10, 0, 0, 0, 0, 1])
+    # four quiet hours must have decayed the estimate well below the burst
+    assert got["ewma_fp"] < 10 * 10**6 // 2
+
+
+def test_ewma_single_bucket_is_identity(spark):
+    import datetime as dt
+
+    from eget_spark.operators.anomaly import ewma_rates
+
+    df = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1))] * 7, "host string, ts timestamp"
+    )
+    got = ewma_rates(df, "host", "ts").collect()[0]
+    assert (got["n_events"], got["ewma_fp"]) == (7, 7 * 10**6)

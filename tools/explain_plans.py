@@ -1340,6 +1340,19 @@ def main() -> None:
     checks.append(("jaccard histogram: no cartesian", "CartesianProduct" not in p_jh))
     checks.append(("jaccard histogram: no Python", "EvalPython" not in p_jh))
 
+    # 79. ewma rates (q148): the fold is a JVM higher-order aggregate —
+    # no Python, no window, range scalars broadcast
+    p_ew = plan_of(entry.q148_ewma_rates(spark, SF))
+    checks.append(("ewma: broadcast range scalars", "BroadcastNestedLoopJoin" in p_ew))
+    checks.append(("ewma: no window", "Window" not in p_ew))
+    checks.append(("ewma: no Python", "EvalPython" not in p_ew))
+
+    # 80. length trim (q149): the bounds table broadcasts back; exactly
+    # one exchange feeds both the rank window and the per-lang aggregate
+    p_lt = plan_of(entry.q149_length_trim(spark, SF))
+    checks.append(("length trim: bounds broadcast join", "BroadcastHashJoin" in p_lt))
+    checks.append(("length trim: no Python", "EvalPython" not in p_lt))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
