@@ -41,6 +41,19 @@ from pyspark.sql import functions as F
 from ..functions.text import shingle_rows
 
 
+def doc_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """DISTINCT (id, gram) rows under the pinned shingle semantics —
+    the shared unit of batch :func:`ngram_novelty` and the streaming
+    incremental maintainer (streaming/novelty.py)."""
+    return (
+        shingle_rows(df, id_col, text_col, k=n)
+        .select("id", F.col("s").alias("gram"))
+        .distinct()
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     id_col: str,
@@ -48,11 +61,7 @@ def ngram_novelty(
     n: int = 3,
 ) -> DataFrame:
     """(id, n_grams, n_novel, novelty_permille) per document."""
-    grams = (
-        shingle_rows(df, id_col, text_col, k=n)
-        .select("id", F.col("s").alias("gram"))
-        .distinct()
-    )
+    grams = doc_grams(df, id_col, text_col, n)
     first = grams.groupBy("gram").agg(F.min("id").alias("first_id"))
     scored = (
         grams.join(first, "gram")
