@@ -6623,6 +6623,287 @@ FROM documents d JOIN q ON q.lang = d.lang
 """
 
 
+# q150: model-based quality filter — the pinned demo vocabulary (1e-6
+# fixed-point weights; positives are "contentful" tokens of the synthetic
+# corpus, negatives are filler/stopwords, bias slightly negative so
+# vocab-free docs are dropped).
+_Q150_VOCAB = {
+    "data": 400_000,
+    "query": 350_000,
+    "join": 300_000,
+    "window": 250_000,
+    "vector": 500_000,
+    "stream": 200_000,
+    "a": -150_000,
+    "the": -150_000,
+    "slow": -300_000,
+}
+_Q150_BIAS = -1_000_000
+
+
+def q150_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (operators/classifier.py — the
+    CCNet/GPT-3-style linear bow classifier gate): every document scored
+    with a broadcast (token -> int fixed-point weight) model, kept iff
+    score_fp >= 0.  Explode -> broadcast vocab inner join -> one
+    map-side-combined groupBy(doc); docs with no vocab hit restored by a
+    left join onto the id spine (score = bias)."""
+    from eget_spark.operators.classifier import linear_text_scores
+
+    out = linear_text_scores(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        _Q150_VOCAB,
+        bias_fp=_Q150_BIAS,
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_hits", "score_fp", "kept")
+
+
+def _q150_sql() -> str:
+    from eget_spark.operators.classifier import classifier_oracle_sql
+
+    sql = classifier_oracle_sql(
+        "documents", "doc_id", "text", _Q150_VOCAB, bias_fp=_Q150_BIAS
+    )
+    return (
+        f"SELECT id AS doc_id, n_hits, score_fp, kept FROM ({sql})"
+    )
+
+
+def q151_surt_keys(spark, sf_dir):
+    """SURT-form canonical URL keys (functions/urls.surt_key — the
+    IIPC/Heritrix CDX index key: reversed-host, lowercased, query-param
+    sorted).  Range-sorting on this key makes a site (and its
+    subdomains) contiguous — the clustering key a 100-TB crawl store
+    sorts its Iceberg files by.  Pure zero-shuffle column algebra; the
+    oracle recomputes the transform independently with DuckDB list
+    functions."""
+    from eget_spark.functions.urls import surt_key
+
+    d = F.col("doc_id")
+    qpart = (
+        F.when(d % 3 == 1, F.lit("?b=2&a=1"))
+        .when(d % 3 == 2, F.lit("?z=9"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 2 == 1, F.lit("#Frag")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".Example.COM/A/"),
+        d.cast("string"),
+        qpart,
+        frag,
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"), surt_key(url).alias("surt")
+    )
+
+
+_Q151_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://www.' || source || '.Example.COM/A/'
+           || CAST(doc_id AS VARCHAR)
+           || CASE doc_id % 3 WHEN 1 THEN '?b=2&a=1'
+                              WHEN 2 THEN '?z=9' ELSE '' END
+           || CASE WHEN doc_id % 2 = 1 THEN '#Frag' ELSE '' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           lower(regexp_extract(lower(url),
+                 '^[a-z][a-z0-9+.\-]*://([^/?#]+)', 1)),
+           '^www\.', '') AS host,
+         regexp_extract(lower(url),
+                 '^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(lower(url), '\?([^#]*)', 1) AS qry
+  FROM urls
+)
+SELECT doc_id, url,
+       array_to_string(list_reverse(string_split(host, '.')), ',')
+       || ')'
+       || CASE WHEN path = '' THEN '/' ELSE path END
+       || CASE WHEN len(list_filter(string_split(qry, '&'), p -> p <> '')) > 0
+               THEN '?' || array_to_string(
+                      list_sort(list_filter(string_split(qry, '&'),
+                                            p -> p <> '')), '&')
+               ELSE '' END AS surt
+FROM parts
+"""
+
+
+def q152_param_relevance(spark, sf_dir):
+    """Irrelevant-URL-parameter detection (operators/url_params.py —
+    which query params never change the fetched content, the
+    strip-at-admission signal real crawlers learn).  Synthetic evidence:
+    URLs carry ``page`` (content-bearing) and ``sess`` (session id)
+    params; the fingerprint depends on (base, page) only, so ``sess``
+    must come out 1000-permille irrelevant and ``page`` 0."""
+    from eget_spark.operators.url_params import param_relevance
+
+    d = F.col("doc_id")
+    base = F.concat(F.lit("https://s.test/p/"), (d % 7).cast("string"))
+    url = F.concat(
+        base,
+        F.lit("?page="),
+        (d % 3).cast("string"),
+        F.lit("&sess="),
+        (d % 5).cast("string"),
+    )
+    fp = F.concat(
+        F.lit("f"), (d % 7).cast("string"), F.lit("_"), (d % 3).cast("string")
+    )
+    rows = _t(spark, sf_dir, "documents").select(
+        url.alias("url"), fp.alias("fp")
+    )
+    return param_relevance(rows, "url", "fp")
+
+
+def _q152_sql() -> str:
+    from eget_spark.operators.url_params import PARAM_RELEVANCE_ORACLE_SQL
+
+    src = (
+        "(SELECT 'https://s.test/p/' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '?page=' || CAST(doc_id % 3 AS VARCHAR)"
+        " || '&sess=' || CAST(doc_id % 5 AS VARCHAR) AS url,"
+        " 'f' || CAST(doc_id % 7 AS VARCHAR) || '_'"
+        " || CAST(doc_id % 3 AS VARCHAR) AS fp FROM documents)"
+    )
+    return PARAM_RELEVANCE_ORACLE_SQL.format(src=src)
+
+
+def q153_fetch_fairness(spark, sf_dir):
+    """Crawl-equity Gini (operators/fairness.py): one integer-exact
+    concentration number over the per-host fetch-count distribution —
+    the drift alarm between crawl rounds (rising Gini = politeness /
+    trap throttles failing).  Compacts to |hosts| rows first; the exact
+    global rank reuses with_global_seq (partitioned window + broadcast
+    prefix offsets, never SinglePartition)."""
+    from eget_spark.operators.fairness import fairness_gini
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string"))
+    )
+    return fairness_gini(ev, "host")
+
+
+def _q153_sql() -> str:
+    from eget_spark.operators.fairness import FAIRNESS_GINI_ORACLE_SQL
+
+    return FAIRNESS_GINI_ORACLE_SQL.format(
+        src="(SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host"
+        " FROM events)",
+        key="host",
+    )
+
+
+def q154_scalar_quantize(spark, sf_dir):
+    """Int8 scalar quantization of embeddings (operators/squant.py —
+    the FAISS ScalarQuantizer-style training-free compression tier:
+    per-vector max-abs scale + 127-level codes + integer reconstruction
+    error).  ONE zero-shuffle codegen'd projection; every code and the
+    error are bit-exact vs the oracle's list-function replay."""
+    from eget_spark.operators.squant import scalar_quantize
+
+    out = scalar_quantize(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "scale_fp",
+        F.array_join("codes", ",").alias("codes_csv"),
+        "recon_err_fp2",
+    )
+
+
+def _q154_sql() -> str:
+    from eget_spark.operators.squant import SCALAR_QUANTIZE_ORACLE_SQL
+
+    sql = SCALAR_QUANTIZE_ORACLE_SQL.format(
+        src="embeddings", id="vec_id", vec="embedding"
+    )
+    return (
+        "SELECT id AS vec_id, scale_fp,"
+        " array_to_string(codes, ',') AS codes_csv, recon_err_fp2"
+        f" FROM ({sql})"
+    )
+
+
+def q155_media_density(spark, sf_dir):
+    """Media-density gating over the interleaved span payload: per doc,
+    media (image/video) vs text (heading/paragraph) span counts from
+    higher-order span filters (functions/spans.span_kind_counts), the
+    classic multimodal-pipeline rule ``kept iff media spans <= text
+    spans`` (density <= 500 permille).  Zero shuffle, zero Python."""
+    from eget_spark.functions.spans import span_kind_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    mk = lambda kind, off: F.struct(
+        F.lit(kind).alias("kind"),
+        F.lit("t").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    n_img = (F.col("doc_id") % 4).cast("int")
+    n_par = (F.col("doc_id") % 3).cast("int")
+    spans = F.concat(
+        F.array(mk("heading", 0)),
+        F.slice(
+            F.array(mk("paragraph", 1), mk("paragraph", 2)),
+            F.lit(1),
+            n_par,
+        ),
+        F.slice(
+            F.array(mk("image", 3), mk("image", 4), mk("image", 5)),
+            F.lit(1),
+            n_img,
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.array(mk("video", 6))
+        ).otherwise(F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        )),
+    )
+    n_media = (
+        span_kind_counts(spans, "image") + span_kind_counts(spans, "video")
+    ).cast("long")
+    n_text = (
+        span_kind_counts(spans, "heading")
+        + span_kind_counts(spans, "paragraph")
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_media.alias("n_media"),
+            n_text.alias("n_text"),
+        )
+        .withColumn(
+            "density_permille",
+            F.expr("1000 * n_media div (n_media + n_text)").cast("long"),
+        )
+        .withColumn("kept", F.col("n_media") <= F.col("n_text"))
+    )
+
+
+_Q155_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+              AS BIGINT) AS n_media,
+         CAST(1 + doc_id % 3 AS BIGINT) AS n_text
+  FROM documents
+)
+SELECT doc_id, n_media, n_text,
+       CAST(1000 * n_media // (n_media + n_text) AS BIGINT)
+         AS density_permille,
+       n_media <= n_text AS kept
+FROM s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -6779,6 +7060,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_jaccard_histogram": q147_jaccard_histogram,
         "q148_ewma_rates": q148_ewma_rates,
         "q149_length_trim": q149_length_trim,
+        "q150_quality_classifier": q150_quality_classifier,
+        "q151_surt_keys": q151_surt_keys,
+        "q152_param_relevance": q152_param_relevance,
+        "q153_fetch_fairness": q153_fetch_fairness,
+        "q154_scalar_quantize": q154_scalar_quantize,
+        "q155_media_density": q155_media_density,
     }
 
 
@@ -6932,4 +7219,10 @@ def oracle_sql() -> dict[str, str]:
         "q147_jaccard_histogram": _Q147_SQL,
         "q148_ewma_rates": _Q148_SQL,
         "q149_length_trim": _Q149_SQL,
+        "q150_quality_classifier": _q150_sql(),
+        "q151_surt_keys": _Q151_SQL,
+        "q152_param_relevance": _q152_sql(),
+        "q153_fetch_fairness": _q153_sql(),
+        "q154_scalar_quantize": _q154_sql(),
+        "q155_media_density": _Q155_SQL,
     }

@@ -129,3 +129,39 @@ def registrable_domain(host: Column) -> Column:
     keep3 = F.regexp_extract(h, r"([^.]+\.(?:" + two_label + r"))$", 1)
     keep2 = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
     return F.when(keep3 != "", keep3).when(keep2 != "", keep2).otherwise(h)
+
+
+def surt_key(url: Column) -> Column:
+    """SURT-form URL key (Sort-friendly URI Reordering Transform — the
+    web-archive CDX index key: IIPC OpenWayback/Heritrix convention,
+    e.g. ``https://www.Example.org/A/b?z=1&a=2#f`` ->
+    ``org,example)/a/b?a=2&z=1``).  Reversed-host keys make every page
+    of a site (and of its subdomains) CONTIGUOUS under a range sort —
+    the property CDX indexes, per-site frontier scans, and Iceberg
+    sort-order clustering all exploit at 100 TB.
+
+    Pinned canonicalization (engine-exact, matching Heritrix's default
+    rules for the shapes the engine synthesizes):
+
+    - scheme dropped; everything lowercased;
+    - leading ``www.`` stripped from the host; host labels reversed and
+      comma-joined, then ``)``;
+    - path kept verbatim (empty path -> ``/``); fragment dropped;
+    - query params sorted bytewise and re-joined with ``&`` (empty query
+      / bare ``?`` drops entirely).
+
+    Pure column algebra — regexps + array reverse/sort, zero shuffle,
+    zero Python.
+    """
+    u = F.lower(url)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qry = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(F.filter(F.split(qry, "&"), lambda p: p != ""))
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(rev, F.lit(")"), path, qpart)

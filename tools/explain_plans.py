@@ -1353,6 +1353,69 @@ def main() -> None:
     checks.append(("length trim: bounds broadcast join", "BroadcastHashJoin" in p_lt))
     checks.append(("length trim: no Python", "EvalPython" not in p_lt))
 
+    # 81. quality classifier (q150): vocab rides a BroadcastHashJoin onto
+    # the exploded tokens; the per-doc score is a map-side-combined
+    # partial_sum; no Python anywhere
+    p_qc = plan_of(entry.q150_quality_classifier(spark, SF))
+    checks.append(("classifier: broadcast vocab join", "BroadcastHashJoin" in p_qc))
+    checks.append(("classifier: map-side partial sum", "partial_sum" in p_qc))
+    checks.append(("classifier: no Python", "EvalPython" not in p_qc))
+
+    # 82. SURT keys (q151): pure column algebra — zero exchanges, zero
+    # Python, single codegen stage
+    p_su = plan_of(entry.q151_surt_keys(spark, SF))
+    checks.append(("surt keys: zero exchanges", "Exchange" not in p_su))
+    checks.append(("surt keys: no Python", "EvalPython" not in p_su))
+    # the array_sort/filter lambdas stay JVM expressions (they opt the
+    # Project out of wholestage codegen but never touch Python)
+    checks.append(("surt keys: JVM lambda expressions", "lambdafunction" in p_su))
+
+    # 83. param relevance (q152): explode + two map-side-combined
+    # aggregates, no self-join, no cartesian, no Python
+    p_pr = plan_of(entry.q152_param_relevance(spark, SF))
+    checks.append(("param relevance: no cartesian", "CartesianProduct" not in p_pr))
+    checks.append(("param relevance: no join at all", "Join" not in p_pr))
+    checks.append(("param relevance: no Python", "EvalPython" not in p_pr))
+
+    # 84. fetch fairness (q153): the pre-checkpoint rank frame — counts
+    # compact map-side, the exact rank is a partitioned window (never
+    # SinglePartition) + broadcast prefix offsets
+    from eget_spark.operators.sequence import with_global_seq as _wgs
+
+    fair_counts = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(
+            F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("key")
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    fair_res = _wgs(fair_counts, ["x", "key"], start=1, seq_col="_i")
+    p_fg = plan_of(
+        fair_res.df.agg(
+            F.count("*").alias("n_keys"),
+            F.sum("x").alias("total"),
+            F.sum(F.col("_i") * F.col("x")).alias("_ixs"),
+        )
+    )
+    fair_res.unpersist()
+    # exactly ONE SinglePartition: the final one-row scalar aggregate —
+    # the rank window itself runs on a range-partitioned exchange
+    checks.append(("fairness: only the scalar agg is single-partition", p_fg.count("SinglePartition") == 1 and "Window" in p_fg))
+    checks.append(("fairness: map-side partial count", "partial_count" in p_fg or "partial_sum" in p_fg))
+    checks.append(("fairness: no Python", "EvalPython" not in p_fg))
+
+    # 85. scalar quantization (q154): ONE zero-shuffle codegen'd
+    # projection — zero exchanges, zero joins, zero Python
+    p_sq = plan_of(entry.q154_scalar_quantize(spark, SF))
+    checks.append(("scalar quantize: zero exchanges", "Exchange" not in p_sq))
+    checks.append(("scalar quantize: no Python", "EvalPython" not in p_sq))
+
+    # 86. media density (q155): higher-order span filters — zero
+    # exchanges, zero Python
+    p_md = plan_of(entry.q155_media_density(spark, SF))
+    checks.append(("media density: zero exchanges", "Exchange" not in p_md))
+    checks.append(("media density: no Python", "EvalPython" not in p_md))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
