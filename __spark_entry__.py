@@ -6904,6 +6904,295 @@ FROM s
 """
 
 
+# q156-q157 share a deterministic interleaved span generator (text+media
+# alternating — the OBELICS-style multimodal document shape): optional
+# lead image (doc_id%4==1), heading, then k = 1+doc_id%3 of
+# (paragraph_i, image_i) pairs, optional trailing video (doc_id%5==0).
+# Offsets are the dense array position (renumbered JVM-side).
+def _interleaved_spans(d):
+    ds = d.cast("string")
+    k = (d % 3 + 1).cast("int")
+
+    def st(kind, text, ref):
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    lead = F.when(
+        d % 4 == 1,
+        F.array(
+            st(F.lit("image"), F.lit(""), F.concat(F.lit("m"), ds, F.lit("_lead")))
+        ),
+    ).otherwise(empty)
+    head = F.array(
+        st(F.lit("heading"), F.concat(F.lit("h"), ds), F.lit(""))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array(
+                st(
+                    F.lit("paragraph"),
+                    F.concat(F.lit("p"), ds, F.lit("_"), i.cast("string")),
+                    F.lit(""),
+                ),
+                st(
+                    F.lit("image"),
+                    F.lit(""),
+                    F.concat(F.lit("m"), ds, F.lit("_"), i.cast("string")),
+                ),
+            ),
+        )
+    )
+    vid = F.when(
+        d % 5 == 0,
+        F.array(st(F.lit("video"), F.lit(""), F.concat(F.lit("v"), ds))),
+    ).otherwise(empty)
+    arr = F.concat(lead, head, pairs, vid)
+    return F.transform(
+        arr,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+
+# the oracle-side row generator for the same spans (media rows only),
+# shared by q156/q158: per doc, images m{d}_i (i<k), optional lead image
+# m{d}_lead, optional trailing video v{d}; L = 1 if the lead is present.
+_MEDIA_ROWS_SQL = """
+base AS (
+  SELECT doc_id AS d, CAST(1 + doc_id % 3 AS BIGINT) AS k,
+         CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS L
+  FROM documents
+),
+media_rows AS (
+  SELECT d AS id, 'm' || CAST(d AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+           AS media_ref,
+         'image' AS media_kind, CAST(L + 2 + 2*i AS BIGINT) AS offset,
+         'p' || CAST(d AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+           AS caption_before,
+         CASE WHEN i < k - 1
+              THEN 'p' || CAST(d AS VARCHAR) || '_' || CAST(i + 1 AS VARCHAR)
+         END AS caption_after
+  FROM base, UNNEST(range(k)) AS t(i)
+  UNION ALL
+  SELECT d, 'm' || CAST(d AS VARCHAR) || '_lead', 'image', CAST(0 AS BIGINT),
+         CAST(NULL AS VARCHAR), 'h' || CAST(d AS VARCHAR)
+  FROM base WHERE L = 1
+  UNION ALL
+  SELECT d, 'v' || CAST(d AS VARCHAR), 'video', CAST(L + 1 + 2*k AS BIGINT),
+         'p' || CAST(d AS VARCHAR) || '_' || CAST(k - 1 AS VARCHAR),
+         CAST(NULL AS VARCHAR)
+  FROM base WHERE d % 5 = 0
+)
+"""
+
+
+def q156_caption_pairs(spark, sf_dir):
+    """Image-caption pair mining over interleaved spans
+    (operators/captions.caption_pairs — the LAION/OBELICS pairing step):
+    every media span gets the nearest preceding and following text span
+    in its document via two ignorenulls windows partitioned by doc (no
+    skew: spans are page-bounded), caption = before else after.  One
+    posexplode + one doc-hash shuffle, zero Python."""
+    from eget_spark.operators.captions import caption_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    with_spans = docs.select(
+        "doc_id", _interleaved_spans(F.col("doc_id")).alias("spans")
+    )
+    return caption_pairs(with_spans, "doc_id", "spans").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+_Q156_SQL = f"""
+WITH {_MEDIA_ROWS_SQL.strip().lstrip()}
+SELECT id AS doc_id, media_ref, media_kind, "offset",
+       caption_before, caption_after,
+       COALESCE(caption_before, caption_after) AS caption
+FROM media_rows
+"""
+
+
+def q157_renumber_spans(spark, sf_dir):
+    """Modality projection with offset re-keying
+    (functions/spans.renumber_spans): dropping image/video spans for a
+    text-only export renumbers offsets to the dense 0-based index —
+    required by span assembly (X7) and chunk positions (O4).  Pure
+    per-row higher-order SQL: zero exchanges, zero Python."""
+    from eget_spark.functions.spans import renumber_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = _interleaved_spans(F.col("doc_id"))
+    kept = renumber_spans(spans, ("image", "video"))
+    return docs.select(
+        "doc_id",
+        F.size(spans).cast("long").alias("n_before"),
+        F.size(kept).cast("long").alias("n_after"),
+        F.array_join(
+            F.transform(kept, lambda s: s["kind"]), ","
+        ).alias("kinds_sig"),
+        F.array_join(
+            F.transform(kept, lambda s: s["text"]), ","
+        ).alias("texts_sig"),
+        F.array_join(
+            F.transform(kept, lambda s: s["offset"].cast("string")), ","
+        ).alias("offsets_sig"),
+    )
+
+
+_Q157_SQL = """
+WITH base AS (
+  SELECT doc_id AS d, CAST(1 + doc_id % 3 AS BIGINT) AS k,
+         CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS L,
+         CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS V
+  FROM documents
+)
+SELECT d AS doc_id,
+       CAST(1 + 2*k + L + V AS BIGINT) AS n_before,
+       CAST(1 + k AS BIGINT) AS n_after,
+       'heading' || repeat(',paragraph', CAST(k AS INTEGER)) AS kinds_sig,
+       'h' || CAST(d AS VARCHAR) || ',' || array_to_string(
+         list_transform(range(k),
+           i -> 'p' || CAST(d AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ',')
+         AS texts_sig,
+       array_to_string(
+         list_transform(range(k + 1), i -> CAST(i AS VARCHAR)), ',')
+         AS offsets_sig
+FROM base
+"""
+
+
+def q158_media_audit(spark, sf_dir):
+    """Media-ref referential-integrity audit (operators/media_refs.
+    media_audit): two-sided LEFT ANTI join between span media refs and a
+    synthetic blob store — docs with doc_id%7==0 lost their image blobs
+    (dangling refs), videos persisted only for even docs, and docs with
+    doc_id%11==0 carry a stale blob no span references (orphan / GC
+    candidate).  Shuffle anti-joins on the ref hash (neither side
+    broadcast at 100 TB; AQE may), map-side rollup per bucket."""
+    from eget_spark.operators.captions import caption_pairs
+    from eget_spark.operators.media_refs import media_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    with_spans = docs.select(
+        "doc_id", _interleaved_spans(F.col("doc_id")).alias("spans")
+    )
+    refs = caption_pairs(with_spans, "doc_id", "spans").select(
+        "id", "media_ref"
+    )
+    d = F.col("doc_id")
+    k = (d % 3 + 1).cast("int")
+    ds = d.cast("string")
+    img_blobs = F.when(
+        d % 7 != 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat(F.lit("m"), ds, F.lit("_"), i.cast("string")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    vid_blob = F.when(
+        (d % 5 == 0) & (d % 2 == 0), F.array(F.concat(F.lit("v"), ds))
+    ).otherwise(F.array().cast("array<string>"))
+    stale = F.when(
+        d % 11 == 0, F.array(F.concat(F.lit("x"), ds))
+    ).otherwise(F.array().cast("array<string>"))
+    blobs = docs.select(
+        (d % 10).cast("long").alias("bucket"),
+        F.explode(F.concat(img_blobs, vid_blob, stale)).alias("media_ref"),
+    )
+    return media_audit(
+        refs, blobs, (F.col("id") % 10).cast("long")
+    ).withColumnRenamed("bucket", "bucket_id")
+
+
+_Q158_SQL = f"""
+WITH {_MEDIA_ROWS_SQL.strip().lstrip()},
+refs AS (
+  SELECT DISTINCT CAST(id % 10 AS BIGINT) AS bucket, media_ref AS ref
+  FROM media_rows
+),
+blobs AS (
+  SELECT DISTINCT CAST(d % 10 AS BIGINT) AS bucket, ref FROM (
+    SELECT d, 'm' || CAST(d AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS ref
+    FROM base, UNNEST(range(k)) AS t(i) WHERE d % 7 <> 0
+    UNION ALL
+    SELECT d, 'v' || CAST(d AS VARCHAR) FROM base
+    WHERE d % 5 = 0 AND d % 2 = 0
+    UNION ALL
+    SELECT d, 'x' || CAST(d AS VARCHAR) FROM base WHERE d % 11 = 0
+  )
+),
+dang AS (
+  SELECT r.bucket, count(*) AS n_dangling FROM refs r
+  WHERE r.ref NOT IN (SELECT ref FROM blobs) GROUP BY r.bucket
+),
+orph AS (
+  SELECT b.bucket, count(*) AS n_orphans FROM blobs b
+  WHERE b.ref NOT IN (SELECT ref FROM refs) GROUP BY b.bucket
+),
+per_ref AS (SELECT bucket, count(*) AS n_refs FROM refs GROUP BY bucket)
+SELECT p.bucket AS bucket_id, CAST(p.n_refs AS BIGINT) AS n_refs,
+       CAST(COALESCE(d.n_dangling, 0) AS BIGINT) AS n_dangling,
+       CAST(COALESCE(o.n_orphans, 0) AS BIGINT) AS n_orphans
+FROM per_ref p LEFT JOIN dang d ON d.bucket = p.bucket
+LEFT JOIN orph o ON o.bucket = p.bucket
+"""
+
+
+def q159_makespan(spark, sf_dir):
+    """Politeness-bound crawl makespan estimator (operators/politeness.
+    makespan_bound — Graham's two-sided LPT lower bound): hosts fetch
+    serially under crawl-delay, the cluster finishes no earlier than
+    max(longest host span, total work / workers).  One map-side-combined
+    host rollup + one scalar aggregate; answers 'is this crawl host-skew
+    bound or capacity bound?'.  All int64."""
+    from eget_spark.operators.politeness import makespan_bound
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.groupBy(
+        (F.col("doc_id") % 23).cast("long").alias("host_id")
+    ).agg(F.count("*").cast("long").alias("n_pages"))
+    hosts = hosts.withColumn(
+        "delay_ms", (100 * (F.col("host_id") % 5 + 1)).cast("long")
+    )
+    return makespan_bound(hosts, workers=32)
+
+
+_Q159_SQL = """
+WITH hosts AS (
+  SELECT CAST(doc_id % 23 AS BIGINT) AS host_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(100 * (doc_id % 23 % 5 + 1) AS BIGINT) AS delay_ms
+  FROM documents GROUP BY doc_id % 23
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(n * 50) AS BIGINT) AS total_fetch_ms,
+         CAST(max(n * 50 + (n - 1) * delay_ms) AS BIGINT)
+           AS max_host_span_ms
+  FROM hosts
+)
+SELECT n_hosts, total_fetch_ms, max_host_span_ms,
+       CAST((total_fetch_ms + 31) // 32 AS BIGINT) AS capacity_ms,
+       CAST(greatest(max_host_span_ms, (total_fetch_ms + 31) // 32)
+         AS BIGINT) AS makespan_lb_ms,
+       max_host_span_ms > (total_fetch_ms + 31) // 32 AS skew_bound
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -7066,6 +7355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_fetch_fairness": q153_fetch_fairness,
         "q154_scalar_quantize": q154_scalar_quantize,
         "q155_media_density": q155_media_density,
+        "q156_caption_pairs": q156_caption_pairs,
+        "q157_renumber_spans": q157_renumber_spans,
+        "q158_media_audit": q158_media_audit,
+        "q159_makespan": q159_makespan,
     }
 
 
@@ -7225,4 +7518,8 @@ def oracle_sql() -> dict[str, str]:
         "q153_fetch_fairness": _q153_sql(),
         "q154_scalar_quantize": _q154_sql(),
         "q155_media_density": _Q155_SQL,
+        "q156_caption_pairs": _Q156_SQL,
+        "q157_renumber_spans": _Q157_SQL,
+        "q158_media_audit": _Q158_SQL,
+        "q159_makespan": _Q159_SQL,
     }

@@ -150,3 +150,28 @@ def span_kind_counts(spans: Column, kind: str) -> Column:
     """A5: per-doc count of spans of one kind (converter counters,
     pdf_converter.py:50-54 analogue) — higher-order, zero Python."""
     return F.size(F.filter(spans, lambda s: s["kind"] == F.lit(kind)))
+
+
+def renumber_spans(spans: Column, drop_kinds: tuple[str, ...]) -> Column:
+    """Drop spans of the given kinds and RENUMBER offsets 0..n-1.
+
+    The interleaved-doc maintenance op behind every modality projection:
+    a text-only training export drops image/video spans, but downstream
+    span assembly (X7) and chunk positions (O4) require ``offset`` to be
+    the dense 0-based sequence index — so the projection must re-key, not
+    just filter.  Pure higher-order SQL (filter + indexed transform),
+    per-row array algebra: zero shuffle, zero Python, survives any data
+    scale because span arrays are page-bounded.
+    """
+    kept = F.filter(
+        spans, lambda s: ~s["kind"].isin(*drop_kinds)
+    )
+    return F.transform(
+        kept,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )

@@ -256,3 +256,49 @@ def apportion_budget(
             ).cast("long").alias("budget"),
         )
     )
+
+
+def makespan_bound(
+    hosts: DataFrame,
+    pages_col: str = "n_pages",
+    delay_col: str = "delay_ms",
+    fetch_ms: int = 50,
+    workers: int = 32,
+) -> DataFrame:
+    """Crawl completion-time lower bound (Graham's LPT bound, public
+    scheduling theory) under per-host politeness.
+
+    A host's pages fetch SERIALLY (robots crawl-delay — the reference's
+    per-domain rate limit, services/crawler politeness): its intrinsic
+    span is ``n*fetch_ms + (n-1)*delay_ms``.  The cluster cannot finish
+    before either (a) the longest single host's span (politeness bound)
+    or (b) total fetch work / workers (capacity bound) — makespan_lb =
+    max of the two.  The classic answer to "how long will this 10^10-URL
+    crawl take on 1000 executors, and is it host-skew-bound?".
+
+    One map-side-combined global aggregate (4 partials), a scalar row
+    out: no window, no join, no Python.  ``skew_bound`` flags a crawl
+    whose wall time is set by one slow host rather than by capacity —
+    the signal to split that host across snapshots or raise its budget.
+    """
+    n = F.col(pages_col).cast("long")
+    d = F.col(delay_col).cast("long")
+    span = n * F.lit(int(fetch_ms)) + (n - F.lit(1)) * d
+    agg = hosts.agg(
+        F.count("*").alias("n_hosts"),
+        F.sum(n * F.lit(int(fetch_ms))).cast("long").alias("total_fetch_ms"),
+        F.max(span).cast("long").alias("max_host_span_ms"),
+    )
+    capacity = F.expr(
+        f"(total_fetch_ms + {int(workers)} - 1) div {int(workers)}"
+    ).cast("long")
+    return agg.select(
+        "n_hosts",
+        "total_fetch_ms",
+        "max_host_span_ms",
+        capacity.alias("capacity_ms"),
+        F.greatest(F.col("max_host_span_ms"), capacity).alias(
+            "makespan_lb_ms"
+        ),
+        (F.col("max_host_span_ms") > capacity).alias("skew_bound"),
+    )

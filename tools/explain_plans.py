@@ -1416,6 +1416,41 @@ def main() -> None:
     checks.append(("media density: zero exchanges", "Exchange" not in p_md))
     checks.append(("media density: no Python", "EvalPython" not in p_md))
 
+    # 87. caption pairs (q156): posexplode + two doc-partitioned windows —
+    # exactly one shuffle (the doc hash), never SinglePartition, no Python
+    p_cp = plan_of(entry.q156_caption_pairs(spark, SF))
+    checks.append(
+        ("caption pairs: exactly one exchange",
+         len(_re.findall(r"\(\d+\) Exchange", p_cp)) == 1)
+    )
+    checks.append(
+        ("caption pairs: no single-partition window", "SinglePartition" not in p_cp)
+    )
+    checks.append(("caption pairs: no Python", "EvalPython" not in p_cp))
+
+    # 88. renumber spans (q157): pure per-row higher-order array algebra —
+    # zero exchanges, zero Python
+    p_rs = plan_of(entry.q157_renumber_spans(spark, SF))
+    checks.append(("renumber spans: zero exchanges", "Exchange" not in p_rs))
+    checks.append(("renumber spans: no Python", "EvalPython" not in p_rs))
+
+    # 89. media audit (q158): two-sided anti-join audit — LEFT ANTI joins
+    # present, no cartesian, no Python
+    p_ma = plan_of(entry.q158_media_audit(spark, SF))
+    checks.append(("media audit: anti-joins present", "LeftAnti" in p_ma))
+    checks.append(("media audit: no cartesian", "CartesianProduct" not in p_ma))
+    checks.append(("media audit: no Python", "EvalPython" not in p_ma))
+
+    # 90. makespan (q159): host rollup partials compact map-side; the only
+    # single-partition stage is the final scalar aggregate; no Python
+    p_mk = plan_of(entry.q159_makespan(spark, SF))
+    checks.append(("makespan: map-side partial count", "partial_count" in p_mk))
+    checks.append(
+        ("makespan: lone scalar single-partition",
+         p_mk.count("SinglePartition") <= 1)
+    )
+    checks.append(("makespan: no Python", "EvalPython" not in p_mk))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
