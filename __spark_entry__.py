@@ -7193,6 +7193,228 @@ FROM agg
 """
 
 
+def q160_cache_ttl(spark, sf_dir):
+    """RFC 9111 freshness derivation (functions/headers.cache_ttl_seconds
+    — the header-driven form of the reference's fixed cache TTL,
+    cache_service get/set expiry): no-store/no-cache -> 0, first
+    max-age=N wins, else Expires-Date clamped at 0, else NULL.  Pure
+    regexp+arithmetic column algebra, zero shuffle, zero Python."""
+    from eget_spark.functions.headers import cache_ttl_seconds
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    cc = (
+        F.when(d % 5 == 0, F.lit("no-store"))
+        .when(d % 5 == 1, F.lit("public, max-age=300"))
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("max-age="), ((d % 7) * 60).cast("string")),
+        )
+        .when(d % 5 == 3, F.lit("private, no-cache"))
+        .otherwise(F.lit(""))
+    )
+    expires = F.when(d % 3 != 0, F.lit(1_000_000) + (d % 100) * 30 - 600)
+    date = F.when(d % 3 != 0, F.lit(1_000_000).cast("long"))
+    return docs.select(
+        "doc_id",
+        cc.alias("cache_control"),
+        cache_ttl_seconds(cc, expires, date).alias("ttl_s"),
+    )
+
+
+_Q160_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'no-store'
+           WHEN 1 THEN 'public, max-age=300'
+           WHEN 2 THEN 'max-age=' || CAST(doc_id % 7 * 60 AS VARCHAR)
+           WHEN 3 THEN 'private, no-cache'
+           ELSE ''
+         END AS cache_control,
+         CASE WHEN doc_id % 3 <> 0
+              THEN 1000000 + doc_id % 100 * 30 - 600 END AS expires,
+         CASE WHEN doc_id % 3 <> 0 THEN 1000000 END AS dt
+  FROM documents
+)
+SELECT doc_id, cache_control,
+       CAST(CASE
+         WHEN cache_control LIKE '%no-store%'
+           OR cache_control LIKE '%no-cache%' THEN 0
+         WHEN regexp_extract(cache_control,
+                '(^|[,\\s])max-age=([0-9]+)', 2) <> ''
+           THEN CAST(regexp_extract(cache_control,
+                '(^|[,\\s])max-age=([0-9]+)', 2) AS BIGINT)
+         WHEN expires IS NOT NULL AND dt IS NOT NULL
+           THEN greatest(0, expires - dt)
+       END AS BIGINT) AS ttl_s
+FROM h
+"""
+
+
+def q161_retry_backoff(spark, sf_dir):
+    """Politeness backoff ladder (functions/headers.backoff_ms — RFC 9110
+    Retry-After first, else capped binary exponential min(cap, base <<
+    attempt)): the per-host next-fetch delay after failures, feeding the
+    circuit breaker (q131) and adaptive delays.  Branch-free int64
+    column algebra, zero shuffle, zero Python."""
+    from eget_spark.functions.headers import backoff_ms, retry_after_seconds
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    attempt = (d % 9).cast("int")
+    hdr = (
+        F.when(d % 4 == 0, (30 + d % 60).cast("string"))
+        .when(d % 4 == 1, F.lit(""))
+        .when(d % 4 == 2, F.lit("Fri, 01 Jan 2027 00:00:00 GMT"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    ra = retry_after_seconds(hdr)
+    return docs.select(
+        "doc_id",
+        attempt.cast("long").alias("attempt"),
+        ra.alias("retry_after_s"),
+        backoff_ms(attempt, ra, base_ms=500, cap_ms=60_000).alias(
+            "backoff_ms"
+        ),
+    )
+
+
+_Q161_SQL = """
+WITH h AS (
+  SELECT doc_id, CAST(doc_id % 9 AS BIGINT) AS attempt,
+         CASE doc_id % 4
+           WHEN 0 THEN CAST(30 + doc_id % 60 AS VARCHAR)
+           WHEN 1 THEN ''
+           WHEN 2 THEN 'Fri, 01 Jan 2027 00:00:00 GMT'
+         END AS hdr
+  FROM documents
+),
+p AS (
+  SELECT doc_id, attempt,
+         CASE WHEN regexp_full_match(trim(COALESCE(hdr, '')), '[0-9]+')
+              THEN CAST(trim(hdr) AS BIGINT) END AS retry_after_s
+  FROM h
+)
+SELECT doc_id, attempt, retry_after_s,
+       CAST(COALESCE(retry_after_s * 1000,
+                     least(60000, 500 * (1 << attempt))) AS BIGINT)
+         AS backoff_ms
+FROM p
+"""
+
+
+def q162_table_cells(spark, sf_dir):
+    """Table-corpus mining (operators/table_mining.extract_table_cells —
+    the WebTables/TaBERT extraction step): every table span explodes to
+    position-addressed (table_idx, row_idx, col_idx, cell) long rows via
+    three chained posexplode generators in ONE stage — zero shuffles,
+    zero Python, no window.  Docs with doc_id%3==0 carry 1+doc_id%2
+    tables of (1+doc_id%4) x 3 cells."""
+    from eget_spark.operators.table_mining import extract_table_cells
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    n_tables = F.when(d % 3 == 0, (d % 2 + 1).cast("int")).otherwise(
+        F.lit(0)
+    )
+    n_rows = (d % 4 + 1).cast("int")
+    table_text = lambda t: F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_rows - 1),
+            lambda r: F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(2)),
+                    lambda c: F.concat(
+                        F.lit("c"), ds, F.lit("_"), t.cast("string"),
+                        F.lit("_"), r.cast("string"), F.lit("_"),
+                        c.cast("string"),
+                    ),
+                ),
+                "\t",
+            ),
+        ),
+        "\n",
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_tables - 1),
+        lambda t: F.struct(
+            F.lit("table").alias("kind"),
+            table_text(t).alias("text"),
+            F.lit("").alias("media_ref"),
+            t.cast("int").alias("offset"),
+        ),
+    )
+    with_spans = docs.select("doc_id", spans.alias("spans")).filter(
+        n_tables > 0
+    )
+    return extract_table_cells(with_spans, "doc_id", "spans").select(
+        F.col("id").alias("doc_id"), "table_idx", "row_idx", "col_idx",
+        "cell",
+    )
+
+
+_Q162_SQL = """
+WITH base AS (
+  SELECT doc_id AS d, CAST(doc_id % 2 + 1 AS BIGINT) AS n_tables,
+         CAST(doc_id % 4 + 1 AS BIGINT) AS n_rows
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT d AS doc_id, t AS table_idx, r AS row_idx, c AS col_idx,
+       'c' || CAST(d AS VARCHAR) || '_' || CAST(t AS VARCHAR) || '_'
+           || CAST(r AS VARCHAR) || '_' || CAST(c AS VARCHAR) AS cell
+FROM base,
+     UNNEST(range(n_tables)) AS tt(t),
+     UNNEST(range(n_rows)) AS rr(r),
+     UNNEST(range(3)) AS cc(c)
+"""
+
+
+def q163_mixture_weights(spark, sf_dir):
+    """Domain-mixture importance reweighting (operators/sampling.
+    mixture_weights — the DoReMi/Pile mixture-planning step): observed
+    per-language token share vs a target plan, downsample weight =
+    min(1e6, target_ppm * 1e6 div corpus_ppm) in exact int64 ppm
+    arithmetic.  One map-side groupBy; the corpus total rides a 1-row
+    broadcast."""
+    from eget_spark.operators.sampling import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.expr("n_chars div 5").cast("long")
+    )
+    out = mixture_weights(
+        docs, "lang", "n_tokens",
+        {"en": 500_000, "de": 200_000, "fr": 150_000},
+    )
+    return out.withColumnRenamed("grp", "lang")
+
+
+_Q163_SQL = """
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars // 5) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+s AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(n_tokens * 1000000 // total AS BIGINT) AS corpus_ppm,
+         CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
+              WHEN 'fr' THEN 150000 ELSE 0 END AS BIGINT) AS target_ppm
+  FROM per, tot
+)
+SELECT lang, n_docs, n_tokens, corpus_ppm, target_ppm,
+       CAST(least(1000000,
+            target_ppm * 1000000 // greatest(corpus_ppm, 1)) AS BIGINT)
+         AS weight_ppm,
+       CAST(n_tokens * least(1000000,
+            target_ppm * 1000000 // greatest(corpus_ppm, 1)) // 1000000
+         AS BIGINT) AS sampled_tokens_est
+FROM s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -7359,6 +7581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_renumber_spans": q157_renumber_spans,
         "q158_media_audit": q158_media_audit,
         "q159_makespan": q159_makespan,
+        "q160_cache_ttl": q160_cache_ttl,
+        "q161_retry_backoff": q161_retry_backoff,
+        "q162_table_cells": q162_table_cells,
+        "q163_mixture_weights": q163_mixture_weights,
     }
 
 
@@ -7522,4 +7748,8 @@ def oracle_sql() -> dict[str, str]:
         "q157_renumber_spans": _Q157_SQL,
         "q158_media_audit": _Q158_SQL,
         "q159_makespan": _Q159_SQL,
+        "q160_cache_ttl": _Q160_SQL,
+        "q161_retry_backoff": _Q161_SQL,
+        "q162_table_cells": _Q162_SQL,
+        "q163_mixture_weights": _Q163_SQL,
     }

@@ -130,7 +130,7 @@ def run_crawl_bench(spark, scale: str = "medium", max_pages: int = 30000):
     # min-per-rep within the attempt (round-4 lesson, same medicine the
     # scaling harness takes): a single ~25 s crawl measurement is exposed
     # to one-sided neighbor noise; repeat it and keep the quietest run
-    reps = max(1, int(os.environ.get("EGET_BENCH_CRAWL_REPS", "2")))
+    reps = max(1, int(os.environ.get("EGET_BENCH_CRAWL_REPS", "3")))
     runs = [timed_crawl() for _ in range(reps)]
     docs.unpersist()
     best = min(runs, key=lambda r: r["wall_sec"])

@@ -202,3 +202,64 @@ def split_by_group(
     for i in range(1, len(names)):
         expr = expr.when(bucket < cuts[i], F.lit(names[i]))
     return df.withColumn("split", expr)
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    target_ppm: dict[str, int],
+) -> DataFrame:
+    """Importance-reweighting plan per stratum (the DoReMi/The-Pile-style
+    domain-mixture step, public papers): compare each group's observed
+    token share against a target share and emit the downsampling weight.
+
+    Output per group: ``n_docs``, ``n_tokens``, ``corpus_ppm`` (observed
+    share, int64 parts-per-million by floor division), ``target_ppm``
+    (0 for groups absent from the plan), ``weight_ppm`` = min(1e6,
+    target_ppm * 1e6 div corpus_ppm) — capped at 1.0 because a sampling
+    pass can only DOWNsample (upsampling = duplication is a separate,
+    deliberate op), and ``sampled_tokens_est`` = n_tokens * weight_ppm
+    div 1e6.  All int64 floor arithmetic — exact across engines and
+    partitionings, never a float share.
+
+    Plan shape: one map-side-combined groupBy (|groups| rows), the
+    corpus total rides a 1-row broadcast join; nothing here touches the
+    corpus a second time.  The weights table then broadcasts into
+    :func:`bernoulli_sample`-style keep decisions (p = weight_ppm/1e6).
+    """
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).cast("long").alias("n_tokens"),
+    )
+    total = per.agg(
+        F.sum("n_tokens").cast("long").alias("_total")
+    )
+    tgt = F.coalesce(
+        *[
+            F.when(F.col("grp") == g, F.lit(int(p)).cast("long"))
+            for g, p in sorted(target_ppm.items())
+        ],
+        F.lit(0).cast("long"),
+    ) if target_ppm else F.lit(0).cast("long")
+    out = per.crossJoin(F.broadcast(total)).select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000000 div _total").cast("long").alias(
+            "corpus_ppm"
+        ),
+        tgt.alias("target_ppm"),
+    )
+    weight = F.least(
+        F.lit(1_000_000).cast("long"),
+        # greatest(.,1): a sub-ppm stratum floors to corpus_ppm=0; treat
+        # as 1 ppm so the division is defined (and capped) on any engine
+        F.expr("target_ppm * 1000000 div greatest(corpus_ppm, 1)").cast(
+            "long"
+        ),
+    )
+    return out.withColumn("weight_ppm", weight).withColumn(
+        "sampled_tokens_est",
+        F.expr("n_tokens * weight_ppm div 1000000").cast("long"),
+    )

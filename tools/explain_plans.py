@@ -1451,6 +1451,37 @@ def main() -> None:
     )
     checks.append(("makespan: no Python", "EvalPython" not in p_mk))
 
+    # 91. cache TTL (q160) + retry backoff (q161): pure regexp/arithmetic
+    # projections — zero exchanges, zero Python
+    p_ct = plan_of(entry.q160_cache_ttl(spark, SF))
+    checks.append(("cache ttl: zero exchanges", "Exchange" not in p_ct))
+    checks.append(("cache ttl: no Python", "EvalPython" not in p_ct))
+    p_rb = plan_of(entry.q161_retry_backoff(spark, SF))
+    checks.append(("retry backoff: zero exchanges", "Exchange" not in p_rb))
+    checks.append(("retry backoff: no Python", "EvalPython" not in p_rb))
+
+    # 92. table cells (q162): three chained Generate operators in one
+    # stage — zero exchanges, no window, no Python
+    p_tc = plan_of(entry.q162_table_cells(spark, SF))
+    checks.append(
+        ("table cells: three chained generates",
+         len(_re.findall(r"\(\d+\) Generate", p_tc)) == 3)
+    )
+    checks.append(("table cells: zero exchanges", "Exchange" not in p_tc))
+    checks.append(("table cells: no Python", "EvalPython" not in p_tc))
+
+    # 93. mixture weights (q163): map-side-combined group rollup, the
+    # 1-row corpus total rides a broadcast, no Python
+    p_mw = plan_of(entry.q163_mixture_weights(spark, SF))
+    checks.append(
+        ("mixture weights: map-side partial sum", "partial_sum" in p_mw)
+    )
+    checks.append(
+        ("mixture weights: total rides broadcast",
+         "BroadcastNestedLoopJoin" in p_mw or "BroadcastHashJoin" in p_mw)
+    )
+    checks.append(("mixture weights: no Python", "EvalPython" not in p_mw))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
