@@ -7415,6 +7415,175 @@ FROM s
 """
 
 
+def q164_token_windows(spark, sf_dir):
+    """LM-context windowing (operators/chunker.token_windows): fixed
+    16-token windows, stride 12 (overlapping contexts) — the positional
+    third chunker next to semantic (q22) and sentence (q23).  Pure JVM
+    array algebra: one posexplode generator stage, no window function,
+    zero shuffle beyond the scan, zero Python."""
+    from eget_spark.operators.chunker import token_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_windows(docs, "doc_id", "text", window=16, stride=12)\
+        .withColumnRenamed("id", "doc_id")
+
+
+_Q164_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, toks,
+         CAST(1 + greatest(0, (len(toks) - 16 + 12 - 1) // 12)
+           AS BIGINT) AS n_win
+  FROM t
+)
+SELECT doc_id, CAST(i AS BIGINT) AS win_idx,
+       CAST(len(toks[i*12 + 1 : i*12 + 16]) AS BIGINT) AS n_win_tokens,
+       array_to_string(toks[i*12 + 1 : i*12 + 16], ' ') AS win_text
+FROM w, UNNEST(range(n_win)) AS u(i)
+"""
+
+
+def q165_keywords(spark, sf_dir):
+    """Per-doc keyword extraction (operators/search.keyword_extract):
+    top-3 terms by integer tf x idf_fp = N*1e6 div df (no ln — the
+    allpairs bit-stability discipline), ties (score desc, term asc).
+    Map-side tf/df rollups, term-keyed join, WindowGroupLimit top-k."""
+    from eget_spark.operators.search import keyword_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_extract(docs, "doc_id", "text", top_k=3)\
+        .withColumnRenamed("id", "doc_id")
+
+
+_Q165_SQL = f"""
+WITH words AS (
+  SELECT doc_id, u.term FROM (
+    SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+  ), UNNEST(toks) AS u(term)
+  WHERE u.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(n.nd * 1000000 // dfreq.df AS BIGINT) AS idf_fp
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tf, idf_fp,
+         CAST(tf * idf_fp AS BIGINT) AS score_fp,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY tf * idf_fp DESC, term ASC
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, idf_fp, score_fp
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q166_indexability(spark, sf_dir):
+    """Composite indexability verdict — the 'does this page enter the
+    training set?' gate real pipelines apply after fetch: HTTP status,
+    meta-robots/X-Robots-Tag consent (functions/metadata.
+    robots_directives — the q129 operator, real regexp parse over
+    synthesized HTML), and rel=canonical-elsewhere, with pinned reason
+    precedence http_error > noindex > canonical_elsewhere > ok.
+    Zero-shuffle regexp/CASE algebra."""
+    from eget_spark.functions.metadata import robots_directives
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            d % 13 == 0,
+            F.lit('<meta name="robots" content="noindex, archive">'),
+        )
+        .when(d % 13 == 1, F.lit("<meta content='none' name='robots'>"))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    hdr = F.when(d % 19 == 0, F.lit("NOINDEX")).otherwise(F.lit(""))
+    status = F.when(d % 17 == 0, F.lit(404)).otherwise(F.lit(200)).cast(
+        "long"
+    )
+    canon_other = (d % 9 == 0) & (d % 13 > 1)
+    noindex, _nofollow = robots_directives(html, hdr)
+    reason = (
+        F.when(status != 200, F.lit("http_error"))
+        .when(noindex, F.lit("noindex"))
+        .when(canon_other, F.lit("canonical_elsewhere"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        status.alias("status"),
+        noindex.alias("noindex"),
+        canon_other.alias("canonical_elsewhere"),
+        (reason == "ok").alias("indexable"),
+        reason.alias("reason"),
+    )
+
+
+_Q166_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         '<html><head>' ||
+         CASE doc_id % 13
+           WHEN 0 THEN '<meta name="robots" content="noindex, archive">'
+           WHEN 1 THEN '<meta content=''none'' name=''robots''>'
+           ELSE ''
+         END || '</head><body>x</body></html>' AS html,
+         CASE WHEN doc_id % 19 = 0 THEN 'NOINDEX' ELSE '' END AS hdr,
+         CAST(CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS BIGINT)
+           AS status,
+         doc_id % 9 = 0 AND doc_id % 13 > 1 AS canon_other
+  FROM documents
+),
+d AS (
+  SELECT *,
+         regexp_split_to_array(
+           lower(COALESCE(
+             nullif(regexp_extract(html,
+               '<meta\s[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"',
+               1, 'i'), ''),
+             nullif(regexp_extract(html,
+               '<meta\s[^>]*name\s*=\s*''robots''[^>]*content\s*=\s*''([^'']*)''',
+               1, 'i'), ''),
+             nullif(regexp_extract(html,
+               '<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*"robots"',
+               1, 'i'), ''),
+             nullif(regexp_extract(html,
+               '<meta\s[^>]*content\s*=\s*''([^'']*)''[^>]*name\s*=\s*''robots''',
+               1, 'i'), ''),
+             ''))
+           || ',' || lower(hdr), '[,\s]+') AS toks
+  FROM base
+),
+v AS (
+  SELECT doc_id, status,
+         list_has_any(toks, ['noindex', 'none']) AS noindex,
+         canon_other
+  FROM d
+)
+SELECT doc_id, status, noindex, canon_other AS canonical_elsewhere,
+       status = 200 AND NOT noindex AND NOT canon_other AS indexable,
+       CASE WHEN status <> 200 THEN 'http_error'
+            WHEN noindex THEN 'noindex'
+            WHEN canon_other THEN 'canonical_elsewhere'
+            ELSE 'ok' END AS reason
+FROM v
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -7585,6 +7754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_retry_backoff": q161_retry_backoff,
         "q162_table_cells": q162_table_cells,
         "q163_mixture_weights": q163_mixture_weights,
+        "q164_token_windows": q164_token_windows,
+        "q165_keywords": q165_keywords,
+        "q166_indexability": q166_indexability,
     }
 
 
@@ -7752,4 +7924,7 @@ def oracle_sql() -> dict[str, str]:
         "q161_retry_backoff": _Q161_SQL,
         "q162_table_cells": _Q162_SQL,
         "q163_mixture_weights": _Q163_SQL,
+        "q164_token_windows": _Q164_SQL,
+        "q165_keywords": _Q165_SQL,
+        "q166_indexability": _Q166_SQL,
     }

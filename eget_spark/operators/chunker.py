@@ -334,3 +334,55 @@ def chunk_sentences(
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
         run, schema=SENTENCE_SCHEMA_DDL
     )
+
+
+def token_windows(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    window: int = 128,
+    stride: int = 96,
+) -> "DataFrame":
+    """Fixed-size token windows with stride — the LM-pretraining context
+    windower (stride < window = overlapping contexts, the standard way
+    long documents become training rows without losing cross-boundary
+    text).  Third chunker next to the semantic (X12) and sentence (X14)
+    chunkers; unlike those, the window boundary is purely positional, so
+    the whole op is JVM array algebra: tokenize (the engine's
+    whitespace-token contract, same as the shingle/minhash path), one
+    ``posexplode`` of the window-index sequence, ``slice`` per window —
+    zero Python, no window function, one generator stage.
+
+    Pinned semantics: ``n_windows = 1 + max(0, ceil((n_tokens - window)
+    / stride))`` (every doc yields at least one window; the last window
+    may be short; whitespace-only text follows the tokenizer's [''] one-
+    token artifact — identical in DuckDB).  Output (id, win_idx,
+    n_win_tokens, win_text).
+    """
+    w, s = int(window), int(stride)
+    if w <= 0 or s <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_win = F.lit(1) + F.greatest(
+        F.lit(0), F.expr(f"(size(_toks) - {w} + {s} - 1) div {s}").cast("int")
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), toks.alias("_toks")
+    )
+    out = base.select(
+        "id",
+        "_toks",
+        F.posexplode(F.sequence(F.lit(0), n_win - 1)).alias(
+            "win_idx", "_w"
+        ),
+    ).select(
+        "id",
+        F.col("win_idx").cast("long").alias("win_idx"),
+        F.slice(F.col("_toks"), F.col("_w") * s + 1, w).alias("_win"),
+    )
+    return out.select(
+        "id",
+        "win_idx",
+        F.size("_win").cast("long").alias("n_win_tokens"),
+        F.array_join("_win", " ").alias("win_text"),
+    )

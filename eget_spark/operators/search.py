@@ -146,3 +146,60 @@ def phrase_counts(
         base.select("id", n.alias("n_hits"))
         .where(F.col("n_hits") > 0)
     )
+
+
+def keyword_extract(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction by integer tf×idf rank.
+
+    The classic per-doc salient-term picker (inverted-index building,
+    tag generation, focused-crawl topic seeds).  Deliberately avoids
+    ``ln`` — the same bit-stability argument as operators/allpairs.py:
+    the idf role is played by the exact integer ratio ``idf_fp =
+    N * 1e6 div df(term)`` and ``score_fp = tf * idf_fp``; ranks and
+    ties (score desc, term asc) are then engine-exact.
+
+    Plan shape: tokenize → one map-side-combined (id, term) tf rollup →
+    one (term) df rollup (distinct-doc counts) → term-keyed join back
+    (shuffle join; the term table is corpus-wide so never broadcast by
+    default, AQE may) → per-doc top-k window (WindowGroupLimit prunes
+    map-side).  The 1-row corpus count rides a broadcast.  Zero Python.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).cast("long").alias("_n")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.expr("_n * 1000000 div df").cast("long").alias("idf_fp"),
+        )
+        .withColumn(
+            "score_fp", (F.col("tf") * F.col("idf_fp")).cast("long")
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score_fp"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .select("id", F.col("rank").cast("long").alias("rank"), "term",
+                "tf", "idf_fp", "score_fp")
+    )

@@ -1482,6 +1482,26 @@ def main() -> None:
     )
     checks.append(("mixture weights: no Python", "EvalPython" not in p_mw))
 
+    # 94. token windows (q164): one generator stage, no window function,
+    # zero exchanges, no Python
+    p_tw = plan_of(entry.q164_token_windows(spark, SF))
+    checks.append(("token windows: zero exchanges", "Exchange" not in p_tw))
+    checks.append(("token windows: no window function", "Window" not in p_tw))
+    checks.append(("token windows: no Python", "EvalPython" not in p_tw))
+
+    # 95. keywords (q165): map-side tf partials, top-k prunes map-side
+    # via WindowGroupLimit, no cartesian, no Python
+    p_kw = plan_of(entry.q165_keywords(spark, SF))
+    checks.append(("keywords: map-side partial count", "partial_count" in p_kw))
+    checks.append(("keywords: WindowGroupLimit top-k", "WindowGroupLimit" in p_kw))
+    checks.append(("keywords: no Python", "EvalPython" not in p_kw))
+
+    # 96. indexability (q166): pure regexp/CASE projection — zero
+    # exchanges, no Python
+    p_ix = plan_of(entry.q166_indexability(spark, SF))
+    checks.append(("indexability: zero exchanges", "Exchange" not in p_ix))
+    checks.append(("indexability: no Python", "EvalPython" not in p_ix))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
