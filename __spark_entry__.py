@@ -7584,6 +7584,109 @@ FROM v
 """
 
 
+def q167_embedding_outliers(spark, sf_dir):
+    """Per-cluster embedding-outlier trim (operators/kmeans.
+    cluster_outliers — the CLIP-filtering curation step): q78's trained
+    cells + exact p95 distance cutoff per cell (rank-arithmetic, q108
+    discipline), outlier iff dist > cutoff.  One window shuffle on
+    cluster; the k-row cutoff table broadcasts back."""
+    from eget_spark.operators.kmeans import cluster_outliers, kmeans_fp
+
+    assign = kmeans_fp(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4,
+        n_iter=2,
+    )
+    return cluster_outliers(assign, 19, 20).withColumnRenamed(
+        "id", "vec_id"
+    )
+
+
+def _q167_sql() -> str:
+    from eget_spark.operators.kmeans import kmeans_oracle_sql
+
+    base = kmeans_oracle_sql("embeddings", "vec_id", "embedding", k=4, n_iter=2)
+    return f"""
+WITH a AS ({base}),
+r AS (
+  SELECT id, cluster, dist_fp,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY dist_fp, id) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS n
+  FROM a
+),
+c AS (
+  SELECT cluster,
+         max(CASE WHEN rn = (n * 19 + 19) // 20 THEN dist_fp END)
+           AS cutoff_fp
+  FROM r GROUP BY cluster
+)
+SELECT r.id AS vec_id, r.cluster, r.dist_fp, c.cutoff_fp,
+       r.dist_fp > c.cutoff_fp AS outlier
+FROM r JOIN c USING (cluster)
+"""
+
+
+def q168_multimodal_packing(spark, sf_dir):
+    """Two-resource next-fit packing for interleaved multimodal docs
+    (operators/packing.pack_sequences_2d): sequences bounded on BOTH the
+    token context (256) and the image-slot budget (4 — the vision
+    encoder's tiles-per-sequence cap); a doc opens a new sequence when
+    EITHER axis would overflow.  Sharded md5-ordered fold per shard (one
+    applyInPandas, O(1) state), the q83 determinism contract in 2-D."""
+    from eget_spark.operators.packing import pack_sequences_2d
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("n_chars div 5").cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 4).cast("long").alias("n_images"),
+    )
+    return pack_sequences_2d(
+        docs, "doc_id", "n_tokens", "n_images",
+        cap_tokens=256, cap_images=4, n_shards=8, seed="pk2",
+    )
+
+
+_Q168_SQL = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(n_chars // 5 AS BIGINT) AS n_tokens,
+         CAST(doc_id % 4 AS BIGINT) AS n_images
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tokens, n_images,
+         row_number() OVER (
+           PARTITION BY shard
+           ORDER BY md5('pk2' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM d
+),
+s AS (
+  SELECT doc_id, shard, n_tokens, n_images, rn,
+         CAST(0 AS BIGINT) AS seq_no,
+         CAST(0 AS BIGINT) AS tok_offset,
+         CAST(0 AS BIGINT) AS img_offset,
+         n_tokens AS ft, n_images AS fi
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.n_tokens, o.n_images, o.rn,
+         CASE WHEN s.ft + o.n_tokens <= 256 AND s.fi + o.n_images <= 4
+              THEN s.seq_no ELSE s.seq_no + 1 END,
+         CASE WHEN s.ft + o.n_tokens <= 256 AND s.fi + o.n_images <= 4
+              THEN s.ft ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN s.ft + o.n_tokens <= 256 AND s.fi + o.n_images <= 4
+              THEN s.fi ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN s.ft + o.n_tokens <= 256 AND s.fi + o.n_images <= 4
+              THEN s.ft + o.n_tokens ELSE o.n_tokens END,
+         CASE WHEN s.ft + o.n_tokens <= 256 AND s.fi + o.n_images <= 4
+              THEN s.fi + o.n_images ELSE o.n_images END
+  FROM s JOIN o ON o.shard = s.shard AND o.rn = s.rn + 1
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, seq_no, tok_offset,
+       img_offset, n_tokens, n_images
+FROM s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -7757,6 +7860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_token_windows": q164_token_windows,
         "q165_keywords": q165_keywords,
         "q166_indexability": q166_indexability,
+        "q167_embedding_outliers": q167_embedding_outliers,
+        "q168_multimodal_packing": q168_multimodal_packing,
     }
 
 
@@ -7927,4 +8032,6 @@ def oracle_sql() -> dict[str, str]:
         "q164_token_windows": _Q164_SQL,
         "q165_keywords": _Q165_SQL,
         "q166_indexability": _Q166_SQL,
+        "q167_embedding_outliers": _q167_sql(),
+        "q168_multimodal_packing": _Q168_SQL,
     }

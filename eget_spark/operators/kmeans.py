@@ -195,3 +195,39 @@ FROM (
 ) WHERE rn = 1"""
     )
     return "".join(parts)
+
+
+def cluster_outliers(
+    assign: DataFrame,
+    p_num: int = 19,
+    p_den: int = 20,
+) -> DataFrame:
+    """Per-cluster embedding-outlier trim (the CLIP-filtering/garbage-cell
+    step of an embedding curation pipeline): a vector is an outlier iff
+    its distance to its assigned centroid exceeds the cluster's exact
+    p-quantile (value at rank ceil(p*n), the q108 rank discipline — no
+    float percentile interpolation, engine-exact).
+
+    ``assign`` is :func:`kmeans_fp` output (id, cluster, dist_fp).  One
+    window shuffle on cluster (k is small but each cell can be huge —
+    the rank is computed distributed, never collected); the k-row cutoff
+    table broadcasts back onto the assignment.  Output (id, cluster,
+    dist_fp, cutoff_fp, outlier).
+    """
+    from fractions import Fraction
+
+    from .quantiles import exact_quantiles
+
+    q = exact_quantiles(
+        assign, "cluster", "dist_fp", "id", ps=(Fraction(p_num, p_den),)
+    ).select(
+        F.col("key").alias("cluster"),
+        F.col(f"q_{p_num}_{p_den}").alias("cutoff_fp"),
+    )
+    return assign.join(F.broadcast(q), "cluster").select(
+        "id",
+        "cluster",
+        "dist_fp",
+        "cutoff_fp",
+        (F.col("dist_fp") > F.col("cutoff_fp")).alias("outlier"),
+    )

@@ -144,3 +144,71 @@ def shard_stats(assigned: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("size").cast("long").alias("total_size"),
     )
+
+
+_OUT2D_SCHEMA = (
+    "doc_id long, shard long, seq_no long, tok_offset long, "
+    "img_offset long, n_tokens long, n_images long"
+)
+
+
+def pack_sequences_2d(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    images_col: str,
+    cap_tokens: int,
+    cap_images: int,
+    n_shards: int = 16,
+    seed: str = "",
+) -> DataFrame:
+    """Two-resource next-fit packing for INTERLEAVED multimodal docs.
+
+    Multimodal training sequences are bounded on BOTH axes: the token
+    context length and the per-sequence image-slot budget (the vision
+    encoder batches a fixed number of tiles per sequence).  A doc joins
+    the current sequence iff it fits BOTH (fill_tok + t <= cap_tokens AND
+    fill_img + i <= cap_images), else it opens a new sequence; a doc
+    exceeding either capacity alone still opens (and overflows) its own
+    sequence — :func:`pack_sequences`'s pinned overflow contract, lifted
+    to two dimensions.  Same determinism/scale contract too: sharded by
+    ``id % n_shards``, md5(seed||id) order within a shard, one
+    ``applyInPandas`` fold per shard, O(1) state.
+    """
+    ct, ci = int(cap_tokens), int(cap_images)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_k", "doc_id"], kind="mergesort")
+        seq_no, ft, fi = 0, 0, 0
+        seqs, toffs, ioffs = [], [], []
+        first = True
+        for t, i in zip(pdf["n_tokens"], pdf["n_images"]):
+            t, i = int(t), int(i)
+            if not first and (ft + t > ct or fi + i > ci):
+                seq_no += 1
+                ft, fi = 0, 0
+            first = False
+            seqs.append(seq_no)
+            toffs.append(ft)
+            ioffs.append(fi)
+            ft += t
+            fi += i
+        out = pdf[["doc_id", "shard", "n_tokens", "n_images"]].copy()
+        out["seq_no"] = pd.Series(seqs, index=pdf.index, dtype="int64")
+        out["tok_offset"] = pd.Series(toffs, index=pdf.index, dtype="int64")
+        out["img_offset"] = pd.Series(ioffs, index=pdf.index, dtype="int64")
+        return out[
+            ["doc_id", "shard", "seq_no", "tok_offset", "img_offset",
+             "n_tokens", "n_images"]
+        ]
+
+    prepared = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(id_col).cast("long") % n_shards).alias("shard"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.col(images_col).cast("long").alias("n_images"),
+        F.md5(
+            F.concat(F.lit(seed), F.col(id_col).cast("string"))
+        ).alias("_k"),
+    )
+    return prepared.groupBy("shard").applyInPandas(_pack, _OUT2D_SCHEMA)

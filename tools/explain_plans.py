@@ -1502,6 +1502,27 @@ def main() -> None:
     checks.append(("indexability: zero exchanges", "Exchange" not in p_ix))
     checks.append(("indexability: no Python", "EvalPython" not in p_ix))
 
+    # 97. embedding outliers (q167): the k-row cutoff table broadcasts
+    # back; no Python in the scoring path (centroids are literals)
+    p_eo = plan_of(entry.q167_embedding_outliers(spark, SF))
+    checks.append(
+        ("embedding outliers: cutoff broadcast join",
+         "BroadcastHashJoin" in p_eo)
+    )
+    checks.append(("embedding outliers: no Python", "EvalPython" not in p_eo))
+
+    # 98. multimodal packing (q168): exactly one shuffle (the shard
+    # groupBy) feeding one Arrow-batched FlatMapGroupsInPandas fold
+    p_mp = plan_of(entry.q168_multimodal_packing(spark, SF))
+    checks.append(
+        ("multimodal packing: one shard exchange",
+         len(_re.findall(r"\(\d+\) Exchange", p_mp)) == 1)
+    )
+    checks.append(
+        ("multimodal packing: Arrow fold",
+         "FlatMapGroupsInPandas" in p_mp)
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
