@@ -7687,6 +7687,135 @@ FROM s
 """
 
 
+def q169_ann_recall(spark, sf_dir):
+    """ANN index-quality evaluation: per-query recall@5 of the IVF router
+    (q18: nprobe=2) against exact brute-force top-5 truth (q17's
+    operator) — the eval gate before trusting an approximate similarity
+    stage, mirroring q117's LSH recall eval on the embedding path.
+    Truth LEFT JOINs the IVF result on (query, neighbor); recall in
+    int64 permille."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    truth = cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        emb, queries, "label", "vec_id", "embedding", k=5, nprobe=2
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy(F.col("query_id").cast("long").alias("query_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_truth"),
+            F.count("_hit").cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_permille",
+            F.expr("n_hit * 1000 div n_truth").cast("long"),
+        )
+    )
+
+
+_Q169_SQL = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id
+  FROM ({_Q17_SQL.strip()}) WHERE rank <= 5
+),
+approx AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM ({_Q18_SQL.strip()})
+)
+SELECT CAST(t.query_id AS BIGINT) AS query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(a.hit) AS BIGINT) AS n_hit,
+       CAST(count(a.hit) * 1000 // count(*) AS BIGINT) AS recall_permille
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+def q170_scheme_dupes(spark, sf_dir):
+    """http/https duplicate collapse via SURT keys (functions/urls.
+    surt_key aggregates — the scheme-upgrade dedup every recrawl faces):
+    URLs whose SURT form coincides are the same resource served on both
+    schemes; canonical = lexicographic min URL (pinned).  One surt-hash
+    groupBy, zero Python."""
+    from eget_spark.functions.urls import surt_key
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    scheme = F.when(d % 3 == 0, F.lit("http")).otherwise(F.lit("https"))
+    other = F.when(d % 3 == 0, F.lit("https")).otherwise(F.lit("http"))
+    mk = lambda s: F.concat(
+        s, F.lit("://h"), (d % 23).cast("string"),
+        F.lit(".example.com/p/"), d.cast("string"),
+    )
+    urls = docs.select("doc_id", mk(scheme).alias("url")).unionAll(
+        docs.where(d % 5 == 0).select("doc_id", mk(other).alias("url"))
+    )
+    return (
+        urls.select(
+            surt_key(F.col("url")).alias("surt"),
+            F.regexp_extract("url", r"^([a-z]+)://", 1).alias("_scheme"),
+            F.col("url"),
+        )
+        .groupBy("surt")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("_scheme").cast("long").alias("n_schemes"),
+            F.min("url").alias("canonical_url"),
+        )
+        .withColumn("scheme_dup", F.col("n_schemes") > 1)
+    )
+
+
+_Q170_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END
+           || '://h' || CAST(doc_id % 23 AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END
+           || '://h' || CAST(doc_id % 23 AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id % 5 = 0
+),
+k AS (
+  SELECT url, regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+         array_to_string(list_reverse(string_split(
+           regexp_extract(lower(url), '^[a-z][a-z0-9+.\-]*://([^/?#]+)', 1),
+           '.')), ',')
+         || ')'
+         || regexp_extract(lower(url),
+              '^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)', 1) AS surt
+  FROM urls
+)
+SELECT surt, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT scheme) AS BIGINT) AS n_schemes,
+       min(url) AS canonical_url,
+       count(DISTINCT scheme) > 1 AS scheme_dup
+FROM k GROUP BY surt
+"""
+
+
+def q171_compressibility(spark, sf_dir):
+    """Compression-ratio spam/boilerplate signal (operators/quality_rules.
+    compression_signals — the RefinedWeb/Gopher-family 'too compressible'
+    heuristic: templated or repetitive pages deflate far below natural
+    prose).  zlib level-6 over utf-8 text in one Arrow mapInPandas pass
+    (deterministic bytes; no SQL-expressible oracle — rows-only class
+    like q136, pinned instead by the pure-python pytest reference).
+    ratio_permille = z_len*1000 div raw_len; int64."""
+    from eget_spark.operators.quality_rules import compression_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_signals(docs, "doc_id", "text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -7862,6 +7991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_indexability": q166_indexability,
         "q167_embedding_outliers": q167_embedding_outliers,
         "q168_multimodal_packing": q168_multimodal_packing,
+        "q169_ann_recall": q169_ann_recall,
+        "q170_scheme_dupes": q170_scheme_dupes,
+        "q171_compressibility": q171_compressibility,
     }
 
 
@@ -8034,4 +8166,7 @@ def oracle_sql() -> dict[str, str]:
         "q166_indexability": _Q166_SQL,
         "q167_embedding_outliers": _q167_sql(),
         "q168_multimodal_packing": _Q168_SQL,
+        "q169_ann_recall": _Q169_SQL,
+        "q170_scheme_dupes": _Q170_SQL,
+        # q171 is rows-only (DEFLATE has no relational form) — like q136
     }

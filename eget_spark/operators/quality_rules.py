@@ -459,3 +459,60 @@ def adaptive_quality_filter(
             (F.col("score") >= F.col("cutoff")).alias("keep"),
         )
     )
+
+
+def compression_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality signal (RefinedWeb/Gopher family):
+    templated/repetitive pages deflate far below natural prose, so
+    ``ratio_permille = deflate_len * 1000 div raw_len`` separates spam
+    mills and boilerplate farms from content.
+
+    zlib at a FIXED level over utf-8 bytes is deterministic (same bytes
+    in, same bytes out, any platform shipping standard zlib), so the
+    signal is reproducible across retries and partitionings; there is no
+    SQL-expressible oracle (DEFLATE is not relational), making this a
+    rows-only-class operator pinned by the pure-python pytest reference.
+
+    One Arrow ``mapInPandas`` pass (the chunker's plan shape): per-batch
+    Python cost is one C-speed zlib call per doc, no shuffle, no window.
+    Empty text pins raw_len=0, z_len=0, ratio NULL.
+    """
+    import zlib
+
+    import pandas as pd
+
+    lvl = int(level)
+    schema = "id long, raw_len long, z_len long, ratio_permille long"
+
+    def _batches(it):
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            raw = texts.map(lambda t: len(t.encode("utf-8")))
+            zl = texts.map(
+                lambda t: len(zlib.compress(t.encode("utf-8"), lvl))
+                if t else 0
+            )
+            out = pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "raw_len": raw.astype("int64"),
+                    "z_len": zl.astype("int64"),
+                }
+            )
+            out["ratio_permille"] = (
+                (out["z_len"] * 1000) // out["raw_len"].where(
+                    out["raw_len"] > 0
+                )
+            ).astype("Int64")
+            yield out
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .mapInPandas(_batches, schema)
+        .withColumnRenamed("id", id_col)
+    )

@@ -1523,6 +1523,28 @@ def main() -> None:
          "FlatMapGroupsInPandas" in p_mp)
     )
 
+    # 99. ANN recall (q169): no cartesian beyond the operators' own
+    # broadcast-nested-loop scoring; the truth-vs-approx join is hash
+    p_ar = plan_of(entry.q169_ann_recall(spark, SF))
+    checks.append(("ann recall: no Python", "EvalPython" not in p_ar))
+    checks.append(
+        ("ann recall: map-side partial count", "partial_count" in p_ar)
+    )
+
+    # 100. scheme dupes (q170): one surt-hash exchange pair (partial/
+    # final agg), zero Python
+    p_sd = plan_of(entry.q170_scheme_dupes(spark, SF))
+    checks.append(("scheme dupes: no Python", "EvalPython" not in p_sd))
+    checks.append(("scheme dupes: no join", "Join" not in p_sd))
+
+    # 101. compressibility (q171): exactly one Arrow mapInPandas stage,
+    # no shuffle at all
+    p_cz = plan_of(entry.q171_compressibility(spark, SF))
+    checks.append(
+        ("compressibility: single Arrow stage",
+         p_cz.count("MapInPandas") >= 1 and "Exchange" not in p_cz)
+    )
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
