@@ -7816,6 +7816,38 @@ def q171_compressibility(spark, sf_dir):
     return compression_signals(docs, "doc_id", "text")
 
 
+def q172_ppjoin(spark, sf_dir):
+    """Prefix-filtered exact Jaccard join (operators/dedup.ppjoin_pairs —
+    the SSJoin/AllPairs/PPJoin candidate-pruning family): only each
+    record's rarest n-ceil(t*n)+1 shingles enter the inverted index, a
+    length filter prunes candidates, exact array_intersect verifies.
+    IDENTICAL output to q15's full-index join at the same threshold —
+    the oracle is the same exact SQL; the plan is the scale path."""
+    from eget_spark.operators.dedup import ppjoin_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ppjoin_pairs(docs, "doc_id", "text", threshold=0.2, k=3)
+
+
+_Q172_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, g FROM (
+    SELECT doc_id, unnest({_SHINGLE_SQL}) AS g FROM documents)
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.id = id_a
+JOIN sizes nb ON nb.id = id_b
+WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -7994,6 +8026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_ann_recall": q169_ann_recall,
         "q170_scheme_dupes": q170_scheme_dupes,
         "q171_compressibility": q171_compressibility,
+        "q172_ppjoin": q172_ppjoin,
     }
 
 
@@ -8169,4 +8202,5 @@ def oracle_sql() -> dict[str, str]:
         "q169_ann_recall": _Q169_SQL,
         "q170_scheme_dupes": _Q170_SQL,
         # q171 is rows-only (DEFLATE has no relational form) — like q136
+        "q172_ppjoin": _Q172_SQL,
     }

@@ -1545,6 +1545,16 @@ def main() -> None:
          p_cz.count("MapInPandas") >= 1 and "Exchange" not in p_cz)
     )
 
+    # 102. ppjoin (q172): the candidate join is hash (never cartesian /
+    # nested-loop over the corpus), verification is per-row array algebra
+    p_pp = plan_of(entry.q172_ppjoin(spark, SF))
+    checks.append(("ppjoin: no cartesian", "CartesianProduct" not in p_pp))
+    checks.append(
+        ("ppjoin: no nested-loop corpus join",
+         "BroadcastNestedLoopJoin" not in p_pp)
+    )
+    checks.append(("ppjoin: no Python", "EvalPython" not in p_pp))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
