@@ -7136,18 +7136,24 @@ blobs AS (
 ),
 dang AS (
   SELECT r.bucket, count(*) AS n_dangling FROM refs r
-  WHERE r.ref NOT IN (SELECT ref FROM blobs) GROUP BY r.bucket
+  WHERE NOT EXISTS (SELECT 1 FROM blobs b WHERE b.ref = r.ref)
+  GROUP BY r.bucket
 ),
 orph AS (
   SELECT b.bucket, count(*) AS n_orphans FROM blobs b
-  WHERE b.ref NOT IN (SELECT ref FROM refs) GROUP BY b.bucket
+  WHERE NOT EXISTS (SELECT 1 FROM refs r WHERE r.ref = b.ref)
+  GROUP BY b.bucket
 ),
 per_ref AS (SELECT bucket, count(*) AS n_refs FROM refs GROUP BY bucket)
-SELECT p.bucket AS bucket_id, CAST(p.n_refs AS BIGINT) AS n_refs,
+-- FULL join onto orphans (mirroring media_refs.media_audit): a bucket
+-- holding only orphan blobs (zero refs) must still report; NOT EXISTS
+-- (not NOT IN) so a NULL ref can never empty the audit
+SELECT COALESCE(p.bucket, o.bucket) AS bucket_id,
+       CAST(COALESCE(p.n_refs, 0) AS BIGINT) AS n_refs,
        CAST(COALESCE(d.n_dangling, 0) AS BIGINT) AS n_dangling,
        CAST(COALESCE(o.n_orphans, 0) AS BIGINT) AS n_orphans
 FROM per_ref p LEFT JOIN dang d ON d.bucket = p.bucket
-LEFT JOIN orph o ON o.bucket = p.bucket
+FULL JOIN orph o ON o.bucket = p.bucket
 """
 
 
@@ -7241,9 +7247,9 @@ SELECT doc_id, cache_control,
        CAST(CASE
          WHEN cache_control LIKE '%no-store%'
            OR cache_control LIKE '%no-cache%' THEN 0
-         WHEN regexp_extract(cache_control,
-                '(^|[,\\s])max-age=([0-9]+)', 2) <> ''
-           THEN CAST(regexp_extract(cache_control,
+         WHEN TRY_CAST(regexp_extract(cache_control,
+                '(^|[,\\s])max-age=([0-9]+)', 2) AS BIGINT) IS NOT NULL
+           THEN TRY_CAST(regexp_extract(cache_control,
                 '(^|[,\\s])max-age=([0-9]+)', 2) AS BIGINT)
          WHEN expires IS NOT NULL AND dt IS NOT NULL
            THEN greatest(0, expires - dt)
@@ -7293,7 +7299,7 @@ WITH h AS (
 p AS (
   SELECT doc_id, attempt,
          CASE WHEN regexp_full_match(trim(COALESCE(hdr, '')), '[0-9]+')
-              THEN CAST(trim(hdr) AS BIGINT) END AS retry_after_s
+              THEN TRY_CAST(trim(hdr) AS BIGINT) END AS retry_after_s
   FROM h
 )
 SELECT doc_id, attempt, retry_after_s,
@@ -7399,19 +7405,24 @@ WITH per AS (
 tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
 s AS (
   SELECT lang, n_docs, n_tokens,
-         CAST(n_tokens * 1000000 // total AS BIGINT) AS corpus_ppm,
+         CAST((n_tokens // greatest(1, total // 8796093022208)) * 1000000
+              // (total // greatest(1, total // 8796093022208))
+           AS BIGINT) AS corpus_ppm,
          CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
               WHEN 'fr' THEN 150000 ELSE 0 END AS BIGINT) AS target_ppm
   FROM per, tot
-)
-SELECT lang, n_docs, n_tokens, corpus_ppm, target_ppm,
-       CAST(least(1000000,
+),
+w AS (
+  SELECT *, CAST(least(1000000,
             target_ppm * 1000000 // greatest(corpus_ppm, 1)) AS BIGINT)
-         AS weight_ppm,
-       CAST(n_tokens * least(1000000,
-            target_ppm * 1000000 // greatest(corpus_ppm, 1)) // 1000000
+         AS weight_ppm
+  FROM s
+)
+SELECT lang, n_docs, n_tokens, corpus_ppm, target_ppm, weight_ppm,
+       CAST((n_tokens // 1000000) * weight_ppm
+            + (n_tokens % 1000000) * weight_ppm // 1000000
          AS BIGINT) AS sampled_tokens_est
-FROM s
+FROM w
 """
 
 

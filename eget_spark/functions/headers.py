@@ -43,7 +43,12 @@ def cache_ttl_seconds(
     )
     return (
         F.when(uncacheable, F.lit(0).cast("long"))
-        .when(max_age != "", max_age.cast("long"))
+        # try_cast: a hostile >19-digit max-age must degrade to the
+        # heuristic/NULL path, not throw under ANSI mode
+        .when(
+            (max_age != "") & max_age.try_cast("long").isNotNull(),
+            max_age.try_cast("long"),
+        )
         .when(
             expires_epoch.isNotNull() & date_epoch.isNotNull(), heuristic
         )
@@ -52,9 +57,11 @@ def cache_ttl_seconds(
 
 
 def retry_after_seconds(header: Column) -> Column:
-    """Delta-seconds ``Retry-After`` (long); NULL for empty/non-numeric."""
+    """Delta-seconds ``Retry-After`` (long); NULL for empty/non-numeric
+    (and for values past int64 — try_cast, so a hostile 20-digit header
+    degrades to NULL instead of throwing under ANSI mode)."""
     h = F.trim(F.coalesce(header, F.lit("")))
-    return F.when(h.rlike(r"^[0-9]+$"), h.cast("long")).otherwise(
+    return F.when(h.rlike(r"^[0-9]+$"), h.try_cast("long")).otherwise(
         F.lit(None).cast("long")
     )
 
@@ -66,13 +73,21 @@ def backoff_ms(
     cap_ms: int = 60_000,
 ) -> Column:
     """Next-fetch delay in ms: server hint else capped exponential."""
+    # Clamp the shift at the first exponent where base << a already
+    # reaches the cap: min(cap, base << a) is constant = cap beyond it,
+    # so the clamp is value-preserving AND kills the int32 shift
+    # wraparound (attempt=31 -> negative delay, attempt=32 -> ladder
+    # reset) a persistent failer would otherwise hit.
+    shift_cap = max(0, (int(cap_ms) // max(int(base_ms), 1)).bit_length())
     # F.shiftleft takes a Python-int bit count; call_function reaches the
     # SQL shiftleft, which accepts a column
     exp = F.least(
         F.lit(int(cap_ms)).cast("long"),
         F.lit(int(base_ms)).cast("long")
         * F.call_function(
-            "shiftleft", F.lit(1), attempt.cast("int")
+            "shiftleft",
+            F.lit(1),
+            F.least(attempt.cast("int"), F.lit(shift_cap)),
         ).cast("long"),
     )
     return F.coalesce(retry_after_s.cast("long") * 1000, exp)

@@ -51,30 +51,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def host_templates(
+def exploded_lines(
     df: DataFrame,
     host_col: str = "host",
     id_col: str = "doc_id",
     text_col: str = "text",
-    frac: float = 0.5,
-    min_pages: int = 5,
-    max_templates: int = 50,
 ) -> DataFrame:
-    """(host, line, n_pages, host_pages) template lines per host."""
-    lines = df.select(
+    """(host, id, line) — the pinned line explode (engine trim blanks
+    dropped); shared by batch detection and the streaming maintainer so
+    the two can never drift."""
+    return df.select(
         F.col(host_col).alias("host"),
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
     ).where(F.trim(F.col("line")) != "")
-    # distinct (host, id, line): a line repeated within one page counts once
-    per_line = (
-        lines.distinct()
-        .groupBy("host", "line")
-        .agg(F.count(F.lit(1)).alias("n_pages"))
-    )
-    host_pages = df.groupBy(F.col(host_col).alias("host")).agg(
-        F.count(F.lit(1)).alias("host_pages")
-    )
+
+
+def template_decision(
+    per_line: DataFrame,
+    host_pages: DataFrame,
+    frac: float = 0.5,
+    min_pages: int = 5,
+    max_templates: int = 50,
+) -> DataFrame:
+    """The pinned candidate->template rule over already-aggregated counts
+    ((host, line, n_pages) x (host, host_pages)) — the ONE copy of the
+    min_pages gate, the ceil(frac*host_pages) threshold, and the
+    (n_pages desc, line asc) top-k; batch host_templates and the
+    streaming maintainer's read_templates both call it, so the
+    stream==batch contract can't be broken by a one-sided edit."""
     cand = (
         per_line.join(host_pages, "host")
         .where(F.col("host_pages") >= F.lit(min_pages))
@@ -91,6 +96,31 @@ def host_templates(
         cand.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= F.lit(max_templates))
         .select("host", "line", "n_pages", "host_pages")
+    )
+
+
+def host_templates(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frac: float = 0.5,
+    min_pages: int = 5,
+    max_templates: int = 50,
+) -> DataFrame:
+    """(host, line, n_pages, host_pages) template lines per host."""
+    lines = exploded_lines(df, host_col, id_col, text_col)
+    # distinct (host, id, line): a line repeated within one page counts once
+    per_line = (
+        lines.distinct()
+        .groupBy("host", "line")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    host_pages = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("host_pages")
+    )
+    return template_decision(
+        per_line, host_pages, frac, min_pages, max_templates
     )
 
 

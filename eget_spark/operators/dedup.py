@@ -767,6 +767,13 @@ def ppjoin_pairs(
     from ..functions.text import shingle_rows
 
     t = float(threshold)
+    # Filter threshold relaxed by the rounding band: the final compare is
+    # round(j, 6) >= t (ngram_jaccard_pairs' pinned form), which admits
+    # true j down to t - 5e-7 — but the prefix/length theorems prune by
+    # TRUE j >= threshold only.  Pruning at t - 1e-6 keeps every pair the
+    # rounded compare can emit, so output equality holds even for
+    # million-shingle records sitting exactly on the boundary.
+    tf = max(0.0, t - 1e-6)
     sh = (
         shingle_rows(df, id_col, text_col, k)
         .distinct()
@@ -785,7 +792,7 @@ def ppjoin_pairs(
         )
     )
     prefix = ranked.where(
-        F.col("_pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+        F.col("_pos") <= F.col("n") - F.ceil(F.lit(tf) * F.col("n")) + 1
     ).select("id", "s", "n")
     cand = (
         prefix.alias("a")
@@ -793,8 +800,8 @@ def ppjoin_pairs(
             prefix.alias("b"),
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.id") < F.col("b.id"))
-            & (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n")))
-            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(t))),
+            & (F.col("b.n") >= F.ceil(F.lit(tf) * F.col("a.n")))
+            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(max(tf, 1e-12)))),
         )
         .select(
             F.col("a.id").alias("id_a"),

@@ -218,11 +218,14 @@ def cluster_outliers(
 
     from .quantiles import exact_quantiles
 
+    # exact_quantiles names its column from the REDUCED fraction
+    # (95/100 -> q_19_20); reduce first so any equivalent form works
+    frac = Fraction(p_num, p_den)
     q = exact_quantiles(
-        assign, "cluster", "dist_fp", "id", ps=(Fraction(p_num, p_den),)
+        assign, "cluster", "dist_fp", "id", ps=(frac,)
     ).select(
         F.col("key").alias("cluster"),
-        F.col(f"q_{p_num}_{p_den}").alias("cutoff_fp"),
+        F.col(f"q_{frac.numerator}_{frac.denominator}").alias("cutoff_fp"),
     )
     return assign.join(F.broadcast(q), "cluster").select(
         "id",

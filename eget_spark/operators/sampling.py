@@ -242,13 +242,20 @@ def mixture_weights(
         ],
         F.lit(0).cast("long"),
     ) if target_ppm else F.lit(0).cast("long")
+    # Overflow guard: n_tokens * 1e6 leaves int64 past ~9.2e12 tokens
+    # (a ~40 TB stratum).  Scale numerator and denominator down by
+    # s = max(1, _total div 2^43) first — s=1 (bit-identical to the
+    # naive form) up to 8.8e12-token corpora, and a pinned <=1ppm-
+    # relative-drift integer approximation beyond; the oracle mirrors
+    # the same integer ops.
+    _s = "greatest(1, _total div 8796093022208)"
     out = per.crossJoin(F.broadcast(total)).select(
         "grp",
         "n_docs",
         "n_tokens",
-        F.expr("n_tokens * 1000000 div _total").cast("long").alias(
-            "corpus_ppm"
-        ),
+        F.expr(
+            f"(n_tokens div {_s}) * 1000000 div (_total div {_s})"
+        ).cast("long").alias("corpus_ppm"),
         tgt.alias("target_ppm"),
     )
     weight = F.least(
@@ -260,6 +267,12 @@ def mixture_weights(
         ),
     )
     return out.withColumn("weight_ppm", weight).withColumn(
+        # exact long-division split of n_tokens * weight_ppm div 1e6:
+        # floor(n*w/M) = (n div M)*w + ((n mod M)*w) div M — the same
+        # value as the naive product, without its ~9.2e12-token ceiling
         "sampled_tokens_est",
-        F.expr("n_tokens * weight_ppm div 1000000").cast("long"),
+        F.expr(
+            "(n_tokens div 1000000) * weight_ppm"
+            " + (n_tokens % 1000000) * weight_ppm div 1000000"
+        ).cast("long"),
     )

@@ -30,7 +30,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def _epoch_dirs(root: str) -> list[str]:
@@ -52,11 +51,9 @@ def process_boilerplate_batch(
     """One micro-batch: explode ONLY the batch's lines, write this
     epoch's (host, line, n_pages) and (host, host_pages) count deltas.
     Module-level so replay idempotency is directly testable."""
-    lines = batch_df.select(
-        F.col(host_col).alias("host"),
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
-    ).where(F.trim(F.col("line")) != "")
+    from ..operators.boilerplate import exploded_lines
+
+    lines = exploded_lines(batch_df, host_col, id_col, text_col)
     per_line = (
         lines.distinct()
         .groupBy("host", "line")
@@ -96,21 +93,10 @@ def read_templates(
         .groupBy("host")
         .agg(F.sum("host_pages").cast("long").alias("host_pages"))
     )
-    cand = (
-        per_line.join(hosts, "host")
-        .where(F.col("host_pages") >= F.lit(int(min_pages)))
-        .where(
-            F.col("n_pages")
-            >= F.ceil(F.lit(float(frac)) * F.col("host_pages")).cast("long")
-        )
-    )
-    w = Window.partitionBy("host").orderBy(
-        F.col("n_pages").desc(), F.col("line").asc()
-    )
-    return (
-        cand.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= F.lit(int(max_templates)))
-        .select("host", "line", "n_pages", "host_pages")
+    from ..operators.boilerplate import template_decision
+
+    return template_decision(
+        per_line, hosts, frac, min_pages, max_templates
     )
 
 

@@ -110,17 +110,23 @@ def main(argv: list[str], spark=None) -> int:
     )
 
     # prepare_training_data normalizes the id column to `id` and
-    # annotates `n_tokens` — downstream stages build on those
+    # annotates `n_tokens` — downstream stages build on those.
+    # The pipeline DAG (filters + dedup joins + chunker) is the
+    # expensive part: persist the survivor table so the shard join,
+    # packing, and its report count all reuse one execution, and take
+    # every other report counter from the parquet just written instead
+    # of re-running the pipeline per count.
     out = args.output.rstrip("/")
-    survivors = res.docs
+    base = res.docs.persist()
+    survivors = base
     if args.out_shards:
-        sized = survivors.withColumn(
+        sized = base.withColumn(
             "_sz", F.length(F.col(args.text_col)).cast("long")
         )
         shard = striped_shards(
             sized, "id", "_sz", n_shards=args.out_shards
         ).select("id", "shard")
-        survivors = survivors.join(shard, "id")
+        survivors = base.join(shard, "id")
     survivors.write.mode("overwrite").parquet(f"{out}/docs")
     res.chunks.write.mode("overwrite").parquet(f"{out}/chunks")
     res.dropped.write.mode("overwrite").parquet(f"{out}/dropped")
@@ -128,21 +134,27 @@ def main(argv: list[str], spark=None) -> int:
     n_packed = None
     if args.pack_capacity:
         packed = pack_sequences(
-            res.docs.select("id", "n_tokens"), "id", "n_tokens",
+            base.select("id", "n_tokens"), "id", "n_tokens",
             capacity=args.pack_capacity, n_shards=args.pack_shards,
         )
         packed.write.mode("overwrite").parquet(f"{out}/packing")
-        n_packed = packed.count()
+        n_packed = spark.read.parquet(f"{out}/packing").count()
 
-    drop_rows = res.dropped.groupBy("reason").count().collect()
+    drop_rows = (
+        spark.read.parquet(f"{out}/dropped")
+        .groupBy("reason")
+        .count()
+        .collect()
+    )
     report = {
         "input_docs": docs.count(),
-        "surviving_docs": res.docs.count(),
-        "chunks": res.chunks.count(),
+        "surviving_docs": base.count(),
+        "chunks": spark.read.parquet(f"{out}/chunks").count(),
         "dropped_by_reason": {r["reason"]: r["count"] for r in drop_rows},
         "packed_rows": n_packed,
         "wall_sec": round(time.time() - t0, 3),
     }
+    base.unpersist()
     line = json.dumps(report, sort_keys=True)
     print(line)
     # report.json: single driver-side line next to the data

@@ -78,6 +78,48 @@ def test_backoff_ladder(spark):
     assert got[4] == (None, 2_000)
 
 
+def test_headers_hostile_values(spark):
+    # review findings: >int64 digit strings must degrade (try_cast), not
+    # throw under ANSI mode; the shift ladder must stay capped past 31
+    from eget_spark.functions.headers import (
+        backoff_ms,
+        cache_ttl_seconds,
+        retry_after_seconds,
+    )
+
+    big = "9" * 20
+    df = spark.createDataFrame(
+        [
+            (0, f"max-age={big}", 150, 100),
+            (1, big, None, None),
+        ],
+        "id long, s string, exp long, dt long",
+    )
+    r0 = df.where("id = 0").select(
+        cache_ttl_seconds(F.col("s"), F.col("exp"), F.col("dt")).alias("t")
+    ).collect()[0]["t"]
+    assert r0 == 50  # overflowing max-age falls through to Expires-Date
+    r1 = df.where("id = 1").select(
+        retry_after_seconds(F.col("s")).alias("r")
+    ).collect()[0]["r"]
+    assert r1 is None
+
+    at = spark.createDataFrame(
+        [(i, a) for i, a in enumerate([7, 31, 32, 63])],
+        "id long, attempt int",
+    )
+    got = {
+        r["id"]: r["b"]
+        for r in at.select(
+            "id",
+            backoff_ms(F.col("attempt"), F.lit(None).cast("long")).alias(
+                "b"
+            ),
+        ).collect()
+    }
+    assert got == {0: 60_000, 1: 60_000, 2: 60_000, 3: 60_000}
+
+
 def test_table_cells_random(spark):
     from eget_spark.operators.table_mining import extract_table_cells
 
