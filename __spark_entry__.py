@@ -7859,6 +7859,54 @@ WHERE round(i / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.2
 """
 
 
+def q173_opic(spark, sf_dir):
+    """Adaptive OPIC frontier priority (operators/graph.opic_fixed —
+    Abiteboul/Preda/Cobena WWW'03, the classic crawler-priority
+    algorithm): synchronous cash/history propagation over the analytics
+    link graph, dangling cash through the virtual page.  All int64 in
+    1e-12 units (pagerank_fixed's discipline), bit-exact vs the
+    unrolled-CTE oracle carrying both state columns."""
+    from eget_spark.operators.graph import opic_fixed
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    st = opic_fixed(nodes, edges, n_iter=5)
+    return st.select(
+        F.col("id").alias("doc_id"), "cash_fp", "hist_fp", "opic_fp"
+    )
+
+
+def _q173_sql(n_iter: int = 5, scale: int = 10**12) -> str:
+    parts = [
+        "WITH ",
+        _EDGES_SQL.lstrip(),
+        ",\nodeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f",\ns0 AS (SELECT doc_id AS id, {scale} // (SELECT c FROM n) AS cash,"
+        " CAST(0 AS BIGINT) AS hist FROM documents)",
+    ]
+    for i in range(1, n_iter + 1):
+        virt = (
+            f"(SELECT coalesce(sum(s.cash), 0) FROM s{i-1} s "
+            f"LEFT JOIN odeg o ON o.src = s.id WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f""",
+s{i} AS (
+  SELECT s.id,
+         CAST(coalesce(c.contrib, 0) + {virt} // (SELECT c FROM n)
+           AS BIGINT) AS cash,
+         CAST(s.hist + s.cash AS BIGINT) AS hist
+  FROM s{i-1} s LEFT JOIN (
+    SELECT e.dst AS id, sum(s2.cash // o.od) AS contrib
+    FROM edges e JOIN odeg o ON o.src = e.src JOIN s{i-1} s2 ON s2.id = e.src
+    GROUP BY e.dst) c ON c.id = s.id)"""
+        )
+    parts.append(
+        f"\nSELECT id AS doc_id, cash AS cash_fp, hist AS hist_fp,"
+        f" CAST(cash + hist AS BIGINT) AS opic_fp FROM s{n_iter}"
+    )
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8038,6 +8086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_scheme_dupes": q170_scheme_dupes,
         "q171_compressibility": q171_compressibility,
         "q172_ppjoin": q172_ppjoin,
+        "q173_opic": q173_opic,
     }
 
 
@@ -8214,4 +8263,5 @@ def oracle_sql() -> dict[str, str]:
         "q170_scheme_dupes": _Q170_SQL,
         # q171 is rows-only (DEFLATE has no relational form) — like q136
         "q172_ppjoin": _Q172_SQL,
+        "q173_opic": _q173_sql(),
     }

@@ -313,6 +313,96 @@ def pagerank_fixed(
     return ranks
 
 
+def opic_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Adaptive OPIC — On-line Page Importance Computation (Abiteboul,
+    Preda, Cobena, WWW 2003) — THE classic crawler frontier-priority
+    algorithm, in its synchronous round-barrier form (every page "fetched"
+    each crawl round, matching this engine's BFS-round execution model).
+
+    Why it exists next to :func:`pagerank_fixed`: PageRank needs the whole
+    graph and a damping factor; OPIC was designed to run *during* the
+    crawl on the partial graph — each page holds CASH, a fetch banks the
+    cash into HISTORY and distributes it equally over out-links, and a
+    page's importance estimate is ``history + cash``.  A priority crawler
+    fetches the frontier page holding the most cash (greedy variant); the
+    reference's FIFO frontier (queue_manager.py:34-44) is the degenerate
+    no-priority case.
+
+    Pinned integer semantics (bit-exact vs the unrolled-CTE oracle):
+    - state is (cash_fp, hist_fp), int64 in units of 1/scale; initial
+      cash = scale div n, history = 0;
+    - per round: hist += cash; each out-edge of a node with out-degree d
+      carries ``cash div d`` (parallel edges count individually, exactly
+      like pagerank_fixed); DANGLING nodes send their whole cash to the
+      virtual page, which redistributes ``virt div n`` to every node next
+      round (the paper's virtual-page trick, keeping the graph strongly
+      connected without damping);
+    - truncation from integer division loses <= (in_deg+2)/scale of cash
+      per node per round — irrelevant for ranking at scale=1e12.
+
+    Returns (id, cash_fp, hist_fp, opic_fp = hist_fp + cash_fp).
+
+    Scale shape: identical to pagerank_fixed — per iteration ONE
+    edges-vs-state join on ``src`` + ONE map-side-combined aggregation on
+    ``dst``; the virtual-page mass is a 1-row broadcast cross join (never
+    a driver collect in the loop); state is localCheckpoint-ed per round
+    so plan lineage stays O(1) in n_iter.  On a cluster, bucket ``edges``
+    by src to reuse one exchange across all iterations; AQE splits
+    celebrity-page reduce skew.
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "id",
+            F.lit(0).cast("long").alias("cash_fp"),
+            F.lit(0).cast("long").alias("hist_fp"),
+            F.lit(0).cast("long").alias("opic_fp"),
+        )
+    deg = out_degrees(edges).localCheckpoint()  # computed once, reused per iter
+    state = nodes.select(
+        "id",
+        F.lit(scale // n).cast("long").alias("cash_fp"),
+        F.lit(0).cast("long").alias("hist_fp"),
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        with_deg = state.join(deg, state["id"] == deg["src"], "left")
+        virtual = with_deg.where(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("cash_fp"), F.lit(0)).cast("long").alias("_virt")
+        )
+        contrib = (
+            with_deg.where(F.col("out_deg").isNotNull())
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("cash_fp div out_deg")).alias("contrib"))
+        )
+        state = (
+            state.join(contrib, state["id"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(virtual))
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("contrib"), F.lit(0))
+                    + F.expr(f"_virt div {n}")
+                ).cast("long").alias("cash_fp"),
+                (F.col("hist_fp") + F.col("cash_fp")).cast("long").alias(
+                    "hist_fp"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        "id",
+        "cash_fp",
+        "hist_fp",
+        (F.col("cash_fp") + F.col("hist_fp")).cast("long").alias("opic_fp"),
+    )
+
+
 def link_reciprocity(edges: DataFrame) -> DataFrame:
     """Per-node reciprocal-link profile — the link-exchange spam signal
     that complements :func:`trustrank_fixed`: organic linking is mostly

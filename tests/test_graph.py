@@ -267,3 +267,67 @@ def test_link_reciprocity_matches_python(spark):
     # 2: only the self-loop -> no qualifying out-edge, absent
     # 3: out {0}; not reciprocated -> 0
     assert got == {0: (2, 1, 500), 1: (1, 1, 1000), 3: (1, 0, 0)}
+
+
+def _py_opic(ids, pairs, n_iter=5, scale=10**12):
+    """Pure-python integer OPIC oracle (synchronous rounds, virtual page)."""
+    n = len(ids)
+    deg: dict[int, int] = {}
+    for s, _ in pairs:
+        deg[s] = deg.get(s, 0) + 1
+    cash = {i: scale // n for i in ids}
+    hist = {i: 0 for i in ids}
+    for _ in range(n_iter):
+        virt = sum(c for i, c in cash.items() if i not in deg)
+        contrib: dict[int, int] = {}
+        for s, d in pairs:
+            contrib[d] = contrib.get(d, 0) + cash[s] // deg[s]
+        hist = {i: hist[i] + cash[i] for i in ids}
+        cash = {i: contrib.get(i, 0) + virt // n for i in ids}
+    return {i: (cash[i], hist[i], cash[i] + hist[i]) for i in ids}
+
+
+def test_opic_matches_python_oracle(spark):
+    from eget_spark.operators.graph import opic_fixed
+
+    ids = list(range(12))
+    # mix: parallel edges (i=2 twice to same dst), a self-loop, danglers
+    pairs = (
+        [(i, (i * 7 + 13) % 12) for i in range(9)]
+        + [(i, (i * 11 + 5) % 12) for i in range(9)]
+        + [(2, (2 * 7 + 13) % 12), (4, 4)]
+    )
+    got = {
+        r["id"]: (r["cash_fp"], r["hist_fp"], r["opic_fp"])
+        for r in opic_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=5
+        ).collect()
+    }
+    assert got == _py_opic(ids, pairs)
+
+
+def test_opic_all_dangling_uniform(spark):
+    # no edges at all: every round the virtual page re-splits the whole pot;
+    # cash stays uniform, history grows by one pot per round
+    from eget_spark.operators.graph import opic_fixed
+
+    ids = [0, 1, 2, 3]
+    res = {
+        r["id"]: (r["cash_fp"], r["hist_fp"])
+        for r in opic_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, []), n_iter=3
+        ).collect()
+    }
+    pot = 10**12 // 4
+    assert res == {i: (pot, 3 * pot) for i in ids}
+
+
+def test_opic_importance_orders_hubs_first(spark):
+    # a star: everyone links to 0 -> node 0 must end with the top opic_fp
+    from eget_spark.operators.graph import opic_fixed
+
+    ids = [0, 1, 2, 3, 4]
+    pairs = [(i, 0) for i in ids[1:]]
+    rows = opic_fixed(_nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=4).collect()
+    top = max(rows, key=lambda r: r["opic_fp"])
+    assert top["id"] == 0
