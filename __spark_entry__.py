@@ -7907,6 +7907,61 @@ s{i} AS (
     return "".join(parts)
 
 
+def q174_fetcher_assign(spark, sf_dir):
+    """Rendezvous fetcher-fleet assignment + resize churn matrix
+    (operators/assign — highest-random-weight hashing, Thaler &
+    Ravishankar '96): owner(host) = argmax_w md5_60bit(host|w).  The
+    distributed-crawler sharding step the single-process reference never
+    needs; growing the fleet f0..f4 -> +f5 must move ONLY hosts whose new
+    owner is f5 (politeness clocks/robots caches survive the resize).
+    Assignment is a zero-shuffle higher-order fold — no worker table, no
+    join; the churn rollup is the only aggregation."""
+    from eget_spark.operators.assign import assignment_churn
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host")
+    )
+    fleet_a = [f"f{i}" for i in range(5)]
+    out = assignment_churn(hosts, "host", fleet_a, fleet_a + ["f5"])
+    return out.select("worker_a", "worker_b", "n_hosts", "moved")
+
+
+_Q174_SQL = """
+WITH hosts AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host
+  FROM documents
+),
+wa AS (SELECT unnest(['f0','f1','f2','f3','f4']) AS worker),
+wb AS (SELECT unnest(['f0','f1','f2','f3','f4','f5']) AS worker),
+sa AS (
+  SELECT host, worker,
+         CAST(('0x' || substr(md5(host || '|' || worker), 1, 15)) AS BIGINT) AS w
+  FROM hosts CROSS JOIN wa),
+sb AS (
+  SELECT host, worker,
+         CAST(('0x' || substr(md5(host || '|' || worker), 1, 15)) AS BIGINT) AS w
+  FROM hosts CROSS JOIN wb),
+pa AS (
+  SELECT host, worker AS worker_a FROM (
+    SELECT host, worker,
+           row_number() OVER (PARTITION BY host ORDER BY w DESC, worker DESC) AS rn
+    FROM sa) t WHERE rn = 1),
+pb AS (
+  SELECT host, worker AS worker_b FROM (
+    SELECT host, worker,
+           row_number() OVER (PARTITION BY host ORDER BY w DESC, worker DESC) AS rn
+    FROM sb) t WHERE rn = 1)
+SELECT worker_a, worker_b, CAST(count(*) AS BIGINT) AS n_hosts,
+       worker_a <> worker_b AS moved
+FROM pa JOIN pb USING (host)
+GROUP BY worker_a, worker_b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8087,6 +8142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_compressibility": q171_compressibility,
         "q172_ppjoin": q172_ppjoin,
         "q173_opic": q173_opic,
+        "q174_fetcher_assign": q174_fetcher_assign,
     }
 
 
@@ -8264,4 +8320,5 @@ def oracle_sql() -> dict[str, str]:
         # q171 is rows-only (DEFLATE has no relational form) — like q136
         "q172_ppjoin": _Q172_SQL,
         "q173_opic": _q173_sql(),
+        "q174_fetcher_assign": _Q174_SQL,
     }

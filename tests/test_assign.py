@@ -1,0 +1,103 @@
+"""Rendezvous fetcher assignment vs a pure-Python md5 oracle."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from eget_spark.operators.assign import (
+    assignment_churn,
+    rendezvous_assign,
+    rendezvous_owner,
+)
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_owner(host: str, workers: list[str]) -> str:
+    return max(sorted(set(workers)), key=lambda w: (_md5_60(f"{host}|{w}"), w))
+
+
+def _hosts_df(spark, hosts):
+    return spark.createDataFrame([(h,) for h in hosts], "host string")
+
+
+def test_owner_matches_python_oracle(spark):
+    hosts = [f"h{i}.example.com" for i in range(60)]
+    workers = ["f0", "f1", "f2", "f3", "f4"]
+    got = {
+        r["host"]: r["worker"]
+        for r in rendezvous_assign(_hosts_df(spark, hosts), "host", workers).collect()
+    }
+    assert got == {h: _py_owner(h, workers) for h in hosts}
+
+
+def test_owner_spreads_load(spark):
+    # 600 hosts over 5 workers: every worker owns something, and no worker
+    # owns more than half the fleet (sanity on hash spread, not a tight bound)
+    hosts = [f"site{i}.test" for i in range(600)]
+    workers = [f"f{i}" for i in range(5)]
+    counts = (
+        rendezvous_assign(_hosts_df(spark, hosts), "host", workers)
+        .groupBy("worker")
+        .count()
+        .collect()
+    )
+    assert len(counts) == 5
+    assert max(r["count"] for r in counts) < 300
+
+
+def test_single_worker_owns_everything(spark):
+    hosts = ["a.com", "b.com"]
+    got = rendezvous_assign(_hosts_df(spark, hosts), "host", ["only"]).collect()
+    assert {r["worker"] for r in got} == {"only"}
+
+
+def test_grow_churn_minimal(spark):
+    # rendezvous property: adding f5 moves ONLY hosts whose new owner is f5
+    hosts = [f"h{i}.example.com" for i in range(200)]
+    a = [f"f{i}" for i in range(5)]
+    b = a + ["f5"]
+    rows = assignment_churn(_hosts_df(spark, hosts), "host", a, b).collect()
+    moved = [r for r in rows if r["moved"]]
+    assert all(r["worker_b"] == "f5" for r in moved)
+    n_moved = sum(r["n_hosts"] for r in moved)
+    n_total = sum(r["n_hosts"] for r in rows)
+    assert n_total == 200
+    # expected n/(k+1) ~ 33; allow a wide deterministic band
+    assert 10 <= n_moved <= 70
+    # python oracle agreement on the full matrix
+    want: dict[tuple[str, str], int] = {}
+    for h in hosts:
+        key = (_py_owner(h, a), _py_owner(h, b))
+        want[key] = want.get(key, 0) + 1
+    got = {(r["worker_a"], r["worker_b"]): r["n_hosts"] for r in rows}
+    assert got == want
+
+
+def test_shrink_churn_redistributes_only_lost_worker(spark):
+    # removing a worker moves exactly the hosts it owned, nothing else
+    hosts = [f"h{i}.example.com" for i in range(200)]
+    a = [f"f{i}" for i in range(5)]
+    b = [w for w in a if w != "f2"]
+    rows = assignment_churn(_hosts_df(spark, hosts), "host", a, b).collect()
+    for r in rows:
+        if r["moved"]:
+            assert r["worker_a"] == "f2"
+        else:
+            assert r["worker_a"] != "f2" or r["n_hosts"] == 0
+
+
+def test_owner_is_projection_no_shuffle(spark):
+    # the assignment itself must not introduce an Exchange
+    hosts = _hosts_df(spark, ["x.com", "y.com"])
+    plan = (
+        hosts.withColumn("w", rendezvous_owner(F.col("host"), ["a", "b"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
