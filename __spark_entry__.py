@@ -7962,6 +7962,47 @@ GROUP BY worker_a, worker_b
 """
 
 
+def q175_fetch_timeline(spark, sf_dir):
+    """Politeness waterfall (operators/politeness.fetch_timeline): the
+    virtual per-fetch schedule under host-serial crawl-delay — slot k of
+    a host starts at (k-1)*(fetch_ms+delay_ms).  Complements q159's
+    makespan LOWER BOUND with the realized per-URL times; per-host
+    max(finish_ms) == the bound's politeness span term.  One window
+    shuffle on host (input is the round's budget-capped admitted set)."""
+    from eget_spark.operators.politeness import fetch_timeline
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".test/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        F.col("doc_id").alias("seq"),
+        (((F.col("doc_id") % 20) % 3) * 100 + 100).cast("long").alias("delay_ms"),
+    )
+    return fetch_timeline(frontier, fetch_ms=50).select(
+        "url", "host", "slot", "start_ms", "finish_ms"
+    )
+
+
+_Q175_SQL = """
+WITH f AS (
+  SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.test/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+         doc_id AS seq,
+         CAST(((doc_id % 20) % 3) * 100 + 100 AS BIGINT) AS delay_ms
+  FROM documents
+)
+SELECT url, host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY seq) AS BIGINT) AS slot,
+       CAST((row_number() OVER (PARTITION BY host ORDER BY seq) - 1)
+            * (50 + delay_ms) AS BIGINT) AS start_ms,
+       CAST((row_number() OVER (PARTITION BY host ORDER BY seq) - 1)
+            * (50 + delay_ms) + 50 AS BIGINT) AS finish_ms
+FROM f
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8143,6 +8184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_ppjoin": q172_ppjoin,
         "q173_opic": q173_opic,
         "q174_fetcher_assign": q174_fetcher_assign,
+        "q175_fetch_timeline": q175_fetch_timeline,
     }
 
 
@@ -8321,4 +8363,5 @@ def oracle_sql() -> dict[str, str]:
         "q172_ppjoin": _Q172_SQL,
         "q173_opic": _q173_sql(),
         "q174_fetcher_assign": _Q174_SQL,
+        "q175_fetch_timeline": _Q175_SQL,
     }

@@ -302,3 +302,46 @@ def makespan_bound(
         ),
         (F.col("max_host_span_ms") > capacity).alias("skew_bound"),
     )
+
+
+def fetch_timeline(
+    frontier: DataFrame,
+    host_col: str = "host",
+    order_col: str = "seq",
+    delay_col: str = "delay_ms",
+    fetch_ms: int = 50,
+) -> DataFrame:
+    """Per-fetch virtual schedule realizing host-serial politeness — the
+    waterfall view of a crawl round: the k-th fetch of a host starts at
+    ``(k-1) * (fetch_ms + delay_ms)`` on that host's private clock and
+    finishes ``fetch_ms`` later.  This is the schedule a real fetcher
+    executes once :func:`rendezvous <eget_spark.operators.assign>` pins the
+    host to it, and its per-host ``max(finish_ms)`` equals EXACTLY the
+    politeness-span term of :func:`makespan_bound`
+    (``n*fetch_ms + (n-1)*delay_ms``) — the two operators are
+    consistency-pinned in tests.
+
+    Use it to answer "WHEN does each admitted URL actually get fetched,
+    and which hosts are still busy at the round deadline" (the long-tail
+    histogram that motivates per-host page caps).
+
+    Pinned semantics: ``order_col`` must be unique per host (the frontier
+    contract — ``with_global_seq`` sequences are); slot = 1-based rank in
+    that order; all arithmetic int64 milliseconds.
+
+    Scale shape: ONE window shuffle on ``host_col``.  Input is a round's
+    ADMITTED set, already per-host-budget-capped by ``schedule_round`` —
+    so host partitions are bounded by the politeness budget itself and
+    need no salting here (the budget that would blow a partition up also
+    can't be fetched in the round window).
+    """
+    w = Window.partitionBy(host_col).orderBy(order_col)
+    slot = F.row_number().over(w)
+    step = F.lit(int(fetch_ms)) + F.col(delay_col).cast("long")
+    return (
+        frontier.withColumn("slot", slot.cast("long"))
+        .withColumn("start_ms", ((F.col("slot") - 1) * step).cast("long"))
+        .withColumn(
+            "finish_ms", (F.col("start_ms") + F.lit(int(fetch_ms))).cast("long")
+        )
+    )

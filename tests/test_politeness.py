@@ -199,3 +199,51 @@ def test_apportion_all_zero_weights(spark):
         for r in apportion_budget(df, 3, "host", "weight").collect()
     }
     assert sum(got.values()) == 3
+
+
+def test_fetch_timeline_matches_python(spark):
+    from eget_spark.operators.politeness import fetch_timeline
+
+    rows = [
+        ("a", 10, 200), ("a", 3, 200), ("a", 7, 200),
+        ("b", 1, 0), ("b", 2, 0),
+        ("c", 5, 1000),
+    ]
+    df = spark.createDataFrame(rows, "host string, seq long, delay_ms long")
+    got = {
+        (r["host"], r["seq"]): (r["slot"], r["start_ms"], r["finish_ms"])
+        for r in fetch_timeline(df, fetch_ms=50).collect()
+    }
+    want = {}
+    by_host: dict[str, list] = {}
+    for h, s, d in rows:
+        by_host.setdefault(h, []).append((s, d))
+    for h, lst in by_host.items():
+        for k, (s, d) in enumerate(sorted(lst), start=1):
+            start = (k - 1) * (50 + d)
+            want[(h, s)] = (k, start, start + 50)
+    assert got == want
+
+
+def test_fetch_timeline_consistent_with_makespan_span(spark):
+    # per-host max(finish) must equal the makespan bound's politeness span
+    # n*fetch + (n-1)*delay
+    import pyspark.sql.functions as F
+    from eget_spark.operators.politeness import fetch_timeline, makespan_bound
+
+    rows = [("a", i, 200) for i in range(7)] + [("b", i, 50) for i in range(30)]
+    df = spark.createDataFrame(rows, "host string, seq long, delay_ms long")
+    tl = (
+        fetch_timeline(df, fetch_ms=50)
+        .groupBy("host")
+        .agg(F.max("finish_ms").alias("fin"), F.count("*").alias("n"),
+             F.max("delay_ms").alias("d"))
+        .collect()
+    )
+    for r in tl:
+        assert r["fin"] == r["n"] * 50 + (r["n"] - 1) * r["d"]
+    hosts = spark.createDataFrame(
+        [("a", 7, 200), ("b", 30, 50)], "host string, n_pages long, delay_ms long"
+    )
+    mb = makespan_bound(hosts, fetch_ms=50, workers=2).first()
+    assert mb["max_host_span_ms"] == max(r["fin"] for r in tl)
