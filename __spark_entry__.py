@@ -8003,6 +8003,73 @@ FROM f
 """
 
 
+def q176_path_traps(spark, sf_dir):
+    """Per-URL structural trap detection (operators/traps.path_cycle_flags
+    — Heritrix-style path-repetition / too-many-segments rules): flags
+    /x/y/x/y/x cycles and over-deep paths from the URL string ALONE, so
+    it can gate admission with zero coordination (the complement of q55's
+    host-statistical template mining).  Pure higher-order array algebra —
+    no explode, no shuffle, no Python."""
+    from eget_spark.operators.traps import path_cycle_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("https://t.test/cal/"),
+                     (F.col("doc_id") % 4).cast("string"),
+                     F.lit("/cal/"), (F.col("doc_id") % 4).cast("string"),
+                     F.lit("/cal/ev")),
+        ).when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("https://t.test/a/b/c/d/e/f/g/h/i/j/k/l/m/p"),
+                     F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("https://t.test/sec/"),
+                     (F.col("doc_id") % 9).cast("string"),
+                     F.lit("/p"), F.col("doc_id").cast("string")),
+        ).alias("url"),
+    )
+    return path_cycle_flags(urls).select(
+        "doc_id", "url", "depth", "max_seg_repeat", "is_trap"
+    )
+
+
+_Q176_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 7 = 0 THEN
+             'https://t.test/cal/' || CAST(doc_id % 4 AS VARCHAR)
+               || '/cal/' || CAST(doc_id % 4 AS VARCHAR) || '/cal/ev'
+           WHEN doc_id % 11 = 0 THEN
+             'https://t.test/a/b/c/d/e/f/g/h/i/j/k/l/m/p' || CAST(doc_id AS VARCHAR)
+           ELSE
+             'https://t.test/sec/' || CAST(doc_id % 9 AS VARCHAR)
+               || '/p' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents
+),
+s AS (
+  SELECT doc_id, url,
+         list_filter(string_split(
+           regexp_extract(url, '^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)', 1),
+           '/'), x -> x <> '') AS segs
+  FROM u
+)
+SELECT doc_id, url,
+       CAST(length(segs) AS BIGINT) AS depth,
+       CAST(coalesce(list_max(list_transform(segs,
+              x -> length(list_filter(segs, y -> y = x)))), 0) AS BIGINT)
+         AS max_seg_repeat,
+       coalesce(list_max(list_transform(segs,
+           x -> length(list_filter(segs, y -> y = x)))), 0) > 2
+         OR length(segs) > 12 AS is_trap
+FROM s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8185,6 +8252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_opic": q173_opic,
         "q174_fetcher_assign": q174_fetcher_assign,
         "q175_fetch_timeline": q175_fetch_timeline,
+        "q176_path_traps": q176_path_traps,
     }
 
 
@@ -8364,4 +8432,5 @@ def oracle_sql() -> dict[str, str]:
         "q173_opic": _q173_sql(),
         "q174_fetcher_assign": _Q174_SQL,
         "q175_fetch_timeline": _Q175_SQL,
+        "q176_path_traps": _Q176_SQL,
     }

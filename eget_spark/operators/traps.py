@@ -59,3 +59,53 @@ def trap_scores(
         F.max("n_urls").cast("long").alias("top_template_n"),
         F.round(F.max("n_urls") / F.sum("n_urls"), 6).alias("trap_score"),
     )
+
+
+def path_cycle_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    max_repeat: int = 2,
+    max_depth: int = 12,
+) -> DataFrame:
+    """Per-URL structural trap detector — the zero-shuffle complement to
+    the statistical :func:`trap_scores`: a URL is flagged WITHOUT seeing
+    any other URL, so the filter can run at admission time inside the
+    crawl loop (before the frontier pays for the fetch), exactly like the
+    classic Heritrix "path-repetition" TooManyPathSegments/
+    PathologicalPath rules (public crawler lore: ``/a/b/a/b/a/b/...``
+    symlink loops and calendar recursions produce paths where the same
+    segment recurs).
+
+    Pinned semantics (engine-portable, oracle-checked):
+    - ``segments`` = non-empty '/'-separated path segments of the URL
+      after stripping scheme://host and any ?query/#fragment;
+    - ``depth`` = number of segments;
+    - ``max_seg_repeat`` = the highest multiplicity of any single segment
+      value within the path (1 for an all-distinct path, 0 for an empty
+      one);
+    - ``is_trap`` = max_seg_repeat > max_repeat OR depth > max_depth.
+
+    Scale shape: pure projection — split + higher-order array expressions
+    (the per-row cost is O(depth^2) with depth <= a few dozen); NO
+    explode, NO groupBy, NO join, NO Python.  At 10^10 URLs this is the
+    only trap control with zero coordination cost.
+    """
+    c = F.col(url_col)
+    path = F.regexp_extract(c, r"^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+    rep = F.aggregate(
+        segs,
+        F.lit(0),
+        lambda acc, x: F.greatest(
+            acc, F.size(F.filter(segs, lambda y: y == x))
+        ),
+    )
+    return (
+        df.withColumn("depth", F.size(segs).cast("long"))
+        .withColumn("max_seg_repeat", rep.cast("long"))
+        .withColumn(
+            "is_trap",
+            (F.col("max_seg_repeat") > F.lit(int(max_repeat)))
+            | (F.col("depth") > F.lit(int(max_depth))),
+        )
+    )

@@ -47,3 +47,49 @@ def test_trap_scores_match_python_oracle(spark):
 
     plan = trap_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # pure column expressions
+
+
+def test_path_cycle_flags_pinned_cases(spark):
+    from eget_spark.operators.traps import path_cycle_flags
+
+    cases = {
+        "https://a.test/x/y/x/y/x": (5, 3, True),     # period-2 cycle
+        "https://a.test/a/b/c": (3, 1, False),
+        "https://a.test/": (0, 0, False),
+        "https://a.test": (0, 0, False),              # no path at all
+        "https://a.test/a/a?a=1#a": (2, 2, False),    # query/frag stripped
+        "https://a.test/" + "/".join(f"s{i}" for i in range(13)): (13, 1, True),
+        "https://a.test//a///b//": (2, 1, False),     # empty segs dropped
+        "https://a.test/p/p/p": (3, 3, True),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: (r["depth"], r["max_seg_repeat"], r["is_trap"])
+        for r in path_cycle_flags(df).collect()
+    }
+    assert got == cases
+
+
+def test_path_cycle_flags_python_oracle(spark):
+    import re
+
+    from eget_spark.operators.traps import path_cycle_flags
+
+    urls = [
+        f"https://h{i%5}.test/" + "/".join(
+            f"s{(i * j) % 4}" for j in range(1, (i % 6) + 1)
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: (r["depth"], r["max_seg_repeat"], r["is_trap"])
+        for r in path_cycle_flags(df, max_repeat=2, max_depth=4).collect()
+    }
+    want = {}
+    for u in set(urls):
+        m = re.match(r"^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)", u)
+        segs = [s for s in (m.group(1) if m else "").split("/") if s]
+        rep = max((segs.count(s) for s in segs), default=0)
+        want[u] = (len(segs), rep, rep > 2 or len(segs) > 4)
+    assert got == want
