@@ -8070,6 +8070,72 @@ FROM s
 """
 
 
+def q177_host_rank(spark, sf_dir):
+    """Host-graph collapse + WEIGHTED fixed-point PageRank
+    (operators/graph.collapse_to_hosts + pagerank_weighted_fixed): page
+    edges roll up to (src_host, dst_host, weight), intra-host self-loops
+    dropped, then rank flows as (pr*weight) div W_src — the host-level
+    crawl-budget signal (host graph is ~3 orders smaller than the page
+    graph).  All int64; bit-exact vs the unrolled weighted-CTE oracle."""
+    from eget_spark.operators.graph import (
+        collapse_to_hosts,
+        pagerank_weighted_fixed,
+    )
+
+    _, edges = _arith_edges(spark, sf_dir)
+    hedges = collapse_to_hosts(
+        edges,
+        F.concat(F.lit("h"), (F.col("src") % 20).cast("string")),
+        F.concat(F.lit("h"), (F.col("dst") % 20).cast("string")),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    hnodes = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("id")
+    ).distinct()
+    pr = pagerank_weighted_fixed(hnodes, hedges, n_iter=5)
+    return pr.select(F.col("id").alias("host"), "pr_fp")
+
+
+def _q177_sql(n_iter: int = 5, damp_num: int = 17, damp_den: int = 20, scale: int = 10**12) -> str:
+    base = (
+        f"(({scale} * {damp_den - damp_num}) // {damp_den}) // (SELECT c FROM hn)"
+    )
+    parts = [
+        "WITH ",
+        _EDGES_SQL.lstrip(),
+        """,
+hedges AS (
+  SELECT 'h' || CAST(src % 20 AS VARCHAR) AS src,
+         'h' || CAST(dst % 20 AS VARCHAR) AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM edges WHERE src % 20 <> dst % 20 GROUP BY 1, 2),
+hnodes AS (SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR) AS id FROM documents),
+hn AS (SELECT count(*) AS c FROM hnodes),
+wout AS (SELECT src, sum(w) AS tw FROM hedges GROUP BY src)""",
+        f",\np0 AS (SELECT id, {scale} // (SELECT c FROM hn) AS pr_fp FROM hnodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        dang = (
+            f"(SELECT coalesce(sum(p.pr_fp), 0) FROM p{i-1} p "
+            f"LEFT JOIN wout o ON o.src = p.id WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT d.id,
+         CAST({base}
+              + ({damp_num} * (coalesce(s.contrib, 0)
+                               + {dang} // (SELECT c FROM hn))) // {damp_den}
+           AS BIGINT) AS pr_fp
+  FROM hnodes d LEFT JOIN (
+    SELECT e.dst AS id, sum((p.pr_fp * e.w) // o.tw) AS contrib
+    FROM hedges e JOIN wout o ON o.src = e.src JOIN p{i-1} p ON p.id = e.src
+    GROUP BY e.dst) s ON s.id = d.id)"""
+        )
+    parts.append(f"\nSELECT id AS host, pr_fp FROM p{n_iter}")
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8253,6 +8319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_fetcher_assign": q174_fetcher_assign,
         "q175_fetch_timeline": q175_fetch_timeline,
         "q176_path_traps": q176_path_traps,
+        "q177_host_rank": q177_host_rank,
     }
 
 
@@ -8433,4 +8500,5 @@ def oracle_sql() -> dict[str, str]:
         "q174_fetcher_assign": _Q174_SQL,
         "q175_fetch_timeline": _Q175_SQL,
         "q176_path_traps": _Q176_SQL,
+        "q177_host_rank": _q177_sql(),
     }

@@ -403,6 +403,94 @@ def opic_fixed(
     )
 
 
+def collapse_to_hosts(
+    edges: DataFrame,
+    src_host: "F.Column | str" = "src_host",
+    dst_host: "F.Column | str" = "dst_host",
+) -> DataFrame:
+    """Collapse a page-level link graph to the HOST graph: one row per
+    directed (src, dst) host pair with ``weight`` = number of page edges
+    it aggregates, self-loops (intra-host links — the overwhelming
+    majority of real web edges) dropped.  The standard pre-step for
+    host-level rank/budget decisions (host PageRank seeds crawl-budget
+    apportionment; the host graph is ~3 orders smaller than the page
+    graph, so 5 rank iterations on it are nearly free).
+
+    One map-side-combined groupBy — page edges never shuffle twice.
+    """
+    s = F.col(src_host) if isinstance(src_host, str) else src_host
+    d = F.col(dst_host) if isinstance(dst_host, str) else dst_host
+    return (
+        edges.select(s.alias("src"), d.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def pagerank_weighted_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 5,
+    damp_num: int = 17,
+    damp_den: int = 20,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Weighted fixed-point PageRank: edge (src, dst, weight) carries
+    ``(rank * weight) div W_src`` where ``W_src`` = the src's total
+    out-weight — the natural rank for a COLLAPSED host graph, where edge
+    weight = how many page links the host pair aggregates (an unweighted
+    rank would let one stray link count as much as ten thousand).
+
+    Same integer discipline and iteration shape as :func:`pagerank_fixed`
+    (int64 units of 1/scale, truncating div, dangling mass via a 1-row
+    broadcast, localCheckpoint per iteration, ONE join + ONE aggregate
+    per iteration); nodes with zero total out-weight are dangling.
+    Division nests as ``((pr * w) div W)`` — pinned, since int division
+    does not reassociate.  ``pr * w`` needs ``w * scale < 2^63``:
+    fine for any real weight (w < 9e6 at scale=1e12 — cap upstream if
+    collapsing >9M-page host pairs, or lower scale).
+
+    Returns (id, pr_fp).
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0).cast("long").alias("pr_fp"))
+    wout = edges.groupBy("src").agg(
+        F.sum("weight").cast("long").alias("w_out")
+    ).localCheckpoint()
+    base = (scale * (damp_den - damp_num)) // damp_den // n
+    ranks = nodes.select(
+        "id", F.lit(scale // n).cast("long").alias("pr_fp")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        with_w = ranks.join(wout, ranks["id"] == wout["src"], "left")
+        dangling = with_w.where(F.col("w_out").isNull()).agg(
+            F.coalesce(F.sum("pr_fp"), F.lit(0)).cast("long").alias("_dang")
+        )
+        contrib = (
+            with_w.where(F.col("w_out").isNotNull())
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("(pr_fp * weight) div w_out")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damp_num} * (coalesce(contrib, 0) + (_dang div {n}))) div {damp_den}"
+                    )
+                ).cast("long").alias("pr_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def link_reciprocity(edges: DataFrame) -> DataFrame:
     """Per-node reciprocal-link profile — the link-exchange spam signal
     that complements :func:`trustrank_fixed`: organic linking is mostly

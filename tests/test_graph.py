@@ -331,3 +331,76 @@ def test_opic_importance_orders_hubs_first(spark):
     rows = opic_fixed(_nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=4).collect()
     top = max(rows, key=lambda r: r["opic_fp"])
     assert top["id"] == 0
+
+
+def _py_weighted_pr(ids, wedges, n_iter=5, scale=10**12, dn=17, dd=20):
+    """Integer weighted-PageRank oracle; wedges = {(s,d): w}."""
+    n = len(ids)
+    wout: dict = {}
+    for (s, _), w in wedges.items():
+        wout[s] = wout.get(s, 0) + w
+    base = (scale * (dd - dn)) // dd // n
+    pr = {i: scale // n for i in ids}
+    for _ in range(n_iter):
+        dang = sum(p for i, p in pr.items() if i not in wout)
+        contrib: dict = {}
+        for (s, d), w in wedges.items():
+            contrib[d] = contrib.get(d, 0) + (pr[s] * w) // wout[s]
+        pr = {
+            i: base + (dn * (contrib.get(i, 0) + dang // n)) // dd
+            for i in ids
+        }
+    return pr
+
+
+def test_collapse_to_hosts(spark):
+    from eget_spark.operators.graph import collapse_to_hosts
+
+    rows = [("a", "b"), ("a", "b"), ("a", "a"), ("b", "a"), ("b", "c")]
+    df = spark.createDataFrame(rows, "src_host string, dst_host string")
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in collapse_to_hosts(df).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def test_weighted_pagerank_matches_python(spark):
+    from eget_spark.operators.graph import pagerank_weighted_fixed
+
+    ids = list(range(8))
+    wedges = {(i, (i * 3 + 1) % 8): (i % 4) + 1 for i in range(6)}
+    wedges[(0, 5)] = 7  # a second out-edge for node 0
+    nodes = _nodes_df(spark, ids)
+    edges = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in wedges.items()],
+        "src long, dst long, weight long",
+    )
+    got = {
+        r["id"]: r["pr_fp"]
+        for r in pagerank_weighted_fixed(nodes, edges, n_iter=5).collect()
+    }
+    assert got == _py_weighted_pr(ids, wedges)
+
+
+def test_weighted_pagerank_uniform_weights_equals_unweighted(spark):
+    # weight=1 everywhere must reproduce pagerank_fixed exactly
+    from eget_spark.operators.graph import pagerank_weighted_fixed
+
+    ids = list(range(10))
+    pairs = [(i, (i * 7 + 13) % 10) for i in ids] + [(i, (i * 11 + 5) % 10) for i in ids]
+    # dedup pairs: parallel edges differ between the two formulations
+    pairs = sorted(set(pairs))
+    nodes = _nodes_df(spark, ids)
+    uw = {
+        r["id"]: r["pr_fp"]
+        for r in pagerank_fixed(nodes, _edges_df(spark, pairs), n_iter=4).collect()
+    }
+    wedges = spark.createDataFrame(
+        [(s, d, 1) for s, d in pairs], "src long, dst long, weight long"
+    )
+    w = {
+        r["id"]: r["pr_fp"]
+        for r in pagerank_weighted_fixed(nodes, wedges, n_iter=4).collect()
+    }
+    assert w == uw
