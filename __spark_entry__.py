@@ -8136,6 +8136,104 @@ p{i} AS (
     return "".join(parts)
 
 
+def q178_dust_rules(spark, sf_dir):
+    """DUST param-strip rule mining (operators/dust.dust_param_rules —
+    Bar-Yossef et al. WWW'07): learn from duplicate-content evidence which
+    query params are safe to strip at canonicalization time.  Planted
+    corpus: ?sid= never changes content (valid rule), ?page= does
+    (violated rule).  One explode bounded by per-URL key count + ONE
+    unique-key url join + map-side rollup."""
+    from eget_spark.operators.dust import dust_param_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = F.concat(F.lit("https://s.test/p"), (d % 100).cast("string"))
+    parts = [
+        docs.select(base.alias("url"), (d % 100).cast("long").alias("content_key")),
+        docs.where(d % 3 == 0).select(
+            F.concat(base, F.lit("?sid="), d.cast("string")).alias("url"),
+            (d % 100).cast("long").alias("content_key"),
+        ),
+        docs.where(d % 5 == 0).select(
+            F.concat(base, F.lit("?page=2")).alias("url"),
+            (d % 100 + 1000).cast("long").alias("content_key"),
+        ),
+        docs.where(d % 15 == 0).select(
+            F.concat(base, F.lit("?page=2&sid="), d.cast("string")).alias("url"),
+            (d % 100 + 1000).cast("long").alias("content_key"),
+        ),
+    ]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    return dust_param_rules(corpus, min_support=2).select(
+        "param_key", "n_candidates", "n_support", "n_violate", "n_missing",
+        "valid",
+    )
+
+
+_Q178_SQL = """
+WITH corpus AS (
+  SELECT DISTINCT url, ck FROM (
+    SELECT 'https://s.test/p' || CAST(doc_id % 100 AS VARCHAR) AS url,
+           CAST(doc_id % 100 AS BIGINT) AS ck FROM documents
+    UNION ALL
+    SELECT 'https://s.test/p' || CAST(doc_id % 100 AS VARCHAR)
+             || '?sid=' || CAST(doc_id AS VARCHAR),
+           CAST(doc_id % 100 AS BIGINT) FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'https://s.test/p' || CAST(doc_id % 100 AS VARCHAR) || '?page=2',
+           CAST(doc_id % 100 + 1000 AS BIGINT) FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT 'https://s.test/p' || CAST(doc_id % 100 AS VARCHAR)
+             || '?page=2&sid=' || CAST(doc_id AS VARCHAR),
+           CAST(doc_id % 100 + 1000 AS BIGINT) FROM documents WHERE doc_id % 15 = 0
+  ) t
+),
+parsed AS (
+  SELECT url, ck,
+         string_split(string_split(url, '#')[1], '?')[1] AS path,
+         CASE WHEN length(string_split(string_split(url, '#')[1], '?')) > 1
+              THEN string_split(string_split(url, '#')[1], '?')[2] ELSE '' END
+           AS query
+  FROM corpus
+),
+withp AS (
+  SELECT url, ck, path,
+         list_filter(string_split(query, '&'), x -> x <> '') AS params
+  FROM parsed
+),
+cand0 AS (
+  SELECT url, ck, path, params,
+         unnest(list_distinct(list_transform(params,
+           x -> string_split(x, '=')[1]))) AS param_key
+  FROM withp
+),
+cand AS (
+  SELECT url, ck, param_key,
+         CASE WHEN length(list_filter(params,
+                    x -> string_split(x, '=')[1] <> param_key)) > 0
+              THEN path || '?' || array_to_string(list_filter(params,
+                    x -> string_split(x, '=')[1] <> param_key), '&')
+              ELSE path END AS stripped
+  FROM cand0
+),
+joined AS (
+  SELECT c.param_key, c.ck, t.ck AS ck2
+  FROM cand c LEFT JOIN corpus t ON t.url = c.stripped
+)
+SELECT param_key,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN ck2 IS NOT NULL AND ck2 = ck THEN 1 ELSE 0 END) AS BIGINT) AS n_support,
+       CAST(sum(CASE WHEN ck2 IS NOT NULL AND ck2 <> ck THEN 1 ELSE 0 END) AS BIGINT) AS n_violate,
+       CAST(sum(CASE WHEN ck2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       sum(CASE WHEN ck2 IS NOT NULL AND ck2 <> ck THEN 1 ELSE 0 END) = 0
+         AND sum(CASE WHEN ck2 IS NOT NULL AND ck2 = ck THEN 1 ELSE 0 END) >= 2
+         AS valid
+FROM joined GROUP BY param_key
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8320,6 +8418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_fetch_timeline": q175_fetch_timeline,
         "q176_path_traps": q176_path_traps,
         "q177_host_rank": q177_host_rank,
+        "q178_dust_rules": q178_dust_rules,
     }
 
 
@@ -8501,4 +8600,5 @@ def oracle_sql() -> dict[str, str]:
         "q175_fetch_timeline": _Q175_SQL,
         "q176_path_traps": _Q176_SQL,
         "q177_host_rank": _q177_sql(),
+        "q178_dust_rules": _Q178_SQL,
     }
