@@ -1555,6 +1555,85 @@ def main() -> None:
     )
     checks.append(("ppjoin: no Python", "EvalPython" not in p_pp))
 
+    # 103. opic (q173): iteration state is checkpointed (scan of the
+    # prior round, not a replayed lineage), no Python, no cartesian
+    p_op = plan_of(entry.q173_opic(spark, SF))
+    checks.append(("opic: no Python", "EvalPython" not in p_op))
+    checks.append(("opic: no cartesian blowup", "CartesianProduct" not in p_op))
+    checks.append(
+        ("opic: reads checkpointed state", "ExistingRDD" in p_op or "Scan" in p_op)
+    )
+
+    # 104. fetcher assign (q174): the per-fleet argmax is a projection —
+    # the ONLY exchanges are the distinct + the churn groupBy (<= 3 total:
+    # distinct pair + final agg), and no join anywhere
+    p_fa = plan_of(entry.q174_fetcher_assign(spark, SF))
+    checks.append(("fetcher assign: no join", "Join" not in p_fa))
+    checks.append(("fetcher assign: no Python", "EvalPython" not in p_fa))
+    import re as _re
+
+    def _nodes(p: str, name: str) -> int:
+        return len(_re.findall(r"\(\d+\) " + name, p))
+
+    checks.append(
+        ("fetcher assign: <=3 exchange nodes", _nodes(p_fa, "Exchange") <= 3)
+    )
+
+    # 105. fetch timeline (q175): exactly ONE window (host partition),
+    # zero joins, zero Python
+    p_tl = plan_of(entry.q175_fetch_timeline(spark, SF))
+    checks.append(("fetch timeline: one window", _nodes(p_tl, "Window") == 1))
+    checks.append(("fetch timeline: no join", "Join" not in p_tl))
+    checks.append(("fetch timeline: no Python", "EvalPython" not in p_tl))
+
+    # 106. path traps (q176): pure projection — no exchange at all
+    p_pt = plan_of(entry.q176_path_traps(spark, SF))
+    checks.append(("path traps: zero shuffle", "Exchange" not in p_pt))
+    checks.append(("path traps: no explode", "Generate" not in p_pt))
+    checks.append(("path traps: no Python", "EvalPython" not in p_pt))
+
+    # 107. host rank (q177): the returned frame reads the checkpointed
+    # final state (O(1) lineage); the weighted ITERATION BODY (checked on
+    # an explicit construction, same shape as the pagerank body check)
+    # carries its dangling scalar on a 1-row broadcast cross join and its
+    # dst aggregation is map-side partial — no Python anywhere
+    p_hr = plan_of(entry.q177_host_rank(spark, SF))
+    checks.append(("host rank: no Python", "EvalPython" not in p_hr))
+    _wn = spark.createDataFrame([(0,), (1,)], "id long")
+    _we = spark.createDataFrame([(0, 1, 3)], "src long, dst long, weight long")
+    _wout = _we.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    _state = _wn.selectExpr("id", "CAST(100 AS BIGINT) AS pr_fp")
+    _withw = _state.join(_wout, _state["id"] == _wout["src"], "left")
+    _dang = _withw.where(F.col("w_out").isNull()).agg(
+        F.coalesce(F.sum("pr_fp"), F.lit(0)).alias("_dang")
+    )
+    _contrib = (
+        _withw.where(F.col("w_out").isNotNull())
+        .join(_we, "src")
+        .groupBy("dst")
+        .agg(F.sum(F.expr("(pr_fp * weight) div w_out")).alias("contrib"))
+    )
+    p_hb = plan_of(
+        _wn.join(_contrib, _wn["id"] == _contrib["dst"], "left")
+        .crossJoin(F.broadcast(_dang))
+        .selectExpr("id", "coalesce(contrib, 0) + _dang AS pr_fp")
+    )
+    checks.append(
+        ("host rank body: dangling via 1-row broadcast",
+         "BroadcastNestedLoopJoin" in p_hb)
+    )
+    checks.append(
+        ("host rank body: map-side partial contrib", "partial_sum" in p_hb)
+    )
+    checks.append(("host rank body: no Python", "BatchEvalPython" not in p_hb))
+
+    # 108. dust rules (q178): stripped-URL lookup is a hash equi-join
+    # (never nested-loop), rollup is map-side partial
+    p_du = plan_of(entry.q178_dust_rules(spark, SF))
+    checks.append(("dust: hash join lookup", "SortMergeJoin" in p_du or "ShuffledHashJoin" in p_du or "BroadcastHashJoin" in p_du))
+    checks.append(("dust: no cartesian", "CartesianProduct" not in p_du))
+    checks.append(("dust: no Python", "EvalPython" not in p_du))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
