@@ -8234,6 +8234,77 @@ FROM joined GROUP BY param_key
 """
 
 
+def q179_script_profile(spark, sf_dir):
+    """Unicode-script census + mojibake flag (functions/text.
+    script_profile): per-doc counts over 8 script classes (Java
+    \\p{IsX} == RE2 \\p{X}, equality pinned), dominant script with
+    first-in-list tie rule, and the 0xC3+supplement UTF-8-as-Latin-1
+    damage signature.  Scripts injected per doc_id residue so every
+    branch is exercised.  Pure zero-shuffle regexp projection."""
+    from eget_spark.functions.text import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = (
+        F.when(d % 5 == 1, F.concat(F.col("text"), F.lit(" привет мир доброе утро")))
+        .when(d % 5 == 2, F.concat(F.lit("世界 你好 世界 "), F.col("text")))
+        .when(d % 5 == 3, F.concat(F.col("text"), F.lit(" Ã© hÃ¤llo Ã¼ber")))
+        .when(d % 5 == 4, F.lit("مرحبا بالعالم اليوم"))
+        .otherwise(F.col("text"))
+    )
+    return script_profile(
+        docs.select("doc_id", t.alias("text")), "doc_id", "text"
+    )
+
+
+_Q179_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 5 = 1 THEN text || ' привет мир доброе утро'
+           WHEN doc_id % 5 = 2 THEN '世界 你好 世界 ' || text
+           WHEN doc_id % 5 = 3 THEN text || ' Ã© hÃ¤llo Ã¼ber'
+           WHEN doc_id % 5 = 4 THEN 'مرحبا بالعالم اليوم'
+           ELSE text
+         END AS s
+  FROM documents
+),
+c AS (
+  SELECT doc_id, s,
+    CAST(length(s) - length(regexp_replace(s, '[\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
+    CAST(length(s) - length(regexp_replace(s, '[\p{Cyrillic}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+    CAST(length(s) - length(regexp_replace(s, '[\p{Greek}]', '', 'g')) AS BIGINT) AS n_greek,
+    CAST(length(s) - length(regexp_replace(s, '[\p{Arabic}]', '', 'g')) AS BIGINT) AS n_arabic,
+    CAST(length(s) - length(regexp_replace(s, '[\p{Hebrew}]', '', 'g')) AS BIGINT) AS n_hebrew,
+    CAST(length(s) - length(regexp_replace(s, '[\p{Devanagari}]', '', 'g')) AS BIGINT) AS n_devanagari,
+    CAST(length(s) - length(regexp_replace(s, '[\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
+    CAST(length(s) - length(regexp_replace(s, '[\p{Hangul}]', '', 'g')) AS BIGINT) AS n_hangul,
+    CAST(length(s) - length(regexp_replace(s, 'Ã[\x{0080}-\x{00FF}]', '', 'g')) AS BIGINT) AS mojraw
+  FROM t
+),
+m AS (
+  SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+                     n_devanagari, n_han, n_hangul) AS mx
+  FROM c
+)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+       n_devanagari, n_han, n_hangul,
+       CASE WHEN mx = 0 THEN 'none'
+            WHEN n_latin = mx THEN 'latin'
+            WHEN n_cyrillic = mx THEN 'cyrillic'
+            WHEN n_greek = mx THEN 'greek'
+            WHEN n_arabic = mx THEN 'arabic'
+            WHEN n_hebrew = mx THEN 'hebrew'
+            WHEN n_devanagari = mx THEN 'devanagari'
+            WHEN n_han = mx THEN 'han'
+            ELSE 'hangul' END AS dominant,
+       CAST(CASE WHEN length(s) > 0 THEN (1000 * mx) // length(s) ELSE 0 END AS BIGINT)
+         AS dominant_permille,
+       CAST(mojraw // 2 AS BIGINT) AS mojibake_hits
+FROM m
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8419,6 +8490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_path_traps": q176_path_traps,
         "q177_host_rank": q177_host_rank,
         "q178_dust_rules": q178_dust_rules,
+        "q179_script_profile": q179_script_profile,
     }
 
 
@@ -8601,4 +8673,5 @@ def oracle_sql() -> dict[str, str]:
         "q176_path_traps": _Q176_SQL,
         "q177_host_rank": _q177_sql(),
         "q178_dust_rules": _Q178_SQL,
+        "q179_script_profile": _Q179_SQL,
     }

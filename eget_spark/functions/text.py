@@ -581,3 +581,88 @@ def bpe_pair_counts(df, id_col: str, text_col: str, top_k: int = 50):
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+# (script, Java-regex class, RE2/DuckDB-regex class) — fixed order: the
+# dominant-script tie rule is FIRST IN THIS LIST among equals
+SCRIPT_CLASSES = [
+    ("latin", r"[\p{IsLatin}]", r"[\p{Latin}]"),
+    ("cyrillic", r"[\p{IsCyrillic}]", r"[\p{Cyrillic}]"),
+    ("greek", r"[\p{IsGreek}]", r"[\p{Greek}]"),
+    ("arabic", r"[\p{IsArabic}]", r"[\p{Arabic}]"),
+    ("hebrew", r"[\p{IsHebrew}]", r"[\p{Hebrew}]"),
+    ("devanagari", r"[\p{IsDevanagari}]", r"[\p{Devanagari}]"),
+    ("han", r"[\p{IsHan}]", r"[\p{Han}]"),
+    ("hangul", r"[\p{IsHangul}]", r"[\p{Hangul}]"),
+]
+
+# UTF-8-read-as-Latin-1 mojibake signature: 0xC3 ("\u00c3") followed by a
+# Latin-1-supplement continuation char covers the whole accented-Latin
+# block ("Ã©" = e-acute, "Ã¤" = a-umlaut, ...)
+MOJIBAKE_RE = "\u00c3[\u0080-\u00ff]"
+
+
+def script_profile(df, id_col: str, text_col: str):
+    """Per-document Unicode-script census + mojibake flag — the
+    multilingual-curation signal next to :func:`lang_id`: lang-id says
+    WHICH language, the script profile says whether the doc is
+    script-consistent at all (code-switching, spam keyword stuffing in a
+    second script, and encoding damage all show up as mixed or unexpected
+    scripts long before a language model sees the text).
+
+    Training-data-pipeline extension (not a reference operator); the
+    mojibake signature (UTF-8 bytes decoded as Latin-1: 0xC3 + supplement
+    char, the "Ã©" artifact) is the classic Common-Crawl encoding-damage
+    probe.
+
+    Pinned semantics (engine-portable, oracle-checked):
+    - per script s in SCRIPT_CLASSES: n_s = count of chars matching the
+      script class (Java ``\p{IsX}`` == RE2 ``\p{X}``), computed as
+      length(text) - length(regexp_replace(text, class, ''));
+    - dominant = the first script in SCRIPT_CLASSES order holding the
+      maximum count, or 'none' when every count is 0;
+    - dominant_permille = 1000 * max_count div length(text) (0 for empty
+      text); mojibake_hits = matches of MOJIBAKE_RE (chars div 2).
+
+    Scale shape: pure zero-shuffle projection — a fixed set of
+    regexp_replace length diffs inside whole-stage codegen; no explode,
+    no Python, no aggregation.
+    """
+    t = F.col(text_col)
+    out = df.select(F.col(id_col), t.alias("_t"))
+    for name, java_re, _ in SCRIPT_CLASSES:
+        out = out.withColumn(
+            f"n_{name}",
+            (F.length("_t") - F.length(F.regexp_replace("_t", java_re, "")))
+            .cast("long"),
+        )
+    counts = [F.col(f"n_{n}") for n, _, _ in SCRIPT_CLASSES]
+    mx = F.greatest(*counts)
+    dom = F.lit("none")
+    for name, _, _ in reversed(SCRIPT_CLASSES):
+        dom = F.when(
+            (mx > 0) & (F.col(f"n_{name}") == mx), F.lit(name)
+        ).otherwise(dom)
+    return (
+        out.withColumn("dominant", dom)
+        .withColumn(
+            "dominant_permille",
+            F.when(
+                F.length("_t") > 0,
+                F.expr(
+                    "(1000 * greatest("
+                    + ", ".join("n_" + n for n, _, _ in SCRIPT_CLASSES)
+                    + ")) div length(_t)"
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "mojibake_hits",
+            (
+                (F.length("_t")
+                 - F.length(F.regexp_replace("_t", MOJIBAKE_RE, "")))
+                / 2
+            ).cast("long"),
+        )
+        .drop("_t")
+    )

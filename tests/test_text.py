@@ -190,3 +190,48 @@ def test_bpe_pair_counts_matches_python_oracle(spark):
                     c[w[i : i + 2]] += 1
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == want
+
+
+def test_script_profile_pinned_cases(spark):
+    from eget_spark.functions.text import script_profile
+
+    rows = [
+        (0, "hello world"),                     # pure latin
+        (1, "привет мир"),                      # pure cyrillic
+        (2, "hello мир 世界世界世界"),            # han wins (6 > 5 latin)
+        (3, ""),                                # empty -> none
+        (4, "1234 !!!"),                        # no script chars -> none
+        (5, "abc абв"),                         # 3-3 tie -> latin (list order)
+        (6, "naÃ¯ve cafÃ©"),                    # mojibake x2
+        (7, "מרחבא שלום"),                      # hebrew
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_latin"], r["n_cyrillic"], r["n_han"], r["dominant"],
+            r["dominant_permille"], r["mojibake_hits"],
+        )
+        for r in script_profile(df, "doc_id", "text").collect()
+    }
+    assert got[0] == (10, 0, 0, "latin", 10000 // 11, 0)
+    assert got[1] == (0, 9, 0, "cyrillic", 9000 // 10, 0)
+    assert got[2] == (5, 3, 6, "han", 6000 // len("hello мир 世界世界世界"), 0)
+    assert got[3] == (0, 0, 0, "none", 0, 0)
+    assert got[4] == (0, 0, 0, "none", 0, 0)
+    assert got[5][3] == "latin" and got[5][0] == got[5][1] == 3
+    # mojibake: Ã¯ and Ã© are hits; the Ã chars also count as latin
+    assert got[6][5] == 2 and got[6][3] == "latin"
+    assert got[7][3] == "hebrew"
+
+
+def test_script_profile_zero_shuffle(spark):
+    from eget_spark.functions.text import script_profile
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        script_profile(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
