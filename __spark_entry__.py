@@ -8305,6 +8305,68 @@ FROM m
 """
 
 
+def q180_fleet_load(spark, sf_dir):
+    """Fleet capacity planning (operators/assign.fleet_load): rendezvous
+    ownership x per-host politeness spans — per worker, how many hosts/
+    fetches it owns and its serial vs. best-case wall time.  The question
+    every resize answers first: does HRW spread the politeness load, or
+    is one fetcher stuck behind a mega-host?  Zero-shuffle HRW fold +
+    ONE |workers|-key map-side groupBy."""
+    from eget_spark.operators.assign import fleet_load
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = (
+        docs.select(
+            (F.col("doc_id") % 50).alias("_h"),
+        )
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+        .select(
+            F.concat(F.lit("h"), F.col("_h").cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            "n_pages",
+            ((F.col("_h") % 4) * 50 + 50).cast("long").alias("delay_ms"),
+        )
+    )
+    return fleet_load(
+        hosts, "host", [f"f{i}" for i in range(6)], fetch_ms=50
+    ).select(
+        "worker", "n_hosts", "n_fetches", "total_fetch_ms", "max_span_ms",
+        "serial_ms",
+    )
+
+
+_Q180_SQL = """
+WITH hs AS (
+  SELECT doc_id % 50 AS h, CAST(count(*) AS BIGINT) AS n_pages
+  FROM documents GROUP BY 1
+),
+hosts AS (
+  SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host, n_pages,
+         CAST((h % 4) * 50 + 50 AS BIGINT) AS delay_ms
+  FROM hs
+),
+w AS (SELECT unnest(['f0','f1','f2','f3','f4','f5']) AS worker),
+sc AS (
+  SELECT host, worker,
+         CAST(('0x' || substr(md5(host || '|' || worker), 1, 15)) AS BIGINT) AS wt
+  FROM hosts CROSS JOIN w),
+own AS (
+  SELECT host, worker FROM (
+    SELECT host, worker,
+           row_number() OVER (PARTITION BY host ORDER BY wt DESC, worker DESC) AS rn
+    FROM sc) t WHERE rn = 1)
+SELECT o.worker,
+       CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(h.n_pages) AS BIGINT) AS n_fetches,
+       CAST(sum(h.n_pages) * 50 AS BIGINT) AS total_fetch_ms,
+       CAST(max(h.n_pages * 50 + (h.n_pages - 1) * h.delay_ms) AS BIGINT) AS max_span_ms,
+       CAST(sum(h.n_pages * 50 + (h.n_pages - 1) * h.delay_ms) AS BIGINT) AS serial_ms
+FROM own o JOIN hosts h USING (host)
+GROUP BY o.worker
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8491,6 +8553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_host_rank": q177_host_rank,
         "q178_dust_rules": q178_dust_rules,
         "q179_script_profile": q179_script_profile,
+        "q180_fleet_load": q180_fleet_load,
     }
 
 
@@ -8674,4 +8737,5 @@ def oracle_sql() -> dict[str, str]:
         "q177_host_rank": _q177_sql(),
         "q178_dust_rules": _Q178_SQL,
         "q179_script_profile": _Q179_SQL,
+        "q180_fleet_load": _Q180_SQL,
     }

@@ -62,6 +62,10 @@ HEADLINE = [
     "q124_readability",
     "q125_bpe_pairs",
     "q127_ivf_pq_search",
+    # round-5 closing: pin the OPIC iteration loop (checkpointed rank
+    # state) and the DUST stripped-URL join
+    "q173_opic",
+    "q178_dust_rules",
 ]
 
 

@@ -94,3 +94,48 @@ def assignment_churn(
     return both.groupBy("worker_a", "worker_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_hosts")
     ).withColumn("moved", F.col("worker_a") != F.col("worker_b"))
+
+
+def fleet_load(
+    hosts: DataFrame,
+    host_col: str,
+    workers: list[str],
+    pages_col: str = "n_pages",
+    delay_col: str = "delay_ms",
+    fetch_ms: int = 50,
+) -> DataFrame:
+    """Projected per-fetcher load under rendezvous ownership — the
+    capacity-planning composition of :func:`rendezvous_owner` with the
+    politeness-span arithmetic of
+    :func:`~eget_spark.operators.politeness.makespan_bound`: each host
+    contributes its serial span ``n*fetch_ms + (n-1)*delay_ms`` to the
+    worker that owns it.
+
+    Returns one row per worker: (worker, n_hosts, n_fetches,
+    total_fetch_ms, max_span_ms, serial_ms) where ``serial_ms`` = sum of
+    owned spans (the worker's wall time if it politely fetched hosts one
+    after another) and ``max_span_ms`` = the longest single span (its
+    wall time with unlimited per-host concurrency).  A fleet is
+    host-skew-bound when one worker's max_span dwarfs the rest — the
+    signal to split that host across crawl snapshots.
+
+    Scale shape: ownership is the zero-shuffle HRW fold; the ONLY
+    shuffle is the |workers|-key groupBy (map-side combined).  Workers
+    with no hosts are absent (join the fleet list back if a dense report
+    is needed).
+    """
+    n = F.col(pages_col).cast("long")
+    d = F.col(delay_col).cast("long")
+    span = n * F.lit(int(fetch_ms)) + (n - F.lit(1)) * d
+    owned = hosts.select(
+        rendezvous_owner(F.col(host_col), workers).alias("worker"),
+        n.alias("_n"),
+        span.alias("_span"),
+    )
+    return owned.groupBy("worker").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("_n").cast("long").alias("n_fetches"),
+        (F.sum("_n") * F.lit(int(fetch_ms))).cast("long").alias("total_fetch_ms"),
+        F.max("_span").cast("long").alias("max_span_ms"),
+        F.sum("_span").cast("long").alias("serial_ms"),
+    )

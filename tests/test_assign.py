@@ -101,3 +101,29 @@ def test_owner_is_projection_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_fleet_load_matches_python(spark):
+    from eget_spark.operators.assign import fleet_load
+
+    hosts = [(f"h{i}.com", (i % 5) + 1, (i % 3) * 100) for i in range(30)]
+    df = spark.createDataFrame(hosts, "host string, n_pages long, delay_ms long")
+    workers = ["f0", "f1", "f2"]
+    got = {
+        r["worker"]: (
+            r["n_hosts"], r["n_fetches"], r["total_fetch_ms"],
+            r["max_span_ms"], r["serial_ms"],
+        )
+        for r in fleet_load(df, "host", workers, fetch_ms=50).collect()
+    }
+    want: dict[str, list[int]] = {}
+    for h, n, d in hosts:
+        w = _py_owner(h, workers)
+        span = n * 50 + (n - 1) * d
+        a = want.setdefault(w, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n
+        a[2] += n * 50
+        a[3] = max(a[3], span)
+        a[4] += span
+    assert got == {k: tuple(v) for k, v in want.items()}
