@@ -8367,6 +8367,144 @@ GROUP BY o.worker
 """
 
 
+def q181_canonical_chain(spark, sf_dir):
+    """The full production canonicalization chain, three operators
+    composed end-to-end: HTTP redirects resolve by pointer doubling
+    (operators/redirects, q85's map: i -> (7i+13) mod n unless i%3==0),
+    the LANDING page's rel=canonical declaration collapses variants
+    (operators/canonical, q92's block rule on the final id), and SURT
+    folds http/https scheme twins (functions/urls.surt_key, q170).
+    Unresolved redirect loops stay visible with canonical_key NULL.
+    Per input URL: landing id, canonical key, surt group + group size."""
+    from eget_spark.functions.urls import surt_key
+    from eget_spark.operators.canonical import canonical_collapse
+    from eget_spark.operators.redirects import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+
+    def _url(idc, scheme_of):
+        return F.concat(
+            F.when(scheme_of % 2 == 0, F.lit("https://")).otherwise(
+                F.lit("http://")
+            ),
+            F.lit("h"), (idc % 16).cast("string"),
+            F.lit(".example.org/p/"), idc.cast("string"),
+        )
+
+    universe = docs.select(d.alias("id"))
+    redirects = docs.where(d % 3 != 0).select(
+        d.alias("src"), ((d * 7 + 13) % n).alias("dst")
+    )
+    res = resolve_redirects(universe, redirects, max_hops=8)
+
+    # landing pages: one per distinct final id; the page's scheme follows
+    # the final id's parity, its canonical declaration follows q92's
+    # block rule (always declared with the https scheme)
+    fid = F.col("final_id")
+    landing = (
+        res.where(F.col("resolved")).select(fid.alias("lid")).distinct()
+    )
+    lid = F.col("lid")
+    block = lid - lid % 5
+    pages = landing.select(
+        _url(lid, lid).alias("url"),
+        F.when(
+            lid % 5 % 4 != 0,  # %5 in (1,2,3): declares the block base
+            F.concat(F.lit("https://h"), (block % 16).cast("string"),
+                     F.lit(".example.org/p/"), block.cast("string")),
+        ).alias("canonical_url"),
+        lid.alias("_lid"),
+    )
+    collapsed = canonical_collapse(pages).join(
+        pages.select("url", "_lid"), "url"
+    )
+
+    chain = res.join(
+        collapsed.select(
+            F.col("_lid").alias("final_id"), "canonical_key"
+        ),
+        "final_id",
+        "left",
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("final_id"),
+        F.col("resolved"),
+        # an unresolved loop's 8-hop cut point may coincide with some
+        # resolved chain's landing id — mask so loops stay NULL-keyed
+        F.when(F.col("resolved"), F.col("canonical_key")).alias(
+            "canonical_key"
+        ),
+    ).withColumn(
+        "surt_group",
+        F.when(
+            F.col("canonical_key").isNotNull(), surt_key(F.col("canonical_key"))
+        ),
+    )
+    sizes = (
+        chain.where(F.col("surt_group").isNotNull())
+        .groupBy("surt_group")
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    )
+    return chain.join(sizes, "surt_group", "left").select(
+        "doc_id", "final_id", "resolved", "canonical_key", "surt_group",
+        F.coalesce(F.col("group_size"), F.lit(0)).cast("long").alias(
+            "group_size"
+        ),
+    )
+
+
+_Q181_SQL = r"""
+WITH RECURSIVE n AS (SELECT count(*) AS c FROM documents),
+walk AS (
+  SELECT doc_id AS id, doc_id AS cur, CAST(0 AS BIGINT) AS hops,
+         (doc_id % 3 = 0) AS done
+  FROM documents
+  UNION ALL
+  SELECT id, (cur*7+13) % (SELECT c FROM n), hops + 1,
+         (((cur*7+13) % (SELECT c FROM n)) % 3 = 0)
+  FROM walk WHERE NOT done AND hops < 8
+),
+res AS (
+  SELECT id, cur AS final_id, done AS resolved
+  FROM walk WHERE done OR hops = 8
+),
+ck AS (
+  SELECT id, final_id, resolved,
+         CASE WHEN NOT resolved THEN NULL
+              WHEN final_id % 5 % 4 <> 0 THEN
+                'https://h' || CAST((final_id - final_id % 5) % 16 AS VARCHAR)
+                  || '.example.org/p/' || CAST(final_id - final_id % 5 AS VARCHAR)
+              ELSE
+                CASE WHEN final_id % 2 = 0 THEN 'https://' ELSE 'http://' END
+                  || 'h' || CAST(final_id % 16 AS VARCHAR)
+                  || '.example.org/p/' || CAST(final_id AS VARCHAR)
+         END AS canonical_key
+  FROM res
+),
+sg AS (
+  SELECT id, final_id, resolved, canonical_key,
+         CASE WHEN canonical_key IS NULL THEN NULL ELSE
+           array_to_string(list_reverse(string_split(
+             regexp_extract(lower(canonical_key),
+                            '^[a-z][a-z0-9+.\-]*://([^/?#]+)', 1), '.')), ',')
+           || ')'
+           || regexp_extract(lower(canonical_key),
+                             '^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)', 1)
+         END AS surt_group
+  FROM ck
+),
+sz AS (
+  SELECT surt_group, CAST(count(*) AS BIGINT) AS group_size
+  FROM sg WHERE surt_group IS NOT NULL GROUP BY surt_group
+)
+SELECT s.id AS doc_id, s.final_id, s.resolved, s.canonical_key,
+       s.surt_group, CAST(coalesce(z.group_size, 0) AS BIGINT) AS group_size
+FROM sg s LEFT JOIN sz z USING (surt_group)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8554,6 +8692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_dust_rules": q178_dust_rules,
         "q179_script_profile": q179_script_profile,
         "q180_fleet_load": q180_fleet_load,
+        "q181_canonical_chain": q181_canonical_chain,
     }
 
 
@@ -8738,4 +8877,5 @@ def oracle_sql() -> dict[str, str]:
         "q178_dust_rules": _Q178_SQL,
         "q179_script_profile": _Q179_SQL,
         "q180_fleet_load": _Q180_SQL,
+        "q181_canonical_chain": _Q181_SQL,
     }

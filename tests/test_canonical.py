@@ -76,3 +76,28 @@ def test_hreflang_clusters_xdefault_and_fallback(spark):
     assert got["c-1"] == ("c-1", "c-x1") and got["c-x2"] == ("c-1", "c-x1")
     # every url on either side of an edge is a member
     assert len(got) == 10
+
+
+def test_canonical_chain_masks_unresolved_loops(spark):
+    """Composition pin for the q181 chain: a redirect loop's member must
+    come out with resolved=False and canonical_key NULL even when its
+    hop-cap cut point lands on a real page's id."""
+    import pyspark.sql.functions as F
+
+    from eget_spark.operators.redirects import resolve_redirects
+
+    # 0 -> 1 -> 0 loop; 2 terminal; 3 -> 2
+    universe = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    redirects = spark.createDataFrame(
+        [(0, 1), (1, 0), (3, 2)], "src long, dst long"
+    )
+    res = resolve_redirects(universe, redirects, max_hops=8)
+    rows = {r["id"]: (r["final_id"], r["resolved"]) for r in res.collect()}
+    assert rows[2] == (2, True) and rows[3] == (2, True)
+    assert rows[0][1] is False and rows[1][1] is False
+    # the mask rule from q181: canonical_key only for resolved rows
+    masked = res.withColumn(
+        "ck", F.when(F.col("resolved"), F.col("final_id"))
+    )
+    got = {r["id"]: r["ck"] for r in masked.collect()}
+    assert got[0] is None and got[1] is None and got[2] == 2 and got[3] == 2
