@@ -1634,6 +1634,27 @@ def main() -> None:
     checks.append(("dust: no cartesian", "CartesianProduct" not in p_du))
     checks.append(("dust: no Python", "EvalPython" not in p_du))
 
+    # 109. script profile (q179): pure regexp projection — zero shuffle,
+    # zero Python, no generate
+    p_sp = plan_of(entry.q179_script_profile(spark, SF))
+    checks.append(("script profile: zero shuffle", "Exchange" not in p_sp))
+    checks.append(("script profile: no Python", "EvalPython" not in p_sp))
+
+    # 110. fleet load (q180): HRW fold stays a projection — the only
+    # exchange pair is the host pre-agg + the |workers|-key rollup, and
+    # the rollup aggregates map-side (partial_*)
+    p_fl = plan_of(entry.q180_fleet_load(spark, SF))
+    checks.append(("fleet load: no join", "Join" not in p_fl))
+    checks.append(("fleet load: map-side partials", "partial_sum" in p_fl))
+    checks.append(("fleet load: no Python", "EvalPython" not in p_fl))
+
+    # 111. canonical chain (q181): the composition keeps every join an
+    # equi hash/merge join — no cartesian, no nested-loop fan-out beyond
+    # the intended 1-row broadcasts, no Python
+    p_cc = plan_of(entry.q181_canonical_chain(spark, SF))
+    checks.append(("canonical chain: no cartesian", "CartesianProduct" not in p_cc))
+    checks.append(("canonical chain: no Python", "EvalPython" not in p_cc))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
