@@ -8054,7 +8054,7 @@ WITH u AS (
 s AS (
   SELECT doc_id, url,
          list_filter(string_split(
-           regexp_extract(url, '^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)', 1),
+           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)', 1),
            '/'), x -> x <> '') AS segs
   FROM u
 )
@@ -8083,11 +8083,14 @@ def q177_host_rank(spark, sf_dir):
     )
 
     _, edges = _arith_edges(spark, sf_dir)
+    # materialize the collapse ONCE: the rank loop joins hedges every
+    # iteration, and an unmaterialized groupBy would re-shuffle the page
+    # edges 6 times (1 for w_out + 5 iterations)
     hedges = collapse_to_hosts(
         edges,
         F.concat(F.lit("h"), (F.col("src") % 20).cast("string")),
         F.concat(F.lit("h"), (F.col("dst") % 20).cast("string")),
-    )
+    ).localCheckpoint()
     docs = _t(spark, sf_dir, "documents")
     hnodes = docs.select(
         F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("id")
@@ -8174,7 +8177,7 @@ def q178_dust_rules(spark, sf_dir):
 
 _Q178_SQL = """
 WITH corpus AS (
-  SELECT DISTINCT url, ck FROM (
+  SELECT url, min(ck) AS ck FROM (
     SELECT 'https://s.test/p' || CAST(doc_id % 100 AS VARCHAR) AS url,
            CAST(doc_id % 100 AS BIGINT) AS ck FROM documents
     UNION ALL
@@ -8188,15 +8191,15 @@ WITH corpus AS (
     SELECT 'https://s.test/p' || CAST(doc_id % 100 AS VARCHAR)
              || '?page=2&sid=' || CAST(doc_id AS VARCHAR),
            CAST(doc_id % 100 + 1000 AS BIGINT) FROM documents WHERE doc_id % 15 = 0
-  ) t
+  ) t GROUP BY url
 ),
 parsed AS (
   SELECT url, ck,
-         string_split(string_split(url, '#')[1], '?')[1] AS path,
-         CASE WHEN length(string_split(string_split(url, '#')[1], '?')) > 1
-              THEN string_split(string_split(url, '#')[1], '?')[2] ELSE '' END
-           AS query
-  FROM corpus
+         CASE WHEN strpos(base, '?') > 0
+              THEN substr(base, 1, strpos(base, '?') - 1) ELSE base END AS path,
+         CASE WHEN strpos(base, '?') > 0
+              THEN substr(base, strpos(base, '?') + 1) ELSE '' END AS query
+  FROM (SELECT url, ck, string_split(url, '#')[1] AS base FROM corpus) b
 ),
 withp AS (
   SELECT url, ck, path,

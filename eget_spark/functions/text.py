@@ -603,7 +603,7 @@ MOJIBAKE_RE = "\u00c3[\u0080-\u00ff]"
 
 
 def script_profile(df, id_col: str, text_col: str):
-    """Per-document Unicode-script census + mojibake flag — the
+    r"""Per-document Unicode-script census + mojibake flag — the
     multilingual-curation signal next to :func:`lang_id`: lang-id says
     WHICH language, the script profile says whether the doc is
     script-consistent at all (code-switching, spam keyword stuffing in a

@@ -19,8 +19,13 @@ Pinned semantics (engine-portable, oracle-checked):
 - candidate pairs = (url, k) for each DISTINCT key k among the URL's
   params; stripped(u, k) = base plus the remaining params in original
   order (no ``?`` if none remain);
-- over the DISTINCT (url, content_key) corpus: support / violation /
-  missing as above; ``valid = n_violate == 0 AND n_support >= min_support``.
+- the corpus is compacted to ONE row per URL before anything else: a URL
+  observed with multiple content keys (content drift across refetches —
+  arbitrated upstream by the recrawl operators) resolves to its MINIMUM
+  key, so both the candidate side and the lookup side stay url-unique
+  and the join can never fan out;
+- support / violation / missing as above over that compacted corpus;
+  ``valid = n_violate == 0 AND n_support >= min_support``.
 
 Scale shape: one distinct compaction; ONE explode bounded by the URL's
 distinct param-key count (single digits); the stripped-URL lookup is ONE
@@ -44,9 +49,11 @@ def dust_param_rules(
 ) -> DataFrame:
     """Returns (param_key, n_candidates, n_support, n_violate, n_missing,
     valid) — one row per query-param key observed anywhere in the corpus."""
-    u = df.select(
-        F.col(url_col).alias("url"), F.col(content_col).alias("ck")
-    ).distinct()
+    u = (
+        df.select(F.col(url_col).alias("url"), F.col(content_col).alias("ck"))
+        .groupBy("url")
+        .agg(F.min("ck").alias("ck"))
+    )
 
     base = F.split(F.split(F.col("url"), "#", 2).getItem(0), r"\?", 2)
     path = base.getItem(0)

@@ -276,41 +276,21 @@ def pagerank_fixed(
     per node per iteration — irrelevant at scale=1e12 for ranking.
 
     Returns (id, pr_fp) with pr_fp ≈ pagerank * scale.
+
+    Implementation: exactly :func:`pagerank_weighted_fixed` at weight=1
+    (with w=1 per edge row, ``w_out`` == out_deg and ``(pr*1) div w_out``
+    == ``pr div out_deg``, so the trajectories coincide term by term —
+    the equivalence is pinned bit-exactly in tests).  One iteration
+    scaffold to maintain, not two.
     """
-    n = nodes.count()
-    if n == 0:
-        return nodes.select("id", F.lit(0).cast("long").alias("pr_fp"))
-    deg = out_degrees(edges).localCheckpoint()  # computed once, reused per iter
-    base = (scale * (damp_den - damp_num)) // damp_den // n
-    ranks = nodes.select(
-        "id", F.lit(scale // n).cast("long").alias("pr_fp")
-    ).localCheckpoint()
-    for _ in range(n_iter):
-        with_deg = ranks.join(deg, ranks["id"] == deg["src"], "left")
-        dangling = with_deg.where(F.col("out_deg").isNull()).agg(
-            F.coalesce(F.sum("pr_fp"), F.lit(0)).cast("long").alias("_dang")
-        )
-        contrib = (
-            with_deg.where(F.col("out_deg").isNotNull())
-            .join(edges, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("pr_fp div out_deg")).alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damp_num} * (coalesce(contrib, 0) + (_dang div {n}))) div {damp_den}"
-                    )
-                ).cast("long").alias("pr_fp"),
-            )
-            .localCheckpoint()
-        )
-    return ranks
+    return pagerank_weighted_fixed(
+        nodes,
+        edges.select("src", "dst", F.lit(1).cast("long").alias("weight")),
+        n_iter=n_iter,
+        damp_num=damp_num,
+        damp_den=damp_den,
+        scale=scale,
+    )
 
 
 def opic_fixed(

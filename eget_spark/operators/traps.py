@@ -91,7 +91,12 @@ def path_cycle_flags(
     only trap control with zero coordination cost.
     """
     c = F.col(url_col)
-    path = F.regexp_extract(c, r"^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    # scheme matched case-insensitively (RFC 3986 §3.1 — 'HTTP://' is
+    # valid and does appear in real link extractions; host_of does the
+    # same): a miss here would zero the depth and wave the trap through
+    path = F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)", 1
+    )
     segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
     rep = F.aggregate(
         segs,

@@ -82,3 +82,21 @@ def test_dust_fragment_and_flag_params(spark):
         for r in dust_param_rules(_df(spark, rows), min_support=1).collect()
     }
     assert got == {"flag": (1, True)}
+
+
+def test_dust_conflicting_content_keys_compact_to_min(spark):
+    # a URL refetched with drifted content must compact to ONE row
+    # (min ck) so the lookup join never fans out; with ck=1 winning,
+    # the sid rule keeps exactly one candidate and one support
+    rows = [
+        ("https://a.test/x", 1),
+        ("https://a.test/x", 2),          # drifted refetch, loses to min
+        ("https://a.test/x?sid=7", 1),
+    ]
+    got = {
+        r["param_key"]: (
+            r["n_candidates"], r["n_support"], r["n_violate"], r["valid"]
+        )
+        for r in dust_param_rules(_df(spark, rows), min_support=1).collect()
+    }
+    assert got == {"sid": (1, 1, 0, True)}

@@ -61,6 +61,7 @@ def test_path_cycle_flags_pinned_cases(spark):
         "https://a.test/" + "/".join(f"s{i}" for i in range(13)): (13, 1, True),
         "https://a.test//a///b//": (2, 1, False),     # empty segs dropped
         "https://a.test/p/p/p": (3, 3, True),
+        "HTTP://a.test/x/y/x/y/x": (5, 3, True),  # RFC 3986 upper scheme
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {

@@ -1560,9 +1560,7 @@ def main() -> None:
     p_op = plan_of(entry.q173_opic(spark, SF))
     checks.append(("opic: no Python", "EvalPython" not in p_op))
     checks.append(("opic: no cartesian blowup", "CartesianProduct" not in p_op))
-    checks.append(
-        ("opic: reads checkpointed state", "ExistingRDD" in p_op or "Scan" in p_op)
-    )
+    checks.append(("opic: reads checkpointed state", "ExistingRDD" in p_op))
 
     # 104. fetcher assign (q174): the per-fleet argmax is a projection —
     # the ONLY exchanges are the distinct + the churn groupBy (<= 3 total:
