@@ -8508,6 +8508,79 @@ FROM sg s LEFT JOIN sz z USING (surt_group)
 """
 
 
+def q182_link_diversity(spark, sf_dir):
+    """Per-target link diversity (operators/hll.hll_estimate_by — the
+    KEYED HyperLogLog): distinct referring sources per target host,
+    sketch estimate NEXT TO the exact count so the driver pins both the
+    bit-exact registers and the arithmetic.  The spam feature behind
+    TrustRank seeds: 10^6 links from one farm = 1 unit of diversity.
+    Keyed sketches never materialize empty buckets per key (v_zero and
+    the harmonic sum close over them in integer form) — state is
+    O(occupied buckets), skew-proof where count(DISTINCT) is not."""
+    from eget_spark.operators.hll import hll_estimate_by
+
+    _, edges = _arith_edges(spark, sf_dir)
+    refs = edges.select(
+        F.concat(F.lit("h"), (F.col("dst") % 20).cast("string")).alias("key"),
+        F.concat(F.lit("h"), (F.col("src") % 97).cast("string")).alias("val"),
+    )
+    sk = hll_estimate_by(refs, "key", F.col("val"), p=8)
+    exact = refs.groupBy("key").agg(
+        F.countDistinct("val").cast("long").alias("n_exact")
+    )
+    return sk.join(F.broadcast(exact), "key").select(
+        F.col("key").alias("dst_host"), "m", "v_zero", "sum_scaled",
+        "estimate", "n_exact",
+    )
+
+
+_Q182_SQL = (
+    "WITH "
+    + _EDGES_SQL.lstrip()
+    + r""",
+e2 AS (
+  SELECT 'h' || CAST(dst % 20 AS VARCHAR) AS key,
+         'h' || CAST(src % 97 AS VARCHAR) AS val
+  FROM edges
+),
+h AS (
+  SELECT key, CAST(('0x' || substr(md5(val), 1, 15)) AS BIGINT) AS h FROM e2
+),
+rho AS (
+  SELECT key, bucket, CAST((52 - bit_count(s32)) + 1 AS INT) AS rho FROM (
+    SELECT key, bucket, s16 | (s16 >> 32) AS s32 FROM (
+      SELECT key, bucket, s8 | (s8 >> 16) AS s16 FROM (
+        SELECT key, bucket, s4 | (s4 >> 8) AS s8 FROM (
+          SELECT key, bucket, s2 | (s2 >> 4) AS s4 FROM (
+            SELECT key, bucket, s1 | (s1 >> 2) AS s2 FROM (
+              SELECT key, h & 255 AS bucket,
+                     (h >> 8) | ((h >> 8) >> 1) AS s1 FROM h))))))
+),
+mx AS (SELECT key, bucket, max(rho) AS reg FROM rho GROUP BY key, bucket),
+pk AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS occ,
+         CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS sum_occ
+  FROM mx GROUP BY key
+),
+one AS (
+  SELECT key, CAST(256 AS BIGINT) AS m,
+         CAST(256 - occ AS BIGINT) AS v_zero,
+         CAST(sum_occ + (256 - occ) * 9007199254740992 AS BIGINT) AS sum_scaled
+  FROM pk
+),
+exact AS (SELECT key, CAST(count(DISTINCT val) AS BIGINT) AS n_exact FROM e2 GROUP BY key)
+SELECT o.key AS dst_host, o.m, o.v_zero, o.sum_scaled,
+       round(CASE WHEN ((((0.7213 / (1.0 + 1.079 / 256)) * 256.0) * 256.0) * 9007199254740992.0) / o.sum_scaled <= 640.0
+                   AND o.v_zero > 0
+             THEN 256.0 * ln(256.0 / o.v_zero)
+             ELSE ((((0.7213 / (1.0 + 1.079 / 256)) * 256.0) * 256.0) * 9007199254740992.0) / o.sum_scaled
+             END, 2) AS estimate,
+       x.n_exact
+FROM one o JOIN exact x USING (key)
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8696,6 +8769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_script_profile": q179_script_profile,
         "q180_fleet_load": q180_fleet_load,
         "q181_canonical_chain": q181_canonical_chain,
+        "q182_link_diversity": q182_link_diversity,
     }
 
 
@@ -8881,4 +8955,5 @@ def oracle_sql() -> dict[str, str]:
         "q179_script_profile": _Q179_SQL,
         "q180_fleet_load": _Q180_SQL,
         "q181_canonical_chain": _Q181_SQL,
+        "q182_link_diversity": _Q182_SQL,
     }

@@ -106,3 +106,66 @@ def hll_estimate(df: DataFrame, col: Column, p: int = 8) -> DataFrame:
     return one.select(
         "m", "v_zero", "sum_scaled", F.round(est, 2).alias("estimate")
     )
+
+
+def hll_estimate_by(
+    df: DataFrame, key_col: str, col: Column, p: int = 8
+) -> DataFrame:
+    """Per-key HLL estimates: one row per distinct ``key_col`` value with
+    (m, v_zero, sum_scaled, estimate) — the keyed form of
+    :func:`hll_estimate` (e.g. distinct REFERRING HOSTS per target host,
+    the link-diversity spam feature: a million links from one domain is
+    one unit of diversity).
+
+    Same bit-pinned register/arithmetic contract.  The crucial scale
+    difference: empty buckets are NEVER materialized per key (that would
+    be |keys| * m rows) — ``v_zero = m - (occupied buckets)`` and the
+    harmonic sum adds the empty buckets' ``2^(width+1)`` contribution in
+    closed form.  Cost: one map-side-combined groupBy(key, bucket) + one
+    map-side groupBy(key); state O(sum of occupied buckets), capped at
+    m per key no matter how hot the key is — THE property that makes the
+    sketch skew-proof where count(DISTINCT) is not.
+    """
+    m = 1 << p
+    width = HASH_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = _hash60(col)
+    regs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            _rho(F.shiftrightunsigned(h, p), width).alias("_rho"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.max("_rho").alias("reg"))
+    )
+    per_key = regs.groupBy("key").agg(
+        F.count("*").cast("long").alias("_occupied"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {width + 1} - reg)"))
+        .cast("long")
+        .alias("_sum_occ"),
+    )
+    one = per_key.select(
+        "key",
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("_occupied")).cast("long").alias("v_zero"),
+        (
+            F.col("_sum_occ")
+            + (F.lit(m) - F.col("_occupied"))
+            * F.lit(1 << (width + 1)).cast("long")
+        ).cast("long").alias("sum_scaled"),
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << (width + 1)))
+        / F.col("sum_scaled")
+    )
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0), linear
+    ).otherwise(raw)
+    return one.select(
+        "key", "m", "v_zero", "sum_scaled", F.round(est, 2).alias("estimate")
+    )

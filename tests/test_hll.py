@@ -95,3 +95,38 @@ def test_sketch_agg_is_map_side_combined(spark):
 def test_register_count_tracks_p(spark, p):
     df = spark.createDataFrame([(v,) for v in _vals(100)], "v string")
     assert hll_registers(df, F.col("v"), p=p).count() == (1 << p)
+
+
+def test_hll_estimate_by_matches_global_per_key(spark):
+    """Keyed sketch == global sketch run on each key's slice."""
+    import pyspark.sql.functions as F
+
+    from eget_spark.operators.hll import hll_estimate, hll_estimate_by
+
+    rows = [(f"k{i % 3}", f"v{(i * 7) % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, "key string, val string")
+    keyed = {
+        r["key"]: (r["m"], r["v_zero"], r["sum_scaled"], r["estimate"])
+        for r in hll_estimate_by(df, "key", F.col("val"), p=8).collect()
+    }
+    for k in ("k0", "k1", "k2"):
+        g = hll_estimate(
+            df.where(F.col("key") == k), F.col("val"), p=8
+        ).first()
+        assert keyed[k] == (g["m"], g["v_zero"], g["sum_scaled"], g["estimate"])
+
+
+def test_hll_estimate_by_small_range_accuracy(spark):
+    """Linear-counting branch: estimates within a few % of exact."""
+    import pyspark.sql.functions as F
+
+    from eget_spark.operators.hll import hll_estimate_by
+
+    rows = [("a", f"x{i}") for i in range(50)] + [("b", "x0")] * 30
+    df = spark.createDataFrame(rows, "key string, val string")
+    got = {
+        r["key"]: r["estimate"]
+        for r in hll_estimate_by(df, "key", F.col("val"), p=8).collect()
+    }
+    assert abs(got["a"] - 50) / 50 < 0.15
+    assert abs(got["b"] - 1) < 0.2
