@@ -8581,6 +8581,51 @@ FROM one o JOIN exact x USING (key)
 )
 
 
+def q183_subdomain_farms(spark, sf_dir):
+    """Wildcard-subdomain farm detection (operators/traps.
+    subdomain_farm_flags): the DNS-level trap family — one registrable
+    domain, hundreds of 1-page hosts, every per-host control dodged.
+    Planted corpus: docs %3==0 become unique subdomains of
+    farm.example.com (flagged), the rest spread over 5 legit .co.uk
+    sites (many pages per host, clean).  ONE map-side groupBy on the
+    PSL-lite eTLD+1 derived in-expression (no lookup join)."""
+    from eget_spark.operators.traps import subdomain_farm_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    hosts = docs.select(
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("u"), d.cast("string"), F.lit(".farm.example.com")),
+        ).otherwise(
+            F.concat(F.lit("www.site"), (d % 5).cast("string"), F.lit(".co.uk"))
+        ).alias("host")
+    )
+    return subdomain_farm_flags(hosts, min_hosts=20)
+
+
+_Q183_SQL = """
+WITH h AS (
+  SELECT CASE WHEN doc_id % 3 = 0
+              THEN 'u' || CAST(doc_id AS VARCHAR) || '.farm.example.com'
+              ELSE 'www.site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+         END AS host,
+         CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+              ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+         END AS domain
+  FROM documents
+)
+SELECT domain,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST((1000 * count(*)) // count(DISTINCT host) AS BIGINT)
+         AS avg_pages_permille,
+       count(DISTINCT host) >= 20
+         AND (1000 * count(*)) // count(DISTINCT host) <= 2000 AS farm
+FROM h GROUP BY domain
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8770,6 +8815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_fleet_load": q180_fleet_load,
         "q181_canonical_chain": q181_canonical_chain,
         "q182_link_diversity": q182_link_diversity,
+        "q183_subdomain_farms": q183_subdomain_farms,
     }
 
 
@@ -8956,4 +9002,5 @@ def oracle_sql() -> dict[str, str]:
         "q180_fleet_load": _Q180_SQL,
         "q181_canonical_chain": _Q181_SQL,
         "q182_link_diversity": _Q182_SQL,
+        "q183_subdomain_farms": _Q183_SQL,
     }

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.urls import host_of
+from ..functions.urls import host_of, registrable_domain
 
 
 def url_template(url) -> "F.Column":
@@ -112,5 +112,59 @@ def path_cycle_flags(
             "is_trap",
             (F.col("max_seg_repeat") > F.lit(int(max_repeat)))
             | (F.col("depth") > F.lit(int(max_depth))),
+        )
+    )
+
+
+def subdomain_farm_flags(
+    hosts: DataFrame,
+    host_col: str = "host",
+    min_hosts: int = 20,
+    max_avg_pages_permille: int = 2000,
+) -> DataFrame:
+    """DNS-level trap family: wildcard-subdomain farms.  A calendar trap
+    multiplies PATHS under one host (caught by :func:`path_cycle_flags` /
+    :func:`trap_scores`); a subdomain farm multiplies HOSTS under one
+    registrable domain (``u1.spam.example``, ``u2.spam.example``, ... via
+    wildcard DNS), dodging every per-host control — per-host page caps,
+    per-host politeness, per-host templates all see singleton hosts.
+    The tell: a domain with MANY distinct hosts averaging ~1 page each.
+
+    Pinned semantics (int64, oracle-checked): group rows (one per fetched
+    page) by ``registrable_domain(host)`` (the PSL-lite eTLD+1 of
+    functions/urls.py);
+    ``avg_pages_permille = 1000 * n_pages div n_hosts``;
+    ``farm = n_hosts >= min_hosts AND avg_pages_permille <=
+    max_avg_pages_permille``.
+
+    Feeds the same admission controls as trap_scores, but keyed on the
+    DOMAIN: a flagged domain gets ONE politeness/budget bucket for all
+    its subdomains (exactly why registrable_domain exists).
+
+    Scale shape: ONE map-side-combined groupBy on the derived domain
+    (count + two-phase distinct-host count); the domain is pure column
+    algebra off the host string — no PSL lookup join.
+    """
+    d = registrable_domain(F.col(host_col))
+    return (
+        hosts.groupBy(d.alias("domain"))
+        .agg(
+            F.countDistinct(F.col(host_col)).cast("long").alias("n_hosts"),
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+        )
+        .select(
+            "domain",
+            "n_hosts",
+            "n_pages",
+            F.expr("(1000 * n_pages) div n_hosts").cast("long").alias(
+                "avg_pages_permille"
+            ),
+            (
+                (F.col("n_hosts") >= F.lit(int(min_hosts)))
+                & (
+                    F.expr("(1000 * n_pages) div n_hosts")
+                    <= F.lit(int(max_avg_pages_permille))
+                )
+            ).alias("farm"),
         )
     )

@@ -94,3 +94,32 @@ def test_path_cycle_flags_python_oracle(spark):
         rep = max((segs.count(s) for s in segs), default=0)
         want[u] = (len(segs), rep, rep > 2 or len(segs) > 4)
     assert got == want
+
+
+def test_subdomain_farm_flags(spark):
+    from eget_spark.operators.traps import subdomain_farm_flags
+
+    rows = (
+        [(f"u{i}.spam.example.com",) for i in range(30)]          # farm
+        + [("www.big.co.uk",)] * 40 + [("shop.big.co.uk",)] * 20  # legit
+        + [(f"s{i}.tiny.org",) for i in range(3)]                 # few hosts
+    )
+    df = spark.createDataFrame(rows, "host string")
+    got = {
+        r["domain"]: (r["n_hosts"], r["n_pages"], r["avg_pages_permille"], r["farm"])
+        for r in subdomain_farm_flags(df, min_hosts=20).collect()
+    }
+    assert got["example.com"] == (30, 30, 1000, True)
+    assert got["big.co.uk"] == (2, 60, 30000, False)
+    # below min_hosts: never a farm even at 1 page/host
+    assert got["tiny.org"] == (3, 3, 1000, False)
+
+
+def test_subdomain_farm_respects_avg_threshold(spark):
+    from eget_spark.operators.traps import subdomain_farm_flags
+
+    # 25 hosts but 10 pages each -> avg 10000 permille, not a farm
+    rows = [(f"u{i}.dense.example.com",) for i in range(25)] * 10
+    df = spark.createDataFrame(rows, "host string")
+    r = subdomain_farm_flags(df, min_hosts=20).first()
+    assert r["n_hosts"] == 25 and r["farm"] is False
