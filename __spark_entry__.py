@@ -8626,6 +8626,57 @@ FROM h GROUP BY domain
 """
 
 
+def q184_implied_delays(spark, sf_dir):
+    """Implied crawl-delay inference (operators/politeness.
+    implied_crawl_delay): per-host min/median inter-fetch gaps from the
+    fetch log — the empirical rate limit where robots.txt is silent.
+    Fixture: host h fetches at slot*(200+h*100) + deterministic jitter,
+    so gaps vary within a host and the exact-rank median is exercised.
+    ONE host exchange shared by the lag window, the rank window, and
+    the aggregate."""
+    from eget_spark.operators.politeness import implied_crawl_delay
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = d % 10
+    k = F.expr("doc_id div 10")
+    log = docs.select(
+        F.concat(F.lit("h"), h.cast("string")).alias("host"),
+        (k * (F.lit(200) + h * 100) + (k * h) % 35).cast("long").alias(
+            "ts_ms"
+        ),
+    )
+    return implied_crawl_delay(log)
+
+
+_Q184_SQL = """
+WITH log AS (
+  SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+         CAST((doc_id // 10) * (200 + (doc_id % 10) * 100)
+              + ((doc_id // 10) * (doc_id % 10)) % 35 AS BIGINT) AS ts_ms
+  FROM documents
+),
+gaps AS (
+  SELECT host, ts_ms AS ts,
+         ts_ms - lag(ts_ms) OVER (PARTITION BY host ORDER BY ts_ms) AS gap
+  FROM log
+),
+g AS (SELECT host, ts, gap FROM gaps WHERE gap IS NOT NULL),
+ranked AS (
+  SELECT host, gap,
+         row_number() OVER (PARTITION BY host ORDER BY gap, ts) AS rn,
+         count(*) OVER (PARTITION BY host) AS n
+  FROM g
+)
+SELECT host,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap_ms,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT)
+         AS median_gap_ms
+FROM ranked GROUP BY host
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8816,6 +8867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_canonical_chain": q181_canonical_chain,
         "q182_link_diversity": q182_link_diversity,
         "q183_subdomain_farms": q183_subdomain_farms,
+        "q184_implied_delays": q184_implied_delays,
     }
 
 
@@ -9003,4 +9055,5 @@ def oracle_sql() -> dict[str, str]:
         "q181_canonical_chain": _Q181_SQL,
         "q182_link_diversity": _Q182_SQL,
         "q183_subdomain_farms": _Q183_SQL,
+        "q184_implied_delays": _Q184_SQL,
     }

@@ -345,3 +345,50 @@ def fetch_timeline(
             "finish_ms", (F.col("start_ms") + F.lit(int(fetch_ms))).cast("long")
         )
     )
+
+
+def implied_crawl_delay(
+    fetches: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Infer each host's EFFECTIVE rate limit from the fetch log — the
+    empirical complement to robots Crawl-delay (most servers publish
+    nothing and enforce silently with 429s; what they tolerate shows up
+    as a floor on inter-fetch gaps).  Feeds adaptive_delays/
+    schedule_round with evidence where robots.txt is silent.
+
+    Pinned semantics (engine-portable, oracle-checked): per host, gaps =
+    consecutive differences of the fetch timestamps in (ts) order
+    (``ts_col`` unique per host — the fetch-log contract; a host needs
+    >= 2 fetches to appear); ``min_gap_ms`` = smallest gap,
+    ``median_gap_ms`` = the gap at 1-based rank ceil(n/2) in (gap, ts)
+    order (the q108 lower-inverse-distribution convention — a data value,
+    never an interpolation); ``n_gaps`` = n.
+
+    Scale shape: ONE hash exchange on the host — the lag window, the
+    rank/count windows, and the final aggregate all share the host
+    partitioning, so Catalyst reuses a single Exchange; output is one
+    row per host.
+    """
+    h = F.col(host_col)
+    ts = F.col(ts_col).cast("long")
+    wlag = Window.partitionBy(host_col).orderBy(ts_col)
+    gaps = fetches.select(
+        h.alias("host"), ts.alias("_ts"),
+        (ts - F.lag(ts).over(wlag)).alias("_gap"),
+    ).where(F.col("_gap").isNotNull())
+    wr = Window.partitionBy("host").orderBy("_gap", "_ts")
+    wn = Window.partitionBy("host")
+    ranked = gaps.select(
+        "host", "_gap",
+        F.row_number().over(wr).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    med_rank = F.floor((F.col("_n") + 1) / 2).cast("long")
+    return ranked.groupBy("host").agg(
+        F.max("_n").cast("long").alias("n_gaps"),
+        F.min("_gap").cast("long").alias("min_gap_ms"),
+        F.max(F.when(F.col("_rn") == med_rank, F.col("_gap")))
+        .cast("long").alias("median_gap_ms"),
+    )

@@ -247,3 +247,33 @@ def test_fetch_timeline_consistent_with_makespan_span(spark):
     )
     mb = makespan_bound(hosts, fetch_ms=50, workers=2).first()
     assert mb["max_host_span_ms"] == max(r["fin"] for r in tl)
+
+
+def test_implied_crawl_delay_matches_python(spark):
+    from eget_spark.operators.politeness import implied_crawl_delay
+
+    rows = []
+    for h, delays in {"a": [100, 300, 100, 500], "b": [50], "c": []}.items():
+        t = 0
+        rows.append((h, t))
+        for g in delays:
+            t += g
+            rows.append((h, t))
+    df = spark.createDataFrame(rows, "host string, ts_ms long")
+    got = {
+        r["host"]: (r["n_gaps"], r["min_gap_ms"], r["median_gap_ms"])
+        for r in implied_crawl_delay(df).collect()
+    }
+    # a: gaps sorted [100,100,300,500], median rank ceil(4/2)=2 -> 100
+    assert got["a"] == (4, 100, 100)
+    assert got["b"] == (1, 50, 50)
+    assert "c" not in got  # single fetch: no gaps, no row
+
+
+def test_implied_crawl_delay_odd_median(spark):
+    from eget_spark.operators.politeness import implied_crawl_delay
+
+    ts = [0, 100, 400, 600]  # gaps 100, 300, 200 -> sorted 100,200,300
+    df = spark.createDataFrame([("x", t) for t in ts], "host string, ts_ms long")
+    r = implied_crawl_delay(df).first()
+    assert (r["n_gaps"], r["min_gap_ms"], r["median_gap_ms"]) == (3, 100, 200)
