@@ -1653,6 +1653,29 @@ def main() -> None:
     checks.append(("canonical chain: no cartesian", "CartesianProduct" not in p_cc))
     checks.append(("canonical chain: no Python", "EvalPython" not in p_cc))
 
+    # 112. link diversity (q182): the keyed sketch is two map-side
+    # aggregates (partial max on registers, partial sum per key) and the
+    # exact side joins back on a broadcast — no Python anywhere
+    p_ld = plan_of(entry.q182_link_diversity(spark, SF))
+    checks.append(("link diversity: map-side partial_max", "partial_max" in p_ld))
+    checks.append(("link diversity: broadcast exact join", "BroadcastHashJoin" in p_ld))
+    checks.append(("link diversity: no Python", "EvalPython" not in p_ld))
+
+    # 113. subdomain farms (q183): ONE aggregation keyed on the derived
+    # domain (the distinct-host count expands in the same grouping), no
+    # join (the PSL table is part of the expression tree)
+    p_sf = plan_of(entry.q183_subdomain_farms(spark, SF))
+    checks.append(("subdomain farms: no join", "Join" not in p_sf))
+    checks.append(("subdomain farms: no Python", "EvalPython" not in p_sf))
+
+    # 114. implied delays (q184): the lag window, rank window, and final
+    # aggregate all share ONE host exchange (Catalyst reuses it)
+    p_id = plan_of(entry.q184_implied_delays(spark, SF))
+    checks.append(
+        ("implied delays: single host exchange", _nodes(p_id, "Exchange") <= 1)
+    )
+    checks.append(("implied delays: no Python", "EvalPython" not in p_id))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
