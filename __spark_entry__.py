@@ -8677,6 +8677,75 @@ FROM ranked GROUP BY host
 """
 
 
+def q185_cdx_index(spark, sf_dir):
+    """CDX index build (sources/warc.py + functions/urls.surt_key): the
+    web-archive lookup table — (surt, url, date, status, byte offset,
+    record length) per WARC record, exactly what OpenWayback/pywb serve
+    range requests from.  The engine writes ONE url-sorted plain WARC
+    from the documents, re-reads it, and the parser's byte coordinates
+    must equal the oracle's CLOSED-FORM layout arithmetic (every header
+    byte of the writer accounted for: a one-byte drift anywhere in
+    writer or parser breaks the hash).  Offsets here are positions in
+    the (inflated) stream; range-sorting on surt is what makes a site
+    contiguous in the index."""
+    from eget_spark.functions.urls import surt_key
+    from eget_spark.sources.warc import read_warc, write_warc_partitions
+
+    d = F.col("doc_id")
+    recs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://w"), (d % 7).cast("string"),
+            F.lit(".example.org/d/"), d.cast("string"),
+        ).alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    files = write_warc_partitions(recs.repartition(1))
+    parsed = read_warc(files.select(F.col("file_name").alias("path"), "content"))
+    return parsed.select(
+        surt_key(F.col("url")).alias("surt"),
+        "url",
+        "warc_date",
+        "status",
+        F.col("offset").alias("rec_offset"),
+        "rec_len",
+    )
+
+
+_Q185_SQL = r"""
+WITH r AS (
+  SELECT 'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/d/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         octet_length(encode(text)) AS p
+  FROM documents
+),
+s AS (SELECT url, 62 + length(CAST(p AS VARCHAR)) + p AS h FROM r),
+z AS (
+  SELECT url,
+         CAST(217 + length(url) + length(CAST(h AS VARCHAR)) + h AS BIGINT)
+           AS rec_len
+  FROM s
+),
+o AS (
+  SELECT url, rec_len,
+         CAST(coalesce(sum(rec_len + 4) OVER (
+           ORDER BY url ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS rec_offset
+  FROM z
+)
+SELECT array_to_string(list_reverse(string_split(
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.\-]*://([^/?#]+)', 1),
+         '.')), ',')
+       || ')'
+       || regexp_extract(lower(url), '^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)', 1)
+         AS surt,
+       url,
+       '2024-01-01T00:00:00Z' AS warc_date,
+       CAST(200 AS INT) AS status,
+       rec_offset, rec_len
+FROM o
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8868,6 +8937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_link_diversity": q182_link_diversity,
         "q183_subdomain_farms": q183_subdomain_farms,
         "q184_implied_delays": q184_implied_delays,
+        "q185_cdx_index": q185_cdx_index,
     }
 
 
@@ -9056,4 +9126,5 @@ def oracle_sql() -> dict[str, str]:
         "q182_link_diversity": _Q182_SQL,
         "q183_subdomain_farms": _Q183_SQL,
         "q184_implied_delays": _Q184_SQL,
+        "q185_cdx_index": _Q185_SQL,
     }

@@ -31,7 +31,8 @@ CRLF = b"\r\n"
 
 WARC_RECORDS_DDL = (
     "path string, record_idx int, url string, warc_date string, "
-    "status int, content_type string, payload binary"
+    "status int, content_type string, payload binary, "
+    "offset long, rec_len long"
 )
 
 
@@ -184,6 +185,12 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
                 "status": status,
                 "content_type": content_type,
                 "payload": payload,
+                # CDX fields: where the record starts in this (inflated)
+                # stream and how many bytes its header+content block spans
+                # (excluding the trailing CRLF CRLF separators) — the
+                # range-request coordinates a web-archive index serves
+                "offset": vstart,
+                "rec_len": (hdr_end + sep + length) - vstart,
             }
         )
     return records
@@ -207,13 +214,14 @@ def read_warc(files: DataFrame, path_col: str = "path", content_col: str = "cont
                 for i, r in enumerate(parse_warc_bytes(bytes(content))):
                     rows.append(
                         (path, i, r["url"], r["warc_date"], r["status"],
-                         r["content_type"], r["payload"])
+                         r["content_type"], r["payload"], r["offset"],
+                         r["rec_len"])
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "path", "record_idx", "url", "warc_date", "status",
-                    "content_type", "payload",
+                    "content_type", "payload", "offset", "rec_len",
                 ],
             )
 
@@ -250,7 +258,9 @@ def write_warc_partitions(
             records.append(
                 {
                     "url": r[url_col],
-                    "payload": bytes(r[payload_col]),
+                    # a null payload (e.g. a page whose converter produced
+                    # no text) is a legal zero-length response body
+                    "payload": b"" if r[payload_col] is None else bytes(r[payload_col]),
                     "status": int(r[status_col]) if status_col else 200,
                     "content_type": r[content_type_col]
                     if content_type_col

@@ -99,3 +99,40 @@ def test_sink_bytes_are_partition_set_deterministic(spark):
     assert len(a) == len(b) == 1
     assert bytes(a[0]["content"]) == bytes(b[0]["content"])
     assert a[0]["file_name"] == b[0]["file_name"]
+
+
+def test_offsets_and_lengths_tile_the_file():
+    # CDX contract: offsets/lengths from the parser must tile the plain
+    # file exactly (each record = rec_len + the 4 trailing CRLF bytes)
+    blob = build_warc_bytes(RECS)
+    got = parse_warc_bytes(blob)
+    pos = 0
+    for r in got:
+        assert r["offset"] == pos
+        assert blob[r["offset"] : r["offset"] + 5] == b"WARC/"
+        pos = r["offset"] + r["rec_len"] + 4
+    assert pos == len(blob)
+
+
+def test_offsets_are_inflated_stream_positions_for_gzip():
+    # for .warc.gz members the parser's offsets address the INFLATED
+    # stream (documented CDX semantics for this reader): same tiling
+    blob = build_warc_bytes(RECS[:4], gzip_members=True)
+    got = parse_warc_bytes(blob)
+    import gzip as _gz
+    import io as _io
+    inflated = b""
+    with _io.BytesIO(blob) as f:
+        while True:
+            try:
+                with _gz.GzipFile(fileobj=f) as g:
+                    inflated += g.read()
+            except (OSError, EOFError):
+                break
+            if f.tell() >= len(blob):
+                break
+    pos = 0
+    for r in got:
+        assert r["offset"] == pos
+        pos = r["offset"] + r["rec_len"] + 4
+    assert pos == len(inflated)
