@@ -8746,6 +8746,121 @@ FROM o
 """
 
 
+def q186_revisit_dedup(spark, sf_dir):
+    """WARC revisit-record storage dedup (sources/warc.revisit_dedup —
+    WARC 1.1 §6.7.2 identical-payload-digest profile): per (url, payload
+    sha256), the first capture in fetch-time order stores the full
+    response; later identical captures become zero-payload revisit
+    records referring to the original's timestamp.  Fixture: doc d has
+    1 + d%4 captures; the payload changes every SECOND capture, so odd
+    captures are byte-identical to their predecessor and must come back
+    as revisits.  One (url, digest)-keyed window, JVM sha2 in codegen."""
+    from eget_spark.sources.warc import revisit_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    caps = docs.select(
+        F.concat(F.lit("https://rv.example.org/p/"), d.cast("string")).alias(
+            "url"
+        ),
+        F.explode(F.sequence(F.lit(0), (d % 4).cast("int"))).alias("v"),
+        d.alias("_d"),
+        F.col("text"),
+    ).select(
+        "url",
+        ((F.col("_d") * 100 + F.col("v") * 10) * 1000000).alias("fetch_time"),
+        F.encode(
+            F.concat(
+                F.col("text"),
+                F.lit("#v"),
+                F.floor(F.col("v") / 2).cast("string"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    return revisit_dedup(caps)
+
+
+_Q186_SQL = r"""
+WITH caps AS (
+  SELECT 'https://rv.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         (doc_id * 100 + v.q * 10) * 1000000 AS fetch_time,
+         text || '#v' || CAST(v.q // 2 AS VARCHAR) AS payload
+  FROM documents
+  JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(0, 4)) v
+    ON v.q <= doc_id % 4
+),
+dg AS (
+  SELECT url, fetch_time, sha256(payload) AS digest,
+         octet_length(encode(payload)) AS plen
+  FROM caps
+),
+f AS (
+  SELECT *, min(fetch_time) OVER (PARTITION BY url, digest) AS first_t
+  FROM dg
+)
+SELECT url, fetch_time, digest,
+       CASE WHEN fetch_time = first_t THEN 'response' ELSE 'revisit' END
+         AS record_type,
+       CAST(CASE WHEN fetch_time = first_t THEN NULL ELSE first_t END
+            AS BIGINT) AS refers_to,
+       CAST(CASE WHEN fetch_time = first_t THEN plen ELSE 0 END AS BIGINT)
+         AS stored_bytes
+FROM f
+"""
+
+
+def q187_poisson_rate(spark, sf_dir):
+    """Cho & Garcia-Molina improved change-frequency estimator
+    (operators/recrawl.estimate_change_rate — "Estimating Frequency of
+    Change" ACM TOIT 2003 §4.2): r_hat = -ln((n - X + 0.5)/(n + 0.5))
+    per check interval, refresh interval = I / r_hat clamped to
+    [1 h, 7 d], max backoff for never-changed pages.  Fixture: doc d is
+    checked 4 + d%4 times at a 24 h cadence and changed at check i iff
+    (d*7 + i) % 3 == 0.  One map-side-combined groupBy(url) — no
+    window, no join."""
+    from eget_spark.operators.recrawl import estimate_change_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    checks = docs.select(
+        F.concat(F.lit("https://cr.example.org/p/"), d.cast("string")).alias(
+            "url"
+        ),
+        F.explode(F.sequence(F.lit(1), (4 + d % 4).cast("int"))).alias("i"),
+        d.alias("_d"),
+    ).select(
+        "url", ((F.col("_d") * 7 + F.col("i")) % 3 == 0).alias("changed")
+    )
+    return estimate_change_rate(checks, id_col="url").withColumnRenamed(
+        "id", "url"
+    )
+
+
+_Q187_SQL = r"""
+WITH checks AS (
+  SELECT 'https://cr.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         ((doc_id * 7 + v.q) % 3 = 0) AS changed
+  FROM documents
+  JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(1, 8)) v
+    ON v.q <= 4 + doc_id % 4
+),
+agg AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+  FROM checks GROUP BY url
+)
+SELECT url, n_obs, n_changed,
+       round(-ln((n_obs - n_changed + 0.5) / (n_obs + 0.5)), 6) AS rate_per_day,
+       CAST(CASE WHEN n_changed = 0 THEN 604800
+                 ELSE least(604800.0, greatest(3600.0,
+                        round(86400.0 / (-ln((n_obs - n_changed + 0.5)
+                                              / (n_obs + 0.5))), 0)))
+            END AS BIGINT) AS next_interval_sec
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -8938,6 +9053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_subdomain_farms": q183_subdomain_farms,
         "q184_implied_delays": q184_implied_delays,
         "q185_cdx_index": q185_cdx_index,
+        "q186_revisit_dedup": q186_revisit_dedup,
+        "q187_poisson_rate": q187_poisson_rate,
     }
 
 
@@ -9127,4 +9244,6 @@ def oracle_sql() -> dict[str, str]:
         "q183_subdomain_farms": _Q183_SQL,
         "q184_implied_delays": _Q184_SQL,
         "q185_cdx_index": _Q185_SQL,
+        "q186_revisit_dedup": _Q186_SQL,
+        "q187_poisson_rate": _Q187_SQL,
     }

@@ -99,6 +99,71 @@ def recrawl_priority(rates: DataFrame) -> DataFrame:
     return res.df.withColumn("priority", F.col("priority").cast("int")).drop("_nk")
 
 
+def estimate_change_rate(
+    checks: DataFrame,
+    id_col: str = "url",
+    changed_col: str = "changed",
+    interval_sec: float = 86400.0,
+    min_interval_sec: int = 3600,
+    max_interval_sec: int = 604800,
+) -> DataFrame:
+    """Cho & Garcia-Molina's improved change-frequency estimator plus the
+    refresh interval it implies (public paper: "Estimating Frequency of
+    Change", ACM TOIT 2003, §4.2).  :func:`change_rates` above is the
+    naive ``X/T`` estimator; it is biased low because a crawler that
+    checks every ``I`` seconds can observe AT MOST one change per check —
+    multiple changes inside one interval collapse into one observation.
+    The improved estimator inverts the Poisson no-change probability with
+    a +0.5 bias correction that also keeps the degenerate ``X == n`` case
+    finite:
+
+        r_hat = -ln((n - X + 0.5) / (n + 0.5))     [changes per interval]
+
+    where ``n`` = number of checks and ``X`` = checks that observed a
+    change.  The recommended refresh interval is ``I / r_hat`` (check
+    about once per expected change), clamped to
+    ``[min_interval_sec, max_interval_sec]``; a page with no observed
+    change ever (``X == 0``, ``r_hat == 0``) backs off to the max.
+
+    Input: one row per (page, check) with a boolean ``changed_col``.
+    Output: ``(id, n_obs, n_changed, rate_per_day, next_interval_sec)``
+    — ``rate_per_day`` rounded to 6 decimals, ``next_interval_sec`` a
+    whole-second BIGINT (round-half-up, engine-identical for positives).
+
+    The reference's recrawl story is a single fixed 24 h TTL for every
+    URL (/root/reference/services/cache/cache_service.py); this derives
+    the per-page cadence a 10^10-URL incremental crawl actually needs.
+
+    Scale shape: ONE map-side-combined groupBy on the page id (count +
+    conditional count), then pure per-row arithmetic — no window, no
+    join, no Python; at 100 TB of check logs the only exchange is the
+    uniform id-hash aggregate."""
+    agg = checks.groupBy(F.col(id_col).alias("id")).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum(F.col(changed_col).cast("long")).cast("long").alias("n_changed"),
+    )
+    n = F.col("n_obs").cast("double")
+    x = F.col("n_changed").cast("double")
+    r_hat = -F.log((n - x + 0.5) / (n + 0.5))
+    per_day = r_hat * (86400.0 / float(interval_sec))
+    next_iv = F.when(F.col("n_changed") == 0, F.lit(int(max_interval_sec))).otherwise(
+        F.least(
+            F.lit(float(max_interval_sec)),
+            F.greatest(
+                F.lit(float(min_interval_sec)),
+                F.round(F.lit(float(interval_sec)) / r_hat, 0),
+            ),
+        ).cast("long")
+    )
+    return agg.select(
+        "id",
+        "n_obs",
+        "n_changed",
+        F.round(per_day, 6).alias("rate_per_day"),
+        next_iv.cast("long").alias("next_interval_sec"),
+    )
+
+
 def revalidate(cached: DataFrame, live: DataFrame) -> DataFrame:
     """HTTP conditional-revalidation classification — the dataflow form
     of RFC 9110 §13.1 (If-None-Match / If-Modified-Since): given the

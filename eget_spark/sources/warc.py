@@ -278,3 +278,55 @@ def write_warc_partitions(
         )
 
     return docs.mapInPandas(run, "file_name string, content binary, n_records long")
+
+
+def revisit_dedup(
+    captures: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    time_col: str = "fetch_time",
+) -> DataFrame:
+    """WARC revisit-record assignment — the web archive's storage dedup
+    (WARC 1.1 §6.7.2, profile ``identical-payload-digest``: the PUBLIC
+    IIPC spec; what Heritrix/wayback call "URL-agnostic dedup" restricted
+    here to the per-URL form CDX servers index).  A recrawl that fetched
+    byte-identical content does not store the payload again: the first
+    capture of each (url, payload digest) in fetch-time order is the full
+    ``response`` record; every later identical capture becomes a
+    ``revisit`` record that stores ZERO payload bytes and refers to the
+    original capture's timestamp (``WARC-Refers-To-Date``).
+
+    The reference keeps one cached copy per URL hash with a TTL
+    (/root/reference/services/cache/cache_service.py) — lossy overwrite;
+    revisit records keep the full capture HISTORY at dedup storage cost.
+
+    Output: ``(url, fetch_time, digest, record_type, refers_to,
+    stored_bytes)`` — ``refers_to`` NULL on originals, ``stored_bytes``
+    the payload octet count on originals and 0 on revisits.
+
+    Scale shape: ONE hash exchange — a window keyed on (url, digest),
+    whose partitions hold at most the recrawl count of one unchanged
+    page (politeness-bounded; no hot key at 10^10 URLs).  The digest is
+    JVM ``sha2`` inside codegen — no Python anywhere."""
+    from pyspark.sql.window import Window
+
+    base = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(time_col).cast("long").alias("fetch_time"),
+        F.sha2(F.col(payload_col), 256).alias("digest"),
+        F.octet_length(F.col(payload_col)).cast("long").alias("_plen"),
+    )
+    first_t = F.min("fetch_time").over(Window.partitionBy("url", "digest"))
+    is_orig = F.col("fetch_time") == first_t
+    return base.select(
+        "url",
+        "fetch_time",
+        "digest",
+        F.when(is_orig, F.lit("response")).otherwise(F.lit("revisit")).alias(
+            "record_type"
+        ),
+        F.when(~is_orig, first_t).cast("long").alias("refers_to"),
+        F.when(is_orig, F.col("_plen")).otherwise(F.lit(0)).cast("long").alias(
+            "stored_bytes"
+        ),
+    )

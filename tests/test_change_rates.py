@@ -82,3 +82,43 @@ def test_window_and_agg_share_one_exchange(spark):
     # the lag window's hashpartitioning(id) satisfies the groupBy(id)
     # distribution: exactly one exchange on the log
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- Cho & Garcia-Molina improved estimator ---------------------------------
+
+
+def test_estimate_change_rate_matches_closed_form(spark):
+    import math
+
+    from eget_spark.operators.recrawl import estimate_change_rate
+
+    checks = spark.createDataFrame(
+        [("a", True), ("a", False), ("a", True), ("a", False),
+         ("b", False), ("b", False), ("b", False),
+         ("c", True), ("c", True)],
+        "url string, changed boolean",
+    )
+    rows = {r["id"]: r for r in estimate_change_rate(checks).collect()}
+    # a: n=4, X=2 -> r = -ln(2.5/4.5)
+    r_a = -math.log(2.5 / 4.5)
+    assert rows["a"]["rate_per_day"] == round(r_a, 6)
+    assert rows["a"]["next_interval_sec"] == round(86400.0 / r_a)
+    # b: never changed -> rate 0, max backoff
+    assert rows["b"]["rate_per_day"] == 0.0
+    assert rows["b"]["next_interval_sec"] == 604800
+    # c: changed EVERY check (X == n) stays finite thanks to the +0.5
+    # correction: r = -ln(0.5/2.5); interval clamps to the 1 h floor
+    r_c = -math.log(0.5 / 2.5)
+    assert rows["c"]["rate_per_day"] == round(r_c, 6)
+    assert rows["c"]["next_interval_sec"] == max(3600, round(86400.0 / r_c))
+
+
+def test_estimate_change_rate_clamps_to_floor(spark):
+    from eget_spark.operators.recrawl import estimate_change_rate
+
+    # 30 changes in 30 checks at a 60 s cadence: raw interval 60/r << 1 h
+    checks = spark.createDataFrame(
+        [("hot", True)] * 30, "url string, changed boolean"
+    )
+    row = estimate_change_rate(checks, interval_sec=60.0).collect()[0]
+    assert row["next_interval_sec"] == 3600

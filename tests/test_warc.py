@@ -136,3 +136,62 @@ def test_offsets_are_inflated_stream_positions_for_gzip():
         assert r["offset"] == pos
         pos = r["offset"] + r["rec_len"] + 4
     assert pos == len(inflated)
+
+
+def test_revisit_dedup_marks_identical_recaptures(spark):
+    import hashlib
+
+    from eget_spark.sources.warc import revisit_dedup
+
+    caps = spark.createDataFrame(
+        [
+            ("u1", 100, b"alpha"),
+            ("u1", 200, b"alpha"),     # unchanged recrawl -> revisit of 100
+            ("u1", 300, b"beta"),      # content changed -> new response
+            ("u1", 400, b"alpha"),     # reverted to the OLD bytes: same
+                                       # (url, digest) as capture 100 ->
+                                       # revisit of 100, not of 300
+            ("u2", 150, b"alpha"),     # same bytes, different URL: the
+                                       # per-URL profile stores it fully
+        ],
+        "url string, fetch_time long, payload binary",
+    )
+    rows = {
+        (r["url"], r["fetch_time"]): r for r in revisit_dedup(caps).collect()
+    }
+    assert rows[("u1", 100)]["record_type"] == "response"
+    assert rows[("u1", 100)]["refers_to"] is None
+    assert rows[("u1", 100)]["stored_bytes"] == 5
+    assert rows[("u1", 200)]["record_type"] == "revisit"
+    assert rows[("u1", 200)]["refers_to"] == 100
+    assert rows[("u1", 200)]["stored_bytes"] == 0
+    assert rows[("u1", 300)]["record_type"] == "response"
+    assert rows[("u1", 400)]["record_type"] == "revisit"
+    assert rows[("u1", 400)]["refers_to"] == 100
+    assert rows[("u2", 150)]["record_type"] == "response"
+    assert (
+        rows[("u1", 100)]["digest"]
+        == hashlib.sha256(b"alpha").hexdigest()
+    )
+
+
+def test_revisit_dedup_storage_accounting(spark):
+    from pyspark.sql import functions as F
+
+    from eget_spark.sources.warc import revisit_dedup
+
+    caps = spark.createDataFrame(
+        [("u", t, b"same-bytes") for t in range(10)],
+        "url string, fetch_time long, payload binary",
+    )
+    agg = (
+        revisit_dedup(caps)
+        .agg(
+            F.sum("stored_bytes").alias("stored"),
+            F.sum(F.when(F.col("record_type") == "revisit", 1).otherwise(0)).alias("rv"),
+        )
+        .collect()[0]
+    )
+    # 10 identical captures store the payload once
+    assert agg["stored"] == len(b"same-bytes")
+    assert agg["rv"] == 9
