@@ -8861,6 +8861,65 @@ FROM agg
 """
 
 
+def q188_triangles(spark, sf_dir):
+    """Degree-ordered triangle counting + local clustering coefficient
+    (operators/graph.triangle_counts — Schank & Wagner 2005 node
+    iterator): link-farm/star spam shows near-zero clustering, organic
+    neighborhoods cluster.  Runs on the shared analytics link graph
+    (same edge synthesis as q40/q84).  Orientation from the lower
+    (degree, id) endpoint bounds wedge fan-out at hubs; three uniform
+    hash joins, no window."""
+    from eget_spark.operators.graph import triangle_counts
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    return triangle_counts(nodes, edges).withColumnRenamed("id", "doc_id")
+
+
+_Q188_SQL = (
+    "WITH "
+    + _EDGES_SQL.lstrip().removeprefix("WITH ")
+    + r""",
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+  GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+),
+tri AS (
+  SELECT e1.u, e1.v, e2.v AS w
+  FROM o e1 JOIN o e2 ON e2.u = e1.u AND e1.v < e2.v
+  WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = e1.v AND c.v = e2.v)
+     OR EXISTS (SELECT 1 FROM o c WHERE c.u = e2.v AND c.v = e1.v)
+),
+pn AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS triangles
+  FROM (SELECT u AS n FROM tri UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+  GROUP BY n
+)
+SELECT d.doc_id, CAST(coalesce(g.deg, 0) AS BIGINT) AS degree,
+       CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN coalesce(g.deg, 0) >= 2
+            THEN round(2.0 * coalesce(p.triangles, 0)
+                       / (g.deg * (g.deg - 1.0)), 6)
+            ELSE 0.0 END AS clustering
+FROM documents d
+LEFT JOIN deg g ON g.n = d.doc_id
+LEFT JOIN pn p ON p.n = d.doc_id
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9055,6 +9114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_cdx_index": q185_cdx_index,
         "q186_revisit_dedup": q186_revisit_dedup,
         "q187_poisson_rate": q187_poisson_rate,
+        "q188_triangles": q188_triangles,
     }
 
 
@@ -9246,4 +9306,5 @@ def oracle_sql() -> dict[str, str]:
         "q185_cdx_index": _Q185_SQL,
         "q186_revisit_dedup": _Q186_SQL,
         "q187_poisson_rate": _Q187_SQL,
+        "q188_triangles": _Q188_SQL,
     }

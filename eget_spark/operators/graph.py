@@ -516,3 +516,92 @@ def link_reciprocity(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def triangle_counts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient — the
+    community-density signal that separates organic link neighborhoods
+    (friends-of-friends link each other: high clustering) from link
+    farms and hub spam (star shapes: near-zero clustering).  The
+    algorithm is the public degree-ordered node-iterator (Schank &
+    Wagner 2005; the same orientation trick MapReduce triangle papers
+    use), expressed as two DataFrame self-joins.
+
+    Pinned semantics (integer + one rounded division): the UNDIRECTED
+    simple graph is the distinct canonicalized (min, max) pair set with
+    self-loops dropped; ``degree`` counts simple neighbors;
+    ``triangles`` counts unordered triangles through the node;
+    ``clustering = round(2*T / (deg*(deg-1)), 6)`` and 0.0 when
+    ``deg < 2``.  Every node in ``nodes`` gets a row.
+
+    Scale shape: each undirected edge is ORIENTED from its lower
+    (degree, id) endpoint to the higher, so wedge enumeration fans out
+    from the LOW-degree endpoint only — a 10^7-degree hub generates no
+    wedge explosion because almost all its edges point INTO it.  Three
+    uniform hash joins (wedge build on the pivot, closure check on the
+    (lo, hi) pair key — unique both sides), one explode of width 3, one
+    map-side-combined count.  No window, no Python, no driver data.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    # orient a->b iff (deg_a, a) < (deg_b, b): the ordering is total, so
+    # each undirected edge appears exactly once in `o`
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("_db"))
+    keyed = und.join(da, "a").join(db, "b")
+    lt = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = keyed.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # wedges u->v, u->w (v != w) pivoting on the LOW endpoint u, closed by
+    # the oriented edge between v and w (either direction)
+    e2 = o.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = o.join(e2, F.col("u") == F.col("u2")).where(
+        F.col("v") < F.col("w")
+    )
+    closure = o.select(
+        F.least("u", "v").alias("v"), F.greatest("u", "v").alias("w")
+    )
+    tris = wedges.join(closure, ["v", "w"], "left_semi").select("u", "v", "w")
+    per_node = (
+        tris.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        nodes.select(F.col(nodes.columns[0]).alias("id"))
+        .join(deg.withColumnRenamed("n", "id"), "id", "left")
+        .join(per_node.withColumnRenamed("n", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1.0)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

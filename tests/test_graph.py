@@ -404,3 +404,54 @@ def test_weighted_pagerank_uniform_weights_equals_unweighted(spark):
         for r in pagerank_weighted_fixed(nodes, wedges, n_iter=4).collect()
     }
     assert w == uw
+
+
+# --- triangle counting / clustering coefficient ------------------------------
+
+
+def test_triangle_counts_hand_graph(spark):
+    from eget_spark.operators.graph import triangle_counts
+
+    # 4-clique {0,1,2,3} (4 triangles, 3 through each node), a pendant 4
+    # hanging off 0, an isolate 5; parallel + reverse + self edges must
+    # collapse away
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (2, 3), (3, 2), (0, 4), (4, 4)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    rows = {r["id"]: r for r in triangle_counts(nodes, edges).collect()}
+    assert [rows[i]["triangles"] for i in range(6)] == [3, 3, 3, 3, 0, 0]
+    assert [rows[i]["degree"] for i in range(6)] == [4, 3, 3, 3, 1, 0]
+    # clique member 1: deg 3 -> 3 of 3 possible neighbor pairs linked
+    assert rows[1]["clustering"] == 1.0
+    # node 0: deg 4 -> 3 triangles of 6 possible pairs
+    assert rows[0]["clustering"] == 0.5
+    assert rows[4]["clustering"] == 0.0 and rows[5]["clustering"] == 0.0
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from eget_spark.operators.graph import triangle_counts
+
+    rnd = random.Random(7)
+    n = 24
+    pairs = [(a, b) for a in range(n) for b in range(n) if a != b]
+    edges_py = sorted(rnd.sample(pairs, 90))
+    und = {(min(a, b), max(a, b)) for a, b in edges_py}
+    tri_py = {i: 0 for i in range(n)}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            tri_py[a] += 1
+            tri_py[b] += 1
+            tri_py[c] += 1
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    rows = {r["id"]: r for r in triangle_counts(nodes, edges).collect()}
+    for i in range(n):
+        assert rows[i]["triangles"] == tri_py[i], i
+        deg = sum(1 for p in und if i in p)
+        assert rows[i]["degree"] == deg
