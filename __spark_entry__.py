@@ -8920,6 +8920,92 @@ LEFT JOIN pn p ON p.n = d.doc_id
 )
 
 
+def q189_zipnum_blocks(spark, sf_dir):
+    """ZipNum prefix-compressed CDX index blocks (sources/warc.
+    zipnum_blocks): sorted SURT keys cut into 32-key blocks, each
+    front-coded with an LCP-0 restart at the block head — the pywb/
+    OpenWayback secondary-index layout that makes a 10^10-URL archive
+    index fit.  Global rank via the range-exchange sequencer, LCP via
+    split/zip_with in codegen; the oracle recomputes the front-coding
+    with DuckDB list lambdas."""
+    from eget_spark.functions.urls import surt_key
+    from eget_spark.sources.warc import zipnum_blocks
+
+    d = F.col("doc_id")
+    qpart = (
+        F.when(d % 3 == 1, F.lit("?b=2&a=1"))
+        .when(d % 3 == 2, F.lit("?z=9"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".Example.COM/A/"),
+        d.cast("string"),
+        qpart,
+    )
+    keys = _t(spark, sf_dir, "documents").select(surt_key(url).alias("surt"))
+    return zipnum_blocks(keys, "surt", block_size=32)
+
+
+_Q189_SQL = r"""
+WITH urls AS (
+  SELECT 'https://www.' || source || '.Example.COM/A/'
+           || CAST(doc_id AS VARCHAR)
+           || CASE doc_id % 3 WHEN 1 THEN '?b=2&a=1'
+                              WHEN 2 THEN '?z=9' ELSE '' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT url,
+         regexp_replace(
+           lower(regexp_extract(lower(url),
+                 '^[a-z][a-z0-9+.\-]*://([^/?#]+)', 1)),
+           '^www\.', '') AS host,
+         regexp_extract(lower(url),
+                 '^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(lower(url), '\?([^#]*)', 1) AS qry
+  FROM urls
+),
+surts AS (
+  SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+         || ')'
+         || CASE WHEN path = '' THEN '/' ELSE path END
+         || CASE WHEN len(list_filter(string_split(qry, '&'), p -> p <> '')) > 0
+                 THEN '?' || array_to_string(
+                        list_sort(list_filter(string_split(qry, '&'),
+                                              p -> p <> '')), '&')
+                 ELSE '' END AS key
+  FROM parts
+),
+ranked AS (
+  SELECT key, row_number() OVER (ORDER BY key) - 1 AS rnk FROM surts
+),
+blocked AS (SELECT key, rnk, rnk // 32 AS block_id FROM ranked),
+lcps AS (
+  SELECT block_id, key, length(key) AS len,
+         CASE WHEN lag(key) OVER w IS NULL THEN 0
+              ELSE coalesce(
+                list_min(list_filter(
+                  range(1, least(length(lag(key) OVER w), length(key)) + 1),
+                  k -> substr(lag(key) OVER w, CAST(k AS INT), 1)
+                       <> substr(key, CAST(k AS INT), 1))) - 1,
+                least(length(lag(key) OVER w), length(key)))
+         END AS lcp
+  FROM blocked
+  WINDOW w AS (PARTITION BY block_id ORDER BY key, rnk)
+)
+SELECT block_id, min(key) AS first_key,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(len) AS BIGINT) AS raw_chars,
+       CAST(sum(len - lcp) AS BIGINT) AS stored_chars,
+       CASE WHEN sum(len) > 0
+            THEN round(1.0 - sum(len - lcp) / CAST(sum(len) AS DOUBLE), 6)
+            ELSE 0.0 END AS savings
+FROM lcps GROUP BY block_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9115,6 +9201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_revisit_dedup": q186_revisit_dedup,
         "q187_poisson_rate": q187_poisson_rate,
         "q188_triangles": q188_triangles,
+        "q189_zipnum_blocks": q189_zipnum_blocks,
     }
 
 
@@ -9307,4 +9394,5 @@ def oracle_sql() -> dict[str, str]:
         "q186_revisit_dedup": _Q186_SQL,
         "q187_poisson_rate": _Q187_SQL,
         "q188_triangles": _Q188_SQL,
+        "q189_zipnum_blocks": _Q189_SQL,
     }

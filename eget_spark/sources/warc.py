@@ -330,3 +330,73 @@ def revisit_dedup(
             "stored_bytes"
         ),
     )
+
+
+def zipnum_blocks(
+    keys: DataFrame, key_col: str = "surt", block_size: int = 3000
+) -> DataFrame:
+    """ZipNum-style prefix-compressed CDX index blocks — the layout the
+    web-archive secondary index actually uses (pywb/OpenWayback ZipNum
+    clusters: the sorted CDX line stream is cut into fixed-count blocks,
+    each compressed independently, and a small secondary index keeps one
+    (first key, block) row per block).  Sorted SURT keys share long
+    prefixes (a whole site shares ``host)``), so per-block front-coding
+    — store each key as (LCP with the previous key, suffix); the block's
+    FIRST key restarts at LCP 0 so blocks stay independently decodable —
+    is what makes a 10^10-URL index fit.  This operator reports the
+    per-block layout: first key (the secondary-index entry), key count,
+    raw vs front-coded character volume, and the savings fraction.
+
+    Scale shape: the global sort rank comes from
+    :func:`~eget_spark.operators.sequence.with_global_seq` (range
+    exchange + per-partition rank — never a single-partition window);
+    the LCP window partitions by block id, whose partitions are capped
+    at ``block_size`` rows by construction.  LCP itself is pure
+    higher-order column algebra (split/zip_with/array_position) inside
+    codegen — lengths in characters (SURT keys are ASCII by
+    construction: lowercased + percent-encoded)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.sequence import with_global_seq
+
+    ranked = with_global_seq(
+        keys.select(F.col(key_col).alias("key")), ["key"], start=0, seq_col="_rank"
+    ).df
+    blocked = ranked.withColumn(
+        "block_id", F.floor(F.col("_rank") / block_size).cast("long")
+    )
+    w = Window.partitionBy("block_id").orderBy("key", "_rank")
+    prev = F.lag("key").over(w)
+    eq = F.zip_with(
+        F.split(prev, ""),
+        F.split(F.col("key"), ""),
+        lambda x, y: F.coalesce(x == y, F.lit(False)),
+    )
+    first_diff = F.array_position(eq, F.lit(False))
+    lcp = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(first_diff == 0, F.length("key"))
+        .otherwise(first_diff - 1)
+    )
+    per_key = blocked.select(
+        "block_id", "key", F.length("key").alias("_len"), lcp.alias("_lcp")
+    )
+    agg = per_key.groupBy("block_id").agg(
+        F.min("key").alias("first_key"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("_len").cast("long").alias("raw_chars"),
+        F.sum(F.col("_len") - F.col("_lcp")).cast("long").alias("stored_chars"),
+    )
+    return agg.select(
+        "block_id",
+        "first_key",
+        "n_keys",
+        "raw_chars",
+        "stored_chars",
+        F.when(
+            F.col("raw_chars") > 0,
+            F.round(1.0 - F.col("stored_chars") / F.col("raw_chars"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("savings"),
+    )

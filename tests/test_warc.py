@@ -195,3 +195,50 @@ def test_revisit_dedup_storage_accounting(spark):
     # 10 identical captures store the payload once
     assert agg["stored"] == len(b"same-bytes")
     assert agg["rv"] == 9
+
+
+def test_zipnum_blocks_front_coding_matches_python(spark):
+    from eget_spark.sources.warc import zipnum_blocks
+
+    keys = [
+        "com,example)/a/1", "com,example)/a/2", "com,example)/b",
+        "com,example)/b", "org,iana)/", "org,iana)/domains",
+        "org,iana)/domains/reserved",
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "surt string")
+    rows = sorted(
+        zipnum_blocks(df, "surt", block_size=3).collect(),
+        key=lambda r: r["block_id"],
+    )
+    ks = sorted(keys)
+    blocks: dict[int, list[str]] = {}
+    for i, k in enumerate(ks):
+        blocks.setdefault(i // 3, []).append(k)
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    for r in rows:
+        blk = blocks[r["block_id"]]
+        assert r["first_key"] == blk[0]
+        assert r["n_keys"] == len(blk)
+        assert r["raw_chars"] == sum(len(k) for k in blk)
+        stored = sum(
+            len(k) - (lcp(blk[i - 1], k) if i else 0)
+            for i, k in enumerate(blk)
+        )
+        assert r["stored_chars"] == stored, r
+
+
+def test_zipnum_blocks_duplicate_keys_store_zero_suffix(spark):
+    from eget_spark.sources.warc import zipnum_blocks
+
+    df = spark.createDataFrame([("k",), ("k",), ("k",)], "surt string")
+    row = zipnum_blocks(df, "surt", block_size=10).collect()[0]
+    # 3 identical 1-char keys: restart stores 1 char, dups store 0
+    assert (row["n_keys"], row["raw_chars"], row["stored_chars"]) == (3, 3, 1)
