@@ -1676,6 +1676,41 @@ def main() -> None:
     )
     checks.append(("implied delays: no Python", "EvalPython" not in p_id))
 
+    # 115. CDX index (q185): the WARC write/read legs are Arrow
+    # mapInPandas (MapInPandas nodes), never row-at-a-time Python
+    p_cdx = plan_of(entry.q185_cdx_index(spark, SF))
+    checks.append(("cdx index: Arrow mapInPandas legs", "MapInPandas" in p_cdx))
+    checks.append(("cdx index: no row-at-a-time Python", "BatchEvalPython" not in p_cdx))
+
+    # 116. revisit dedup (q186): ONE (url, digest) window exchange, sha2
+    # inside codegen, no Python
+    p_rv = plan_of(entry.q186_revisit_dedup(spark, SF))
+    checks.append(("revisit dedup: single exchange", _nodes(p_rv, "Exchange") <= 1))
+    checks.append(("revisit dedup: one window", _nodes(p_rv, "Window") == 1))
+    checks.append(("revisit dedup: no Python", "EvalPython" not in p_rv))
+
+    # 117. poisson change rate (q187): ONE map-side-combined aggregate —
+    # partial_count before the exchange — and zero windows/joins
+    p_pr = plan_of(entry.q187_poisson_rate(spark, SF))
+    checks.append(("poisson rate: single exchange", _nodes(p_pr, "Exchange") <= 1))
+    checks.append(("poisson rate: map-side partial agg", "partial_count" in p_pr))
+    checks.append(("poisson rate: no window/join", _nodes(p_pr, "Window") == 0 and "Join" not in p_pr))
+    checks.append(("poisson rate: no Python", "EvalPython" not in p_pr))
+
+    # 118. triangles (q188): all joins are equi hash/sort-merge joins —
+    # no nested-loop or cartesian fallback — and no Python
+    p_tri = plan_of(entry.q188_triangles(spark, SF))
+    checks.append(("triangles: no nested-loop join", "NestedLoop" not in p_tri and "Cartesian" not in p_tri))
+    checks.append(("triangles: no Python", "EvalPython" not in p_tri))
+
+    # 119. zipnum blocks (q189): the global rank is a RANGE exchange (the
+    # sequencer), the LCP window partitions by block id (never a
+    # single-partition window), all HOF algebra stays JVM-side
+    p_zn = plan_of(entry.q189_zipnum_blocks(spark, SF))
+    checks.append(("zipnum: range exchange for rank", "rangepartitioning" in p_zn.lower()))
+    checks.append(("zipnum: no single-partition window", "SinglePartition" not in p_zn))
+    checks.append(("zipnum: no Python", "EvalPython" not in p_zn))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
