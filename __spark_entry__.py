@@ -9006,6 +9006,64 @@ FROM lcps GROUP BY block_id
 """
 
 
+def q190_refresh_value(spark, sf_dir):
+    """Freshness-weighted refresh budget allocation — the composed
+    incremental-crawl scheduler (Cho & Garcia-Molina's freshness-driven
+    ordering over centrality): value = PageRank x staleness, top-budget
+    selected.  Pinned integer semantics: pr_fp from the 5-iteration
+    fixed-point rank (q40, bit-exact), staleness_permille =
+    least(1000, 1000*age div interval) with age = (1 + d%10) days and
+    per-URL interval = (1 + d%5) days, value = pr_fp *
+    staleness_permille, and the 100-page budget selects the top rows by
+    (value desc, doc_id) via the range-exchange sequencer — never a
+    single-partition window."""
+    from eget_spark.operators.graph import pagerank_fixed
+    from eget_spark.operators.sequence import with_global_seq
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    pr = pagerank_fixed(nodes, edges, n_iter=5)
+    d = F.col("id")
+    us_day = 86400000000
+    stale = F.least(
+        F.lit(1000),
+        F.expr(f"(1000 * ((1 + id % 10) * {us_day})) div ((1 + id % 5) * {us_day})"),
+    ).cast("long")
+    vals = pr.select(
+        d.alias("doc_id"),
+        "pr_fp",
+        stale.alias("staleness_permille"),
+        (F.col("pr_fp") * stale).cast("long").alias("value"),
+    ).withColumn("_nv", -F.col("value"))
+    ranked = with_global_seq(vals, ["_nv", "doc_id"], start=1, seq_col="_rk").df
+    return ranked.select(
+        "doc_id",
+        "pr_fp",
+        "staleness_permille",
+        "value",
+        (F.col("_rk") <= 100).alias("selected"),
+    )
+
+
+def _q190_sql() -> str:
+    us_day = 86400000000
+    return f"""
+WITH pr AS ({_q40_sql()}),
+vals AS (
+  SELECT p.doc_id, p.pr_fp,
+         CAST(least(1000, (1000 * ((1 + p.doc_id % 10) * {us_day}))
+                          // ((1 + p.doc_id % 5) * {us_day})) AS BIGINT)
+           AS staleness_permille,
+         CAST(p.pr_fp * least(1000,
+                (1000 * ((1 + p.doc_id % 10) * {us_day}))
+                // ((1 + p.doc_id % 5) * {us_day})) AS BIGINT) AS value
+  FROM pr p
+)
+SELECT doc_id, pr_fp, staleness_permille, value,
+       row_number() OVER (ORDER BY value DESC, doc_id) <= 100 AS selected
+FROM vals
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9202,6 +9260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_poisson_rate": q187_poisson_rate,
         "q188_triangles": q188_triangles,
         "q189_zipnum_blocks": q189_zipnum_blocks,
+        "q190_refresh_value": q190_refresh_value,
     }
 
 
@@ -9395,4 +9454,5 @@ def oracle_sql() -> dict[str, str]:
         "q187_poisson_rate": _Q187_SQL,
         "q188_triangles": _Q188_SQL,
         "q189_zipnum_blocks": _Q189_SQL,
+        "q190_refresh_value": _q190_sql(),
     }
