@@ -9064,6 +9064,78 @@ FROM vals
 """
 
 
+def q191_heaps_fit(spark, sf_dir):
+    """Heaps-law least-squares fit (functions/text.heaps_fit): V = K*T^beta
+    estimated over id-threshold checkpoints of the vocabulary growth curve
+    — the tokenizer-sizing / OOV-decay parameters, computed with exact
+    int64 fixed-point sums (round(ln*1e6)) so the OLS is bit-identical
+    cross-engine.  Two map-side-combined aggregates over the exploded
+    corpus + a broadcast of the 2-value fit; no window, no driver math."""
+    from eget_spark.functions.text import heaps_fit
+
+    return heaps_fit(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        thresholds=[10, 25, 50, 100, 200, 350, 500, 1000, 5000, 20000],
+    )
+
+
+_Q191_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+th AS (SELECT CAST(unnest([10, 25, 50, 100, 200, 350, 500, 1000, 5000, 20000])
+              AS BIGINT) AS threshold),
+first_ AS (SELECT t, min(doc_id) AS first_id FROM toks GROUP BY t),
+vocab AS (
+  SELECT th.threshold,
+         CAST(sum(CASE WHEN f.first_id <= th.threshold THEN 1 ELSE 0 END)
+              AS BIGINT) AS vocab_size
+  FROM first_ f, th GROUP BY 1
+),
+dtc AS (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id),
+cumtok AS (
+  SELECT th.threshold,
+         CAST(sum(CASE WHEN d.doc_id <= th.threshold THEN d.c ELSE 0 END)
+              AS BIGINT) AS cum_tokens
+  FROM dtc d, th GROUP BY 1
+),
+pts AS (
+  SELECT v.threshold, c.cum_tokens, v.vocab_size
+  FROM vocab v JOIN cumtok c USING (threshold)
+  WHERE v.vocab_size > 0 AND c.cum_tokens > 0
+),
+fx AS (
+  SELECT threshold, cum_tokens, vocab_size,
+         CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT) AS xi,
+         CAST(round(ln(CAST(vocab_size AS DOUBLE)) * 1e6, 0) AS BIGINT) AS yi
+  FROM pts
+),
+agg AS (
+  SELECT count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
+         sum(xi * yi) AS sxy, sum(xi * xi) AS sxx
+  FROM fx
+),
+co AS (
+  SELECT round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+         n, sx, sy
+  FROM agg
+),
+fit AS (
+  SELECT heaps_beta,
+         round((CAST(sy AS DOUBLE) / 1e6
+                - heaps_beta * (CAST(sx AS DOUBLE) / 1e6))
+               / CAST(n AS DOUBLE), 6) AS heaps_lnk
+  FROM co
+)
+SELECT p.threshold, p.cum_tokens, p.vocab_size, f.heaps_beta, f.heaps_lnk
+FROM pts p CROSS JOIN fit f
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9261,6 +9333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_triangles": q188_triangles,
         "q189_zipnum_blocks": q189_zipnum_blocks,
         "q190_refresh_value": q190_refresh_value,
+        "q191_heaps_fit": q191_heaps_fit,
     }
 
 
@@ -9455,4 +9528,5 @@ def oracle_sql() -> dict[str, str]:
         "q188_triangles": _Q188_SQL,
         "q189_zipnum_blocks": _Q189_SQL,
         "q190_refresh_value": _q190_sql(),
+        "q191_heaps_fit": _Q191_SQL,
     }

@@ -469,6 +469,113 @@ def vocab_growth(df, id_col: str, text_col: str, thresholds: list[int]):
     )
 
 
+def heaps_fit(df, id_col: str, text_col: str, thresholds: list[int]):
+    """Heaps-law least-squares fit V = K * T^beta over the vocabulary
+    growth curve — the parameters that size a tokenizer vocabulary and
+    predict OOV decay before committing to a full-corpus pass (the
+    regression companion to :func:`vocab_growth`'s raw curve).
+
+    Exact semantics (pinned so the SQL oracle is bit-identical): at each
+    id-threshold checkpoint t, T(t) = total TOKEN_SPLIT tokens over docs
+    with id <= t and V(t) = distinct tokens whose first-appearance doc
+    id <= t; checkpoints with T=0 or V=0 drop out; x = ln(T), y = ln(V)
+    quantized to int64 micro-units (round(ln*1e6)); beta and lnK come
+    from ordinary least squares computed on EXACT int64 sums (n*Sxy -
+    Sx*Sy over n*Sxx - Sx^2, so engine summation order cannot perturb
+    the result), each final ratio rounded to 6 decimals.  Thresholds
+    beyond the corpus saturate to (T_total, V_total) and deliberately
+    stay in the fit (tail-weighted, pinned).  Requires >= 2 distinct
+    checkpoint token counts or the slope denominator is zero.
+
+    Returns one row per surviving checkpoint: (threshold, cum_tokens,
+    vocab_size, heaps_beta, heaps_lnk) with the fit constants repeated.
+
+    Scale shape: two map-side-combined aggregates over the exploded
+    corpus (per-token min-id, per-doc token count), each exploded onto
+    the tiny threshold list and re-aggregated per threshold; the
+    regression runs on |thresholds| rows joined back as a broadcast —
+    no window over the corpus, no driver-side math."""
+    from pyspark.sql import functions as F
+
+    from ..operators.lm_score import TOKEN_SPLIT
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    th = F.array(*[F.lit(int(t)).cast("long") for t in sorted(thresholds)])
+    first = toks.groupBy("tok").agg(F.min("id").alias("first_id"))
+    vocab = (
+        first.select("first_id", F.explode(th).alias("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("first_id") <= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_size")
+        )
+    )
+    dtc = toks.groupBy("id").agg(F.count("*").alias("c"))
+    cumtok = (
+        dtc.select("id", "c", F.explode(th).alias("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("id") <= F.col("threshold"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("cum_tokens")
+        )
+    )
+    pts = (
+        vocab.join(cumtok, "threshold")
+        .where((F.col("vocab_size") > 0) & (F.col("cum_tokens") > 0))
+    )
+    fx = pts.select(
+        "threshold",
+        "cum_tokens",
+        "vocab_size",
+        F.round(F.log(F.col("cum_tokens").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("xi"),
+        F.round(F.log(F.col("vocab_size").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("yi"),
+    )
+    fit = fx.agg(
+        F.count("*").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+    ).select(
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("heaps_beta"),
+        F.col("n"),
+        F.col("sx"),
+        F.col("sy"),
+    )
+    fit = fit.select(
+        "heaps_beta",
+        F.round(
+            (
+                F.col("sy").cast("double") / F.lit(1e6)
+                - F.col("heaps_beta") * (F.col("sx").cast("double") / F.lit(1e6))
+            )
+            / F.col("n").cast("double"),
+            6,
+        ).alias("heaps_lnk"),
+    )
+    return pts.select("threshold", "cum_tokens", "vocab_size").crossJoin(
+        F.broadcast(fit)
+    )
+
+
 def flesch_reading_ease(df, id_col: str, text_col: str):
     """Flesch reading-ease readability score — the classic curation
     signal for audience-level filtering of a web corpus (reference

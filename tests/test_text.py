@@ -235,3 +235,48 @@ def test_script_profile_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_heaps_fit_matches_python_ols(spark):
+    import math
+    import re
+
+    from eget_spark.functions.text import heaps_fit
+
+    rows = [
+        (i, " ".join(f"w{(i * 17 + j * 5) % 97}" for j in range(12)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    ths = [5, 10, 20, 40, 59, 500]
+    out = heaps_fit(df, "id", "text", ths).collect()
+    # python oracle: same checkpoints, same micro-quantized OLS
+    first, per_doc = {}, {}
+    for i, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        per_doc[i] = len(toks)
+        for t in toks:
+            first.setdefault(t, i)
+    pts = []
+    for th in ths:
+        v = sum(1 for f in first.values() if f <= th)
+        T = sum(c for d, c in per_doc.items() if d <= th)
+        if v > 0 and T > 0:
+            pts.append((th, T, v))
+    xs = [round(math.log(T) * 1e6) for _, T, _ in pts]
+    ys = [round(math.log(v) * 1e6) for _, _, v in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    beta = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    lnk = round((sy / 1e6 - beta * (sx / 1e6)) / n, 6)
+    assert len(out) == n
+    for r in out:
+        assert r["heaps_beta"] == beta and r["heaps_lnk"] == lnk
+    got = {r["threshold"]: (r["cum_tokens"], r["vocab_size"]) for r in out}
+    assert got == {th: (T, v) for th, T, v in pts}
+    # sublinear vocabulary growth: 0 < beta < 1 on this synthetic corpus
+    assert 0.0 < beta < 1.0
+    # saturated threshold (500 > max id) pins the full-corpus point
+    assert got[500] == (sum(per_doc.values()), len(first))
