@@ -9136,6 +9136,57 @@ FROM pts p CROSS JOIN fit f
 """
 
 
+def q192_coreness(spark, sf_dir):
+    """k-core decomposition via the iterated H-index (operators/graph.
+    coreness_hindex — Lü et al. 2016): h0 = degree, each round takes the
+    H-index of the neighbors' values; converges monotonically to exact
+    coreness.  Dense-community vs star-spam crawl signal on the shared
+    analytics link graph (q40/q84/q188 edge synthesis).  20 pinned
+    rounds (no-ops past convergence), pure integer — bit-exact; per
+    round one hash join + one node-partitioned window + one map-side
+    max, state localCheckpoint-ed."""
+    from eget_spark.operators.graph import coreness_hindex
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    return coreness_hindex(nodes, edges, n_rounds=20).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _q192_sql(n_rounds: int = 20) -> str:
+    blocks = []
+    for i in range(1, n_rounds + 1):
+        blocks.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT n, CAST(max(least(rn, nv)) AS BIGINT) AS v
+  FROM (
+    SELECT b.n, p.v AS nv,
+           CAST(row_number() OVER (PARTITION BY b.n
+                                   ORDER BY p.v DESC, b.nb) AS BIGINT) AS rn
+    FROM bidir b JOIN v{i - 1} p ON p.n = b.nb
+  ) GROUP BY n
+)"""
+        )
+    rounds = ",\n".join(blocks)
+    return (
+        "WITH "
+        + _EDGES_SQL.lstrip().removeprefix("WITH ")
+        + f""",
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+bidir AS MATERIALIZED (SELECT a AS n, b AS nb FROM und
+                       UNION ALL SELECT b, a FROM und),
+v0 AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS v
+                    FROM bidir GROUP BY n),
+{rounds}
+SELECT d.doc_id, CAST(coalesce(p.v, 0) AS BIGINT) AS coreness
+FROM documents d LEFT JOIN v{n_rounds} p ON p.n = d.doc_id
+"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9334,6 +9385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_zipnum_blocks": q189_zipnum_blocks,
         "q190_refresh_value": q190_refresh_value,
         "q191_heaps_fit": q191_heaps_fit,
+        "q192_coreness": q192_coreness,
     }
 
 
@@ -9529,4 +9581,5 @@ def oracle_sql() -> dict[str, str]:
         "q189_zipnum_blocks": _Q189_SQL,
         "q190_refresh_value": _q190_sql(),
         "q191_heaps_fit": _Q191_SQL,
+        "q192_coreness": _q192_sql(),
     }

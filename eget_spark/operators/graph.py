@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def out_degrees(edges: DataFrame) -> DataFrame:
@@ -469,6 +470,78 @@ def pagerank_weighted_fixed(
             .localCheckpoint()
         )
     return ranks
+
+
+def coreness_hindex(
+    nodes: DataFrame, edges: DataFrame, n_rounds: int = 20
+) -> DataFrame:
+    """k-core decomposition via the iterated H-index (Lü et al., "The
+    H-index of a network node and its relation to degree and coreness",
+    Nat. Commun. 2016): h0 = degree; each round replaces a node's value
+    with the H-index of its neighbors' values; the sequence is
+    monotonically non-increasing and converges to the node's CORENESS
+    (the largest k such that the node survives in the k-core).  Coreness
+    separates genuinely dense link communities (high core number) from
+    star-shaped spam hubs whose neighborhoods peel away at k=1 — the
+    crawl-prioritization complement to triangle clustering.
+
+    Pinned semantics: the UNDIRECTED simple graph is the distinct
+    canonicalized (min, max) pair set with self-loops dropped (same
+    contract as :func:`triangle_counts`); H-index of a multiset sorted
+    descending as v_1 >= v_2 >= ... is max_i min(i, v_i) (0 for the
+    empty set); exactly ``n_rounds`` H-operator rounds are applied —
+    extra rounds past convergence are no-ops, so any n_rounds >= the
+    graph's convergence radius yields exact coreness (tests pin this
+    against a Python peeling oracle).  Isolated nodes report 0.  All
+    integer arithmetic — no floats, bit-exact cross-engine.
+
+    Scale shape: per round, ONE hash join (neighbor value lookup keyed
+    on the neighbor id) + ONE window partitioned by node id (millions of
+    partitions — never a single-partition window) + ONE map-side-
+    combined max; values are localCheckpoint-ed per round so lineage
+    stays O(1).  Unlike distributed peeling (which runs a data-dependent
+    number of sequential deletion waves per k), the H-index iteration is
+    a fixed number of uniform bulk-synchronous rounds — the shape that
+    survives a 1000-executor cluster.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    bidir = (
+        und.select(F.col("a").alias("n"), F.col("b").alias("nb"))
+        .unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("nb")))
+        .localCheckpoint()
+    )
+    vals = (
+        bidir.groupBy("n")
+        .agg(F.count("*").cast("long").alias("v"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("n").orderBy(F.desc("nv"), "nb")
+    for _ in range(n_rounds):
+        nbv = bidir.join(
+            vals.select(F.col("n").alias("nb"), F.col("v").alias("nv")), "nb"
+        )
+        vals = (
+            nbv.select(
+                "n",
+                F.least(
+                    F.row_number().over(w).cast("long"), F.col("nv")
+                ).alias("m"),
+            )
+            .groupBy("n")
+            .agg(F.max("m").cast("long").alias("v"))
+            .localCheckpoint()
+        )
+    return (
+        nodes.select(F.col(nodes.columns[0]).alias("id"))
+        .join(vals.withColumnRenamed("n", "id"), "id", "left")
+        .select("id", F.coalesce("v", F.lit(0)).cast("long").alias("coreness"))
+    )
 
 
 def link_reciprocity(edges: DataFrame) -> DataFrame:

@@ -455,3 +455,68 @@ def test_triangle_counts_matches_bruteforce(spark):
         assert rows[i]["triangles"] == tri_py[i], i
         deg = sum(1 for p in und if i in p)
         assert rows[i]["degree"] == deg
+
+
+def _peel_coreness(n: int, und: set) -> dict:
+    """Exact k-core peeling oracle: repeatedly delete min-degree nodes."""
+    adj = {i: set() for i in range(n)}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {i: 0 for i in range(n)}
+    deg = {i: len(adj[i]) for i in range(n)}
+    alive = set(range(n))
+    k = 0
+    while alive:
+        k = max(k, min(deg[i] for i in alive))
+        peel = [i for i in alive if deg[i] <= k]
+        while peel:
+            i = peel.pop()
+            if i not in alive:
+                continue
+            core[i] = k
+            alive.discard(i)
+            for j in adj[i]:
+                if j in alive:
+                    deg[j] -= 1
+                    if deg[j] <= k:
+                        peel.append(j)
+    return core
+
+
+def test_coreness_hindex_matches_peeling_oracle(spark):
+    import random
+
+    from eget_spark.operators.graph import coreness_hindex
+
+    rnd = random.Random(11)
+    n = 30
+    pairs = [(a, b) for a in range(n) for b in range(n) if a != b]
+    edges_py = sorted(rnd.sample(pairs, 140))
+    # self-loops and duplicate directions must be ignored per the contract
+    edges_py += [(3, 3), (0, 1), (1, 0)]
+    und = {(min(a, b), max(a, b)) for a, b in edges_py if a != b}
+    want = _peel_coreness(n, und)
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["id"]: r["coreness"]
+        for r in coreness_hindex(nodes, edges, n_rounds=20).collect()
+    }
+    assert got == want
+
+
+def test_coreness_isolated_and_star(spark):
+    from eget_spark.operators.graph import coreness_hindex
+
+    # star: hub 0 with 5 leaves -> everyone coreness 1; node 9 isolated
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    got = {
+        r["id"]: r["coreness"]
+        for r in coreness_hindex(nodes, edges, n_rounds=6).collect()
+    }
+    assert got[9] == 0 and all(got[i] == 1 for i in range(6))
+    assert all(got[i] == 0 for i in range(6, 10))
