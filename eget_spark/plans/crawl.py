@@ -411,7 +411,12 @@ def crawl(
         frontier_count = frontier.count()
 
     # per-host admission counters (max_pages_per_host): a tiny (host, _n)
-    # table, rebuilt from the admitted history on resume
+    # table, rebuilt from the admitted history on resume.  Seeds are
+    # persisted as admitted round 0 (both seed paths above append to
+    # run.admitted before round 1), so the fresh-run source (`frontier` =
+    # seeds) and the resume source (admitted history) count the SAME rows —
+    # the straight-through and resumed histograms (and the trap histogram
+    # below, which shares hc_src's two sources) are provably identical.
     host_counts: DataFrame | None = None
     if config.max_pages_per_host is not None:
         hc_src = frontier if state is None else run.admitted.read_upto(round_no)

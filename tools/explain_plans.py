@@ -1711,6 +1711,30 @@ def main() -> None:
     checks.append(("zipnum: no single-partition window", "SinglePartition" not in p_zn))
     checks.append(("zipnum: no Python", "EvalPython" not in p_zn))
 
+    # 120. refresh value (q190): the top-budget selection rides the range-
+    # exchange sequencer — never a single-partition global window
+    p_rf = plan_of(entry.q190_refresh_value(spark, SF))
+    checks.append(("refresh value: range exchange for rank", "rangepartitioning" in p_rf.lower()))
+    checks.append(("refresh value: no single-partition window", "SinglePartition" not in p_rf))
+    checks.append(("refresh value: no Python", "EvalPython" not in p_rf))
+
+    # 121. heaps fit (q191): corpus-side aggregates are map-side combined
+    # (partial min/count before the exchange); the 1-row fit joins back as
+    # a broadcast; no window anywhere
+    p_hf = plan_of(entry.q191_heaps_fit(spark, SF))
+    checks.append(("heaps fit: map-side partial agg", "partial_min" in p_hf or "partial_count" in p_hf))
+    checks.append(("heaps fit: fit joined as broadcast", "BroadcastNestedLoopJoin" in p_hf or "BroadcastExchange" in p_hf))
+    checks.append(("heaps fit: no window", _nodes(p_hf, "Window") == 0))
+    checks.append(("heaps fit: no Python", "EvalPython" not in p_hf))
+
+    # 122. coreness (q192): every H-index window partitions by node id
+    # (never single-partition), all joins are equi hash/sort-merge, and the
+    # per-round localCheckpoint keeps lineage O(1) (plan stays shallow)
+    p_co = plan_of(entry.q192_coreness(spark, SF))
+    checks.append(("coreness: no single-partition window", "SinglePartition" not in p_co))
+    checks.append(("coreness: no nested-loop join", "NestedLoop" not in p_co and "Cartesian" not in p_co))
+    checks.append(("coreness: no Python", "EvalPython" not in p_co))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
