@@ -9187,6 +9187,94 @@ FROM documents d LEFT JOIN v{n_rounds} p ON p.n = d.doc_id
     )
 
 
+def q193_hyperball(spark, sf_dir):
+    """HyperBall neighborhood sketches + harmonic centrality (operators/
+    graph.hyperball — Boldi & Vigna 2013): per-node HLL out-ball sketches
+    grown by 6 register-max successor-merge rounds; reach_est = estimated
+    |B_6(v)|, harmonic = sum_t (|B_t|-|B_{t-1}|)/t.  Registers bit-exact
+    (operators/hll.py contract on the node-id string); per-round
+    estimates rounded to 2 ARE the pinned harmonic inputs.  Sparse
+    (node,bucket,reg) state; one join + one map-side max per round."""
+    from eget_spark.operators.graph import hyperball
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    return hyperball(nodes, edges, p=4, n_rounds=6).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _q193_sql(p: int = 4, n_rounds: int = 6) -> str:
+    m = 1 << p
+    width = 60 - p
+    scale = 1 << (width + 1)
+    raw = (
+        f"((((0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0) * {m}.0) * {scale}.0)"
+        " / sum_scaled"
+    )
+
+    def est(t: int) -> str:
+        return f"""est{t} AS MATERIALIZED (
+  SELECT node,
+         round(CASE WHEN {raw} <= {2.5 * m} AND v_zero > 0
+                    THEN {m}.0 * ln({m}.0 / v_zero)
+                    ELSE {raw} END, 2) AS e
+  FROM (
+    SELECT node, CAST({m} - count(*) AS BIGINT) AS v_zero,
+           CAST(sum(CAST(1 AS BIGINT) << ({width + 1} - reg))
+                + ({m} - count(*)) * {scale} AS BIGINT) AS sum_scaled
+    FROM r{t} GROUP BY node
+  )
+)"""
+
+    blocks = [
+        f"""r0 AS MATERIALIZED (
+  SELECT node, bucket, CAST(({width} - bit_count(s32)) + 1 AS INT) AS reg FROM (
+    SELECT node, bucket, s16 | (s16 >> 32) AS s32 FROM (
+      SELECT node, bucket, s8 | (s8 >> 16) AS s16 FROM (
+        SELECT node, bucket, s4 | (s4 >> 8) AS s8 FROM (
+          SELECT node, bucket, s2 | (s2 >> 4) AS s4 FROM (
+            SELECT node, bucket, s1 | (s1 >> 2) AS s2 FROM (
+              SELECT node, h & {m - 1} AS bucket,
+                     (h >> {p}) | ((h >> {p}) >> 1) AS s1
+              FROM (SELECT doc_id AS node,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 15)) AS BIGINT) AS h
+                    FROM documents)))))))
+)""",
+        est(0),
+    ]
+    for t in range(1, n_rounds + 1):
+        blocks.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT node, bucket, CAST(max(reg) AS INT) AS reg FROM (
+    SELECT node, bucket, reg FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS node, r.bucket, r.reg
+    FROM edges e JOIN r{t - 1} r ON r.node = e.dst
+  ) GROUP BY node, bucket
+)"""
+        )
+        blocks.append(est(t))
+    terms = " + ".join(
+        f"((est{t}.e - est{t - 1}.e) / {t}.0)" for t in range(1, n_rounds + 1)
+    )
+    joins = "\n".join(
+        f"JOIN est{t} ON est{t}.node = d.doc_id" for t in range(n_rounds + 1)
+    )
+    return (
+        "WITH "
+        + _EDGES_SQL.lstrip().removeprefix("WITH ")
+        + ",\n"
+        + ",\n".join(blocks)
+        + f"""
+SELECT d.doc_id, est{n_rounds}.e AS reach_est,
+       round({terms}, 6) AS harmonic
+FROM documents d
+{joins}
+"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9386,6 +9474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_refresh_value": q190_refresh_value,
         "q191_heaps_fit": q191_heaps_fit,
         "q192_coreness": q192_coreness,
+        "q193_hyperball": q193_hyperball,
     }
 
 
@@ -9582,4 +9671,5 @@ def oracle_sql() -> dict[str, str]:
         "q190_refresh_value": _q190_sql(),
         "q191_heaps_fit": _Q191_SQL,
         "q192_coreness": _q192_sql(),
+        "q193_hyperball": _q193_sql(),
     }

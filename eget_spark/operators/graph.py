@@ -544,6 +544,111 @@ def coreness_hindex(
     )
 
 
+def hyperball(
+    nodes: DataFrame, edges: DataFrame, p: int = 4, n_rounds: int = 6
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013, "In-core computation of geometric
+    centralities with HyperBall"): per-node HyperLogLog sketches of the
+    out-ball B_t(v) = {w reachable from v in <= t hops}, grown by t
+    rounds of register-wise max over successors — the published
+    technique behind the Common Crawl / web-graph harmonic-centrality
+    rankings, where exact per-node reachability is hopeless at 10^10
+    nodes but an m-register sketch per node is linear state.
+
+    Outputs per node: ``reach_est`` (estimated |B_T(v)|) and
+    ``harmonic`` = sum_t (|B_t| - |B_{t-1}|) / t — the harmonic
+    centrality estimate (Boldi & Vigna's recommended geometric
+    centrality; high = the node reaches many pages in few hops).
+
+    Pinned semantics (registers bit-exact cross-engine): the register
+    construction is operators/hll.py's contract verbatim (md5-60bit
+    hash of the DECIMAL STRING of the node id, low-p-bit bucket,
+    smear+bit_count rho); sketches start from {v} itself and take
+    exactly ``n_rounds`` successor-merge rounds; per-round estimates use
+    the standard HLL formula + small-range linear counting, rounded to
+    2 (the rounded values are the pinned inputs to the harmonic sum, so
+    the float chain is short and engine-identical); harmonic adds terms
+    in fixed t = 1..T order, rounded to 6.
+
+    Scale shape: sketch state is SPARSE (node, bucket, reg) rows —
+    <= m rows per node, empty buckets implied; each round is ONE hash
+    join (successor regs keyed on the edge head) + ONE map-side-combined
+    (node, bucket) max, localCheckpoint-ed so lineage stays O(1); the
+    per-round estimate is one groupBy(node) over <= m rows each.  No
+    window, no Python, no driver data."""
+    from .hll import HASH_BITS, _hash60, _rho
+
+    m = 1 << p
+    width = HASH_BITS - p
+    scale = 1 << (width + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    idc = F.col(nodes.columns[0])
+    h = _hash60(idc.cast("string"))
+    regs = (
+        nodes.select(
+            idc.alias("node"),
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            _rho(F.shiftrightunsigned(h, p), width).alias("reg"),
+        )
+        .localCheckpoint()
+    )
+
+    def estimate(r: DataFrame) -> DataFrame:
+        agg = r.groupBy("node").agg(
+            (F.lit(m) - F.count("*")).cast("long").alias("v_zero"),
+            (
+                F.sum(F.expr(f"shiftleft(cast(1 as bigint), {width + 1} - reg)"))
+                + (F.lit(m) - F.count("*")) * F.lit(scale)
+            )
+            .cast("long")
+            .alias("sum_scaled"),
+        )
+        raw = (
+            F.lit(alpha)
+            * F.lit(float(m))
+            * F.lit(float(m))
+            * F.lit(float(scale))
+            / F.col("sum_scaled")
+        )
+        linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero"))
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0), linear
+        ).otherwise(raw)
+        return agg.select("node", F.round(est, 2).alias("e"))
+
+    ests = [estimate(regs).localCheckpoint()]
+    for _ in range(n_rounds):
+        succ = edges.join(
+            regs.select(
+                F.col("node").alias("dst"), "bucket", "reg"
+            ),
+            "dst",
+        ).select(F.col("src").alias("node"), "bucket", "reg")
+        regs = (
+            regs.unionAll(succ)
+            .groupBy("node", "bucket")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint()
+        )
+        ests.append(estimate(regs).localCheckpoint())
+
+    out = nodes.select(idc.alias("id"))
+    for t, est in enumerate(ests):
+        out = out.join(
+            est.select(F.col("node").alias("id"), F.col("e").alias(f"_e{t}")),
+            "id",
+        )
+    harmonic = None
+    for t in range(1, n_rounds + 1):
+        term = (F.col(f"_e{t}") - F.col(f"_e{t - 1}")) / F.lit(float(t))
+        harmonic = term if harmonic is None else harmonic + term
+    return out.select(
+        "id",
+        F.col(f"_e{n_rounds}").alias("reach_est"),
+        F.round(harmonic, 6).alias("harmonic"),
+    )
+
+
 def link_reciprocity(edges: DataFrame) -> DataFrame:
     """Per-node reciprocal-link profile — the link-exchange spam signal
     that complements :func:`trustrank_fixed`: organic linking is mostly
