@@ -9275,6 +9275,92 @@ FROM documents d
     )
 
 
+def q194_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/cdc.cdc_chunks — LBFS rolling
+    hash, FastCDC's modern family): boundaries where the 8-byte
+    polynomial hash (P=31, M=2^20) masks to 0 mod 64 — an insertion
+    shifts boundaries only locally, so unchanged content re-chunks
+    identically across pages and crawls.  One Arrow mapInPandas pass
+    (numpy convolution rolling hash; md5 per CHUNK, not per byte); the
+    oracle recomputes every boundary byte-by-byte with window lags."""
+    from eget_spark.operators.cdc import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
+_CDC_CHUNKS_SQL = r"""
+pos AS MATERIALIZED (
+  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text FROM documents
+),
+bytes_ AS MATERIALIZED (
+  SELECT doc_id, i, CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS b
+  FROM pos
+),
+h AS (
+  SELECT doc_id, i,
+    CASE WHEN i >= 8 THEN
+      (b
+       + 31 * lag(b, 1) OVER w
+       + 961 * lag(b, 2) OVER w
+       + 29791 * lag(b, 3) OVER w
+       + 923521 * lag(b, 4) OVER w
+       + 28629151 * lag(b, 5) OVER w
+       + 887503681 * lag(b, 6) OVER w
+       + 27512614111 * lag(b, 7) OVER w) % 1048576
+    END AS hh
+  FROM bytes_ WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+cid AS (
+  SELECT doc_id, i,
+         coalesce(sum(CASE WHEN hh IS NOT NULL AND hh % 64 = 0
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_idx
+  FROM h
+),
+grp AS (
+  SELECT doc_id, chunk_idx, min(i) AS s, CAST(count(*) AS BIGINT) AS chunk_len
+  FROM cid GROUP BY doc_id, chunk_idx
+),
+chunks AS (
+  SELECT g.doc_id, CAST(g.chunk_idx AS BIGINT) AS chunk_idx, g.chunk_len,
+         md5(substr(d.text, CAST(g.s AS INT), CAST(g.chunk_len AS INT)))
+           AS chunk_hash
+  FROM grp g JOIN documents d USING (doc_id)
+)"""
+
+_Q194_SQL = "WITH " + _CDC_CHUNKS_SQL.lstrip() + """
+SELECT doc_id, chunk_idx, chunk_len, chunk_hash FROM chunks
+"""
+
+
+def q195_cdc_dedup_stats(spark, sf_dir):
+    """Chunk-store dedup report over q194's content-defined chunks
+    (operators/cdc.cdc_dedup_stats): total vs distinct chunks, raw vs
+    deduped bytes, savings fraction — the archive-storage planning
+    number chunk-level dedup exists for.  Two map-side-combined
+    aggregates; no window, no join."""
+    from eget_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
+
+    return cdc_dedup_stats(cdc_chunks(_t(spark, sf_dir, "documents")))
+
+
+_Q195_SQL = "WITH " + _CDC_CHUNKS_SQL.lstrip() + """
+, per_hash AS (
+  SELECT chunk_hash, CAST(count(*) AS BIGINT) AS _n,
+         CAST(min(chunk_len) AS BIGINT) AS _len
+  FROM chunks GROUP BY chunk_hash
+)
+SELECT CAST(sum(_n) AS BIGINT) AS total_chunks,
+       CAST(count(*) AS BIGINT) AS distinct_chunks,
+       CAST(sum(_n * _len) AS BIGINT) AS total_bytes,
+       CAST(sum(_len) AS BIGINT) AS unique_bytes,
+       round(1.0 - sum(_len) / CAST(sum(_n * _len) AS DOUBLE), 6) AS savings
+FROM per_hash
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9475,6 +9561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_heaps_fit": q191_heaps_fit,
         "q192_coreness": q192_coreness,
         "q193_hyperball": q193_hyperball,
+        "q194_cdc_chunks": q194_cdc_chunks,
+        "q195_cdc_dedup_stats": q195_cdc_dedup_stats,
     }
 
 
@@ -9672,4 +9760,6 @@ def oracle_sql() -> dict[str, str]:
         "q191_heaps_fit": _Q191_SQL,
         "q192_coreness": _q192_sql(),
         "q193_hyperball": _q193_sql(),
+        "q194_cdc_chunks": _Q194_SQL,
+        "q195_cdc_dedup_stats": _Q195_SQL,
     }

@@ -1735,6 +1735,14 @@ def main() -> None:
     checks.append(("coreness: no nested-loop join", "NestedLoop" not in p_co and "Cartesian" not in p_co))
     checks.append(("coreness: no Python", "EvalPython" not in p_co))
 
+    # 123. hyperball (q193): sparse register state — equi joins only (the
+    # successor merge and the per-round estimate join chain), map-side
+    # combined register max, no window, no Python
+    p_hb = plan_of(entry.q193_hyperball(spark, SF))
+    checks.append(("hyperball: no nested-loop join", "NestedLoop" not in p_hb and "Cartesian" not in p_hb))
+    checks.append(("hyperball: no window", _nodes(p_hb, "Window") == 0))
+    checks.append(("hyperball: no Python", "EvalPython" not in p_hb))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
