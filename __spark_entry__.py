@@ -9361,6 +9361,59 @@ FROM per_hash
 """
 
 
+def q196_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit (functions/text.zipf_fit): freq = C *
+    rank^(-s) over the corpus term distribution with the same exact
+    int64 fixed-point OLS as q191 — natural corpora fit s ~= 1, template
+    farms bend the curve.  Rank under (freq DESC, tok) via the range-
+    exchange sequencer; the 2-value fit broadcasts back."""
+    from eget_spark.functions.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                    top_n=1000)
+
+
+_Q196_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+freq AS (SELECT t AS tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY t),
+ranked AS (
+  SELECT tok, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank
+  FROM freq
+),
+pts AS (SELECT rank, tok, freq FROM ranked WHERE rank <= 1000),
+fx AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS xi,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6, 0) AS BIGINT) AS yi
+  FROM pts
+),
+agg AS (
+  SELECT count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
+         sum(xi * yi) AS sxy, sum(xi * xi) AS sxx
+  FROM fx
+),
+co AS (
+  SELECT round(-(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS zipf_s,
+         n, sx, sy
+  FROM agg
+),
+fit AS (
+  SELECT zipf_s,
+         round((CAST(sy AS DOUBLE) / 1e6
+                + zipf_s * (CAST(sx AS DOUBLE) / 1e6))
+               / CAST(n AS DOUBLE), 6) AS zipf_lnc
+  FROM co
+)
+SELECT p.rank, p.tok, p.freq, f.zipf_s, f.zipf_lnc
+FROM pts p CROSS JOIN fit f
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9563,6 +9616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_hyperball": q193_hyperball,
         "q194_cdc_chunks": q194_cdc_chunks,
         "q195_cdc_dedup_stats": q195_cdc_dedup_stats,
+        "q196_zipf_fit": q196_zipf_fit,
     }
 
 
@@ -9762,4 +9816,5 @@ def oracle_sql() -> dict[str, str]:
         "q193_hyperball": _q193_sql(),
         "q194_cdc_chunks": _Q194_SQL,
         "q195_cdc_dedup_stats": _Q195_SQL,
+        "q196_zipf_fit": _Q196_SQL,
     }

@@ -576,6 +576,91 @@ def heaps_fit(df, id_col: str, text_col: str, thresholds: list[int]):
     )
 
 
+def zipf_fit(df, id_col: str, text_col: str, top_n: int = 1000):
+    """Zipf rank-frequency fit freq = C * rank^(-s) over the corpus term
+    distribution — the companion diagnostic to :func:`heaps_fit` (a
+    natural-language corpus shows s ~= 1; machine-generated spam and
+    template farms bend the curve, so the fitted slope is a corpus-level
+    quality signal).
+
+    Exact semantics (pinned): tokens are the engine-wide TOKEN_SPLIT
+    contract; freq = corpus-wide token count; rank = position under
+    (freq DESC, token ASC) — a total order, so ranks are unambiguous;
+    the fit uses ranks 1..min(V, top_n); x = ln(rank), y = ln(freq)
+    quantized to int64 micro-units (round(ln*1e6)); slope and intercept
+    from OLS on EXACT int64 sums, each final ratio rounded to 6;
+    ``zipf_s`` is the NEGATED slope (so Zipfian corpora report ~+1).
+    Requires >= 2 fitted ranks.
+
+    Returns one row per fitted rank: (rank, tok, freq, zipf_s, zipf_lnc).
+
+    Scale shape: one map-side-combined groupBy(token) count; the global
+    rank comes from the range-exchange sequencer (never a single-
+    partition window); the top-n filter is a rank predicate; the 2-value
+    fit joins back as a broadcast."""
+    from pyspark.sql import functions as F
+
+    from ..operators.lm_score import TOKEN_SPLIT
+    from ..operators.sequence import with_global_seq
+
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("freq"))
+    ranked = with_global_seq(
+        freq.withColumn("_nf", -F.col("freq")), ["_nf", "tok"], start=1,
+        seq_col="rank",
+    ).df
+    pts = ranked.where(F.col("rank") <= top_n).select("rank", "tok", "freq")
+    fx = pts.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("xi"),
+        F.round(F.log(F.col("freq").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("yi"),
+    )
+    fit = fx.agg(
+        F.count("*").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+    ).select(
+        F.round(
+            -(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("zipf_s"),
+        F.col("n"),
+        F.col("sx"),
+        F.col("sy"),
+    )
+    fit = fit.select(
+        "zipf_s",
+        F.round(
+            (
+                F.col("sy").cast("double") / F.lit(1e6)
+                + F.col("zipf_s") * (F.col("sx").cast("double") / F.lit(1e6))
+            )
+            / F.col("n").cast("double"),
+            6,
+        ).alias("zipf_lnc"),
+    )
+    return pts.crossJoin(F.broadcast(fit))
+
+
 def flesch_reading_ease(df, id_col: str, text_col: str):
     """Flesch reading-ease readability score — the classic curation
     signal for audience-level filtering of a web corpus (reference

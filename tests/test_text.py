@@ -280,3 +280,40 @@ def test_heaps_fit_matches_python_ols(spark):
     assert 0.0 < beta < 1.0
     # saturated threshold (500 > max id) pins the full-corpus point
     assert got[500] == (sum(per_doc.values()), len(first))
+
+
+def test_zipf_fit_matches_python_ols(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from eget_spark.functions.text import zipf_fit
+
+    rows = [
+        (i, " ".join("tok%d" % ((i * j) % 23) for j in range(1, 15)))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = zipf_fit(df, "id", "text", top_n=10).collect()
+    freqs = Counter(
+        t
+        for _, text in rows
+        for t in re.split(r"[^a-z0-9]+", text.lower())
+        if t
+    )
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    xs = [round(math.log(r + 1) * 1e6) for r in range(len(ranked))]
+    ys = [round(math.log(f) * 1e6) for _, f in ranked]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    s_want = round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6)
+    lnc_want = round((sy / 1e6 + s_want * (sx / 1e6)) / n, 6)
+    assert len(out) == 10
+    got = {r["rank"]: (r["tok"], r["freq"]) for r in out}
+    for i, (tok, f) in enumerate(ranked):
+        assert got[i + 1] == (tok, f)
+    for r in out:
+        assert r["zipf_s"] == s_want and r["zipf_lnc"] == lnc_want
+    # the synthetic distribution is roughly Zipf-ish: slope positive
+    assert s_want > 0
