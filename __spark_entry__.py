@@ -9414,6 +9414,73 @@ FROM pts p CROSS JOIN fit f
 """
 
 
+def q197_bowtie(spark, sf_dir):
+    """Bow-tie decomposition (operators/graph.bowtie_classes — Broder et
+    al. WWW 2000): SCC/IN/OUT/TENDRIL/DISC relative to the max-degree
+    pivot, via three 12-round BFS closures (one equi join + one map-side
+    distinct per round, localCheckpoint-ed).  Crawl planning reads the
+    classes directly: IN∪SCC seeds cover SCC∪OUT, DISC mass is
+    unreachable at any budget."""
+    from eget_spark.operators.graph import bowtie_classes
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    return bowtie_classes(nodes, edges, n_rounds=12).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _q197_sql(n_rounds: int = 12) -> str:
+    def closure(name: str, step: str) -> list[str]:
+        blocks = [f"{name}0 AS MATERIALIZED (SELECT n FROM pv)"]
+        for t in range(1, n_rounds + 1):
+            blocks.append(
+                f"""{name}{t} AS MATERIALIZED (
+  SELECT DISTINCT n FROM (
+    SELECT n FROM {name}{t - 1}
+    UNION ALL
+    {step.format(prev=f"{name}{t - 1}")}
+  )
+)"""
+            )
+        return blocks
+
+    fwd = "SELECT e.dst AS n FROM edges e JOIN {prev} p ON p.n = e.src"
+    bwd = "SELECT e.src AS n FROM edges e JOIN {prev} p ON p.n = e.dst"
+    und = (
+        "SELECT e.dst AS n FROM edges e JOIN {prev} p ON p.n = e.src\n"
+        "    UNION ALL\n"
+        "    SELECT e.src AS n FROM edges e JOIN {prev} p ON p.n = e.dst"
+    )
+    blocks = (
+        closure("f", fwd) + closure("b", bwd) + closure("w", und)
+    )
+    return (
+        "WITH "
+        + _EDGES_SQL.lstrip().removeprefix("WITH ")
+        + """,
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)
+  GROUP BY n
+),
+pv AS (SELECT n FROM deg ORDER BY d DESC, n LIMIT 1),
+"""
+        + ",\n".join(blocks)
+        + f"""
+SELECT d.doc_id,
+       CASE WHEN f.n IS NOT NULL AND b.n IS NOT NULL THEN 'SCC'
+            WHEN b.n IS NOT NULL THEN 'IN'
+            WHEN f.n IS NOT NULL THEN 'OUT'
+            WHEN w.n IS NOT NULL THEN 'TENDRIL'
+            ELSE 'DISC' END AS bowtie_class
+FROM documents d
+LEFT JOIN f{n_rounds} f ON f.n = d.doc_id
+LEFT JOIN b{n_rounds} b ON b.n = d.doc_id
+LEFT JOIN w{n_rounds} w ON w.n = d.doc_id
+"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9617,6 +9684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_cdc_chunks": q194_cdc_chunks,
         "q195_cdc_dedup_stats": q195_cdc_dedup_stats,
         "q196_zipf_fit": q196_zipf_fit,
+        "q197_bowtie": q197_bowtie,
     }
 
 
@@ -9817,4 +9885,5 @@ def oracle_sql() -> dict[str, str]:
         "q194_cdc_chunks": _Q194_SQL,
         "q195_cdc_dedup_stats": _Q195_SQL,
         "q196_zipf_fit": _Q196_SQL,
+        "q197_bowtie": _q197_sql(),
     }

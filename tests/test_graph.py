@@ -597,3 +597,88 @@ def test_hyperball_matches_python_register_oracle(spark):
     for i in range(n):
         assert got[i][0] >= 1.0
         assert 1 / 3 < got[i][0] / len(reach[i]) < 3
+
+
+def test_bowtie_matches_python_bfs_oracle(spark):
+    from eget_spark.operators.graph import bowtie_classes
+
+    # hand-built bow-tie: SCC {0,1,2}; IN {3,4}; OUT {5,6};
+    # TENDRIL {7 (off IN), 8 (into OUT)}; DISC {9, 10<->11}
+    edges_py = [
+        (0, 1), (1, 2), (2, 0),          # core cycle
+        (3, 0), (4, 3),                   # IN chain
+        (2, 5), (5, 6),                   # OUT chain
+        (3, 7),                           # tendril hanging off IN
+        (8, 6),                           # tendril feeding OUT
+        (10, 11), (11, 10),               # disconnected 2-cycle
+    ]
+    n = 12
+    want = {
+        0: "SCC", 1: "SCC", 2: "SCC",
+        3: "IN", 4: "IN",
+        5: "OUT", 6: "OUT",
+        7: "TENDRIL", 8: "TENDRIL",
+        9: "DISC", 10: "DISC", 11: "DISC",
+    }
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["id"]: r["bowtie_class"]
+        for r in bowtie_classes(nodes, edges, n_rounds=8).collect()
+    }
+    assert got == want
+
+
+def test_bowtie_pivot_determinism_and_convergence(spark):
+    import random
+
+    from eget_spark.operators.graph import bowtie_classes
+
+    rnd = random.Random(3)
+    n = 40
+    edges_py = sorted(
+        rnd.sample([(a, b) for a in range(n) for b in range(n) if a != b], 120)
+    )
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    a = {r["id"]: r["bowtie_class"]
+         for r in bowtie_classes(nodes, edges, n_rounds=12).collect()}
+    b = {r["id"]: r["bowtie_class"]
+         for r in bowtie_classes(nodes, edges, n_rounds=20).collect()}
+    # extra rounds past the diameter are no-ops
+    assert a == b
+    # python oracle: BFS from the same pinned pivot
+    succ, pred = {}, {}
+    deg = {}
+    for s_, d_ in edges_py:
+        succ.setdefault(s_, set()).add(d_)
+        pred.setdefault(d_, set()).add(s_)
+        deg[s_] = deg.get(s_, 0) + 1
+        deg[d_] = deg.get(d_, 0) + 1
+    pivot = min(i for i in deg if deg[i] == max(deg.values()))
+
+    def bfs(adj):
+        seen, todo = {pivot}, [pivot]
+        while todo:
+            v = todo.pop()
+            for w in adj.get(v, ()):  # noqa: B023
+                if w not in seen:
+                    seen.add(w)
+                    todo.append(w)
+        return seen
+
+    F_ = bfs(succ)
+    B_ = bfs(pred)
+    W_ = bfs({k: succ.get(k, set()) | pred.get(k, set())
+              for k in range(n)})
+    for i in range(n):
+        if i in F_ and i in B_:
+            assert a[i] == "SCC", i
+        elif i in B_:
+            assert a[i] == "IN", i
+        elif i in F_:
+            assert a[i] == "OUT", i
+        elif i in W_:
+            assert a[i] == "TENDRIL", i
+        else:
+            assert a[i] == "DISC", i

@@ -1743,6 +1743,35 @@ def main() -> None:
     checks.append(("hyperball: no window", _nodes(p_hb, "Window") == 0))
     checks.append(("hyperball: no Python", "EvalPython" not in p_hb))
 
+    # 124. cdc chunks (q194): ONE Arrow MapInPandas stage (the rolling
+    # hash), never row-at-a-time Python, and no shuffle at all — chunking
+    # is per-document
+    p_cdc = plan_of(entry.q194_cdc_chunks(spark, SF))
+    checks.append(("cdc chunks: Arrow stage only", "MapInPandas" in p_cdc or "ArrowEvalPython" in p_cdc))
+    checks.append(("cdc chunks: no row-Python", "BatchEvalPython" not in p_cdc))
+    checks.append(("cdc chunks: zero shuffle", _nodes(p_cdc, "Exchange") == 0))
+
+    # 125. cdc stats (q195): the dedup report is two map-side-combined
+    # hash aggregates over the chunk rows — partial agg before the
+    # exchange, no window, no join
+    p_cds = plan_of(entry.q195_cdc_dedup_stats(spark, SF))
+    checks.append(("cdc stats: map-side partial agg", "partial_count" in p_cds or "partial_min" in p_cds))
+    checks.append(("cdc stats: no window/join", _nodes(p_cds, "Window") == 0 and "Join" not in p_cds))
+
+    # 126. zipf fit (q196): global rank is a RANGE exchange (the
+    # sequencer), the fit joins back as a broadcast, no Python
+    p_zf = plan_of(entry.q196_zipf_fit(spark, SF))
+    checks.append(("zipf fit: range exchange for rank", "rangepartitioning" in p_zf.lower()))
+    checks.append(("zipf fit: no single-partition window", "SinglePartition" not in p_zf))
+    checks.append(("zipf fit: no Python", "EvalPython" not in p_zf))
+
+    # 127. bowtie (q197): class assignment is three left hash joins of
+    # checkpointed BFS closures — no nested loop, no window, no Python
+    p_bt = plan_of(entry.q197_bowtie(spark, SF))
+    checks.append(("bowtie: no nested-loop join", "NestedLoop" not in p_bt and "Cartesian" not in p_bt))
+    checks.append(("bowtie: no window", _nodes(p_bt, "Window") == 0))
+    checks.append(("bowtie: no Python", "EvalPython" not in p_bt))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
