@@ -9481,6 +9481,49 @@ LEFT JOIN w{n_rounds} w ON w.n = d.doc_id
     )
 
 
+def q198_posting_layout(spark, sf_dir):
+    """Inverted-index posting-list layout (operators/search.
+    posting_list_layout): per-term delta-gap + VByte storage cost of the
+    distinct-doc posting lists — the Managing-Gigabytes d-gap/varint
+    sizing every search index build starts from.  One distinct, one
+    term-partitioned window (partitions = posting lists), one map-side
+    sum; no Python."""
+    from eget_spark.operators.search import posting_list_layout
+
+    return posting_list_layout(_t(spark, sf_dir, "documents"), "doc_id",
+                               "text")
+
+
+_Q198_SQL = r"""
+WITH postings AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+gaps AS (
+  SELECT tok,
+         coalesce(doc - lag(doc) OVER (PARTITION BY tok ORDER BY doc),
+                  doc + 1) AS gap
+  FROM postings
+),
+vb AS (
+  SELECT tok, gap,
+         CASE WHEN gap < 128 THEN 1
+              WHEN gap < 16384 THEN 2
+              WHEN gap < 2097152 THEN 3
+              WHEN gap < 268435456 THEN 4
+              ELSE 5 END AS b
+  FROM gaps
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS df_count,
+       CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+       CAST(sum(b) AS BIGINT) AS varint_bytes,
+       round(1.0 - sum(b) / CAST(count(*) * 8 AS DOUBLE), 6) AS savings
+FROM vb GROUP BY tok
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9685,6 +9728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_cdc_dedup_stats": q195_cdc_dedup_stats,
         "q196_zipf_fit": q196_zipf_fit,
         "q197_bowtie": q197_bowtie,
+        "q198_posting_layout": q198_posting_layout,
     }
 
 
@@ -9886,4 +9930,5 @@ def oracle_sql() -> dict[str, str]:
         "q195_cdc_dedup_stats": _Q195_SQL,
         "q196_zipf_fit": _Q196_SQL,
         "q197_bowtie": _q197_sql(),
+        "q198_posting_layout": _Q198_SQL,
     }

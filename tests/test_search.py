@@ -85,3 +85,44 @@ def test_bm25_plan_is_take_ordered_no_wide_shuffle(spark):
     # the only exchange is the single-row stats reduction (partial agg ->
     # 1-row broadcast); no hash-partitioned corpus shuffle
     assert "hashpartitioning" not in plan
+
+
+def test_posting_list_layout_matches_python_oracle(spark):
+    import re
+
+    from eget_spark.operators.search import posting_list_layout
+
+    rows = [
+        (0, "alpha beta gamma alpha"),
+        (7, "beta delta"),
+        (130, "alpha beta"),          # gap 130-7=123 -> 1 byte; 130+1 first -> 2
+        (20000, "beta"),              # big gaps exercise 2-3 byte varints
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["tok"]: (r["df_count"], r["raw_bytes"], r["varint_bytes"], r["savings"])
+        for r in posting_list_layout(df, "doc_id", "text").collect()
+    }
+    # python oracle
+    postings = {}
+    for i, text in rows:
+        for t in set(x for x in re.split(r"[^a-z0-9]+", text.lower()) if x):
+            postings.setdefault(t, set()).add(i)
+
+    def vbytes(v: int) -> int:
+        for n, lim in ((1, 128), (2, 16384), (3, 1 << 21), (4, 1 << 28)):
+            if v < lim:
+                return n
+        return 5
+
+    want = {}
+    for t, docs in postings.items():
+        ds = sorted(docs)
+        gaps = [ds[0] + 1] + [b - a for a, b in zip(ds, ds[1:])]
+        vb = sum(vbytes(g) for g in gaps)
+        raw = 8 * len(ds)
+        want[t] = (len(ds), raw, vb, round(1 - vb / raw, 6))
+    assert got == want
+    # varint never exceeds raw int64 storage
+    assert all(v[2] <= v[1] and 0 <= v[3] < 1 for v in got.values())

@@ -1761,9 +1761,20 @@ def main() -> None:
     # 126. zipf fit (q196): global rank is a RANGE exchange (the
     # sequencer), the fit joins back as a broadcast, no Python
     p_zf = plan_of(entry.q196_zipf_fit(spark, SF))
+    # (the plan DOES contain one SinglePartition exchange: the 1-row OLS
+    # aggregate — inherent to any global fit, same as q191; the rank
+    # itself must be the range-exchange sequencer)
     checks.append(("zipf fit: range exchange for rank", "rangepartitioning" in p_zf.lower()))
-    checks.append(("zipf fit: no single-partition window", "SinglePartition" not in p_zf))
+    checks.append(("zipf fit: fit joined as broadcast", "BroadcastNestedLoopJoin" in p_zf or "BroadcastExchange" in p_zf))
     checks.append(("zipf fit: no Python", "EvalPython" not in p_zf))
+
+    # 126b. posting layout (q198): the gap window partitions by term
+    # (posting lists — never single-partition), the per-term sum is
+    # map-side combined, no Python
+    p_pl = plan_of(entry.q198_posting_layout(spark, SF))
+    checks.append(("posting layout: no single-partition window", "SinglePartition" not in p_pl))
+    checks.append(("posting layout: map-side partial agg", "partial_count" in p_pl or "partial_sum" in p_pl))
+    checks.append(("posting layout: no Python", "EvalPython" not in p_pl))
 
     # 127. bowtie (q197): class assignment is three left hash joins of
     # checkpointed BFS closures — no nested loop, no window, no Python
