@@ -9524,6 +9524,74 @@ FROM vb GROUP BY tok
 """
 
 
+def q199_revisit_ledger(spark, sf_dir):
+    """WARC revisit LEDGER via the streaming maintainer's delta->merge
+    path run in batch form (streaming/revisits.ledger_delta +
+    merge_ledger_deltas): the q186 recrawl fixture's captures are split
+    into three arbitrary epochs, each epoch aggregated to one
+    (url, digest) MIN/COUNT/MAX delta row, and the union merged — the
+    oracle is the DIRECT one-pass aggregate, so the gate pins the
+    stream==batch merge identity (MIN/SUM/MAX commutativity) itself.
+    ``saved_bytes`` is the archive storage revisit records avoid:
+    (n_captures - 1) * payload bytes.  Scale shape: per-epoch deltas and
+    the merge are all map-side-combined aggregates on (url, digest)."""
+    from eget_spark.streaming.revisits import (
+        ledger_delta,
+        merge_ledger_deltas,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    caps = docs.select(
+        F.concat(F.lit("https://rv.example.org/p/"), d.cast("string")).alias(
+            "url"
+        ),
+        F.explode(F.sequence(F.lit(0), (d % 4).cast("int"))).alias("v"),
+        d.alias("_d"),
+        F.col("text"),
+    ).select(
+        "url",
+        ((F.col("_d") * 100 + F.col("v") * 10) * 1000000).alias("fetch_time"),
+        F.encode(
+            F.concat(
+                F.col("text"),
+                F.lit("#v"),
+                F.floor(F.col("v") / 2).cast("string"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+        (F.col("v") % 3).alias("_epoch"),
+    )
+    deltas = None
+    for e in range(3):
+        delta = ledger_delta(
+            caps.where(F.col("_epoch") == e).select(
+                "url", "payload", "fetch_time"
+            )
+        )
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    return merge_ledger_deltas(deltas)
+
+
+_Q199_SQL = r"""
+WITH caps AS (
+  SELECT 'https://rv.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         (doc_id * 100 + v.q * 10) * 1000000 AS fetch_time,
+         text || '#v' || CAST(v.q // 2 AS VARCHAR) AS payload
+  FROM documents
+  JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(0, 4)) v
+    ON v.q <= doc_id % 4
+)
+SELECT url, sha256(payload) AS digest,
+       CAST(min(fetch_time) AS BIGINT) AS first_time,
+       CAST(count(*) AS BIGINT) AS n_captures,
+       CAST(max(strlen(payload)) AS BIGINT) AS payload_bytes,
+       CAST((count(*) - 1) * max(strlen(payload)) AS BIGINT)
+         AS saved_bytes
+FROM caps GROUP BY url, sha256(payload)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9729,6 +9797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_zipf_fit": q196_zipf_fit,
         "q197_bowtie": q197_bowtie,
         "q198_posting_layout": q198_posting_layout,
+        "q199_revisit_ledger": q199_revisit_ledger,
     }
 
 
@@ -9931,4 +10000,5 @@ def oracle_sql() -> dict[str, str]:
         "q196_zipf_fit": _Q196_SQL,
         "q197_bowtie": _q197_sql(),
         "q198_posting_layout": _Q198_SQL,
+        "q199_revisit_ledger": _Q199_SQL,
     }

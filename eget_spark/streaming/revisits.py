@@ -51,7 +51,7 @@ def _epoch_dirs(root: str) -> list[str]:
     )
 
 
-def _ledger_delta(
+def ledger_delta(
     batch_df: DataFrame,
     url_col: str = "url",
     payload_col: str = "payload",
@@ -87,7 +87,7 @@ def process_revisit_batch(
     """One micro-batch: aggregate ONLY the batch's captures to ledger
     deltas and write this epoch's rows.  Module-level so replay
     idempotency is directly testable."""
-    delta = _ledger_delta(batch_df, url_col, payload_col, time_col)
+    delta = ledger_delta(batch_df, url_col, payload_col, time_col)
     delta.write.mode("overwrite").parquet(
         os.path.join(state_dir, "ledger", f"e{epoch_id}")
     )
@@ -101,9 +101,16 @@ def read_revisit_ledger(spark: SparkSession, state_dir: str) -> DataFrame:
     dirs = _epoch_dirs(os.path.join(state_dir, "ledger"))
     if not dirs:
         raise FileNotFoundError(f"no revisit-ledger state under {state_dir}")
+    return merge_ledger_deltas(spark.read.parquet(*dirs))
+
+
+def merge_ledger_deltas(deltas: DataFrame) -> DataFrame:
+    """Merge any union of per-epoch ledger deltas into the ledger —
+    MIN/SUM/MAX are commutative and associative, so the result is
+    independent of how captures were split into epochs (the stream==batch
+    identity, exercised in batch form by entry query q199)."""
     return (
-        spark.read.parquet(*dirs)
-        .groupBy("url", "digest")
+        deltas.groupBy("url", "digest")
         .agg(
             F.min("first_time").alias("first_time"),
             F.sum("n_captures").cast("long").alias("n_captures"),

@@ -1783,6 +1783,13 @@ def main() -> None:
     checks.append(("bowtie: no window", _nodes(p_bt, "Window") == 0))
     checks.append(("bowtie: no Python", "EvalPython" not in p_bt))
 
+    # 128. revisit ledger (q199): per-epoch deltas and the merge are all
+    # map-side-combined hash aggregates — no window, no join, no Python
+    p_rl = plan_of(entry.q199_revisit_ledger(spark, SF))
+    checks.append(("revisit ledger: map-side partial agg", "partial_" in p_rl or "Partial" in p_rl))
+    checks.append(("revisit ledger: no window/join", _nodes(p_rl, "Window") == 0 and "Join" not in p_rl))
+    checks.append(("revisit ledger: no Python", "EvalPython" not in p_rl))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
