@@ -9592,6 +9592,127 @@ FROM caps GROUP BY url, sha256(payload)
 """
 
 
+def q200_lpa_communities(spark, sf_dir):
+    """Community detection by deterministic synchronous label propagation
+    (operators/graph.label_propagation — Raghavan et al. 2007, smallest-
+    label tie-break, 6 pinned bulk-synchronous rounds) over the analytics
+    link graph: communities drive crawl sharding (co-host strongly-linked
+    sites) and mirror-network triage.  Per round: one neighbor-label hash
+    join + two map-side-combined aggregates (vote count, then argmax via
+    max(struct)) — no window anywhere."""
+    from eget_spark.operators.graph import label_propagation
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    return label_propagation(nodes, edges, n_rounds=6).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _q200_sql(n_rounds: int = 6) -> str:
+    blocks = ["l0 AS MATERIALIZED (SELECT doc_id AS n, doc_id AS lab FROM documents)"]
+    for t in range(1, n_rounds + 1):
+        blocks.append(
+            f"""l{t} AS MATERIALIZED (
+  SELECT l.n, CAST(COALESCE(w.lab, l.lab) AS BIGINT) AS lab
+  FROM l{t - 1} l LEFT JOIN (
+    SELECT n, lab FROM (
+      SELECT s.n, x.lab, count(*) AS c,
+             row_number() OVER (PARTITION BY s.n
+                                ORDER BY count(*) DESC, x.lab) AS rn
+      FROM sym s JOIN l{t - 1} x ON x.n = s.nb
+      GROUP BY s.n, x.lab
+    ) WHERE rn = 1
+  ) w ON w.n = l.n
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_SQL.lstrip()
+        + """,
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+  SELECT a AS n, b AS nb FROM und UNION ALL SELECT b, a FROM und
+),
+"""
+        + ",\n".join(blocks)
+        + f"""
+SELECT CAST(n AS BIGINT) AS doc_id, lab AS community FROM l{n_rounds}
+"""
+    )
+
+
+def q201_bm25f(spark, sf_dir):
+    """BM25F field-weighted search (operators/search.bm25f_topk —
+    Robertson & Zaragoza 2009 §3.3 'simple BM25F'): title (first 8
+    tokens, w=2.0, b=0.5) and body (rest, w=1.0, b=0.75) contribute a
+    soft-normalized weighted tf INSIDE one shared saturation, which is
+    what distinguishes BM25F from summing per-field BM25 scores.  Same
+    scale shape as q74: zero-shuffle codegen'd tf projections, one
+    broadcast stats row, TakeOrdered top-k."""
+    from eget_spark.operators.search import bm25f_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25f_topk(docs, "doc_id", "text", ["spark", "window", "merge"])
+
+
+def _q201_term(i: int, term: str) -> str:
+    wtf = (
+        f"((2.0 * tt{i}) / (0.5 + (0.5 * lt) / (sumlt / n))"
+        f" + (1.0 * tb{i}) / (0.25 + (0.75 * lb) / (sumlb / n)))"
+    )
+    return f"""(CASE WHEN (tt{i} + tb{i}) > 0 THEN
+     (ln(1.0 + ((n - df{i}) + 0.5) / (df{i} + 0.5)) * {wtf})
+       / (1.2 + {wtf})
+   ELSE 0.0 END)"""
+
+
+_Q201_SQL = (
+    r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+fl AS (SELECT doc_id, l[1:8] AS tl, l[9:] AS bl FROM d),
+base AS (
+  SELECT doc_id,
+         CAST(length(tl) AS BIGINT) AS lt, CAST(length(bl) AS BIGINT) AS lb,
+         CAST(length(list_filter(tl, x -> x = 'spark'))  AS BIGINT) AS tt0,
+         CAST(length(list_filter(bl, x -> x = 'spark'))  AS BIGINT) AS tb0,
+         CAST(length(list_filter(tl, x -> x = 'window')) AS BIGINT) AS tt1,
+         CAST(length(list_filter(bl, x -> x = 'window')) AS BIGINT) AS tb1,
+         CAST(length(list_filter(tl, x -> x = 'merge'))  AS BIGINT) AS tt2,
+         CAST(length(list_filter(bl, x -> x = 'merge'))  AS BIGINT) AS tb2
+  FROM fl
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lt) AS BIGINT) AS sumlt, CAST(sum(lb) AS BIGINT) AS sumlb,
+         CAST(sum(CASE WHEN tt0 + tb0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tt1 + tb1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tt2 + tb2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM base
+),
+scored AS (
+  SELECT doc_id, round(
+"""
+    + "\n + ".join(
+        _q201_term(i, t) for i, t in enumerate(["spark", "window", "merge"])
+    )
+    + r""", 6) AS score
+  FROM base CROSS JOIN st
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+FROM (SELECT * FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20)
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -9798,6 +9919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_bowtie": q197_bowtie,
         "q198_posting_layout": q198_posting_layout,
         "q199_revisit_ledger": q199_revisit_ledger,
+        "q200_lpa_communities": q200_lpa_communities,
+        "q201_bm25f": q201_bm25f,
     }
 
 
@@ -10001,4 +10124,6 @@ def oracle_sql() -> dict[str, str]:
         "q197_bowtie": _q197_sql(),
         "q198_posting_layout": _Q198_SQL,
         "q199_revisit_ledger": _Q199_SQL,
+        "q200_lpa_communities": _q200_sql(),
+        "q201_bm25f": _Q201_SQL,
     }

@@ -871,3 +871,163 @@ def triangle_counts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, n_rounds: int = 6
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007) with DETERMINISTIC tie-breaking:
+    every node starts in its own community (label = own id); each round,
+    every node simultaneously adopts the label most frequent among its
+    neighbors, ties broken by the SMALLEST label; exactly ``n_rounds``
+    bulk-synchronous rounds are applied.  LPA is the community algorithm
+    that actually survives web scale — near-linear per round, no
+    modularity matrix — and communities drive crawl sharding (co-host
+    strongly-linked sites on one fetcher) and mirror/farm triage
+    (a community spanning many registrable domains is a syndication or
+    mirror network, SURVEY §2 spam analytics).
+
+    Pinned semantics: the UNDIRECTED simple graph is the distinct
+    canonicalized (min, max) pair set with self-loops dropped (the
+    triangle_counts/coreness contract); the vote counts each distinct
+    neighbor once (simple-graph multiplicity); a node's own current
+    label gets NO vote (pure Raghavan neighbor vote — isolated nodes
+    keep their label); the round count is part of the contract, because
+    synchronous LPA can 2-cycle on bipartite structures (Raghavan §3's
+    known oscillation) — a fixed even round count makes the output a
+    well-defined function of the graph, bit-exact cross-engine (all
+    integer ops, no floats, no randomness).
+
+    Scale shape: per round, ONE hash join (neighbor label lookup keyed
+    on the neighbor id) + TWO map-side-combined aggregates (vote count
+    by (node, label), then argmax by node via max(struct(count,
+    -label)) — no window at all); labels are localCheckpoint-ed per
+    round so lineage stays O(1).  Hot nodes cost one combiner, not a
+    sorted window partition.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    bidir = (
+        und.select(F.col("a").alias("n"), F.col("b").alias("nb"))
+        .unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("nb")))
+        .localCheckpoint()
+    )
+    ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("n"))
+    labels = ids.select("n", F.col("n").alias("lab")).localCheckpoint()
+    for _ in range(n_rounds):
+        votes = (
+            bidir.join(
+                labels.select(
+                    F.col("n").alias("nb"), F.col("lab").alias("nlab")
+                ),
+                "nb",
+            )
+            .groupBy("n", "nlab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        # argmax by (count DESC, label ASC): max of (c, -label) structs
+        won = votes.groupBy("n").agg(
+            F.max(F.struct(F.col("c"), (-F.col("nlab")).alias("neg"))).alias(
+                "w"
+            )
+        )
+        labels = (
+            labels.join(won, "n", "left")
+            .select(
+                "n",
+                F.coalesce(-F.col("w.neg"), F.col("lab"))
+                .cast("long")
+                .alias("lab"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("n").alias("id"), F.col("lab").alias("community")
+    )
+
+
+def community_modularity(
+    labels: DataFrame, edges: DataFrame, scale: int = 10**12
+) -> DataFrame:
+    """Newman modularity of a community assignment over the undirected
+    simple graph (Newman & Girvan 2004; Q = sum_c [ e_c/m -
+    (deg_c/2m)^2 ] with e_c = intra-community edges, m = total edges,
+    deg_c = summed degree of the community) — the standard quality score
+    for :func:`label_propagation` output, reported per community plus
+    the exact contribution so callers can rank communities by cohesion
+    and SUM the column for graph-level Q.
+
+    All arithmetic is exact int64 fixed-point in units of 1/scale
+    (the pagerank_fixed discipline): contribution_fp =
+    (e_c*scale) div m - (deg_c^2*scale) div (4*m^2), both operands
+    nonnegative so ``div`` truncation is exact floor —
+    bit-exact cross-engine, no float ties.  deg_c^2*scale stays well
+    inside int64 for deg_c up to ~3M at the default scale; larger
+    communities need a smaller scale (documented contract).
+
+    Scale shape: ONE distinct for the simple graph, ONE hash join of
+    edges to labels per endpoint (two equi joins), TWO map-side-combined
+    aggregates (per-community intra-edge count; per-community degree) +
+    a tiny 1-row total — no window, no Python.
+
+    ``labels``: (id, community); ``edges``: (src, dst).  Output:
+    (community, n_nodes, intra_edges, degree_sum, modularity_fp).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = labels.select(
+        F.col(labels.columns[0]).cast("long").alias("n"),
+        F.col(labels.columns[1]).cast("long").alias("community"),
+    )
+    la = lab.select(F.col("n").alias("a"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("n").alias("b"), F.col("community").alias("cb"))
+    tagged = und.join(la, "a").join(lb, "b")
+    intra = (
+        tagged.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .join(lab, "n")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree_sum"))
+    )
+    sizes = lab.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    out = (
+        sizes.join(intra, "community", "left")
+        .join(deg, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias(
+                "intra_edges"
+            ),
+            F.coalesce("degree_sum", F.lit(0)).cast("long").alias(
+                "degree_sum"
+            ),
+            F.expr(
+                f"CAST((coalesce(intra_edges, 0) * {int(scale)}) div m"
+                f" - (coalesce(degree_sum, 0) * coalesce(degree_sum, 0)"
+                f" * {int(scale)}) div (4 * m * m) AS BIGINT)"
+            ).alias("modularity_fp"),
+        )
+    )
+    return out

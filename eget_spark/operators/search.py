@@ -173,6 +173,114 @@ def bm25_topk(
     return scored.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
+def bm25f_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    title_len: int = 8,
+    w_title: float = 2.0,
+    b_title: float = 0.5,
+    w_body: float = 1.0,
+    b_body: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25F — the field-weighted ranking web search
+    actually runs (Zaragoza, Craswell, Taylor, Saria & Robertson,
+    "Microsoft Cambridge at TREC-13", and Robertson & Zaragoza 2009
+    §3.3 "simple BM25F"): instead of scoring one bag of words, each
+    field f contributes a SOFT-NORMALIZED weighted term frequency
+
+        tf~(t, d) = sum_f  w_f * tf_f(t, d) / B_f(d),
+        B_f(d)    = 1 - b_f + b_f * len_f(d) / avglen_f
+
+    and the document scores sum_t idf(t) * tf~ / (k1 + tf~) — weighting
+    is applied INSIDE the saturation, which is what distinguishes BM25F
+    from naively summing per-field BM25 scores (that double-counts
+    saturation; Robertson & Zaragoza §3.3 call it out as the wrong
+    linear combination).  Fields here: ``title`` = the first
+    ``title_len`` tokens (the reference's markdown converter emits the
+    page title as the leading heading line — functions/html.py), and
+    ``body`` = the rest; df/idf are whole-document (a term in any field
+    counts).  Documents matching no query term are excluded.
+
+    Returns (id_col, score, rnk) — score rounded to 6, rank from 1,
+    ties broken by id.
+
+    Scale shape (100 TB): identical to bm25_topk — per-field tf/length
+    are zero-shuffle codegen'd projections over the token array (the
+    query is tiny and rides in the expression tree; no inverted index
+    materialized, no explode), ONE map-side-combined stats aggregate
+    broadcast back, TakeOrdered for the top-k; the rnk window sees only
+    the k selected rows."""
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    arr = _tok_arr(text_col).alias("_l")
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    split = df.select(F.col(id_col), arr).select(
+        id_col,
+        F.slice("_l", 1, title_len).alias("_t"),
+        F.expr(
+            f"slice(_l, {title_len + 1}, greatest(size(_l) - {title_len}, 0))"
+        ).alias("_b"),
+    )
+    base = split.select(
+        id_col,
+        F.size("_t").cast("long").alias("_lt"),
+        F.size("_b").cast("long").alias("_lb"),
+        *[
+            c
+            for i, t in enumerate(terms)
+            for c in (
+                F.size(F.filter("_t", _eq(t))).cast("long").alias(f"_tt{i}"),
+                F.size(F.filter("_b", _eq(t))).cast("long").alias(f"_tb{i}"),
+            )
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_lt").cast("long").alias("_sumlt"),
+        F.sum("_lb").cast("long").alias("_sumlb"),
+        *[
+            F.sum(
+                ((F.col(f"_tt{i}") + F.col(f"_tb{i}")) > 0).cast("long")
+            ).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    n = F.col("_n")
+    bt = (
+        1.0 - b_title + (b_title * F.col("_lt")) / (F.col("_sumlt") / n)
+    )
+    bb = 1.0 - b_body + (b_body * F.col("_lb")) / (F.col("_sumlb") / n)
+    parts = []
+    for i in range(len(terms)):
+        tft, tfb = F.col(f"_tt{i}"), F.col(f"_tb{i}")
+        wtf = (w_title * tft) / bt + (w_body * tfb) / bb
+        idf = F.log(
+            1.0 + ((n - F.col(f"_df{i}")) + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        parts.append(
+            F.when((tft + tfb) > 0, (idf * wtf) / (k1 + wtf)).otherwise(
+                F.lit(0.0)
+            )
+        )
+    score = F.round(sum(parts[1:], parts[0]), 6)
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .select(id_col, score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    # rnk over the k already-selected rows (trivial post-TakeOrdered)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
 def phrase_counts(
     df: DataFrame,
     id_col: str,

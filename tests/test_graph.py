@@ -682,3 +682,86 @@ def test_bowtie_pivot_determinism_and_convergence(spark):
             assert a[i] == "TENDRIL", i
         else:
             assert a[i] == "DISC", i
+
+
+def _py_lpa(ids, pairs, n_rounds):
+    """Deterministic synchronous LPA: simple undirected graph, each node
+    adopts the most frequent neighbor label, ties -> smallest label."""
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nbrs: dict[int, set] = {i: set() for i in ids}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lab = {i: i for i in ids}
+    for _ in range(n_rounds):
+        nxt = {}
+        for v in ids:
+            votes: dict[int, int] = {}
+            for u in nbrs.get(v, ()):
+                votes[lab[u]] = votes.get(lab[u], 0) + 1
+            nxt[v] = (
+                min(
+                    votes,
+                    key=lambda L: (-votes[L], L),
+                )
+                if votes
+                else lab[v]
+            )
+        lab = nxt
+    return lab
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from eget_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: LPA must find exactly the
+    # two cliques as communities (labels = each clique's min id)
+    ids = list(range(8))
+    cl = lambda off: [
+        (off + i, off + j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    pairs = cl(0) + cl(4) + [(3, 4)]
+    got = {
+        r.id: r.community
+        for r in label_propagation(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_rounds=6
+        ).collect()
+    }
+    assert got == _py_lpa(ids, pairs, 6)
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i] for i in range(4, 8)} == {4}
+
+
+def test_lpa_matches_python_oracle_random_graph(spark):
+    from eget_spark.operators.graph import label_propagation
+
+    # deterministic arithmetic pseudo-random multigraph, incl. self-loops
+    # and duplicate edges that the simple-graph contract must collapse
+    ids = list(range(40))
+    pairs = []
+    for k in range(160):
+        pairs.append(((k * k * 7 + 3) % 40, (k * 13 + 5) % 40))
+    pairs += [(7, 7), (12, 12)] + pairs[:10]
+    for rounds in (1, 2, 5):
+        got = {
+            r.id: r.community
+            for r in label_propagation(
+                _nodes_df(spark, ids), _edges_df(spark, pairs), rounds
+            ).collect()
+        }
+        assert got == _py_lpa(ids, pairs, rounds), f"rounds={rounds}"
+
+
+def test_lpa_isolated_keeps_own_label(spark):
+    from eget_spark.operators.graph import label_propagation
+
+    got = {
+        r.id: r.community
+        for r in label_propagation(
+            _nodes_df(spark, [0, 1, 2, 9]),
+            _edges_df(spark, [(0, 1), (1, 2)]),
+            n_rounds=4,
+        ).collect()
+    }
+    assert got[9] == 9  # isolated: no neighbor vote ever
+    assert set(got) == {0, 1, 2, 9}

@@ -126,3 +126,89 @@ def test_posting_list_layout_matches_python_oracle(spark):
     assert got == want
     # varint never exceeds raw int64 storage
     assert all(v[2] <= v[1] and 0 <= v[3] < 1 for v in got.values())
+
+
+def _py_bm25f(
+    texts,
+    terms,
+    k1=1.2,
+    title_len=8,
+    w_t=2.0,
+    b_t=0.5,
+    w_b=1.0,
+    b_b=0.75,
+):
+    toks = [_tok(t) for t in texts]
+    n = len(toks)
+    titles = [d[:title_len] for d in toks]
+    bodies = [d[title_len:] for d in toks]
+    avg_t = sum(len(t) for t in titles) / n
+    avg_b = sum(len(b) for b in bodies) / n
+    df = {t: sum(1 for d in toks if t in d) for t in terms}
+    out = {}
+    for i in range(n):
+        s = 0.0
+        for t in terms:
+            tft, tfb = titles[i].count(t), bodies[i].count(t)
+            if tft + tfb == 0:
+                continue
+            bt = 1.0 - b_t + b_t * len(titles[i]) / avg_t
+            bb = 1.0 - b_b + b_b * len(bodies[i]) / avg_b
+            wtf = w_t * tft / bt + w_b * tfb / bb
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * wtf / (k1 + wtf)
+        if round(s, 6) > 0:
+            out[i] = round(s, 6)
+    return out
+
+
+def test_bm25f_matches_python_oracle(spark):
+    from eget_spark.operators.search import bm25f_topk
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    terms = ["spark", "window", "merge"]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_topk(df, "doc_id", "text", terms, k=20).collect()
+    }
+    assert got == _py_bm25f(TEXTS, terms)
+
+
+def test_bm25f_title_boost_beats_body_occurrence(spark):
+    from eget_spark.operators.search import bm25f_topk
+
+    # same total tf, same total length: the title occurrence must win
+    texts = [
+        "needle aaa bbb ccc ddd eee fff ggg hhh iii jjj",  # in title
+        "aaa bbb ccc ddd eee fff ggg hhh needle iii jjj",  # in body
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = bm25f_topk(df, "doc_id", "text", ["needle"], k=5).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1]
+    assert rows[0]["score"] > rows[1]["score"]
+
+
+def test_bm25f_shared_saturation_not_per_field_sum(spark):
+    from eget_spark.operators.search import bm25f_topk
+
+    # a doc with the term in BOTH fields must score under the naive sum
+    # of its per-field saturated contributions (weighting inside ONE
+    # saturation — Robertson & Zaragoza §3.3), yet above either alone
+    texts = [
+        "needle aaa bbb ccc ddd eee fff ggg needle hhh iii",  # both fields
+        "needle aaa bbb ccc ddd eee fff ggg hhh iii jjj",  # title only
+        "aaa bbb ccc ddd eee fff ggg hhh needle iii jjj",  # body only
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sc = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_topk(df, "doc_id", "text", ["needle"], k=5).collect()
+    }
+    assert sc[0] > sc[1] > sc[2]
+    assert sc[0] < sc[1] + sc[2]

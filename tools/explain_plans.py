@@ -516,6 +516,30 @@ def main() -> None:
         "stat reduction and the k-row TakeOrdered merge.",
     )
 
+    # 26b. BM25F (q201): identical shape to q74 — per-field tf/length are
+    # codegen'd slice+filter projections, no explode, no wide shuffle
+    from eget_spark.operators.search import bm25f_topk
+
+    add(
+        "BM25F field-weighted search (q201)",
+        bm25f_topk(
+            spark.read.parquet(f"{SF}/documents.parquet"),
+            "doc_id",
+            "text",
+            ["spark", "window", "merge"],
+            k=20,
+        ),
+        {
+            "TakeOrderedAndProject": True,
+            "hashpartitioning": False,
+            "BatchEvalPython": False,
+            "ArrowEvalPython": False,
+        },
+        "Title/body splits are slice() projections inside codegen; the "
+        "field-weighted tf rides the same broadcast-stats + TakeOrdered "
+        "shape as q74 — zero wide shuffle of the corpus.",
+    )
+
     # 27. HLL distinct sketch (q77): groupBy(bucket) partial-combines to
     # <= m rows per map task before the (m-row) shuffle; hash/rho are
     # integer expressions — no Python, no wide data shuffle
@@ -1789,6 +1813,18 @@ def main() -> None:
     checks.append(("revisit ledger: map-side partial agg", "partial_" in p_rl or "Partial" in p_rl))
     checks.append(("revisit ledger: no window/join", _nodes(p_rl, "Window") == 0 and "Join" not in p_rl))
     checks.append(("revisit ledger: no Python", "EvalPython" not in p_rl))
+
+    # 129. LPA communities (q200): per round one neighbor hash join +
+    # two map-side-combined aggregates — NO window (the argmax is
+    # max(struct)), no nested loop, no Python
+    # (each round ends in an eager localCheckpoint, so the visible final
+    # plan is the truncated post-checkpoint projection — per-round
+    # join/agg shape is pinned by the python-oracle tests instead)
+    p_lpa = plan_of(entry.q200_lpa_communities(spark, SF))
+    checks.append(("lpa: no window", _nodes(p_lpa, "Window") == 0))
+    checks.append(("lpa: checkpoint-truncated final plan has no exchange", "Exchange" not in p_lpa))
+    checks.append(("lpa: no nested-loop join", "NestedLoop" not in p_lpa and "Cartesian" not in p_lpa))
+    checks.append(("lpa: no Python", "EvalPython" not in p_lpa))
 
     out.append("## Check summary\n")
     for name, ok in checks:
