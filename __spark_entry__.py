@@ -9608,7 +9608,9 @@ def q200_lpa_communities(spark, sf_dir):
     )
 
 
-def _q200_sql(n_rounds: int = 6) -> str:
+def _lpa_ctes(n_rounds: int = 6) -> str:
+    """The shared WITH-body for the LPA fixture: arith edges -> simple
+    undirected graph (und) -> neighbor list (sym) -> labels l0..lK."""
     blocks = ["l0 AS MATERIALIZED (SELECT doc_id AS n, doc_id AS lab FROM documents)"]
     for t in range(1, n_rounds + 1):
         blocks.append(
@@ -9626,8 +9628,7 @@ def _q200_sql(n_rounds: int = 6) -> str:
 )"""
         )
     return (
-        "WITH "
-        + _EDGES_SQL.lstrip()
+        _EDGES_SQL.lstrip()
         + """,
 und AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -9638,8 +9639,72 @@ sym AS MATERIALIZED (
 ),
 """
         + ",\n".join(blocks)
+    )
+
+
+def _q200_sql(n_rounds: int = 6) -> str:
+    return (
+        "WITH "
+        + _lpa_ctes(n_rounds)
         + f"""
 SELECT CAST(n AS BIGINT) AS doc_id, lab AS community FROM l{n_rounds}
+"""
+    )
+
+
+def q202_modularity(spark, sf_dir):
+    """Newman modularity of the q200 LPA communities
+    (operators/graph.community_modularity — Newman & Girvan 2004):
+    per-community intra-edge count, degree mass, and the exact int64
+    fixed-point contribution (e_c*S) div m - (deg_c^2*S) div (4m^2) in
+    units of 1e-12 — the quality eval paired with q200 the way q117/q169
+    pair recall evals with the LSH/ANN indexes.  Two equi hash joins +
+    two map-side-combined aggregates over the simple graph; the only
+    1-row plan is the broadcast total-edge count."""
+    from eget_spark.operators.graph import (
+        community_modularity,
+        label_propagation,
+    )
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    labels = label_propagation(nodes, edges, n_rounds=6)
+    return community_modularity(labels, edges)
+
+
+def _q202_sql(n_rounds: int = 6, scale: int = 10**12) -> str:
+    return (
+        "WITH "
+        + _lpa_ctes(n_rounds)
+        + f""",
+lab AS MATERIALIZED (SELECT n, lab AS community FROM l{n_rounds}),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+tag AS (
+  SELECT la.community AS ca, lb.community AS cb
+  FROM und u JOIN lab la ON la.n = u.a JOIN lab lb ON lb.n = u.b
+),
+intra AS (
+  SELECT ca AS community, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM tag WHERE ca = cb GROUP BY ca
+),
+deg AS (
+  SELECT lab.community, CAST(count(*) AS BIGINT) AS degree_sum
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und) e
+  JOIN lab ON lab.n = e.n GROUP BY lab.community
+),
+sizes AS (
+  SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM lab GROUP BY community
+)
+SELECT s.community, s.n_nodes,
+       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       CAST(COALESCE(d.degree_sum, 0) AS BIGINT) AS degree_sum,
+       CAST((COALESCE(i.intra_edges, 0) * {scale}) // m
+            - (COALESCE(d.degree_sum, 0) * COALESCE(d.degree_sum, 0)
+               * {scale}) // (4 * m * m) AS BIGINT) AS modularity_fp
+FROM sizes s
+LEFT JOIN intra i ON i.community = s.community
+LEFT JOIN deg d ON d.community = s.community
+CROSS JOIN mm
 """
     )
 
@@ -9921,6 +9986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_revisit_ledger": q199_revisit_ledger,
         "q200_lpa_communities": q200_lpa_communities,
         "q201_bm25f": q201_bm25f,
+        "q202_modularity": q202_modularity,
     }
 
 
@@ -10126,4 +10192,5 @@ def oracle_sql() -> dict[str, str]:
         "q199_revisit_ledger": _Q199_SQL,
         "q200_lpa_communities": _q200_sql(),
         "q201_bm25f": _Q201_SQL,
+        "q202_modularity": _q202_sql(),
     }

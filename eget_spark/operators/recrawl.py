@@ -142,6 +142,23 @@ def estimate_change_rate(
         F.count("*").cast("long").alias("n_obs"),
         F.sum(F.col(changed_col).cast("long")).cast("long").alias("n_changed"),
     )
+    return change_rates_from_counts(
+        agg, interval_sec, min_interval_sec, max_interval_sec
+    )
+
+
+def change_rates_from_counts(
+    counts: DataFrame,
+    interval_sec: float = 86400.0,
+    min_interval_sec: int = 3600,
+    max_interval_sec: int = 604800,
+) -> DataFrame:
+    """The per-row arithmetic half of :func:`estimate_change_rate`, over
+    pre-aggregated ``(id, n_obs, n_changed)`` counters.  Split out so the
+    streaming maintainer (streaming/changerate.py) — whose drained state
+    IS these counters, summed over epochs — reuses the identical
+    expression tree and its rates are bit-equal to the batch estimator
+    over the union of the micro-batches."""
     n = F.col("n_obs").cast("double")
     x = F.col("n_changed").cast("double")
     r_hat = -F.log((n - x + 0.5) / (n + 0.5))
@@ -155,7 +172,7 @@ def estimate_change_rate(
             ),
         ).cast("long")
     )
-    return agg.select(
+    return counts.select(
         "id",
         "n_obs",
         "n_changed",

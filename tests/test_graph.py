@@ -765,3 +765,68 @@ def test_lpa_isolated_keeps_own_label(spark):
     }
     assert got[9] == 9  # isolated: no neighbor vote ever
     assert set(got) == {0, 1, 2, 9}
+
+
+def _py_modularity(labels, pairs, scale=10**12):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    m = len(und)
+    comms = sorted(set(labels.values()))
+    out = {}
+    for c in comms:
+        nodes = {v for v, L in labels.items() if L == c}
+        intra = sum(1 for a, b in und if a in nodes and b in nodes)
+        deg = sum(1 for a, b in und for x in (a, b) if x in nodes)
+        fp = (intra * scale) // m - (deg * deg * scale) // (4 * m * m)
+        out[c] = (len(nodes), intra, deg, fp)
+    return out
+
+
+def test_modularity_matches_python_on_lpa_output(spark):
+    from eget_spark.operators.graph import (
+        community_modularity,
+        label_propagation,
+    )
+
+    ids = list(range(8))
+    cl = lambda off: [
+        (off + i, off + j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    pairs = cl(0) + cl(4) + [(3, 4)]
+    nodes, edges = _nodes_df(spark, ids), _edges_df(spark, pairs)
+    labels_df = label_propagation(nodes, edges, n_rounds=6)
+    got = {
+        r.community: (r.n_nodes, r.intra_edges, r.degree_sum, r.modularity_fp)
+        for r in community_modularity(labels_df, edges).collect()
+    }
+    labels = {r.id: r.community for r in labels_df.collect()}
+    assert got == _py_modularity(labels, pairs)
+    # two balanced cliques with one bridge: known closed form
+    # Q = 2 * (6/13 - (13/26)^2) = 12/13 - 1/2
+    q = sum(v[3] for v in got.values()) / 10**12
+    assert abs(q - (12 / 13 - 0.5)) < 2e-12
+
+
+def test_modularity_all_one_community_is_near_zero(spark):
+    from eget_spark.operators.graph import community_modularity
+
+    # one community holding every node: Q = m/m - (2m/2m)^2 = 0 exactly
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    labels = spark.createDataFrame(
+        [(i, 0) for i in range(4)], "id long, community long"
+    )
+    rows = community_modularity(labels, _edges_df(spark, pairs)).collect()
+    assert len(rows) == 1 and rows[0].modularity_fp == 0
+    assert rows[0].intra_edges == 5 and rows[0].degree_sum == 10
+
+
+def test_modularity_singletons_penalized(spark):
+    from eget_spark.operators.graph import community_modularity
+
+    # every node its own community: intra = 0, Q strictly negative
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(3)], "id long, community long"
+    )
+    rows = community_modularity(labels, _edges_df(spark, pairs)).collect()
+    assert all(r.intra_edges == 0 for r in rows)
+    assert sum(r.modularity_fp for r in rows) < 0

@@ -1826,6 +1826,15 @@ def main() -> None:
     checks.append(("lpa: no nested-loop join", "NestedLoop" not in p_lpa and "Cartesian" not in p_lpa))
     checks.append(("lpa: no Python", "EvalPython" not in p_lpa))
 
+    # 130. modularity (q202): two equi hash joins + map-side-combined
+    # aggregates over the checkpointed labels; the only 1-row side is the
+    # broadcast edge-count — no window, no nested loop, no Python
+    p_mod = plan_of(entry.q202_modularity(spark, SF))
+    checks.append(("modularity: map-side partial agg", "partial_" in p_mod or "Partial" in p_mod))
+    checks.append(("modularity: edge total joined as broadcast", "BroadcastNestedLoopJoin" in p_mod or "BroadcastExchange" in p_mod))
+    checks.append(("modularity: no window", _nodes(p_mod, "Window") == 0))
+    checks.append(("modularity: no Python", "EvalPython" not in p_mod))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
