@@ -9203,7 +9203,9 @@ def q193_hyperball(spark, sf_dir):
     )
 
 
-def _q193_sql(p: int = 4, n_rounds: int = 6) -> str:
+def _hyperball_sql_ctes(p: int = 4, n_rounds: int = 6) -> str:
+    """Shared WITH-body: arith edges + HyperBall register/estimate
+    CTEs r0..rK / est0..estK (the q193 contract verbatim)."""
     m = 1 << p
     width = 60 - p
     scale = 1 << (width + 1)
@@ -9255,6 +9257,15 @@ def _q193_sql(p: int = 4, n_rounds: int = 6) -> str:
 )"""
         )
         blocks.append(est(t))
+    return (
+        "WITH "
+        + _EDGES_SQL.lstrip().removeprefix("WITH ")
+        + ",\n"
+        + ",\n".join(blocks)
+    )
+
+
+def _q193_sql(p: int = 4, n_rounds: int = 6) -> str:
     terms = " + ".join(
         f"((est{t}.e - est{t - 1}.e) / {t}.0)" for t in range(1, n_rounds + 1)
     )
@@ -9262,15 +9273,51 @@ def _q193_sql(p: int = 4, n_rounds: int = 6) -> str:
         f"JOIN est{t} ON est{t}.node = d.doc_id" for t in range(n_rounds + 1)
     )
     return (
-        "WITH "
-        + _EDGES_SQL.lstrip().removeprefix("WITH ")
-        + ",\n"
-        + ",\n".join(blocks)
+        _hyperball_sql_ctes(p, n_rounds)
         + f"""
 SELECT d.doc_id, est{n_rounds}.e AS reach_est,
        round({terms}, 6) AS harmonic
 FROM documents d
 {joins}
+"""
+    )
+
+
+def q203_neighborhood_function(spark, sf_dir):
+    """ANF / effective diameter from the HyperBall sketches
+    (operators/graph.neighborhood_function — Palmer et al. KDD 2002;
+    Boldi & Vigna 2013 §4): NF(t) = sum_v |B_t(v)| estimated pairs
+    within t hops, summed in exact int64 centi-units of the pinned
+    round-2 per-node estimates (no float addition-order dependence);
+    effective diameter = smallest t with NF(t) >= 0.9 * NF(T).  Same
+    per-round cost as q193; each NF(t) is one map-side 1-row sum."""
+    from eget_spark.operators.graph import neighborhood_function
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    return neighborhood_function(nodes, edges, p=4, n_rounds=6)
+
+
+def _q203_sql(p: int = 4, n_rounds: int = 6) -> str:
+    nf_rows = "\n  UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS t,"
+        f" CAST(sum(CAST(round(e * 100.0, 0) AS BIGINT)) AS BIGINT)"
+        f" AS nf_centi FROM est{t}"
+        for t in range(n_rounds + 1)
+    )
+    return (
+        _hyperball_sql_ctes(p, n_rounds)
+        + f""",
+nf AS MATERIALIZED (
+  {nf_rows}
+),
+fin AS (SELECT nf_centi AS nft FROM nf WHERE t = {n_rounds}),
+rat AS (
+  SELECT t, nf_centi, round(nf_centi / nft, 6) AS ratio
+  FROM nf CROSS JOIN fin
+),
+eff AS (SELECT min(t) AS efft FROM rat WHERE ratio >= 0.9)
+SELECT t, nf_centi, ratio, (t = efft) AS is_eff_diameter
+FROM rat CROSS JOIN eff
 """
     )
 
@@ -9987,6 +10034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_lpa_communities": q200_lpa_communities,
         "q201_bm25f": q201_bm25f,
         "q202_modularity": q202_modularity,
+        "q203_neighborhood_function": q203_neighborhood_function,
     }
 
 
@@ -10193,4 +10241,5 @@ def oracle_sql() -> dict[str, str]:
         "q200_lpa_communities": _q200_sql(),
         "q201_bm25f": _Q201_SQL,
         "q202_modularity": _q202_sql(),
+        "q203_neighborhood_function": _q203_sql(),
     }

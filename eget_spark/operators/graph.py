@@ -576,6 +576,30 @@ def hyperball(
     (node, bucket) max, localCheckpoint-ed so lineage stays O(1); the
     per-round estimate is one groupBy(node) over <= m rows each.  No
     window, no Python, no driver data."""
+    regs, estimate = _hyperball_setup(nodes, p)
+    ests = _hyperball_round_ests(regs, edges, estimate, n_rounds)
+
+    out = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    for t, est in enumerate(ests):
+        out = out.join(
+            est.select(F.col("node").alias("id"), F.col("e").alias(f"_e{t}")),
+            "id",
+        )
+    harmonic = None
+    for t in range(1, n_rounds + 1):
+        term = (F.col(f"_e{t}") - F.col(f"_e{t - 1}")) / F.lit(float(t))
+        harmonic = term if harmonic is None else harmonic + term
+    return out.select(
+        "id",
+        F.col(f"_e{n_rounds}").alias("reach_est"),
+        F.round(harmonic, 6).alias("harmonic"),
+    )
+
+
+def _hyperball_setup(nodes: DataFrame, p: int):
+    """Initial per-node HLL register rows and the estimate closure shared
+    by :func:`hyperball` and :func:`neighborhood_function` (the
+    operators/hll.py register contract verbatim)."""
     from .hll import HASH_BITS, _hash60, _rho
 
     m = 1 << p
@@ -616,6 +640,13 @@ def hyperball(
         ).otherwise(raw)
         return agg.select("node", F.round(est, 2).alias("e"))
 
+    return regs, estimate
+
+
+def _hyperball_round_ests(regs, edges, estimate, n_rounds):
+    """The HyperBall successor-merge loop shared by :func:`hyperball`
+    and :func:`neighborhood_function`: per-round (node, e) cardinality
+    estimates for t = 0..n_rounds."""
     ests = [estimate(regs).localCheckpoint()]
     for _ in range(n_rounds):
         succ = edges.join(
@@ -631,22 +662,7 @@ def hyperball(
             .localCheckpoint()
         )
         ests.append(estimate(regs).localCheckpoint())
-
-    out = nodes.select(idc.alias("id"))
-    for t, est in enumerate(ests):
-        out = out.join(
-            est.select(F.col("node").alias("id"), F.col("e").alias(f"_e{t}")),
-            "id",
-        )
-    harmonic = None
-    for t in range(1, n_rounds + 1):
-        term = (F.col(f"_e{t}") - F.col(f"_e{t - 1}")) / F.lit(float(t))
-        harmonic = term if harmonic is None else harmonic + term
-    return out.select(
-        "id",
-        F.col(f"_e{n_rounds}").alias("reach_est"),
-        F.round(harmonic, 6).alias("harmonic"),
-    )
+    return ests
 
 
 def _reach(
@@ -1031,3 +1047,57 @@ def community_modularity(
         )
     )
     return out
+
+
+def neighborhood_function(
+    nodes: DataFrame, edges: DataFrame, p: int = 4, n_rounds: int = 6
+) -> DataFrame:
+    """The graph's neighborhood function and effective diameter from the
+    same HyperBall sketches as :func:`hyperball` (Palmer, Gibbons &
+    Faloutsos, "ANF", KDD 2002; Boldi & Vigna 2013 §4): NF(t) =
+    sum_v |B_t(v)| — the estimated number of reachable (source,
+    destination) pairs within t hops — and the EFFECTIVE DIAMETER, the
+    smallest t at which NF(t) >= 0.9 * NF(T) (the standard 90th-
+    percentile distance the web-graph measurement literature reports,
+    e.g. Broder et al. 2000's "the web is a small world" numbers).
+
+    Determinism contract: each per-node per-round estimate is the
+    pinned round-2 value from the shared HyperBall loop; it is summed
+    in exact int64 CENTI-units (CAST(round(e*100, 0) AS BIGINT)) so the
+    corpus-wide sum has NO float addition-order dependence; the ratio
+    divides the two int64 sums once, rounded to 6 — engine-identical.
+
+    Output: one row per t = 0..n_rounds — (t, nf_centi, ratio,
+    is_eff_diameter) with nf_centi = 100 * NF(t) estimate, ratio =
+    NF(t)/NF(T), and is_eff_diameter marking the effective-diameter
+    round.
+
+    Scale shape: identical per-round cost to hyperball (one equi join +
+    one map-side register max per round); each NF(t) is ONE map-side-
+    combined 1-row sum, and the output is n_rounds+1 rows — the only
+    single-row plans are these final scalar reductions."""
+    regs, estimate = _hyperball_setup(nodes, p)
+    ests = _hyperball_round_ests(regs, edges, estimate, n_rounds)
+    nf = None
+    for t, est in enumerate(ests):
+        row = est.agg(
+            F.sum(F.expr("CAST(round(e * 100.0, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("nf_centi")
+        ).select(F.lit(t).cast("int").alias("t"), "nf_centi")
+        nf = row if nf is None else nf.unionAll(row)
+    fin = nf.where(F.col("t") == n_rounds).select(
+        F.col("nf_centi").alias("_nft")
+    )
+    rat = nf.crossJoin(F.broadcast(fin)).select(
+        "t",
+        "nf_centi",
+        F.round(F.col("nf_centi") / F.col("_nft"), 6).alias("ratio"),
+    )
+    eff = rat.where(F.col("ratio") >= 0.9).agg(F.min("t").alias("_efft"))
+    return rat.crossJoin(F.broadcast(eff)).select(
+        "t",
+        "nf_centi",
+        "ratio",
+        (F.col("t") == F.col("_efft")).alias("is_eff_diameter"),
+    )

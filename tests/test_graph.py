@@ -830,3 +830,86 @@ def test_modularity_singletons_penalized(spark):
     rows = community_modularity(labels, _edges_df(spark, pairs)).collect()
     assert all(r.intra_edges == 0 for r in rows)
     assert sum(r.modularity_fp for r in rows) < 0
+
+
+def test_neighborhood_function_matches_python_registers(spark):
+    import hashlib
+    import math
+
+    from eget_spark.operators.graph import neighborhood_function
+
+    p, rounds, m, width = 4, 4, 16, 56
+    scale = 1 << (width + 1)
+    n = 25
+    edges_py = [(i, (i * 3 + 1) % n) for i in range(n)] + [
+        (i, (i * i + 2) % n) for i in range(n)
+    ]
+
+    def h60(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    def rho(w: int) -> int:
+        return width + 1 if w == 0 else width - w.bit_length() + 1
+
+    regs = {i: {h60(i) & (m - 1): rho(h60(i) >> p)} for i in range(n)}
+    succ = {}
+    for a, b in edges_py:
+        succ.setdefault(a, []).append(b)
+
+    def estimate(r: dict) -> float:
+        v_zero = m - len(r)
+        ss = sum(1 << (width + 1 - reg) for reg in r.values()) + v_zero * scale
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        raw = alpha * float(m) * float(m) * float(scale) / ss
+        if raw <= 2.5 * m and v_zero > 0:
+            return round(m * math.log(m / v_zero), 2)
+        return round(raw, 2)
+
+    nf = [sum(int(round(estimate(regs[i]) * 100.0)) for i in range(n))]
+    for _ in range(rounds):
+        new = {}
+        for v in range(n):
+            merged = dict(regs[v])
+            for w in succ.get(v, []):
+                for b, rg in regs[w].items():
+                    if merged.get(b, 0) < rg:
+                        merged[b] = rg
+            new[v] = merged
+        regs = new
+        nf.append(sum(int(round(estimate(regs[i]) * 100.0)) for i in range(n)))
+
+    ratios = [round(x / nf[rounds], 6) for x in nf]
+    efft = min(t for t, r in enumerate(ratios) if r >= 0.9)
+
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["t"]: (r["nf_centi"], r["ratio"], r["is_eff_diameter"])
+        for r in neighborhood_function(
+            nodes, edges, p=p, n_rounds=rounds
+        ).collect()
+    }
+    assert got == {
+        t: (nf[t], ratios[t], t == efft) for t in range(rounds + 1)
+    }
+    # exactly one effective-diameter round, final ratio is exactly 1.0
+    assert sum(1 for v in got.values() if v[2]) == 1
+    assert got[rounds][1] == 1.0
+
+
+def test_neighborhood_function_path_graph_diameter(spark):
+    from eget_spark.operators.graph import neighborhood_function
+
+    # a directed 3-path: balls stop growing after t=3, so the final
+    # rounds are flat and the effective diameter lands at t <= 3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    rows = {
+        r["t"]: r
+        for r in neighborhood_function(nodes, edges, p=4, n_rounds=5).collect()
+    }
+    assert rows[3]["nf_centi"] == rows[4]["nf_centi"] == rows[5]["nf_centi"]
+    eff = [t for t, r in rows.items() if r["is_eff_diameter"]]
+    assert len(eff) == 1 and eff[0] <= 3

@@ -1835,6 +1835,15 @@ def main() -> None:
     checks.append(("modularity: no window", _nodes(p_mod, "Window") == 0))
     checks.append(("modularity: no Python", "EvalPython" not in p_mod))
 
+    # 131. neighborhood function (q203): per-round ests are checkpointed;
+    # the visible plan is n_rounds+1 map-side 1-row sums + broadcast
+    # scalar joins — no window, no Python
+    p_nf = plan_of(entry.q203_neighborhood_function(spark, SF))
+    checks.append(("neighborhood fn: map-side partial agg", "partial_" in p_nf or "Partial" in p_nf))
+    checks.append(("neighborhood fn: scalar sides broadcast", "BroadcastExchange" in p_nf or "BroadcastNestedLoopJoin" in p_nf))
+    checks.append(("neighborhood fn: no window", _nodes(p_nf, "Window") == 0))
+    checks.append(("neighborhood fn: no Python", "EvalPython" not in p_nf))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
