@@ -9322,6 +9322,58 @@ FROM rat CROSS JOIN eff
     )
 
 
+def q204_sitemap_shards(spark, sf_dir):
+    """Distributed sitemap GENERATION (sources/sitemaps.sitemap_shards —
+    the sink inverse of the q80 parser, sitemaps.org 0.9): the crawl's
+    URL set sorted by loc is cut into <=64-URL shards (protocol cap
+    50,000, shrunk for the fixture) and each shard's COMPLETE <urlset>
+    XML is assembled in the engine — the oracle string_aggs the same
+    snippets, so the gate pins the xml column to BYTE parity.  Global
+    order via the range-exchange sequencer; assembly one groupBy whose
+    partitions are protocol-cap bounded; escaping/concat pure JVM."""
+    from eget_spark.sources.sitemaps import sitemap_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    urls = docs.select(
+        F.concat(F.lit("https://s.example.org/p/"), d.cast("string")).alias(
+            "loc"
+        ),
+        F.concat(
+            F.lit("2026-01-"),
+            F.lpad((F.lit(1) + d % 28).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+    )
+    return sitemap_shards(urls, lastmod_col="lastmod", shard_size=64)
+
+
+_Q204_SQL = r"""
+WITH u AS (
+  SELECT 'https://s.example.org/p/' || CAST(doc_id AS VARCHAR) AS loc,
+         '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+           AS lastmod
+  FROM documents
+),
+r AS (
+  SELECT loc, lastmod,
+         row_number() OVER (ORDER BY loc) - 1 AS seq,
+         '<url><loc>' ||
+         replace(replace(replace(replace(replace(loc,
+           '&', '&amp;'), '''', '&apos;'), '"', '&quot;'),
+           '>', '&gt;'), '<', '&lt;') ||
+         '</loc><lastmod>' || lastmod || '</lastmod></url>' AS snip
+  FROM u
+)
+SELECT CAST(seq // 64 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       min(loc) AS first_loc, max(loc) AS last_loc,
+       '<?xml version="1.0" encoding="UTF-8"?>' ||
+       '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+       string_agg(snip, '' ORDER BY loc) || '</urlset>' AS xml
+FROM r GROUP BY seq // 64
+"""
+
+
 def q194_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (operators/cdc.cdc_chunks — LBFS rolling
     hash, FastCDC's modern family): boundaries where the 8-byte
@@ -9756,6 +9808,61 @@ CROSS JOIN mm
     )
 
 
+def q205_community_fetcher_shards(spark, sf_dir):
+    """Whole-community fetcher sharding (operators/assign.snake_pack over
+    the q200 LPA communities): communities ranked by (size DESC, id) are
+    snake-dealt onto 8 fetchers — the deterministic LPT-style balancer
+    for units that must stay whole (a community's strongly-linked hosts
+    share one fetcher's politeness clocks and connection pools), where
+    per-host rendezvous hashing (q174) cannot keep groups together.
+    Per-fetcher rollup: community count, total node load, heaviest rank.
+    Rank via the range-exchange sequencer; snake is per-row modular
+    arithmetic; rollup one map-side-combined aggregate."""
+    from eget_spark.operators.assign import snake_pack
+    from eget_spark.operators.graph import label_propagation
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    sizes = (
+        label_propagation(nodes, edges, n_rounds=6)
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    packed = snake_pack(sizes, "n_nodes", k=8, id_col="community")
+    return packed.groupBy("worker").agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("weight").cast("long").alias("n_nodes_total"),
+        F.min("rank").cast("long").alias("top_rank"),
+    )
+
+
+def _q205_sql(n_rounds: int = 6, k: int = 8) -> str:
+    return (
+        "WITH "
+        + _lpa_ctes(n_rounds)
+        + f""",
+sizes AS (
+  SELECT lab AS community, CAST(count(*) AS BIGINT) AS w
+  FROM l{n_rounds} GROUP BY lab
+),
+rk AS (
+  SELECT community, w,
+         row_number() OVER (ORDER BY w DESC, community) - 1 AS r
+  FROM sizes
+),
+sn AS (
+  SELECT w, r,
+         CAST(CASE WHEN (r // {k}) % 2 = 0 THEN r % {k}
+                   ELSE {k - 1} - (r % {k}) END AS INT) AS worker
+  FROM rk
+)
+SELECT worker, CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(sum(w) AS BIGINT) AS n_nodes_total,
+       CAST(min(r) + 1 AS BIGINT) AS top_rank
+FROM sn GROUP BY worker
+"""
+    )
+
+
 def q201_bm25f(spark, sf_dir):
     """BM25F field-weighted search (operators/search.bm25f_topk —
     Robertson & Zaragoza 2009 §3.3 'simple BM25F'): title (first 8
@@ -10035,6 +10142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_bm25f": q201_bm25f,
         "q202_modularity": q202_modularity,
         "q203_neighborhood_function": q203_neighborhood_function,
+        "q204_sitemap_shards": q204_sitemap_shards,
+        "q205_community_fetcher_shards": q205_community_fetcher_shards,
     }
 
 
@@ -10242,4 +10351,6 @@ def oracle_sql() -> dict[str, str]:
         "q201_bm25f": _Q201_SQL,
         "q202_modularity": _q202_sql(),
         "q203_neighborhood_function": _q203_sql(),
+        "q204_sitemap_shards": _Q204_SQL,
+        "q205_community_fetcher_shards": _q205_sql(),
     }

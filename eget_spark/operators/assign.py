@@ -139,3 +139,50 @@ def fleet_load(
         F.max("_span").cast("long").alias("max_span_ms"),
         F.sum("_span").cast("long").alias("serial_ms"),
     )
+
+
+def snake_pack(
+    items: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Snake (boustrophedon) packing of weighted items onto ``k`` workers
+    — the deterministic load balancer for WHOLE-GROUP placement, where
+    rendezvous hashing does not apply because the unit is a weighted
+    group (an LPA community, a dedup cluster) that must land on ONE
+    worker but groups differ wildly in size.  Items ranked by (weight
+    DESC, id ASC) are dealt in alternating direction — round r sends
+    rank positions left-to-right, round r+1 right-to-left — the classic
+    seeding scheme (sports brackets, LPT-style makespan heuristics):
+    each worker's ranks sum to a near-equal arithmetic mix of heavy and
+    light items, bounding the load gap by one item's weight per pair of
+    rounds without any sequential bin-packing loop.
+
+    Output: one row per item — (id, weight, rank, worker).
+
+    Scale shape: the global rank is the range-exchange sequencer
+    (operators/sequence.with_global_seq — never a single-partition
+    window; millions of communities rank in parallel); the snake is pure
+    per-row modular arithmetic in codegen — no join, no Python."""
+    from .sequence import with_global_seq
+
+    idc = F.col(id_col if id_col is not None else items.columns[0])
+    base = items.select(
+        idc.alias("id"), F.col(weight_col).cast("long").alias("weight")
+    )
+    # rank by weight DESC: sequence on (-weight, id)
+    ranked = with_global_seq(
+        base.withColumn("_negw", -F.col("weight")),
+        ["_negw", "id"],
+        seq_col="_rank",
+    ).df
+    rnd = F.floor(F.col("_rank") / k)
+    pos = F.col("_rank") % k
+    worker = F.when(rnd % 2 == 0, pos).otherwise(F.lit(k - 1) - pos)
+    return ranked.select(
+        "id",
+        "weight",
+        (F.col("_rank") + 1).cast("long").alias("rank"),
+        worker.cast("int").alias("worker"),
+    )

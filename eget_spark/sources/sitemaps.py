@@ -292,3 +292,134 @@ def sitemap_coverage(sitemap: DataFrame, crawled: DataFrame) -> DataFrame:
             F.expr("(1000 * n_both) div n_sitemap"),
         ).cast("long").alias("coverage_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sink: distributed sitemap shard generation (the inverse of the parser)
+# ---------------------------------------------------------------------------
+
+
+def _xml_escape_col(c):
+    """sitemaps.org §"Sitemap file location" entity escaping for <loc>
+    values (&, ', ", >, < — ampersand FIRST so it never double-escapes),
+    as JVM replace chains inside codegen."""
+    out = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    for raw, ent in (("'", "&apos;"), ('"', "&quot;"), (">", "&gt;"), ("<", "&lt;")):
+        out = F.replace(out, F.lit(raw), F.lit(ent))
+    return out
+
+
+def sitemap_shards(
+    urls: DataFrame,
+    url_col: str = "loc",
+    lastmod_col: str | None = None,
+    shard_size: int = 50000,
+) -> DataFrame:
+    """Distributed sitemap GENERATION — the sink inverse of
+    :func:`parse_sitemaps`, per the PUBLIC sitemaps.org 0.9 protocol: the
+    crawl's URL set, sorted by loc, is cut into shards of at most
+    ``shard_size`` URLs (the protocol caps a file at 50,000), and each
+    shard's complete ``<urlset>`` XML document is assembled INSIDE the
+    engine — byte-identical to :func:`build_urlset_xml` over the same
+    entries, so ``parse_sitemap_xml(xml)`` round-trips exactly (pinned
+    by test).
+
+    Output: (shard_id, n_urls, first_loc, last_loc, xml), one row per
+    shard, ordered content within each shard by loc.
+
+    Scale shape: the global loc order is the range-exchange sequencer
+    (operators/sequence.with_global_seq — never a single-partition
+    window); shard assembly is ONE groupBy(shard_id) whose partitions
+    hold at most ``shard_size`` snippet rows (bounded by the protocol
+    cap, not by data skew); escaping and snippet construction are JVM
+    replace/concat chains in codegen — no Python anywhere."""
+    from ..operators.sequence import with_global_seq
+
+    base = urls.select(
+        F.col(url_col).cast("string").alias("loc"),
+        (
+            F.col(lastmod_col).cast("string")
+            if lastmod_col is not None
+            else F.lit(None).cast("string")
+        ).alias("lastmod"),
+    )
+    ranked = with_global_seq(base, ["loc"], seq_col="_seq").df
+    snip = F.concat(
+        F.lit("<url><loc>"),
+        _xml_escape_col(F.col("loc")),
+        F.lit("</loc>"),
+        F.when(
+            F.col("lastmod").isNotNull(),
+            F.concat(
+                F.lit("<lastmod>"), F.col("lastmod"), F.lit("</lastmod>")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sharded = ranked.select(
+        F.floor(F.col("_seq") / shard_size).cast("long").alias("shard_id"),
+        "_seq",
+        "loc",
+        snip.alias("_snip"),
+    )
+    agg = sharded.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.min("loc").alias("first_loc"),
+        F.max("loc").alias("last_loc"),
+        F.sort_array(F.collect_list(F.struct("_seq", "_snip"))).alias("_ss"),
+    )
+    body = F.concat_ws(
+        "", F.transform(F.col("_ss"), lambda s: s.getField("_snip"))
+    )
+    return agg.select(
+        "shard_id",
+        "n_urls",
+        "first_loc",
+        "last_loc",
+        F.concat(
+            F.lit(
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                f'<urlset xmlns="{SITEMAP_XMLNS}">'
+            ),
+            body,
+            F.lit("</urlset>"),
+        ).alias("xml"),
+    )
+
+
+def save_sitemap_shards(
+    urls: DataFrame,
+    out_dir: str,
+    base_url: str,
+    url_col: str = "loc",
+    lastmod_col: str | None = None,
+    shard_size: int = 50000,
+) -> str:
+    """Materialize :func:`sitemap_shards` to ``sitemap-<id>.xml`` files
+    under ``out_dir`` plus a ``sitemapindex.xml`` referencing them as
+    ``<base_url>/sitemap-<id>.xml`` — the layout robots.txt's ``Sitemap:``
+    line points at.  Shard files are written executor-side (one tiny file
+    per shard; needs a shared filesystem on a real cluster, like any
+    file sink); the index is one driver-side file over the shard-id list
+    (protocol cap: 50,000 index entries — deeper trees are one recursion
+    of this function, documented out of scope).  Returns the index path."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    shards = sitemap_shards(urls, url_col, lastmod_col, shard_size)
+
+    def _write(rows):
+        for r in rows:
+            path = os.path.join(out_dir, f"sitemap-{r['shard_id']:05d}.xml")
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(r["xml"])
+
+    shards.select("shard_id", "xml").foreachPartition(_write)
+    ids = sorted(r[0] for r in shards.select("shard_id").collect())
+    index = build_sitemapindex_xml(
+        [f"{base_url.rstrip('/')}/sitemap-{i:05d}.xml" for i in ids]
+    )
+    index_path = os.path.join(out_dir, "sitemapindex.xml")
+    with open(index_path, "w", encoding="utf-8") as f:
+        f.write(index)
+    return index_path

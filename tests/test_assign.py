@@ -127,3 +127,57 @@ def test_fleet_load_matches_python(spark):
         a[3] = max(a[3], span)
         a[4] += span
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def _py_snake(weights: dict, k: int):
+    order = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = {}
+    for r, (i, w) in enumerate(order):
+        pos = r % k
+        out[i] = pos if (r // k) % 2 == 0 else k - 1 - pos
+    return out
+
+
+def test_snake_pack_matches_python_oracle(spark):
+    from eget_spark.operators.assign import snake_pack
+
+    weights = {f"c{i}": ((i * 37) % 19) + 1 for i in range(45)}
+    df = spark.createDataFrame(
+        list(weights.items()), "community string, n long"
+    )
+    got = {
+        r.id: r.worker
+        for r in snake_pack(df, "n", k=6, id_col="community").collect()
+    }
+    assert got == _py_snake(weights, 6)
+
+
+def test_snake_pack_balances_identical_weights_exactly(spark):
+    from eget_spark.operators.assign import snake_pack
+
+    # 24 equal items on 8 workers: every worker gets exactly 3, load 3w
+    df = spark.createDataFrame(
+        [(f"c{i:02d}", 5) for i in range(24)], "community string, n long"
+    )
+    rows = snake_pack(df, "n", k=8, id_col="community").collect()
+    loads = {}
+    for r in rows:
+        loads[r.worker] = loads.get(r.worker, 0) + r.weight
+    assert loads == {w: 15 for w in range(8)}
+
+
+def test_snake_pack_bounded_imbalance_on_skew(spark):
+    from eget_spark.operators.assign import snake_pack
+
+    # power-law-ish weights: snake keeps the gap within the max weight
+    ws = [(f"c{i:03d}", max(1, 1000 // (i + 1))) for i in range(64)]
+    df = spark.createDataFrame(ws, "community string, n long")
+    rows = snake_pack(df, "n", k=4, id_col="community").collect()
+    loads = {}
+    for r in rows:
+        loads[r.worker] = loads.get(r.worker, 0) + r.weight
+    assert set(loads) == {0, 1, 2, 3}
+    assert max(loads.values()) - min(loads.values()) <= 1000
+    # rank 1 is the heaviest item and sits on worker 0
+    top = [r for r in rows if r.rank == 1][0]
+    assert top.weight == 1000 and top.worker == 0

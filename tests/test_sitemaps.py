@@ -144,3 +144,81 @@ def test_sitemap_coverage_matches_python(spark):
         # h3: crawled with no sitemap -> permille NULL
         "h3": (0, 1, 0, 0, 1, None),
     }
+
+
+def test_sitemap_shards_roundtrip_and_caps(spark):
+    from eget_spark.sources.sitemaps import (
+        build_urlset_xml,
+        parse_sitemap_xml,
+        sitemap_shards,
+    )
+
+    rows = [
+        (f"https://s.example.org/p/{i:03d}", f"2026-01-{1 + i % 28:02d}")
+        for i in range(137)
+    ]
+    urls = spark.createDataFrame(rows, "loc string, lastmod string")
+    shards = sorted(
+        sitemap_shards(urls, lastmod_col="lastmod", shard_size=50).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert [r.shard_id for r in shards] == [0, 1, 2]
+    assert [r.n_urls for r in shards] == [50, 50, 37]
+    # every shard's XML parses back to exactly its slice, in loc order
+    want = sorted(rows)
+    got = []
+    for r in shards:
+        ents = parse_sitemap_xml(r.xml)
+        assert all(e["kind"] == "url" for e in ents)
+        got += [(e["loc"], e["lastmod"]) for e in ents]
+        assert r.first_loc == ents[0]["loc"]
+        assert r.last_loc == ents[-1]["loc"]
+    assert got == want
+    # byte-identical to the fixture writer over the same entries
+    ents0 = [
+        {"loc": loc, "lastmod": lm} for loc, lm in want[:50]
+    ]
+    assert shards[0].xml == build_urlset_xml(ents0)
+
+
+def test_sitemap_shards_escapes_loc(spark):
+    from eget_spark.sources.sitemaps import parse_sitemap_xml, sitemap_shards
+
+    urls = spark.createDataFrame(
+        [("https://s.example.org/a?x=1&y=<2>", None)],
+        "loc string, lastmod string",
+    )
+    r = sitemap_shards(urls).collect()[0]
+    assert "&amp;" in r.xml and "&lt;2&gt;" in r.xml and "&y=<" not in r.xml
+    # the parser unescapes back to the original
+    assert parse_sitemap_xml(r.xml)[0]["loc"] == "https://s.example.org/a?x=1&y=<2>"
+    # lastmod omitted entirely when null
+    assert "<lastmod>" not in r.xml
+
+
+def test_save_sitemap_shards_index(spark, tmp_path):
+    from eget_spark.sources.sitemaps import (
+        parse_sitemap_xml,
+        save_sitemap_shards,
+    )
+
+    rows = [(f"https://s.example.org/p/{i:02d}", None) for i in range(23)]
+    urls = spark.createDataFrame(rows, "loc string, lastmod string")
+    out = str(tmp_path / "maps")
+    idx = save_sitemap_shards(
+        urls, out, "https://s.example.org/maps", shard_size=10
+    )
+    ents = parse_sitemap_xml(open(idx).read())
+    assert [e["kind"] for e in ents] == ["sitemap"] * 3
+    locs = [e["loc"] for e in ents]
+    assert locs == [
+        f"https://s.example.org/maps/sitemap-{i:05d}.xml" for i in range(3)
+    ]
+    # the referenced files exist and jointly contain every URL once
+    import os
+
+    seen = []
+    for i in range(3):
+        xml = open(os.path.join(out, f"sitemap-{i:05d}.xml")).read()
+        seen += [e["loc"] for e in parse_sitemap_xml(xml)]
+    assert sorted(seen) == sorted(r[0] for r in rows)

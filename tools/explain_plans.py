@@ -1844,6 +1844,22 @@ def main() -> None:
     checks.append(("neighborhood fn: no window", _nodes(p_nf, "Window") == 0))
     checks.append(("neighborhood fn: no Python", "EvalPython" not in p_nf))
 
+    # 132. sitemap shards (q204): global loc order is a RANGE exchange
+    # (the sequencer), shard assembly one hash aggregate; escaping and
+    # XML concat are codegen'd string expressions — no Python
+    p_sm = plan_of(entry.q204_sitemap_shards(spark, SF))
+    checks.append(("sitemap shards: range exchange for rank", "rangepartitioning" in p_sm))
+    checks.append(("sitemap shards: no single-partition window", "SinglePartition" not in p_sm))
+    checks.append(("sitemap shards: no Python", "EvalPython" not in p_sm))
+
+    # 133. community fetcher shards (q205): community sizes ranked by the
+    # RANGE-exchange sequencer, snake is per-row arithmetic, rollup is a
+    # map-side-combined aggregate — no Python
+    p_cf = plan_of(entry.q205_community_fetcher_shards(spark, SF))
+    checks.append(("community shards: range exchange for rank", "rangepartitioning" in p_cf))
+    checks.append(("community shards: map-side partial agg", "partial_" in p_cf or "Partial" in p_cf))
+    checks.append(("community shards: no Python", "EvalPython" not in p_cf))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
