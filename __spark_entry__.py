@@ -9863,6 +9863,140 @@ FROM sn GROUP BY worker
     )
 
 
+def q206_assortativity(spark, sf_dir):
+    """Degree assortativity of the analytics link graph (operators/
+    graph.degree_assortativity — Newman PRL 2002 eq. 4): exact int64
+    sufficient statistics S1/S2/S3 with ONE final rounded division, so
+    no float accumulation-order dependence; r < 0 = the web's usual
+    hub-to-leaf disassortative shape (link farms push it further
+    negative).  Two equi joins + one map-side total; the 1-row output
+    is the inherent reduction."""
+    from eget_spark.operators.graph import degree_assortativity
+
+    _, edges = _arith_edges(spark, sf_dir)
+    return degree_assortativity(edges)
+
+
+_Q206_SQL = (
+    "WITH "
+    + _EDGES_SQL.lstrip().removeprefix("WITH ")
+    + r""",
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n
+),
+tag AS (
+  SELECT da.d AS j, db.d AS k
+  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_edges,
+         CAST(sum(j * k) AS BIGINT) AS s_jk,
+         CAST(sum(j + k) AS BIGINT) AS s_sum,
+         CAST(sum(j * j + k * k) AS BIGINT) AS s_sq
+  FROM tag
+)
+SELECT m_edges, s_jk, s_sum, s_sq,
+       CASE WHEN (2 * m_edges * s_sq - s_sum * s_sum) <> 0 THEN
+         round((4 * m_edges * s_jk - s_sum * s_sum)
+               / (2 * m_edges * s_sq - s_sum * s_sum), 6)
+       END AS assortativity
+FROM st
+"""
+)
+
+
+def _q207_media(spark, n: int = 18):
+    """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
+    image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
+    ((p*37+5)%256, (p*53+11)%256, (p*71+17)%256) (the q102 palette),
+    index(y,x) = (y*(1+g%3) + x*(2+g%4) + g) % 4; g%6==5 marks index 3
+    transparent (RGBA path), g%4==2 is INTERLACED — the position-
+    weighted checksum makes a wrong de-weave a value mismatch."""
+    import numpy as np
+
+    from eget_spark.functions.gif import encode_gif
+
+    pal = np.array(
+        [[(p * 37 + 5) % 256, (p * 53 + 11) % 256, (p * 71 + 17) % 256]
+         for p in range(4)],
+        dtype=np.uint8,
+    )
+    rows = []
+    for g in range(n):
+        w, h = 5 + g % 7, 4 + g % 5
+        a, b = 1 + g % 3, 2 + g % 4
+        idx = (
+            (np.arange(h)[:, None] * a + np.arange(w)[None, :] * b + g) % 4
+        ).astype(np.uint8)
+        rows.append(
+            (
+                f"gif{g:03d}",
+                bytearray(
+                    encode_gif(
+                        idx,
+                        pal,
+                        transparent=3 if g % 6 == 5 else -1,
+                        interlaced=g % 4 == 2,
+                    )
+                ),
+            )
+        )
+    rows.append(("bad000", bytearray(b"GIF89a\x00\x01")))
+    rows.append(("bad001", bytearray(b"not an image")))
+    return spark.createDataFrame(rows, "media_ref string, payload binary")
+
+
+def q207_gif_decode(spark, sf_dir):
+    """GIF decode, REAL bytes end-to-end (functions/gif.py: GIF89a
+    container + LSB-first variable-width LZW + interlace de-weave + GCE
+    transparency; functions/media.image_pixel_checksums): the second
+    stdlib image codec after PNG — the reference reads GIFs through PIL
+    (services/file/file_utils.py).  The oracle recomputes width/height/
+    channels, the full byte sum, AND the position-weighted channel-0
+    checksum from the closed form, so an LZW width-sync error, palette
+    slip, alpha-expansion bug, or wrong interlace weave is a value
+    mismatch; truncated/alien payloads are dropped."""
+    from eget_spark.functions.media import image_pixel_checksums
+
+    return image_pixel_checksums(_q207_media(spark))
+
+
+_Q207_SQL = r"""
+WITH imgs AS (
+  SELECT i, 5 + i % 7 AS w, 4 + i % 5 AS h, 1 + i % 3 AS a, 2 + i % 4 AS b,
+         CASE WHEN i % 6 = 5 THEN 4 ELSE 3 END AS ch
+  FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 18))
+),
+pix AS (
+  SELECT imgs.i, w, h, ch,
+         y.q AS yy, x.q AS xx,
+         ((y.q * a + x.q * b + imgs.i) % 4) AS p
+  FROM imgs
+  JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(0, 9)) y ON y.q < h
+  JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(0, 12)) x ON x.q < w
+),
+sums AS (
+  SELECT i, w, h, ch,
+         sum((p * 37 + 5) % 256 + (p * 53 + 11) % 256 + (p * 71 + 17) % 256
+             + CASE WHEN ch = 4 AND p <> 3 THEN 255 ELSE 0 END) AS pt,
+         sum((yy * w + xx) * ((p * 37 + 5) % 256)) AS pw
+  FROM pix GROUP BY i, w, h, ch
+)
+SELECT printf('gif%03d', i) AS media_ref,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(pt AS BIGINT) AS pix_total,
+       CAST(pw AS BIGINT) AS pos_weighted
+FROM sums
+"""
+
+
 def q201_bm25f(spark, sf_dir):
     """BM25F field-weighted search (operators/search.bm25f_topk —
     Robertson & Zaragoza 2009 §3.3 'simple BM25F'): title (first 8
@@ -10144,6 +10278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_neighborhood_function": q203_neighborhood_function,
         "q204_sitemap_shards": q204_sitemap_shards,
         "q205_community_fetcher_shards": q205_community_fetcher_shards,
+        "q206_assortativity": q206_assortativity,
+        "q207_gif_decode": q207_gif_decode,
     }
 
 
@@ -10353,4 +10489,6 @@ def oracle_sql() -> dict[str, str]:
         "q203_neighborhood_function": _q203_sql(),
         "q204_sitemap_shards": _Q204_SQL,
         "q205_community_fetcher_shards": _q205_sql(),
+        "q206_assortativity": _Q206_SQL,
+        "q207_gif_decode": _Q207_SQL,
     }

@@ -309,6 +309,21 @@ def sample_frames(media: DataFrame, every: int = 10) -> DataFrame:
     )
 
 
+def decode_image(payload: bytes):
+    """Magic-byte image dispatch over the stdlib codecs: PNG
+    (functions/png.py) and GIF87a/89a (functions/gif.py) -> numpy uint8
+    (h, w[, ch]).  Raises ValueError for anything else — callers
+    quarantine undecodables."""
+    from .gif import GIF_MAGICS, decode_gif
+    from .png import decode_png
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif(payload)
+    raise ValueError("unknown image format")
+
+
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """Full-pixel decode stats per image: (media_ref, width, height,
     channels, pix_total) with pix_total = int64 sum of every channel
@@ -317,8 +332,6 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     One Arrow pass over (media_ref, payload), zero shuffle; undecodable
     payloads dropped (quarantine by anti-join)."""
     import numpy as np
-
-    from .png import decode_png
 
     schema = (
         "media_ref string, width int, height int, channels int, "
@@ -332,7 +345,7 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                 if payload is None:
                     continue
                 try:
-                    arr = decode_png(bytes(payload))
+                    arr = decode_image(bytes(payload))
                 except Exception:
                     continue
                 h, w = arr.shape[0], arr.shape[1]
@@ -341,6 +354,52 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["media_ref", "width", "height", "channels", "pix_total"],
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(run, schema)
+
+
+def image_pixel_checksums(media: DataFrame) -> DataFrame:
+    """image_pixel_stats plus a POSITION-WEIGHTED checksum:
+    ``pos_weighted`` = sum over pixels of (y*w + x) * channel0(y, x) as
+    int64.  The plain byte sum is permutation-invariant, so it cannot
+    see row-order bugs (a wrong GIF de-interlace weave produces the same
+    pix_total); the position weighting pins the exact pixel layout.
+    Same one-Arrow-pass, zero-shuffle shape as image_pixel_stats."""
+    import numpy as np
+
+    schema = (
+        "media_ref string, width int, height int, channels int, "
+        "pix_total long, pos_weighted long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    arr = decode_image(bytes(payload))
+                except Exception:
+                    continue
+                h, w = arr.shape[0], arr.shape[1]
+                ch = 1 if arr.ndim == 2 else arr.shape[2]
+                c0 = (arr if arr.ndim == 2 else arr[:, :, 0]).astype(np.int64)
+                pw = int((np.arange(h * w, dtype=np.int64) * c0.ravel()).sum())
+                rows.append(
+                    (ref, w, h, ch, int(arr.astype(np.int64).sum()), pw)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref",
+                    "width",
+                    "height",
+                    "channels",
+                    "pix_total",
+                    "pos_weighted",
+                ],
             )
 
     return media.select("media_ref", "payload").mapInPandas(run, schema)

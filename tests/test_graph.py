@@ -913,3 +913,45 @@ def test_neighborhood_function_path_graph_diameter(spark):
     assert rows[3]["nf_centi"] == rows[4]["nf_centi"] == rows[5]["nf_centi"]
     eff = [t for t, r in rows.items() if r["is_eff_diameter"]]
     assert len(eff) == 1 and eff[0] <= 3
+
+
+def _py_assortativity(pairs):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(und)
+    s_jk = sum(deg[a] * deg[b] for a, b in und)
+    s_sum = sum(deg[a] + deg[b] for a, b in und)
+    s_sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in und)
+    den = 2 * m * s_sq - s_sum * s_sum
+    r = round((4 * m * s_jk - s_sum * s_sum) / den, 6) if den else None
+    return m, s_jk, s_sum, s_sq, r
+
+
+def test_assortativity_matches_python_oracle(spark):
+    from eget_spark.operators.graph import degree_assortativity
+
+    pairs = [((k * k * 5 + 1) % 30, (k * 11 + 3) % 30) for k in range(70)]
+    pairs += [(2, 2), (5, 5)] + pairs[:7]  # self-loops + dupes collapse
+    got = degree_assortativity(_edges_df(spark, pairs)).collect()[0]
+    assert tuple(got) == _py_assortativity(pairs)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from eget_spark.operators.graph import degree_assortativity
+
+    # a star is maximally disassortative: r = -1 exactly
+    pairs = [(0, i) for i in range(1, 7)]
+    got = degree_assortativity(_edges_df(spark, pairs)).collect()[0]
+    assert got.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from eget_spark.operators.graph import degree_assortativity
+
+    # a cycle is 2-regular: zero degree variance -> NULL by contract
+    pairs = [(i, (i + 1) % 5) for i in range(5)]
+    got = degree_assortativity(_edges_df(spark, pairs)).collect()[0]
+    assert got.assortativity is None and got.m_edges == 5

@@ -1860,6 +1860,21 @@ def main() -> None:
     checks.append(("community shards: map-side partial agg", "partial_" in p_cf or "Partial" in p_cf))
     checks.append(("community shards: no Python", "EvalPython" not in p_cf))
 
+    # 134. assortativity (q206): two equi hash joins + one map-side total;
+    # the 1-row output is the inherent reduction — no window, no Python
+    p_as = plan_of(entry.q206_assortativity(spark, SF))
+    checks.append(("assortativity: map-side partial agg", "partial_" in p_as or "Partial" in p_as))
+    checks.append(("assortativity: no nested-loop join", "NestedLoop" not in p_as and "Cartesian" not in p_as))
+    checks.append(("assortativity: no window", _nodes(p_as, "Window") == 0))
+    checks.append(("assortativity: no Python", "EvalPython" not in p_as))
+
+    # 135. GIF decode (q207): the codec runs in ONE Arrow mapInPandas
+    # stage over (media_ref, payload) — zero shuffle, no row-Python
+    p_gif = plan_of(entry.q207_gif_decode(spark, SF))
+    checks.append(("gif decode: Arrow stage only", "ArrowEvalPython" in p_gif or "MapInPandas" in p_gif))
+    checks.append(("gif decode: no row-Python", "BatchEvalPython" not in p_gif))
+    checks.append(("gif decode: zero shuffle", "Exchange" not in p_gif))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
