@@ -43,7 +43,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from eget_spark.functions.png import decode_png, is_png, resize_nearest
+from eget_spark.functions.gif import GIF_MAGICS
+from eget_spark.functions.media import decode_image
+from eget_spark.functions.png import is_png, resize_nearest
 from eget_spark.operators.dedup import connected_components, hamming_pairs
 
 _AHASH_SCHEMA = (
@@ -52,10 +54,12 @@ _AHASH_SCHEMA = (
 
 
 def ahash_bytes(data: bytes, hash_size: int = 8) -> tuple[int, str]:
-    """(packed signature, bitstring) of one PNG payload — the pinned
-    integer-exact aHash recipe (module docstring). Driver-side twin of the
-    distributed path; the distributed tests assert they agree."""
-    arr = decode_png(data)
+    """(packed signature, bitstring) of one PNG or GIF payload — the
+    pinned integer-exact aHash recipe (module docstring). Driver-side
+    twin of the distributed path; the distributed tests assert they
+    agree. RGBA images (GIF transparency) average all 4 channels —
+    deterministic, format-pinned."""
+    arr = decode_image(data)
     if arr.ndim == 3:
         gray = arr.astype(np.int64).sum(axis=2) // arr.shape[2]
     else:
@@ -80,7 +84,8 @@ def image_ahash(
     id_col: str = "media_ref",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """(media_ref, ahash, ahash_bits, width, height) per decodable PNG.
+    """(media_ref, ahash, ahash_bits, width, height) per decodable
+    image (PNG or GIF, dispatched by magic).
 
     hash_size > 8 would overflow the 64-bit packed column; the bitstring
     column is the engine-portable form (and what oracles compare)."""
@@ -94,10 +99,10 @@ def image_ahash(
             refs, sigs, bit_strs, ws, hs = [], [], [], [], []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 data = bytes(payload)
-                if not is_png(data):
+                if not (is_png(data) or data[:6] in GIF_MAGICS):
                     continue
                 try:
-                    arr = decode_png(data)
+                    arr = decode_image(data)
                 except Exception:
                     continue
                 h, w = arr.shape[:2]

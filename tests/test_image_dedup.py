@@ -169,3 +169,33 @@ def test_hamming_pairs_pigeonhole_completeness(spark):
             expected.add((ia, ib, ham))
     assert got == expected
     assert (0, 40, 1) in expected and (1, 41, 3) in expected and (2, 42, 0) in expected
+
+
+def test_gif_and_png_same_pixels_same_group(spark):
+    from eget_spark.functions.gif import encode_gif
+
+    # the same indexed image written as GIF and as palette PNG must
+    # produce IDENTICAL aHash signatures and land in one dedup group
+    from eget_spark.functions.png import encode_palette_png
+
+    pal = np.array(
+        [[(p * 37 + 5) % 256, (p * 53 + 11) % 256, (p * 71 + 17) % 256]
+         for p in range(4)],
+        dtype=np.uint8,
+    )
+    idx = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 4
+    other = (idx + 2) % 4  # different image -> different group
+    rows = [
+        ("gif_a", bytearray(encode_gif(idx, pal))),
+        ("png_a", bytearray(encode_palette_png(idx, pal, 8, None))),
+        ("gif_b", bytearray(encode_gif(other, pal))),
+    ]
+    media = spark.createDataFrame(rows, "media_ref string, payload binary")
+    sigs = {r.media_ref: r.ahash_bits for r in image_ahash(media).collect()}
+    assert sigs["gif_a"] == sigs["png_a"]
+    groups = {
+        r.media_ref: r.canonical
+        for r in dedup_images(media, max_hamming=0).collect()
+    }
+    assert groups["gif_a"] == groups["png_a"]
+    assert groups["gif_b"] != groups["gif_a"] or sigs.get("gif_b") == sigs["gif_a"]
