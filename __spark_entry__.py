@@ -9910,6 +9910,144 @@ FROM st
 )
 
 
+def q208_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/search.rrf_fuse — Cormack et
+    al. SIGIR 2009, k=60): the q74 BM25 top-20, the q201 BM25F top-20,
+    and the link-authority in-degree top-20 fused on RANKS alone — the
+    standard zero-training way to combine lexical relevance with link
+    evidence, robust because incomparable scores never cross the
+    boundary.  Reciprocal terms sum in fixed list order (no float
+    accumulation-order dependence); the rank window sees only the fused
+    short list."""
+    from eget_spark.operators.search import bm25_topk, bm25f_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "window", "merge"]
+    r1 = bm25_topk(docs, "doc_id", "text", terms).select("doc_id", "rnk")
+    r2 = bm25f_topk(docs, "doc_id", "text", terms).select("doc_id", "rnk")
+    _, edges = _arith_edges(spark, sf_dir)
+    ind = (
+        edges.groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .orderBy(F.col("_c").desc(), "doc_id")
+        .limit(20)
+    )
+    from pyspark.sql.window import Window as _W
+
+    r3 = ind.withColumn(
+        "rnk",
+        F.row_number()
+        .over(_W.orderBy(F.col("_c").desc(), "doc_id"))
+        .cast("int"),
+    ).select("doc_id", "rnk")
+    return rrf_fuse([r1, r2, r3], k=60)
+
+
+def _q208_sql() -> str:
+    return f"""
+WITH b1 AS (SELECT doc_id, rnk FROM ({_Q74_SQL})),
+b2 AS (SELECT doc_id, rnk FROM ({_Q201_SQL})),
+b3 AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS INT)
+           AS rnk
+  FROM (
+    SELECT dst AS doc_id, count(*) AS c
+    FROM ({{edges}}) GROUP BY dst
+    ORDER BY c DESC, doc_id LIMIT 20
+  )
+),
+fused AS (
+  SELECT doc_id,
+         round(COALESCE(1.0 / (60.0 + b1.rnk), 0.0)
+             + COALESCE(1.0 / (60.0 + b2.rnk), 0.0)
+             + COALESCE(1.0 / (60.0 + b3.rnk), 0.0), 6) AS score
+  FROM b1 FULL JOIN b2 USING (doc_id) FULL JOIN b3 USING (doc_id)
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+FROM fused
+""".replace(
+        "{edges}",
+        "WITH " + _EDGES_SQL.lstrip().removeprefix("WITH ")
+        + " SELECT src, dst FROM edges",
+    )
+
+
+def q209_typosquats(spark, sf_dir):
+    """Typosquat candidate pairs (operators/mirrors.typosquat_pairs —
+    Szurdi et al. USENIX Sec'14 lexical tripwire): registrable domains
+    within Levenshtein distance 1, blocked on the 2-char prefix so the
+    quadratic stays inside one bucket; JVM levenshtein is exact integer,
+    engine-identical.  Fixture: every doc maps to site<k>.example with
+    deterministic insertion ('sitte') and substitution ('sige') typo
+    variants, so the pair set is closed-form."""
+    from eget_spark.operators.mirrors import typosquat_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k = (d % 40).cast("string")
+    dom = (
+        F.when(d % 5 == 0, F.concat(F.lit("sitte"), k, F.lit(".example")))
+        .when(d % 7 == 0, F.concat(F.lit("sige"), k, F.lit(".example")))
+        .otherwise(F.concat(F.lit("site"), k, F.lit(".example")))
+    )
+    return typosquat_pairs(docs.select(dom.alias("domain")))
+
+
+_Q209_SQL = r"""
+WITH doms AS (
+  SELECT DISTINCT
+    CASE WHEN doc_id % 5 = 0
+           THEN 'sitte' || CAST(doc_id % 40 AS VARCHAR) || '.example'
+         WHEN doc_id % 7 = 0
+           THEN 'sige' || CAST(doc_id % 40 AS VARCHAR) || '.example'
+         ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) || '.example'
+    END AS d
+  FROM documents
+),
+b AS (SELECT d, substr(d, 1, 2) AS blk FROM doms)
+SELECT a.d AS domain_a, c.d AS domain_b,
+       CAST(levenshtein(a.d, c.d) AS INT) AS dist
+FROM b a JOIN b c
+  ON a.blk = c.blk AND a.d < c.d
+ AND abs(length(a.d) - length(c.d)) <= 1
+WHERE levenshtein(a.d, c.d) <= 1
+"""
+
+
+def q210_spam_mass(spark, sf_dir):
+    """Relative link-spam mass (operators/graph.spam_mass — Gyöngyi et
+    al. VLDB 2006): the PageRank fraction not explained by TrustRank,
+    ``(max(PR - TR, 0) * 1e6) div PR`` over the q40/q138 int64
+    fixed-point vectors (clamped nonnegative so div truncation == floor
+    on both engines).  High PR + mass near 1e6 = the link-farm
+    fingerprint a priority crawl demotes.  One equi join + projection
+    on top of the two rank loops."""
+    from eget_spark.operators.graph import (
+        pagerank_fixed,
+        spam_mass,
+        trustrank_fixed,
+    )
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    pr = pagerank_fixed(nodes, edges, n_iter=5)
+    tr = trustrank_fixed(
+        nodes, edges, nodes.where(F.col("id") % 17 == 0), n_iter=5
+    )
+    return spam_mass(pr, tr).withColumnRenamed("id", "doc_id")
+
+
+def _q210_sql() -> str:
+    return f"""
+WITH b1 AS (SELECT doc_id, pr_fp FROM ({_q40_sql()})),
+b2 AS (SELECT doc_id, tr_fp FROM ({_q138_sql()}))
+SELECT doc_id, pr_fp, tr_fp,
+       CAST((greatest(pr_fp - tr_fp, 0) * 1000000) // pr_fp AS BIGINT)
+         AS rel_mass_fp
+FROM b1 JOIN b2 USING (doc_id)
+"""
+
+
 def _q207_media(spark, n: int = 18):
     """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
     image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
@@ -10280,6 +10418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_community_fetcher_shards": q205_community_fetcher_shards,
         "q206_assortativity": q206_assortativity,
         "q207_gif_decode": q207_gif_decode,
+        "q208_rrf_fusion": q208_rrf_fusion,
+        "q209_typosquats": q209_typosquats,
+        "q210_spam_mass": q210_spam_mass,
     }
 
 
@@ -10491,4 +10632,7 @@ def oracle_sql() -> dict[str, str]:
         "q205_community_fetcher_shards": _q205_sql(),
         "q206_assortativity": _Q206_SQL,
         "q207_gif_decode": _Q207_SQL,
+        "q208_rrf_fusion": _q208_sql(),
+        "q209_typosquats": _Q209_SQL,
+        "q210_spam_mass": _q210_sql(),
     }

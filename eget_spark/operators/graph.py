@@ -1164,3 +1164,38 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         "s_sq",
         F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
     )
+
+
+def spam_mass(
+    pr: DataFrame, tr: DataFrame, mass_scale: int = 10**6
+) -> DataFrame:
+    """Relative link-spam mass (Gyöngyi, Berkhin, Garcia-Molina &
+    Pedersen, "Link spam detection based on mass estimation", VLDB
+    2006): the fraction of a page's PageRank NOT explained by its
+    trust-personalized rank — ``m = (PR - PR') / PR`` with PR' the
+    TrustRank estimate of the "good" rank contribution.  A page with
+    high PageRank and mass near 1 has rank built almost entirely from
+    untrusted links: the link-farm fingerprint the paper demotes.
+
+    Exact arithmetic: both inputs are the int64 fixed-point vectors
+    (pagerank_fixed / trustrank_fixed, units 1e-12); the deficit is
+    clamped at 0 (trusted pages can have TR > PR — negative mass carries
+    no spam signal, and clamping keeps both engines in nonnegative
+    ``div`` territory where truncation == floor), then
+    ``rel_mass_fp = (max(PR - TR, 0) * mass_scale) div PR`` in units of
+    1/mass_scale — PR > 0 always (damped teleport floor).
+
+    Output: (id, pr_fp, tr_fp, rel_mass_fp) — one equi join + a pure
+    projection; no window, no Python."""
+    p = pr.select(F.col(pr.columns[0]).alias("id"), "pr_fp")
+    t = tr.select(F.col(tr.columns[0]).alias("id"), "tr_fp")
+    joined = p.join(t, "id")
+    return joined.select(
+        "id",
+        "pr_fp",
+        "tr_fp",
+        F.expr(
+            f"CAST((greatest(pr_fp - tr_fp, 0) * {int(mass_scale)})"
+            " div pr_fp AS BIGINT)"
+        ).alias("rel_mass_fp"),
+    )

@@ -105,3 +105,59 @@ def mirror_host_pairs(
     if min_permille > 0:
         out = out.where(F.col("jac_permille") >= int(min_permille))
     return out
+
+
+def typosquat_pairs(
+    domains: DataFrame,
+    domain_col: str = "domain",
+    max_dist: int = 1,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Typosquat candidate pairs: registrable domains within Levenshtein
+    distance ``max_dist`` of each other — the standard lexical tripwire
+    for phishing clones and typo-traffic mirrors (public recipe, e.g.
+    Szurdi et al. USENIX Sec'14 "The Long Taile of Typosquatting"):
+    content-set mirroring (above) catches copies that SERVE the same
+    pages, edit distance catches lookalikes that serve anything at all.
+
+    Pinned semantics: candidate pairs share their first ``prefix_len``
+    characters (the documented blind spot: a first-character typo is
+    missed — accepted, because unblocked all-pairs is O(n^2) at 10^8
+    domains and the overwhelming typosquat mass preserves the prefix per
+    the public studies), differ in length by at most ``max_dist``, and
+    ``levenshtein(a, b) <= max_dist`` with ``a < b`` canonical order.
+    Levenshtein is the JVM built-in — exact integer, engine-identical.
+
+    Output: (domain_a, domain_b, dist).
+
+    Scale shape: ONE distinct, then an equi hash join on the prefix
+    block key; the quadratic blow-up is confined to one prefix bucket
+    (bounded by the domain-name distribution, tunable via prefix_len);
+    length/distance predicates are codegen'd filters — no Python."""
+    d = (
+        domains.select(F.col(domain_col).cast("string").alias("d"))
+        .where(F.col("d").isNotNull())
+        .distinct()
+        .select("d", F.substring("d", 1, prefix_len).alias("_blk"))
+        .localCheckpoint()
+    )
+    a = d.select(F.col("d").alias("domain_a"), "_blk")
+    b = d.select(F.col("d").alias("domain_b"), "_blk")
+    return (
+        a.join(b, "_blk")
+        .where(
+            (F.col("domain_a") < F.col("domain_b"))
+            & (
+                F.abs(
+                    F.length("domain_a") - F.length("domain_b")
+                )
+                <= max_dist
+            )
+        )
+        .select(
+            "domain_a",
+            "domain_b",
+            F.levenshtein("domain_a", "domain_b").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

@@ -380,3 +380,45 @@ def keyword_extract(
         .select("id", F.col("rank").cast("long").alias("rank"), "term",
                 "tf", "idf_fp", "score_fp")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    ``score(d) = sum_r 1 / (k + rank_r(d))`` over the input rankings —
+    the standard zero-training way to fuse heterogeneous rankers (here:
+    lexical BM25/BM25F lists with link-authority lists), robust because
+    only RANKS cross the boundary, never incomparable scores.  Documents
+    absent from a ranking contribute 0 from it (truncated-list RRF, the
+    common production form); k=60 is the paper's default.
+
+    Returns (id_col, score, rnk): score rounded to 6 — the reciprocal
+    terms are summed in the FIXED ranking-list order via coalesce, so
+    there is no float accumulation-order dependence — rank from 1, ties
+    broken by id.
+
+    Scale shape: rankings are top-k lists (tiny), so the outer-join
+    chain broadcasts; on full-corpus rankings the joins degrade
+    gracefully to shuffled hash joins on the uniform id.  No window
+    until the final rank over the fused short list."""
+    assert rankings, "need at least one ranking"
+    fused = None
+    for i, r in enumerate(rankings):
+        part = r.select(
+            F.col(id_col), F.col(rank_col).cast("long").alias(f"_r{i}")
+        )
+        fused = part if fused is None else fused.join(part, id_col, "full")
+    terms = [
+        F.coalesce(
+            1.0 / (F.lit(float(k)) + F.col(f"_r{i}")), F.lit(0.0)
+        )
+        for i in range(len(rankings))
+    ]
+    score = F.round(sum(terms[1:], terms[0]), 6)
+    scored = fused.select(F.col(id_col), score.alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int"))

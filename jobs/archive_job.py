@@ -34,6 +34,10 @@ Writes under --output:
     warc/      (file_name, content, n_records) member files
     cdx/       surt-sorted CDX rows
     zipnum/    secondary-index block table
+    sitemaps/  (with --sitemap-base) sitemap-<id>.xml shards +
+               sitemapindex.xml over the archived URL set — the
+               sitemaps.org publication layer a wayback frontend or
+               downstream recrawl seeds from (local/shared fs writer)
     report.json one line of driver-side counters (also printed)
 
 No ``master``/executor sizing here — spark-submit owns it (crawl_job's
@@ -71,6 +75,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--gzip", action="store_true",
                    help="gzip WARC members (per-record gzip members, the "
                         "Common Crawl layout)")
+    p.add_argument("--sitemap-base", default=None,
+                   help="publish sitemap shards + sitemapindex for the "
+                        "archived URL set under this base URL (needs a "
+                        "shared filesystem for --output)")
+    p.add_argument("--sitemap-shard-size", type=int, default=50000)
     p.add_argument("--cdx-partitions", type=int, default=None,
                    help="range partitions of the sorted CDX output "
                         "(default: shuffle parallelism)")
@@ -192,6 +201,28 @@ def main(argv: list[str], spark=None) -> int:
     blocks.write.mode("overwrite").parquet(f"{out}/zipnum")
     blocks = spark.read.parquet(f"{out}/zipnum")
     n_blocks = blocks.count()
+
+    # 5. optional published sitemap of the archived URL set
+    n_sitemaps = 0
+    if args.sitemap_base:
+        from eget_spark.sources.sitemaps import save_sitemap_shards
+
+        urls = originals.select("url").distinct().withColumnRenamed(
+            "url", "loc"
+        )
+        save_sitemap_shards(
+            urls,
+            f"{out}/sitemaps",
+            args.sitemap_base,
+            shard_size=args.sitemap_shard_size,
+        )
+        import os as _os
+
+        n_sitemaps = sum(
+            1
+            for f in _os.listdir(f"{out}/sitemaps")
+            if f.startswith("sitemap-")
+        )
     caps.unpersist()
 
     report = {
@@ -202,6 +233,7 @@ def main(argv: list[str], spark=None) -> int:
         "warc_files": n_files,
         "cdx_rows": n_cdx,
         "zipnum_blocks": n_blocks,
+        "sitemap_shards": n_sitemaps,
         "wall_sec": round(time.monotonic() - t0, 3),
     }
     line = json.dumps(report, sort_keys=True)

@@ -33,7 +33,8 @@ def test_archive_job_end_to_end(spark, tmp_path, capsys):
 
     rc = main(
         ["--input", inp, "--output", out, "--warc-shards", "3",
-         "--block-size", "7"],
+         "--block-size", "7", "--sitemap-base",
+         "https://archive.example/maps", "--sitemap-shard-size", "4"],
         spark=spark,
     )
     assert rc == 0
@@ -70,3 +71,41 @@ def test_archive_job_end_to_end(spark, tmp_path, capsys):
     files = spark.read.parquet(f"{out}/warc")
     assert files.count() == report["warc_files"] <= 3
     assert files.agg({"n_records": "sum"}).collect()[0][0] == n_originals
+
+
+def test_archive_job_sitemap_output(spark, tmp_path, capsys):
+    import math
+    import os
+
+    from eget_spark.sources.sitemaps import parse_sitemap_xml
+    from jobs.archive_job import main
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    caps = _mk_captures(spark)
+    caps.write.parquet(inp)
+    rc = main(
+        ["--input", inp, "--output", out, "--sitemap-base",
+         "https://archive.example/maps", "--sitemap-shard-size", "4"],
+        spark=spark,
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_urls = caps.select("url").distinct().count()
+    want_shards = math.ceil(n_urls / 4)
+    assert report["sitemap_shards"] == want_shards
+    idx = parse_sitemap_xml(open(f"{out}/sitemaps/sitemapindex.xml").read())
+    assert len(idx) == want_shards
+    assert all(
+        e["loc"].startswith("https://archive.example/maps/sitemap-")
+        for e in idx
+    )
+    seen = []
+    for f in sorted(os.listdir(f"{out}/sitemaps")):
+        if f.startswith("sitemap-"):
+            seen += [
+                e["loc"]
+                for e in parse_sitemap_xml(open(f"{out}/sitemaps/{f}").read())
+            ]
+    want = sorted(r.url for r in caps.select("url").distinct().collect())
+    assert sorted(seen) == want

@@ -955,3 +955,29 @@ def test_assortativity_regular_graph_is_null(spark):
     pairs = [(i, (i + 1) % 5) for i in range(5)]
     got = degree_assortativity(_edges_df(spark, pairs)).collect()[0]
     assert got.assortativity is None and got.m_edges == 5
+
+
+def test_spam_mass_semantics(spark):
+    from eget_spark.operators.graph import (
+        pagerank_fixed,
+        spam_mass,
+        trustrank_fixed,
+    )
+
+    # farm: nodes 10..14 all link to 9 (high PR, unreachable from trust);
+    # trusted core: 0 -> 1 -> 2 cycle seeded at 0
+    pairs = [(0, 1), (1, 2), (2, 0)] + [(i, 9) for i in range(10, 15)]
+    ids = [0, 1, 2, 9] + list(range(10, 15))
+    nodes, edges = _nodes_df(spark, ids), _edges_df(spark, pairs)
+    seeds = nodes.where("id = 0")
+    pr = pagerank_fixed(nodes, edges, n_iter=5)
+    tr = trustrank_fixed(nodes, edges, seeds, n_iter=5)
+    got = {r.id: r for r in spam_mass(pr, tr).collect()}
+    # the farm target: zero trust -> relative mass exactly 1.0 (1e6)
+    assert got[9].tr_fp == 0 and got[9].rel_mass_fp == 10**6
+    # trusted nodes: TR >= PR share -> mass clamps to a small value/zero
+    assert got[0].rel_mass_fp < 10**5
+    # python recomputation of the formula over the exact vectors
+    for i in ids:
+        want = (max(got[i].pr_fp - got[i].tr_fp, 0) * 10**6) // got[i].pr_fp
+        assert got[i].rel_mass_fp == want

@@ -104,3 +104,55 @@ def test_mirror_min_permille_filter(spark):
 def test_host_content_sets_distinct(spark):
     rows = [("a", "x"), ("a", "x"), ("a", "y")]
     assert host_content_sets(_corpus(spark, rows), "host", "text").count() == 2
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[len(b)]
+
+
+def test_typosquat_pairs_match_python_blocked_oracle(spark):
+    from eget_spark.operators.mirrors import typosquat_pairs
+
+    doms = [
+        "example.com", "exampel.com", "exmaple.com", "example.co",
+        "shop.net", "shoop.net", "shap.net", "zhop.net",  # z-: other block
+        "aaa.org", "aab.org", "abb.org",
+    ]
+    df = spark.createDataFrame([(d,) for d in doms], "domain string")
+    got = sorted(
+        (r.domain_a, r.domain_b, r.dist)
+        for r in typosquat_pairs(df).collect()
+    )
+    want = sorted(
+        (min(a, b), max(a, b), _lev(a, b))
+        for i, a in enumerate(doms)
+        for b in doms[i + 1 :]
+        if a[:2] == b[:2] and abs(len(a) - len(b)) <= 1 and _lev(a, b) <= 1
+    )
+    assert got == want and len(got) > 0
+    pairs = {(a, b) for a, b, _ in got}
+    # dist-1 insertion and substitution found; dist-2 excluded
+    assert ("shoop.net", "shop.net") in pairs or ("shop.net", "shoop.net") in pairs
+    assert ("shap.net", "shop.net") in pairs
+    assert not any("exmaple.com" in p and "exampel.com" in p for p in pairs)
+    # documented blind spot: first-character typo is outside the block
+    assert not any("zhop.net" in p for p in pairs)
+
+
+def test_typosquat_dedups_and_orders_canonically(spark):
+    from eget_spark.operators.mirrors import typosquat_pairs
+
+    df = spark.createDataFrame(
+        [("abc.com",), ("abc.com",), ("abd.com",)], "domain string"
+    )
+    rows = typosquat_pairs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.domain_a, r.domain_b, r.dist) == ("abc.com", "abd.com", 1)

@@ -212,3 +212,38 @@ def test_bm25f_shared_saturation_not_per_field_sum(spark):
     }
     assert sc[0] > sc[1] > sc[2]
     assert sc[0] < sc[1] + sc[2]
+
+
+def test_rrf_fuse_matches_python_oracle(spark):
+    from eget_spark.operators.search import rrf_fuse
+
+    r1 = [(1, 1), (2, 2), (3, 3)]
+    r2 = [(3, 1), (1, 2), (9, 3)]
+    r3 = [(9, 1), (7, 2)]
+    dfs = [
+        spark.createDataFrame(r, "doc_id long, rnk int") for r in (r1, r2, r3)
+    ]
+    got = {
+        r.doc_id: (r.score, r.rnk)
+        for r in rrf_fuse(dfs, k=60).collect()
+    }
+    scores = {}
+    for lst in (r1, r2, r3):
+        for d, rk in lst:
+            scores[d] = scores.get(d, 0.0) + 1.0 / (60.0 + rk)
+    want_order = sorted(scores, key=lambda d: (-round(scores[d], 6), d))
+    assert got == {
+        d: (round(scores[d], 6), i + 1) for i, d in enumerate(want_order)
+    }
+    # doc 9 (ranks 3+1) must beat doc 7 (rank 2 only)
+    assert got[9][1] < got[7][1]
+
+
+def test_rrf_single_ranking_preserves_order(spark):
+    from eget_spark.operators.search import rrf_fuse
+
+    df = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rnk int"
+    )
+    got = [(r.doc_id, r.rnk) for r in rrf_fuse([df]).collect()]
+    assert sorted(got, key=lambda x: x[1]) == [(10, 1), (20, 2), (30, 3)]

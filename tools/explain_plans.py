@@ -1875,6 +1875,26 @@ def main() -> None:
     checks.append(("gif decode: no row-Python", "BatchEvalPython" not in p_gif))
     checks.append(("gif decode: zero shuffle", "Exchange" not in p_gif))
 
+    # 136. RRF fusion (q208): the three top-20 lists broadcast into the
+    # full-join chain; rank windows only see short lists — no Python
+    p_rrf = plan_of(entry.q208_rrf_fusion(spark, SF))
+    checks.append(("rrf: top-k via TakeOrdered", "TakeOrderedAndProject" in p_rrf))
+    checks.append(("rrf: no Python", "EvalPython" not in p_rrf))
+
+    # 137. typosquats (q209): blocked self-join is an equi hash join on
+    # the prefix (never a cartesian); levenshtein is JVM codegen
+    p_ts = plan_of(entry.q209_typosquats(spark, SF))
+    checks.append(("typosquats: prefix-blocked equi join", "NestedLoop" not in p_ts and "Cartesian" not in p_ts))
+    checks.append(("typosquats: no window", _nodes(p_ts, "Window") == 0))
+    checks.append(("typosquats: no Python", "EvalPython" not in p_ts))
+
+    # 138. spam mass (q210): one equi join of the two checkpointed rank
+    # vectors + a pure integer projection — no window, no Python
+    p_sm2 = plan_of(entry.q210_spam_mass(spark, SF))
+    checks.append(("spam mass: no nested-loop join", "NestedLoop" not in p_sm2 and "Cartesian" not in p_sm2))
+    checks.append(("spam mass: no window", _nodes(p_sm2, "Window") == 0))
+    checks.append(("spam mass: no Python", "EvalPython" not in p_sm2))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
