@@ -126,11 +126,17 @@ def hll_estimate_by(
     m per key no matter how hot the key is — THE property that makes the
     sketch skew-proof where count(DISTINCT) is not.
     """
+    return hll_estimates_from_regs(keyed_hll_regs(df, key_col, col, p), p)
+
+
+def keyed_hll_regs(df: DataFrame, key_col: str, col: Column, p: int = 8) -> DataFrame:
+    """Sparse keyed register rows (key, bucket, reg) — the mergeable
+    state behind :func:`hll_estimate_by` (merge = max per (key, bucket));
+    exposed for the streaming maintainer (streaming/hll_distinct.py)."""
     m = 1 << p
     width = HASH_BITS - p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     h = _hash60(col)
-    regs = (
+    return (
         df.select(
             F.col(key_col).alias("key"),
             h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
@@ -139,6 +145,15 @@ def hll_estimate_by(
         .groupBy("key", "bucket")
         .agg(F.max("_rho").alias("reg"))
     )
+
+
+def hll_estimates_from_regs(regs: DataFrame, p: int = 8) -> DataFrame:
+    """Per-key estimates from sparse (key, bucket, reg) rows — the
+    arithmetic half of :func:`hll_estimate_by`, shared with the
+    streaming maintainer so drained-state estimates are bit-equal."""
+    m = 1 << p
+    width = HASH_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
     per_key = regs.groupBy("key").agg(
         F.count("*").cast("long").alias("_occupied"),
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {width + 1} - reg)"))

@@ -118,3 +118,53 @@ def test_pixel_checksums_dispatch_png_and_gif(spark):
         (np.arange(32) * pal[idx.ravel(), 0].astype(np.int64)).sum()
     )
     assert g.pos_weighted == want_pw
+
+
+def test_lzw_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(2, 8).flatmap(
+            lambda m: st.tuples(
+                st.just(m),
+                st.lists(st.integers(0, (1 << m) - 1), max_size=1500),
+            )
+        )
+    )
+    def check(args):
+        mcs, vals = args
+        data = bytes(vals)
+        assert lzw_decode_gif(lzw_encode_gif(data, mcs), mcs) == data
+
+    check()
+
+
+def test_container_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pal = _pal(16)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 24),
+        st.integers(1, 24),
+        st.integers(0, 10**9),
+        st.booleans(),
+        st.integers(-1, 15),
+    )
+    def check(h, w, seed, interlaced, transparent):
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+        arr = decode_gif(
+            encode_gif(idx, pal, transparent=transparent, interlaced=interlaced)
+        )
+        if transparent >= 0:
+            assert np.array_equal(arr[:, :, :3], pal[idx])
+            assert np.array_equal(arr[:, :, 3] == 0, idx == transparent)
+        else:
+            assert np.array_equal(arr, pal[idx])
+
+    check()
