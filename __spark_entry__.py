@@ -10048,6 +10048,83 @@ FROM b1 JOIN b2 USING (doc_id)
 """
 
 
+def q211_capacity_plan(spark, sf_dir):
+    """Frontier capacity planner (operators/capacity.
+    frontier_capacity_plan): Bloom bits/hashes (Bloom 1970 optimal
+    sizing), cuckoo fingerprint bits and pow2 bucket count (Fan et al.
+    2014, 4-slot buckets at 95% load), and the shuffle partition count
+    for n = |distinct URLs| at target FPRs 10^-2..10^-4.  EVERY integer
+    column is pinned-constant micro-unit arithmetic (ln10/ln2/ln2^2 as
+    integer constants, next-pow2 by bit smear) — no libm in any
+    ceil/round path, bit-exact cross-engine by construction.  One count
+    reduction + a literal explode; pure projection after."""
+    from eget_spark.operators.capacity import frontier_capacity_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("https://c.example.org/p/"),
+                 F.col("doc_id").cast("string")).alias("url")
+    )
+    return frontier_capacity_plan(urls)
+
+
+_Q211_SQL = r"""
+WITH n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_urls
+  FROM (SELECT DISTINCT 'https://c.example.org/p/' ||
+               CAST(doc_id AS VARCHAR) FROM documents)
+),
+rows_ AS (
+  SELECT n_urls, CAST(k.q AS INT) AS target_fpr_exp
+  FROM n JOIN (SELECT CAST(range AS BIGINT) AS q FROM range(2, 5)) k ON TRUE
+),
+b AS (
+  SELECT *,
+    CAST(n_urls * target_fpr_exp * 2302585 // 480453
+         + CASE WHEN (n_urls * target_fpr_exp * 2302585) % 480453 = 0
+                THEN 0 ELSE 1 END AS BIGINT) AS bloom_bits,
+    CAST(3 + (target_fpr_exp * 3321928 // 1000000)
+         + CASE WHEN (target_fpr_exp * 3321928) % 1000000 = 0
+                THEN 0 ELSE 1 END AS BIGINT) AS cuckoo_fp_bits,
+    CAST(n_urls * 100 // 380
+         + CASE WHEN (n_urls * 100) % 380 = 0 THEN 0 ELSE 1 END
+         AS BIGINT) AS rb,
+    CAST(n_urls // 4000000
+         + CASE WHEN n_urls % 4000000 = 0 THEN 0 ELSE 1 END
+         AS BIGINT) AS shuffle_partitions
+  FROM rows_
+),
+h AS (
+  SELECT *,
+    CAST((bloom_bits * 693147 + n_urls * 500000) // (n_urls * 1000000)
+         AS BIGINT) AS bloom_hashes
+  FROM b
+),
+sm AS (
+  SELECT *, CAST(rb - 1 AS BIGINT) AS y0 FROM h
+),
+sm1 AS (SELECT *, CAST(y0 | (y0 >> 1) AS BIGINT) AS y1 FROM sm),
+sm2 AS (SELECT *, CAST(y1 | (y1 >> 2) AS BIGINT) AS y2 FROM sm1),
+sm3 AS (SELECT *, CAST(y2 | (y2 >> 4) AS BIGINT) AS y3 FROM sm2),
+sm4 AS (SELECT *, CAST(y3 | (y3 >> 8) AS BIGINT) AS y4 FROM sm3),
+sm5 AS (SELECT *, CAST(y4 | (y4 >> 16) AS BIGINT) AS y5 FROM sm4),
+sm6 AS (SELECT *, CAST(y5 | (y5 >> 32) AS BIGINT) AS y6 FROM sm5),
+fin AS (
+  SELECT *,
+    CAST(CASE WHEN rb <= 1 THEN 1 ELSE y6 + 1 END AS BIGINT)
+      AS cuckoo_buckets
+  FROM sm6
+)
+SELECT target_fpr_exp, n_urls, bloom_bits, bloom_hashes,
+       round(bloom_bits / (8.0 * 1024 * 1024), 3) AS bloom_mib,
+       cuckoo_fp_bits, cuckoo_buckets,
+       round((cuckoo_buckets * 4 * cuckoo_fp_bits) / (8.0 * 1024 * 1024), 3)
+         AS cuckoo_mib,
+       shuffle_partitions
+FROM fin
+"""
+
+
 def _q207_media(spark, n: int = 18):
     """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
     image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
@@ -10421,6 +10498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_rrf_fusion": q208_rrf_fusion,
         "q209_typosquats": q209_typosquats,
         "q210_spam_mass": q210_spam_mass,
+        "q211_capacity_plan": q211_capacity_plan,
     }
 
 
@@ -10635,4 +10713,5 @@ def oracle_sql() -> dict[str, str]:
         "q208_rrf_fusion": _q208_sql(),
         "q209_typosquats": _Q209_SQL,
         "q210_spam_mass": _q210_sql(),
+        "q211_capacity_plan": _Q211_SQL,
     }

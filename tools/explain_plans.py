@@ -1895,6 +1895,13 @@ def main() -> None:
     checks.append(("spam mass: no window", _nodes(p_sm2, "Window") == 0))
     checks.append(("spam mass: no Python", "EvalPython" not in p_sm2))
 
+    # 139. capacity plan (q211): one count reduction + literal explode +
+    # integer projection — no join beyond the 1-row base, no Python
+    p_cap = plan_of(entry.q211_capacity_plan(spark, SF))
+    checks.append(("capacity plan: map-side partial agg", "partial_" in p_cap or "Partial" in p_cap))
+    checks.append(("capacity plan: no window", _nodes(p_cap, "Window") == 0))
+    checks.append(("capacity plan: no Python", "EvalPython" not in p_cap))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
