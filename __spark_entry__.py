@@ -10125,6 +10125,95 @@ FROM fin
 """
 
 
+def q212_katz(spark, sf_dir):
+    """Katz centrality over the analytics link graph (operators/graph.
+    katz_fixed): attenuated path-count prestige x_k = 1 + alpha*A^T
+    x_{k-1}, 6 iterations at the rational alpha = 1/8, int64 units of
+    1e-9 — the un-normalized complement to q40's PageRank (a hub's
+    endorsement is NOT diluted by its fan-out).  Bit-exact vs the
+    unrolled-CTE oracle: integer sums commute and div on nonnegative
+    operands is floor on both engines."""
+    from eget_spark.operators.graph import katz_fixed
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    k = katz_fixed(nodes, edges, n_iter=6, alpha_num=1, alpha_den=8,
+                   scale=10**9)
+    return k.select(F.col("id").alias("doc_id"), "katz_fp")
+
+
+def _q212_sql(n_iter: int = 6, alpha_num: int = 1, alpha_den: int = 8,
+              scale: int = 10**9) -> str:
+    parts = [
+        "WITH ",
+        _EDGES_SQL.lstrip(),
+        f",\nk0 AS (SELECT doc_id AS id, CAST({scale} AS BIGINT) AS katz_fp"
+        " FROM documents)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+k{i} AS (
+  SELECT d.doc_id AS id,
+         CAST({scale} + ({alpha_num} * coalesce(s.v, 0)) // {alpha_den}
+           AS BIGINT) AS katz_fp
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS id, sum(k.katz_fp) AS v
+    FROM edges e JOIN k{i-1} k ON k.id = e.src GROUP BY e.dst) s
+  ON s.id = d.doc_id)"""
+        )
+    parts.append(f"\nSELECT id AS doc_id, katz_fp FROM k{n_iter}")
+    return "".join(parts)
+
+
+def q213_salsa(spark, sf_dir):
+    """SALSA hubs & authorities over the analytics link graph
+    (operators/graph.salsa_fixed): Lempel & Moran's degree-normalized
+    alternating random walk — the TKC-resistant production variant of
+    q84's HITS (Twitter WTF runs this chain).  4 iterations from the
+    uniform authority vector, every per-edge term an independent int64
+    floor division (a div in_deg, h div out_deg), mass-preserving so
+    there is no HITS-style overflow clock.  Bit-exact vs the
+    unrolled-CTE oracle."""
+    from eget_spark.operators.graph import salsa_fixed
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    s = salsa_fixed(nodes, edges, n_iter=4, scale=10**12)
+    return s.select(F.col("id").alias("doc_id"), "auth_fp", "hub_fp")
+
+
+def _q213_sql(n_iter: int = 4, scale: int = 10**12) -> str:
+    parts = [
+        "WITH ",
+        _EDGES_SQL.lstrip(),
+        ",\ndi AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst)",
+        ",\ndo_ AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        f",\na0 AS (SELECT doc_id AS id, CAST({scale} AS BIGINT) AS a"
+        " FROM documents)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+h{i} AS (
+  SELECT d.doc_id AS id, CAST(coalesce(s.v, 0) AS BIGINT) AS h
+  FROM documents d LEFT JOIN (
+    SELECT e.src AS id, sum(a.a // di.d) AS v
+    FROM edges e JOIN di ON di.dst = e.dst JOIN a{i-1} a ON a.id = e.dst
+    GROUP BY e.src) s ON s.id = d.doc_id),
+a{i} AS (
+  SELECT d.doc_id AS id, CAST(coalesce(s.v, 0) AS BIGINT) AS a
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS id, sum(h.h // do_.d) AS v
+    FROM edges e JOIN do_ ON do_.src = e.src JOIN h{i} h ON h.id = e.src
+    GROUP BY e.dst) s ON s.id = d.doc_id)"""
+        )
+    parts.append(
+        f"\nSELECT a{n_iter}.id AS doc_id, a{n_iter}.a AS auth_fp,"
+        f" h{n_iter}.h AS hub_fp FROM a{n_iter}"
+        f" JOIN h{n_iter} ON h{n_iter}.id = a{n_iter}.id"
+    )
+    return "".join(parts)
+
+
 def _q207_media(spark, n: int = 18):
     """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
     image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
@@ -10499,6 +10588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_typosquats": q209_typosquats,
         "q210_spam_mass": q210_spam_mass,
         "q211_capacity_plan": q211_capacity_plan,
+        "q212_katz": q212_katz,
+        "q213_salsa": q213_salsa,
     }
 
 
@@ -10714,4 +10805,6 @@ def oracle_sql() -> dict[str, str]:
         "q209_typosquats": _Q209_SQL,
         "q210_spam_mass": _q210_sql(),
         "q211_capacity_plan": _Q211_SQL,
+        "q212_katz": _q212_sql(),
+        "q213_salsa": _q213_sql(),
     }

@@ -91,3 +91,42 @@ def cms_counts(
         .groupBy(key_col, "exact_n")
         .agg(F.min("c").alias("cms_n"))
     )
+
+
+def cms_probe_estimates(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """(key, cms_n) for every row of ``keys``: the min-over-depth probe
+    of an ALREADY-BUILT sketch — the estimation half of
+    :func:`cms_counts`, split out so the streaming maintainer
+    (streaming/cms.py) can run drained state through the exact same
+    arithmetic the batch operator uses (the hll.py
+    ``hll_estimates_from_regs`` pattern).  Broadcast-joins the
+    <=depth*width-row sketch; the big side never shuffles."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        _bucket(F.col(key_col), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (probes["cell.j"] == sketch["j"])
+            & (probes["cell.bucket"] == sketch["bucket"]),
+        )
+        .groupBy(key_col)
+        .agg(F.min("c").alias("cms_n"))
+    )

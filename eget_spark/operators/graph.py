@@ -1199,3 +1199,155 @@ def spam_mass(
             " div pr_fp AS BIGINT)"
         ).alias("rel_mass_fp"),
     )
+
+
+def katz_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 6,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-point Katz centrality (Katz, Psychometrika 1953) — the
+    attenuated path-count prestige: ``x = sum_k alpha^k (A^T)^k * 1``,
+    truncated at ``n_iter`` terms via the standard iteration
+    ``x_k = beta + alpha * A^T x_{k-1}`` with ``beta = 1``.  Unlike
+    PageRank there is NO out-degree normalization: a page pointed at by
+    one link-rich hub inherits that hub's full (attenuated) path count —
+    the complementary frontier-priority signal when hubs should not have
+    their endorsement diluted by fan-out (Newman, "Networks" §7.2 calls
+    this out as Katz's defining difference from degree/eigenvector
+    variants on directed webs).
+
+    Integer discipline (house rule shared with :func:`pagerank_fixed`):
+    ranks are int64 in units of ``1/scale``; each step is
+    ``scale + (alpha_num * S) div alpha_den`` where S is the int64 sum of
+    in-neighbor ranks — sums commute and ``div`` on nonnegative operands
+    is floor, so the trajectory is bit-exact across partitionings and
+    engines.  alpha defaults to the rational 1/8: the truncated series
+    converges iff ``alpha * lambda_max < 1``; per-iteration growth is
+    bounded by ``(alpha_num * d_in_max) / alpha_den``, so at the default
+    a graph needs d_in_max >= 8 before values can grow at all and int64
+    headroom (scale 1e9 leaves ~9.2e9x) tolerates d_in_max ~ 8000 over
+    6 iterations.  Callers on denser webs lower alpha, not scale.
+
+    Scale shape: per iteration ONE edges-vs-ranks hash join + ONE
+    map-side-combined dst aggregation (identical to pagerank_fixed minus
+    the degree join and dangling broadcast — Katz has neither), ranks
+    localCheckpoint-ed so lineage stays O(1).
+
+    Returns (id, katz_fp) with katz_fp ~= katz * scale.
+    """
+    ranks = nodes.select(
+        "id", F.lit(int(scale)).cast("long").alias("katz_fp")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum("katz_fp").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(int(scale))
+                    + F.expr(
+                        f"({int(alpha_num)} * coalesce(_s, 0))"
+                        f" div {int(alpha_den)}"
+                    )
+                ).cast("long").alias("katz_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def salsa_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 4,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration integer SALSA (Lempel & Moran, WWW 2000:
+    "SALSA: the stochastic approach for link-structure analysis") — the
+    degree-normalized cousin of :func:`hits_fixed`: hubs and authorities
+    are the two stationary chains of alternating forward/backward random
+    walks on the link graph's bipartite support.  Where HITS lets one
+    dense core absorb all weight (the TKC effect the paper identifies),
+    SALSA divides each step by the local degree, so scores spread across
+    communities — it is the production variant (Twitter's WTF
+    recommender, Goel et al. WSDM 2013, runs exactly this chain).
+
+    Half-steps from the uniform authority vector ``a_0 = scale``:
+
+    - ``h_k(u) = sum over out-edges (u,v) of a_{k-1}(v) div in_deg(v)``
+    - ``a_k(v) = sum over in-edges (u,v) of h_k(u) div out_deg(u)``
+
+    Each per-edge term is an independent int64 floor division and the
+    sums commute, so the trajectory is bit-exact across partitionings
+    and engines (the house integer discipline).  The walk is
+    mass-preserving up to floor truncation — values never grow, so
+    unlike HITS there is NO overflow clock; n_iter trades convergence
+    toward the per-component in/out-degree stationary distribution
+    against wall time.  Nodes outside the bipartite support (no
+    in-edges / no out-edges) report 0 on that side, matching the
+    paper's restriction to the support graph.
+
+    Scale shape: per half-step ONE edges-vs-vector hash join (degree
+    columns pre-joined once onto the edge list and localCheckpoint-ed)
+    + ONE map-side-combined aggregation; vectors localCheckpoint-ed per
+    iteration so lineage stays O(1) — the pagerank_fixed shape with the
+    degree lookup amortized into the edge table instead of re-joined.
+
+    Returns (id, auth_fp, hub_fp).
+    """
+    in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    out_deg = out_degrees(edges)
+    # degree-annotated edge list, built once: (src, dst, in_deg, out_deg)
+    ann = (
+        edges.join(in_deg, "dst")
+        .join(out_deg, "src")
+        .select("src", "dst", "in_deg", "out_deg")
+        .localCheckpoint()
+    )
+    auths = nodes.select(
+        "id", F.lit(int(scale)).cast("long").alias("a")
+    ).localCheckpoint()
+    hubs = nodes.select("id", F.lit(0).cast("long").alias("h"))
+    for _ in range(n_iter):
+        h_sum = (
+            ann.join(auths, ann["dst"] == auths["id"])
+            .groupBy("src")
+            .agg(F.sum(F.expr("a div in_deg")).alias("_h"))
+        )
+        hubs = (
+            nodes.join(h_sum, nodes["id"] == h_sum["src"], "left")
+            .select(
+                "id", F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("h")
+            )
+            .localCheckpoint()
+        )
+        a_sum = (
+            ann.join(hubs, ann["src"] == hubs["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("h div out_deg")).alias("_a"))
+        )
+        auths = (
+            nodes.join(a_sum, nodes["id"] == a_sum["dst"], "left")
+            .select(
+                "id", F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias("a")
+            )
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(auths, "id", "left")
+        .join(hubs, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("a"), F.lit(0)).alias("auth_fp"),
+            F.coalesce(F.col("h"), F.lit(0)).alias("hub_fp"),
+        )
+    )

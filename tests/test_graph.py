@@ -981,3 +981,149 @@ def test_spam_mass_semantics(spark):
     for i in ids:
         want = (max(got[i].pr_fp - got[i].tr_fp, 0) * 10**6) // got[i].pr_fp
         assert got[i].rel_mass_fp == want
+
+
+def _py_katz(ids, pairs, n_iter=6, num=1, den=8, scale=10**9):
+    """Pure-Python mirror of katz_fixed's integer arithmetic."""
+    x = {i: scale for i in ids}
+    for _ in range(n_iter):
+        s: dict[int, int] = {}
+        for a, b in pairs:
+            s[b] = s.get(b, 0) + x[a]
+        x = {i: scale + (num * s.get(i, 0)) // den for i in ids}
+    return x
+
+
+def test_katz_matches_python_oracle(spark):
+    from eget_spark.operators.graph import katz_fixed
+
+    ids = list(range(17))
+    pairs = [(i, (i * 7 + 13) % 17) for i in ids] + [
+        (i, (i * i * 3 + 5) % 17) for i in ids
+    ]
+    got = {
+        r["id"]: r["katz_fp"]
+        for r in katz_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=6
+        ).collect()
+    }
+    assert got == _py_katz(ids, pairs, n_iter=6)
+
+
+def test_katz_path_graph_closed_form(spark):
+    """On a directed path 0->1->2->3 with alpha=1/2 and scale divisible
+    by 2^3, the converged Katz value is the exact truncated geometric
+    sum scale * (2 - 2^-k): floor division never rounds."""
+    from eget_spark.operators.graph import katz_fixed
+
+    scale = 2**30
+    ids = [0, 1, 2, 3]
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    got = {
+        r["id"]: r["katz_fp"]
+        for r in katz_fixed(
+            _nodes_df(spark, ids),
+            _edges_df(spark, pairs),
+            n_iter=6,  # > path length -> converged exactly
+            alpha_num=1,
+            alpha_den=2,
+            scale=scale,
+        ).collect()
+    }
+    assert got[0] == scale
+    assert got[1] == scale + scale // 2
+    assert got[2] == scale + scale // 2 + scale // 4
+    assert got[3] == scale + scale // 2 + scale // 4 + scale // 8
+
+
+def test_katz_isolated_node_is_beta(spark):
+    from eget_spark.operators.graph import katz_fixed
+
+    ids = [0, 1, 9]  # 9 has no in-edges
+    pairs = [(0, 1), (9, 0)]  # 9 points out, receives nothing
+    got = {
+        r["id"]: r["katz_fp"]
+        for r in katz_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=4
+        ).collect()
+    }
+    assert got[9] == 10**9
+
+
+def _py_salsa(ids, pairs, n_iter=4, scale=10**12):
+    """Pure-Python mirror of salsa_fixed's integer arithmetic."""
+    ind: dict[int, int] = {}
+    outd: dict[int, int] = {}
+    for a, b in pairs:
+        outd[a] = outd.get(a, 0) + 1
+        ind[b] = ind.get(b, 0) + 1
+    a_vec = {i: scale for i in ids}
+    h_vec = {i: 0 for i in ids}
+    for _ in range(n_iter):
+        h: dict[int, int] = {}
+        for u, v in pairs:
+            h[u] = h.get(u, 0) + a_vec[v] // ind[v]
+        h_vec = {i: h.get(i, 0) for i in ids}
+        a: dict[int, int] = {}
+        for u, v in pairs:
+            a[v] = a.get(v, 0) + h_vec[u] // outd[u]
+        a_vec = {i: a.get(i, 0) for i in ids}
+    return a_vec, h_vec
+
+
+def test_salsa_matches_python_oracle(spark):
+    from eget_spark.operators.graph import salsa_fixed
+
+    ids = list(range(15))
+    pairs = [(i, (i * 7 + 13) % 15) for i in ids] + [
+        (i, (i * i * 3 + 5) % 15) for i in ids
+    ]
+    got = {
+        r["id"]: (r["auth_fp"], r["hub_fp"])
+        for r in salsa_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=4
+        ).collect()
+    }
+    a, h = _py_salsa(ids, pairs, n_iter=4)
+    assert got == {i: (a[i], h[i]) for i in ids}
+
+
+def test_salsa_regular_bipartite_fixed_point(spark):
+    """On the 2x2 complete bipartite graph every degree is 2: the
+    uniform start vector is EXACTLY stationary (a(v) = scale forever)
+    because each half-step splits and re-merges mass without remainder.
+    Pins that the walk is mass-preserving, not HITS-style growing."""
+    from eget_spark.operators.graph import salsa_fixed
+
+    ids = [0, 1, 2, 3]
+    pairs = [(0, 2), (0, 3), (1, 2), (1, 3)]
+    scale = 10**12
+    got = {
+        r["id"]: (r["auth_fp"], r["hub_fp"])
+        for r in salsa_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=5, scale=scale
+        ).collect()
+    }
+    # authorities 2,3 hold scale each; hubs 0,1 hold scale each
+    assert got[2][0] == scale and got[3][0] == scale
+    assert got[0][1] == scale and got[1][1] == scale
+    # outside the bipartite support side: hubs have no in-edges -> auth 0
+    assert got[0][0] == 0 and got[2][1] == 0
+
+
+def test_salsa_mass_never_grows(spark):
+    """Floor division only loses mass: total authority mass after any
+    number of iterations is <= the starting mass (the no-overflow
+    contract HITS cannot make)."""
+    from eget_spark.operators.graph import salsa_fixed
+
+    ids = list(range(12))
+    pairs = [(i, (i * 5 + 7) % 12) for i in ids] + [
+        (i, (i * i + 1) % 12) for i in ids
+    ]
+    scale = 10**12
+    res = salsa_fixed(
+        _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=6, scale=scale
+    )
+    total = res.agg(F.sum("auth_fp").alias("s")).collect()[0]["s"]
+    assert total <= len(ids) * scale

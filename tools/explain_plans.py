@@ -1902,6 +1902,24 @@ def main() -> None:
     checks.append(("capacity plan: no window", _nodes(p_cap, "Window") == 0))
     checks.append(("capacity plan: no Python", "EvalPython" not in p_cap))
 
+    # 140. Katz centrality (q212): per iteration one equi hash join +
+    # one map-side-combined aggregation — no degree join, no dangling
+    # broadcast, no window, no Python
+    p_katz = plan_of(entry.q212_katz(spark, SF))
+    checks.append(("katz: no nested-loop join", "NestedLoop" not in p_katz and "Cartesian" not in p_katz))
+    checks.append(("katz: map-side partial agg", "partial_" in p_katz or "Partial" in p_katz))
+    checks.append(("katz: no window", _nodes(p_katz, "Window") == 0))
+    checks.append(("katz: no Python", "EvalPython" not in p_katz))
+
+    # 141. SALSA (q213): degree-annotated edge table checkpointed once;
+    # per half-step one equi hash join + one map-side-combined agg —
+    # no window, no Python, no cartesian
+    p_salsa = plan_of(entry.q213_salsa(spark, SF))
+    checks.append(("salsa: no nested-loop join", "NestedLoop" not in p_salsa and "Cartesian" not in p_salsa))
+    checks.append(("salsa: map-side partial agg", "partial_" in p_salsa or "Partial" in p_salsa))
+    checks.append(("salsa: no window", _nodes(p_salsa, "Window") == 0))
+    checks.append(("salsa: no Python", "EvalPython" not in p_salsa))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
