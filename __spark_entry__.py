@@ -10214,6 +10214,78 @@ a{i} AS (
     return "".join(parts)
 
 
+_Q214_WORKERS = [f"f{i}" for i in range(8)]
+_Q214_WITHOUT = [w for w in _Q214_WORKERS if w != "f3"]
+
+
+def q214_ring_assign(spark, sf_dir):
+    """Consistent-hash ring fetcher assignment (operators/assign.
+    ring_assign, Karger STOC'97 / Dynamo SOSP'07 vnode form): each of 8
+    fetchers plants 8 virtual points; a host's owner is the clockwise
+    successor of md5_60bit(host).  The query also re-assigns with f3
+    removed and flags movers — the consistent-hashing contract (ONLY
+    f3's hosts move) is visible in the result.  Ring points are
+    driver-side literals shared verbatim with the SQL oracle; both
+    engines hash only the host (identical md5), so the assignment is
+    bit-exact cross-engine.  Projection-only: no join, no shuffle
+    beyond the host rollup."""
+    from eget_spark.operators.assign import ring_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = (
+        docs.select(
+            F.concat(
+                F.lit("h"), ((F.col("doc_id") * F.col("doc_id")) % 31)
+                .cast("string"), F.lit(".example.org")
+            ).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+    r = ring_assign(hosts, "host", _Q214_WORKERS, vnodes=8, out_col="owner_8")
+    r = ring_assign(r, "host", _Q214_WITHOUT, vnodes=8, out_col="owner_7")
+    return r.select(
+        "host",
+        "n_urls",
+        "owner_8",
+        "owner_7",
+        (F.col("owner_8") != F.col("owner_7")).alias("moved"),
+    )
+
+
+def _q214_sql() -> str:
+    from eget_spark.operators.assign import ring_points
+
+    def case_of(workers):
+        pts = ring_points(workers, vnodes=8)
+        whens = " ".join(
+            f"WHEN h <= {pos} THEN '{w}'" for pos, w in pts
+        )
+        return f"CASE {whens} ELSE '{pts[0][1]}' END"
+
+    return f"""
+WITH k AS (
+  SELECT 'h' || CAST((doc_id*doc_id) % 31 AS VARCHAR) || '.example.org'
+           AS host
+  FROM documents
+),
+hosts AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM k GROUP BY host),
+hashed AS (
+  SELECT host, n_urls,
+         CAST(('0x' || substr(md5(host), 1, 15)) AS BIGINT) AS h
+  FROM hosts
+),
+owned AS (
+  SELECT host, n_urls,
+         {case_of(_Q214_WORKERS)} AS owner_8,
+         {case_of(_Q214_WITHOUT)} AS owner_7
+  FROM hashed
+)
+SELECT host, n_urls, owner_8, owner_7, owner_8 <> owner_7 AS moved
+FROM owned
+"""
+
+
 def _q207_media(spark, n: int = 18):
     """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
     image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
@@ -10590,6 +10662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_capacity_plan": q211_capacity_plan,
         "q212_katz": q212_katz,
         "q213_salsa": q213_salsa,
+        "q214_ring_assign": q214_ring_assign,
     }
 
 
@@ -10807,4 +10880,5 @@ def oracle_sql() -> dict[str, str]:
         "q211_capacity_plan": _Q211_SQL,
         "q212_katz": _q212_sql(),
         "q213_salsa": _q213_sql(),
+        "q214_ring_assign": _q214_sql(),
     }

@@ -186,3 +186,81 @@ def snake_pack(
         (F.col("_rank") + 1).cast("long").alias("rank"),
         worker.cast("int").alias("worker"),
     )
+
+
+def _md5_60bit_py(s: str) -> int:
+    """Driver-side mirror of :func:`eget_spark.operators.kmv.md5_60bit`
+    (15 hex chars of md5 as an int) — ring point positions are computed
+    once on the driver and embedded as literals, so both engines only
+    ever hash the HOST at runtime."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def ring_points(workers: list[str], vnodes: int = 16) -> list[tuple[int, str]]:
+    """The consistent-hash ring (Karger et al. STOC'97 / the Dynamo
+    partitioning scheme, DeCandia et al. SOSP'07 §4.2): each worker
+    plants ``vnodes`` virtual points at ``md5_60bit(worker || '#' || v)``
+    and owns the arc ending at each point.  Sorted ascending; position
+    collisions (2^-60 events) break to the SMALLER worker label (the
+    first point at that position wins the successor scan) so the ring
+    is total and engine-independent."""
+    if not workers or vnodes < 1:
+        raise ValueError("workers must be non-empty and vnodes >= 1")
+    return sorted(
+        (_md5_60bit_py(f"{w}#{v}"), w)
+        for w in sorted(set(workers))
+        for v in range(vnodes)
+    )
+
+
+def ring_owner(host: Column, workers: list[str], vnodes: int = 16) -> Column:
+    """Column expression: the ring owner of ``host`` — the worker whose
+    virtual point is the clockwise successor of ``md5_60bit(host)``
+    (wrapping past the top of the ring to the first point).
+
+    Complements :func:`rendezvous_owner`: rendezvous recomputes one hash
+    per (host, worker) — O(|workers|) per row — while the ring hashes
+    the host ONCE and walks literal boundaries, O(log points) as a
+    balanced CASE tree; at fleet sizes in the hundreds both are
+    projection-only, but the ring also gives the operator a knob
+    (``vnodes``) trading assignment smoothness against expression size.
+    Like rendezvous, resizing moves only the arcs adjacent to the
+    added/removed worker's points — politeness clocks and robots caches
+    survive a fleet resize.
+
+    Scale shape: the ring is |workers|*vnodes LITERALS baked into a
+    nested half-interval CASE tree (depth log2(points)) — NO worker
+    table, NO join, NO shuffle; any executor computes any host's owner
+    locally.  Keep points (workers*vnodes) in the low thousands — it is
+    an expression, not data; a 10^5-worker fleet should bucket-join a
+    broadcast ring table instead."""
+    pts = ring_points(workers, vnodes)
+    h = md5_60bit(host)
+
+    def build(lo: int, hi: int) -> Column:
+        # owner for h in (pts[lo-1].pos, pts[hi].pos] by binary split
+        if lo == hi:
+            return F.lit(pts[lo][1])
+        mid = (lo + hi) // 2
+        return F.when(h <= F.lit(pts[mid][0]), build(lo, mid)).otherwise(
+            build(mid + 1, hi)
+        )
+
+    # successor of h, wrapping: h beyond the last point -> first point
+    return F.when(h > F.lit(pts[-1][0]), F.lit(pts[0][1])).otherwise(
+        build(0, len(pts) - 1)
+    )
+
+
+def ring_assign(
+    df: DataFrame,
+    host_col: str,
+    workers: list[str],
+    vnodes: int = 16,
+    out_col: str = "worker",
+) -> DataFrame:
+    """``df`` + ``out_col`` = ring owner of ``host_col``.  Pure
+    projection (plan-pinned like rendezvous_assign)."""
+    return df.withColumn(out_col, ring_owner(F.col(host_col), workers, vnodes))

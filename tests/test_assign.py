@@ -181,3 +181,84 @@ def test_snake_pack_bounded_imbalance_on_skew(spark):
     # rank 1 is the heaviest item and sits on worker 0
     top = [r for r in rows if r.rank == 1][0]
     assert top.weight == 1000 and top.worker == 0
+
+
+def _py_ring_owner(host: str, pts) -> str:
+    from eget_spark.operators.assign import _md5_60bit_py
+
+    h = _md5_60bit_py(host)
+    for pos, w in pts:
+        if h <= pos:
+            return w
+    return pts[0][1]
+
+
+def test_ring_matches_python_mirror(spark):
+    from eget_spark.operators.assign import ring_assign, ring_points
+
+    workers = [f"f{i}" for i in range(6)]
+    pts = ring_points(workers, vnodes=8)
+    hosts = [f"h{i}.example.org" for i in range(60)]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["worker"]
+        for r in ring_assign(df, "host", workers, vnodes=8).collect()
+    }
+    assert got == {h: _py_ring_owner(h, pts) for h in hosts}
+    # every worker owns at least one of the 48 arcs' hosts at this size
+    assert set(got.values()) <= set(workers)
+
+
+def test_ring_points_sorted_distinct():
+    from eget_spark.operators.assign import ring_points
+
+    pts = ring_points([f"f{i}" for i in range(8)], vnodes=16)
+    assert len(pts) == 128
+    positions = [p for p, _ in pts]
+    assert positions == sorted(positions)
+    assert len(set(positions)) == 128  # 2^-60 collisions: none here
+
+
+def test_ring_removal_moves_only_removed_workers_hosts(spark):
+    """The consistent-hashing contract: removing one worker reassigns
+    ONLY the hosts that worker owned (its arcs are absorbed by ring
+    successors); every other host keeps its owner — politeness clocks
+    and robots caches survive the resize."""
+    from eget_spark.operators.assign import ring_assign
+
+    workers = [f"f{i}" for i in range(6)]
+    without = [w for w in workers if w != "f3"]
+    df = spark.createDataFrame(
+        [(f"h{i}.example.org",) for i in range(120)], "host string"
+    )
+    both = ring_assign(
+        ring_assign(df, "host", workers, vnodes=8, out_col="before"),
+        "host",
+        without,
+        vnodes=8,
+        out_col="after",
+    ).collect()
+    moved = [r for r in both if r["before"] != r["after"]]
+    assert all(r["before"] == "f3" for r in moved)
+    assert all(r["after"] != "f3" for r in both)
+    assert moved  # f3 owned something at this size
+
+
+def test_ring_vnodes_smooth_load(spark):
+    """More virtual nodes -> smoother load: on this fixed corpus the
+    max/min host-count gap at vnodes=32 is no worse than at vnodes=1
+    (deterministic pin on the fixed hash ring, not a statistical claim)."""
+    from collections import Counter
+
+    from eget_spark.operators.assign import ring_points
+
+    workers = [f"f{i}" for i in range(5)]
+    hosts = [f"h{i}.example.org" for i in range(400)]
+
+    def spread(v):
+        pts = ring_points(workers, vnodes=v)
+        c = Counter(_py_ring_owner(h, pts) for h in hosts)
+        loads = [c.get(w, 0) for w in workers]
+        return max(loads) - min(loads)
+
+    assert spread(32) <= spread(1)

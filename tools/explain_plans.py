@@ -1902,23 +1902,59 @@ def main() -> None:
     checks.append(("capacity plan: no window", _nodes(p_cap, "Window") == 0))
     checks.append(("capacity plan: no Python", "EvalPython" not in p_cap))
 
-    # 140. Katz centrality (q212): per iteration one equi hash join +
-    # one map-side-combined aggregation — no degree join, no dangling
-    # broadcast, no window, no Python
+    # 140. Katz centrality (q212): the returned frame is post-checkpoint,
+    # so (like the pagerank check) assert the iteration BODY explicitly:
+    # one equi hash join + one map-side-combined dst aggregation — no
+    # degree join, no dangling broadcast, no window, no Python
+    k_nodes = docs.select(F.col("doc_id").alias("id"))
+    k_edges = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 13) % 97).alias("dst")
+    )
+    k_ranks = k_nodes.select("id", F.lit(10**9).cast("long").alias("katz_fp"))
+    k_body = (
+        k_nodes.join(
+            k_edges.join(k_ranks, k_edges["src"] == k_ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum("katz_fp").alias("_s")),
+            k_nodes["id"] == F.col("dst"),
+            "left",
+        )
+        .selectExpr("id", "CAST(1000000000 + (coalesce(_s, 0)) div 8 AS BIGINT) AS katz_fp")
+    )
+    p_katzb = plan_of(k_body)
+    checks.append(("katz body: map-side partial agg", "partial_sum" in p_katzb))
+    checks.append(("katz body: hash join, no nested-loop", "NestedLoop" not in p_katzb and "Cartesian" not in p_katzb))
     p_katz = plan_of(entry.q212_katz(spark, SF))
-    checks.append(("katz: no nested-loop join", "NestedLoop" not in p_katz and "Cartesian" not in p_katz))
-    checks.append(("katz: map-side partial agg", "partial_" in p_katz or "Partial" in p_katz))
     checks.append(("katz: no window", _nodes(p_katz, "Window") == 0))
     checks.append(("katz: no Python", "EvalPython" not in p_katz))
 
-    # 141. SALSA (q213): degree-annotated edge table checkpointed once;
-    # per half-step one equi hash join + one map-side-combined agg —
-    # no window, no Python, no cartesian
+    # 141. SALSA (q213): half-step body — one equi hash join against the
+    # degree-annotated edge table + one map-side-combined agg; final
+    # frame has no window, no Python, no cartesian
+    s_ann = k_edges.join(
+        k_edges.groupBy("dst").agg(F.count("*").alias("in_deg")), "dst"
+    ).select("src", "dst", "in_deg")
+    s_auths = k_nodes.select("id", F.lit(10**12).cast("long").alias("a"))
+    s_body = (
+        s_ann.join(s_auths, s_ann["dst"] == s_auths["id"])
+        .groupBy("src")
+        .agg(F.sum(F.expr("a div in_deg")).alias("_h"))
+    )
+    p_salsab = plan_of(s_body)
+    checks.append(("salsa body: map-side partial agg", "partial_sum" in p_salsab))
+    checks.append(("salsa body: hash join, no nested-loop", "NestedLoop" not in p_salsab and "Cartesian" not in p_salsab))
     p_salsa = plan_of(entry.q213_salsa(spark, SF))
-    checks.append(("salsa: no nested-loop join", "NestedLoop" not in p_salsa and "Cartesian" not in p_salsa))
-    checks.append(("salsa: map-side partial agg", "partial_" in p_salsa or "Partial" in p_salsa))
     checks.append(("salsa: no window", _nodes(p_salsa, "Window") == 0))
     checks.append(("salsa: no Python", "EvalPython" not in p_salsa))
+
+    # 142. consistent-hash ring assignment (q214): owners are literal
+    # CASE trees over the one host hash — projection-only after the
+    # host rollup (no join at all), no window, no Python
+    p_ring = plan_of(entry.q214_ring_assign(spark, SF))
+    checks.append(("ring assign: no join of any kind", _nodes(p_ring, "Join") == 0))
+    checks.append(("ring assign: map-side partial agg (host rollup)", "partial_count" in p_ring))
+    checks.append(("ring assign: no window", _nodes(p_ring, "Window") == 0))
+    checks.append(("ring assign: no Python", "EvalPython" not in p_ring))
 
     out.append("## Check summary\n")
     for name, ok in checks:
