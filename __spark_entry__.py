@@ -10286,6 +10286,96 @@ FROM owned
 """
 
 
+def q215_anchor_bm25(spark, sf_dir):
+    """Anchor-text search (operators/search.anchor_bm25_topk, Craswell/
+    Hawking/Robertson SIGIR 2001): each link target is ranked by BM25
+    over the pseudo-document of its in-links' anchor tokens — the
+    navigational-query signal a content index misses.  Anchors are built
+    two-token ('a'||src%5 || ' b'||src%7) so tf, df and the length norm
+    are all non-trivial; query = [a3, b2, b5], k=20.  Pseudo-docs are
+    never materialized: tokens explode straight to ONE map-side-combined
+    per-target rollup (a 10^8-in-link homepage costs a combiner cell),
+    then the shared BM25 tail (broadcast stats + TakeOrdered).  Oracle
+    computes the same tf/dl directly from the edge arithmetic."""
+    from eget_spark.functions.spans import link_anchor_pairs
+    from eget_spark.operators.search import anchor_bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    url = lambda c: F.concat(F.lit("https://crawl.test/p/"), c.cast("string"))
+    anchor = F.concat(
+        F.lit("a"), (d % 5).cast("string"),
+        F.lit(" b"), (d % 7).cast("string"),
+    )
+    mk = lambda dst, off: F.struct(
+        F.lit("link").alias("kind"),
+        anchor.alias("text"),
+        url(dst).alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    corp = docs.select(
+        F.array(
+            mk((d * 7 + 13) % n, 0),
+            mk((d * 11 + 5) % n, 1),
+            mk((d * 13 + 7) % n, 2),
+        ).alias("spans")
+    )
+    pairs = corp.select(
+        F.explode(link_anchor_pairs(F.col("spans"))).alias("p")
+    ).select(F.col("p.target").alias("target"), F.col("p.anchor").alias("anchor"))
+    return anchor_bm25_topk(pairs, ["a3", "b2", "b5"], k=20)
+
+
+_Q215_SQL = r"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*7+13) % (SELECT c FROM n) AS dst FROM documents
+  UNION ALL SELECT doc_id, (doc_id*11+5) % (SELECT c FROM n) FROM documents
+  UNION ALL SELECT doc_id, (doc_id*13+7) % (SELECT c FROM n) FROM documents
+),
+p AS (
+  SELECT 'https://crawl.test/p/' || CAST(dst AS VARCHAR) AS target,
+         src % 5 AS a5, src % 7 AS b7
+  FROM e
+),
+base AS (
+  SELECT target, CAST(2 * count(*) AS BIGINT) AS dl,
+         CAST(sum(CASE WHEN a5 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+         CAST(sum(CASE WHEN b7 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+         CAST(sum(CASE WHEN b7 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+  FROM p GROUP BY target
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM base
+),
+scored AS (
+  SELECT target,
+         round(
+           (CASE WHEN tf0 > 0 THEN
+             ((ln(1.0 + ((n - df0) + 0.5) / (df0 + 0.5)) * tf0) * 2.2)
+               / (tf0 + 1.2 * (0.25 + (0.75 * dl) / (sumdl / n)))
+            ELSE 0.0 END)
+         + (CASE WHEN tf1 > 0 THEN
+             ((ln(1.0 + ((n - df1) + 0.5) / (df1 + 0.5)) * tf1) * 2.2)
+               / (tf1 + 1.2 * (0.25 + (0.75 * dl) / (sumdl / n)))
+            ELSE 0.0 END)
+         + (CASE WHEN tf2 > 0 THEN
+             ((ln(1.0 + ((n - df2) + 0.5) / (df2 + 0.5)) * tf2) * 2.2)
+               / (tf2 + 1.2 * (0.25 + (0.75 * dl) / (sumdl / n)))
+            ELSE 0.0 END), 6) AS score
+  FROM base CROSS JOIN st
+)
+SELECT target, score,
+       CAST(row_number() OVER (ORDER BY score DESC, target) AS INT) AS rnk
+FROM (SELECT * FROM scored WHERE score > 0 ORDER BY score DESC, target LIMIT 20)
+"""
+
+
 def _q207_media(spark, n: int = 18):
     """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
     image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
@@ -10663,6 +10753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_katz": q212_katz,
         "q213_salsa": q213_salsa,
         "q214_ring_assign": q214_ring_assign,
+        "q215_anchor_bm25": q215_anchor_bm25,
     }
 
 
@@ -10881,4 +10972,5 @@ def oracle_sql() -> dict[str, str]:
         "q212_katz": _q212_sql(),
         "q213_salsa": _q213_sql(),
         "q214_ring_assign": _q214_sql(),
+        "q215_anchor_bm25": _Q215_SQL,
     }

@@ -142,6 +142,21 @@ def bm25_topk(
             for i, t in enumerate(terms)
         ],
     )
+    return _bm25_from_tf(base, id_col, terms, k=k, k1=k1, b=b)
+
+
+def _bm25_from_tf(
+    base: DataFrame,
+    id_col: str,
+    terms: list[str],
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """BM25 scoring tail shared by :func:`bm25_topk` and
+    :func:`anchor_bm25_topk`: ``base`` is (id, _dl, _tf0.._tfn) however
+    the caller derived term frequencies (document text, anchor pseudo-
+    docs).  Corpus stats ride a 1-row broadcast; top-k is TakeOrdered."""
     stats = base.agg(
         F.count("*").cast("long").alias("_n"),
         F.sum("_dl").cast("long").alias("_sumdl"),
@@ -171,6 +186,51 @@ def bm25_topk(
     # trivial (k rows post-TakeOrdered), not a corpus-wide sort
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def anchor_bm25_topk(
+    pairs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    target_col: str = "target",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Anchor-text ranking: BM25 where each link TARGET's pseudo-document
+    is the multiset of tokens from every in-link's anchor text (Craswell,
+    Hawking & Robertson, SIGIR 2001: anchor text outperforms page content
+    for site-finding/navigational queries — the classic crawl-corpus
+    relevance signal a content-only index misses).  ``pairs`` is the
+    (target, anchor) harvest of :func:`eget_spark.functions.spans.
+    link_anchor_pairs`; the BM25 length norm uses the pseudo-document's
+    token count, so heavily-linked targets are normalized exactly like
+    long documents.
+
+    Returns (target_col, score, rnk) — same contract as :func:`bm25_topk`
+    (score rounded to 6, dense rank from 1, ties by target).
+
+    Scale shape: the pseudo-documents are NEVER materialized as strings —
+    tokens explode straight out of the anchor column and per-target
+    (_dl, _tf*) roll up in ONE map-side-combined aggregation, so a
+    homepage with 10^8 in-links costs a combiner cell, not a 10^8-token
+    collect_list; scoring is the shared :func:`_bm25_from_tf` tail
+    (1-row broadcast stats + TakeOrdered top-k)."""
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    toks = pairs.select(
+        F.col(target_col),
+        F.explode(_tok_arr(anchor_col)).alias("_tok"),
+    )
+    base = toks.groupBy(target_col).agg(
+        F.count("*").cast("long").alias("_dl"),
+        *[
+            F.sum((F.col("_tok") == F.lit(t)).cast("long"))
+            .cast("long")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    return _bm25_from_tf(base, target_col, terms, k=k, k1=k1, b=b)
 
 
 def bm25f_topk(

@@ -247,3 +247,68 @@ def test_rrf_single_ranking_preserves_order(spark):
     )
     got = [(r.doc_id, r.rnk) for r in rrf_fuse([df]).collect()]
     assert sorted(got, key=lambda x: x[1]) == [(10, 1), (20, 2), (30, 3)]
+
+
+def _py_anchor_bm25(pairs, terms, k1=1.2, b=0.75):
+    """Python mirror: group anchors per target, score the pseudo-docs."""
+    by_target: dict[str, list[str]] = {}
+    for target, anchor in pairs:
+        by_target.setdefault(target, []).extend(_tok(anchor))
+    targets = sorted(by_target)
+    texts = [" ".join(by_target[t]) for t in targets]
+    scores = _py_bm25(texts, terms, k1=k1, b=b)
+    return {targets[i]: s for i, s in scores.items()}
+
+
+ANCHOR_PAIRS = [
+    ("https://t/0", "spark engine docs"),
+    ("https://t/0", "the spark homepage"),
+    ("https://t/0", "click here"),
+    ("https://t/1", "spark"),
+    ("https://t/2", "window merge guide and a very long anchor with many words"),
+    ("https://t/2", "merge"),
+    ("https://t/3", "unrelated link"),
+]
+
+
+def test_anchor_bm25_matches_python_oracle(spark):
+    from eget_spark.operators.search import anchor_bm25_topk
+
+    df = spark.createDataFrame(ANCHOR_PAIRS, "target string, anchor string")
+    terms = ["spark", "merge"]
+    got = {
+        r["target"]: r["score"]
+        for r in anchor_bm25_topk(df, terms, k=10).collect()
+    }
+    assert got == _py_anchor_bm25(ANCHOR_PAIRS, terms)
+
+
+def test_anchor_bm25_length_normalization(spark):
+    """Same single-occurrence tf: the target whose pseudo-document is
+    SHORT (one tight anchor) outranks the one buried in verbose anchors —
+    the BM25 length norm applies to anchor multisets exactly as to
+    documents."""
+    from eget_spark.operators.search import anchor_bm25_topk
+
+    df = spark.createDataFrame(ANCHOR_PAIRS, "target string, anchor string")
+    got = {
+        r["target"]: r["rnk"]
+        for r in anchor_bm25_topk(df, ["merge"], k=10).collect()
+    }
+    assert set(got) == {"https://t/2"}  # only t/2 mentions merge
+
+    got2 = {
+        r["target"]: r["score"]
+        for r in anchor_bm25_topk(df, ["spark"], k=10).collect()
+    }
+    # t/1: dl=1 tight anchor; t/0: tf=2 but dl=8 — both match, t/1's
+    # single-token pseudo-doc gets the stronger length norm
+    assert set(got2) == {"https://t/0", "https://t/1"}
+    assert got2["https://t/1"] > 0 and got2["https://t/0"] > 0
+
+
+def test_anchor_bm25_no_match_empty(spark):
+    from eget_spark.operators.search import anchor_bm25_topk
+
+    df = spark.createDataFrame(ANCHOR_PAIRS, "target string, anchor string")
+    assert anchor_bm25_topk(df, ["zzz"], k=10).count() == 0

@@ -1956,6 +1956,16 @@ def main() -> None:
     checks.append(("ring assign: no window", _nodes(p_ring, "Window") == 0))
     checks.append(("ring assign: no Python", "EvalPython" not in p_ring))
 
+    # 143. anchor-text BM25 (q215): tokens explode to ONE map-side-
+    # combined per-target rollup (pseudo-docs never materialized), then
+    # the shared BM25 tail — broadcast stats, TakeOrdered top-k, no
+    # Python, no wide sort
+    p_abm = plan_of(entry.q215_anchor_bm25(spark, SF))
+    checks.append(("anchor bm25: map-side partial agg", "partial_count" in p_abm or "partial_sum" in p_abm))
+    checks.append(("anchor bm25: TakeOrdered top-k", "TakeOrderedAndProject" in p_abm))
+    checks.append(("anchor bm25: broadcast stats join", "BroadcastNestedLoopJoin" in p_abm or "BroadcastHashJoin" in p_abm))
+    checks.append(("anchor bm25: no Python", "EvalPython" not in p_abm))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
