@@ -10376,6 +10376,62 @@ FROM (SELECT * FROM scored WHERE score > 0 ORDER BY score DESC, target LIMIT 20)
 """
 
 
+def q216_ql_dirichlet(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood ranking (operators/search.
+    ql_dirichlet_topk, Zhai & Lafferty SIGIR 2001) over the document
+    corpus — the language-modeling retrieval family next to q74 BM25 /
+    q201 BM25F / q208 RRF, same query terms as q74 so the two families
+    are directly comparable.  mu=2000, k=20; every doc scores (negative
+    log-probability), unseen terms pinned dropped; round-6 + id ties
+    make the ranking cross-engine exact.  Same zero-wide-shuffle shape
+    as BM25 (array-filter tf, 1-row broadcast stats, TakeOrdered)."""
+    from eget_spark.operators.search import ql_dirichlet_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return ql_dirichlet_topk(
+        docs, "doc_id", "text", ["spark", "window", "merge"], mu=2000.0, k=20
+    )
+
+
+_Q216_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(length(l) AS BIGINT) AS dl,
+         CAST(length(list_filter(l, x -> x = 'spark'))  AS BIGINT) AS tf0,
+         CAST(length(list_filter(l, x -> x = 'window')) AS BIGINT) AS tf1,
+         CAST(length(list_filter(l, x -> x = 'merge'))  AS BIGINT) AS tf2
+  FROM d
+),
+st AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS sumdl,
+         CAST(sum(tf0) AS BIGINT) AS ctf0,
+         CAST(sum(tf1) AS BIGINT) AS ctf1,
+         CAST(sum(tf2) AS BIGINT) AS ctf2
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN ctf0 > 0 THEN
+             ln((tf0 + 2000.0 * ctf0 / sumdl) / (dl + 2000.0)) ELSE 0.0 END)
+         + (CASE WHEN ctf1 > 0 THEN
+             ln((tf1 + 2000.0 * ctf1 / sumdl) / (dl + 2000.0)) ELSE 0.0 END)
+         + (CASE WHEN ctf2 > 0 THEN
+             ln((tf2 + 2000.0 * ctf2 / sumdl) / (dl + 2000.0)) ELSE 0.0 END),
+           6) AS score
+  FROM base CROSS JOIN st
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+"""
+
+
 def _q207_media(spark, n: int = 18):
     """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
     image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
@@ -10754,6 +10810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_salsa": q213_salsa,
         "q214_ring_assign": q214_ring_assign,
         "q215_anchor_bm25": q215_anchor_bm25,
+        "q216_ql_dirichlet": q216_ql_dirichlet,
     }
 
 
@@ -10973,4 +11030,5 @@ def oracle_sql() -> dict[str, str]:
         "q213_salsa": _q213_sql(),
         "q214_ring_assign": _q214_sql(),
         "q215_anchor_bm25": _Q215_SQL,
+        "q216_ql_dirichlet": _Q216_SQL,
     }

@@ -233,6 +233,77 @@ def anchor_bm25_topk(
     return _bm25_from_tf(base, target_col, terms, k=k, k1=k1, b=b)
 
 
+def ql_dirichlet_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    k: int = 20,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet-prior smoothing (Zhai &
+    Lafferty, SIGIR 2001 — the language-modeling retrieval family next
+    to BM25/BM25F/RRF):
+
+        score(D, Q) = sum_t ln( (tf_t + mu * p(t|C)) / (|D| + mu) )
+        p(t|C)      = ctf_t / total_collection_tokens
+
+    Smoothing is the point: a document MISSING a query term still gets
+    that term's collection-probability mass (discounted by its length),
+    so multi-term queries rank partial matches sensibly where unsmoothed
+    ML assigns zero.  Pinned contract: query terms with ctf == 0
+    (never seen in the collection) contribute 0 — the standard drop,
+    since their smoothed probability is 0 for every document and the
+    constant -inf would poison all scores equally.  All documents score
+    (scores are negative log-probabilities); top-k by (score DESC, id),
+    rounded to 6 before ranking (the repo-wide cross-engine ulp recipe).
+
+    Scale shape: identical to :func:`bm25_topk` — per-doc tf_i is an
+    array ``filter`` (no explode, no per-term shuffle), collection stats
+    (sum dl, ctf per term) are ONE map-side-combined 1-row aggregate
+    re-entering via broadcast, scoring a pure projection, top-k
+    TakeOrderedAndProject.  Zero wide shuffles.
+
+    Returns (id_col, score, rnk).
+    """
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    arr = _tok_arr(text_col).alias("_l")
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    base = df.select(F.col(id_col), arr).select(
+        id_col,
+        F.size("_l").cast("long").alias("_dl"),
+        *[
+            F.size(F.filter("_l", _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.sum("_dl").cast("long").alias("_sumdl"),
+        *[
+            F.sum(F.col(f"_tf{i}")).cast("long").alias(f"_ctf{i}")
+            for i in range(len(terms))
+        ],
+    )
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}")
+        ctf = F.col(f"_ctf{i}")
+        smoothed = (tf + mu * ctf / F.col("_sumdl")) / (F.col("_dl") + mu)
+        parts.append(F.when(ctf > 0, F.log(smoothed)).otherwise(F.lit(0.0)))
+    score = F.round(sum(parts[1:], parts[0]), 6)
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .select(id_col, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
 def bm25f_topk(
     df: DataFrame,
     id_col: str,

@@ -312,3 +312,75 @@ def test_anchor_bm25_no_match_empty(spark):
 
     df = spark.createDataFrame(ANCHOR_PAIRS, "target string, anchor string")
     assert anchor_bm25_topk(df, ["zzz"], k=10).count() == 0
+
+
+def _py_ql(texts, terms, mu=2000.0, k=20):
+    toks = [_tok(t) for t in texts]
+    total = sum(len(d) for d in toks)
+    ctf = {t: sum(d.count(t) for d in toks) for t in terms}
+    out = {}
+    for i, d in enumerate(toks):
+        s = 0.0
+        for t in terms:
+            if ctf[t] == 0:
+                continue
+            s += math.log((d.count(t) + mu * ctf[t] / total) / (len(d) + mu))
+        out[i] = round(s, 6)
+    top = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return {i: s for i, s in top}
+
+
+def test_ql_dirichlet_matches_python_oracle(spark):
+    from eget_spark.operators.search import ql_dirichlet_topk
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    terms = ["spark", "merge"]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ql_dirichlet_topk(df, "doc_id", "text", terms, k=20).collect()
+    }
+    assert got == _py_ql(TEXTS, terms)
+
+
+def test_ql_dirichlet_smoothing_ranks_partial_matches(spark):
+    """A doc missing one query term still scores (collection-smoothed),
+    and a doc containing BOTH terms outranks one containing either alone
+    at comparable lengths — the smoothing behavior unsmoothed ML lacks."""
+    from eget_spark.operators.search import ql_dirichlet_topk
+
+    rows = [
+        (0, "spark merge basics"),
+        (1, "spark tuning notes here"),
+        (2, "merge strategy guide doc"),
+        (3, "unrelated cooking recipe text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["score"], r["rnk"])
+        for r in ql_dirichlet_topk(df, "doc_id", "text", ["spark", "merge"], k=10).collect()
+    }
+    assert len(got) == 4  # every doc scores under QL
+    assert got[0][1] == 1  # both-terms doc wins
+    assert got[3][0] < got[1][0] and got[3][0] < got[2][0]
+
+
+def test_ql_dirichlet_unseen_term_dropped(spark):
+    """A query term absent from the whole collection contributes 0 for
+    every document (pinned drop) — the ranking equals the remaining
+    terms' ranking."""
+    from eget_spark.operators.search import ql_dirichlet_topk
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    with_junk = {
+        r["doc_id"]: r["score"]
+        for r in ql_dirichlet_topk(df, "doc_id", "text", ["spark", "zzzzz"], k=20).collect()
+    }
+    without = {
+        r["doc_id"]: r["score"]
+        for r in ql_dirichlet_topk(df, "doc_id", "text", ["spark"], k=20).collect()
+    }
+    assert with_junk == without

@@ -1966,6 +1966,14 @@ def main() -> None:
     checks.append(("anchor bm25: broadcast stats join", "BroadcastNestedLoopJoin" in p_abm or "BroadcastHashJoin" in p_abm))
     checks.append(("anchor bm25: no Python", "EvalPython" not in p_abm))
 
+    # 144. Dirichlet query likelihood (q216): identical shape to BM25 —
+    # array-filter tf (no explode), 1-row broadcast stats, TakeOrdered
+    p_ql = plan_of(entry.q216_ql_dirichlet(spark, SF))
+    checks.append(("ql dirichlet: TakeOrdered top-k", "TakeOrderedAndProject" in p_ql))
+    checks.append(("ql dirichlet: broadcast stats join", "BroadcastNestedLoopJoin" in p_ql))
+    checks.append(("ql dirichlet: no explode", _nodes(p_ql, "Generate") == 0))
+    checks.append(("ql dirichlet: no Python", "EvalPython" not in p_ql))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
