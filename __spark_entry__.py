@@ -10432,6 +10432,116 @@ FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
 """
 
 
+def q217_frontier_exhaustion(spark, sf_dir):
+    """Good-Turing frontier-exhaustion dial (operators/recrawl.
+    frontier_exhaustion, Good 1953): per host, p(next harvested link is
+    NEW) ~= singleton-URL sightings / total sightings, in exact ppm
+    integer arithmetic.  Sightings come from the three non-bijective
+    link maps (quadratic pileup makes multiplicities non-trivial); the
+    dynamic companion to q144's capture-recapture site sizing.  Two
+    map-side-combined aggregations, no window, no join."""
+    from eget_spark.operators.recrawl import frontier_exhaustion
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    mk = lambda expr: docs.select(
+        F.concat(F.lit("h"), ((expr % n) % 20).cast("string")).alias("host"),
+        F.concat(F.lit("https://crawl.test/p/"), (expr % n).cast("string"))
+        .alias("url"),
+    )
+    sightings = (
+        mk(d * 7 + 13).unionAll(mk(d * d * 3 + 5)).unionAll(mk(d * d + d * 5 + 11))
+    )
+    return frontier_exhaustion(sightings, "host", "url")
+
+
+_Q217_SQL = r"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+s AS (
+  SELECT (doc_id*7+13) % (SELECT c FROM n) AS dst FROM documents
+  UNION ALL SELECT (doc_id*doc_id*3+5) % (SELECT c FROM n) FROM documents
+  UNION ALL SELECT (doc_id*doc_id+doc_id*5+11) % (SELECT c FROM n) FROM documents
+),
+sight AS (
+  SELECT 'h' || CAST(dst % 20 AS VARCHAR) AS host,
+         'https://crawl.test/p/' || CAST(dst AS VARCHAR) AS url
+  FROM s
+),
+per_url AS (SELECT host, url, count(*) AS cnt FROM sight GROUP BY host, url)
+SELECT host,
+       CAST(sum(cnt) AS BIGINT) AS n_obs,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000
+            // sum(cnt) AS BIGINT) AS p_new_ppm
+FROM per_url GROUP BY host
+"""
+
+
+def q218_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (operators/dedup.winnow_profile,
+    Schleimer/Wilkerson/Aiken SIGMOD 2003 — MOSS): every window of w=4
+    consecutive token-5-gram hashes selects its rightmost minimum; the
+    distinct selections are the fingerprint, catching ANY shared run of
+    >= w+k-1 tokens with certainty (the local guarantee minhash/simhash
+    lack).  Rightmost-min is ONE integer min over the packed key
+    h*2^20 + (2^20-1-pos) — no struct ordering, engine-identical.
+    Output: per-doc selection count, position-weighted checksum (a
+    plain sum is permutation-invariant; a wrong tie-break must fail the
+    value compare), and max selected position."""
+    from eget_spark.operators.dedup import winnow_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    p = winnow_profile(docs, "doc_id", "text", k=5, w=4)
+    return p.select(
+        F.col("id").alias("doc_id"), "n_selected", "checksum", "max_pos"
+    )
+
+
+_Q218_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(len(toks) - 4),
+                     i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+         END AS gs
+  FROM t
+),
+k AS (
+  SELECT doc_id,
+         list_transform(
+           range(len(gs)),
+           i -> CAST(('0x' || substr(md5(list_extract(gs, i + 1)), 1, 8))
+                     AS BIGINT) * 1048576 + (1048575 - i)) AS ks
+  FROM g
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(greatest(len(ks) - 4, 0) + 1),
+             s -> list_min(list_slice(ks, s + 1, s + 4)))) AS d
+  FROM k
+)
+SELECT doc_id,
+       CAST(len(d) AS BIGINT) AS n_selected,
+       CAST(list_aggregate(
+              list_transform(d, x -> (x // 1048576)
+                                      * ((1048575 - x % 1048576) + 1)),
+              'sum') AS BIGINT) AS checksum,
+       CAST(list_aggregate(
+              list_transform(d, x -> 1048575 - x % 1048576),
+              'max') AS BIGINT) AS max_pos
+FROM sel
+"""
+
+
 def _q207_media(spark, n: int = 18):
     """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
     image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
@@ -10811,6 +10921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_ring_assign": q214_ring_assign,
         "q215_anchor_bm25": q215_anchor_bm25,
         "q216_ql_dirichlet": q216_ql_dirichlet,
+        "q217_frontier_exhaustion": q217_frontier_exhaustion,
+        "q218_winnow_fingerprints": q218_winnow_fingerprints,
     }
 
 
@@ -11031,4 +11143,6 @@ def oracle_sql() -> dict[str, str]:
         "q214_ring_assign": _q214_sql(),
         "q215_anchor_bm25": _Q215_SQL,
         "q216_ql_dirichlet": _Q216_SQL,
+        "q217_frontier_exhaustion": _Q217_SQL,
+        "q218_winnow_fingerprints": _Q218_SQL,
     }

@@ -828,3 +828,109 @@ def ppjoin_pairs(
         .where(F.col("jaccard") >= t)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+def winnow_selected(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): over the document's token k-gram
+    hash sequence, every window of ``w`` consecutive grams selects its
+    MINIMUM hash, ties to the RIGHTMOST occurrence (the paper's rule);
+    the distinct selected (position, hash) set is the fingerprint.  The
+    guarantee the other dedup family members lack: any shared run of at
+    least ``w + k - 1`` tokens is caught (minhash/simhash are
+    whole-document probabilistic; winnowing is local and certain), with
+    expected density 2/(w+1).
+
+    Pinned cross-engine contract: gram hash = 32-bit md5 prefix
+    (``conv(substr(md5(gram),1,8))``), and each window's rightmost-min is
+    ONE integer ``min`` over the packed key ``h * 2^20 + (2^20-1-pos)``
+    (smaller h wins; equal h -> larger pos wins) — no struct ordering,
+    no nested windows, identical in Spark and DuckDB.  Positions are
+    gram indexes 0..G-1 and must stay below 2^20 (a ~1M-token document;
+    the key would collide past it — documented cap, not a silent wrap).
+    Documents with fewer than ``w`` grams winnow a single window over
+    whatever grams exist; documents shorter than ``k`` tokens contribute
+    their whole text as one gram (the ``shingles`` short-doc rule).
+
+    Returns (id, pos, h) — one row per selected fingerprint.
+
+    Scale shape: ONE exchange — posexplode tokens, then the gram-concat
+    lead window, the packed-key frame min, and the start-row filter all
+    ride the same (id)-hash partitioning (Catalyst reuses the exchange);
+    the final distinct groups on the same key family.  No join, no
+    Python, per-doc work O(G*w) inside the frame min."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import tokens
+
+    POS = 1 << 20
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    # short docs: the whole text is the single gram -> selected at pos 0
+    short = base.where(F.size("_toks") < k).select(
+        "id",
+        F.lit(0).cast("long").alias("pos"),
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", "_toks")), 1, 8), 16, 10
+        ).cast("long").alias("h"),
+    )
+    tok = base.where(F.size("_toks") >= k).select(
+        "id", F.posexplode("_toks").alias("pos", "t")
+    )
+    ord_w = W.partitionBy("id").orderBy("pos")
+    leads = [F.lead("t", i).over(ord_w) for i in range(1, k)]
+    grams = (
+        tok.select(
+            "id",
+            F.col("pos").cast("long").alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.col("t"), *leads)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long").alias("h"),
+            leads[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    key = (F.col("h") * POS + (POS - 1 - F.col("pos"))).alias("_key")
+    frame = W.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    g_cnt = F.count("*").over(W.partitionBy("id"))
+    picked = (
+        grams.select("id", "pos", key)
+        .select(
+            "id",
+            "pos",
+            F.min("_key").over(frame).alias("_sel"),
+            g_cnt.alias("_g"),
+        )
+        # full windows only (plus the single short-doc window at pos 0)
+        .where(F.col("pos") <= F.greatest(F.col("_g") - w, F.lit(0)))
+        .select(
+            "id",
+            (F.lit(POS - 1) - F.col("_sel") % POS).cast("long").alias("pos"),
+            F.expr(f"_sel div {POS}").cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    return picked.unionByName(short)
+
+
+def winnow_profile(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Per-document winnowing fingerprint profile: (id, n_selected,
+    checksum, max_pos) with checksum = sum(h * (pos + 1)) — position-
+    weighted (house rule from image checksums: a plain sum is
+    permutation-invariant, so a wrong tie-break would still pass it).
+    One map-side-combined rollup over :func:`winnow_selected`."""
+    sel = winnow_selected(df, id_col, text_col, k=k, w=w)
+    return sel.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_selected"),
+        F.sum(F.col("h") * (F.col("pos") + 1)).cast("long").alias("checksum"),
+        F.max("pos").cast("long").alias("max_pos"),
+    )

@@ -289,3 +289,59 @@ def site_size_estimate(
             ).cast("long").alias("est_size"),
         )
     )
+
+
+def frontier_exhaustion(
+    sightings: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Good-Turing frontier-exhaustion estimate per host: from the crawl's
+    URL-sighting log (one row per time a link to ``url`` was harvested —
+    multiplicity is the signal), the probability that the NEXT harvested
+    link on this host points somewhere never seen before is the classic
+    missing-mass estimator
+
+        p_new ~= N1 / N      (Good 1953; Gale & Sampson 1995 form)
+
+    with N1 = URLs sighted exactly once and N = total sightings.  This is
+    the per-host "is discovery saturating?" dial: a host whose links
+    keep hitting fresh URLs (p_new high) deserves continued frontier
+    budget, one whose sightings pile onto known URLs (p_new -> 0) is
+    nearly exhausted — the dynamic companion to the static
+    capture-recapture :func:`site_size_estimate` (q144), which sizes the
+    site while this scores the marginal value of crawling it further.
+
+    Integer discipline: ``p_new_ppm = (N1 * scale) div N`` (nonnegative
+    operands, truncation == floor on both engines) — bit-exact
+    cross-engine; no float anywhere.
+
+    Returns (host, n_obs, n_urls, n_singletons, p_new_ppm).
+
+    Scale shape: TWO map-side-combined aggregations — (host, url) sighting
+    counts collapse per task before the shuffle (a hot URL costs a
+    combiner cell), then the per-host rollup reuses the same hash
+    partitioning family; no window, no join, no Python."""
+    per_url = sightings.groupBy(host_col, url_col).agg(
+        F.count("*").cast("long").alias("_cnt")
+    )
+    return (
+        per_url.groupBy(host_col)
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_obs"),
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum((F.col("_cnt") == 1).cast("long")).cast("long").alias(
+                "n_singletons"
+            ),
+        )
+        .select(
+            host_col,
+            "n_obs",
+            "n_urls",
+            "n_singletons",
+            F.expr(f"(n_singletons * {int(scale)}) div n_obs")
+            .cast("long")
+            .alias("p_new_ppm"),
+        )
+    )

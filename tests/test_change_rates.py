@@ -122,3 +122,45 @@ def test_estimate_change_rate_clamps_to_floor(spark):
     )
     row = estimate_change_rate(checks, interval_sec=60.0).collect()[0]
     assert row["next_interval_sec"] == 3600
+
+
+def _py_exhaustion(rows, scale=10**6):
+    from collections import Counter
+
+    cnt = Counter(rows)
+    hosts: dict[str, list[int]] = {}
+    for (h, _u), c in cnt.items():
+        hosts.setdefault(h, []).append(c)
+    out = {}
+    for h, cs in hosts.items():
+        n_obs = sum(cs)
+        n1 = sum(1 for c in cs if c == 1)
+        out[h] = (n_obs, len(cs), n1, (n1 * scale) // n_obs)
+    return out
+
+
+def test_frontier_exhaustion_matches_python_oracle(spark):
+    from eget_spark.operators.recrawl import frontier_exhaustion
+
+    rows = []
+    for i in range(200):
+        rows.append((f"h{i % 4}", f"u{(i * i) % 37}"))  # quadratic pileup
+    rows += [("fresh", f"u{i}") for i in range(30)]  # every URL a singleton
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {
+        r["host"]: (r["n_obs"], r["n_urls"], r["n_singletons"], r["p_new_ppm"])
+        for r in frontier_exhaustion(df).collect()
+    }
+    assert got == _py_exhaustion(rows)
+
+
+def test_frontier_exhaustion_extremes(spark):
+    """All-singletons host -> p_new = 1e6 (keep crawling); all-repeats
+    host -> p_new = 0 (exhausted)."""
+    from eget_spark.operators.recrawl import frontier_exhaustion
+
+    rows = [("new", f"u{i}") for i in range(10)]
+    rows += [("done", f"u{i % 3}") for i in range(12)]  # every URL seen 4x
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {r["host"]: r["p_new_ppm"] for r in frontier_exhaustion(df).collect()}
+    assert got == {"new": 10**6, "done": 0}

@@ -289,3 +289,91 @@ def test_jaccard_histogram_matches_python(spark):
     }
     assert got == want
     assert got[10] == 1  # the exact-dup pair has its own bucket
+
+
+def _py_winnow(text, k=5, w=4):
+    import hashlib
+    import re as _re
+
+    toks = _re.split(r"\s+", text.lower().strip())
+    if len(toks) < k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams
+    ]
+    sel = set()
+    for s in range(max(len(hs) - w, 0) + 1):
+        win = hs[s : s + w]
+        m = min(win)
+        off = max(j for j, h in enumerate(win) if h == m)
+        sel.add((s + off, m))
+    return sel
+
+
+WINNOW_TEXTS = [
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "pack my box with five dozen liquor jugs for the winter store room",
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "short text",
+    "one two three four five six seven eight nine ten eleven twelve th",
+]
+
+
+def test_winnow_matches_python_oracle(spark):
+    from eget_spark.operators.dedup import winnow_selected
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(WINNOW_TEXTS)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_selected(df, "doc_id", "text", k=5, w=4).collect():
+        got.setdefault(r["id"], set()).add((r["pos"], r["h"]))
+    assert got == {i: _py_winnow(t, 5, 4) for i, t in enumerate(WINNOW_TEXTS)}
+
+
+def test_winnow_identical_docs_identical_fingerprints(spark):
+    """Docs 0 and 2 are byte-identical: winnowing is deterministic, so
+    their fingerprints are equal — the local-certainty contract minhash
+    only gives probabilistically."""
+    from eget_spark.operators.dedup import winnow_profile
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(WINNOW_TEXTS)], "doc_id long, text string"
+    )
+    rows = {r["id"]: (r["n_selected"], r["checksum"], r["max_pos"])
+            for r in winnow_profile(df, "doc_id", "text").collect()}
+    assert rows[0] == rows[2]
+    assert rows[0] != rows[1]
+
+
+def test_winnow_density_near_guarantee(spark):
+    """Expected selection density is 2/(w+1); pin a loose deterministic
+    band on the fixed corpus (this is the paper's headline statistic)."""
+    from eget_spark.operators.dedup import winnow_selected
+
+    text = " ".join(f"tok{(i * 7919) % 997}" for i in range(400))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    n_sel = winnow_selected(df, "doc_id", "text", k=5, w=4).count()
+    n_grams = 400 - 5 + 1
+    density = n_sel / n_grams
+    assert 0.25 <= density <= 0.55  # 2/(w+1) = 0.4 expected
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Any shared token run of length >= w + k - 1 produces at least one
+    COMMON selected (hash) fingerprint between the two docs — the
+    winnowing guarantee (theorem 1 of the paper; position may differ,
+    the hash set must intersect)."""
+    from eget_spark.operators.dedup import winnow_selected
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= 4+5-1
+    a = "x1 x2 x3 " + shared + " y1 y2"
+    b = "z9 " + shared + " q7 q8 q9 q10"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    rows = winnow_selected(df, "doc_id", "text", k=5, w=4).collect()
+    hs = {0: set(), 1: set()}
+    for r in rows:
+        hs[r["id"]].add(r["h"])
+    assert hs[0] & hs[1]

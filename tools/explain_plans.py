@@ -1974,6 +1974,22 @@ def main() -> None:
     checks.append(("ql dirichlet: no explode", _nodes(p_ql, "Generate") == 0))
     checks.append(("ql dirichlet: no Python", "EvalPython" not in p_ql))
 
+    # 145. Good-Turing frontier exhaustion (q217): two map-side-combined
+    # aggregations, nothing else
+    p_fx = plan_of(entry.q217_frontier_exhaustion(spark, SF))
+    checks.append(("frontier exhaustion: map-side partial agg", "partial_count" in p_fx or "partial_sum" in p_fx))
+    checks.append(("frontier exhaustion: no join", _nodes(p_fx, "Join") == 0))
+    checks.append(("frontier exhaustion: no window", _nodes(p_fx, "Window") == 0))
+    checks.append(("frontier exhaustion: no Python", "EvalPython" not in p_fx))
+
+    # 146. winnowing fingerprints (q218): gram leads + packed-key frame
+    # min + start filter all ride ONE (id)-hash exchange; no join, no
+    # Python
+    p_wn = plan_of(entry.q218_winnow_fingerprints(spark, SF))
+    checks.append(("winnow: single id exchange reused", p_wn.count("Exchange hashpartitioning(id") <= 1))
+    checks.append(("winnow: no join", _nodes(p_wn, "Join") == 0))
+    checks.append(("winnow: no Python", "EvalPython" not in p_wn))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
