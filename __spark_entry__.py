@@ -10542,6 +10542,65 @@ FROM sel
 """
 
 
+def q219_winnow_pairs(spark, sf_dir):
+    """MOSS match detection (operators/dedup.winnow_pairs): inverted-
+    index self-join over the q218 winnowing fingerprints, too-common
+    fingerprints (df > 10) dropped before the join (the paper's common-
+    substring suppression and the quadratic-bucket skew guard), pairs
+    reporting distinct shared hashes (>= 2).  The certainty-based member
+    of the near-dup pair family next to q14 minhash-LSH / q31 simhash /
+    q91 containment."""
+    from eget_spark.operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(
+        docs, "doc_id", "text", k=5, w=4, max_df=10, min_shared=2
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+             "n_shared")
+
+
+_Q219_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(len(toks) - 4),
+                     i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+         END AS gs
+  FROM t
+),
+k AS (
+  SELECT doc_id,
+         list_transform(
+           range(len(gs)),
+           i -> CAST(('0x' || substr(md5(list_extract(gs, i + 1)), 1, 8))
+                     AS BIGINT) * 1048576 + (1048575 - i)) AS ks
+  FROM g
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(greatest(len(ks) - 4, 0) + 1),
+             s -> list_min(list_slice(ks, s + 1, s + 4)))) AS d
+  FROM k
+),
+fpx AS (SELECT doc_id, unnest(d) AS key FROM sel),
+fp AS (SELECT DISTINCT doc_id, key // 1048576 AS h FROM fpx),
+dfc AS (SELECT h, count(*) AS dfn FROM fp GROUP BY h),
+kept AS (
+  SELECT fp.doc_id, fp.h FROM fp JOIN dfc ON dfc.h = fp.h WHERE dfn <= 10
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b HAVING count(*) >= 2
+"""
+
+
 def _q207_media(spark, n: int = 18):
     """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
     image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
@@ -10923,6 +10982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_ql_dirichlet": q216_ql_dirichlet,
         "q217_frontier_exhaustion": q217_frontier_exhaustion,
         "q218_winnow_fingerprints": q218_winnow_fingerprints,
+        "q219_winnow_pairs": q219_winnow_pairs,
     }
 
 
@@ -11145,4 +11205,5 @@ def oracle_sql() -> dict[str, str]:
         "q216_ql_dirichlet": _Q216_SQL,
         "q217_frontier_exhaustion": _Q217_SQL,
         "q218_winnow_fingerprints": _Q218_SQL,
+        "q219_winnow_pairs": _Q219_SQL,
     }

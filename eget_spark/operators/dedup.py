@@ -934,3 +934,47 @@ def winnow_profile(
         F.sum(F.col("h") * (F.col("pos") + 1)).cast("long").alias("checksum"),
         F.max("pos").cast("long").alias("max_pos"),
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 10,
+    min_shared: int = 2,
+) -> DataFrame:
+    """MOSS-style match detection over winnowing fingerprints: candidate
+    pairs are documents sharing selected gram hashes (the inverted-index
+    self-join the MOSS service runs; Schleimer et al. SIGMOD 2003 §5).
+    Fingerprints selected in more than ``max_df`` documents are dropped
+    BEFORE the join — the paper's too-common-substring suppression, and
+    the skew guard: a boilerplate gram shared by 10^6 docs would
+    otherwise explode into 10^12 pairs, while capped df bounds every
+    hash bucket's fan-out at max_df^2.  Pairs report the number of
+    DISTINCT shared hashes; ``min_shared`` prunes one-off collisions.
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b.
+
+    Scale shape: winnow_selected's single (id)-exchange, one map-side-
+    combined df count + hash join back (the filter side is (hash, df) —
+    tiny), then the equi self-join on the hash key and ONE
+    map-side-combined pair count.  The same first-band-wins shape as the
+    minhash LSH join; no window over pairs, no Python."""
+    sel = winnow_selected(df, id_col, text_col, k=k, w=w).select(
+        "id", "h"
+    ).distinct()
+    df_counts = sel.groupBy("h").agg(F.count("*").alias("_df"))
+    kept = sel.join(
+        df_counts.where(F.col("_df") <= max_df).select("h"), "h"
+    )
+    a = kept.select(F.col("id").alias("id_a"), "h")
+    b = kept.select(F.col("id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -377,3 +377,55 @@ def test_winnow_shared_run_guarantee(spark):
     for r in rows:
         hs[r["id"]].add(r["h"])
     assert hs[0] & hs[1]
+
+
+def test_winnow_pairs_matches_python_oracle(spark):
+    from eget_spark.operators.dedup import winnow_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "x1 x2 alpha beta gamma delta epsilon zeta eta theta y9",
+        "totally different words with no overlap at all here now",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_pairs(df, "doc_id", "text", min_shared=1).collect()
+    }
+    # python mirror of the whole chain
+    from collections import Counter
+
+    fps = {i: {h for _, h in _py_winnow(t)} for i, t in enumerate(texts)}
+    dfc = Counter(h for s in fps.values() for h in s)
+    keep = {i: {h for h in s if dfc[h] <= 10} for i, s in fps.items()}
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            n = len(keep[i] & keep[j])
+            if n >= 1:
+                want[(i, j)] = n
+    assert got == want
+    assert (0, 3) in got            # identical docs share everything
+    assert (0, 1) in got            # the >= w+k-1 shared run is caught
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_winnow_pairs_max_df_is_the_suppressor(spark):
+    """The df cap is what controls boilerplate-driven pairs: at a
+    permissive cap the shared footer produces pairs; at max_df=1 every
+    cross-doc hash is by definition dropped (shared => df >= 2), so the
+    pair set is exactly empty — the mechanism, pinned at its boundary."""
+    from eget_spark.operators.dedup import winnow_pairs
+
+    boiler = "copyright footer text all rights reserved worldwide inc"
+    texts = [f"unique{i}a unique{i}b unique{i}c {boiler}" for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    loose = winnow_pairs(df, "doc_id", "text", max_df=10, min_shared=1).count()
+    assert loose > 0  # boilerplate really does relate the docs
+    tight = winnow_pairs(df, "doc_id", "text", max_df=1, min_shared=1).count()
+    assert tight == 0

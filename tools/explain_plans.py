@@ -1990,6 +1990,14 @@ def main() -> None:
     checks.append(("winnow: no join", _nodes(p_wn, "Join") == 0))
     checks.append(("winnow: no Python", "EvalPython" not in p_wn))
 
+    # 147. winnowing pairs (q219): equi self-join on the fingerprint
+    # hash after the df-cap filter; pair counts map-side combined;
+    # no cartesian, no window over pairs, no Python
+    p_wp = plan_of(entry.q219_winnow_pairs(spark, SF))
+    checks.append(("winnow pairs: hash equi join, no cartesian", "Cartesian" not in p_wp and "NestedLoop" not in p_wp))
+    checks.append(("winnow pairs: map-side partial agg", "partial_count" in p_wp))
+    checks.append(("winnow pairs: no Python", "EvalPython" not in p_wp))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
