@@ -10601,6 +10601,62 @@ GROUP BY doc_a, doc_b HAVING count(*) >= 2
 """
 
 
+def q220_ef_postings(spark, sf_dir):
+    """Elias-Fano posting-list sizing (operators/search.
+    ef_posting_layout, Vigna WSDM 2013 quasi-succinct indices) next to
+    q198's VByte layout: ef_bits = n*l + n + (U >> l) with
+    l = floor(log2(U div n)) computed by BIN-STRING LENGTH (exact where
+    float log2 has power-of-two ulp risk) and an integer shift — no
+    libm.  Byte-aligned VByte floors at 8 bits/posting; EF's ~2+l
+    routinely beats it, and the report shows where."""
+    from eget_spark.operators.search import ef_posting_layout
+
+    return ef_posting_layout(_t(spark, sf_dir, "documents"), "doc_id",
+                             "text")
+
+
+_Q220_SQL = r"""
+WITH postings AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+gaps AS (
+  SELECT tok,
+         coalesce(doc - lag(doc) OVER (PARTITION BY tok ORDER BY doc),
+                  doc + 1) AS gap
+  FROM postings
+),
+vb AS (
+  SELECT tok, gap,
+         CASE WHEN gap < 128 THEN 1
+              WHEN gap < 16384 THEN 2
+              WHEN gap < 2097152 THEN 3
+              WHEN gap < 268435456 THEN 4
+              ELSE 5 END AS b
+  FROM gaps
+),
+terms AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df_count,
+         CAST(sum(b) * 8 AS BIGINT) AS vbyte_bits
+  FROM vb GROUP BY tok
+),
+u AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS uu FROM documents),
+ef AS (
+  SELECT tok, df_count, vbyte_bits,
+         greatest(length(bin(uu // df_count)) - 1, 0) AS l, uu
+  FROM terms CROSS JOIN u
+)
+SELECT tok, df_count, vbyte_bits,
+       CAST(df_count * l + df_count + (uu >> CAST(l AS INT)) AS BIGINT)
+         AS ef_bits,
+       (df_count * l + df_count + (uu >> CAST(l AS INT))) < vbyte_bits
+         AS ef_wins
+FROM ef
+"""
+
+
 def _q207_media(spark, n: int = 18):
     """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
     image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
@@ -10983,6 +11039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_frontier_exhaustion": q217_frontier_exhaustion,
         "q218_winnow_fingerprints": q218_winnow_fingerprints,
         "q219_winnow_pairs": q219_winnow_pairs,
+        "q220_ef_postings": q220_ef_postings,
     }
 
 
@@ -11206,4 +11263,5 @@ def oracle_sql() -> dict[str, str]:
         "q217_frontier_exhaustion": _Q217_SQL,
         "q218_winnow_fingerprints": _Q218_SQL,
         "q219_winnow_pairs": _Q219_SQL,
+        "q220_ef_postings": _Q220_SQL,
     }

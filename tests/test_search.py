@@ -384,3 +384,62 @@ def test_ql_dirichlet_unseen_term_dropped(spark):
         for r in ql_dirichlet_topk(df, "doc_id", "text", ["spark"], k=20).collect()
     }
     assert with_junk == without
+
+
+def _py_ef(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    postings: dict[str, set] = {}
+    for i, t in zip(ids, texts):
+        for tok in set(_tok(t)):
+            postings.setdefault(tok, set()).add(i)
+    u = max(ids) + 1
+    out = {}
+    for tok, docs in postings.items():
+        n = len(docs)
+        q = u // n
+        l = max(q.bit_length() - 1, 0)
+        out[tok] = n * l + n + (u >> l)
+    return out
+
+
+def test_ef_posting_layout_matches_python_oracle(spark):
+    from eget_spark.operators.search import ef_posting_layout
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    rows = {r["tok"]: r for r in ef_posting_layout(df, "doc_id", "text").collect()}
+    want = _py_ef(TEXTS)
+    assert {t: r["ef_bits"] for t, r in rows.items()} == want
+    for r in rows.values():
+        assert r["vbyte_bits"] % 8 == 0
+        assert r["ef_wins"] == (r["ef_bits"] < r["vbyte_bits"])
+
+
+def test_ef_dense_and_sparse_closed_forms(spark):
+    """EF bits match the closed form on both extremes: the every-doc
+    term stores ~2+l bits/posting and beats VByte's 8-bit floor (this is
+    why EF is the modern postings layout — byte-aligned VByte cannot go
+    under 8 bits/posting, EF routinely does); the singleton term over
+    U=3151 is exactly l=11 -> 11+1+1 = 13 bits."""
+    from eget_spark.operators.search import ef_posting_layout
+
+    rows = [(i * 50, "common" + (" rare" if i == 3 else "")) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["tok"]: r for r in ef_posting_layout(df, "doc_id", "text").collect()}
+    # common: n=64, U=3151, l = floor(log2(49)) = 5 -> 64*5+64+(3151>>5)=482
+    assert got["common"]["ef_bits"] == 64 * 5 + 64 + (3151 >> 5)
+    assert got["common"]["ef_wins"]  # vbyte floor is 8 bits/posting = 512
+    assert got["rare"]["ef_bits"] == 13
+
+
+def test_ef_power_of_two_boundary_exact(spark):
+    """U/n landing exactly on a power of two is where float log2 ulp
+    flips a bit count; the bin-length contract stays exact: n=4 docs,
+    U=32 -> l=3 exactly, ef_bits = 4*3 + 4 + 4 = 20."""
+    from eget_spark.operators.search import ef_posting_layout
+
+    rows = [(7, "t"), (15, "t"), (23, "t"), (31, "t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = ef_posting_layout(df, "doc_id", "text").collect()[0]
+    assert r["tok"] == "t" and r["ef_bits"] == 20

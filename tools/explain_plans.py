@@ -1998,6 +1998,13 @@ def main() -> None:
     checks.append(("winnow pairs: map-side partial agg", "partial_count" in p_wp))
     checks.append(("winnow pairs: no Python", "EvalPython" not in p_wp))
 
+    # 148. Elias-Fano sizing (q220): q198's layout plus a 1-row broadcast
+    # universe and a pure integer projection — no extra wide shuffle
+    p_ef = plan_of(entry.q220_ef_postings(spark, SF))
+    checks.append(("ef postings: broadcast universe", "BroadcastNestedLoopJoin" in p_ef))
+    checks.append(("ef postings: term-partitioned window only", "Window" in p_ef))
+    checks.append(("ef postings: no Python", "EvalPython" not in p_ef))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
