@@ -10657,6 +10657,65 @@ FROM ef
 """
 
 
+def q221_image_dims(spark, sf_dir):
+    """Header-only image dimension census (functions/media.
+    image_dimensions): PNG IHDR / GIF logical-screen / JPEG SOF-marker-
+    walk dims from REAL bytes without any pixel decode — the size
+    pre-filter a 100-TB image corpus runs before paying decodes, and the
+    only stdlib path that covers JPEG at all (no stdlib pixel codec
+    exists; the dimensions live in the uncompressed marker stream).
+    Fixture: 24 real images (stdlib PNG/GIF encoders + a structurally
+    valid JPEG marker stream), dims pure arithmetic on the index so the
+    oracle reproduces the expected census from the closed form — two
+    fully independent paths to the same table."""
+    import numpy as np
+
+    from eget_spark.functions.gif import encode_gif
+    from eget_spark.functions.media import image_dimensions
+    from eget_spark.functions.png import encode_png
+
+    import struct as _struct
+
+    def jpeg_hdr(w, h):
+        app0 = b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        sof0 = (
+            b"\xff\xc0" + _struct.pack(">H", 17) + b"\x08"
+            + _struct.pack(">HH", h, w) + b"\x03" + bytes(9)
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    rows = []
+    for g in range(24):
+        w, h = 3 + g % 5, 2 + g % 4
+        if g % 3 == 0:
+            payload = encode_png(np.zeros((h, w), dtype=np.uint8))
+        elif g % 3 == 1:
+            payload = encode_gif(
+                np.zeros((h, w), dtype=np.uint8), pal
+            )
+        else:
+            payload = jpeg_hdr(100 + g, 50 + g)
+        rows.append((f"m{g}", bytearray(payload)))
+    media = spark.createDataFrame(
+        rows, "media_ref string, payload binary"
+    ).repartition(4)
+    return image_dimensions(media)
+
+
+_Q221_SQL = r"""
+WITH i AS (SELECT CAST(range AS BIGINT) AS g FROM range(24))
+SELECT 'm' || CAST(g AS VARCHAR) AS media_ref,
+       CASE g % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END
+         AS format,
+       CAST(CASE WHEN g % 3 = 2 THEN 100 + g ELSE 3 + g % 5 END AS INT)
+         AS width,
+       CAST(CASE WHEN g % 3 = 2 THEN 50 + g ELSE 2 + g % 4 END AS INT)
+         AS height
+FROM i
+"""
+
+
 def _q207_media(spark, n: int = 18):
     """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
     image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
@@ -11040,6 +11099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_winnow_fingerprints": q218_winnow_fingerprints,
         "q219_winnow_pairs": q219_winnow_pairs,
         "q220_ef_postings": q220_ef_postings,
+        "q221_image_dims": q221_image_dims,
     }
 
 
@@ -11264,4 +11324,5 @@ def oracle_sql() -> dict[str, str]:
         "q218_winnow_fingerprints": _Q218_SQL,
         "q219_winnow_pairs": _Q219_SQL,
         "q220_ef_postings": _Q220_SQL,
+        "q221_image_dims": _Q221_SQL,
     }

@@ -403,3 +403,77 @@ def image_pixel_checksums(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_ref", "payload").mapInPandas(run, schema)
+
+
+def image_header_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) from CONTAINER HEADERS ONLY — no pixel
+    decode, no decompression: PNG reads the IHDR fields (spec 11.2.2,
+    big-endian at bytes 16..23), GIF the logical screen descriptor
+    (GIF89a spec §18, little-endian at bytes 6..9), JPEG walks the
+    marker stream to the first SOF frame header (ITU T.81 §B.2.2 —
+    any SOF0..SOF15 except the DHT/DAC/RST aliases C4/C8/CC) and reads
+    its big-endian height/width.  Returns None for anything else (or a
+    truncated/invalid stream) — the quarantine contract shared with
+    decode_image."""
+    import struct
+
+    from .gif import GIF_MAGICS
+
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return ("png", w, h)
+        if payload[:6] in GIF_MAGICS:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return ("gif", w, h)
+        if payload[:2] == b"\xff\xd8":
+            i = 2
+            n = len(payload)
+            while i + 9 <= n:
+                if payload[i] != 0xFF:
+                    return None  # marker desync
+                marker = payload[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return ("jpeg", w, h)
+                if marker == 0xDA:  # start of scan: no SOF seen -> invalid
+                    return None
+                i += 2 + seg_len
+            return None
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def image_dimensions(media: DataFrame) -> DataFrame:
+    """Header-only image dimension census: (media_ref, format, width,
+    height) for PNG/GIF/JPEG via :func:`image_header_dims` — the
+    training-pipeline pre-filter (drop icons/trackers below a size
+    floor, route oversized panoramas to tiling) that must NOT pay a
+    pixel decode: at 100 TB the headers are a few dozen bytes per image
+    while a decode touches every pixel.  Notably this covers JPEG,
+    which the stdlib PIXEL path cannot decode (media.py:167) — the
+    dimensions live in the uncompressed marker stream, so the census
+    stays complete across all three formats.  One Arrow mapInPandas
+    pass, zero shuffle; undecodable payloads dropped (quarantine by
+    anti-join, the image_pixel_stats contract)."""
+    schema = "media_ref string, format string, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
+                got = image_header_dims(bytes(payload))
+                if got is not None:
+                    rows.append((ref, got[0], got[1], got[2]))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "format", "width", "height"]
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(run, schema)

@@ -244,3 +244,93 @@ def test_decode_media_real_png_header(spark):
     assert (got["p1"]["width"], got["p1"]["height"]) == (34, 12)
     assert got["p1"]["kind"] == "image" and got["p1"]["bytes"] == len(png)
     assert (got["f1"]["width"], got["f1"]["n_frames"]) == (64, 30)
+
+
+def _jpeg_header_bytes(w: int, h: int) -> bytes:
+    """Minimal structurally-valid JPEG marker stream: SOI, APP0 (JFIF),
+    a DHT segment (must be SKIPPED — 0xC4 is in the C0..CF range but is
+    not a frame header), a standalone RST marker (no length field), the
+    SOF0 frame header carrying the dimensions, EOI."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + bytes(3)
+    rst = b"\xff\xd0"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + bytes(9)
+    )
+    return b"\xff\xd8" + app0 + dht + rst + sof0 + b"\xff\xd9"
+
+
+def test_image_header_dims_match_pixel_decode(spark):
+    """PNG and GIF header dims must equal the full pixel decode's shape
+    — same bytes, two independent paths."""
+    import numpy as np
+
+    from eget_spark.functions.gif import encode_gif
+    from eget_spark.functions.media import decode_image, image_header_dims
+    from eget_spark.functions.png import encode_png
+
+    rgb = np.arange(7 * 5 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    png = encode_png(rgb)
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    gif = encode_gif((np.arange(24, dtype=np.uint8) % 2).reshape(4, 6), pal)
+    for payload, fmt in ((png, "png"), (gif, "gif")):
+        got = image_header_dims(payload)
+        arr = decode_image(payload)
+        assert got == (fmt, arr.shape[1], arr.shape[0])
+
+
+def test_image_header_dims_jpeg_marker_walk():
+    from eget_spark.functions.media import image_header_dims
+
+    assert image_header_dims(_jpeg_header_bytes(640, 480)) == (
+        "jpeg", 640, 480,
+    )
+    # large dims exercise the big-endian unpack
+    assert image_header_dims(_jpeg_header_bytes(30000, 2)) == (
+        "jpeg", 30000, 2,
+    )
+
+
+def test_image_header_dims_rejects_garbage():
+    from eget_spark.functions.media import image_header_dims
+
+    assert image_header_dims(b"") is None
+    assert image_header_dims(b"\xff\xd8\x00\x00") is None  # marker desync
+    assert image_header_dims(b"\xff\xd8\xff\xda\x00\x04\x00\x00") is None
+    assert image_header_dims(b"not an image at all") is None
+    assert image_header_dims(b"\x89PNG\r\n\x1a\nXXXXIHDX") is None
+
+
+def test_image_dimensions_census(spark):
+    """The distributed census: mixed PNG/GIF/JPEG/garbage payloads ->
+    one row per decodable image, garbage quarantined (dropped)."""
+    import numpy as np
+
+    from eget_spark.functions.gif import encode_gif
+    from eget_spark.functions.media import image_dimensions
+    from eget_spark.functions.png import encode_png
+
+    pal = np.array([[9, 8, 7], [6, 5, 4]], dtype=np.uint8)
+    rows = [
+        ("png1", bytearray(encode_png(np.zeros((3, 9, 3), dtype=np.uint8)))),
+        ("gif1", bytearray(encode_gif(np.zeros((2, 5), dtype=np.uint8), pal))),
+        ("jpg1", bytearray(_jpeg_header_bytes(123, 45))),
+        ("bad1", bytearray(b"garbage bytes")),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = {
+        r["media_ref"]: (r["format"], r["width"], r["height"])
+        for r in image_dimensions(df).collect()
+    }
+    assert got == {
+        "png1": ("png", 9, 3),
+        "gif1": ("gif", 5, 2),
+        "jpg1": ("jpeg", 123, 45),
+    }

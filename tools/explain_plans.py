@@ -2005,6 +2005,13 @@ def main() -> None:
     checks.append(("ef postings: term-partitioned window only", "Window" in p_ef))
     checks.append(("ef postings: no Python", "EvalPython" not in p_ef))
 
+    # 149. image dimension census (q221): one Arrow mapInPandas pass,
+    # no row-at-a-time Python, no join/window
+    p_dims = plan_of(entry.q221_image_dims(spark, SF))
+    checks.append(("image dims: Arrow pass (mapInPandas)", "MapInPandas" in p_dims or "ArrowEvalPython" in p_dims))
+    checks.append(("image dims: no row-at-a-time Python", "BatchEvalPython" not in p_dims))
+    checks.append(("image dims: no join", _nodes(p_dims, "Join") == 0))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
