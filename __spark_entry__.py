@@ -10716,6 +10716,82 @@ FROM i
 """
 
 
+def q222_dsir_weights(spark, sf_dir):
+    """DSIR data selection (operators/dsir.dsir_weights, Xie et al.
+    NeurIPS 2023): hashed unigram+bigram bucket distributions (B=64) of
+    a target slice (doc_id%7==0) vs the raw remainder, add-1 smoothed;
+    every raw doc scores its summed per-bucket log importance ratio —
+    the "pick the crawl slice that looks like the target domain"
+    estimator.  The B-row log-ratio table broadcasts; the raw corpus
+    never shuffles on a vocabulary key.  round-6 ln discipline."""
+    from eget_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    raw = docs.where(F.col("doc_id") % 7 != 0)
+    w = dsir_weights(raw, target, "doc_id", "text", n_buckets=64)
+    return w.select(F.col("id").alias("doc_id"), "n_feats", "dsir_logw")
+
+
+_Q222_SQL = r"""
+WITH lt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(l) AS feat FROM lt),
+bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(len(l) - 1),
+                       i -> list_extract(l, i + 1) || ' '
+                            || list_extract(l, i + 2)) END) AS feat
+  FROM lt
+),
+feats AS (
+  SELECT doc_id, feat FROM uni UNION ALL SELECT doc_id, feat FROM bi
+),
+fb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('ds:' || feat), 1, 15)) AS BIGINT) % 64
+           AS bucket
+  FROM feats
+),
+fr AS (
+  SELECT doc_id, bucket, count(*) AS k
+  FROM fb WHERE doc_id % 7 <> 0 GROUP BY doc_id, bucket
+),
+ftb AS (
+  SELECT bucket, count(*) AS c_t
+  FROM fb WHERE doc_id % 7 = 0 GROUP BY bucket
+),
+crb AS (SELECT bucket, sum(k) AS c_r FROM fr GROUP BY bucket),
+sc AS (
+  SELECT (SELECT coalesce(sum(k), 0) FROM fr) AS r_tot,
+         (SELECT coalesce(sum(c_t), 0) FROM ftb) AS t_tot
+),
+lr AS (
+  SELECT CAST(b.range AS BIGINT) AS bucket,
+         ln((coalesce(ct.c_t, 0) + 1) / CAST(t_tot + 64 AS DOUBLE))
+         - ln((coalesce(cr.c_r, 0) + 1) / CAST(r_tot + 64 AS DOUBLE)) AS lr
+  FROM range(64) b
+  LEFT JOIN ftb ct ON ct.bucket = b.range
+  LEFT JOIN crb cr ON cr.bucket = b.range
+  CROSS JOIN sc
+),
+scored AS (
+  SELECT fr.doc_id, CAST(sum(fr.k) AS BIGINT) AS n_feats,
+         round(sum(fr.k * lr.lr), 6) AS dsir_logw
+  FROM fr JOIN lr ON lr.bucket = fr.bucket GROUP BY fr.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       s.dsir_logw
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+WHERE d.doc_id % 7 <> 0
+"""
+
+
 def _q207_media(spark, n: int = 18):
     """Shared fixture for q207: n REAL GIFs (functions/gif.encode_gif) —
     image g is (5 + g%7) x (4 + g%5), 4-entry palette p =
@@ -11100,6 +11176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_winnow_pairs": q219_winnow_pairs,
         "q220_ef_postings": q220_ef_postings,
         "q221_image_dims": q221_image_dims,
+        "q222_dsir_weights": q222_dsir_weights,
     }
 
 
@@ -11325,4 +11402,5 @@ def oracle_sql() -> dict[str, str]:
         "q219_winnow_pairs": _Q219_SQL,
         "q220_ef_postings": _Q220_SQL,
         "q221_image_dims": _Q221_SQL,
+        "q222_dsir_weights": _Q222_SQL,
     }

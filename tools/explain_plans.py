@@ -2012,6 +2012,15 @@ def main() -> None:
     checks.append(("image dims: no row-at-a-time Python", "BatchEvalPython" not in p_dims))
     checks.append(("image dims: no join", _nodes(p_dims, "Join") == 0))
 
+    # 150. DSIR weights (q222): the B-row log-ratio table broadcasts
+    # into the per-doc rollup; bucket counts map-side combined; no
+    # vocabulary-key shuffle, no window, no Python
+    p_ds = plan_of(entry.q222_dsir_weights(spark, SF))
+    checks.append(("dsir: broadcast ratio table", "BroadcastHashJoin" in p_ds))
+    checks.append(("dsir: map-side partial agg", "partial_count" in p_ds or "partial_sum" in p_ds))
+    checks.append(("dsir: no window", _nodes(p_ds, "Window") == 0))
+    checks.append(("dsir: no Python", "EvalPython" not in p_ds))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
