@@ -88,6 +88,11 @@ Query -> operator map (SURVEY.md §2 / extensions):
   q86_cms_host_counts    count-min sketch host frequencies (heavy hitters)
   q87_feed_parse         RSS 2.0 / Atom 1.0 feed source parsing
   q88_content_sniff      magic-byte content-type sniffing (converter router)
+  q89..q222              the remaining operator families — every entry is
+                         documented on its own query function below, and the
+                         full per-operator inventory (implementation file,
+                         paper citation, oracle + test evidence) lives in
+                         COVERAGE.md / README.md "What it implements"
 """
 
 from __future__ import annotations
