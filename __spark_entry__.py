@@ -10953,6 +10953,210 @@ FROM (SELECT * FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20)
 )
 
 
+
+def q223_cocitation(spark, sf_dir):
+    """Co-citation + bibliographic-coupling pairs (operators/graph.
+    cocitation_pairs — Small 1973 / Kessler 1963): top-40 page pairs by
+    shared in-neighbors (co-cited) with their shared-out-link coupling
+    count, over the analytics link graph.  Pivot keys with degree > 64
+    are excluded from pair generation BEFORE the self-join — the pinned
+    hot-key guard that keeps a 10^6-in-degree home page from emitting
+    5*10^11 pairs through one reducer; the cap is part of the operator
+    contract, so the oracle applies the identical HAVING gate.  Pair
+    fan-out is bounded by cap^2/2 per pivot; the only window runs over
+    the bounded pair table."""
+    from eget_spark.operators.graph import cocitation_pairs
+
+    _, edges = _arith_edges(spark, sf_dir)
+    return cocitation_pairs(edges, max_degree=64, top_k=40)
+
+
+_Q223_SQL = (
+    "WITH "
+    + _EDGES_SQL.lstrip().removeprefix("WITH ")
+    + r""",
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+cold_out AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 64),
+eout AS (SELECT e.src, e.dst FROM e JOIN cold_out USING (src)),
+cocite AS (
+  SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS cocitations
+  FROM eout x JOIN eout y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2
+),
+cold_in AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 64),
+ein AS (SELECT e.src, e.dst FROM e JOIN cold_in USING (dst)),
+couple AS (
+  SELECT x.src AS a, y.src AS b, CAST(count(*) AS BIGINT) AS couplings
+  FROM ein x JOIN ein y ON x.dst = y.dst AND x.src < y.src
+  GROUP BY 1, 2
+),
+pb AS (
+  SELECT COALESCE(c.a, k.a) AS a, COALESCE(c.b, k.b) AS b,
+         CAST(COALESCE(c.cocitations, 0) AS BIGINT) AS cocitations,
+         CAST(COALESCE(k.couplings, 0) AS BIGINT) AS couplings
+  FROM cocite c FULL JOIN couple k ON c.a = k.a AND c.b = k.b
+)
+SELECT * FROM (
+  SELECT a, b, cocitations, couplings,
+         CAST(row_number() OVER (
+           ORDER BY cocitations DESC, couplings DESC, a, b) AS INT) AS rnk
+  FROM pb
+) WHERE rnk <= 40
+"""
+)
+
+
+def q224_unimax_mix(spark, sf_dir):
+    """UniMax budget allocation (operators/sampling.unimax_allocation —
+    Chung et al. ICLR 2023): spread a one-epoch total char budget as
+    uniformly as possible across the 20 sources under a 1.02-epoch
+    per-source repetition cap, so below-average sources hit their cap
+    (get all their chars) and the rest split the remainder equally with
+    a pinned integer tie rule.  The budget is a 1-row driver-side agg
+    (plan metadata, the q206 n-count pattern); everything else is window
+    arithmetic over the 20-row plan table — the corpus is touched by
+    exactly one map-side-combined groupBy."""
+    from eget_spark.operators.sampling import unimax_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    budget = int(
+        docs.agg(F.sum(F.col("n_chars").cast("long"))).collect()[0][0]
+    )
+    return unimax_allocation(
+        docs, "source", "n_chars", budget, max_epochs_ppm=1_020_000
+    )
+
+
+_Q224_SQL = r"""
+WITH per AS (
+  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS b FROM per),
+cap AS (
+  SELECT grp, n_docs, n_tokens,
+         CAST(n_tokens * 1020000 // 1000000 AS BIGINT) AS cap_tokens
+  FROM per
+),
+rk AS (
+  SELECT cap.*,
+         CAST(row_number() OVER (ORDER BY cap_tokens, grp) AS BIGINT) AS i,
+         CAST(sum(cap_tokens) OVER (
+           ORDER BY cap_tokens, grp
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+         CAST(count(*) OVER () AS BIGINT) AS d
+  FROM cap
+),
+fl AS (
+  SELECT rk.*, (s + cap_tokens * (d - i)) <= (SELECT b FROM tot) AS capped
+  FROM rk
+),
+kk AS (
+  SELECT CAST(COALESCE(max(CASE WHEN capped THEN i END), 0) AS BIGINT) AS k,
+         CAST(COALESCE(max(CASE WHEN capped THEN s END), 0) AS BIGINT) AS sk
+  FROM fl
+),
+alloc AS (
+  SELECT grp, n_docs, n_tokens, cap_tokens,
+         CAST(CASE WHEN capped THEN cap_tokens ELSE
+           ((SELECT b FROM tot) - sk) // (d - k)
+           + CASE WHEN i - k <= ((SELECT b FROM tot) - sk) % (d - k)
+                  THEN 1 ELSE 0 END
+         END AS BIGINT) AS alloc_tokens
+  FROM fl CROSS JOIN kk
+)
+SELECT alloc.*,
+       CAST(CASE WHEN n_tokens > 0 THEN
+         (alloc_tokens // n_tokens) * 1000000
+         + (alloc_tokens % n_tokens) * 1000000 // n_tokens
+       ELSE 0 END AS BIGINT) AS epochs_ppm
+FROM alloc
+"""
+
+
+def q225_image_dims_ext(spark, sf_dir):
+    """Header-only dimension census for the BMP and WebP families
+    (functions/media.image_header_dims, q221's census extended): DIB
+    headers (BITMAPINFOHEADER int32 dims incl. the negative top-down
+    height, OS/2 BITMAPCOREHEADER uint16 dims) and all three RIFF/WebP
+    chunk layouts (lossy VP8 14-bit dims behind the 9d 01 2a sync code,
+    lossless VP8L packed width-1/height-1 behind 0x2F, extended VP8X
+    24-bit LE canvas dims) — none of which a stdlib pixel codec exists
+    for, exactly why the census reads container headers only.  Fixture
+    bytes are REAL minimal headers built per spec; dims are closed-form
+    in the index so the oracle reproduces the census independently."""
+    import struct as _struct
+
+    from eget_spark.functions.media import image_dimensions
+
+    def bmp_info(w, h, topdown):
+        hdr = b"BM" + _struct.pack("<IHHI", 54 + 4, 0, 0, 54)
+        dib = _struct.pack(
+            "<IiiHHIIiiII", 40, w, -h if topdown else h, 1, 24, 0, 4, 2835,
+            2835, 0, 0
+        )
+        return hdr + dib + b"\x00\x00\xff\x00"
+
+    def bmp_core(w, h):
+        hdr = b"BM" + _struct.pack("<IHHI", 26 + 4, 0, 0, 26)
+        return hdr + _struct.pack("<IHHHH", 12, w, h, 1, 24) + b"\x12\x34"
+
+    def webp(fourcc, body):
+        chunk = fourcc + _struct.pack("<I", len(body)) + body
+        if len(body) % 2:
+            chunk += b"\x00"
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def vp8(w, h):
+        return webp(
+            b"VP8 ",
+            b"\x30\x00\x00" + b"\x9d\x01\x2a"
+            + _struct.pack("<HH", w, h) + b"\x00" * 6,
+        )
+
+    def vp8l(w, h):
+        bits = (w - 1) | ((h - 1) << 14)
+        return webp(b"VP8L", b"\x2f" + _struct.pack("<I", bits) + b"\x00")
+
+    def vp8x(w, h):
+        return webp(
+            b"VP8X",
+            b"\x00\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"),
+        )
+
+    rows = []
+    for g in range(30):
+        w, h = 5 + g % 7, 3 + g % 5
+        kind = g % 5
+        if kind == 0:
+            payload = bmp_info(w, h, topdown=bool(g % 2))
+        elif kind == 1:
+            payload = bmp_core(w, h)
+        elif kind == 2:
+            payload = vp8(w, h)
+        elif kind == 3:
+            payload = vp8l(w, h)
+        else:
+            payload = vp8x(w, h)
+        rows.append((f"x{g}", bytearray(payload)))
+    media = spark.createDataFrame(
+        rows, "media_ref string, payload binary"
+    ).repartition(4)
+    return image_dimensions(media)
+
+
+_Q225_SQL = r"""
+WITH i AS (SELECT CAST(range AS BIGINT) AS g FROM range(30))
+SELECT 'x' || CAST(g AS VARCHAR) AS media_ref,
+       CASE WHEN g % 5 <= 1 THEN 'bmp' ELSE 'webp' END AS format,
+       CAST(5 + g % 7 AS INT) AS width,
+       CAST(3 + g % 5 AS INT) AS height
+FROM i
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -11182,6 +11386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_ef_postings": q220_ef_postings,
         "q221_image_dims": q221_image_dims,
         "q222_dsir_weights": q222_dsir_weights,
+        "q223_cocitation": q223_cocitation,
+        "q224_unimax_mix": q224_unimax_mix,
+        "q225_image_dims_ext": q225_image_dims_ext,
     }
 
 
@@ -11408,4 +11615,7 @@ def oracle_sql() -> dict[str, str]:
         "q220_ef_postings": _Q220_SQL,
         "q221_image_dims": _Q221_SQL,
         "q222_dsir_weights": _Q222_SQL,
+        "q223_cocitation": _Q223_SQL,
+        "q224_unimax_mix": _Q224_SQL,
+        "q225_image_dims_ext": _Q225_SQL,
     }

@@ -412,9 +412,16 @@ def image_header_dims(payload: bytes) -> tuple[str, int, int] | None:
     (GIF89a spec §18, little-endian at bytes 6..9), JPEG walks the
     marker stream to the first SOF frame header (ITU T.81 §B.2.2 —
     any SOF0..SOF15 except the DHT/DAC/RST aliases C4/C8/CC) and reads
-    its big-endian height/width.  Returns None for anything else (or a
-    truncated/invalid stream) — the quarantine contract shared with
-    decode_image."""
+    its big-endian height/width, BMP the DIB header (both the 12-byte
+    OS/2 BITMAPCOREHEADER with uint16 dims and the >=40-byte
+    BITMAPINFOHEADER family with int32 dims, where a NEGATIVE height
+    means top-down row order — dimension is its magnitude), and WebP
+    the first RIFF chunk (container spec: lossy ``VP8 `` keyframe
+    14-bit dims after the 9d 01 2a sync code, lossless ``VP8L``
+    14-bit-packed width-1/height-1 after the 0x2F signature, extended
+    ``VP8X`` 24-bit little-endian canvas width-1/height-1).  Returns
+    None for anything else (or a truncated/invalid stream) — the
+    quarantine contract shared with decode_image."""
     import struct
 
     from .gif import GIF_MAGICS
@@ -426,6 +433,30 @@ def image_header_dims(payload: bytes) -> tuple[str, int, int] | None:
         if payload[:6] in GIF_MAGICS:
             w, h = struct.unpack("<HH", payload[6:10])
             return ("gif", w, h)
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            dib = struct.unpack("<I", payload[14:18])[0]
+            if dib == 12:  # BITMAPCOREHEADER (OS/2 1.x): uint16 dims
+                w, h = struct.unpack("<HH", payload[18:22])
+                return ("bmp", w, h)
+            if dib >= 40:  # BITMAPINFOHEADER and later: int32 dims
+                w, h = struct.unpack("<ii", payload[18:26])
+                if w <= 0 or h == 0:
+                    return None
+                return ("bmp", w, abs(h))
+            return None
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            four = payload[12:16]
+            if four == b"VP8 " and payload[23:26] == b"\x9d\x01\x2a":
+                w, h = struct.unpack("<HH", payload[26:30])
+                return ("webp", w & 0x3FFF, h & 0x3FFF)
+            if four == b"VP8L" and payload[20:21] == b"\x2f":
+                bits = struct.unpack("<I", payload[21:25])[0]
+                return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+            if four == b"VP8X" and len(payload) >= 30:
+                w = int.from_bytes(payload[24:27], "little") + 1
+                h = int.from_bytes(payload[27:30], "little") + 1
+                return ("webp", w, h)
+            return None
         if payload[:2] == b"\xff\xd8":
             i = 2
             n = len(payload)

@@ -1351,3 +1351,88 @@ def salsa_fixed(
             F.coalesce(F.col("h"), F.lit(0)).alias("hub_fp"),
         )
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    max_degree: int = 64,
+    top_k: int = 40,
+) -> DataFrame:
+    """Co-citation and bibliographic-coupling pair counts over the link
+    graph — the two classic citation-analysis similarity signals (Small
+    JASIS 1973; Kessler American Documentation 1963) that web search
+    reuses as "related pages": two pages are co-cited when a third page
+    links to BOTH (shared in-neighbors), and bibliographically coupled
+    when they link to the SAME target (shared out-links).  Unlike
+    content similarity these survive paraphrase and translation, so a
+    crawl pipeline uses them to group mirrors-in-spirit and to seed
+    related-page suggestions; the reference's single-node crawler has no
+    graph-wide view at all (its link handling is per-page extraction,
+    services/crawler/crawler_service.py) — this is the whole-corpus
+    analytics the Spark engine adds.
+
+    Pinned semantics: the DIRECTED simple graph is the distinct
+    (src, dst) set with self-loops dropped.  ``cocitations(a, b)`` =
+    |in(a) ∩ in(b)| and ``couplings(a, b)`` = |out(a) ∩ out(b)| for
+    unordered pairs a < b; pairs where both are 0 don't exist.  Pivot
+    keys (the shared dst for co-citation, the shared src for coupling)
+    with degree > ``max_degree`` are EXCLUDED from pair generation
+    before the self-join — the standard hot-key guard, because a
+    pivot of degree d emits d*(d-1)/2 pairs and a 10^6-in-degree home
+    page would otherwise produce 5*10^11 rows through one reducer.
+    The cap is part of the operator contract (deterministic, engine-
+    independent), not a best-effort heuristic.  Output: the ``top_k``
+    pairs ordered by (cocitations DESC, couplings DESC, a, b).
+
+    Scale shape: two degree aggregates (map-side combined), two semi
+    joins to drop hot pivots, two self-equi-joins on the pivot key with
+    per-key fan-out <= max_degree^2/2, one full outer join of the two
+    bounded pair tables, and a top-k window over the pair table only.
+    No window over the corpus, no Python, no driver data rows.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    def pair_counts(pivot: str, item: str, out_name: str) -> DataFrame:
+        deg = e.groupBy(pivot).agg(F.count(F.lit(1)).alias("_d"))
+        cold = e.join(
+            deg.where(F.col("_d") <= max_degree).select(pivot),
+            pivot,
+            "left_semi",
+        )
+        x = cold.select(F.col(pivot).alias("_p"), F.col(item).alias("a"))
+        y = cold.select(F.col(pivot).alias("_p"), F.col(item).alias("b"))
+        return (
+            x.join(y, "_p")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias(out_name))
+        )
+
+    # co-citation pairs the TARGETS that share a citing page (pivot =
+    # src, hot pivot = a links-directory page with huge out-degree);
+    # coupling pairs the CITERS that share a target (pivot = dst, hot
+    # pivot = a home page with huge in-degree)
+    cocite = pair_counts("src", "dst", "cocitations")
+    couple = pair_counts("dst", "src", "couplings")
+    both = (
+        cocite.join(couple, ["a", "b"], "full_outer")
+        .select(
+            "a",
+            "b",
+            F.coalesce("cocitations", F.lit(0)).cast("long").alias(
+                "cocitations"
+            ),
+            F.coalesce("couplings", F.lit(0)).cast("long").alias("couplings"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("cocitations").desc(), F.col("couplings").desc(), "a", "b"
+    )
+    return (
+        both.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= top_k)
+    )

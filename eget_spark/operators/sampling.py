@@ -276,3 +276,97 @@ def mixture_weights(
             " + (n_tokens % 1000000) * weight_ppm div 1000000"
         ).cast("long"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    max_epochs_ppm: int = 4_000_000,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023, public paper):
+    spread a total training-token budget as UNIFORMLY as possible across
+    strata (languages/domains) subject to a per-stratum repetition cap of
+    ``max_epochs_ppm`` epochs (parts-per-million: 4_000_000 = at most 4
+    passes over a stratum) — the fairness-first alternative to
+    temperature sampling that never over-repeats a small stratum.
+
+    The paper's greedy (ascending-capacity water-filling) has a closed
+    form over the capacity prefix sums, so the whole plan is window
+    arithmetic on the |groups|-row aggregate: with capacities
+    ``cap_i = n_i * max_epochs_ppm div 1e6`` sorted ascending (ties by
+    group key), position i of D, prefix sum S_i, a stratum is CAPPED
+    (gets its full capacity) iff ``S_i + cap_i*(D-i) <= B`` — the
+    maximal such prefix k leaves ``rem = B - S_k`` to split equally
+    among the ``m = D-k`` uncapped strata: ``base = rem div m`` each,
+    with the ``rem mod m`` leftover tokens granted one apiece to the
+    first uncapped strata in the same ascending order (a pinned,
+    engine-independent tie rule; UniMax's real-valued split is this
+    integer split's limit).  If the budget exceeds total capacity,
+    every stratum is capped and ``leftover = B - S_D`` goes unspent
+    (reported via ``alloc_tokens`` summing short of the budget).
+
+    Output per stratum: ``n_docs``, ``n_tokens``, ``cap_tokens``,
+    ``alloc_tokens``, ``epochs_ppm = alloc*1e6 div n_tokens`` — all
+    int64 floor arithmetic, bit-exact across engines and partitionings.
+
+    Scale shape: ONE map-side-combined groupBy over the corpus; every
+    window after that runs over the |groups|-row plan table (dimension-
+    sized — thousands of rows at worst, one reducer by design), so the
+    single-partition windows are on the plan, never the data.  The
+    emitted plan broadcasts back into a stratified-sample keep pass.
+    """
+    B = int(budget_tokens)
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).cast("long").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "cap_tokens",
+        F.expr(f"n_tokens * {int(max_epochs_ppm)} div 1000000").cast("long"),
+    )
+    asc = Window.orderBy("cap_tokens", "grp")
+    full = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        per.withColumn("_i", F.row_number().over(asc).cast("long"))
+        .withColumn("_s", F.sum("cap_tokens").over(asc).cast("long"))
+        .withColumn("_d", F.count(F.lit(1)).over(full).cast("long"))
+    )
+    ranked = ranked.withColumn(
+        "_capped",
+        F.expr(f"_s + cap_tokens * (_d - _i) <= {B}"),
+    )
+    # k = size of the maximal capped prefix; S_k = its capacity sum.
+    # _capped is monotone (true-prefix) by the water-filling argument, so
+    # max-over-capped equals the prefix length.
+    agg = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_capped"), F.col("_i"))), F.lit(0)
+        ).cast("long").alias("_k"),
+        F.coalesce(
+            F.max(F.when(F.col("_capped"), F.col("_s"))), F.lit(0)
+        ).cast("long").alias("_sk"),
+    )
+    out = ranked.crossJoin(F.broadcast(agg)).select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        F.expr(
+            f"""CASE WHEN _capped THEN cap_tokens ELSE
+              ({B} - _sk) div (_d - _k)
+              + CASE WHEN _i - _k <= ({B} - _sk) % (_d - _k)
+                     THEN 1 ELSE 0 END
+            END"""
+        ).cast("long").alias("alloc_tokens"),
+    )
+    return out.withColumn(
+        "epochs_ppm",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN alloc_tokens * 1000000"
+            " div n_tokens ELSE 0 END"
+        ).cast("long"),
+    )

@@ -1127,3 +1127,50 @@ def test_salsa_mass_never_grows(spark):
     )
     total = res.agg(F.sum("auth_fp").alias("s")).collect()[0]["s"]
     assert total <= len(ids) * scale
+
+
+def test_cocitation_pairs_small_graph(spark):
+    from eget_spark.operators.graph import cocitation_pairs
+
+    # 1 and 2 are co-cited by 10 and 11; 1 and 3 co-cited by 10 only.
+    # 10 and 11 both link to 1 and 2 -> coupling(10,11) = 2.
+    edges = spark.createDataFrame(
+        [
+            (10, 1), (10, 2), (10, 3),
+            (11, 1), (11, 2),
+            (5, 5),            # self-loop: dropped
+            (10, 1),           # duplicate edge: collapsed
+        ],
+        "src long, dst long",
+    )
+    got = {
+        (r.a, r.b): (r.cocitations, r.couplings, r.rnk)
+        for r in cocitation_pairs(edges, max_degree=64, top_k=10).collect()
+    }
+    assert got[(1, 2)][:2] == (2, 0)
+    assert got[(1, 3)][:2] == (1, 0)
+    assert got[(2, 3)][:2] == (1, 0)
+    assert got[(10, 11)][:2] == (0, 2)
+    # ordering: (1,2) has the highest cocitation count -> rank 1
+    assert got[(1, 2)][2] == 1
+
+
+def test_cocitation_hot_pivot_excluded(spark):
+    from eget_spark.operators.graph import cocitation_pairs
+
+    # src=1 (a links directory) has out-degree 4 > cap 3: its targets
+    # are NOT co-cited through it; src=2 (out-degree 2) still pairs its
+    # two targets.  Symmetrically dst=50 has in-degree 4 > cap 3, so its
+    # citers get no coupling through it; dst=60's two citers do.
+    rows = (
+        [(1, d) for d in range(10, 14)]
+        + [(2, 20), (2, 21)]
+        + [(s, 50) for s in range(30, 34)]
+        + [(40, 60), (41, 60)]
+    )
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = cocitation_pairs(edges, max_degree=3, top_k=50).collect()
+    cocited = {(r.a, r.b) for r in out if r.cocitations > 0}
+    coupled = {(r.a, r.b) for r in out if r.couplings > 0}
+    assert cocited == {(20, 21)}
+    assert coupled == {(40, 41)}

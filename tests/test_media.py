@@ -334,3 +334,68 @@ def test_image_dimensions_census(spark):
         "gif1": ("gif", 5, 2),
         "jpg1": ("jpeg", 123, 45),
     }
+
+
+def test_image_header_dims_bmp_variants():
+    import struct
+
+    from eget_spark.functions.media import image_header_dims
+
+    def bmp_info(w, h):
+        hdr = b"BM" + struct.pack("<IHHI", 58, 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, 4, 2835, 2835, 0, 0
+        )
+        return hdr + dib + b"\x00\x00\xff\x00"
+
+    assert image_header_dims(bmp_info(5, 3)) == ("bmp", 5, 3)
+    # negative height = top-down row order; dimension is the magnitude
+    assert image_header_dims(bmp_info(7, -4)) == ("bmp", 7, 4)
+    # OS/2 BITMAPCOREHEADER: 12-byte DIB, uint16 dims
+    core = (
+        b"BM" + struct.pack("<IHHI", 30, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 6, 2, 1, 24) + b"\x12\x34"
+    )
+    assert image_header_dims(core) == ("bmp", 6, 2)
+    assert image_header_dims(b"BMshort") is None
+    assert image_header_dims(bmp_info(0, 3)) is None  # degenerate width
+
+
+def test_image_header_dims_webp_variants():
+    import struct
+
+    from eget_spark.functions.media import image_header_dims
+
+    def webp(fourcc, body):
+        chunk = fourcc + struct.pack("<I", len(body)) + body
+        if len(body) % 2:
+            chunk += b"\x00"
+        return (
+            b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        )
+
+    lossy = webp(
+        b"VP8 ",
+        b"\x30\x00\x00\x9d\x01\x2a" + struct.pack("<HH", 9, 7) + b"\x00" * 6,
+    )
+    assert image_header_dims(lossy) == ("webp", 9, 7)
+    # 14-bit dims: the top 2 bits of each uint16 are scale hints, masked
+    lossy_scaled = webp(
+        b"VP8 ",
+        b"\x30\x00\x00\x9d\x01\x2a"
+        + struct.pack("<HH", 9 | 0x4000, 7 | 0x8000) + b"\x00" * 6,
+    )
+    assert image_header_dims(lossy_scaled) == ("webp", 9, 7)
+    bits = (11 - 1) | ((6 - 1) << 14)
+    lossless = webp(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00")
+    assert image_header_dims(lossless) == ("webp", 11, 6)
+    ext = webp(
+        b"VP8X",
+        b"\x00\x00\x00\x00"
+        + (12 - 1).to_bytes(3, "little") + (8 - 1).to_bytes(3, "little"),
+    )
+    assert image_header_dims(ext) == ("webp", 12, 8)
+    # bad sync code / bad signature byte -> quarantined
+    bad = webp(b"VP8 ", b"\x30\x00\x00\x9d\x01\x2b" + b"\x00" * 10)
+    assert image_header_dims(bad) is None
+    assert image_header_dims(b"RIFF\x04\x00\x00\x00WAVE") is None

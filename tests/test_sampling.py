@@ -165,3 +165,69 @@ def test_split_by_group_null_group_single_deterministic_split(spark):
     b = int(hashlib.md5(b"q").hexdigest()[:15], 16) % 10  # NULL hashes as ""
     want = "train" if b < 8 else "val" if b < 9 else "test"
     assert got[1] == want and got[2] == want and got[3] is not None
+
+
+def _unimax_greedy(sizes: dict[str, int], budget: int, cap_ppm: int):
+    """Reference implementation: the paper's ascending greedy, exact
+    integers with the pinned remainder rule."""
+    caps = {g: n * cap_ppm // 1_000_000 for g, n in sizes.items()}
+    order = sorted(caps, key=lambda g: (caps[g], g))
+    alloc: dict[str, int] = {}
+    # find the capped prefix exactly as the closed form does
+    total = len(order)
+    s = 0
+    k = 0
+    for i, g in enumerate(order, 1):
+        if s + caps[g] + caps[g] * (total - i) <= budget:
+            s += caps[g]
+            alloc[g] = caps[g]
+            k = i
+        else:
+            break
+    rest = order[k:]
+    if rest:
+        rem = budget - s
+        base, extra = divmod(rem, len(rest))
+        for j, g in enumerate(rest):
+            alloc[g] = base + (1 if j < extra else 0)
+    return alloc
+
+
+def test_unimax_matches_greedy_and_budget(spark):
+    from eget_spark.operators.sampling import unimax_allocation
+
+    sizes = {"a": 100, "b": 250, "c": 900, "d": 900, "e": 40}
+    rows = [
+        (f"{g}{i}", g, n // 10) for g, n in sizes.items() for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id string, grp string, toks long")
+    budget = 1200
+    out = {
+        r.grp: r
+        for r in unimax_allocation(
+            df, "grp", "toks", budget, max_epochs_ppm=1_500_000
+        ).collect()
+    }
+    want = _unimax_greedy(sizes, budget, 1_500_000)
+    assert {g: r.alloc_tokens for g, r in out.items()} == want
+    # budget fully spent (total capacity exceeds the budget here)
+    assert sum(r.alloc_tokens for r in out.values()) == budget
+    # nobody exceeds their cap
+    assert all(r.alloc_tokens <= r.cap_tokens for r in out.values())
+    # epochs_ppm is the exact floor of alloc*1e6/n_tokens
+    for r in out.values():
+        assert r.epochs_ppm == r.alloc_tokens * 1_000_000 // r.n_tokens
+
+
+def test_unimax_budget_exceeds_capacity(spark):
+    from eget_spark.operators.sampling import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("x1", "x", 50), ("y1", "y", 70)], "id string, grp string, toks long"
+    )
+    out = unimax_allocation(
+        df, "grp", "toks", budget_tokens=10_000, max_epochs_ppm=2_000_000
+    ).collect()
+    got = {r.grp: r.alloc_tokens for r in out}
+    # everyone capped at 2 epochs; the surplus budget goes unspent
+    assert got == {"x": 100, "y": 140}
