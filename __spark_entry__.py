@@ -11157,6 +11157,93 @@ FROM i
 """
 
 
+
+def q226_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring (operators/lm_score.
+    kneser_ney_doc_scores — Kneser & Ney 1995 / Chen & Goodman 1998,
+    the smoothing KenLM ships and CCNet's perplexity filter runs): LM
+    trained on the doc_id%5!=0 corpus slice, the held-out doc_id%5==0
+    slice scored — so the unseen-bigram, unseen-context, and unseen-
+    continuation floors are all genuinely exercised, not dead branches.
+    Per-bigram ln quantized to int64 micro-units BEFORE any cross-row
+    sum (exact integer doc sums, summation order irrelevant); completes
+    the smoothing ladder next to q66 add-one, q75 stupid backoff, q216
+    Dirichlet, and q217 Good-Turing."""
+    from eget_spark.operators.lm_score import kneser_ney_doc_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    return kneser_ney_doc_scores(held, train).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+_Q226_SQL = r"""
+WITH docs_l AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+tr_pos AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+  FROM docs_l WHERE doc_id % 5 <> 0
+),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM (SELECT a.w AS w1, b.w AS w2
+        FROM tr_pos a JOIN tr_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+  GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1fwd
+  FROM bi GROUP BY w1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w FROM bi GROUP BY w2),
+scal AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM bi),
+held_pos AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+  FROM docs_l WHERE doc_id % 5 = 0
+),
+doc_bi AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM held_pos a JOIN held_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+  GROUP BY doc_id, w1, w2
+),
+lp AS (
+  SELECT d.doc_id, d.k,
+         CAST(round(ln(
+           CASE WHEN x.c1 IS NOT NULL THEN
+             greatest(coalesce(b.c12, 0) - 0.75, 0.0) / x.c1
+             + 0.75 * x.n1fwd / x.c1
+               * (greatest(2 * coalesce(n.n1w, 0), 1) / (2.0 * s.btypes))
+           ELSE greatest(2 * coalesce(n.n1w, 0), 1) / (2.0 * s.btypes)
+           END) * 1e6, 0) AS BIGINT) AS lp_micro
+  FROM doc_bi d
+  LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+  LEFT JOIN ctx x ON x.w1 = d.w1
+  LEFT JOIN cont n ON n.w2 = d.w2
+  CROSS JOIN scal s
+),
+scored AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         CAST(sum(k * lp_micro) AS BIGINT) AS kn_sum_micro
+  FROM lp GROUP BY doc_id
+)
+SELECT h.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.kn_sum_micro, 0) AS BIGINT) AS kn_sum_micro,
+       round(s.kn_sum_micro / 1e6 / s.n_bigrams, 6) AS kn_mean
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) h
+LEFT JOIN scored s ON s.doc_id = h.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -11389,6 +11476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_cocitation": q223_cocitation,
         "q224_unimax_mix": q224_unimax_mix,
         "q225_image_dims_ext": q225_image_dims_ext,
+        "q226_kneser_ney": q226_kneser_ney,
     }
 
 
@@ -11618,4 +11706,5 @@ def oracle_sql() -> dict[str, str]:
         "q223_cocitation": _Q223_SQL,
         "q224_unimax_mix": _Q224_SQL,
         "q225_image_dims_ext": _Q225_SQL,
+        "q226_kneser_ney": _Q226_SQL,
     }

@@ -232,3 +232,100 @@ def bigram_doc_scores(
             "lm2_score",
         )
     )
+
+
+def kneser_ney_doc_scores(
+    df: DataFrame,
+    train_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount_ppm: int = 750_000,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney ICASSP 1995;
+    Chen & Goodman 1998 — THE standard n-gram smoothing, the one KenLM
+    ships by default and CCNet's perplexity filter actually runs):
+
+        P_KN(w|v) = max(c(vw) - D, 0) / c(v.)
+                    + D * N1+(v.) / c(v.) * Pcont(w)
+        Pcont(w)  = N1+(.w) / N1+(..)
+
+    with absolute discount ``D = discount_ppm/1e6`` (0.75 pinned — Chen
+    & Goodman's fixed-discount variant; estimating D from n1/n2 is a
+    one-line change that would unpin the oracle).  ``c(v.)`` is the
+    bigram-context total, ``N1+`` are continuation type counts — the
+    insight that "Francisco" follows only "San" however frequent it is.
+    Pinned backoff floors so every probability is positive and the SQL
+    oracle reproduces them exactly: an UNSEEN context v scores
+    ``Pcont(w)`` alone, and a w never seen as a continuation takes the
+    half-type floor ``Pcont = 1/(2 * N1+(..))`` — both expressed as
+    ``greatest(2*N1+(.w), 1) / (2*N1+(..))``.
+
+    Determinism contract: per-bigram ``lp_micro = round(ln(P)*1e6)`` is
+    quantized to int64 BEFORE any cross-row aggregation, so doc sums are
+    exact integer sums (engine/partition summation order cannot perturb
+    them — the q191 micro-unit recipe, one step stricter than q75's
+    float mean).  ``kn_mean`` is one final float division of two exact
+    integers, rounded to 6.
+
+    Scale shape (100 TB): identical to :func:`bigram_doc_scores` — two
+    map-side-combined count aggregates over the training corpus (hot
+    bigrams collapse per task), per-doc distinct-bigram reduction, three
+    replication-free hash joins on unique keys (AQE splits residual hot
+    tokens), the N1+(..) scalar on a 1-row broadcast.  No collect, no
+    Python, no window.
+
+    Returns (id, n_bigrams, kn_sum_micro, kn_mean); docs with < 2 tokens
+    get (0, 0, NULL).
+    """
+    D = discount_ppm / 1e6
+    bi = (
+        _bigram_rows(train_df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.sum("k").cast("long").alias("c12"))
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1fwd"),
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1w"))
+    scal = bi.agg(F.count(F.lit(1)).cast("long").alias("btypes"))
+    doc_bi = _bigram_rows(df, id_col, text_col)
+    pc = F.greatest(2 * F.coalesce(F.col("n1w"), F.lit(0)), F.lit(1)) / (
+        2.0 * F.col("btypes")
+    )
+    p = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - F.lit(D), F.lit(0.0))
+        / F.col("c1")
+        + F.lit(D) * F.col("n1fwd") / F.col("c1") * pc,
+    ).otherwise(pc)
+    scored = (
+        doc_bi.join(bi, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("lp_micro", F.round(F.log(p) * 1e6, 0).cast("long"))
+        .groupBy("id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("lp_micro")).cast("long").alias(
+                "kn_sum_micro"
+            ),
+        )
+        .withColumn(
+            "kn_mean",
+            F.round(F.col("kn_sum_micro") / 1e6 / F.col("n_bigrams"), 6),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("kn_sum_micro", F.lit(0)).cast("long").alias(
+                "kn_sum_micro"
+            ),
+            "kn_mean",
+        )
+    )

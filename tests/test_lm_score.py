@@ -157,3 +157,108 @@ def test_bigram_seen_scores_above_backoff(spark):
     }
     # in-domain doc outscores the fully-OOV doc
     assert scores[0] > scores[2]
+
+
+def test_kneser_ney_matches_python_oracle(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from eget_spark.operators.lm_score import kneser_ney_doc_scores
+
+    train_texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the rug",
+        3: "a cat and a dog",
+    }
+    held_texts = {
+        10: "the cat sat",          # all bigrams seen
+        11: "the zebra ran",        # unseen continuation + unseen context
+        12: "cat",                  # < 2 tokens
+    }
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    bi = Counter()
+    for t in train_texts.values():
+        ws = toks(t)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+    c1 = Counter()
+    n1fwd = Counter()
+    n1w = Counter()
+    for (a, b), c in bi.items():
+        c1[a] += c
+        n1fwd[a] += 1
+        n1w[b] += 1
+    btypes = len(bi)
+    D = 0.75
+
+    def pkn(v, w):
+        pc = max(2 * n1w.get(w, 0), 1) / (2.0 * btypes)
+        if v in c1:
+            return (
+                max(bi.get((v, w), 0) - D, 0.0) / c1[v]
+                + D * n1fwd[v] / c1[v] * pc
+            )
+        return pc
+
+    def score(t):
+        ws = toks(t)
+        if len(ws) < 2:
+            return 0, 0, None
+        total = 0
+        for a, b in zip(ws, ws[1:]):
+            total += round(math.log(pkn(a, b)) * 1e6)
+        n = len(ws) - 1
+        return n, total, round(total / 1e6 / n, 6)
+
+    train = spark.createDataFrame(
+        list(train_texts.items()), "doc_id long, text string"
+    )
+    held = spark.createDataFrame(
+        list(held_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_bigrams, r.kn_sum_micro, r.kn_mean)
+        for r in kneser_ney_doc_scores(held, train).collect()
+    }
+    for did, text in held_texts.items():
+        assert got[did] == score(text), f"doc {did}"
+    # seen bigrams must outrank the unseen-token doc
+    assert got[10][2] > got[11][2]
+
+
+def test_kneser_ney_probabilities_sum_to_one(spark):
+    """For a seen context v, sum over the TRAINING VOCABULARY of
+    P_KN(w|v) is 1 when every w has n1w >= 1 (the floor only triggers
+    off-vocabulary): the discount mass exactly funds the continuation
+    interpolation."""
+    import re
+    from collections import Counter
+
+    train_texts = ["b a b c a b", "c b a a c"]
+    bi = Counter()
+    for t in train_texts:
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+    c1 = Counter()
+    n1fwd = Counter()
+    n1w = Counter()
+    for (a, b), c in bi.items():
+        c1[a] += c
+        n1fwd[a] += 1
+        n1w[b] += 1
+    btypes = len(bi)
+    D = 0.75
+    vocab = sorted({w for pair in bi for w in pair})
+    assert all(n1w.get(w, 0) >= 1 for w in vocab)
+    for v in c1:
+        s = sum(
+            max(bi.get((v, w), 0) - D, 0.0) / c1[v]
+            + D * n1fwd[v] / c1[v] * (n1w[w] / btypes)
+            for w in vocab
+        )
+        assert abs(s - 1.0) < 1e-9
