@@ -11244,6 +11244,147 @@ LEFT JOIN scored s ON s.doc_id = h.doc_id
 """
 
 
+
+
+def q227_rm3_expansion(spark, sf_dir):
+    """RM3 pseudo-relevance-feedback query model (operators/search.
+    rm3_expansion — Lavrenko & Croft SIGIR 2001 relevance models;
+    Abdul-Jaleel et al. TREC 2004 RM3 interpolation, the default
+    feedback model in Anserini/Galago): same query as q74/q216 so the
+    retrieval family stays comparable; 10 feedback docs picked by the
+    bit-exact Dirichlet product P(Q|D), RM1 mass in exact integers
+    ((w_fp*tf) div dl summed), lambda=0.5 ppm interpolation.  One row
+    per model term: (tok, rm1_fp, weight_fp, is_original)."""
+    from eget_spark.operators.search import rm3_expansion
+
+    docs = _t(spark, sf_dir, "documents")
+    return rm3_expansion(
+        docs, "doc_id", "text", ["spark", "window", "merge"]
+    )
+
+
+_RM3_HEAD_SQL = r"""
+WITH d AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+dl AS (SELECT id, CAST(length(l) AS BIGINT) AS dl FROM d),
+toks AS (
+  SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT id, unnest(l) AS tok FROM d) GROUP BY id, tok
+),
+ctf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf FROM toks GROUP BY tok),
+sumdl AS (SELECT CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+cstat AS (
+  SELECT
+    (SELECT coalesce(max(ctf), 0) FROM ctf WHERE tok = 'spark')  AS ctf0,
+    (SELECT coalesce(max(ctf), 0) FROM ctf WHERE tok = 'window') AS ctf1,
+    (SELECT coalesce(max(ctf), 0) FROM ctf WHERE tok = 'merge')  AS ctf2,
+    (SELECT sumdl FROM sumdl) AS sumdl
+),
+base AS (
+  SELECT dl.id, dl.dl,
+         coalesce(t0.tf, 0) AS tf0,
+         coalesce(t1.tf, 0) AS tf1,
+         coalesce(t2.tf, 0) AS tf2
+  FROM dl
+  LEFT JOIN toks t0 ON t0.id = dl.id AND t0.tok = 'spark'
+  LEFT JOIN toks t1 ON t1.id = dl.id AND t1.tok = 'window'
+  LEFT JOIN toks t2 ON t2.id = dl.id AND t2.tok = 'merge'
+),
+qlik AS (
+  SELECT id, dl,
+    (CASE WHEN ctf0 > 0
+          THEN (tf0 + 2000.0 * ctf0 / sumdl) / (dl + 2000.0) ELSE 1.0 END)
+    * (CASE WHEN ctf1 > 0
+            THEN (tf1 + 2000.0 * ctf1 / sumdl) / (dl + 2000.0) ELSE 1.0 END)
+    * (CASE WHEN ctf2 > 0
+            THEN (tf2 + 2000.0 * ctf2 / sumdl) / (dl + 2000.0) ELSE 1.0 END)
+    AS q_lik
+  FROM base CROSS JOIN cstat
+),
+fb AS (SELECT id, dl, q_lik FROM qlik ORDER BY q_lik DESC, id LIMIT 10),
+maxq AS (SELECT max(q_lik) AS maxq FROM fb),
+fbw AS (
+  SELECT id, dl, CAST(round(q_lik / maxq * 1e12, 0) AS BIGINT) AS w_fp
+  FROM fb CROSS JOIN maxq
+),
+rm1 AS (
+  SELECT tok, CAST(sum((w_fp * tf) // dl) AS BIGINT) AS rm1_fp
+  FROM toks JOIN fbw USING (id)
+  GROUP BY tok
+),
+expn AS (
+  SELECT tok, rm1_fp FROM rm1
+  WHERE tok NOT IN ('spark', 'window', 'merge') AND rm1_fp > 0
+  ORDER BY rm1_fp DESC, tok LIMIT 10
+),
+s AS (SELECT CAST(sum(rm1_fp) AS BIGINT) AS s FROM expn),
+expw AS (
+  SELECT tok, rm1_fp, CAST((500000 * rm1_fp) // s AS BIGINT) AS weight_fp
+  FROM expn CROSS JOIN s
+),
+qw AS (
+  SELECT unnest(['spark', 'window', 'merge']) AS tok,
+         CAST(0 AS BIGINT) AS rm1_fp, CAST(166666 AS BIGINT) AS weight_fp
+),
+w AS (
+  SELECT u.tok, u.rm1_fp, u.weight_fp,
+         ctf.ctf * 1.0 / sumdl.sumdl AS pc
+  FROM (SELECT * FROM qw UNION ALL SELECT * FROM expw) u
+  LEFT JOIN ctf USING (tok) CROSS JOIN sumdl
+  WHERE coalesce(ctf.ctf, 0) > 0
+)
+"""
+
+_Q227_SQL = _RM3_HEAD_SQL + r"""
+SELECT tok, rm1_fp, weight_fp,
+       tok IN ('spark', 'window', 'merge') AS is_original
+FROM w
+"""
+
+
+def q228_rm3_topk(spark, sf_dir):
+    """Top-20 documents under the RM3-expanded query (operators/search.
+    rm3_topk): KL scoring of the interpolated query model against each
+    document's Dirichlet LM, in exact micro-nat*ppm integers via the
+    sparse-gain decomposition (ln P = ln(tf+mu*pc) - ln(dl+mu), absent
+    terms ride the per-query constant); (doc_id, score_fp, rnk)."""
+    from eget_spark.operators.search import rm3_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return rm3_topk(docs, "doc_id", "text", ["spark", "window", "merge"])
+
+
+_Q228_SQL = _RM3_HEAD_SQL + r""",
+consts AS (
+  SELECT CAST(sum(CAST(round(weight_fp * ln(2000.0 * pc), 0) AS BIGINT))
+              AS BIGINT) AS c_fp,
+         CAST(sum(weight_fp) AS BIGINT) AS w_tot
+  FROM w
+),
+gains AS (
+  SELECT id,
+         CAST(sum(CAST(round(weight_fp
+             * ln((tf + 2000.0 * pc) / (2000.0 * pc)), 0) AS BIGINT))
+             AS BIGINT) AS gain_fp
+  FROM toks JOIN w USING (tok) GROUP BY id
+),
+scored AS (
+  SELECT dl.id AS doc_id,
+         CAST(coalesce(g.gain_fp, 0) + c.c_fp
+              - CAST(round(c.w_tot * ln(dl.dl + 2000.0), 0) AS BIGINT)
+              AS BIGINT) AS score_fp
+  FROM dl LEFT JOIN gains g USING (id) CROSS JOIN consts c
+)
+SELECT doc_id, score_fp,
+       CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS INT) AS rnk
+FROM scored ORDER BY score_fp DESC, doc_id LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -11477,6 +11618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_unimax_mix": q224_unimax_mix,
         "q225_image_dims_ext": q225_image_dims_ext,
         "q226_kneser_ney": q226_kneser_ney,
+        "q227_rm3_expansion": q227_rm3_expansion,
+        "q228_rm3_topk": q228_rm3_topk,
     }
 
 
@@ -11707,4 +11850,6 @@ def oracle_sql() -> dict[str, str]:
         "q224_unimax_mix": _Q224_SQL,
         "q225_image_dims_ext": _Q225_SQL,
         "q226_kneser_ney": _Q226_SQL,
+        "q227_rm3_expansion": _Q227_SQL,
+        "q228_rm3_topk": _Q228_SQL,
     }

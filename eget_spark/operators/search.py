@@ -606,3 +606,255 @@ def ef_posting_layout(
         )
         .withColumn("ef_wins", F.col("ef_bits") < F.col("vbyte_bits"))
     )
+
+
+def _rm3_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: float,
+    fb_docs: int,
+    fb_terms: int,
+    lambda_ppm: int,
+):
+    """Shared RM3 pipeline head (Lavrenko & Croft, SIGIR 2001 relevance
+    models; the RM3 query/model interpolation of Abdul-Jaleel et al.,
+    TREC 2004 — the standard public pseudo-relevance-feedback recipe,
+    the default feedback model in Anserini/Galago).  Returns
+    ``(weights, consts, toks, dl)`` where ``weights`` is the tiny
+    (tok, weight_fp, pc) query-model table, ``consts`` the 1-row
+    (c_fp, w_tot) scoring constants, and toks/dl the corpus side tables
+    reused by :func:`rm3_topk`.
+
+    Every cross-engine-fragile float reduction is pinned to integers
+    (the kneser_ney micro-unit recipe):
+
+    1. *Initial retrieval*: P(Q|D) is the PRODUCT of Dirichlet-smoothed
+       term probabilities in fixed query order — multiplication and
+       division are IEEE exactly-rounded, so q_lik is bit-identical
+       across engines (no ln/exp).  Query terms with collection
+       frequency 0 contribute factor 1 (pinned; q216's drop rule in
+       product space).  Top ``fb_docs`` by (q_lik DESC, id).
+    2. *Relevance model RM1*: per feedback doc, w_fp = round(q_lik /
+       max_qlik * 1e12) — ratio-to-max normalization keeps int64 safe
+       and drops nothing that matters; per term, contribution
+       ``(w_fp * tf) div dl`` (integer floor division = exact), summed
+       exactly.  Top ``fb_terms`` expansion terms by (rm1_fp DESC, tok),
+       original query terms excluded, rm1_fp > 0 required.
+    3. *RM3 interpolation* in ppm integers: query terms get
+       ``lambda_ppm div |Q|`` each; expansion term w gets
+       ``((1e6 - lambda_ppm) * rm1_fp_w) div S`` with S the exact
+       integer sum over the selected terms.  (int64-safe for
+       lambda_ppm >= 1e5: rm1_fp < 1e13 by construction.)
+    4. *Scoring decomposition*: ln P_mu(w|D) = ln(tf + mu*pc_w)
+       - ln(dl + mu), so score(D) in micro-nat*ppm units is
+       ``sum_{w in D} round(weight_fp * ln((tf+mu*pc)/(mu*pc)))
+       + C_fp - round(W_tot * ln(dl+mu))`` with C_fp =
+       sum_w round(weight_fp * ln(mu*pc_w)) and W_tot = sum_w weight_fp
+       — the sparse-gain trick: only (doc, present-term) pairs join,
+       absent terms ride the per-query constant.
+
+    Scale shape (100 TB): corpus stats are two map-side-combined
+    rollups (toks, ctf) + a 1-row sumdl broadcast; initial retrieval is
+    the zero-shuffle array-filter projection + TakeOrdered(fb_docs);
+    the feedback set (10 rows) and the weight table (<= |Q|+fb_terms
+    rows) are broadcast everywhere they join; final scoring is one
+    broadcast semi-join of toks against ~13 terms, one groupBy(id)
+    integer sum, TakeOrdered(k).  No collect, no Python, no window
+    until the k selected rows.
+    """
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    nq = len(terms)
+    if nq == 0:
+        raise ValueError("empty query")
+    if lambda_ppm < 100_000 or lambda_ppm > 1_000_000:
+        raise ValueError("lambda_ppm pinned to [1e5, 1e6] for int64 safety")
+    arr = _tok_arr(text_col).alias("_l")
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    base = df.select(F.col(id_col).alias("id"), arr).select(
+        "id",
+        F.size("_l").cast("long").alias("dl"),
+        *[
+            F.size(F.filter("_l", _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.sum("dl").cast("long").alias("_sumdl"),
+        *[
+            F.sum(F.col(f"_tf{i}")).cast("long").alias(f"_ctf{i}")
+            for i in range(nq)
+        ],
+    )
+    factors = []
+    for i in range(nq):
+        tf, ctf = F.col(f"_tf{i}"), F.col(f"_ctf{i}")
+        factors.append(
+            F.when(
+                ctf > 0,
+                (tf + mu * ctf / F.col("_sumdl")) / (F.col("dl") + mu),
+            ).otherwise(F.lit(1.0))
+        )
+    q_lik = factors[0]
+    for fct in factors[1:]:
+        q_lik = q_lik * fct
+    fb = (
+        base.crossJoin(F.broadcast(stats))
+        .select("id", "dl", q_lik.alias("q_lik"))
+        .orderBy(F.col("q_lik").desc(), F.col("id"))
+        .limit(fb_docs)
+    )
+    maxq = fb.agg(F.max("q_lik").alias("_maxq"))
+    fb_w = fb.crossJoin(F.broadcast(maxq)).select(
+        "id",
+        "dl",
+        F.round(F.col("q_lik") / F.col("_maxq") * 1e12, 0)
+        .cast("long")
+        .alias("w_fp"),
+    )
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(_tok_arr(text_col)).alias("tok")
+        )
+        .groupBy("id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dl = df.select(
+        F.col(id_col).alias("id"), F.size(_tok_arr(text_col)).cast("long").alias("dl")
+    )
+    ctf = toks.groupBy("tok").agg(F.sum("tf").cast("long").alias("ctf"))
+    sumdl = dl.agg(F.sum("dl").cast("long").alias("_sumdl"))
+
+    rm1 = (
+        toks.join(F.broadcast(fb_w), "id")
+        .select("tok", F.expr("(w_fp * tf) div dl").alias("c_fp"))
+        .groupBy("tok")
+        .agg(F.sum("c_fp").cast("long").alias("rm1_fp"))
+        .where(~F.col("tok").isin(terms) & (F.col("rm1_fp") > 0))
+        .orderBy(F.col("rm1_fp").desc(), F.col("tok"))
+        .limit(fb_terms)
+    )
+    s_tot = rm1.agg(F.sum("rm1_fp").cast("long").alias("_s"))
+    exp_w = rm1.crossJoin(F.broadcast(s_tot)).select(
+        "tok",
+        "rm1_fp",
+        F.expr(f"(({1_000_000 - lambda_ppm}) * rm1_fp) div _s")
+        .cast("long")
+        .alias("weight_fp"),
+    )
+    spark = df.sparkSession
+    q_w = spark.createDataFrame(
+        [(t, 0, lambda_ppm // nq) for t in terms],
+        "tok string, rm1_fp long, weight_fp long",
+    )
+    weights = (
+        q_w.unionByName(exp_w)
+        .join(ctf, "tok", "left")
+        .crossJoin(F.broadcast(sumdl))
+        .where(F.coalesce(F.col("ctf"), F.lit(0)) > 0)
+        .select(
+            "tok",
+            "rm1_fp",
+            "weight_fp",
+            (F.col("ctf") / F.col("_sumdl")).alias("pc"),
+        )
+    )
+    consts = weights.agg(
+        F.sum(
+            F.round(F.col("weight_fp") * F.log(mu * F.col("pc")), 0).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("c_fp"),
+        F.sum("weight_fp").cast("long").alias("w_tot"),
+    )
+    return weights, consts, toks, dl
+
+
+def rm3_expansion(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    lambda_ppm: int = 500_000,
+) -> DataFrame:
+    """The RM3 query model itself: one row per model term —
+    (tok, rm1_fp, weight_fp, is_original) — original query terms with
+    rm1_fp = 0 and weight lambda_ppm div |Q|, expansion terms with their
+    exact-integer relevance-model mass and interpolated ppm weight.
+    Terms absent from the collection are dropped (q216's pinned rule).
+    See :func:`_rm3_model` for the full pinned contract."""
+    weights, _, _, _ = _rm3_model(
+        df, id_col, text_col, query_terms, mu, fb_docs, fb_terms, lambda_ppm
+    )
+    qset = [t.lower() for t in query_terms]
+    return weights.select(
+        "tok",
+        "rm1_fp",
+        "weight_fp",
+        F.col("tok").isin(qset).alias("is_original"),
+    )
+
+
+def rm3_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    lambda_ppm: int = 500_000,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents under the RM3-expanded query: KL/query-likelihood
+    scoring of the interpolated model against each document's Dirichlet-
+    smoothed LM, in exact micro-nat*ppm integers (score_fp).  Returns
+    (id_col, score_fp, rnk), ties by id.  See :func:`_rm3_model`."""
+    weights, consts, toks, dl = _rm3_model(
+        df, id_col, text_col, query_terms, mu, fb_docs, fb_terms, lambda_ppm
+    )
+    gains = (
+        toks.join(F.broadcast(weights), "tok")
+        .select(
+            "id",
+            F.round(
+                F.col("weight_fp")
+                * F.log(
+                    (F.col("tf") + mu * F.col("pc")) / (mu * F.col("pc"))
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("g_fp"),
+        )
+        .groupBy("id")
+        .agg(F.sum("g_fp").cast("long").alias("gain_fp"))
+    )
+    scored = (
+        dl.join(gains, "id", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col("id").alias(id_col),
+            (
+                F.coalesce(F.col("gain_fp"), F.lit(0))
+                + F.col("c_fp")
+                - F.round(
+                    F.col("w_tot") * F.log(F.col("dl") + mu), 0
+                ).cast("long")
+            ).cast("long").alias("score_fp"),
+        )
+        .orderBy(F.col("score_fp").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score_fp").desc(), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int"))

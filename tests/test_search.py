@@ -443,3 +443,151 @@ def test_ef_power_of_two_boundary_exact(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     r = ef_posting_layout(df, "doc_id", "text").collect()[0]
     assert r["tok"] == "t" and r["ef_bits"] == 20
+
+
+def _py_rm3(texts, terms, mu=2000.0, fb_docs=10, fb_terms=10,
+            lam_ppm=500_000, k=20):
+    """Pure-Python replay of the pinned RM3 contract (see
+    operators/search._rm3_model): returns (model_terms, topk)."""
+    toks = [_tok(t) for t in texts]
+    total = sum(len(d) for d in toks)
+    vocab_ctf = {}
+    for d in toks:
+        for t in d:
+            vocab_ctf[t] = vocab_ctf.get(t, 0) + 1
+    ctf = {t: vocab_ctf.get(t, 0) for t in terms}
+    # 1) initial retrieval: Dirichlet product, ctf==0 -> factor 1
+    qlik = {}
+    for i, d in enumerate(toks):
+        p = 1.0
+        for t in terms:
+            if ctf[t] > 0:
+                p = p * ((d.count(t) + mu * ctf[t] / total) / (len(d) + mu))
+        qlik[i] = p
+    fb = sorted(qlik.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_docs]
+    maxq = max(v for _, v in fb)
+    # 2) RM1 in exact integers
+    rm1 = {}
+    for i, q in fb:
+        w_fp = round(q / maxq * 1e12)
+        d = toks[i]
+        if not d:
+            continue
+        seen = {}
+        for t in d:
+            seen[t] = seen.get(t, 0) + 1
+        for t, tf in seen.items():
+            rm1[t] = rm1.get(t, 0) + (w_fp * tf) // len(d)
+    expn = sorted(
+        ((t, v) for t, v in rm1.items() if t not in terms and v > 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:fb_terms]
+    s = sum(v for _, v in expn)
+    # 3) interpolated model in ppm integers
+    model = {t: (0, lam_ppm // len(terms)) for t in terms if ctf[t] > 0}
+    for t, v in expn:
+        model[t] = (v, ((1_000_000 - lam_ppm) * v) // s)
+    # 4) sparse-gain scoring
+    c_fp = sum(
+        round(w * math.log(mu * vocab_ctf[t] / total))
+        for t, (_, w) in model.items()
+    )
+    w_tot = sum(w for _, w in model.values())
+    scores = {}
+    for i, d in enumerate(toks):
+        gain = 0
+        seen = {}
+        for t in d:
+            seen[t] = seen.get(t, 0) + 1
+        for t, (_, w) in model.items():
+            tf = seen.get(t, 0)
+            if tf > 0:
+                pc = vocab_ctf[t] / total
+                gain += round(w * math.log((tf + mu * pc) / (mu * pc)))
+        scores[i] = gain + c_fp - round(w_tot * math.log(len(d) + mu))
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return model, top
+
+
+RM3_TEXTS = TEXTS + [
+    "spark shuffle partition merge window agg",
+    "window frame rows between unbounded preceding",
+    "merge into target using source when matched",
+    "cats and dogs play in the yard",
+    "spark merge window shuffle shuffle shuffle",
+]
+
+
+def test_rm3_expansion_matches_python_oracle(spark):
+    from eget_spark.operators.search import rm3_expansion
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(RM3_TEXTS)], "doc_id long, text string"
+    )
+    terms = ["spark", "merge"]
+    model, _ = _py_rm3(RM3_TEXTS, terms, fb_docs=5, fb_terms=4)
+    got = {
+        r["tok"]: (r["rm1_fp"], r["weight_fp"], r["is_original"])
+        for r in rm3_expansion(
+            df, "doc_id", "text", terms, fb_docs=5, fb_terms=4
+        ).collect()
+    }
+    assert set(got) == set(model)
+    for t, (rm1_fp, w_fp) in model.items():
+        assert got[t] == (rm1_fp, w_fp, t in terms), t
+    # expansion terms carry positive relevance-model mass
+    assert all(v[0] > 0 for t, v in got.items() if not v[2])
+
+
+def test_rm3_topk_matches_python_oracle(spark):
+    from eget_spark.operators.search import rm3_topk
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(RM3_TEXTS)], "doc_id long, text string"
+    )
+    terms = ["spark", "merge"]
+    _, top = _py_rm3(RM3_TEXTS, terms, fb_docs=5, fb_terms=4, k=8)
+    got = [
+        (r["doc_id"], r["score_fp"], r["rnk"])
+        for r in rm3_topk(
+            df, "doc_id", "text", terms, fb_docs=5, fb_terms=4, k=8
+        ).orderBy("rnk").collect()
+    ]
+    assert got == [(i, s, r + 1) for r, (i, s) in enumerate(top)]
+
+
+def test_rm3_expansion_finds_cooccurring_terms(spark):
+    """Terms that co-occur with the query in the feedback docs (shuffle,
+    window-frame vocabulary) must enter the model; off-topic vocabulary
+    (cats/dogs) must not."""
+    from eget_spark.operators.search import rm3_expansion
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(RM3_TEXTS)], "doc_id long, text string"
+    )
+    toks = {
+        r["tok"] for r in rm3_expansion(
+            df, "doc_id", "text", ["spark", "merge"], fb_docs=5, fb_terms=6
+        ).collect()
+    }
+    assert "shuffle" in toks
+    assert "cats" not in toks and "yard" not in toks
+
+
+def test_rm3_lambda_one_recovers_pure_query_weighting(spark):
+    """lambda_ppm=1e6 puts all mass on the original query: expansion
+    terms get weight_fp == 0 and the ranking's top doc is the dominant
+    query-term doc."""
+    from eget_spark.operators.search import rm3_expansion, rm3_topk
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(RM3_TEXTS)], "doc_id long, text string"
+    )
+    model = rm3_expansion(
+        df, "doc_id", "text", ["spark"], lambda_ppm=1_000_000
+    ).collect()
+    assert all(r["weight_fp"] == 0 for r in model if not r["is_original"])
+    top = rm3_topk(
+        df, "doc_id", "text", ["spark"], lambda_ppm=1_000_000, k=1
+    ).collect()
+    assert top[0]["doc_id"] == 7  # the all-"spark" doc

@@ -2021,6 +2021,48 @@ def main() -> None:
     checks.append(("dsir: no window", _nodes(p_ds, "Window") == 0))
     checks.append(("dsir: no Python", "EvalPython" not in p_ds))
 
+    # 151. co-citation pairs (q223): self-join on the citing side is a
+    # hash equi join (never cartesian); pair counts map-side combined
+    p_cc = plan_of(entry.q223_cocitation(spark, SF))
+    checks.append(("cocitation: hash equi join, no cartesian", "Cartesian" not in p_cc and "NestedLoop" not in p_cc))
+    checks.append(("cocitation: map-side partial agg", "partial_count" in p_cc or "partial_sum" in p_cc))
+    checks.append(("cocitation: no Python", "EvalPython" not in p_cc))
+
+    # 152. UniMax budget allocation (q224): per-language rollup + scalar
+    # broadcast re-entry; no per-doc shuffle beyond the rollup, no Python
+    p_um = plan_of(entry.q224_unimax_mix(spark, SF))
+    checks.append(("unimax: map-side partial agg", "partial_count" in p_um or "partial_sum" in p_um))
+    checks.append(("unimax: no Python", "EvalPython" not in p_um))
+
+    # 153. extended image dims (q225): same single-Arrow-pass contract
+    # as q221 — BMP/WebP dispatch rides inside the one mapInPandas
+    p_d2 = plan_of(entry.q225_image_dims_ext(spark, SF))
+    checks.append(("image dims ext: Arrow pass (mapInPandas)", "MapInPandas" in p_d2 or "ArrowEvalPython" in p_d2))
+    checks.append(("image dims ext: no row-at-a-time Python", "BatchEvalPython" not in p_d2))
+
+    # 154. Kneser-Ney scoring (q226): training counts map-side combined,
+    # unique-key hash joins, scalar 1-row broadcast; no window, no Python
+    p_kn = plan_of(entry.q226_kneser_ney(spark, SF))
+    checks.append(("kneser-ney: map-side partial agg", "partial_sum" in p_kn or "partial_count" in p_kn))
+    checks.append(("kneser-ney: no window", _nodes(p_kn, "Window") == 0))
+    checks.append(("kneser-ney: no Python", "EvalPython" not in p_kn))
+
+    # 155. RM3 expansion (q227): feedback set and scalars ride broadcasts
+    # (top-10 docs, 1-row max/sum); corpus stats map-side combined; no
+    # cartesian beyond 1-row broadcast nested loops, no Python
+    p_r3 = plan_of(entry.q227_rm3_expansion(spark, SF))
+    checks.append(("rm3 expansion: broadcast joins", "BroadcastHashJoin" in p_r3))
+    checks.append(("rm3 expansion: map-side partial agg", "partial_sum" in p_r3))
+    checks.append(("rm3 expansion: no Python", "EvalPython" not in p_r3))
+
+    # 156. RM3 top-k (q228): final ranking is TakeOrdered (per-partition
+    # heap), the model table broadcasts into the sparse-gain join; the
+    # only Window ranks the k already-selected rows
+    p_r3k = plan_of(entry.q228_rm3_topk(spark, SF))
+    checks.append(("rm3 topk: TakeOrdered final", "TakeOrderedAndProject" in p_r3k))
+    checks.append(("rm3 topk: broadcast model join", "BroadcastHashJoin" in p_r3k))
+    checks.append(("rm3 topk: no Python", "EvalPython" not in p_r3k))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
