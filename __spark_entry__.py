@@ -11385,6 +11385,75 @@ FROM scored ORDER BY score_fp DESC, doc_id LIMIT 20
 """
 
 
+
+
+def q229_moore_lewis(spark, sf_dir):
+    """Moore-Lewis cross-entropy difference data selection (operators/
+    lm_score.moore_lewis_scores — Moore & Lewis ACL 2010, the standard
+    in-domain subset selector for LM training data): in-domain LM
+    trained on the English slice (lang='en'), general LM on the whole
+    pool; every pool doc scores the mean per-token log-ratio
+    lnP_in - lnP_pool in exact int64 micro-units.  English docs should
+    surface with higher ml_mean than the fr/de/es mixture — the
+    domain-matched ranking a curation pipeline thresholds."""
+    from eget_spark.operators.lm_score import moore_lewis_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return moore_lewis_scores(
+        docs, docs.where(F.col("lang") == "en")
+    ).withColumnRenamed("id", "doc_id")
+
+
+_Q229_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+doc_toks AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT doc_id, unnest(l) AS tok FROM d) GROUP BY doc_id, tok
+),
+cnt_i AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(l) AS tok FROM d WHERE lang = 'en') GROUP BY tok
+),
+cnt_o AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(l) AS tok FROM d) GROUP BY tok
+),
+si AS (SELECT CAST(sum(cnt) AS BIGINT) AS ni,
+              CAST(count(*) AS BIGINT) AS vi FROM cnt_i),
+so AS (SELECT CAST(sum(cnt) AS BIGINT) AS no_,
+              CAST(count(*) AS BIGINT) AS vo FROM cnt_o),
+lr AS (
+  SELECT t.doc_id, t.k,
+         CAST(round((
+           coalesce(ln((i.cnt + 1.0) / (si.ni + si.vi)),
+                    ln(1.0 / (si.ni + si.vi)))
+           - coalesce(ln((o.cnt + 1.0) / (so.no_ + so.vo)),
+                      ln(1.0 / (so.no_ + so.vo)))
+         ) * 1e6, 0) AS BIGINT) AS lr_micro
+  FROM doc_toks t
+  LEFT JOIN cnt_i i USING (tok)
+  LEFT JOIN cnt_o o USING (tok)
+  CROSS JOIN si CROSS JOIN so
+),
+scored AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+         CAST(sum(k * lr_micro) AS BIGINT) AS ml_sum_micro
+  FROM lr GROUP BY doc_id
+)
+SELECT dd.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.ml_sum_micro, 0) AS BIGINT) AS ml_sum_micro,
+       round(s.ml_sum_micro / 1e6 / s.n_tokens, 6) AS ml_mean
+FROM (SELECT doc_id FROM documents) dd
+LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -11620,6 +11689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_kneser_ney": q226_kneser_ney,
         "q227_rm3_expansion": q227_rm3_expansion,
         "q228_rm3_topk": q228_rm3_topk,
+        "q229_moore_lewis": q229_moore_lewis,
     }
 
 
@@ -11852,4 +11922,5 @@ def oracle_sql() -> dict[str, str]:
         "q226_kneser_ney": _Q226_SQL,
         "q227_rm3_expansion": _Q227_SQL,
         "q228_rm3_topk": _Q228_SQL,
+        "q229_moore_lewis": _Q229_SQL,
     }

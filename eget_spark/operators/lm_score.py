@@ -329,3 +329,96 @@ def kneser_ney_doc_scores(
             "kn_mean",
         )
     )
+
+
+def moore_lewis_scores(
+    df: DataFrame,
+    in_domain_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Moore-Lewis cross-entropy difference data selection (Moore &
+    Lewis, ACL 2010 "Intelligent Selection of Language Model Training
+    Data" — THE standard recipe for picking in-domain-like segments out
+    of a giant general pool; the method behind most "domain-matched
+    subset" corpora).  Each pool document scores the per-token log-ratio
+
+        lr(w) = ln P_I(w) - ln P_O(w)
+
+    between an IN-DOMAIN add-one unigram LM (trained on
+    ``in_domain_df``) and the GENERAL pool LM (trained on ``df``);
+    higher mean = reads more like the target domain relative to the
+    pool.  (Moore & Lewis write it as H_O - H_I in cross-entropy form —
+    same quantity, sign flipped so "bigger is better" here.)
+
+    Pinned contract (the kneser_ney micro-unit recipe): per distinct
+    token, ``lr_micro = round((lnP_I - lnP_O) * 1e6)`` quantizes to
+    int64 BEFORE any cross-row sum; doc totals are exact integer sums
+    (k_t-weighted), the mean one final division rounded to 6.  Tokens
+    unseen by a model take its add-one floor ``ln(1/(N+V))`` — for the
+    pool LM that floor is dead when scoring the pool itself, live when
+    scoring external text.
+
+    Scale shape (100 TB): two independent LM trainings (map-side-
+    combined token rollups), per-doc distinct-token reduction, two
+    replication-free hash joins on the unique vocab key (AQE splits
+    residual hot tokens), model scalars on 1-row broadcasts.  No
+    collect, no Python, no window.
+
+    Returns (id, n_tokens, ml_sum_micro, ml_mean); token-less docs get
+    (0, 0, NULL)."""
+    lm_i = unigram_lm(in_domain_df, id_col, text_col)
+    lm_o = unigram_lm(df, id_col, text_col)
+    doc_toks = _tok_rows(df, id_col, text_col)
+    si = lm_i.agg(
+        F.max("n_total").alias("_ni"), F.max("v_size").alias("_vi")
+    )
+    so = lm_o.agg(
+        F.max("n_total").alias("_no"), F.max("v_size").alias("_vo")
+    )
+    floor_i = F.log(1 / (F.col("_ni") + F.col("_vi")))
+    floor_o = F.log(1 / (F.col("_no") + F.col("_vo")))
+    scored = (
+        doc_toks.join(
+            lm_i.select("tok", F.col("logprob").alias("_lpi")), "tok", "left"
+        )
+        .join(
+            lm_o.select("tok", F.col("logprob").alias("_lpo")), "tok", "left"
+        )
+        .crossJoin(F.broadcast(si))
+        .crossJoin(F.broadcast(so))
+        .withColumn(
+            "lr_micro",
+            F.round(
+                (
+                    F.coalesce(F.col("_lpi"), floor_i)
+                    - F.coalesce(F.col("_lpo"), floor_o)
+                )
+                * 1e6,
+                0,
+            ).cast("long"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("lr_micro"))
+            .cast("long")
+            .alias("ml_sum_micro"),
+        )
+        .withColumn(
+            "ml_mean",
+            F.round(F.col("ml_sum_micro") / 1e6 / F.col("n_tokens"), 6),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("ml_sum_micro", F.lit(0)).cast("long").alias(
+                "ml_sum_micro"
+            ),
+            "ml_mean",
+        )
+    )

@@ -262,3 +262,72 @@ def test_kneser_ney_probabilities_sum_to_one(spark):
             for w in vocab
         )
         assert abs(s - 1.0) < 1e-9
+
+
+def test_moore_lewis_matches_python_oracle(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from eget_spark.operators.lm_score import moore_lewis_scores
+
+    pool = {
+        1: ("en", "the cat sat on the mat"),
+        2: ("en", "the dog sat on the rug"),
+        3: ("fr", "le chat et le chien"),
+        4: ("fr", "la maison est grande"),
+        5: ("en", ""),
+    }
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    c_i = Counter(w for lang, t in pool.values() if lang == "en" for w in toks(t))
+    c_o = Counter(w for _, t in pool.values() for w in toks(t))
+    ni, vi = sum(c_i.values()), len(c_i)
+    no, vo = sum(c_o.values()), len(c_o)
+
+    def lr_micro(w):
+        lpi = (
+            math.log((c_i[w] + 1.0) / (ni + vi))
+            if w in c_i
+            else math.log(1.0 / (ni + vi))
+        )
+        lpo = math.log((c_o[w] + 1.0) / (no + vo))
+        return round((lpi - lpo) * 1e6)
+
+    def score(t):
+        ws = toks(t)
+        if not ws:
+            return 0, 0, None
+        total = sum(lr_micro(w) for w in ws)
+        return len(ws), total, round(total / 1e6 / len(ws), 6)
+
+    df = spark.createDataFrame(
+        [(i, lang, t) for i, (lang, t) in pool.items()],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.id: (r.n_tokens, r.ml_sum_micro, r.ml_mean)
+        for r in moore_lewis_scores(
+            df, df.where("lang = 'en'")
+        ).collect()
+    }
+    for did, (_, text) in pool.items():
+        assert got[did] == score(text), f"doc {did}"
+    # in-domain (en) docs outrank the out-of-domain (fr) docs
+    assert min(got[1][2], got[2][2]) > max(got[3][2], got[4][2])
+
+
+def test_moore_lewis_self_domain_is_zero(spark):
+    """When the in-domain corpus IS the pool, both LMs coincide and
+    every log-ratio is exactly 0 — the cross-entropy difference of
+    identical models."""
+    from eget_spark.operators.lm_score import moore_lewis_scores
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    got = moore_lewis_scores(df, df).collect()
+    assert all(r.ml_sum_micro == 0 and r.ml_mean == 0.0 for r in got)
