@@ -11454,6 +11454,154 @@ LEFT JOIN scored s USING (doc_id)
 """
 
 
+
+
+def q230_witten_bell(spark, sf_dir):
+    """Interpolated Witten-Bell bigram LM scoring (operators/lm_score.
+    witten_bell_doc_scores — Witten & Bell 1991 method C, SRILM's
+    -wbdiscount): the distinct-continuation escape estimate T(v)
+    interpolates the bigram ML with the add-one unigram fallback.  Same
+    train/held split as q226 (doc_id%5), same int64 micro-unit
+    determinism; completes the smoothing ladder (q66 add-one, q75
+    stupid backoff, q216 Dirichlet, q217 Good-Turing, q226 KN)."""
+    from eget_spark.operators.lm_score import witten_bell_doc_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    return witten_bell_doc_scores(held, train).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+_Q230_SQL = r"""
+WITH docs_l AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+tr_pos AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+  FROM docs_l WHERE doc_id % 5 <> 0
+),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM (SELECT a.w AS w1, b.w AS w2
+        FROM tr_pos a JOIN tr_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+  GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS t_v
+  FROM bi GROUP BY w1
+),
+uni AS (
+  SELECT w AS tok, CAST(count(*) AS BIGINT) AS cw FROM tr_pos GROUP BY w
+),
+scal AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tot,
+                CAST(count(*) AS BIGINT) AS v_size FROM uni),
+held_pos AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+  FROM docs_l WHERE doc_id % 5 = 0
+),
+doc_bi AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM held_pos a JOIN held_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+  GROUP BY doc_id, w1, w2
+),
+lp AS (
+  SELECT d.doc_id, d.k,
+         CAST(round(ln(
+           CASE WHEN x.c1 IS NOT NULL THEN
+             (coalesce(b.c12, 0)
+              + x.t_v * ((coalesce(u.cw, 0) + 1.0) / (s.n_tot + s.v_size)))
+             / (x.c1 + x.t_v)
+           ELSE (coalesce(u.cw, 0) + 1.0) / (s.n_tot + s.v_size)
+           END) * 1e6, 0) AS BIGINT) AS lp_micro
+  FROM doc_bi d
+  LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+  LEFT JOIN ctx x ON x.w1 = d.w1
+  LEFT JOIN uni u ON u.tok = d.w2
+  CROSS JOIN scal s
+),
+scored AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         CAST(sum(k * lp_micro) AS BIGINT) AS wb_sum_micro
+  FROM lp GROUP BY doc_id
+)
+SELECT h.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.wb_sum_micro, 0) AS BIGINT) AS wb_sum_micro,
+       round(s.wb_sum_micro / 1e6 / s.n_bigrams, 6) AS wb_mean
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) h
+LEFT JOIN scored s ON s.doc_id = h.doc_id
+"""
+
+
+def q231_ccnet_tertiles(spark, sf_dir):
+    """CCNet per-language perplexity tertiles (operators/lm_score.
+    ccnet_tertiles — Wenzek et al. LREC 2020 §4.3): each language slice
+    trains its own add-one unigram LM, every doc scores against its own
+    language's model, and ntile(3) over (score DESC, id) labels the
+    head/middle/tail thirds — the bucketing CCNet publishes and LM
+    pretraining corpora filter on (keep head, often drop tail)."""
+    from eget_spark.operators.lm_score import ccnet_tertiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_tertiles(docs).withColumnRenamed("id", "doc_id")
+
+
+_Q231_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+toks AS (SELECT doc_id, lang, unnest(l) AS tok FROM d),
+doc_toks AS (
+  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS k
+  FROM toks GROUP BY doc_id, lang, tok
+),
+lm AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY lang, tok
+),
+scal AS (
+  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tot,
+         CAST(count(*) AS BIGINT) AS v_size
+  FROM lm GROUP BY lang
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(sum(t.k) AS BIGINT) AS n_tokens,
+         round(sum(ln((m.cnt + 1.0) / (s.n_tot + s.v_size)) * t.k)
+               / sum(t.k), 6) AS lm_score
+  FROM doc_toks t
+  JOIN lm m ON m.lang = t.lang AND m.tok = t.tok
+  JOIN scal s ON s.lang = t.lang
+  GROUP BY t.doc_id
+),
+base AS (
+  SELECT dd.doc_id, dd.lang,
+         CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens, s.lm_score
+  FROM (SELECT doc_id, lang FROM documents) dd
+  LEFT JOIN scored s USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, lm_score,
+       CAST(ntile(3) OVER (PARTITION BY lang
+            ORDER BY lm_score DESC NULLS LAST, doc_id) AS INT) AS bucket,
+       CASE ntile(3) OVER (PARTITION BY lang
+            ORDER BY lm_score DESC NULLS LAST, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS label
+FROM base
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -11690,6 +11838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_rm3_expansion": q227_rm3_expansion,
         "q228_rm3_topk": q228_rm3_topk,
         "q229_moore_lewis": q229_moore_lewis,
+        "q230_witten_bell": q230_witten_bell,
+        "q231_ccnet_tertiles": q231_ccnet_tertiles,
     }
 
 
@@ -11923,4 +12073,6 @@ def oracle_sql() -> dict[str, str]:
         "q227_rm3_expansion": _Q227_SQL,
         "q228_rm3_topk": _Q228_SQL,
         "q229_moore_lewis": _Q229_SQL,
+        "q230_witten_bell": _Q230_SQL,
+        "q231_ccnet_tertiles": _Q231_SQL,
     }

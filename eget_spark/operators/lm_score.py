@@ -422,3 +422,188 @@ def moore_lewis_scores(
             "ml_mean",
         )
     )
+
+
+def witten_bell_doc_scores(
+    df: DataFrame,
+    train_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Witten-Bell bigram scoring (Witten & Bell, IEEE
+    Trans. IT 1991, "method C" — the escape-probability smoothing PPM
+    compressors and SRILM's ``-wbdiscount`` ship):
+
+        P_WB(w|v) = (c(vw) + T(v) * P_uni(w)) / (c(v.) + T(v))
+
+    where ``T(v) = N1+(v.)`` is the number of DISTINCT continuations of
+    context v — the "how often does v precede something new" escape
+    estimate — and the unigram fallback is the add-one model
+    ``P_uni(w) = (c(w)+1)/(N+V)`` (the :func:`unigram_lm` contract, so
+    OOV words keep a positive floor).  An UNSEEN context scores
+    ``P_uni(w)`` alone.  Completes the smoothing ladder next to add-one
+    (q66), stupid backoff (q75), Dirichlet (q216), Good-Turing (q217),
+    and Kneser-Ney (q226).
+
+    Determinism contract: the kneser_ney micro-unit recipe — per-bigram
+    ``lp_micro = round(ln(P)*1e6)`` quantizes to int64 BEFORE any
+    cross-row sum; doc totals are exact integer sums, the mean one
+    final division rounded to 6.
+
+    Scale shape (100 TB): same as :func:`kneser_ney_doc_scores` — three
+    map-side-combined count aggregates over the training corpus,
+    per-doc distinct-bigram reduction, replication-free hash joins on
+    unique keys, scalars on a 1-row broadcast.  No collect, no Python,
+    no window.
+
+    Returns (id, n_bigrams, wb_sum_micro, wb_mean); docs with < 2
+    tokens get (0, 0, NULL)."""
+    bi = (
+        _bigram_rows(train_df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.sum("k").cast("long").alias("c12"))
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("t_v"),
+    )
+    uni = (
+        _tok_rows(train_df, id_col, text_col)
+        .groupBy("tok")
+        .agg(F.sum("k").cast("long").alias("cw"))
+    )
+    scal = uni.agg(
+        F.sum("cw").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("v_size"),
+    )
+    doc_bi = _bigram_rows(df, id_col, text_col)
+    p_uni = (F.coalesce(F.col("cw"), F.lit(0)) + 1.0) / (
+        F.col("n_tot") + F.col("v_size")
+    )
+    p = F.when(
+        F.col("c1").isNotNull(),
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.col("t_v") * p_uni)
+        / (F.col("c1") + F.col("t_v")),
+    ).otherwise(p_uni)
+    scored = (
+        doc_bi.join(bi, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("lp_micro", F.round(F.log(p) * 1e6, 0).cast("long"))
+        .groupBy("id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("lp_micro")).cast("long").alias(
+                "wb_sum_micro"
+            ),
+        )
+        .withColumn(
+            "wb_mean",
+            F.round(F.col("wb_sum_micro") / 1e6 / F.col("n_bigrams"), 6),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("wb_sum_micro", F.lit(0)).cast("long").alias(
+                "wb_sum_micro"
+            ),
+            "wb_mean",
+        )
+    )
+
+
+def ccnet_tertiles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's per-language perplexity bucketing (Wenzek et al., LREC
+    2020 §4.3: score each document with a language-matched LM, split
+    each language into equal head/middle/tail thirds by perplexity —
+    the head slice is what most LM pretraining corpora actually keep).
+    Per language, an add-one unigram LM is trained on that language's
+    own slice (the in-language proxy for CCNet's Wikipedia-trained
+    KenLM); each doc scores its mean token log-probability against its
+    OWN language's model and buckets by ``ntile(n_buckets)`` ordered by
+    (score DESC, id) — head = likelier text.  Token-less docs rank last
+    within their language (NULL score, pinned NULLS LAST via the id
+    tie-break ordering both engines share).
+
+    Scale shape (100 TB): the per-language LM is ONE (lang, tok)
+    map-side-combined rollup — languages never collide; scoring joins
+    per-doc distinct tokens on the composite (lang, tok) key
+    (replication-free); the ntile window partitions BY LANGUAGE — ~100
+    partitions of corpus/100 docs each, the one genuinely per-language
+    global sort this semantics requires (CCNet's tertile boundaries are
+    corpus-order statistics; no cheaper shape computes them exactly).
+
+    Returns (id, lang, n_tokens, lm_score, bucket, label) with label in
+    head/middle/tail (bucket number for n_buckets != 3)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    doc_toks = toks.groupBy("id", "lang", "tok").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    lm = toks.groupBy("lang", "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    scal = lm.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("v_size"),
+    )
+    scored = (
+        doc_toks.join(lm, ["lang", "tok"])
+        .join(scal, "lang")
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("cnt") + 1.0) / (F.col("n_tot") + F.col("v_size"))
+            ),
+        )
+        .groupBy("id", "lang")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("lp") * F.col("k")) / F.sum("k"), 6).alias(
+                "lm_score"
+            ),
+        )
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang"))
+        .join(scored.drop("lang"), "id", "left")
+        .select(
+            "id",
+            "lang",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "lm_score",
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score").desc_nulls_last(), F.col("id")
+    )
+    out = base.withColumn("bucket", F.ntile(n_buckets).over(w).cast("int"))
+    label = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+        if n_buckets == 3
+        else F.col("bucket").cast("string")
+    )
+    return out.withColumn("label", label)

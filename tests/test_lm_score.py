@@ -331,3 +331,152 @@ def test_moore_lewis_self_domain_is_zero(spark):
     )
     got = moore_lewis_scores(df, df).collect()
     assert all(r.ml_sum_micro == 0 and r.ml_mean == 0.0 for r in got)
+
+
+def test_witten_bell_matches_python_oracle(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from eget_spark.operators.lm_score import witten_bell_doc_scores
+
+    train_texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the rug",
+        3: "a cat and a dog",
+    }
+    held_texts = {
+        10: "the cat sat",       # all bigrams seen
+        11: "the zebra ran",     # unseen continuation + unseen context
+        12: "cat",               # < 2 tokens
+    }
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    bi = Counter()
+    uni = Counter()
+    for t in train_texts.values():
+        ws = toks(t)
+        uni.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+    c1 = Counter()
+    t_v = Counter()
+    for (a, b), c in bi.items():
+        c1[a] += c
+        t_v[a] += 1
+    n_tot = sum(uni.values())
+    v_size = len(uni)
+
+    def pwb(v, w):
+        pu = (uni.get(w, 0) + 1.0) / (n_tot + v_size)
+        if v in c1:
+            return (bi.get((v, w), 0) + t_v[v] * pu) / (c1[v] + t_v[v])
+        return pu
+
+    def score(t):
+        ws = toks(t)
+        if len(ws) < 2:
+            return 0, 0, None
+        total = sum(
+            round(math.log(pwb(a, b)) * 1e6) for a, b in zip(ws, ws[1:])
+        )
+        n = len(ws) - 1
+        return n, total, round(total / 1e6 / n, 6)
+
+    train = spark.createDataFrame(
+        list(train_texts.items()), "doc_id long, text string"
+    )
+    held = spark.createDataFrame(
+        list(held_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_bigrams, r.wb_sum_micro, r.wb_mean)
+        for r in witten_bell_doc_scores(held, train).collect()
+    }
+    for did, text in held_texts.items():
+        assert got[did] == score(text), f"doc {did}"
+    assert got[10][2] > got[11][2]
+
+
+def test_witten_bell_probabilities_sum_to_one(spark):
+    """For a seen context v, P_WB(w|v) summed over the event space is 1
+    when the unigram fallback itself sums to 1 over that space — WB is a
+    proper interpolation (lambda = c1/(c1+T), 1-lambda = T/(c1+T))."""
+    import re
+    from collections import Counter
+
+    train_texts = ["b a b c a b", "c b a a c"]
+    bi = Counter()
+    uni = Counter()
+    for t in train_texts:
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        uni.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+    c1 = Counter()
+    t_v = Counter()
+    for (a, b), c in bi.items():
+        c1[a] += c
+        t_v[a] += 1
+    n_tot, v_size = sum(uni.values()), len(uni)
+    # event space: vocab + one OOV symbol sharing the add-one floor mass
+    vocab = sorted(uni)
+    pu = {w: (uni[w] + 1.0) / (n_tot + v_size) for w in vocab}
+    pu_mass = sum(pu.values())  # < 1 (the rest is OOV floor mass)
+    for v in c1:
+        s = sum(
+            (bi.get((v, w), 0) + t_v[v] * pu[w]) / (c1[v] + t_v[v])
+            for w in vocab
+        )
+        # sum over vocab = (c1 + T*pu_mass)/(c1+T) -> 1 as pu_mass -> 1
+        want = (c1[v] + t_v[v] * pu_mass) / (c1[v] + t_v[v])
+        assert abs(s - want) < 1e-9
+
+
+def test_ccnet_tertiles_buckets_and_labels(spark):
+    from eget_spark.operators.lm_score import ccnet_tertiles
+
+    rows = [
+        # en: 6 docs — common words score high, rare-word docs low
+        (1, "en", "the the the cat"),
+        (2, "en", "the cat the dog"),
+        (3, "en", "the dog ran far"),
+        (4, "en", "zyx wvu tsr qpo"),
+        (5, "en", "the the the the"),
+        (6, "en", "cat dog ran the"),
+        # fr: 3 docs
+        (7, "fr", "le le chat"),
+        (8, "fr", "le chien"),
+        (9, "fr", "xyz abc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.id: (r.lang, r.bucket, r.label)
+        for r in ccnet_tertiles(df).collect()
+    }
+    assert len(got) == 9
+    # each language buckets independently: en has 2 docs per tertile,
+    # fr has 1 per tertile
+    from collections import Counter
+
+    en = Counter(b for lang, b, _ in got.values() if lang == "en")
+    fr = Counter(b for lang, b, _ in got.values() if lang == "fr")
+    assert en == {1: 2, 2: 2, 3: 2}
+    assert fr == {1: 1, 2: 1, 3: 1}
+    # the all-"the" doc is the en head; the gibberish doc is the tail
+    assert got[5] == ("en", 1, "head")
+    assert got[4][1] == 3 and got[4][2] == "tail"
+    assert got[9] == ("fr", 3, "tail")
+
+
+def test_ccnet_tertiles_empty_doc_ranks_tail(spark):
+    from eget_spark.operators.lm_score import ccnet_tertiles
+
+    df = spark.createDataFrame(
+        [(1, "en", "the cat"), (2, "en", "the dog"), (3, "en", "")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.id: (r.bucket, r.lm_score) for r in ccnet_tertiles(df).collect()}
+    assert got[3] == (3, None)
