@@ -11602,6 +11602,79 @@ FROM base
 """
 
 
+
+
+def q232_rocchio(spark, sf_dir):
+    """Rocchio pseudo-relevance feedback in embedding space (operators/
+    similarity.rocchio_rerank — Rocchio 1971 / IIR §9.1.1, the vector-
+    space twin of q227/q228's lexical RM3): same query set as q17
+    (vec_id%97==0); the query vector moves toward the exact-int64
+    centroid of its top-10 brute-force neighbors (alpha=1, beta=0.75
+    ppm-pinned, gamma=0 pseudo-feedback), then the corpus re-ranks by
+    cosine to the modified query.  (query_id, neighbor_id, cosine,
+    rank) top-10 per query, self excluded."""
+    from eget_spark.operators.similarity import rocchio_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    out = rocchio_rerank(emb, queries, "vec_id", "embedding", fb_k=10, k=10)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cosine",
+        F.col("rank").cast("int"),
+    )
+
+
+_Q232_SQL = f"""
+WITH v AS ({_VECS_SQL}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % 97 = 0),
+fb AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_cos_sql('q.qv', 'c.v')} AS cosine,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qv', 'c.v')} DESC, c.vec_id) AS rnk
+    FROM q, v c WHERE c.vec_id <> q.query_id)
+  WHERE rnk <= 10
+),
+rel_dims AS (
+  SELECT f.query_id, dim, CAST(sum(x_fp) AS BIGINT) AS srel
+  FROM fb f JOIN (
+    SELECT vec_id, generate_subscripts(v, 1) AS dim,
+           unnest(list_transform(v, x -> CAST(round(x * 1e6, 0) AS BIGINT))) AS x_fp
+    FROM v) c ON c.vec_id = f.neighbor_id
+  GROUP BY f.query_id, dim
+),
+n_rel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM fb GROUP BY query_id),
+q_dims AS (
+  SELECT query_id, generate_subscripts(qv, 1) AS dim,
+         unnest(list_transform(qv, x -> CAST(round(x * 1e6, 0) AS BIGINT))) AS vq
+  FROM q
+),
+q2 AS (
+  SELECT d.query_id,
+         list(CAST(1000000 * coalesce(n.n_rel, 1) * d.vq
+              + 750000 * coalesce(r.srel, 0) AS DOUBLE) ORDER BY d.dim) AS q2v
+  FROM q_dims d
+  LEFT JOIN rel_dims r ON r.query_id = d.query_id AND r.dim = d.dim
+  LEFT JOIN n_rel n ON n.query_id = d.query_id
+  GROUP BY d.query_id
+),
+scored AS (
+  SELECT q2.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q2.q2v', 'c.v')} AS cosine
+  FROM q2, v c WHERE c.vec_id <> q2.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -11840,6 +11913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_moore_lewis": q229_moore_lewis,
         "q230_witten_bell": q230_witten_bell,
         "q231_ccnet_tertiles": q231_ccnet_tertiles,
+        "q232_rocchio": q232_rocchio,
     }
 
 
@@ -12075,4 +12149,5 @@ def oracle_sql() -> dict[str, str]:
         "q229_moore_lewis": _Q229_SQL,
         "q230_witten_bell": _Q230_SQL,
         "q231_ccnet_tertiles": _Q231_SQL,
+        "q232_rocchio": _Q232_SQL,
     }

@@ -127,3 +127,114 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def rocchio_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fb_k: int = 10,
+    alpha_ppm: int = 1_000_000,
+    beta_ppm: int = 750_000,
+    k: int = 10,
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback in vector space (Rocchio 1971,
+    the SMART system's relevance-feedback formula; Manning et al. IIR
+    §9.1.1) — the embedding-side twin of the lexical RM3 operator
+    (operators/search.rm3_topk): the query vector moves toward the
+    centroid of its top-``fb_k`` initial neighbors,
+
+        q' = alpha * q + (beta / |Dr|) * sum_{d in Dr} d
+
+    then the corpus is re-ranked by cosine to q'.  (gamma = 0, the
+    standard pseudo-feedback setting — without real negative judgments
+    the negative centroid term is noise.)
+
+    Determinism contract: the modified query is built in EXACT int64
+    micro-units — every component quantizes to ``round(x * 1e6)``
+    BEFORE any cross-row sum, the feedback centroid stays an integer
+    SUM (the 1/|Dr| normalization is absorbed by scaling the alpha term
+    with |Dr|, which leaves the cosine direction unchanged):
+
+        q2_fp[d] = alpha_ppm * |Dr| * round(q[d]*1e6)
+                 + beta_ppm * sum_r round(r[d]*1e6)
+
+    so q' is bit-identical across engines and partitionings; only the
+    final cosine touches floats (rounded to 6, ties by neighbor id —
+    the q17 recipe).  The initial feedback ranking reuses
+    :func:`cosine_topk_bruteforce`'s round-6 + id-tie contract.
+
+    Scale shape (100 TB): the query side broadcasts twice (initial scan
+    + re-rank scan, each one pass over the corpus — the brute-force
+    baseline; route through :func:`ivf_topk` cells for the indexed
+    path); feedback vectors reduce by (query, dim) map-side-combined
+    integer sums (fb_k * dim rows per query — tiny), and q' reassembles
+    with the array_sort(collect_list(struct)) idiom before
+    broadcasting back.  No Python, no driver rows.
+
+    Returns (query_id, neighbor_id, cosine, rank) — rank 1..k per
+    query, self excluded."""
+    fb = cosine_topk_bruteforce(corpus, queries, id_col, vec_col, k=fb_k)
+    c_fp = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * 1e6, 0).cast("long"),
+        ).alias("cv_fp"),
+    )
+    rel_dims = (
+        fb.select("query_id", "neighbor_id")
+        .join(c_fp, "neighbor_id")
+        .select("query_id", F.posexplode("cv_fp").alias("dim", "x"))
+        .groupBy("query_id", "dim")
+        .agg(F.sum("x").cast("long").alias("srel"))
+    )
+    n_rel = fb.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_rel")
+    )
+    q_dims = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x * 1e6, 0).cast("long"),
+            )
+        ).alias("dim", "vq"),
+    )
+    q2 = (
+        q_dims.join(rel_dims, ["query_id", "dim"], "left")
+        .join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            "dim",
+            (
+                alpha_ppm * F.coalesce(F.col("n_rel"), F.lit(1)) * F.col("vq")
+                + beta_ppm * F.coalesce(F.col("srel"), F.lit(0))
+            ).cast("long").alias("q2"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "q2"))),
+                lambda s: s["q2"].cast("double"),
+            ).alias("q2v")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = c.join(
+        F.broadcast(q2), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q2v"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
