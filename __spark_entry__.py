@@ -11675,6 +11675,68 @@ QUALIFY rank <= 10
 """
 
 
+
+
+def q233_sdm(spark, sf_dir):
+    """Sequential Dependence Model ranking (operators/search.sdm_topk —
+    Metzler & Croft SIGIR 2005, the MRF model behind Galago/Anserini's
+    sdm operator): term + exact-ordered-phrase + unordered-window-8
+    features over the q74/q216 query, each Dirichlet-smoothed against
+    its own collection frequency, paper weights (0.85, 0.10, 0.05).
+    Proximity separates docs where "spark window" is a phrase from docs
+    that merely contain both words.  (doc_id, score, rnk) top-20."""
+    from eget_spark.operators.search import sdm_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return sdm_topk(docs, "doc_id", "text", ["spark", "window", "merge"])
+
+
+_Q233_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS dl,
+         CAST(len(list_filter(l, x -> x = 'spark')) AS BIGINT) AS tf0,
+         CAST(len(list_filter(l, x -> x = 'window')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(l, x -> x = 'merge')) AS BIGINT) AS tf2,
+         CAST(len(list_filter(generate_series(1, greatest(len(l) - 1, 1)), i -> l[i] = 'spark' AND l[i+1] = 'window')) AS BIGINT) AS o0,
+         CAST(len(list_filter(generate_series(1, greatest(len(l) - 1, 1)), i -> l[i] = 'window' AND l[i+1] = 'merge')) AS BIGINT) AS o1,
+         CAST(coalesce(list_sum(list_transform(list_filter(generate_series(1, len(l)), i -> l[i] = 'spark'), i -> len(list_filter(list_filter(generate_series(1, len(l)), x -> l[x] = 'window'), j -> j <> i AND abs(j - i) <= 7)))), 0) AS BIGINT) AS u0,
+         CAST(coalesce(list_sum(list_transform(list_filter(generate_series(1, len(l)), i -> l[i] = 'window'), i -> len(list_filter(list_filter(generate_series(1, len(l)), x -> l[x] = 'merge'), j -> j <> i AND abs(j - i) <= 7)))), 0) AS BIGINT) AS u1
+  FROM d
+),
+stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS sumdl,
+         CAST(sum(tf0) AS BIGINT) AS cf_tf0,
+         CAST(sum(tf1) AS BIGINT) AS cf_tf1,
+         CAST(sum(tf2) AS BIGINT) AS cf_tf2,
+         CAST(sum(o0) AS BIGINT) AS cf_o0,
+         CAST(sum(o1) AS BIGINT) AS cf_o1,
+         CAST(sum(u0) AS BIGINT) AS cf_u0,
+         CAST(sum(u1) AS BIGINT) AS cf_u1
+  FROM base
+),
+scored AS (
+  SELECT doc_id, round(
+      0.85 * (CASE WHEN cf_tf0 > 0 THEN ln((tf0 + 2000.0 * cf_tf0 / sumdl) / (dl + 2000.0)) ELSE 0.0 END) +
+      0.85 * (CASE WHEN cf_tf1 > 0 THEN ln((tf1 + 2000.0 * cf_tf1 / sumdl) / (dl + 2000.0)) ELSE 0.0 END) +
+      0.85 * (CASE WHEN cf_tf2 > 0 THEN ln((tf2 + 2000.0 * cf_tf2 / sumdl) / (dl + 2000.0)) ELSE 0.0 END) +
+      0.10 * (CASE WHEN cf_o0 > 0 THEN ln((o0 + 2000.0 * cf_o0 / sumdl) / (dl + 2000.0)) ELSE 0.0 END) +
+      0.10 * (CASE WHEN cf_o1 > 0 THEN ln((o1 + 2000.0 * cf_o1 / sumdl) / (dl + 2000.0)) ELSE 0.0 END) +
+      0.05 * (CASE WHEN cf_u0 > 0 THEN ln((u0 + 2000.0 * cf_u0 / sumdl) / (dl + 2000.0)) ELSE 0.0 END) +
+      0.05 * (CASE WHEN cf_u1 > 0 THEN ln((u1 + 2000.0 * cf_u1 / sumdl) / (dl + 2000.0)) ELSE 0.0 END), 6) AS score
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -11914,6 +11976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q230_witten_bell": q230_witten_bell,
         "q231_ccnet_tertiles": q231_ccnet_tertiles,
         "q232_rocchio": q232_rocchio,
+        "q233_sdm": q233_sdm,
     }
 
 
@@ -12150,4 +12213,5 @@ def oracle_sql() -> dict[str, str]:
         "q230_witten_bell": _Q230_SQL,
         "q231_ccnet_tertiles": _Q231_SQL,
         "q232_rocchio": _Q232_SQL,
+        "q233_sdm": _Q233_SQL,
     }

@@ -858,3 +858,143 @@ def rm3_topk(
     )
     w = Window.orderBy(F.col("score_fp").desc(), F.col(id_col))
     return scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def sdm_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    k: int = 20,
+    w_term: float = 0.85,
+    w_ordered: float = 0.10,
+    w_unordered: float = 0.05,
+    window: int = 8,
+) -> DataFrame:
+    """Sequential Dependence Model ranking (Metzler & Croft, SIGIR 2005
+    — the MRF retrieval model that consistently beats bag-of-words QL
+    and ships as Galago's / Anserini's ``sdm`` operator): three feature
+    families over the query,
+
+        score(D,Q) = w_T  sum_t        ln P_mu(t | D)
+                   + w_O  sum_(a,b)    ln P_mu(#1(a b) | D)
+                   + w_U  sum_(a,b)    ln P_mu(#uw8(a b) | D)
+
+    with (a,b) ranging over ADJACENT query-term pairs, #1 the exact
+    ordered-adjacency count, #uw8 the unordered-window co-occurrence,
+    and every feature Dirichlet-smoothed against its own collection
+    frequency over the shared collection length (the Galago/Anserini
+    convention).  Default weights (0.85, 0.10, 0.05) are the paper's.
+
+    Pinned semantics so the SQL oracle reproduces it exactly:
+
+    - ordered count = positions i with tok[i]=a and tok[i+1]=b
+      (overlaps counted — the phrase_counts contract);
+    - unordered count = ORDERED position pairs (i in pos(a), j in
+      pos(b), i != j, |i - j| <= window-1) — each co-occurrence
+      within a ``window``-term span counts once per direction pair;
+    - features whose collection frequency is 0 contribute 0 (q216's
+      pinned drop);
+    - every doc scores; round-6 + id tie-break before ranking.
+
+    Scale shape (100 TB): the query is tiny and every per-doc count —
+    tf, ordered, windowed — is a zero-shuffle codegen'd projection over
+    the token array (position lists of QUERY terms only; no positional
+    index materialized, no explode).  Collection stats are ONE
+    map-side-combined 1-row aggregate re-entering via broadcast; top-k
+    is TakeOrderedAndProject.  Identical discipline to bm25_topk.
+
+    Returns (id_col, score, rnk)."""
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    pairs = list(zip(terms, terms[1:]))
+    arr = _tok_arr(text_col).alias("_l")
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    def _pos(term: str):
+        # index-aware transform (0 marks non-matches, filtered out): an
+        # empty doc yields an empty position list, where a naive
+        # sequence(1, size) would DESCEND to [1, 0] and element_at would
+        # raise on the empty array
+        marked = F.transform(
+            F.col("_l"),
+            lambda x, i: F.when(x == F.lit(term), i + 1).otherwise(F.lit(0)),
+        )
+        return F.filter(marked, lambda p: p > 0)
+
+    def _ordered(a: str, b: str):
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size("_l") - 1, F.lit(1))
+        )
+        return F.size(
+            F.filter(
+                starts,
+                lambda i: (F.get(F.col("_l"), i - 1) == a)
+                & (F.get(F.col("_l"), i) == b),
+            )
+        ).cast("long")
+
+    def _unordered(a: str, b: str):
+        span = F.lit(window - 1)
+        return F.aggregate(
+            F.transform(
+                _pos(a),
+                lambda i: F.size(
+                    F.filter(
+                        _pos(b),
+                        lambda j: (j != i) & (F.abs(j - i) <= span),
+                    )
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+
+    base = df.select(F.col(id_col), arr).select(
+        id_col,
+        F.size("_l").cast("long").alias("_dl"),
+        *[
+            F.size(F.filter("_l", _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+        *[
+            _ordered(a, b).alias(f"_o{j}")
+            for j, (a, b) in enumerate(pairs)
+        ],
+        *[
+            _unordered(a, b).alias(f"_u{j}")
+            for j, (a, b) in enumerate(pairs)
+        ],
+    )
+    feat_cols = (
+        [f"_tf{i}" for i in range(len(terms))]
+        + [f"_o{j}" for j in range(len(pairs))]
+        + [f"_u{j}" for j in range(len(pairs))]
+    )
+    stats = base.agg(
+        F.sum("_dl").cast("long").alias("_sumdl"),
+        *[F.sum(c).cast("long").alias(f"_cf{c}") for c in feat_cols],
+    )
+    weights = (
+        [w_term] * len(terms)
+        + [w_ordered] * len(pairs)
+        + [w_unordered] * len(pairs)
+    )
+    parts = []
+    for c, wgt in zip(feat_cols, weights):
+        cnt, cf = F.col(c), F.col(f"_cf{c}")
+        smoothed = (cnt + mu * cf / F.col("_sumdl")) / (F.col("_dl") + mu)
+        parts.append(
+            F.when(cf > 0, F.lit(wgt) * F.log(smoothed)).otherwise(F.lit(0.0))
+        )
+    score = F.round(sum(parts[1:], parts[0]), 6)
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .select(id_col, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int"))

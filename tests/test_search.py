@@ -591,3 +591,103 @@ def test_rm3_lambda_one_recovers_pure_query_weighting(spark):
         df, "doc_id", "text", ["spark"], lambda_ppm=1_000_000, k=1
     ).collect()
     assert top[0]["doc_id"] == 7  # the all-"spark" doc
+
+
+def _py_sdm(texts, terms, mu=2000.0, k=20, w_t=0.85, w_o=0.10, w_u=0.05,
+            window=8):
+    toks = [_tok(t) for t in texts]
+    sumdl = sum(len(d) for d in toks)
+    pairs = list(zip(terms, terms[1:]))
+
+    def counts(d):
+        tf = [d.count(t) for t in terms]
+        o, u = [], []
+        for a, b in pairs:
+            o.append(sum(1 for i in range(len(d) - 1)
+                         if d[i] == a and d[i + 1] == b))
+            pa = [i for i, x in enumerate(d) if x == a]
+            pb = [i for i, x in enumerate(d) if x == b]
+            u.append(sum(1 for i in pa for j in pb
+                         if j != i and abs(j - i) <= window - 1))
+        return tf + o + u
+
+    percol = [counts(d) for d in toks]
+    nf = len(terms) + 2 * len(pairs)
+    cf = [sum(pc[f] for pc in percol) for f in range(nf)]
+    wts = [w_t] * len(terms) + [w_o] * len(pairs) + [w_u] * len(pairs)
+    out = {}
+    for i, d in enumerate(toks):
+        s = 0.0
+        for f in range(nf):
+            if cf[f] == 0:
+                continue
+            s += wts[f] * math.log(
+                (percol[i][f] + mu * cf[f] / sumdl) / (len(d) + mu)
+            )
+        out[i] = round(s, 6)
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+SDM_TEXTS = TEXTS + [
+    "spark window functions rank rows over partitions",   # phrase "spark window"
+    "window spark separated by nothing else here",         # unordered only
+    "spark is fast and window is elsewhere in this rather long doc merge",
+]
+
+
+def test_sdm_matches_python_oracle(spark):
+    from eget_spark.operators.search import sdm_topk
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SDM_TEXTS)], "doc_id long, text string"
+    )
+    terms = ["spark", "window"]
+    want = _py_sdm(SDM_TEXTS, terms, k=11)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in sdm_topk(df, "doc_id", "text", terms, k=11)
+        .orderBy("rnk").collect()
+    ]
+    assert got == want
+
+
+def test_sdm_phrase_beats_scattered_cooccurrence(spark):
+    """With equal term frequencies, the doc containing the exact phrase
+    must outscore the doc where the terms are far apart (ordered +
+    unordered features fire vs neither)."""
+    from eget_spark.operators.search import sdm_topk
+
+    texts = [
+        "spark window aggregation is the feature",          # phrase
+        "spark one two three four five six seven window",   # >8 apart
+        "unrelated filler text entirely",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["rnk"]
+        for r in sdm_topk(df, "doc_id", "text", ["spark", "window"]).collect()
+    }
+    assert got[0] < got[1]
+
+
+def test_sdm_unordered_window_counts_both_directions(spark):
+    """'window spark' (reversed, adjacent) fires the unordered feature
+    but not the ordered one — it must outscore a doc with the same tf
+    where the terms sit outside the window."""
+    from eget_spark.operators.search import sdm_topk
+
+    texts = [
+        "window spark and some other words",
+        "spark a b c d e f g h i j k window",
+        "padding doc so collection stats differ from zero",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["rnk"]
+        for r in sdm_topk(df, "doc_id", "text", ["spark", "window"]).collect()
+    }
+    assert got[0] < got[1]
