@@ -11737,6 +11737,71 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+
+
+def q234_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance diversified selection (operators/
+    similarity.mmr_rerank — Carbonell & Goldstein SIGIR 1998): from the
+    top-20 cosine candidates of query vector vec_id=0 (self excluded),
+    greedily pick 5 with lambda=0.5 relevance/diversity trade-off —
+    the exemplar-subset picker that avoids returning near-duplicates.
+    (sel_rank, vec_id, rel, mmr_score) in selection order."""
+    from eget_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0)
+    out = mmr_rerank(
+        emb.where(F.col("vec_id") != 0), qv, n_candidates=20, k=5
+    )
+    return out.select(
+        F.col("sel_rank").cast("int"),
+        F.col("id").cast("long").alias("vec_id"),
+        "rel",
+        "mmr_score",
+    )
+
+
+def _mmr_sql(k: int = 5) -> str:
+    head = f"""
+WITH v AS ({_VECS_SQL}),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+cand AS (
+  SELECT c.vec_id AS id, c.v AS cv, {_cos_sql('q.qv', 'c.v')} AS rel
+  FROM v c, q WHERE c.vec_id <> 0
+  ORDER BY rel DESC, id LIMIT 20
+),
+pair AS (
+  SELECT a.id AS a, b.id AS b, {_cos_sql('a.cv', 'b.cv')} AS sim
+  FROM cand a, cand b WHERE a.id <> b.id
+),
+s1 AS (SELECT 1 AS sel_rank, id, rel, rel AS mmr_score
+       FROM cand ORDER BY rel DESC, id LIMIT 1)"""
+    parts = [head]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT id FROM s{j}" for j in range(1, i)
+        )
+        parts.append(f""",
+s{i} AS (
+  SELECT {i} AS sel_rank, id, rel,
+         0.5 * rel - 0.5 * coalesce(ms, 0.0) AS mmr_score
+  FROM (SELECT c.id, c.rel,
+               (SELECT max(p.sim) FROM pair p
+                WHERE p.a = c.id AND p.b IN ({prev})) AS ms
+        FROM cand c WHERE c.id NOT IN ({prev}))
+  ORDER BY mmr_score DESC, id LIMIT 1
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, k + 1))
+    parts.append(f"""
+SELECT CAST(sel_rank AS INT) AS sel_rank, CAST(id AS BIGINT) AS vec_id,
+       rel, mmr_score
+FROM ({union})""")
+    return "".join(parts)
+
+
+_Q234_SQL = _mmr_sql(5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -11977,6 +12042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_ccnet_tertiles": q231_ccnet_tertiles,
         "q232_rocchio": q232_rocchio,
         "q233_sdm": q233_sdm,
+        "q234_mmr": q234_mmr,
     }
 
 
@@ -12214,4 +12280,5 @@ def oracle_sql() -> dict[str, str]:
         "q231_ccnet_tertiles": _Q231_SQL,
         "q232_rocchio": _Q232_SQL,
         "q233_sdm": _Q233_SQL,
+        "q234_mmr": _Q234_SQL,
     }

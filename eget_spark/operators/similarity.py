@@ -238,3 +238,113 @@ def rocchio_rerank(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 20,
+    k: int = 5,
+    lambda_ppm: int = 500_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified selection (Carbonell &
+    Goldstein, SIGIR 1998 — the classic redundancy-penalized reranker;
+    in a training-data pipeline it picks a relevant-but-diverse exemplar
+    subset where plain top-k returns near-duplicates).  Greedy: from
+    the top ``n_candidates`` initial neighbors of the query, repeatedly
+    select
+
+        argmax_d  lam * sim(d, q) - (1 - lam) * max_{s in S} sim(d, s)
+
+    until k are chosen (ties by id; the first pick has no diversity
+    term, so it is simply the nearest neighbor).
+
+    Pinned determinism: both similarity matrices (candidate-query and
+    candidate-candidate) are cosines rounded to 6 (the q17 recipe);
+    the MMR objective is a single exactly-rounded float expression over
+    those pinned inputs with ``lam = lambda_ppm/1e6``, compared with an
+    id tie-break — engine-identical.
+
+    Scale shape (100 TB): one corpus scan finds the candidates
+    (broadcast query, TakeOrdered n_candidates); everything after
+    operates on the n_candidates x n_candidates pairwise matrix —
+    driver-bounded small (the greedy loop is k Spark jobs over <= n^2
+    rows, each a localCheckpoint'd 1-row argmax; no corpus-size data
+    ever enters the loop).  The loop count k is a Python constant, so
+    the plan depth is bounded and static.
+
+    Returns (sel_rank, id, relevance, mmr_score) — sel_rank 1..k in
+    selection order; the first row's mmr_score equals its relevance."""
+    lam = lambda_ppm / 1e6
+    q = query_vec.select(
+        F.col(vec_col).cast("array<double>").alias("qv")
+    ).limit(1)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "id", "cv", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("rel")
+        )
+        .orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(n_candidates)
+        .localCheckpoint()
+    )
+    pair = (
+        cand.select(F.col("id").alias("a"), F.col("cv").alias("av"))
+        .join(
+            F.broadcast(
+                cand.select(F.col("id").alias("b"), F.col("cv").alias("bv"))
+            ),
+            F.col("a") != F.col("b"),
+        )
+        .select(
+            "a", "b", F.round(cosine(F.col("av"), F.col("bv")), 6).alias("sim")
+        )
+        .localCheckpoint()
+    )
+    selected = (
+        cand.orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("sel_rank"),
+            "id",
+            "rel",
+            F.col("rel").alias("mmr_score"),
+        )
+        .localCheckpoint()
+    )
+    for step in range(2, k + 1):
+        remaining = cand.join(
+            selected.select(F.col("id").alias("_sid")),
+            cand["id"] == F.col("_sid"),
+            "left_anti",
+        )
+        div = (
+            pair.join(
+                F.broadcast(selected.select(F.col("id").alias("b"))), "b"
+            )
+            .groupBy("a")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            remaining.join(div, remaining["id"] == div["a"], "left")
+            .select(
+                "id",
+                "rel",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.coalesce("max_sim", F.lit(0.0))
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), F.col("id"))
+            .limit(1)
+            .select(F.lit(step).cast("int").alias("sel_rank"), "id", "rel",
+                    "mmr_score")
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected
