@@ -11802,6 +11802,238 @@ FROM ({union})""")
 _Q234_SQL = _mmr_sql(5)
 
 
+
+
+def q235_ktruss(spark, sf_dir):
+    """3-truss decomposition of the analytics link graph (operators/
+    graph.ktruss — Cohen 2008 support peeling): edges surviving 6
+    pinned peeling rounds with >= 1 triangle each round; the
+    triangle-reinforced community core that drops the star/hub spam
+    k-core keeps.  Same edge synthesis as q40/q188.  (a, b, support)
+    over the final graph, bit-exact integers."""
+    from eget_spark.operators.graph import ktruss
+
+    _, edges = _arith_edges(spark, sf_dir)
+    return ktruss(edges, k=3, n_iter=6)
+
+
+_Q235_SQL = (
+    "WITH "
+    + _EDGES_SQL.lstrip().removeprefix("WITH ")
+    + r""",
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+sup_e1 AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    WITH deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+      GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v
+      FROM e0 u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM o e1 JOIN o e2 ON e2.u = e1.u AND e1.v < e2.v
+      WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = e1.v AND c.v = e2.v)
+         OR EXISTS (SELECT 1 FROM o c WHERE c.u = e2.v AND c.v = e1.v)
+    )
+    SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri
+    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri
+  ) GROUP BY a, b
+),
+e1 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e0 e JOIN sup_e1 s USING (a, b)
+  WHERE s.support >= 1
+),
+sup_e2 AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    WITH deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1)
+      GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v
+      FROM e1 u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM o e1 JOIN o e2 ON e2.u = e1.u AND e1.v < e2.v
+      WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = e1.v AND c.v = e2.v)
+         OR EXISTS (SELECT 1 FROM o c WHERE c.u = e2.v AND c.v = e1.v)
+    )
+    SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri
+    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri
+  ) GROUP BY a, b
+),
+e2 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e1 e JOIN sup_e2 s USING (a, b)
+  WHERE s.support >= 1
+),
+sup_e3 AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    WITH deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2)
+      GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v
+      FROM e2 u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM o e1 JOIN o e2 ON e2.u = e1.u AND e1.v < e2.v
+      WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = e1.v AND c.v = e2.v)
+         OR EXISTS (SELECT 1 FROM o c WHERE c.u = e2.v AND c.v = e1.v)
+    )
+    SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri
+    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri
+  ) GROUP BY a, b
+),
+e3 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e2 e JOIN sup_e3 s USING (a, b)
+  WHERE s.support >= 1
+),
+sup_e4 AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    WITH deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3)
+      GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v
+      FROM e3 u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM o e1 JOIN o e2 ON e2.u = e1.u AND e1.v < e2.v
+      WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = e1.v AND c.v = e2.v)
+         OR EXISTS (SELECT 1 FROM o c WHERE c.u = e2.v AND c.v = e1.v)
+    )
+    SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri
+    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri
+  ) GROUP BY a, b
+),
+e4 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e3 e JOIN sup_e4 s USING (a, b)
+  WHERE s.support >= 1
+),
+sup_e5 AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    WITH deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4)
+      GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v
+      FROM e4 u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM o e1 JOIN o e2 ON e2.u = e1.u AND e1.v < e2.v
+      WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = e1.v AND c.v = e2.v)
+         OR EXISTS (SELECT 1 FROM o c WHERE c.u = e2.v AND c.v = e1.v)
+    )
+    SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri
+    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri
+  ) GROUP BY a, b
+),
+e5 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e4 e JOIN sup_e5 s USING (a, b)
+  WHERE s.support >= 1
+),
+sup_e6 AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    WITH deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5)
+      GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v
+      FROM e5 u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM o e1 JOIN o e2 ON e2.u = e1.u AND e1.v < e2.v
+      WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = e1.v AND c.v = e2.v)
+         OR EXISTS (SELECT 1 FROM o c WHERE c.u = e2.v AND c.v = e1.v)
+    )
+    SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri
+    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri
+  ) GROUP BY a, b
+),
+e6 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e5 e JOIN sup_e6 s USING (a, b)
+  WHERE s.support >= 1
+),
+sup_efin AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    WITH deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS n FROM e6 UNION ALL SELECT b FROM e6)
+      GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v
+      FROM e6 u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM o e1 JOIN o e2 ON e2.u = e1.u AND e1.v < e2.v
+      WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = e1.v AND c.v = e2.v)
+         OR EXISTS (SELECT 1 FROM o c WHERE c.u = e2.v AND c.v = e1.v)
+    )
+    SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri
+    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri
+  ) GROUP BY a, b
+),
+efin AS MATERIALIZED (
+  SELECT e.a, e.b FROM e6 e JOIN sup_efin s USING (a, b)
+  WHERE s.support >= 1
+)
+SELECT e.a, e.b, CAST(coalesce(s.support, 0) AS BIGINT) AS support
+FROM e6 e LEFT JOIN sup_efin s USING (a, b)
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -12043,6 +12275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_rocchio": q232_rocchio,
         "q233_sdm": q233_sdm,
         "q234_mmr": q234_mmr,
+        "q235_ktruss": q235_ktruss,
     }
 
 
@@ -12281,4 +12514,5 @@ def oracle_sql() -> dict[str, str]:
         "q232_rocchio": _Q232_SQL,
         "q233_sdm": _Q233_SQL,
         "q234_mmr": _Q234_SQL,
+        "q235_ktruss": _Q235_SQL,
     }

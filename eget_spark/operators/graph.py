@@ -1436,3 +1436,121 @@ def cocitation_pairs(
         both.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= top_k)
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 4,
+    n_iter: int = 6,
+) -> DataFrame:
+    """k-truss decomposition by iterative support peeling (Cohen 2008,
+    "Trusses: cohesive subgraphs for social network analysis"; the
+    triangle-reinforced community core that k-core over-approximates —
+    every edge in a k-truss sits in >= k-2 triangles WITHIN the truss).
+    On a crawl link graph the truss isolates genuinely interlinked
+    communities from star/hub spam, which k-core keeps but k-truss
+    drops (a star has no triangles).
+
+    Peeling: each round enumerates triangles of the CURRENT edge set
+    with the degree-ordered node-iterator (the :func:`triangle_counts`
+    orientation — wedges fan out from the low-degree endpoint only, so
+    hubs cause no blow-up), credits each triangle to its three edges,
+    and deletes edges with support < k-2.  Deletions cascade, so the
+    loop runs ``n_iter`` PINNED rounds (the fixed-point discipline of
+    :func:`pagerank_fixed`: a data-dependent stop would unpin the
+    oracle; n_iter=6 converges on every test graph, and a non-converged
+    truss is simply a supergraph — re-run with a higher n_iter).  All
+    arithmetic is integer; the result is bit-exact across engines.
+
+    Scale shape (100 TB): per round, the same three uniform hash joins
+    as triangle_counts + one explode(3) + one map-side-combined count +
+    one filter; the surviving edge set localCheckpoints so lineage
+    stays O(1) across rounds.  No window, no Python, no driver data
+    rows.
+
+    Returns the surviving undirected edges (a, b, support) with a < b
+    and support = triangles through the edge in the FINAL graph."""
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    thresh = k - 2
+    for _ in range(n_iter):
+        sup = _edge_support(cur)
+        cur = (
+            cur.join(sup, ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            )
+            .where(F.col("support") >= thresh)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    final_sup = _edge_support(cur)
+    return (
+        cur.join(final_sup, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+    )
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """(a, b, support): triangles through each canonical undirected edge,
+    via the degree-ordered oriented wedge enumeration."""
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("_db"))
+    keyed = und.join(da, "a").join(db, "b")
+    lt = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = keyed.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e2 = o.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = o.join(e2, F.col("u") == F.col("u2")).where(
+        F.col("v") < F.col("w")
+    )
+    closure = o.select(
+        F.least("u", "v").alias("v"), F.greatest("u", "v").alias("w")
+    )
+    tris = wedges.join(closure, ["v", "w"], "left_semi").select("u", "v", "w")
+    return (
+        tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("u", "v").alias("a"),
+                        F.greatest("u", "v").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("u", "w").alias("a"),
+                        F.greatest("u", "w").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("v", "w").alias("a"),
+                        F.greatest("v", "w").alias("b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("support"))
+    )

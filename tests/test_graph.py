@@ -1174,3 +1174,61 @@ def test_cocitation_hot_pivot_excluded(spark):
     coupled = {(r.a, r.b) for r in out if r.couplings > 0}
     assert cocited == {(20, 21)}
     assert coupled == {(40, 41)}
+
+
+def test_ktruss_matches_python_peeling(spark):
+    """k-truss vs a brute-force Python peeler on a graph mixing a
+    4-clique (survives k=4), a triangle pendant (survives k=3 only),
+    and a star (no triangles — dropped immediately)."""
+    from itertools import combinations
+
+    from eget_spark.operators.graph import ktruss
+
+    clique = list(combinations([0, 1, 2, 3], 2))
+    tri = [(4, 5), (5, 6), (4, 6)]
+    star = [(7, 8), (7, 9), (7, 10), (7, 11)]
+    bridge = [(3, 4)]
+    edge_list = clique + tri + star + bridge
+
+    def py_truss(es, k, rounds=6):
+        cur = {tuple(sorted(e)) for e in es}
+        for _ in range(rounds):
+            adj = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {
+                e: len(adj[e[0]] & adj[e[1]])
+                for e in cur
+            }
+            cur = {e for e in cur if sup[e] >= k - 2}
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {e: len(adj[e[0]] & adj[e[1]]) for e in cur}
+
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    for k in (3, 4, 5):
+        got = {
+            (r.a, r.b): r.support for r in ktruss(df, k=k).collect()
+        }
+        assert got == py_truss(edge_list, k), f"k={k}"
+    # semantic shape: k=3 keeps clique+triangle, drops star+bridge;
+    # k=4 keeps only the clique; k=5 empties the graph
+    assert set(py_truss(edge_list, 3)) == set(
+        tuple(sorted(e)) for e in clique + tri
+    )
+    assert set(py_truss(edge_list, 4)) == set(clique)
+    assert py_truss(edge_list, 5) == {}
+
+
+def test_ktruss_direction_and_duplicates_ignored(spark):
+    """Directed duplicates and self-loops collapse to the simple
+    undirected graph before peeling."""
+    from eget_spark.operators.graph import ktruss
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 2), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b): r.support for r in ktruss(df, k=3).collect()}
+    assert got == {(0, 1): 1, (1, 2): 1, (0, 2): 1}
