@@ -2063,6 +2063,65 @@ def main() -> None:
     checks.append(("rm3 topk: broadcast model join", "BroadcastHashJoin" in p_r3k))
     checks.append(("rm3 topk: no Python", "EvalPython" not in p_r3k))
 
+    # 157. Moore-Lewis selection (q229): two LM rollups map-side
+    # combined, unique-key vocab joins, scalar broadcasts; no window
+    p_ml = plan_of(entry.q229_moore_lewis(spark, SF))
+    checks.append(("moore-lewis: map-side partial agg", "partial_sum" in p_ml or "partial_count" in p_ml))
+    checks.append(("moore-lewis: no window", _nodes(p_ml, "Window") == 0))
+    checks.append(("moore-lewis: no Python", "EvalPython" not in p_ml))
+
+    # 158. Witten-Bell scoring (q230): same shape as q226 KN
+    p_wb = plan_of(entry.q230_witten_bell(spark, SF))
+    checks.append(("witten-bell: map-side partial agg", "partial_sum" in p_wb or "partial_count" in p_wb))
+    checks.append(("witten-bell: no window", _nodes(p_wb, "Window") == 0))
+    checks.append(("witten-bell: no Python", "EvalPython" not in p_wb))
+
+    # 159. CCNet tertiles (q231): the ntile window partitions BY
+    # LANGUAGE (the required per-language order statistic); LM join is
+    # a hash join on the composite key; no Python
+    p_ct = plan_of(entry.q231_ccnet_tertiles(spark, SF))
+    checks.append(("ccnet tertiles: per-language window", "Window" in p_ct))
+    checks.append(("ccnet tertiles: map-side partial agg", "partial_count" in p_ct or "partial_sum" in p_ct))
+    checks.append(("ccnet tertiles: no Python", "EvalPython" not in p_ct))
+
+    # 160. Rocchio feedback (q232): query side broadcasts into both
+    # corpus scans; feedback centroid reduces map-side; no Python
+    p_ro = plan_of(entry.q232_rocchio(spark, SF))
+    checks.append(("rocchio: broadcast query joins", "BroadcastNestedLoopJoin" in p_ro or "BroadcastHashJoin" in p_ro))
+    checks.append(("rocchio: map-side partial agg", "partial_sum" in p_ro))
+    checks.append(("rocchio: no Python", "EvalPython" not in p_ro))
+
+    # 161. SDM ranking (q233): all three feature families are
+    # zero-shuffle array projections; 1-row stats broadcast;
+    # TakeOrdered top-k; no explode, no Python
+    p_sdm = plan_of(entry.q233_sdm(spark, SF))
+    checks.append(("sdm: TakeOrdered final", "TakeOrderedAndProject" in p_sdm))
+    checks.append(("sdm: no explode (array-expr features)", "Generate" not in p_sdm))
+    checks.append(("sdm: no Python", "EvalPython" not in p_sdm))
+
+    # 162. MMR selection (q234): candidate set is TakeOrdered; the
+    # greedy loop operates on broadcast-size tables only; no Python
+    p_mmr = plan_of(entry.q234_mmr(spark, SF))
+    checks.append(("mmr: no Python", "EvalPython" not in p_mmr))
+    # The greedy loop localCheckpoints each step (driver-bounded
+    # <=n_candidates rows), so the FINAL plan is a checkpointed scan —
+    # the broadcast pair joins live inside the per-step jobs, not here.
+    checks.append(
+        (
+            "mmr: checkpointed greedy result (driver-bounded loop)",
+            "ExistingRDD" in p_mmr or "LocalTableScan" in p_mmr,
+        )
+    )
+
+    # 163. k-truss (q235): per-round degree-ordered wedge joins are
+    # hash equi joins (never cartesian), support counts map-side
+    # combined; no window, no Python
+    p_kt = plan_of(entry.q235_ktruss(spark, SF))
+    checks.append(("ktruss: hash equi joins, no cartesian", "Cartesian" not in p_kt and "NestedLoop" not in p_kt))
+    checks.append(("ktruss: map-side partial agg", "partial_count" in p_kt))
+    checks.append(("ktruss: no window", _nodes(p_kt, "Window") == 0))
+    checks.append(("ktruss: no Python", "EvalPython" not in p_kt))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
