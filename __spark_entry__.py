@@ -12034,6 +12034,96 @@ FROM e6 e LEFT JOIN sup_efin s USING (a, b)
 )
 
 
+def q236_components(spark, sf_dir):
+    """Connected components of the analytics link graph (operators/
+    graph.connected_components — Kiveris et al. 2014 min-label +
+    pointer jumping, 6 pinned rounds): the isolated-site-cluster map a
+    frontier shard planner reads before allocating fetchers.  Same edge
+    synthesis as q40/q235.  (node, comp) with comp = min node id of the
+    component, bit-exact int64."""
+    from eget_spark.operators.graph import connected_components
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    return connected_components(edges, nodes, n_iter=6).select(
+        F.col("node").cast("long"), F.col("comp").cast("long")
+    )
+
+
+_Q236_SQL = (
+    "WITH RECURSIVE "
+    + _EDGES_SQL.lstrip().removeprefix("WITH ")
+    + r""",
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+sym AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und),
+allnodes AS (SELECT doc_id AS node FROM documents),
+r(node, label) AS (
+  SELECT node, node FROM allnodes
+  UNION
+  SELECT s.nbr, r.label FROM r JOIN sym s ON s.node = r.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(label) AS BIGINT) AS comp
+FROM r GROUP BY node
+"""
+)
+
+
+def q237_link_prediction(spark, sf_dir):
+    """Neighborhood link-prediction scores (operators/
+    graph.link_prediction_scores — Liben-Nowell & Kleinberg JASIST
+    2007): top-100 node pairs by Adamic-Adar with common-neighbor
+    count, Jaccard, and preferential attachment; hot pivots (undirected
+    degree > 32) excluded BEFORE the self-join, AA terms int64
+    micro-quantized before the sum (the q226 recipe).  High-scoring
+    NON-edges are recrawl seed suggestions; spam rings score near-zero
+    AA despite high degree.  (a, b, cn, jaccard, aa_micro, pref_attach,
+    is_edge)."""
+    from eget_spark.operators.graph import link_prediction_scores
+
+    _, edges = _arith_edges(spark, sf_dir)
+    return link_prediction_scores(edges, max_degree=32, k=100)
+
+
+_Q237_SQL = (
+    "WITH "
+    + _EDGES_SQL.lstrip().removeprefix("WITH ")
+    + r""",
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+sym AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY node),
+piv AS (
+  SELECT s.node AS z, s.nbr, d.deg
+  FROM sym s JOIN deg d ON d.node = s.node WHERE d.deg <= 32
+),
+pairs AS (
+  SELECT x.nbr AS a, y.nbr AS b,
+         CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(CAST(round(1e6 / ln(x.deg)) AS BIGINT)) AS BIGINT)
+           AS aa_micro
+  FROM piv x JOIN piv y ON y.z = x.z AND x.nbr < y.nbr
+  GROUP BY x.nbr, y.nbr
+)
+SELECT p.a, p.b, p.cn,
+       round(p.cn / CAST(da.deg + db.deg - p.cn AS DOUBLE), 6) AS jaccard,
+       p.aa_micro,
+       CAST(da.deg * db.deg AS BIGINT) AS pref_attach,
+       (e.a IS NOT NULL) AS is_edge
+FROM pairs p
+JOIN deg da ON da.node = p.a
+JOIN deg db ON db.node = p.b
+LEFT JOIN und e ON e.a = p.a AND e.b = p.b
+ORDER BY p.aa_micro DESC, p.a, p.b LIMIT 100
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -12276,6 +12366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_sdm": q233_sdm,
         "q234_mmr": q234_mmr,
         "q235_ktruss": q235_ktruss,
+        "q236_components": q236_components,
+        "q237_link_prediction": q237_link_prediction,
     }
 
 
@@ -12515,4 +12607,6 @@ def oracle_sql() -> dict[str, str]:
         "q233_sdm": _Q233_SQL,
         "q234_mmr": _Q234_SQL,
         "q235_ktruss": _Q235_SQL,
+        "q236_components": _Q236_SQL,
+        "q237_link_prediction": _Q237_SQL,
     }

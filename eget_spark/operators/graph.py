@@ -1554,3 +1554,184 @@ def _edge_support(und: DataFrame) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count("*").cast("long").alias("support"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 6,
+) -> DataFrame:
+    """Minimum-label connected components with per-round pointer jumping
+    (the two-phase hash-to-min scheme of Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond" — the algorithm that made CC
+    practical at trillion-edge scale).  On a crawl graph the components
+    ARE the isolated site clusters: a frontier shard that never links
+    into the main web is its own component, and mirror farms / link
+    rings surface as components whose size wildly exceeds their host
+    count.
+
+    Each round does two moves:
+
+    1. **neighbor-min**: ``lab(v) <- min(lab(v), min_{u~v} lab(u))`` —
+       one shuffle join of the symmetric edge list against the label
+       table plus one map-side-combined min aggregate;
+    2. **pointer jump**: ``lab(v) <- min(lab(v), lab(lab(v)))`` — a
+       self-join of the label table, which doubles the distance a label
+       has travelled (labels are node ids, so ``lab(v)`` is always a
+       valid key into the table).
+
+    Reach after r rounds is >= 2^r - 1 hops, so ``n_iter`` rounds pin
+    components of diameter up to 2^n_iter - 1; the loop count is PINNED
+    (the fixed-point discipline of :func:`pagerank_fixed` — a
+    data-dependent stop would unpin the oracle), and a non-converged
+    run only over-segments (labels are monotone non-increasing and
+    always component members), so re-run with higher n_iter to refine.
+    All values are node ids — pure int64, bit-exact across engines.
+
+    Scale shape (10^10 edges): per round, two uniform hash joins on
+    node id + one map-side min; the label table localCheckpoints so
+    lineage stays O(1).  Min-label is resistant to skew: a celebrity
+    node's in-neighbors all emit the SAME candidate label, which the
+    map-side partial min collapses before the shuffle.
+
+    Returns (node, comp) — comp = min node id of the node's component
+    (at convergence), for every node in ``nodes`` (default: every edge
+    endpoint); isolated nodes keep comp = node."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    if nodes is None:
+        base = sym.select("node").distinct()
+    else:
+        base = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    lab = base.withColumn("comp", F.col("node")).localCheckpoint()
+    sym = sym.localCheckpoint()
+    for _ in range(n_iter):
+        nbr_min = (
+            sym.join(
+                lab.select(
+                    F.col("node").alias("nbr"), F.col("comp").alias("ncomp")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("ncomp").alias("cand"))
+        )
+        stepped = lab.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("cand", F.col("comp"))
+            ).alias("comp"),
+        )
+        parent = stepped.select(
+            F.col("node").alias("_pnode"), F.col("comp").alias("_pcomp")
+        )
+        lab = (
+            stepped.join(
+                parent, stepped["comp"] == parent["_pnode"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("_pcomp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+    return lab
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    max_degree: int = 32,
+    k: int = 100,
+) -> DataFrame:
+    """Classic neighborhood link-prediction scores (Liben-Nowell &
+    Kleinberg JASIST 2007): for every node pair sharing at least one
+    common neighbor, common-neighbor count, Jaccard coefficient,
+    Adamic-Adar, and preferential attachment.  In a crawl pipeline the
+    high scorers among NON-edges are the "pages that should link but
+    don't" — mirror candidates and seed suggestions for focused
+    recrawl; among edges they measure embeddedness (spam rings score
+    near-zero AA despite high degree).
+
+    Pair generation pivots on the common neighbor z (the q223
+    co-citation shape): pivots with undirected degree > ``max_degree``
+    are EXCLUDED before the self-join — a pinned contract, not
+    best-effort, because a 10^6-degree hub would emit 5*10^11 pairs
+    through one reducer; per-pivot fan-out is bounded by cap^2/2.
+
+    Determinism: Adamic-Adar terms quantize per-pivot to int64 micro
+    units BEFORE the cross-row sum (``aa_micro = round(1e6/ln(deg_z))``
+    — the q226 lp_micro recipe; deg_z >= 2 always, since a pivot needs
+    two distinct neighbors, so ln is never 0); Jaccard is an exact
+    integer ratio rounded to 6; preferential attachment is pure int64.
+
+    Returns the top-``k`` pairs by (aa_micro DESC, a, b):
+    (a, b, cn, jaccard, aa_micro, pref_attach, is_edge)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = sym.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    piv = sym.join(deg, "node").where(F.col("deg") <= max_degree)
+    x = piv.select(
+        F.col("node").alias("z"), F.col("nbr").alias("pa"), "deg"
+    )
+    y = piv.select(F.col("node").alias("z"), F.col("nbr").alias("pb"))
+    pairs = (
+        x.join(y, "z")
+        .where(F.col("pa") < F.col("pb"))
+        .select(
+            F.col("pa").alias("a"),
+            F.col("pb").alias("b"),
+            F.round(F.lit(1e6) / F.log(F.col("deg")), 0)
+            .cast("long")
+            .alias("aa_term"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            F.sum("aa_term").cast("long").alias("aa_micro"),
+        )
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    flagged = (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .join(und.withColumn("is_edge", F.lit(True)), ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            "aa_micro",
+            (F.col("deg_a") * F.col("deg_b"))
+            .cast("long")
+            .alias("pref_attach"),
+            F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
+        )
+    )
+    return (
+        flagged.orderBy(F.col("aa_micro").desc(), "a", "b").limit(k)
+    )

@@ -1232,3 +1232,142 @@ def test_ktruss_direction_and_duplicates_ignored(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {(r.a, r.b): r.support for r in ktruss(df, k=3).collect()}
     assert got == {(0, 1): 1, (1, 2): 1, (0, 2): 1}
+
+
+def _py_components(pairs):
+    """Union-find components: node -> min node id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in pairs:
+        if s == d:
+            continue
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_two_islands(spark):
+    from eget_spark.operators.graph import connected_components
+
+    # two components: a 4-cycle {0..3} and a path {10,11,12}; 5 isolated
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (10, 11), (11, 12)]
+    nodes = _nodes_df(spark, [0, 1, 2, 3, 10, 11, 12, 99])
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            _edges_df(spark, pairs), nodes, n_iter=4
+        ).collect()
+    }
+    want = _py_components(pairs)
+    want[99] = 99  # isolated keeps its own label
+    assert got == want
+
+
+def test_connected_components_long_path_pointer_jump(spark):
+    from eget_spark.operators.graph import connected_components
+
+    # a 40-node path needs 40 rounds of plain propagation but
+    # 2^6-1 = 63 >= 40 hops with pointer jumping: 6 rounds must converge
+    pairs = [(i, i + 1) for i in range(40)]
+    got = connected_components(_edges_df(spark, pairs), n_iter=6).collect()
+    assert {r["comp"] for r in got} == {0}
+    assert len(got) == 41
+
+
+def test_connected_components_direction_and_self_loops(spark):
+    from eget_spark.operators.graph import connected_components
+
+    # direction ignored, self-loops dropped, duplicate edges collapsed
+    pairs = [(5, 5), (2, 1), (1, 2), (3, 2), (7, 7)]
+    nodes = _nodes_df(spark, [1, 2, 3, 5, 7])
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            _edges_df(spark, pairs), nodes, n_iter=4
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7}
+
+
+def _py_linkpred(pairs, cap=32, k=100):
+    import math
+
+    und = set()
+    for s, d in pairs:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    nbrs: dict[int, set] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in nbrs.items()}
+    scores: dict[tuple, list] = {}
+    for z, nb in nbrs.items():
+        if deg[z] > cap:
+            continue
+        nb_sorted = sorted(nb)
+        for i, a in enumerate(nb_sorted):
+            for b in nb_sorted[i + 1 :]:
+                rec = scores.setdefault((a, b), [0, 0])
+                rec[0] += 1
+                rec[1] += round(1e6 / math.log(deg[z]))
+    rows = []
+    for (a, b), (cn, aa) in scores.items():
+        rows.append(
+            (
+                a,
+                b,
+                cn,
+                round(cn / (deg[a] + deg[b] - cn), 6),
+                aa,
+                deg[a] * deg[b],
+                (a, b) in und,
+            )
+        )
+    rows.sort(key=lambda r: (-r[4], r[0], r[1]))
+    return rows[:k]
+
+
+def test_link_prediction_matches_python_oracle(spark):
+    from eget_spark.operators.graph import link_prediction_scores
+
+    pairs = [
+        (i, (i * 7 + 13) % 20) for i in range(20)
+    ] + [(i, (i * i * 3 + 5) % 20) for i in range(20)]
+    got = [
+        (
+            r["a"], r["b"], r["cn"], r["jaccard"], r["aa_micro"],
+            r["pref_attach"], r["is_edge"],
+        )
+        for r in link_prediction_scores(_edges_df(spark, pairs), k=50).collect()
+    ]
+    assert got == _py_linkpred(pairs, k=50)
+    # sanity: at least one non-edge pair is predicted
+    assert any(not r[6] for r in got)
+
+
+def test_link_prediction_hot_pivot_excluded(spark):
+    from eget_spark.operators.graph import link_prediction_scores
+
+    # star center 0 with 40 leaves (deg 40 > cap 32) contributes no
+    # pairs; the triangle 100-101-102 still scores
+    pairs = [(0, i) for i in range(1, 41)] + [
+        (100, 101), (101, 102), (100, 102),
+    ]
+    got = link_prediction_scores(
+        _edges_df(spark, pairs), max_degree=32, k=100
+    ).collect()
+    assert {(r["a"], r["b"]) for r in got} == {
+        (100, 101), (100, 102), (101, 102),
+    }
+    # each triangle edge: 1 common neighbor of degree 2
+    for r in got:
+        assert r["cn"] == 1 and r["aa_micro"] == round(1e6 / __import__("math").log(2))
+        assert r["jaccard"] == round(1 / 3, 6) and r["is_edge"]
