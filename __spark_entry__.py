@@ -12124,6 +12124,130 @@ ORDER BY p.aa_micro DESC, p.a, p.b LIMIT 100
 )
 
 
+def q238_zipf(spark, sf_dir):
+    """Zipf rank-frequency fit + vocabulary census (operators/
+    corpus_stats.zipf_fit — Zipf 1949 / Baayen 2001): OLS of ln(cnt) on
+    ln(rank) over the full vocabulary with int64 milli-quantized ln
+    terms (exact integer moment sums, double combine), plus type/token/
+    hapax/dis census — the distributional health check a crawl corpus
+    gets before training.  One row: (n_types, n_tokens, hapax, dis,
+    ttr, zipf_slope, zipf_intercept, zipf_r2)."""
+    from eget_spark.operators.corpus_stats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+_OLS_SQL = """
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*y) AS BIGINT) AS sxy,
+         CAST(sum(x*x) AS BIGINT) AS sxx,
+         CAST(sum(y*y) AS BIGINT) AS syy
+  FROM pts
+),
+fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) AS cov,
+         (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS varx,
+         (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) AS vary,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(n AS DOUBLE) AS nd
+  FROM m
+)"""
+
+_Q238_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM vocab
+),
+pts AS (
+  SELECT CAST(round(ln(rnk)*1e3) AS BIGINT) AS x,
+         CAST(round(ln(cnt)*1e3) AS BIGINT) AS y
+  FROM ranked
+),"""
+    + _OLS_SQL
+    + r""",
+census AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+         round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS ttr
+  FROM vocab
+)
+SELECT c.n_types, c.n_tokens, c.hapax, c.dis, c.ttr,
+       round(f.cov / f.varx, 6) AS zipf_slope,
+       round((f.syd - (f.cov / f.varx) * f.sxd) / f.nd / 1e3, 6)
+         AS zipf_intercept,
+       round(CASE WHEN f.vary > 0 THEN f.cov * f.cov / (f.varx * f.vary)
+                  ELSE NULL END, 6) AS zipf_r2
+FROM census c CROSS JOIN fit f
+"""
+)
+
+
+def q239_heaps(spark, sf_dir):
+    """Heaps vocabulary-growth fit (operators/corpus_stats.heaps_fit —
+    Heaps 1978): ln(V) on ln(n) over per-document cumulative
+    checkpoints (a type counts at its FIRST containing doc), so
+    V ~ K*n^beta; beta -> 0 flags vocabulary exhaustion, the lexical
+    twin of q217's Good-Turing frontier signal.  One row: (n_points,
+    heaps_beta, heaps_intercept, heaps_r2)."""
+    from eget_spark.operators.corpus_stats import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+_Q239_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM toks GROUP BY doc_id
+),
+first_doc AS (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY tok),
+new_types AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS new_types
+  FROM first_doc GROUP BY doc_id
+),
+bounds AS (
+  SELECT CAST(sum(pd.n_toks) OVER (ORDER BY pd.doc_id) AS BIGINT) AS n_cum,
+         CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY pd.doc_id)
+              AS BIGINT) AS v_cum
+  FROM per_doc pd LEFT JOIN new_types nt USING (doc_id)
+),
+pts AS (
+  SELECT CAST(round(ln(n_cum)*1e3) AS BIGINT) AS x,
+         CAST(round(ln(v_cum)*1e3) AS BIGINT) AS y
+  FROM bounds WHERE n_cum > 0 AND v_cum > 0
+),"""
+    + _OLS_SQL
+    + r"""
+SELECT n AS n_points,
+       round(cov / varx, 6) AS heaps_beta,
+       round((syd - (cov / varx) * sxd) / nd / 1e3, 6) AS heaps_intercept,
+       round(CASE WHEN vary > 0 THEN cov * cov / (varx * vary)
+                  ELSE NULL END, 6) AS heaps_r2
+FROM fit
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -12368,6 +12492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_ktruss": q235_ktruss,
         "q236_components": q236_components,
         "q237_link_prediction": q237_link_prediction,
+        "q238_zipf": q238_zipf,
+        "q239_heaps": q239_heaps,
     }
 
 
@@ -12609,4 +12735,6 @@ def oracle_sql() -> dict[str, str]:
         "q235_ktruss": _Q235_SQL,
         "q236_components": _Q236_SQL,
         "q237_link_prediction": _Q237_SQL,
+        "q238_zipf": _Q238_SQL,
+        "q239_heaps": _Q239_SQL,
     }

@@ -1,0 +1,189 @@
+"""Corpus-law statistics: Zipf rank-frequency and Heaps vocabulary-growth
+fits — the two empirical laws every large text corpus is sanity-checked
+against before training (Zipf 1949; Heaps 1978; Baayen, "Word Frequency
+Distributions" 2001).  A crawl whose token distribution deviates hard
+from Zipf (slope far from -1, collapsed hapax mass) is boilerplate- or
+spam-dominated; a Heaps exponent near 0 means the crawl stopped finding
+new vocabulary — the lexical analogue of q217's Good-Turing frontier
+exhaustion.
+
+Determinism contract (the q226 micro-unit discipline, adapted): every
+per-row ``ln`` is quantized to int64 MILLI-units (``round(ln(x)*1e3)``)
+BEFORE any cross-row sum, so the OLS moment sums are exact integers and
+bit-identical across engines and summation orders.  Milli (not micro)
+because the slope needs the x*y cross moment: with milli units the
+per-row product is <= (18.4e3)^2 ~ 3.4e8, so int64 holds the sum for
+vocabularies up to ~2.7e10 types — comfortably past any real corpus.
+The final slope/intercept/r2 combine the (exact) integer moments in
+double arithmetic — identical IEEE expressions over identical integers
+— and round to 6.
+
+Scale shape (100 TB):
+- the token rollup is one explode + one map-side-combined groupBy (the
+  q66 unigram-LM shape); everything downstream operates on the VOCAB
+  table (types, not tokens) or the PER-DOC 1-row table — both orders of
+  magnitude smaller than the corpus;
+- the Zipf rank is a single-partition window over the vocab table —
+  vocab-bounded by design (10^7-10^8 rows at web scale; use
+  operators/sequence.py's range-partitioned exact rank if the vocab
+  ever rivals the corpus);
+- the Heaps cumulative sums run on the per-doc table (1 row per doc)
+  ordered by doc id — metadata-scale, same caveat and same escape
+  hatch;
+- the OLS reduction is one map-side-combined global aggregate to a
+  1-row result.  No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eget_spark.operators.lm_score import TOKEN_SPLIT
+
+
+def _tok_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(tok, cnt) corpus-wide token counts (the q66 tokenizer)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    return toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def _milli(col):
+    return F.round(F.log(col) * 1e3, 0).cast("long")
+
+
+def _ols_row(points: DataFrame) -> DataFrame:
+    """OLS fit of y = intercept + slope * x over (x_milli, y_milli)
+    int64 points: 1-row (n_points, slope, intercept, r2), rounded 6.
+    Moment sums are exact int64; the combine is double."""
+    m = points.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x_milli").cast("long").alias("sx"),
+        F.sum("y_milli").cast("long").alias("sy"),
+        F.sum(F.col("x_milli") * F.col("y_milli")).cast("long").alias("sxy"),
+        F.sum(F.col("x_milli") * F.col("x_milli")).cast("long").alias("sxx"),
+        F.sum(F.col("y_milli") * F.col("y_milli")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        # intercept back in ln units: milli x/y cancel in the slope, so
+        # intercept_milli = (sy - slope*sx)/n, then /1e3 to ln units
+        F.round((sy - slope * sx) / n / 1e3, 6).alias("intercept"),
+        F.round(
+            F.when(vary > 0, cov * cov / (varx * vary)).otherwise(
+                F.lit(None).cast("double")
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency fit + vocabulary census, one row:
+    (n_types, n_tokens, hapax, dis, ttr, zipf_slope, zipf_intercept,
+    zipf_r2).  The fit regresses ln(cnt) on ln(rank) over the FULL
+    vocabulary (rank by cnt DESC, tok — pinned tie-break); a healthy
+    natural-language corpus lands near slope -1.  hapax/dis are the
+    Baayen spectrum's first two elements (cnt==1, cnt==2); ttr is the
+    type-token ratio."""
+    vocab = _tok_counts(df, id_col, text_col)
+    ranked = vocab.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "tok")),
+    )
+    fit = _ols_row(
+        ranked.select(
+            _milli(F.col("rnk")).alias("x_milli"),
+            _milli(F.col("cnt")).alias("y_milli"),
+        )
+    ).select(
+        F.col("slope").alias("zipf_slope"),
+        F.col("intercept").alias("zipf_intercept"),
+        F.col("r2").alias("zipf_r2"),
+    )
+    census = vocab.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias("hapax"),
+        F.sum((F.col("cnt") == 2).cast("long")).cast("long").alias("dis"),
+        F.round(F.count("*") / F.sum("cnt"), 6).alias("ttr"),
+    )
+    return census.crossJoin(fit)
+
+
+def heaps_fit(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heaps vocabulary-growth fit, one row: (n_points, heaps_beta,
+    heaps_intercept, heaps_r2).  Checkpoints are document boundaries in
+    ``id_col`` order: after each doc, n = cumulative tokens and V =
+    cumulative distinct types (a type counts at the FIRST doc containing
+    it — min(id) per type); the fit regresses ln(V) on ln(n), so
+    V ~ K * n^beta with beta = heaps_beta and ln K = heaps_intercept.
+    English corpora land at beta ~ 0.4-0.6; beta -> 0 means vocabulary
+    exhaustion (crawl is re-reading the same language)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    per_doc = toks.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_toks")
+    )
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.min("id").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    bounds = (
+        per_doc.join(new_types, "id", "left")
+        .select(
+            "id",
+            "n_toks",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .select(
+            F.sum("n_toks").over(w).cast("long").alias("n_cum"),
+            F.sum("new_types").over(w).cast("long").alias("v_cum"),
+        )
+        .where((F.col("n_cum") > 0) & (F.col("v_cum") > 0))
+    )
+    return _ols_row(
+        bounds.select(
+            _milli(F.col("n_cum")).alias("x_milli"),
+            _milli(F.col("v_cum")).alias("y_milli"),
+        )
+    ).select(
+        "n_points",
+        F.col("slope").alias("heaps_beta"),
+        F.col("intercept").alias("heaps_intercept"),
+        F.col("r2").alias("heaps_r2"),
+    )
