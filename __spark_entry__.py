@@ -12248,6 +12248,74 @@ FROM fit
 )
 
 
+def q240_textrank(spark, sf_dir):
+    """TextRank keyword extraction (operators/keywords.textrank_keywords
+    — Mihalcea & Tarau EMNLP 2004): top-3 keywords per document from
+    5 pinned fixed-point rounds over the per-doc adjacent-word
+    co-occurrence graph, int64 units of 1e-12 (the q40 pagerank_fixed
+    discipline) — the whole corpus iterates as ONE keyed dataflow, no
+    per-doc loop.  (id, word, rank_fp, kw_rank)."""
+    from eget_spark.operators.keywords import textrank_keywords
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"), n_iter=5, k=3)
+
+
+def _textrank_sql(n_iter: int = 5, k: int = 3) -> str:
+    head = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> {a: least(ts[i], ts[i+1]),
+                      b: greatest(ts[i], ts[i+1])})) AS p
+  FROM arr
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT doc_id, p.a AS a, p.b AS b FROM pr WHERE p.a <> p.b
+),
+sym AS MATERIALIZED (
+  SELECT doc_id, a AS v, b AS u FROM und
+  UNION ALL SELECT doc_id, b, a FROM und
+),
+deg AS MATERIALIZED (
+  SELECT doc_id, v, CAST(count(*) AS BIGINT) AS deg
+  FROM sym GROUP BY doc_id, v
+),
+topo AS MATERIALIZED (
+  SELECT s.doc_id, s.v, s.u, d.deg
+  FROM sym s JOIN deg d ON d.doc_id = s.doc_id AND d.v = s.u
+),
+r0 AS (SELECT doc_id, v AS w, CAST(1000000000000 AS BIGINT) AS r FROM deg)"""
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+it{i} AS MATERIALIZED (
+  SELECT t.doc_id, t.v AS w,
+         CAST(150000000000 + (17 * CAST(sum(p.r // t.deg) AS BIGINT)) // 20
+              AS BIGINT) AS r
+  FROM topo t JOIN it{i - 1 if i > 1 else 0}
+    p ON p.doc_id = t.doc_id AND p.w = t.u
+  GROUP BY t.doc_id, t.v
+)""".replace("it0", "r0"))
+    parts.append(f"""
+SELECT doc_id AS id, w AS word, r AS rank_fp, CAST(rn AS INT) AS kw_rank
+FROM (
+  SELECT doc_id, w, r,
+         row_number() OVER (PARTITION BY doc_id ORDER BY r DESC, w) AS rn
+  FROM it{n_iter}
+) WHERE rn <= {k}
+""")
+    return "".join(parts)
+
+
+_Q240_SQL = _textrank_sql(5, 3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -12494,6 +12562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_link_prediction": q237_link_prediction,
         "q238_zipf": q238_zipf,
         "q239_heaps": q239_heaps,
+        "q240_textrank": q240_textrank,
     }
 
 
@@ -12737,4 +12806,5 @@ def oracle_sql() -> dict[str, str]:
         "q237_link_prediction": _Q237_SQL,
         "q238_zipf": _Q238_SQL,
         "q239_heaps": _Q239_SQL,
+        "q240_textrank": _Q240_SQL,
     }
