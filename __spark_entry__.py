@@ -12316,6 +12316,91 @@ FROM (
 _Q240_SQL = _textrank_sql(5, 3)
 
 
+def q241_rake(spark, sf_dir):
+    """RAKE keyphrase extraction (operators/keywords.rake_phrases —
+    Rose et al. 2010): top-3 stopword-delimited candidate phrases per
+    document by degree/frequency word scores in int64 micro-units —
+    the multi-word companion to q240's TextRank terms.
+    (id, phrase, score_micro, kw_rank)."""
+    from eget_spark.operators.keywords import rake_phrases
+
+    return rake_phrases(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _rake_sql(k: int = 3) -> str:
+    from eget_spark.operators.keywords import RAKE_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return rf"""
+WITH fr2 AS (
+  SELECT doc_id, f.fi AS fidx,
+         list_filter(regexp_split_to_array(f.frag, '\s+'),
+                     t -> t <> '') AS ws
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(fr)),
+                  i -> {{fi: i, frag: fr[i]}})) AS f
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(text), '[^a-z0-9\s]+') AS fr
+          FROM documents)
+  )
+),
+marked AS (
+  SELECT doc_id, fidx, t.pos AS pos, t.w AS w,
+         t.w IN ({stoplist}) AS is_stop
+  FROM (
+    SELECT doc_id, fidx,
+           unnest(list_transform(generate_series(1, len(ws)),
+                  i -> {{pos: i, w: ws[i]}})) AS t
+    FROM fr2
+  )
+),
+pid AS (
+  SELECT doc_id, fidx, pos, w, is_stop,
+         sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id, fidx ORDER BY pos) AS phrase_id
+  FROM marked
+),
+occ AS MATERIALIZED (
+  SELECT doc_id, fidx, phrase_id, list(w ORDER BY pos) AS words
+  FROM pid WHERE NOT is_stop GROUP BY doc_id, fidx, phrase_id
+),
+wsc AS (
+  SELECT doc_id, w,
+         (CAST(sum(plen) AS BIGINT) * 1000000)
+           // CAST(count(*) AS BIGINT) AS wscore
+  FROM (SELECT doc_id, len(words) AS plen, unnest(words) AS w FROM occ)
+  GROUP BY doc_id, w
+),
+raw AS (
+  SELECT m.doc_id, m.phrase, CAST(sum(s.wscore) AS BIGINT) AS _raw
+  FROM (SELECT doc_id, array_to_string(words, ' ') AS phrase,
+               unnest(words) AS w
+        FROM occ) m
+  JOIN wsc s ON s.doc_id = m.doc_id AND s.w = m.w
+  GROUP BY m.doc_id, m.phrase
+),
+nocc AS (
+  SELECT doc_id, array_to_string(words, ' ') AS phrase,
+         CAST(count(*) AS BIGINT) AS n_occ
+  FROM occ GROUP BY 1, 2
+)
+SELECT doc_id AS id, phrase, score_micro, CAST(rn AS INT) AS kw_rank
+FROM (
+  SELECT r.doc_id, r.phrase,
+         CAST(r._raw // n.n_occ AS BIGINT) AS score_micro,
+         row_number() OVER (
+           PARTITION BY r.doc_id
+           ORDER BY CAST(r._raw // n.n_occ AS BIGINT) DESC, r.phrase
+         ) AS rn
+  FROM raw r JOIN nocc n ON n.doc_id = r.doc_id AND n.phrase = r.phrase
+) WHERE rn <= {k}
+"""
+
+
+_Q241_SQL = _rake_sql(3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -12563,6 +12648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_zipf": q238_zipf,
         "q239_heaps": q239_heaps,
         "q240_textrank": q240_textrank,
+        "q241_rake": q241_rake,
     }
 
 
@@ -12807,4 +12893,5 @@ def oracle_sql() -> dict[str, str]:
         "q238_zipf": _Q238_SQL,
         "q239_heaps": _Q239_SQL,
         "q240_textrank": _Q240_SQL,
+        "q241_rake": _Q241_SQL,
     }

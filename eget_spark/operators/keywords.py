@@ -130,3 +130,120 @@ def textrank_keywords(
             F.col("kw_rank").cast("int"),
         )
     )
+
+
+RAKE_STOPWORDS = [
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
+    "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",
+    "been", "it", "its", "this", "that", "these", "those", "he", "she",
+    "they", "we", "you", "i", "not", "no", "do", "does", "did", "have",
+    "has", "had", "will", "would", "can", "could", "their", "his", "her",
+]  # = functions/text._STOPWORDS (the q39 quality-signal list), pinned
+
+
+def rake_phrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010,
+    "Automatic keyword extraction from individual documents" — the
+    stopword-delimited companion to q240's TextRank: RAKE finds multi-
+    word PHRASES, TextRank single terms).
+
+    Pinned semantics:
+    - candidate phrases = maximal runs of non-stopwords, broken at
+      punctuation fragments (``[^a-z0-9\\s]+`` on the lowercased text)
+      and at :data:`RAKE_STOPWORDS`; no length cap (the paper's
+      original, uncapped);
+    - per-document word stats over ALL phrase occurrences:
+      ``freq(w)`` = occurrences, ``deg(w)`` = sum of the lengths of the
+      phrases containing each occurrence;
+    - word score in int64 micro-units: ``(deg * 1e6) div freq`` —
+      integer, so the phrase score (sum of member word scores WITH
+      multiplicity) is an exact integer sum, bit-stable across engines
+      and orders (the q226 discipline applied to RAKE's ratio);
+    - ranking: DISTINCT phrase texts per doc by (score DESC, phrase),
+      top ``k``.
+
+    Scale shape (100 TB): two exploded projections (fragments, tokens),
+    one per-fragment window for the phrase ids (partition key includes
+    the fragment — bounded partitions), two map-side-combined groupBys
+    (phrase assembly, word stats), one broadcast-size-per-doc join of
+    members against word scores, and the final per-doc top-k window.
+    No Python anywhere.
+
+    Returns (id, phrase, score_micro, kw_rank)."""
+    frags = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9\s]+")
+        ).alias("fidx", "frag"),
+    )
+    toks = frags.select(
+        "id",
+        "fidx",
+        F.posexplode(
+            F.filter(F.split(F.col("frag"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("pos", "w"),
+    ).withColumn("is_stop", F.col("w").isin(*RAKE_STOPWORDS))
+    w_cum = Window.partitionBy("id", "fidx").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = toks.withColumn(
+        "phrase_id", F.sum(F.col("is_stop").cast("int")).over(w_cum)
+    ).where(~F.col("is_stop"))
+    occurrences = marked.groupBy("id", "fidx", "phrase_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s["w"],
+        ).alias("words")
+    )
+    word_stats = (
+        occurrences.select(
+            "id", F.size("words").alias("plen"), F.explode("words").alias("w")
+        )
+        .groupBy("id", "w")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .withColumn("wscore", F.expr("(deg * 1000000) div freq"))
+    )
+    scored = (
+        occurrences.select(
+            "id",
+            F.concat_ws(" ", "words").alias("phrase"),
+            F.explode("words").alias("w"),
+        )
+        .join(word_stats.select("id", "w", "wscore"), ["id", "w"])
+        .groupBy("id", "phrase")
+        .agg(F.sum("wscore").cast("long").alias("_raw"))
+    )
+    # identical phrase text => identical members => identical score, so
+    # the (id, phrase) sum counts the true member sum n_occ times —
+    # divide back exactly (integer: _raw is a multiple of the score)
+    per_occ = (
+        occurrences.select(
+            "id", F.concat_ws(" ", "words").alias("phrase")
+        )
+        .groupBy("id", "phrase")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+    )
+    dedup = (
+        scored.join(per_occ, ["id", "phrase"])
+        .select(
+            "id",
+            "phrase",
+            F.expr("_raw div n_occ").cast("long").alias("score_micro"),
+        )
+    )
+    win = Window.partitionBy("id").orderBy(
+        F.col("score_micro").desc(), "phrase"
+    )
+    return (
+        dedup.withColumn("kw_rank", F.row_number().over(win))
+        .where(F.col("kw_rank") <= k)
+        .select("id", "phrase", "score_micro", F.col("kw_rank").cast("int"))
+    )

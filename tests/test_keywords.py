@@ -71,3 +71,83 @@ def test_textrank_degenerate_docs_emit_nothing(spark):
     # produce no graph and no keywords
     got = _run(spark, ["solo", "spam spam spam", "", "  .,  "])
     assert got == []
+
+
+def _py_rake(texts, k=3):
+    from eget_spark.operators.keywords import RAKE_STOPWORDS
+
+    stop = set(RAKE_STOPWORDS)
+    rows = []
+    for doc_id, text in enumerate(texts):
+        phrases = []
+        for frag in re.split(r"[^a-z0-9\s]+", text.lower()):
+            cur: list[str] = []
+            for w in re.split(r"\s+", frag):
+                if not w:
+                    continue
+                if w in stop:
+                    if cur:
+                        phrases.append(tuple(cur))
+                    cur = []
+                else:
+                    cur.append(w)
+            if cur:
+                phrases.append(tuple(cur))
+        freq: dict[str, int] = {}
+        deg: dict[str, int] = {}
+        for p in phrases:
+            for w in p:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(p)
+        wscore = {w: (deg[w] * 1_000_000) // freq[w] for w in freq}
+        scores: dict[str, int] = {}
+        for p in set(phrases):
+            scores[" ".join(p)] = sum(wscore[w] for w in p)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for i, (phrase, s) in enumerate(ranked):
+            rows.append((doc_id, phrase, s, i + 1))
+    rows.sort()
+    return rows
+
+
+def _run_rake(spark, texts, **kw):
+    from eget_spark.operators.keywords import rake_phrases
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = rake_phrases(df, **kw).collect()
+    return sorted(
+        (r["id"], r["phrase"], r["score_micro"], r["kw_rank"]) for r in out
+    )
+
+
+def test_rake_matches_python_replay(spark):
+    texts = [
+        "compatibility of systems of linear constraints over the set of "
+        "natural numbers. criteria of compatibility, upper bounds and "
+        "minimal generating sets are given",
+        "the quick brown fox jumps over a lazy dog and the dog sleeps",
+        "deep neural networks, deep learning. neural architecture search",
+    ]
+    assert _run_rake(spark, texts) == _py_rake(texts)
+
+
+def test_rake_punctuation_breaks_phrases(spark):
+    # same words; the period must split the candidate phrase
+    a = _run_rake(spark, ["alpha beta. gamma"], k=5)
+    b = _run_rake(spark, ["alpha beta gamma"], k=5)
+    assert {r[1] for r in a} == {"alpha beta", "gamma"}
+    assert {r[1] for r in b} == {"alpha beta gamma"}
+
+
+def test_rake_duplicate_phrase_scored_once(spark):
+    # "big data" occurs twice: ranked once, but freq/deg count both
+    got = _run_rake(spark, ["big data and big data"], k=5)
+    assert len(got) == 1
+    # freq(big)=2 deg(big)=4 -> 2e6; same for data; phrase = 4e6
+    assert got[0] == (0, "big data", 4_000_000, 1)
+
+
+def test_rake_all_stopwords_emits_nothing(spark):
+    assert _run_rake(spark, ["the of and a", ""]) == []
