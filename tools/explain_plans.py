@@ -2122,6 +2122,48 @@ def main() -> None:
     checks.append(("ktruss: no window", _nodes(p_kt, "Window") == 0))
     checks.append(("ktruss: no Python", "EvalPython" not in p_kt))
 
+    # 164. connected components (q236): the label loop localCheckpoints
+    # per round, so the final plan is a checkpointed scan; no Python
+    p_cc = plan_of(entry.q236_components(spark, SF))
+    checks.append(("components: checkpointed label table", "ExistingRDD" in p_cc))
+    checks.append(("components: no Python", "EvalPython" not in p_cc))
+
+    # 165. link prediction (q237): pivot self-join is a hash equi join
+    # (never cartesian), pair agg map-side combined, top-k TakeOrdered
+    p_lp = plan_of(entry.q237_link_prediction(spark, SF))
+    checks.append(("linkpred: TakeOrdered final", "TakeOrderedAndProject" in p_lp))
+    checks.append(("linkpred: hash equi joins, no cartesian", "Cartesian" not in p_lp))
+    checks.append(("linkpred: map-side partial agg", "partial_count" in p_lp))
+    checks.append(("linkpred: no Python", "EvalPython" not in p_lp))
+
+    # 166. Zipf fit (q238): token rollup map-side combined; the one
+    # window is the vocab-bounded rank; OLS reduces to a 1-row agg
+    p_zf = plan_of(entry.q238_zipf(spark, SF))
+    checks.append(("zipf: map-side partial agg", "partial_count" in p_zf or "partial_sum" in p_zf))
+    checks.append(("zipf: single vocab-rank window", _nodes(p_zf, "Window") == 1))
+    checks.append(("zipf: no Python", "EvalPython" not in p_zf))
+
+    # 167. Heaps fit (q239): cumulative sums run on the per-doc 1-row
+    # table; moment sums map-side combined; no Python
+    p_hf = plan_of(entry.q239_heaps(spark, SF))
+    checks.append(("heaps: map-side partial agg", "partial_sum" in p_hf))
+    checks.append(("heaps: no Python", "EvalPython" not in p_hf))
+
+    # 168. TextRank (q240): ranks localCheckpoint per iteration (final
+    # plan reads the checkpointed table), per-doc top-k window; no Python
+    p_tr = plan_of(entry.q240_textrank(spark, SF))
+    checks.append(("textrank: checkpointed rank state", "ExistingRDD" in p_tr))
+    checks.append(("textrank: per-doc top-k window", "Window" in p_tr))
+    checks.append(("textrank: no Python", "EvalPython" not in p_tr))
+
+    # 169. RAKE (q241): exploded projections + map-side-combined stats,
+    # hash join of members to word scores, windows bounded per key
+    p_rk = plan_of(entry.q241_rake(spark, SF))
+    checks.append(("rake: explode projections", "Generate" in p_rk))
+    checks.append(("rake: map-side partial agg", "partial_count" in p_rk or "partial_sum" in p_rk))
+    checks.append(("rake: hash equi joins, no cartesian", "Cartesian" not in p_rk))
+    checks.append(("rake: no Python", "EvalPython" not in p_rk))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
