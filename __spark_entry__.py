@@ -12401,6 +12401,63 @@ FROM (
 _Q241_SQL = _rake_sql(3)
 
 
+def q242_simrank(spark, sf_dir):
+    """SimRank structural similarity (operators/graph.simrank_fixed —
+    Jeh & Widom KDD 2002): top-100 off-diagonal pairs after 3 pinned
+    rounds from the identity, C=4/5, int64 1e-12 units with one
+    truncating division per pair per round — link-topology dedup that
+    surfaces co-cited near-substitutes MinHash cannot see.  Same edge
+    synthesis as q40.  (a, b, sim_fp)."""
+    from eget_spark.operators.graph import simrank_fixed
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    return simrank_fixed(nodes, edges, n_iter=3, k=100)
+
+
+def _simrank_sql(n_iter: int = 3, k: int = 100) -> str:
+    head = (
+        "WITH "
+        + _EDGES_SQL.lstrip().removeprefix("WITH ")
+        + r""",
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+ind AS MATERIALIZED (
+  SELECT dst, CAST(count(*) AS BIGINT) AS ind FROM e GROUP BY dst
+),
+diag AS (
+  SELECT doc_id AS u, doc_id AS v, CAST(1000000000000 AS BIGINT) AS s
+  FROM documents
+),
+s0 AS (SELECT * FROM diag)"""
+    )
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT * FROM diag
+  UNION ALL
+  SELECT a AS u, b AS v, sim AS s FROM (
+    SELECT q.a, q.b,
+           CAST((4 * q.tot) // (5 * ia.ind * ib.ind) AS BIGINT) AS sim
+    FROM (
+      SELECT e1.dst AS a, e2.dst AS b, CAST(sum(p.s) AS BIGINT) AS tot
+      FROM s{i - 1} p
+      JOIN e e1 ON e1.src = p.u
+      JOIN e e2 ON e2.src = p.v
+      WHERE e1.dst <> e2.dst
+      GROUP BY e1.dst, e2.dst
+    ) q JOIN ind ia ON ia.dst = q.a JOIN ind ib ON ib.dst = q.b
+  ) WHERE sim > 0
+)""")
+    parts.append(f"""
+SELECT u AS a, v AS b, s AS sim_fp FROM s{n_iter}
+WHERE u < v ORDER BY s DESC, u, v LIMIT {k}
+""")
+    return "".join(parts)
+
+
+_Q242_SQL = _simrank_sql(3, 100)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -12649,6 +12706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_heaps": q239_heaps,
         "q240_textrank": q240_textrank,
         "q241_rake": q241_rake,
+        "q242_simrank": q242_simrank,
     }
 
 
@@ -12894,4 +12952,5 @@ def oracle_sql() -> dict[str, str]:
         "q239_heaps": _Q239_SQL,
         "q240_textrank": _Q240_SQL,
         "q241_rake": _Q241_SQL,
+        "q242_simrank": _Q242_SQL,
     }

@@ -1735,3 +1735,84 @@ def link_prediction_scores(
     return (
         flagged.orderBy(F.col("aa_micro").desc(), "a", "b").limit(k)
     )
+
+
+def simrank_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    c_num: int = 4,
+    c_den: int = 5,
+    scale: int = 10**12,
+    k: int = 100,
+) -> DataFrame:
+    """SimRank structural similarity (Jeh & Widom, KDD 2002: "two
+    objects are similar if they are referenced by similar objects") —
+    the link-topology twin of content dedup: two pages cited by the
+    same (or similar) pages are near-substitutes even when their text
+    differs, which surfaces mirror candidates and topical duplicates
+    that MinHash cannot see.
+
+    Recurrence: ``s(a,b) = C/(|I(a)||I(b)|) * sum_{i in I(a), j in
+    I(b)} s(i,j)`` with ``s(a,a) = 1``; in-neighbor SETS (edges
+    de-duplicated), C = ``c_num/c_den`` (default 4/5 = 0.8, the
+    paper's choice).  ``n_iter`` PINNED rounds from the diagonal
+    (s_0 = identity) — the paper proves iterates rise monotonically to
+    the fixpoint, so a truncated run is a uniform lower bound.
+
+    Integer discipline (:func:`pagerank_fixed`): similarities are int64
+    in units of 1/scale; each round computes the EXACT integer sum of
+    pair states first, then one truncating division
+    ``(c_num * sum) div (c_den * |I(a)| * |I(b)|)`` — bit-exact across
+    engines, partitionings, and summation orders.
+
+    Scale shape: the pair state is quadratic in the worst case — this
+    operator is for COLLAPSED graphs (hosts via
+    :func:`collapse_to_hosts`, 10^5-10^6 nodes), never the raw page
+    graph; the per-round cost is two hash joins of the state against
+    the edge list (fan-out bounded by out-degree) + one map-side-
+    combined sum.  State localCheckpoints per round.
+
+    Returns the top-``k`` off-diagonal pairs (a, b, sim_fp) with
+    a < b, sim_fp > 0, ordered by (sim_fp DESC, a, b)."""
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint()
+    ind = e.groupBy("dst").agg(F.count("*").cast("long").alias("ind"))
+    diag = nodes.select(
+        F.col(nodes.columns[0]).alias("u")
+    ).distinct().select(
+        "u", F.col("u").alias("v"), F.lit(scale).cast("long").alias("s")
+    ).localCheckpoint()
+    state = diag
+    for _ in range(n_iter):
+        summed = (
+            state.join(e.select(F.col("src").alias("u"), F.col("dst").alias("a")), "u")
+            .join(e.select(F.col("src").alias("v"), F.col("dst").alias("b")), "v")
+            .where(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("s").cast("long").alias("_sum"))
+        )
+        offdiag = (
+            summed.join(ind.select(F.col("dst").alias("a"), F.col("ind").alias("ia")), "a")
+            .join(ind.select(F.col("dst").alias("b"), F.col("ind").alias("ib")), "b")
+            .select(
+                F.col("a").alias("u"),
+                F.col("b").alias("v"),
+                F.expr(f"({c_num} * _sum) div ({c_den} * ia * ib)")
+                .cast("long")
+                .alias("s"),
+            )
+            .where(F.col("s") > 0)
+        )
+        state = diag.unionByName(offdiag).localCheckpoint()
+    return (
+        state.where(F.col("u") < F.col("v"))
+        .select(
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            F.col("s").alias("sim_fp"),
+        )
+        .orderBy(F.col("sim_fp").desc(), "a", "b")
+        .limit(k)
+    )

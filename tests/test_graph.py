@@ -1371,3 +1371,83 @@ def test_link_prediction_hot_pivot_excluded(spark):
     for r in got:
         assert r["cn"] == 1 and r["aa_micro"] == round(1e6 / __import__("math").log(2))
         assert r["jaccard"] == round(1 / 3, 6) and r["is_edge"]
+
+
+def _py_simrank(ids, pairs, n_iter=3, scale=10**12, k=100):
+    e = sorted({(s, d) for s, d in pairs if s != d})
+    inn: dict[int, list] = {}
+    for s, d in e:
+        inn.setdefault(d, []).append(s)
+    sim = {(i, i): scale for i in ids}
+    for _ in range(n_iter):
+        new = {(i, i): scale for i in ids}
+        for a in inn:
+            for b in inn:
+                if a == b:
+                    continue
+                tot = sum(
+                    sim.get((i, j), 0) for i in inn[a] for j in inn[b]
+                )
+                s = (4 * tot) // (5 * len(inn[a]) * len(inn[b]))
+                if s > 0:
+                    new[(a, b)] = s
+        sim = new
+    rows = sorted(
+        ((a, b, s) for (a, b), s in sim.items() if a < b),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )
+    return rows[:k]
+
+
+def test_simrank_matches_python_oracle(spark):
+    from eget_spark.operators.graph import simrank_fixed
+
+    ids = list(range(12))
+    pairs = [(i, (i * 7 + 13) % 12) for i in ids] + [
+        (i, (i * i * 3 + 5) % 12) for i in ids
+    ]
+    got = [
+        (r["a"], r["b"], r["sim_fp"])
+        for r in simrank_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=3
+        ).collect()
+    ]
+    assert got == _py_simrank(ids, pairs)
+    assert got  # non-degenerate: some pair shares in-neighbors
+
+
+def test_simrank_shared_citer_closed_form(spark):
+    from eget_spark.operators.graph import simrank_fixed
+
+    # 0 -> 1 and 0 -> 2: I(1)=I(2)={0}, so s(1,2) = C * s(0,0) = 0.8
+    got = simrank_fixed(
+        _nodes_df(spark, [0, 1, 2]),
+        _edges_df(spark, [(0, 1), (0, 2)]),
+        n_iter=1,
+    ).collect()
+    assert [(r["a"], r["b"], r["sim_fp"]) for r in got] == [
+        (1, 2, (4 * 10**12) // 5)
+    ]
+
+
+def test_simrank_monotone_iterates(spark):
+    from eget_spark.operators.graph import simrank_fixed
+
+    ids = list(range(8))
+    pairs = [(i, (i * 3 + 1) % 8) for i in ids] + [(i, (i + 5) % 8) for i in ids]
+    one = {
+        (r["a"], r["b"]): r["sim_fp"]
+        for r in simrank_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=1
+        ).collect()
+    }
+    three = {
+        (r["a"], r["b"]): r["sim_fp"]
+        for r in simrank_fixed(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=3
+        ).collect()
+    }
+    # Jeh-Widom: iterates rise monotonically toward the fixpoint
+    # (integer truncation can shave <= a few units of 1e-12; allow it)
+    for key, s1 in one.items():
+        assert three.get(key, 0) >= s1 - 5
