@@ -12458,6 +12458,74 @@ WHERE u < v ORDER BY s DESC, u, v LIMIT {k}
 _Q242_SQL = _simrank_sql(3, 100)
 
 
+def q243_refresh_policies(spark, sf_dir):
+    """Refresh-policy freshness comparison (operators/
+    recrawl.refresh_policy_freshness — Cho & Garcia-Molina TODS 2003):
+    expected corpus freshness of uniform vs proportional revisit
+    allocation over synthetic per-page Poisson rates
+    (``((doc_id*7+3) % 23) * 0.5``/day, zero included), budget one
+    check/page/day; per-page freshness ppm-quantized before the exact
+    integer mean.  The paper's uniform>proportional headline is pinned
+    in tests.  (policy, n_pages, budget_per_day_ppm, mean_fresh_ppm)."""
+    from eget_spark.operators.recrawl import refresh_policy_freshness
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = docs.select(
+        F.col("doc_id").alias("id"),
+        (((F.col("doc_id") * 7 + 3) % 23) * 500_000)
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    n = docs.count()
+    return refresh_policy_freshness(rates, n * 1_000_000)
+
+
+_Q243_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         CAST(((doc_id*7+3) % 23) * 500000 AS BIGINT) AS lam_ppm
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lam_ppm) AS BIGINT) AS sum_lam
+  FROM base
+),
+per AS (
+  SELECT
+    CASE WHEN lam_ppm = 0 THEN CAST(1000000 AS BIGINT)
+         ELSE CAST(round(
+           1e6 * (1 - exp(-(CAST(lam_ppm AS DOUBLE) * CAST(n AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * 1e6))))
+               / (CAST(lam_ppm AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 1e6))) AS BIGINT) END AS fu,
+    CASE WHEN lam_ppm = 0 THEN CAST(1000000 AS BIGINT)
+         ELSE CAST(round(
+           1e6 * (1 - exp(-(CAST(sum_lam AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * 1e6))))
+               / (CAST(sum_lam AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 1e6))) AS BIGINT) END AS fp
+  FROM base CROSS JOIN tot
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(fu) AS BIGINT) AS su,
+         CAST(sum(fp) AS BIGINT) AS sp
+  FROM per
+),
+b AS (SELECT CAST(n * 1000000 AS BIGINT) AS budget FROM tot)
+SELECT policy, n_pages, budget_per_day_ppm, mean_fresh_ppm FROM (
+  SELECT 'proportional' AS policy, s.n AS n_pages,
+         b.budget AS budget_per_day_ppm,
+         CAST(s.sp // s.n AS BIGINT) AS mean_fresh_ppm
+  FROM s CROSS JOIN b
+  UNION ALL
+  SELECT 'uniform', s.n, b.budget, CAST(s.su // s.n AS BIGINT)
+  FROM s CROSS JOIN b
+) ORDER BY policy
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -12707,6 +12775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_textrank": q240_textrank,
         "q241_rake": q241_rake,
         "q242_simrank": q242_simrank,
+        "q243_refresh_policies": q243_refresh_policies,
     }
 
 
@@ -12953,4 +13022,5 @@ def oracle_sql() -> dict[str, str]:
         "q240_textrank": _Q240_SQL,
         "q241_rake": _Q241_SQL,
         "q242_simrank": _Q242_SQL,
+        "q243_refresh_policies": _Q243_SQL,
     }

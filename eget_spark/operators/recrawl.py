@@ -345,3 +345,92 @@ def frontier_exhaustion(
             .alias("p_new_ppm"),
         )
     )
+
+
+def refresh_policy_freshness(
+    rates: DataFrame,
+    budget_per_day_ppm: int,
+    id_col: str = "id",
+    rate_ppm_col: str = "rate_ppm",
+) -> DataFrame:
+    """Expected corpus freshness of the two classic refresh policies
+    (Cho & Garcia-Molina, "Effective page refresh policies for web
+    crawlers", ACM TODS 2003): given per-page Poisson change rates
+    ``lambda_i`` and a total revisit budget ``B`` checks/day, compare
+
+    - **uniform**: every page re-checked at ``f = B/N``;
+    - **proportional**: ``f_i = B * lambda_i / sum(lambda)``.
+
+    Under Poisson changes and evenly spaced revisits at interval
+    ``I = 1/f``, time-averaged freshness is
+    ``F(lambda, I) = (1 - e^(-lambda*I)) / (lambda*I)`` (lambda = 0 ->
+    F = 1).  The paper's counterintuitive headline — uniform beats
+    proportional for any non-degenerate rate mix — falls out of the
+    comparison (pinned in tests); proportional gives every page the
+    SAME ``lambda*I = sum(lambda)/B``, wasting budget on pages that
+    change faster than any revisit cadence can track.
+
+    Determinism contract: inputs are INTEGER ppm rates and an integer
+    ppm budget; each page's freshness is quantized to int64 ppm
+    (``round(1e6 * F)``) BEFORE the corpus sum (the q226 discipline —
+    exp/division are fixed IEEE expressions over exact integers), and
+    the corpus mean is the exact integer ``sum div N``.
+
+    Scale shape: ONE map-side-combined aggregate over the rate table
+    per policy plus a 1-row broadcast of (N, sum-lambda) — no window,
+    no Python; the rate table is already per-page metadata (one row per
+    URL, not per fetch).
+
+    Returns two rows: (policy, n_pages, budget_per_day_ppm,
+    mean_fresh_ppm), ordered by policy."""
+    base = rates.select(
+        F.col(id_col).alias("id"),
+        F.col(rate_ppm_col).cast("long").alias("lam_ppm"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lam_ppm").cast("long").alias("sum_lam"),
+    )
+    joined = base.crossJoin(F.broadcast(tot))
+    # lambda*I per policy, as exact-integer-derived doubles:
+    #   uniform:      lam_i * N / B
+    #   proportional: sum_lam / B   (constant — the paper's observation)
+    li_uniform = (
+        F.col("lam_ppm").cast("double")
+        * F.col("n").cast("double")
+        / F.lit(float(budget_per_day_ppm))
+    )
+    li_prop = F.col("sum_lam").cast("double") / F.lit(
+        float(budget_per_day_ppm)
+    )
+
+    def fresh_ppm(li):
+        return F.round(
+            F.when(F.col("lam_ppm") == 0, F.lit(1e6)).otherwise(
+                F.lit(1e6) * (F.lit(1.0) - F.exp(-li)) / li
+            ),
+            0,
+        ).cast("long")
+
+    per_page = joined.select(
+        fresh_ppm(li_uniform).alias("fu"),
+        fresh_ppm(li_prop).alias("fp"),
+    )
+    sums = per_page.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("fu").cast("long").alias("su"),
+        F.sum("fp").cast("long").alias("sp"),
+    )
+    u = sums.select(
+        F.lit("uniform").alias("policy"),
+        F.col("n").alias("n_pages"),
+        F.lit(budget_per_day_ppm).cast("long").alias("budget_per_day_ppm"),
+        F.expr("su div n").cast("long").alias("mean_fresh_ppm"),
+    )
+    p = sums.select(
+        F.lit("proportional").alias("policy"),
+        F.col("n").alias("n_pages"),
+        F.lit(budget_per_day_ppm).cast("long").alias("budget_per_day_ppm"),
+        F.expr("sp div n").cast("long").alias("mean_fresh_ppm"),
+    )
+    return u.unionByName(p).orderBy("policy")

@@ -164,3 +164,54 @@ def test_frontier_exhaustion_extremes(spark):
     df = spark.createDataFrame(rows, "host string, url string")
     got = {r["host"]: r["p_new_ppm"] for r in frontier_exhaustion(df).collect()}
     assert got == {"new": 10**6, "done": 0}
+
+
+def _py_policy_freshness(lams_ppm, budget_ppm):
+    import math
+
+    n = len(lams_ppm)
+    sum_lam = sum(lams_ppm)
+
+    def fresh(lam, li):
+        if lam == 0:
+            return 1_000_000
+        return round(1e6 * (1.0 - math.exp(-li)) / li)
+
+    su = sum(fresh(l, l * n / budget_ppm) for l in lams_ppm)
+    sp = sum(fresh(l, sum_lam / budget_ppm) for l in lams_ppm)
+    return su // n, sp // n
+
+
+def test_refresh_policy_matches_python_closed_form(spark):
+    from eget_spark.operators.recrawl import refresh_policy_freshness
+
+    lams = [0, 100_000, 500_000, 1_000_000, 4_000_000, 10_000_000]
+    budget = 6 * 1_000_000  # one check/page/day on average
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lams)], "id long, rate_ppm long"
+    )
+    rows = {
+        r["policy"]: r
+        for r in refresh_policy_freshness(df, budget).collect()
+    }
+    want_u, want_p = _py_policy_freshness(lams, budget)
+    assert rows["uniform"]["mean_fresh_ppm"] == want_u
+    assert rows["proportional"]["mean_fresh_ppm"] == want_p
+    assert rows["uniform"]["n_pages"] == 6
+    # Cho & Garcia-Molina TODS 2003: uniform beats proportional for any
+    # non-degenerate rate mix
+    assert want_u > want_p
+
+
+def test_refresh_policy_degenerate_equal_rates_tie(spark):
+    from eget_spark.operators.recrawl import refresh_policy_freshness
+
+    # identical rates: uniform == proportional (same lambda*I per page)
+    df = spark.createDataFrame(
+        [(i, 2_000_000) for i in range(4)], "id long, rate_ppm long"
+    )
+    rows = {
+        r["policy"]: r["mean_fresh_ppm"]
+        for r in refresh_policy_freshness(df, 8_000_000).collect()
+    }
+    assert rows["uniform"] == rows["proportional"]
