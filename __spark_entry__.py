@@ -12526,6 +12526,71 @@ SELECT policy, n_pages, budget_per_day_ppm, mean_fresh_ppm FROM (
 """
 
 
+def q244_diversity(spark, sf_dir):
+    """Source-diversity indices (operators/fairness.diversity_indices —
+    Shannon 1948 / Simpson 1949 / Berger-Parker 1970): richness,
+    Shannon entropy in int64 micro-nats (per-group terms quantized
+    before the sum), effective source count exp(H), unbiased Simpson
+    concentration and Berger-Parker dominance in exact integer units —
+    how many EFFECTIVE sources the corpus mix really has.  One row over
+    documents.source."""
+    from eget_spark.operators.fairness import diversity_indices
+
+    return diversity_indices(_t(spark, sf_dir, "documents"), "source")
+
+
+_Q244_SQL = r"""
+WITH counts AS (
+  SELECT source AS k, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM counts),
+per AS (
+  SELECT n, n_tot,
+         CAST(round(-1e6 * (CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                    * ln(CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+              AS BIGINT) AS h_term,
+         CAST(n * (n - 1) AS BIGINT) AS n2
+  FROM counts CROSS JOIN tot
+)
+SELECT CAST(count(*) AS BIGINT) AS richness,
+       CAST(sum(h_term) AS BIGINT) AS shannon_micro,
+       round(exp(CAST(sum(h_term) AS BIGINT) / 1e6), 6) AS eff_sources,
+       CASE WHEN max(n_tot) > 1
+            THEN CAST((CAST(sum(n2) AS BIGINT) * 1000000)
+                      // (max(n_tot) * (max(n_tot) - 1)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS simpson_permicro,
+       CAST((max(n) * 1000000) // max(n_tot) AS BIGINT)
+         AS berger_parker_micro
+FROM per
+"""
+
+
+def q245_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis A-Res weighted sampling (operators/
+    sampling.weighted_sample_ares — IPL 2006): 20 documents sampled
+    without replacement with probability proportional to n_chars, via
+    the deterministic md5-60bit uniform and the monotone ln(u)/w key —
+    the one-pass mergeable weighted sampler (per-partition top-k then
+    global top-k).  (id, weight, es_key)."""
+    from eget_spark.operators.sampling import weighted_sample_ares
+
+    return weighted_sample_ares(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=20
+    )
+
+
+_Q245_SQL = r"""
+SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+       round(ln(greatest(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 15)) AS BIGINT), 1)
+                / 1152921504606846976.0)
+             / CAST(n_chars AS DOUBLE), 6) AS es_key
+FROM documents
+ORDER BY es_key DESC, id LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -12776,6 +12841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_rake": q241_rake,
         "q242_simrank": q242_simrank,
         "q243_refresh_policies": q243_refresh_policies,
+        "q244_diversity": q244_diversity,
+        "q245_weighted_sample": q245_weighted_sample,
     }
 
 
@@ -13023,4 +13090,6 @@ def oracle_sql() -> dict[str, str]:
         "q241_rake": _Q241_SQL,
         "q242_simrank": _Q242_SQL,
         "q243_refresh_policies": _Q243_SQL,
+        "q244_diversity": _Q244_SQL,
+        "q245_weighted_sample": _Q245_SQL,
     }

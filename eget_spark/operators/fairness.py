@@ -82,3 +82,72 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys,
                  // (count(*) * sum(x)) END AS BIGINT) AS gini_permille
 FROM ranked
 """
+
+
+def diversity_indices(df: DataFrame, key_col: str) -> DataFrame:
+    """Ecological diversity indices of a categorical mix (Shannon 1948;
+    Simpson, Nature 1949; Berger & Parker 1970) — the source-diversity
+    health check a training corpus gets alongside the Gini above: a
+    crawl can be Gini-fair across hosts yet still concentrate 90% of
+    TOKENS in one source family; these three numbers say how many
+    EFFECTIVE sources the mix really has.
+
+    One row over the per-``key_col`` row-count distribution:
+
+    - ``richness``: distinct keys;
+    - ``shannon_micro``: H = -sum p_i ln p_i in int64 micro-nats, each
+      group's term quantized BEFORE the sum (the q226 discipline —
+      p_i = n_i/N is a ratio of exact integers, so the per-term double
+      is engine-identical);
+    - ``eff_sources``: exp(H) (Hill number q=1, MacArthur's effective
+      species count) from the QUANTIZED H — rounded 6;
+    - ``simpson_permicro``: Simpson concentration with the unbiased
+      finite-sample form ``sum n_i(n_i-1) * 1e6 // (N(N-1))`` — pure
+      int64 (1e6 units); diversity is its complement;
+    - ``berger_parker_micro``: ``max(n_i) * 1e6 // N`` — dominance of
+      the single largest source, int64.
+
+    Scale shape: ONE map-side-combined count per key, a 1-row broadcast
+    of N, per-group arithmetic, ONE scalar reduction.  No window, no
+    Python.  N(N-1) overflows int64 past N ~ 3e9 rows — compact to
+    (key, count) upstream and feed counts if the raw table is larger
+    (the counts themselves stay exact)."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("n_tot"))
+    per = counts.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "n_tot",
+        F.round(
+            F.lit(-1e6)
+            * (F.col("n").cast("double") / F.col("n_tot").cast("double"))
+            * F.log(F.col("n").cast("double") / F.col("n_tot").cast("double")),
+            0,
+        )
+        .cast("long")
+        .alias("h_term"),
+        (F.col("n") * (F.col("n") - 1)).cast("long").alias("n2"),
+    )
+    return per.groupBy("n_tot").agg(
+        F.count("*").cast("long").alias("richness"),
+        F.sum("h_term").cast("long").alias("shannon_micro"),
+        F.sum("n2").cast("long").alias("_sn2"),
+        F.max("n").cast("long").alias("_maxn"),
+    ).select(
+        "richness",
+        "shannon_micro",
+        F.round(F.exp(F.col("shannon_micro").cast("double") / 1e6), 6).alias(
+            "eff_sources"
+        ),
+        F.when(
+            F.col("n_tot") > 1,
+            F.expr("(_sn2 * 1000000) div (n_tot * (n_tot - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("simpson_permicro"),
+        F.expr("(_maxn * 1000000) div n_tot").cast("long").alias(
+            "berger_parker_micro"
+        ),
+    )

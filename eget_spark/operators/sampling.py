@@ -370,3 +370,46 @@ def unimax_allocation(
             " div n_tokens ELSE 0 END"
         ).cast("long"),
     )
+
+
+def weighted_sample_ares(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """Weighted random sampling without replacement, the A-Res scheme of
+    Efraimidis & Spirakis (IPL 2006): each row draws a uniform
+    ``u in (0,1)`` and keeps key ``u^(1/w)``; the k largest keys ARE a
+    weighted sample without replacement.  The distributed-sampling
+    classic: one pass, no coordination, mergeable by taking the global
+    top-k of per-partition top-ks — exactly what TakeOrdered does.
+
+    Pinned determinism (the q106/bernoulli recipe): ``u`` comes from the
+    repo-standard portable 60-bit md5 of ``seed || id``
+    (``u = max(h,1)/2^60`` — the max() guards the measure-zero h=0), and
+    the ranking key is the monotone transform ``ln(u)/w`` (avoids
+    pow()), a fixed IEEE expression over exact integers — bit-identical
+    across engines, retries, partitionings, and cluster sizes, which
+    ``df.sample()`` is not.  Keys round to 6 for the emitted column;
+    ties break by id.
+
+    Scale shape: a pure projection + TakeOrdered — zero shuffles before
+    the top-k reduction; weights never leave the row.
+
+    Returns the k sampled rows: (id, weight, es_key), es_key DESC."""
+    from .kmv import md5_60bit
+
+    h = md5_60bit(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    u = F.greatest(h, F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "id")
+        .limit(k)
+    )

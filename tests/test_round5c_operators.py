@@ -227,3 +227,62 @@ def test_scalar_quantize_random_cases(spark):
         s, codes, err = _py_squant(vec32)
         assert got[i] == (s, codes, err), (i, vec)
         assert all(-127 <= c <= 127 for c in codes)
+
+
+def _py_diversity(keys):
+    import math
+    from collections import Counter
+
+    c = Counter(keys)
+    n_tot = sum(c.values())
+    h = sum(
+        int(round(-1e6 * (n / n_tot) * math.log(n / n_tot)))
+        for n in c.values()
+    )
+    sn2 = sum(n * (n - 1) for n in c.values())
+    return {
+        "richness": len(c),
+        "shannon_micro": h,
+        "eff_sources": round(math.exp(h / 1e6), 6),
+        "simpson_permicro": (sn2 * 1_000_000) // (n_tot * (n_tot - 1))
+        if n_tot > 1
+        else 0,
+        "berger_parker_micro": (max(c.values()) * 1_000_000) // n_tot,
+    }
+
+
+def test_diversity_matches_python_replay(spark):
+    from eget_spark.operators.fairness import diversity_indices
+
+    keys = ["a"] * 10 + ["b"] * 5 + ["c"] * 3 + ["d"] * 1 + ["e"] * 1
+    df = spark.createDataFrame([(k,) for k in keys], "src string")
+    got = diversity_indices(df, "src").collect()[0].asDict()
+    assert got == _py_diversity(keys)
+
+
+def test_diversity_uniform_mix_extremes(spark):
+    import math
+
+    from eget_spark.operators.fairness import diversity_indices
+
+    # 4 equal sources: H = ln 4, eff_sources ~ 4, Berger-Parker = 1/4
+    df = spark.createDataFrame(
+        [(str(i % 4),) for i in range(40)], "src string"
+    )
+    got = diversity_indices(df, "src").collect()[0]
+    assert got["richness"] == 4
+    assert abs(got["shannon_micro"] - round(1e6 * math.log(4))) <= 2
+    assert abs(got["eff_sources"] - 4.0) < 1e-4
+    assert got["berger_parker_micro"] == 250_000
+
+
+def test_diversity_single_source_degenerate(spark):
+    from eget_spark.operators.fairness import diversity_indices
+
+    df = spark.createDataFrame([("x",)] * 7, "src string")
+    got = diversity_indices(df, "src").collect()[0]
+    assert got["richness"] == 1
+    assert got["shannon_micro"] == 0
+    assert got["eff_sources"] == 1.0
+    assert got["simpson_permicro"] == 1_000_000
+    assert got["berger_parker_micro"] == 1_000_000

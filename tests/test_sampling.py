@@ -231,3 +231,52 @@ def test_unimax_budget_exceeds_capacity(spark):
     got = {r.grp: r.alloc_tokens for r in out}
     # everyone capped at 2 epochs; the surplus budget goes unspent
     assert got == {"x": 100, "y": 140}
+
+
+def _py_ares(rows, k, seed=""):
+    import hashlib
+    import math
+
+    out = []
+    for rid, w in rows:
+        h = int(hashlib.md5(f"{seed}{rid}".encode()).hexdigest()[:15], 16)
+        u = max(h, 1) / float(1 << 60)
+        out.append((rid, w, round(math.log(u) / w, 6)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+def test_ares_matches_python_replay(spark):
+    from eget_spark.operators.sampling import weighted_sample_ares
+
+    rows = [(i, (i * 13 + 7) % 40 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = [
+        (r["id"], r["weight"], r["es_key"])
+        for r in weighted_sample_ares(df, "id", "w", k=10).collect()
+    ]
+    assert got == _py_ares(rows, 10)
+
+
+def test_ares_weight_bias(spark):
+    from eget_spark.operators.sampling import weighted_sample_ares
+
+    # one row weighs 10^6x the rest: over many seeds it must be chosen
+    # nearly always (statistical pin, deterministic given fixed seeds)
+    rows = [(0, 1_000_000)] + [(i, 1) for i in range(1, 50)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    hits = sum(
+        any(
+            r["id"] == 0
+            for r in weighted_sample_ares(df, "id", "w", k=5, seed=str(s)).collect()
+        )
+        for s in range(8)
+    )
+    assert hits == 8
+
+
+def test_ares_k_exceeding_n_returns_all(spark):
+    from eget_spark.operators.sampling import weighted_sample_ares
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id long, w long")
+    assert weighted_sample_ares(df, "id", "w", k=10).count() == 2
