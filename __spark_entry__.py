@@ -12131,7 +12131,10 @@ def q238_zipf(spark, sf_dir):
     terms (exact integer moment sums, double combine), plus type/token/
     hapax/dis census — the distributional health check a crawl corpus
     gets before training.  One row: (n_types, n_tokens, hapax, dis,
-    ttr, zipf_slope, zipf_intercept, zipf_r2)."""
+    ttr, zipf_slope, zipf_intercept, zipf_r2).  Complements q196
+    (top-1000 slope only): full-vocab regression + the census + R^2 —
+    a template farm can fake slope -1 on the head while R^2 exposes
+    the broken tail."""
     from eget_spark.operators.corpus_stats import zipf_fit
 
     return zipf_fit(_t(spark, sf_dir, "documents"))
@@ -12203,7 +12206,9 @@ def q239_heaps(spark, sf_dir):
     checkpoints (a type counts at its FIRST containing doc), so
     V ~ K*n^beta; beta -> 0 flags vocabulary exhaustion, the lexical
     twin of q217's Good-Turing frontier signal.  One row: (n_points,
-    heaps_beta, heaps_intercept, heaps_r2)."""
+    heaps_beta, heaps_intercept, heaps_r2).  Complements q191 (10 fixed
+    id thresholds): every doc boundary is a checkpoint, plus intercept
+    and R^2."""
     from eget_spark.operators.corpus_stats import heaps_fit
 
     return heaps_fit(_t(spark, sf_dir, "documents"))

@@ -1,7 +1,19 @@
 """Corpus-law statistics: Zipf rank-frequency and Heaps vocabulary-growth
 fits — the two empirical laws every large text corpus is sanity-checked
 against before training (Zipf 1949; Heaps 1978; Baayen, "Word Frequency
-Distributions" 2001).  A crawl whose token distribution deviates hard
+Distributions" 2001).
+
+Relation to the earlier slope fitters (deliberate complements, not
+duplicates): q196 (functions/text.zipf_fit) fits the Zipf SLOPE over
+the top-1000 ranks only — this module's :func:`zipf_fit` regresses the
+FULL vocabulary and adds what a slope alone cannot say: the Baayen
+census (hapax/dis legomena, type-token ratio), the intercept, and R^2
+(goodness of fit — a template farm can fake slope -1 on the head while
+R^2 exposes the broken tail).  q191 (functions/text.heaps_fit) fits
+over 10 FIXED doc-id thresholds; this module's :func:`heaps_fit` uses
+EVERY document boundary as a checkpoint (n_points = corpus docs) plus
+intercept and R^2, which is the grid you want when the corpus is too
+small or too lumpy for a fixed threshold ladder.  A crawl whose token distribution deviates hard
 from Zipf (slope far from -1, collapsed hapax mass) is boilerplate- or
 spam-dominated; a Heaps exponent near 0 means the crawl stopped finding
 new vocabulary — the lexical analogue of q217's Good-Turing frontier

@@ -2164,6 +2164,36 @@ def main() -> None:
     checks.append(("rake: hash equi joins, no cartesian", "Cartesian" not in p_rk))
     checks.append(("rake: no Python", "EvalPython" not in p_rk))
 
+    # 170. SimRank (q242): pair state localCheckpoints per round (final
+    # plan reads the checkpointed table), top-k TakeOrdered; no Python
+    p_sr = plan_of(entry.q242_simrank(spark, SF))
+    checks.append(("simrank: checkpointed pair state", "ExistingRDD" in p_sr))
+    checks.append(("simrank: TakeOrdered final", "TakeOrderedAndProject" in p_sr))
+    checks.append(("simrank: no Python", "EvalPython" not in p_sr))
+
+    # 171. refresh policies (q243): one map-side-combined aggregate +
+    # 1-row broadcast; no window, no Python
+    p_rp = plan_of(entry.q243_refresh_policies(spark, SF))
+    checks.append(("refresh policies: map-side partial agg", "partial_count" in p_rp or "partial_sum" in p_rp))
+    checks.append(("refresh policies: broadcast scalar join", "Broadcast" in p_rp))
+    checks.append(("refresh policies: no window", _nodes(p_rp, "Window") == 0))
+    checks.append(("refresh policies: no Python", "EvalPython" not in p_rp))
+
+    # 172. diversity indices (q244): count-per-key map-side combined,
+    # 1-row broadcast of N; no window, no Python
+    p_dv = plan_of(entry.q244_diversity(spark, SF))
+    checks.append(("diversity: map-side partial agg", "partial_count" in p_dv))
+    checks.append(("diversity: no window", _nodes(p_dv, "Window") == 0))
+    checks.append(("diversity: no Python", "EvalPython" not in p_dv))
+
+    # 173. A-Res weighted sample (q245): pure projection then the
+    # mergeable TakeOrdered top-k — no shuffle agg, no window, no Python
+    p_ws = plan_of(entry.q245_weighted_sample(spark, SF))
+    checks.append(("ares: TakeOrdered final", "TakeOrderedAndProject" in p_ws))
+    checks.append(("ares: no window", _nodes(p_ws, "Window") == 0))
+    checks.append(("ares: no shuffle aggregate", "Exchange" not in p_ws))
+    checks.append(("ares: no Python", "EvalPython" not in p_ws))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
