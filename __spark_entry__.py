@@ -12596,6 +12596,86 @@ ORDER BY es_key DESC, id LIMIT 20
 """
 
 
+def q246_spotsigs(spark, sf_dir):
+    """SpotSigs near-duplicate pairs (operators/dedup.spotsig_pairs —
+    Theobald et al. SIGIR 2008): stopword-anchored signature chains
+    (anchor + next 2 non-stopwords), exact Jaccard >= 0.5 over DISTINCT
+    signature sets via the inverted-index join, signatures in > 50 docs
+    pruned BEFORE the self-join (pinned df-cap) — the boilerplate-blind
+    dedup family.  (id_a, id_b, jaccard)."""
+    from eget_spark.operators.dedup import spotsig_pairs
+
+    return spotsig_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        max_df=50,
+    )
+
+
+_Q246_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t.pos AS pos, t.w AS w,
+         t.w IN ('the', 'a', 'an', 'is', 'was', 'it', 'there') AS is_stop
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ts)),
+                  i -> {pos: i, w: ts[i]})) AS t
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM documents)
+  )
+),
+ranked AS (
+  SELECT doc_id, pos, w, is_stop,
+         sum(CASE WHEN is_stop THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS ns_cum
+  FROM toks
+),
+anchors AS (
+  SELECT doc_id, pos AS apos, w AS anchor, ns_cum + g.g AS want
+  FROM ranked, (SELECT unnest([1, 2]) AS g) g
+  WHERE is_stop
+),
+nonstop AS (
+  SELECT doc_id, ns_cum AS want, w AS cw FROM ranked WHERE NOT is_stop
+),
+chains AS (
+  SELECT a.doc_id, a.apos, a.anchor,
+         count(*) AS n_chain,
+         a.anchor || ':' || string_agg(n.cw, ':' ORDER BY n.want) AS sig
+  FROM anchors a
+  JOIN nonstop n ON n.doc_id = a.doc_id AND n.want = a.want
+  GROUP BY a.doc_id, a.apos, a.anchor
+),
+sigs AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id, sig FROM chains WHERE n_chain = 2
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sigs GROUP BY id),
+rare AS (
+  SELECT sig FROM (SELECT sig, count(*) AS df FROM sigs GROUP BY sig)
+  WHERE df <= 50
+),
+j AS (SELECT s.id, s.sig FROM sigs s JOIN rare USING (sig)),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM j a JOIN j b ON a.sig = b.sig AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6)
+           AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+) WHERE jaccard >= 0.5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -12848,6 +12928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_refresh_policies": q243_refresh_policies,
         "q244_diversity": q244_diversity,
         "q245_weighted_sample": q245_weighted_sample,
+        "q246_spotsigs": q246_spotsigs,
     }
 
 
@@ -13097,4 +13178,5 @@ def oracle_sql() -> dict[str, str]:
         "q243_refresh_policies": _Q243_SQL,
         "q244_diversity": _Q244_SQL,
         "q245_weighted_sample": _Q245_SQL,
+        "q246_spotsigs": _Q246_SQL,
     }

@@ -978,3 +978,143 @@ def winnow_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+SPOTSIG_ANTECEDENTS = ["the", "a", "an", "is", "was", "it", "there"]
+# Theobald et al.'s best-performing antecedent class (SIGIR'08 §5.2:
+# stopword antecedents beat POS/DF-based ones); pinned.
+
+
+def spotsig_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chain_len: int = 2,
+    antecedents: list[str] | None = None,
+) -> DataFrame:
+    """(id, sig) DISTINCT spot signatures per document (Theobald,
+    Siddharth & Paepcke, "SpotSigs: robust and efficient near duplicate
+    detection in large web crawls", SIGIR 2008).  A spot signature is a
+    stopword ANTECEDENT plus the chain of the next ``chain_len``
+    non-stopword tokens — stopwords anchor to natural-language sentence
+    flow, so boilerplate (nav bars, link lists — mostly content words)
+    contributes almost no signatures and the comparison keys on the
+    article text that matters.  Chains shorter than ``chain_len``
+    (anchor too close to the end) are DROPPED (pin).
+
+    Scale shape: one explode + one per-doc cumulative window (non-stop
+    rank) + one equi-join of the chain_len-exploded anchors against the
+    non-stop tokens on (id, rank) + one group to assemble — all keys
+    include the doc id, so nothing skews."""
+    from .lm_score import TOKEN_SPLIT
+
+    ants = antecedents if antecedents is not None else SPOTSIG_ANTECEDENTS
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("pos", "w"),
+    ).withColumn("is_stop", F.col("w").isin(*ants))
+    w_cum = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = toks.withColumn(
+        "ns_cum", F.sum((~F.col("is_stop")).cast("long")).over(w_cum)
+    ).localCheckpoint()
+    anchors = ranked.where(F.col("is_stop")).select(
+        "id",
+        F.col("pos").alias("apos"),
+        F.col("w").alias("anchor"),
+        F.explode(
+            F.sequence(F.col("ns_cum") + 1, F.col("ns_cum") + chain_len)
+        ).alias("want"),
+    )
+    nonstop = ranked.where(~F.col("is_stop")).select(
+        "id", F.col("ns_cum").alias("want"), F.col("w").alias("cw")
+    )
+    chains = (
+        anchors.join(nonstop, ["id", "want"])
+        .groupBy("id", "apos", "anchor")
+        .agg(
+            F.count("*").alias("_n"),
+            F.concat_ws(
+                ":",
+                F.col("anchor"),
+                F.concat_ws(
+                    ":",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("want", "cw"))),
+                        lambda s: s["cw"],
+                    ),
+                ),
+            ).alias("sig"),
+        )
+        .where(F.col("_n") == chain_len)
+    )
+    return chains.select("id", "sig").distinct()
+
+
+def spotsig_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    chain_len: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard near-duplicate pairs over SpotSigs signature sets —
+    the boilerplate-blind dedup family (SIGIR 2008), complementing
+    MinHash/SimHash (whole-text) and q58's line dedup (boilerplate
+    REMOVAL): two news pages with identical articles but different nav
+    chrome score near 1.0 here while whole-text Jaccard dilutes.
+
+    Same inverted-index exact-intersection shape as
+    :func:`ngram_jaccard_pairs`; ``max_df`` (pinned contract, like the
+    q219 MOSS cap) drops signatures occurring in more than max_df docs
+    BEFORE the self-join — a ubiquitous template signature would
+    otherwise fan out quadratically through one reducer.  Jaccard uses
+    the PRE-CAP signature-set sizes (caps prune candidate generation,
+    not the measure).  Returns (id_a, id_b, jaccard >= threshold)."""
+    sigs = spotsig_rows(df, id_col, text_col, chain_len).localCheckpoint()
+    sizes = sigs.groupBy("id").agg(F.count("*").alias("n"))
+    joinable = sigs
+    if max_df is not None:
+        rare = (
+            sigs.groupBy("sig")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("sig")
+        )
+        joinable = sigs.join(rare, "sig")
+    inter = (
+        joinable.alias("a")
+        .join(
+            joinable.alias("b"),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

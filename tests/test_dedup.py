@@ -429,3 +429,75 @@ def test_winnow_pairs_max_df_is_the_suppressor(spark):
     assert loose > 0  # boilerplate really does relate the docs
     tight = winnow_pairs(df, "doc_id", "text", max_df=1, min_shared=1).count()
     assert tight == 0
+
+
+def _py_spotsigs(text, ants, c=2):
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    sigs = set()
+    for i, w in enumerate(toks):
+        if w in ants:
+            chain = [t for t in toks[i + 1 :] if t not in ants][:c]
+            if len(chain) == c:
+                sigs.add(":".join([w] + chain))
+    return sigs
+
+
+def test_spotsig_rows_matches_python(spark):
+    from eget_spark.operators.dedup import SPOTSIG_ANTECEDENTS, spotsig_rows
+
+    texts = [
+        "the quick brown fox is a lazy dog there and the end",
+        "a b the c",  # chain 'the:c:?' too short -> dropped; 'a:b:c' kept
+        "no anchors here whatsoever",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in spotsig_rows(df, "doc_id", "text").collect():
+        got.setdefault(r["id"], set()).add(r["sig"])
+    ants = set(SPOTSIG_ANTECEDENTS)
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _py_spotsigs(t, ants), i
+
+
+def test_spotsig_pairs_boilerplate_blind(spark):
+    from eget_spark.operators.dedup import spotsig_pairs
+
+    article = (
+        "the mayor said a budget vote is coming there will follow "
+        "a public hearing the council meets tuesday"
+    )
+    nav_a = "home products pricing contact careers blog login signup"
+    nav_b = "search trending sports weather markets opinion video photos"
+    df = spark.createDataFrame(
+        [
+            (0, article + " " + nav_a),
+            (1, article + " " + nav_b),
+            (2, "the weather is a mild story there was a calm evening"),
+        ],
+        "doc_id long, text string",
+    )
+    got = spotsig_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    # nav chrome has no stopword anchors -> identical signature sets
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(0, 1, 1.0)]
+
+
+def test_spotsig_pairs_max_df_prunes_hot_sigs(spark):
+    from eget_spark.operators.dedup import spotsig_pairs
+
+    # every doc shares one template sig; unique remainder differs.
+    # With max_df=2 the shared sig cannot generate candidate pairs, and
+    # no surviving pair clears the threshold.
+    rows = [
+        (i, f"the common tail is w{i} x{i} the filler y{i} z{i}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # each doc has 3 sigs, exactly 1 shared -> jaccard = 1/5 = 0.2
+    loose = spotsig_pairs(df, "doc_id", "text", threshold=0.2)
+    capped = spotsig_pairs(df, "doc_id", "text", threshold=0.2, max_df=2)
+    assert loose.count() == 15  # all pairs share 'the:common:tail'
+    assert capped.count() == 0
