@@ -2194,6 +2194,15 @@ def main() -> None:
     checks.append(("ares: no shuffle aggregate", "Exchange" not in p_ws))
     checks.append(("ares: no Python", "EvalPython" not in p_ws))
 
+    # 174. SpotSigs (q246): checkpointed signature table feeds the
+    # inverted-index hash self-join (never cartesian), intersection
+    # counts map-side combined; no Python
+    p_ss = plan_of(entry.q246_spotsigs(spark, SF))
+    checks.append(("spotsigs: checkpointed sig table", "ExistingRDD" in p_ss))
+    checks.append(("spotsigs: hash equi join, no cartesian", "Cartesian" not in p_ss and "NestedLoop" not in p_ss))
+    checks.append(("spotsigs: map-side partial agg", "partial_count" in p_ss))
+    checks.append(("spotsigs: no Python", "EvalPython" not in p_ss))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
