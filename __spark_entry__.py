@@ -12676,6 +12676,74 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+def q247_wl_colors(spark, sf_dir):
+    """Weisfeiler-Leman structural color classes (operators/
+    graph.wl_colors — WL 1968 / Shervashidze JMLR 2011): 3 pinned
+    refinement rounds with the commutative sum-mod-2^40 + count
+    neighbor fold (map-side combinable — no sorted multiset on a
+    reducer) over portable md5-60bit colors; the top-50 color classes
+    by size — mirror farms and doorway lattices collapse into giant
+    classes organic sites never form.  (color, n_nodes)."""
+    from eget_spark.operators.graph import wl_colors
+
+    nodes, edges = _arith_edges(spark, sf_dir)
+    cols = wl_colors(nodes, edges, n_iter=3)
+    return (
+        cols.groupBy("color")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "color")
+        .limit(50)
+    )
+
+
+def _wl_sql(n_iter: int = 3, k: int = 50) -> str:
+    h = lambda expr: (
+        "CAST(('0x' || substr(md5(" + expr + "), 1, 15)) AS BIGINT)"
+    )
+    head = (
+        "WITH "
+        + _EDGES_SQL.lstrip().removeprefix("WITH ")
+        + rf""",
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e),
+sym AS MATERIALIZED (SELECT a AS id, b AS nbr FROM und
+                     UNION ALL SELECT b, a FROM und),
+deg0 AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY id),
+c0 AS MATERIALIZED (
+  SELECT d.doc_id AS id,
+         {h("CAST(coalesce(g.dg, 0) AS VARCHAR)")} AS color
+  FROM documents d LEFT JOIN deg0 g ON g.id = d.doc_id
+)"""
+    )
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        expr = (
+            "CAST(c.color AS VARCHAR) || ':' || "
+            "CAST(coalesce(n.hsum, 0) AS VARCHAR) || ':' || "
+            "CAST(coalesce(n.hcnt, 0) AS VARCHAR)"
+        )
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT c.id, {h(expr)} AS color
+  FROM c{i - 1} c LEFT JOIN (
+    SELECT s.id,
+           CAST(sum(p.color % 1099511627776) AS BIGINT) AS hsum,
+           CAST(count(*) AS BIGINT) AS hcnt
+    FROM sym s JOIN c{i - 1} p ON p.id = s.nbr GROUP BY s.id
+  ) n ON n.id = c.id
+)""")
+    parts.append(f"""
+SELECT color, CAST(count(*) AS BIGINT) AS n_nodes
+FROM c{n_iter} GROUP BY color
+ORDER BY n_nodes DESC, color LIMIT {k}
+""")
+    return "".join(parts)
+
+
+_Q247_SQL = _wl_sql(3, 50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -12929,6 +12997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_diversity": q244_diversity,
         "q245_weighted_sample": q245_weighted_sample,
         "q246_spotsigs": q246_spotsigs,
+        "q247_wl_colors": q247_wl_colors,
     }
 
 
@@ -13179,4 +13248,5 @@ def oracle_sql() -> dict[str, str]:
         "q244_diversity": _Q244_SQL,
         "q245_weighted_sample": _Q245_SQL,
         "q246_spotsigs": _Q246_SQL,
+        "q247_wl_colors": _Q247_SQL,
     }

@@ -1816,3 +1816,98 @@ def simrank_fixed(
         .orderBy(F.col("sim_fp").desc(), "a", "b")
         .limit(k)
     )
+
+
+def wl_colors(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Weisfeiler-Leman-style structural color refinement (Weisfeiler &
+    Leman 1968; Shervashidze et al., JMLR 2011 WL-kernel form): nodes
+    start colored by their undirected degree and each
+    round re-color by hashing (own color, aggregated neighbor colors) —
+    after k rounds two nodes share a color only if their k-hop
+    neighborhoods are structurally alike.  On a crawl graph the color
+    CLASSES are the site templates: mirror farms, generated link rings,
+    and doorway lattices collapse into a few giant classes that organic
+    sites never form (the structural complement to q140's content-hash
+    mirror detection).
+
+    Variant pinned here (the scale-correct one): neighbor multisets are
+    aggregated COMMUTATIVELY — ``sum(h mod 2^40)`` plus the neighbor
+    count over the undirected neighbor colors — instead of the
+    classical sorted-multiset concatenation, so the per-round aggregate
+    is map-side combinable and a 10^6-degree hub never materializes a
+    10^6-element array on one reducer.  The mod-2^40 fold can collide
+    where true WL would distinguish (documented trade; sums of <= 2^23
+    neighbors stay exact in int64), and duplicate colors DO count
+    (unlike an xor fold, which would cancel pairs).  All hashes are the
+    repo-standard portable 60-bit md5, so the refinement is bit-exact
+    across engines.
+
+    Scale shape: per round ONE hash join of the symmetric edge list
+    against the color table + ONE map-side-combined (sum, count)
+    aggregate + one projection; colors localCheckpoint per round.
+
+    Returns (id, color) after ``n_iter`` rounds."""
+    from .kmv import md5_60bit
+
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    base = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = und.select(
+        F.col("a").alias("id"), F.col("b").alias("nbr")
+    ).unionAll(und.select(F.col("b").alias("id"), F.col("a").alias("nbr")))
+    sym = sym.localCheckpoint()
+    # init color = UNDIRECTED degree, consistent with the undirected
+    # refinement below (a directed (out,in) init would break the
+    # path-mirror symmetry the refinement itself preserves)
+    deg0 = sym.groupBy("id").agg(F.count("*").cast("long").alias("dg"))
+    colors = (
+        base.join(deg0, "id", "left")
+        .select(
+            "id",
+            md5_60bit(
+                F.coalesce("dg", F.lit(0)).cast("string")
+            ).alias("color"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        nbr_agg = (
+            sym.join(
+                colors.select(
+                    F.col("id").alias("nbr"), F.col("color").alias("nc")
+                ),
+                "nbr",
+            )
+            .select(
+                "id", F.expr("nc % 1099511627776").alias("h")  # mod 2^40
+            )
+            .groupBy("id")
+            .agg(
+                F.sum("h").cast("long").alias("hsum"),
+                F.count("*").cast("long").alias("hcnt"),
+            )
+        )
+        colors = (
+            colors.join(nbr_agg, "id", "left")
+            .select(
+                "id",
+                md5_60bit(
+                    F.concat_ws(
+                        ":",
+                        F.col("color").cast("string"),
+                        F.coalesce("hsum", F.lit(0)).cast("string"),
+                        F.coalesce("hcnt", F.lit(0)).cast("string"),
+                    )
+                ).alias("color"),
+            )
+            .localCheckpoint()
+        )
+    return colors

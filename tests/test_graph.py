@@ -1451,3 +1451,85 @@ def test_simrank_monotone_iterates(spark):
     # (integer truncation can shave <= a few units of 1e-12; allow it)
     for key, s1 in one.items():
         assert three.get(key, 0) >= s1 - 5
+
+
+def _py_wl(ids, pairs, n_iter=3):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    e = sorted({(s, d) for s, d in pairs if s != d})
+    und = {(min(s, d), max(s, d)) for s, d in e}
+    nbrs: dict[int, list] = {i: [] for i in ids}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    col = {i: h60(str(len(nbrs.get(i, [])))) for i in ids}
+    for _ in range(n_iter):
+        new = {}
+        for v in ids:
+            hs = [col[u] % (1 << 40) for u in nbrs.get(v, [])]
+            if hs:
+                new[v] = h60(f"{col[v]}:{sum(hs)}:{len(hs)}")
+            else:
+                new[v] = h60(f"{col[v]}:0:0")
+        col = new
+    return col
+
+
+def test_wl_colors_match_python_replay(spark):
+    from eget_spark.operators.graph import wl_colors
+
+    ids = list(range(16))
+    pairs = [(i, (i * 7 + 13) % 16) for i in ids] + [
+        (i, (i * i * 3 + 5) % 16) for i in ids
+    ]
+    got = {
+        r["id"]: r["color"]
+        for r in wl_colors(
+            _nodes_df(spark, ids), _edges_df(spark, pairs), n_iter=3
+        ).collect()
+    }
+    assert got == _py_wl(ids, pairs)
+
+
+def test_wl_symmetric_nodes_share_color(spark):
+    from eget_spark.operators.graph import wl_colors
+
+    # two disjoint 3-cycles: all six nodes structurally identical ->
+    # ONE color class; the path 10-11-12 yields center != endpoints
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3),
+             (10, 11), (11, 12)]
+    got = {
+        r["id"]: r["color"]
+        for r in wl_colors(
+            _nodes_df(spark, [0, 1, 2, 3, 4, 5, 10, 11, 12]),
+            _edges_df(spark, pairs),
+            n_iter=3,
+        ).collect()
+    }
+    assert len({got[i] for i in range(6)}) == 1
+    assert got[10] == got[12] != got[11]
+
+
+def test_wl_refinement_separates_rounds(spark):
+    from eget_spark.operators.graph import wl_colors
+
+    # star center vs leaves: separated at round 0 already (degrees);
+    # a 6-path's distance-to-end classes separate only with rounds
+    pairs = [(i, i + 1) for i in range(6)]
+    nodes = _nodes_df(spark, list(range(7)))
+    r1 = {
+        r["id"]: r["color"]
+        for r in wl_colors(nodes, _edges_df(spark, pairs), n_iter=1).collect()
+    }
+    r3 = {
+        r["id"]: r["color"]
+        for r in wl_colors(nodes, _edges_df(spark, pairs), n_iter=3).collect()
+    }
+    # mirror symmetry always holds: i and 6-i share colors
+    for i in range(7):
+        assert r3[i] == r3[6 - i]
+    # more rounds refine: class count grows from r1 to r3
+    assert len(set(r3.values())) > len(set(r1.values()))
