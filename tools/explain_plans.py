@@ -2203,6 +2203,15 @@ def main() -> None:
     checks.append(("spotsigs: map-side partial agg", "partial_count" in p_ss))
     checks.append(("spotsigs: no Python", "EvalPython" not in p_ss))
 
+    # 175. WL colors (q247): per-round colors localCheckpoint (final
+    # plan reads the checkpointed table), class histogram map-side
+    # combined, top-k TakeOrdered; no Python
+    p_wl = plan_of(entry.q247_wl_colors(spark, SF))
+    checks.append(("wl: checkpointed color state", "ExistingRDD" in p_wl))
+    checks.append(("wl: map-side partial agg", "partial_count" in p_wl))
+    checks.append(("wl: TakeOrdered final", "TakeOrderedAndProject" in p_wl))
+    checks.append(("wl: no Python", "EvalPython" not in p_wl))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
