@@ -12744,6 +12744,70 @@ ORDER BY n_nodes DESC, color LIMIT {k}
 _Q247_SQL = _wl_sql(3, 50)
 
 
+def q248_collocations(spark, sf_dir):
+    """Corpus collocation mining (operators/collocations.
+    collocation_scores — Church & Hanks 1990 PMI; Dunning 1993
+    log-likelihood ratio): top-100 adjacent bigrams by G² over
+    bigram-event margins (every 2x2 cell a non-negative integer by
+    construction), min support 5, PMI and LLR in micro-nats — the
+    phrase-level boilerplate signal (template fragments score huge G²).
+    (w1, w2, c12, c1, c2, pmi_micro, llr_micro)."""
+    from eget_spark.operators.collocations import collocation_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocation_scores(docs, "doc_id", "text", min_count=5, k=100)
+
+
+_Q248_SQL = r"""
+WITH docs_l AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM docs_l
+),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM (SELECT a.w AS w1, b.w AS w2
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+  GROUP BY w1, w2
+),
+m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bi GROUP BY w2),
+tot AS (SELECT CAST(sum(c12) AS BIGINT) AS t FROM bi)
+SELECT w1, w2, c12, c1, c2,
+  CAST(round(ln(c12 * CAST(t AS DOUBLE)
+                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1e6)
+       AS BIGINT) AS pmi_micro,
+  CAST(round(2.0 * (
+      (CASE WHEN c12 > 0 THEN
+        CAST(c12 AS DOUBLE) * ln(CAST(c12 AS DOUBLE) * CAST(t AS DOUBLE)
+          / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0.0 END)
+    + (CASE WHEN c1 - c12 > 0 THEN
+        CAST(c1 - c12 AS DOUBLE) * ln(CAST(c1 - c12 AS DOUBLE)
+          * CAST(t AS DOUBLE)
+          / (CAST(c1 AS DOUBLE) * (CAST(t AS DOUBLE) - CAST(c2 AS DOUBLE))))
+       ELSE 0.0 END)
+    + (CASE WHEN c2 - c12 > 0 THEN
+        CAST(c2 - c12 AS DOUBLE) * ln(CAST(c2 - c12 AS DOUBLE)
+          * CAST(t AS DOUBLE)
+          / ((CAST(t AS DOUBLE) - CAST(c1 AS DOUBLE)) * CAST(c2 AS DOUBLE)))
+       ELSE 0.0 END)
+    + (CASE WHEN t - c1 - c2 + c12 > 0 THEN
+        CAST(t - c1 - c2 + c12 AS DOUBLE) * ln(CAST(t - c1 - c2 + c12
+          AS DOUBLE) * CAST(t AS DOUBLE)
+          / ((CAST(t AS DOUBLE) - CAST(c1 AS DOUBLE))
+             * (CAST(t AS DOUBLE) - CAST(c2 AS DOUBLE))))
+       ELSE 0.0 END)
+  ) * 1e6) AS BIGINT) AS llr_micro
+FROM bi JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+WHERE c12 >= 5
+ORDER BY llr_micro DESC, w1, w2 LIMIT 100
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -12998,6 +13062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_weighted_sample": q245_weighted_sample,
         "q246_spotsigs": q246_spotsigs,
         "q247_wl_colors": q247_wl_colors,
+        "q248_collocations": q248_collocations,
     }
 
 
@@ -13249,4 +13314,5 @@ def oracle_sql() -> dict[str, str]:
         "q245_weighted_sample": _Q245_SQL,
         "q246_spotsigs": _Q246_SQL,
         "q247_wl_colors": _Q247_SQL,
+        "q248_collocations": _Q248_SQL,
     }
