@@ -12808,6 +12808,59 @@ ORDER BY llr_micro DESC, w1, w2 LIMIT 100
 """
 
 
+def q249_source_divergence(spark, sf_dir):
+    """Per-source unigram divergence from the corpus mixture (operators/
+    divergence.group_divergences — the KL/cross-entropy primitives of
+    Moore-Lewis 2010 / DSIR 2023 / DoReMi 2023 data selection): Shannon
+    entropy, cross-entropy under the corpus distribution, and
+    KL(source || corpus), each an int64 micro-nat sum with per-token
+    quantization BEFORE the sum (reduction-order independent).  One row
+    per documents.source — off-domain sources surface as KL outliers.
+    (source, n_toks, n_types, h_micro, ce_micro, kl_micro)."""
+    from eget_spark.operators.divergence import group_divergences
+
+    return group_divergences(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+_Q249_SQL = r"""
+WITH toks AS (
+  SELECT source AS grp, unnest(
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '')) AS tok
+  FROM documents
+),
+gt AS (
+  SELECT grp, tok, CAST(count(*) AS BIGINT) AS n_gt
+  FROM toks GROUP BY grp, tok
+),
+g_tot AS (SELECT grp, CAST(sum(n_gt) AS BIGINT) AS n_g FROM gt GROUP BY grp),
+vocab AS (SELECT tok, CAST(sum(n_gt) AS BIGINT) AS n_t FROM gt GROUP BY tok),
+tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM vocab),
+terms AS (
+  SELECT gt.grp, gt.n_gt,
+    CAST(round(-(CAST(gt.n_gt AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+               * ln(CAST(gt.n_gt AS DOUBLE) / CAST(g.n_g AS DOUBLE)) * 1e6)
+         AS BIGINT) AS h_term,
+    CAST(round(-(CAST(gt.n_gt AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+               * ln(CAST(v.n_t AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e6)
+         AS BIGINT) AS ce_term,
+    CAST(round((CAST(gt.n_gt AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+               * ln((CAST(gt.n_gt AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+                    / (CAST(v.n_t AS DOUBLE) / CAST(t.n AS DOUBLE))) * 1e6)
+         AS BIGINT) AS kl_term
+  FROM gt JOIN g_tot g ON g.grp = gt.grp
+  JOIN vocab v ON v.tok = gt.tok CROSS JOIN tot t
+)
+SELECT grp AS source,
+       CAST(sum(n_gt) AS BIGINT) AS n_toks,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(h_term) AS BIGINT) AS h_micro,
+       CAST(sum(ce_term) AS BIGINT) AS ce_micro,
+       CAST(sum(kl_term) AS BIGINT) AS kl_micro
+FROM terms GROUP BY grp ORDER BY grp
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13063,6 +13116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_spotsigs": q246_spotsigs,
         "q247_wl_colors": q247_wl_colors,
         "q248_collocations": q248_collocations,
+        "q249_source_divergence": q249_source_divergence,
     }
 
 
@@ -13315,4 +13369,5 @@ def oracle_sql() -> dict[str, str]:
         "q246_spotsigs": _Q246_SQL,
         "q247_wl_colors": _Q247_SQL,
         "q248_collocations": _Q248_SQL,
+        "q249_source_divergence": _Q249_SQL,
     }
