@@ -12861,6 +12861,92 @@ FROM terms GROUP BY grp ORDER BY grp
 """
 
 
+def q250_bradley_terry(spark, sf_dir):
+    """Bradley-Terry source strengths (operators/preference — Bradley &
+    Terry 1952; Hunter 2004 MM): pairwise wins = strict n_chars
+    dominance between doc pairs across sources, computed via per-source
+    value histograms + an exclusive running count (never a quadratic
+    doc-pair join); 3 pinned MM rounds in int64 micro units with
+    truncating division and mass renormalization — the preference-
+    aggregation primitive behind rater/LLM-judge leaderboards.
+    (item, wins, comparisons, bt_fp)."""
+    from eget_spark.operators.preference import (
+        bradley_terry_fixed,
+        pairwise_wins_by_value,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wins = pairwise_wins_by_value(docs, "source", "n_chars")
+    items = docs.select("source").distinct()
+    return bradley_terry_fixed(wins, items, n_rounds=3)
+
+
+def _bt_sql(n_rounds: int = 3) -> str:
+    head = r"""
+WITH hist AS (
+  SELECT source AS item, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars
+),
+wins AS (
+  SELECT a.item AS a, b.item AS b, CAST(sum(a.c * b.c) AS BIGINT) AS wins
+  FROM hist a JOIN hist b ON a.item <> b.item AND a.v > b.v
+  GROUP BY a.item, b.item
+),
+pairs AS (
+  SELECT coalesce(w1.a, w2.b) AS i, coalesce(w1.b, w2.a) AS j,
+         CAST(coalesce(w1.wins, 0) AS BIGINT) AS w_ij,
+         CAST(coalesce(w1.wins, 0) + coalesce(w2.wins, 0) AS BIGINT) AS n_ij
+  FROM wins w1 FULL OUTER JOIN wins w2 ON w1.a = w2.b AND w1.b = w2.a
+),
+base AS (
+  SELECT it.i, CAST(coalesce(t.w_tot, 0) AS BIGINT) AS w_tot,
+         CAST(coalesce(t.n_tot, 0) AS BIGINT) AS n_tot
+  FROM (SELECT DISTINCT source AS i FROM documents) it
+  LEFT JOIN (
+    SELECT i, CAST(sum(w_ij) AS BIGINT) AS w_tot,
+           CAST(sum(n_ij) AS BIGINT) AS n_tot
+    FROM pairs GROUP BY i
+  ) t ON t.i = it.i
+),
+s_ AS (SELECT CAST(count(*) AS BIGINT) AS s FROM base),
+p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p FROM base)"""
+    parts = [head]
+    for r in range(1, n_rounds + 1):
+        parts.append(f""",
+d{r} AS (
+  SELECT pr.i,
+         CAST(sum(pr.n_ij * CAST(1000000000000 AS BIGINT)
+                  // greatest(pi.p + pj.p, 1)) AS BIGINT) AS denom
+  FROM pairs pr
+  JOIN p{r - 1} pi ON pi.i = pr.i
+  JOIN p{r - 1} pj ON pj.i = pr.j
+  GROUP BY pr.i
+),
+r{r} AS (
+  SELECT b.i,
+         CAST(b.w_tot * CAST(1000000000000 AS BIGINT)
+              // greatest(coalesce(d.denom, 0), 1) AS BIGINT) AS pr
+  FROM base b LEFT JOIN d{r} d ON d.i = b.i
+),
+m{r} AS (SELECT CAST(sum(pr) AS BIGINT) AS tot FROM r{r}),
+p{r} AS (
+  SELECT r.i,
+         CAST(r.pr * (s.s * CAST(1000000 AS BIGINT))
+              // greatest(m.tot, 1) AS BIGINT) AS p
+  FROM r{r} r CROSS JOIN m{r} m CROSS JOIN s_ s
+)""")
+    parts.append(f"""
+SELECT b.i AS item, b.w_tot AS wins, b.n_tot AS comparisons,
+       p.p AS bt_fp
+FROM base b JOIN p{n_rounds} p ON p.i = b.i
+ORDER BY bt_fp DESC, item
+""")
+    return "".join(parts)
+
+
+_Q250_SQL = _bt_sql(3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13117,6 +13203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q247_wl_colors": q247_wl_colors,
         "q248_collocations": q248_collocations,
         "q249_source_divergence": q249_source_divergence,
+        "q250_bradley_terry": q250_bradley_terry,
     }
 
 
@@ -13370,4 +13457,5 @@ def oracle_sql() -> dict[str, str]:
         "q247_wl_colors": _Q247_SQL,
         "q248_collocations": _Q248_SQL,
         "q249_source_divergence": _Q249_SQL,
+        "q250_bradley_terry": _Q250_SQL,
     }
