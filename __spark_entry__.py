@@ -12947,6 +12947,59 @@ ORDER BY bt_fp DESC, item
 _Q250_SQL = _bt_sql(3)
 
 
+def q251_ucb_schedule(spark, sf_dir):
+    """UCB1 recrawl-budget scheduling (operators/bandit.ucb1_scores —
+    Auer et al. 2002): each document row is one historical pull of its
+    host arm (40 hosts, ``h{doc_id % 40}``), reward 1 when the fetch
+    found change (pinned hash rule — change propensity grows with the
+    host index, so exploitation must fight the optimism bonus); top-20
+    arms by ``mean + sqrt(2 ln N / n)`` in micro units — the adaptive
+    complement to q243's known-rate refresh policies.
+    (arm, pulls, wins, mean_micro, bonus_micro, ucb_micro)."""
+    from eget_spark.operators.bandit import ucb1_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    pulls = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string")).alias(
+            "host"
+        ),
+        F.when(
+            (F.col("doc_id") * 2654435761) % 100 < (F.col("doc_id") % 40) * 2,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("reward"),
+    )
+    return ucb1_scores(pulls, "host", "reward", k=20)
+
+
+_Q251_SQL = r"""
+WITH pulls AS (
+  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS arm,
+         CASE WHEN (doc_id * 2654435761) % 100 < (doc_id % 40) * 2
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS reward
+  FROM documents
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS pulls,
+         CAST(sum(reward) AS BIGINT) AS wins
+  FROM pulls GROUP BY arm
+),
+tot AS (SELECT CAST(sum(pulls) AS BIGINT) AS n FROM arms)
+SELECT arm, pulls, wins,
+       CAST(wins * 1000000 // pulls AS BIGINT) AS mean_micro,
+       CAST(round(sqrt(2.0 * ln(CAST(n AS DOUBLE)) / CAST(pulls AS DOUBLE))
+                  * 1e6) AS BIGINT) AS bonus_micro,
+       CAST(wins * 1000000 // pulls
+            + CAST(round(sqrt(2.0 * ln(CAST(n AS DOUBLE))
+                              / CAST(pulls AS DOUBLE)) * 1e6) AS BIGINT)
+            AS BIGINT) AS ucb_micro
+FROM arms CROSS JOIN tot
+ORDER BY ucb_micro DESC, arm LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13204,6 +13257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_collocations": q248_collocations,
         "q249_source_divergence": q249_source_divergence,
         "q250_bradley_terry": q250_bradley_terry,
+        "q251_ucb_schedule": q251_ucb_schedule,
     }
 
 
@@ -13458,4 +13512,5 @@ def oracle_sql() -> dict[str, str]:
         "q248_collocations": _Q248_SQL,
         "q249_source_divergence": _Q249_SQL,
         "q250_bradley_terry": _Q250_SQL,
+        "q251_ucb_schedule": _Q251_SQL,
     }
