@@ -13000,6 +13000,63 @@ ORDER BY ucb_micro DESC, arm LIMIT 20
 """
 
 
+def q252_calibration(spark, sf_dir):
+    """Classifier-calibration audit (operators/calibration.
+    calibration_bins — Naeini et al. AAAI 2015 / Guo et al. ICML 2017):
+    reliability-diagram bins + expected calibration error over a
+    synthetic scored corpus — score_ppm from a pinned multiplicative
+    hash, label drawn so P(label=1) tracks the score (a roughly-
+    calibrated classifier with binomial noise, so per-bin gaps are
+    small but nonzero and ECE > 0); the audit every q150-style quality
+    gate needs before its threshold means anything.
+    (bin, n, pos, conf_ppm, acc_ppm, gap_ppm, ece_ppm)."""
+    from eget_spark.operators.calibration import calibration_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr("(doc_id * 2654435761) % 1000001").alias("score_ppm"),
+        F.expr(
+            "CAST(CASE WHEN (doc_id * 1103515245 + 12345) % 1000000"
+            "  < (doc_id * 2654435761) % 1000001 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("label"),
+    )
+    return calibration_bins(scored, "score_ppm", "label", n_bins=10)
+
+
+_Q252_SQL = r"""
+WITH scored AS (
+  SELECT (doc_id * 2654435761) % 1000001 AS score_ppm,
+         CASE WHEN (doc_id * 1103515245 + 12345) % 1000000
+                   < (doc_id * 2654435761) % 1000001
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS label
+  FROM documents
+),
+bins AS (
+  SELECT least(score_ppm * 10 // 1000000, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS pos,
+         CAST(sum(score_ppm) AS BIGINT) AS s_sum
+  FROM scored GROUP BY 1
+),
+stats AS (
+  SELECT bin, n, pos,
+         CAST(s_sum // n AS BIGINT) AS conf_ppm,
+         CAST(pos * 1000000 // n AS BIGINT) AS acc_ppm
+  FROM bins
+),
+gapped AS (
+  SELECT *, CAST(abs(acc_ppm - conf_ppm) AS BIGINT) AS gap_ppm FROM stats
+),
+ece AS (
+  SELECT CAST(sum(n * gap_ppm) // sum(n) AS BIGINT) AS ece_ppm FROM gapped
+)
+SELECT bin, n, pos, conf_ppm, acc_ppm, gap_ppm, ece_ppm
+FROM gapped CROSS JOIN ece
+ORDER BY bin
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13258,6 +13315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q249_source_divergence": q249_source_divergence,
         "q250_bradley_terry": q250_bradley_terry,
         "q251_ucb_schedule": q251_ucb_schedule,
+        "q252_calibration": q252_calibration,
     }
 
 
@@ -13513,4 +13571,5 @@ def oracle_sql() -> dict[str, str]:
         "q249_source_divergence": _Q249_SQL,
         "q250_bradley_terry": _Q250_SQL,
         "q251_ucb_schedule": _Q251_SQL,
+        "q252_calibration": _Q252_SQL,
     }

@@ -2212,6 +2212,39 @@ def main() -> None:
     checks.append(("wl: TakeOrdered final", "TakeOrderedAndProject" in p_wl))
     checks.append(("wl: no Python", "EvalPython" not in p_wl))
 
+    # 176. PMI/LLR collocations (q248): bigram table is one map-side
+    # combined explode aggregate, scalar rides a broadcast, top-k
+    # TakeOrdered; no window, no Python
+    p_cl = plan_of(entry.q248_collocations(spark, SF))
+    checks.append(("collocations: map-side partial agg", "partial_count" in p_cl or "partial_sum" in p_cl))
+    checks.append(("collocations: broadcast scalar join", "Broadcast" in p_cl))
+    checks.append(("collocations: no window", _nodes(p_cl, "Window") == 0))
+    checks.append(("collocations: no Python", "EvalPython" not in p_cl))
+
+    # 177. per-source divergence (q249): explode aggregate map-side
+    # combined, margins + broadcast group totals; no window, no Python
+    p_dg = plan_of(entry.q249_source_divergence(spark, SF))
+    checks.append(("divergence: map-side partial agg", "partial_sum" in p_dg or "partial_count" in p_dg))
+    checks.append(("divergence: broadcast totals join", "Broadcast" in p_dg))
+    checks.append(("divergence: no window", _nodes(p_dg, "Window") == 0))
+    checks.append(("divergence: no Python", "EvalPython" not in p_dg))
+
+    # 178. Bradley-Terry (q250): MM rounds localCheckpointed (final plan
+    # reads the checkpointed table); hash equi joins only; no Python
+    p_bt = plan_of(entry.q250_bradley_terry(spark, SF))
+    checks.append(("bradley-terry: checkpointed rounds", "ExistingRDD" in p_bt))
+    checks.append(("bradley-terry: hash equi join, no cartesian", "Cartesian" not in p_bt and "NestedLoop" not in p_bt))
+    checks.append(("bradley-terry: no Python", "EvalPython" not in p_bt))
+
+    # 179. UCB1 schedule (q251): one map-side-combined groupBy over the
+    # ledger + 1-row broadcast + TakeOrdered; no window, no Python
+    p_ub = plan_of(entry.q251_ucb_schedule(spark, SF))
+    checks.append(("ucb1: map-side partial agg", "partial_count" in p_ub))
+    checks.append(("ucb1: broadcast scalar join", "Broadcast" in p_ub))
+    checks.append(("ucb1: TakeOrdered final", "TakeOrderedAndProject" in p_ub))
+    checks.append(("ucb1: no window", _nodes(p_ub, "Window") == 0))
+    checks.append(("ucb1: no Python", "EvalPython" not in p_ub))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
