@@ -13057,6 +13057,66 @@ ORDER BY bin
 """
 
 
+_Q253_LABEL_A = (
+    "CASE WHEN n_chars < 220 THEN 'short'"
+    " WHEN n_chars < 380 THEN 'mid' ELSE 'long' END"
+)
+# rater B: same rubric, but every 7th doc (pinned hash) rotates the label
+# one step (short->mid->long->short) — a systematically sloppier rater
+_Q253_LABEL_B = (
+    f"CASE WHEN (doc_id * 2654435761) % 7 <> 0 THEN {_Q253_LABEL_A}"
+    f" WHEN {_Q253_LABEL_A} = 'short' THEN 'mid'"
+    f" WHEN {_Q253_LABEL_A} = 'mid' THEN 'long'"
+    " ELSE 'short' END"
+)
+
+
+def q253_rater_agreement(spark, sf_dir):
+    """Cohen's kappa inter-rater agreement (operators/agreement.
+    cohens_kappa — Cohen 1960, Landis & Koch 1977 bands): two pinned
+    deterministic raters label every document's length tier; rater B
+    rotates every 7th label, so observed agreement ~86% against a
+    three-way margin — kappa lands in the 'substantial' band, well
+    below raw percent agreement.  The reliability check that must pass
+    before q250's Bradley-Terry aggregation of the same raters means
+    anything.  (n_items, agree, po, pe, kappa)."""
+    from eget_spark.operators.agreement import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.expr(_Q253_LABEL_A).alias("label_a"),
+        F.expr(_Q253_LABEL_B).alias("label_b"),
+    )
+    return cohens_kappa(rated)
+
+
+_Q253_SQL = rf"""
+WITH rated AS (
+  SELECT {_Q253_LABEL_A} AS a, {_Q253_LABEL_B} AS b FROM documents
+),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM rated
+),
+ma AS (SELECT a AS c, CAST(count(*) AS BIGINT) AS na FROM rated GROUP BY a),
+mb AS (SELECT b AS c, CAST(count(*) AS BIGINT) AS nb FROM rated GROUP BY b),
+chance AS (
+  SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS pe_num
+  FROM ma JOIN mb USING (c)
+),
+ratios AS (
+  SELECT n_items, agree,
+         round(agree / CAST(n_items AS DOUBLE), 6) AS po,
+         round(pe_num / CAST(n_items * n_items AS DOUBLE), 6) AS pe
+  FROM obs CROSS JOIN chance
+)
+SELECT n_items, agree, po, pe,
+       CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+FROM ratios
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13316,6 +13376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_bradley_terry": q250_bradley_terry,
         "q251_ucb_schedule": q251_ucb_schedule,
         "q252_calibration": q252_calibration,
+        "q253_rater_agreement": q253_rater_agreement,
     }
 
 
@@ -13572,4 +13633,5 @@ def oracle_sql() -> dict[str, str]:
         "q250_bradley_terry": _Q250_SQL,
         "q251_ucb_schedule": _Q251_SQL,
         "q252_calibration": _Q252_SQL,
+        "q253_rater_agreement": _Q253_SQL,
     }

