@@ -13117,6 +13117,63 @@ FROM ratios
 """
 
 
+_Q254_VALUE = (
+    "100 + (doc_id * 2654435761) % 21 - 10"
+    " + CASE WHEN (doc_id % 25) % 5 = 0 AND doc_id DIV 25 >= 10"
+    "        THEN 30 ELSE 0 END"
+)
+
+
+def q254_latency_drift(spark, sf_dir):
+    """CUSUM drift detection (operators/drift.cusum_drift — Page
+    Biometrika 1954 via the running-sum/running-min closed form, no
+    per-row recursion): 25 synthetic per-host latency ledgers (pinned
+    hash noise around 100 ms), every 5th host steps +30 ms at its 10th
+    fetch; reference k=110 (mean + slack), alarm h=60 — the stepped
+    hosts alarm within ~3 post-shift fetches, clean hosts never
+    accumulate.  The metric-level complement to q82's content snapshot
+    diffs and q116's rate anomalies.
+    (key, n, max_cusum, alarm_ts, drifted)."""
+    from eget_spark.operators.drift import cusum_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    series = docs.select(
+        F.expr("concat('h', CAST(doc_id % 25 AS STRING))").alias("host"),
+        F.expr("doc_id DIV 25").alias("ts"),
+        F.expr(_Q254_VALUE).cast("long").alias("value"),
+    )
+    return cusum_drift(series, "host", "ts", "value", k=110, h=60).orderBy(
+        "key"
+    )
+
+
+_Q254_SQL = rf"""
+WITH series AS (
+  SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS key,
+         doc_id // 25 AS ts,
+         CAST({_Q254_VALUE.replace("DIV", "//")} AS BIGINT) AS value
+  FROM documents
+),
+cummed AS (
+  SELECT key, ts,
+         sum(value - 110) OVER (PARTITION BY key ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM series
+),
+stepped AS (
+  SELECT key, ts,
+         cum - least(min(cum) OVER (PARTITION BY key ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+  FROM cummed
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(s) AS BIGINT) AS max_cusum,
+       min(CASE WHEN s >= 60 THEN ts END) AS alarm_ts,
+       max(s) >= 60 AS drifted
+FROM stepped GROUP BY key ORDER BY key
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13377,6 +13434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q251_ucb_schedule": q251_ucb_schedule,
         "q252_calibration": q252_calibration,
         "q253_rater_agreement": q253_rater_agreement,
+        "q254_latency_drift": q254_latency_drift,
     }
 
 
@@ -13634,4 +13692,5 @@ def oracle_sql() -> dict[str, str]:
         "q251_ucb_schedule": _Q251_SQL,
         "q252_calibration": _Q252_SQL,
         "q253_rater_agreement": _Q253_SQL,
+        "q254_latency_drift": _Q254_SQL,
     }
