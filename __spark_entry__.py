@@ -13174,6 +13174,59 @@ FROM stepped GROUP BY key ORDER BY key
 """
 
 
+def q255_benford_audit(spark, sf_dir):
+    """Benford leading-digit audit (operators/audit.benford_digit_audit
+    — Newcomb 1881 / Benford 1938 / Nigrini forensics): per-source
+    first-digit histograms of content length vs the pinned
+    round(log10(1+1/d)*1e6) ppm table (sums to exactly 1e6 — no engine
+    computes a transcendental); every (source, digit) cell emitted
+    including obs=0, exact int64 deviations, one round-6 double
+    division per cell for the chi-square contribution.  The forensic
+    screen for template farms whose 'organic' size profile isn't.
+    (grp, digit, n, obs, exp_ppm, dev_micro, chi2_c)."""
+    from eget_spark.operators.audit import benford_digit_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    return benford_digit_audit(docs, "source", "n_chars")
+
+
+_Q255_SQL = r"""
+WITH vals AS (
+  SELECT source AS grp,
+         CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM documents WHERE n_chars > 0
+),
+obs AS (
+  SELECT grp, digit, CAST(count(*) AS BIGINT) AS obs
+  FROM vals GROUP BY grp, digit
+),
+margins AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY grp),
+spine AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS digit),
+grid AS (
+  SELECT m.grp, s.digit, m.n,
+         CAST(CASE s.digit
+              WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+              WHEN 4 THEN 96910  WHEN 5 THEN 79181  WHEN 6 THEN 66947
+              WHEN 7 THEN 57992  WHEN 8 THEN 51153  ELSE 45757
+              END AS BIGINT) AS exp_ppm
+  FROM margins m CROSS JOIN spine s
+),
+full_ AS (
+  SELECT g.grp, g.digit, g.n, CAST(coalesce(o.obs, 0) AS BIGINT) AS obs,
+         g.exp_ppm,
+         CAST(coalesce(o.obs, 0) * 1000000 - g.n * g.exp_ppm AS BIGINT)
+           AS dev_micro
+  FROM grid g LEFT JOIN obs o ON o.grp = g.grp AND o.digit = g.digit
+)
+SELECT grp, digit, n, obs, exp_ppm, dev_micro,
+       round((CAST(dev_micro AS DOUBLE) * CAST(dev_micro AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(exp_ppm AS DOUBLE) * 1e6), 6)
+         AS chi2_c
+FROM full_
+ORDER BY grp, digit
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13435,6 +13488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_calibration": q252_calibration,
         "q253_rater_agreement": q253_rater_agreement,
         "q254_latency_drift": q254_latency_drift,
+        "q255_benford_audit": q255_benford_audit,
     }
 
 
@@ -13693,4 +13747,5 @@ def oracle_sql() -> dict[str, str]:
         "q252_calibration": _Q252_SQL,
         "q253_rater_agreement": _Q253_SQL,
         "q254_latency_drift": _Q254_SQL,
+        "q255_benford_audit": _Q255_SQL,
     }
