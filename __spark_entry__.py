@@ -13227,6 +13227,87 @@ ORDER BY grp, digit
 """
 
 
+_Q256_VALUE = (
+    "CASE (doc_id % 20) % 3"
+    " WHEN 0 THEN 100 + 2 * (doc_id DIV 20) + (doc_id * 2654435761) % 7"
+    " WHEN 1 THEN 500 - 3 * (doc_id DIV 20) + (doc_id * 2654435761) % 7"
+    " ELSE 200 + (doc_id * 2654435761) % 7 END"
+)
+
+
+def q256_host_trends(spark, sf_dir):
+    """Mann-Kendall trend + Theil-Sen slope (operators/trend.trend_tests
+    — Mann 1945 / Kendall 1975 / Theil 1950 / Sen 1968): robust
+    monotone-drift tests over 20 synthetic per-host metric ledgers
+    (one third ramps +2/step, one third -3/step, one third flat, all
+    under pinned hash noise); the median slope is returned doubled
+    (lower+upper middle) so it stays an exact integer, pairwise slopes
+    exact truncating int64 ppm, per-key pair fan-out capped at
+    max_points^2/2.  The outlier-proof complement to the q191/q196/
+    q238/q239 OLS fitters and q254's step detector.
+    (key, n_points, n_pairs, mk_s, sen_x2_ppm, trend)."""
+    from eget_spark.operators.trend import trend_tests
+
+    docs = _t(spark, sf_dir, "documents")
+    series = docs.select(
+        F.expr("concat('h', CAST(doc_id % 20 AS STRING))").alias("host"),
+        F.expr("doc_id DIV 20").alias("ts"),
+        F.expr(_Q256_VALUE).cast("long").alias("value"),
+    )
+    return trend_tests(series, "host", "ts", "value", max_points=40)
+
+
+_Q256_SQL = rf"""
+WITH series AS (
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS key,
+         doc_id // 20 AS t,
+         CAST({_Q256_VALUE.replace("DIV", "//")} AS BIGINT) AS v
+  FROM documents
+),
+capped AS (
+  SELECT key, t, v FROM (
+    SELECT key, t, v,
+           row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+    FROM series
+  ) WHERE rn <= 40
+),
+pairs AS (
+  SELECT a.key, a.t AS ti, b.t AS tj,
+         CAST(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+              ELSE 0 END AS BIGINT) AS sgn,
+         CAST((b.v - a.v) * 1000000 // (b.t - a.t) AS BIGINT) AS slope_ppm
+  FROM capped a JOIN capped b ON a.key = b.key AND a.t < b.t
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY slope_ppm, ti, tj) AS rn,
+         count(*) OVER (PARTITION BY key) AS np
+  FROM pairs
+),
+pstats AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(sgn) AS BIGINT) AS mk_s,
+         CAST(sum(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
+              + sum(CASE WHEN rn = (np + 2) // 2 THEN slope_ppm END)
+              AS BIGINT) AS sen_x2_ppm
+  FROM ranked GROUP BY key
+),
+points AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_points FROM capped GROUP BY key
+)
+SELECT p.key, p.n_points,
+       CAST(coalesce(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(s.mk_s, 0) AS BIGINT) AS mk_s,
+       s.sen_x2_ppm,
+       CASE WHEN coalesce(s.mk_s, 0) > 0 THEN 'up'
+            WHEN coalesce(s.mk_s, 0) < 0 THEN 'down'
+            ELSE 'flat' END AS trend
+FROM points p LEFT JOIN pstats s USING (key)
+ORDER BY key
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13489,6 +13570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q253_rater_agreement": q253_rater_agreement,
         "q254_latency_drift": q254_latency_drift,
         "q255_benford_audit": q255_benford_audit,
+        "q256_host_trends": q256_host_trends,
     }
 
 
@@ -13748,4 +13830,5 @@ def oracle_sql() -> dict[str, str]:
         "q253_rater_agreement": _Q253_SQL,
         "q254_latency_drift": _Q254_SQL,
         "q255_benford_audit": _Q255_SQL,
+        "q256_host_trends": _Q256_SQL,
     }
