@@ -13308,6 +13308,69 @@ ORDER BY key
 """
 
 
+def q257_supershingles(spark, sf_dir):
+    """Broder super-shingle near-dup candidates (operators/dedup.
+    supershingle_pairs — Broder, Glassman, Manasse & Zweig WWW 1997):
+    6 super-shingles hashed from consecutive pairs of the 12-hash q13
+    minhash sketch, docs bucketed by exact (group, super-shingle)
+    equality (hot buckets > 50 dropped BEFORE the self-join, the q219/
+    q246 discipline), pairs kept under the paper's 2-of-6 rule.  The
+    cluster-first cheap sibling of q14's LSH banding — identity on a
+    minhash group is already high-precision, so no signature
+    re-verification pass.  (id_a, id_b, shared)."""
+    from eget_spark.operators.dedup import supershingle_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return supershingle_pairs(
+        docs, "doc_id", "text", num_hashes=12, group_size=2, k=3,
+        min_shared=2, bucket_cap=50,
+    )
+
+
+def _q257_sql(num_hashes: int = 12, group_size: int = 2,
+              min_shared: int = 2, bucket_cap: int = 50) -> str:
+    mh_cols = ", ".join(
+        f"min(CAST(('0x' || substr(md5('{j}:' || g), 1, 15)) AS BIGINT))"
+        f" AS mh{j}"
+        for j in range(num_hashes)
+    )
+    members = []
+    for g in range(num_hashes // group_size):
+        cat = " || ':' || ".join(
+            f"CAST(mh{g * group_size + r} AS VARCHAR)"
+            for r in range(group_size)
+        )
+        members.append(
+            f"SELECT id, {g} AS g, CAST(('0x' || substr(md5("
+            f"'ss:{g}:' || {cat}), 1, 15)) AS BIGINT) AS ss FROM sig"
+        )
+    member_sql = "\n  UNION ALL\n  ".join(members)
+    return f"""
+WITH sig AS (
+  SELECT id, {mh_cols} FROM (
+    SELECT doc_id AS id, unnest({_SHINGLE_SQL}) AS g FROM documents
+  ) GROUP BY id
+),
+member AS (
+  {member_sql}
+),
+sizes AS (SELECT g, ss, count(*) AS bn FROM member GROUP BY g, ss),
+kept AS (
+  SELECT m.id, m.g, m.ss FROM member m
+  JOIN sizes s ON s.g = m.g AND s.ss = m.ss
+  WHERE s.bn BETWEEN 2 AND {bucket_cap}
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
+FROM kept a JOIN kept b ON a.g = b.g AND a.ss = b.ss AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING count(*) >= {min_shared}
+ORDER BY id_a, id_b
+"""
+
+
+_Q257_SQL = _q257_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13571,6 +13634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q254_latency_drift": q254_latency_drift,
         "q255_benford_audit": q255_benford_audit,
         "q256_host_trends": q256_host_trends,
+        "q257_supershingles": q257_supershingles,
     }
 
 
@@ -13831,4 +13895,5 @@ def oracle_sql() -> dict[str, str]:
         "q254_latency_drift": _Q254_SQL,
         "q255_benford_audit": _Q255_SQL,
         "q256_host_trends": _Q256_SQL,
+        "q257_supershingles": _Q257_SQL,
     }

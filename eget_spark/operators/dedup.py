@@ -1118,3 +1118,89 @@ def spotsig_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def supershingle_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    group_size: int = 2,
+    k: int = 3,
+    min_shared: int = 2,
+    bucket_cap: int = 50,
+) -> DataFrame:
+    """Broder super-shingle near-dup candidates (Broder, Glassman,
+    Manasse & Zweig, WWW 1997 "Syntactic clustering of the Web"; Broder
+    SEQUENCES 1997): hash consecutive GROUPS of the minhash sketch into
+    super-shingles, bucket documents by exact (group, super-shingle)
+    equality, and keep pairs sharing at least ``min_shared`` groups —
+    the paper's "2 of 6" rule with 6 groups of 2 from a 12-hash sketch.
+
+    The point vs :func:`minhash_lsh_pairs`: LSH banding estimates
+    Jaccard from band collisions and re-verifies; super-shingling is
+    Broder's cheaper cluster-first shape — identity on a group of
+    minhashes is already a high-precision signal, so the candidate set
+    is tiny and needs no signature re-comparison.  Complements SpotSigs
+    (boilerplate-blind) and winnowing (positional).
+
+    Pinned semantics: minhashes are the q13 contract (60-bit md5
+    prefixes under the ``j:shingle`` keying); super-shingle g =
+    60-bit md5 prefix of ``'ss:' || g || ':' || mh_{g*gs} || ':' ||
+    ... `` (decimal renderings joined by ':'); buckets with more than
+    ``bucket_cap`` members are dropped BEFORE the self-join (pinned
+    contract, the q219/q246 hot-bucket discipline — a boilerplate
+    bucket of 10^6 docs would emit 5*10^11 pairs through one reducer);
+    output pairs ordered (id_a, id_b) with the shared-group count.
+
+    Scale shape (100 TB): sketching is the q13 map-side-combined
+    explode; super-shingles are a pure projection off the sketch table;
+    the bucket histogram is one groupBy on (g, ss); the self-join fans
+    out at most bucket_cap^2/2 pairs per bucket.  No Python anywhere.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    n_groups = num_hashes // group_size
+    ss_cols = []
+    for g in range(n_groups):
+        parts = [F.lit("ss"), F.lit(str(g))] + [
+            F.col(f"mh{g * group_size + r}").cast("string")
+            for r in range(group_size)
+        ]
+        ss_cols.append(
+            F.struct(
+                F.lit(g).cast("int").alias("g"),
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", *parts)), 1, 15),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("ss"),
+            )
+        )
+    member = sig.select(
+        F.col("id"), F.explode(F.array(*ss_cols)).alias("e")
+    ).select("id", F.col("e.g").alias("g"), F.col("e.ss").alias("ss"))
+    sizes = member.groupBy("g", "ss").agg(F.count("*").alias("bn"))
+    kept = member.join(
+        sizes.where(
+            (F.col("bn") >= 2) & (F.col("bn") <= bucket_cap)
+        ).select("g", "ss"),
+        ["g", "ss"],
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.ss") == F.col("b.ss"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )
