@@ -13371,6 +13371,100 @@ ORDER BY id_a, id_b
 _Q257_SQL = _q257_sql()
 
 
+def q258_wand_bounds(spark, sf_dir):
+    """WAND / MaxScore pruning-potential audit (operators/search.
+    wand_prune_stats — Broder et al. CIKM 2003, Turtle & Flood 1995):
+    per-term BM25 upper bounds, the exact top-10 threshold theta (q74
+    score contract), and the fraction of candidate docs provably
+    skippable because their present-term bound sum cannot reach theta.
+    The index-time answer to 'would dynamic pruning pay off for this
+    query on this corpus'.  Three 1-row broadcast aggregates + one
+    map-side summary pass — no windows over raw data, no joins.
+    (term, df, ub, theta, n_cands, n_skippable, skip_ppm)."""
+    from eget_spark.operators.search import wand_prune_stats
+
+    return wand_prune_stats(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["spark", "window", "merge"],
+        k=10,
+    )
+
+
+_Q258_BM25_C = (
+    "(CASE WHEN tf{i} > 0 THEN"
+    " ((ln(1.0 + ((n - df{i}) + 0.5) / (df{i} + 0.5)) * tf{i}) * 2.2)"
+    " / (tf{i} + 1.2 * (0.25 + (0.75 * dl) / (sumdl / n)))"
+    " ELSE 0.0 END)"
+)
+
+_Q258_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(length(l) AS BIGINT) AS dl,
+         CAST(length(list_filter(l, x -> x = 'spark'))  AS BIGINT) AS tf0,
+         CAST(length(list_filter(l, x -> x = 'window')) AS BIGINT) AS tf1,
+         CAST(length(list_filter(l, x -> x = 'merge'))  AS BIGINT) AS tf2
+  FROM d
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM base
+),
+scored AS (
+  SELECT doc_id, tf0, tf1, tf2,
+         {_Q258_BM25_C.format(i=0)} AS c0,
+         {_Q258_BM25_C.format(i=1)} AS c1,
+         {_Q258_BM25_C.format(i=2)} AS c2,
+         round({_Q258_BM25_C.format(i=0)}
+               + {_Q258_BM25_C.format(i=1)}
+               + {_Q258_BM25_C.format(i=2)}, 6) AS score
+  FROM base CROSS JOIN st
+),
+ub AS (
+  SELECT round(max(c0), 6) AS ub0, round(max(c1), 6) AS ub1,
+         round(max(c2), 6) AS ub2
+  FROM scored
+),
+th AS (
+  SELECT min(score) AS theta FROM (
+    SELECT score FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+  )
+),
+summary AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cands,
+         CAST(sum(CASE WHEN
+             (CASE WHEN tf0 > 0 THEN ub0 ELSE 0.0 END
+              + CASE WHEN tf1 > 0 THEN ub1 ELSE 0.0 END
+              + CASE WHEN tf2 > 0 THEN ub2 ELSE 0.0 END) < theta
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable
+  FROM scored CROSS JOIN ub CROSS JOIN th
+  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+),
+terms AS (
+  SELECT 'spark' AS term, df0 AS df, ub0 AS ub FROM st CROSS JOIN ub
+  UNION ALL
+  SELECT 'window' AS term, df1 AS df, ub1 AS ub FROM st CROSS JOIN ub
+  UNION ALL
+  SELECT 'merge' AS term, df2 AS df, ub2 AS ub FROM st CROSS JOIN ub
+)
+SELECT term, df, ub, theta, n_cands, n_skippable,
+       CAST(n_skippable * 1000000 // n_cands AS BIGINT) AS skip_ppm
+FROM terms CROSS JOIN th CROSS JOIN summary
+ORDER BY term
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13635,6 +13729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_benford_audit": q255_benford_audit,
         "q256_host_trends": q256_host_trends,
         "q257_supershingles": q257_supershingles,
+        "q258_wand_bounds": q258_wand_bounds,
     }
 
 
@@ -13896,4 +13991,5 @@ def oracle_sql() -> dict[str, str]:
         "q255_benford_audit": _Q255_SQL,
         "q256_host_trends": _Q256_SQL,
         "q257_supershingles": _Q257_SQL,
+        "q258_wand_bounds": _Q258_SQL,
     }

@@ -998,3 +998,161 @@ def sdm_topk(
     )
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def wand_prune_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """WAND / MaxScore pruning-potential audit (Broder, Carmel,
+    Herscovici, Soffer & Zien, CIKM 2003 "Efficient query evaluation
+    using a two-level retrieval process"; Turtle & Flood 1995 MaxScore).
+
+    WAND skips a candidate document without scoring it when the sum of
+    its query terms' UPPER-BOUND contributions cannot reach the current
+    top-k threshold theta.  This operator measures how much a WAND
+    index would prune for a given query on this corpus: per-term upper
+    bounds, the exact theta (k-th best full BM25 score, q74 contract),
+    and the fraction of candidate documents (>= 1 query term) that are
+    provably skippable.  High skip_ppm = the query is amenable to
+    dynamic pruning; near-zero = the terms' bounds are too loose.
+
+    Pinned semantics: contributions use the exact q74 BM25 expression
+    shapes (each a per-row scalar chain, never a cross-row float sum);
+    ub_t = round(max contribution of t over all docs, 6); theta =
+    min score of the top-k (score > 0, ties by id); the skippability
+    sum adds the ROUNDED ub values in fixed term order.  Docs matching
+    no term are not candidates (WAND never visits them at all).
+
+    Returns one row per query term: (term, df, ub, theta, n_cands,
+    n_skippable, skip_ppm) with the corpus-level columns replicated.
+
+    Scale shape (100 TB): per-doc tf columns are array filters off the
+    scan (no explode); corpus stats, upper bounds, and theta are three
+    1-row broadcast aggregates (theta's TakeOrdered is mergeable); the
+    skippability pass is one more map-side-combined aggregate over the
+    scored scan.  No windows over raw data, no joins, no Python.
+    """
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    arr = _tok_arr(text_col).alias("_l")
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    base = df.select(F.col(id_col), arr).select(
+        id_col,
+        F.size("_l").cast("long").alias("_dl"),
+        *[
+            F.size(F.filter("_l", _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_dl").cast("long").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    avgdl = F.col("_sumdl") / F.col("_n")
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}")
+        idf = F.log(
+            1.0
+            + (F.col("_n") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+        )
+        norm = tf + k1 * (1.0 - b + b * F.col("_dl") / avgdl)
+        contribs.append(
+            F.when(tf > 0, idf * tf * (k1 + 1.0) / norm).otherwise(F.lit(0.0))
+        )
+    score = F.round(sum(contribs[1:], contribs[0]), 6)
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        *[F.col(f"_tf{i}") for i in range(len(terms))],
+        *[c.alias(f"_c{i}") for i, c in enumerate(contribs)],
+        score.alias("score"),
+    )
+    ubs = scored.agg(
+        *[
+            F.round(F.max(f"_c{i}"), 6).alias(f"_ub{i}")
+            for i in range(len(terms))
+        ]
+    )
+    theta = (
+        scored.where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .agg(F.min("score").alias("theta"))
+    )
+    flagged = (
+        scored.crossJoin(F.broadcast(ubs))
+        .crossJoin(F.broadcast(theta))
+        .withColumn(
+            "_anyt",
+            sum(
+                [(F.col(f"_tf{i}") > 0).cast("int") for i in range(len(terms))],
+                F.lit(0),
+            )
+            > 0,
+        )
+        .withColumn(
+            "_ubsum",
+            sum(
+                [
+                    F.when(F.col(f"_tf{i}") > 0, F.col(f"_ub{i}")).otherwise(
+                        F.lit(0.0)
+                    )
+                    for i in range(1, len(terms))
+                ],
+                F.when(F.col("_tf0") > 0, F.col("_ub0")).otherwise(F.lit(0.0)),
+            ),
+        )
+    )
+    summary = flagged.where(F.col("_anyt")).agg(
+        F.count("*").cast("long").alias("n_cands"),
+        F.sum((F.col("_ubsum") < F.col("theta")).cast("long"))
+        .cast("long")
+        .alias("n_skippable"),
+    )
+    term_rows = (
+        stats.crossJoin(F.broadcast(ubs))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"_df{i}").alias("df"),
+                            F.col(f"_ub{i}").alias("ub"),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.term", "e.df", "e.ub")
+    )
+    return (
+        term_rows.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "term",
+            "df",
+            "ub",
+            "theta",
+            "n_cands",
+            "n_skippable",
+            F.expr("n_skippable * CAST(1000000 AS BIGINT) DIV n_cands").alias(
+                "skip_ppm"
+            ),
+        )
+        .orderBy("term")
+    )
