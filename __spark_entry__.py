@@ -13465,6 +13465,74 @@ ORDER BY term
 """
 
 
+def q259_image_dims_tiff_ico(spark, sf_dir):
+    """Header-only dimension census for TIFF and ICO (functions/media.
+    image_header_dims, the q221/q225 census extended): TIFF 6.0 first-
+    IFD ImageWidth/ImageLength tags under BOTH byte orders (II little /
+    MM big) with SHORT and LONG inline values (left-justified in the
+    4-byte field per spec), and ICO ICONDIR first-entry width/height
+    bytes (0 encodes 256).  Same header-only / quarantine-by-drop
+    contract — no stdlib pixel codec exists for either family, so
+    headers are the ONLY stdlib-reachable dims.  Fixture bytes are REAL
+    minimal per-spec streams; dims are closed-form in the index so the
+    oracle reproduces the census independently."""
+    import struct as _struct
+
+    from eget_spark.functions.media import image_dimensions
+
+    def tiff(w, h, bo, typ):
+        magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+
+        def entry(tag, t, val):
+            if t == 3:
+                vf = _struct.pack(bo + "H", val) + b"\x00\x00"
+            else:
+                vf = _struct.pack(bo + "I", val)
+            return _struct.pack(bo + "HHI", tag, t, 1) + vf
+
+        ents = [entry(259, 3, 1), entry(256, typ, w), entry(257, typ, h)]
+        ifd = (
+            _struct.pack(bo + "H", len(ents))
+            + b"".join(ents)
+            + b"\x00" * 4
+        )
+        return magic + _struct.pack(bo + "I", 8) + ifd
+
+    def ico(w, h):
+        ent = bytes([w % 256, h % 256, 0, 0]) + _struct.pack(
+            "<HHII", 1, 32, 64, 22
+        )
+        return _struct.pack("<HHH", 0, 1, 1) + ent
+
+    rows = []
+    for g in range(28):
+        w, h = 5 + g % 7, 3 + g % 5
+        kind = g % 4
+        if kind == 0:
+            payload = tiff(w, h, "<", 3)
+        elif kind == 1:
+            payload = tiff(w, h, ">", 3)
+        elif kind == 2:
+            payload = tiff(w, h, "<", 4)
+        else:
+            payload = ico(w, h)
+        rows.append((f"t{g}", bytearray(payload)))
+    media = spark.createDataFrame(
+        rows, "media_ref string, payload binary"
+    ).repartition(4)
+    return image_dimensions(media)
+
+
+_Q259_SQL = r"""
+WITH i AS (SELECT CAST(range AS BIGINT) AS g FROM range(28))
+SELECT 't' || CAST(g AS VARCHAR) AS media_ref,
+       CASE WHEN g % 4 <= 2 THEN 'tiff' ELSE 'ico' END AS format,
+       CAST(5 + g % 7 AS INT) AS width,
+       CAST(3 + g % 5 AS INT) AS height
+FROM i
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13730,6 +13798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_host_trends": q256_host_trends,
         "q257_supershingles": q257_supershingles,
         "q258_wand_bounds": q258_wand_bounds,
+        "q259_image_dims_tiff_ico": q259_image_dims_tiff_ico,
     }
 
 
@@ -13992,4 +14061,5 @@ def oracle_sql() -> dict[str, str]:
         "q256_host_trends": _Q256_SQL,
         "q257_supershingles": _Q257_SQL,
         "q258_wand_bounds": _Q258_SQL,
+        "q259_image_dims_tiff_ico": _Q259_SQL,
     }

@@ -419,7 +419,10 @@ def image_header_dims(payload: bytes) -> tuple[str, int, int] | None:
     the first RIFF chunk (container spec: lossy ``VP8 `` keyframe
     14-bit dims after the 9d 01 2a sync code, lossless ``VP8L``
     14-bit-packed width-1/height-1 after the 0x2F signature, extended
-    ``VP8X`` 24-bit little-endian canvas width-1/height-1).  Returns
+    ``VP8X`` 24-bit little-endian canvas width-1/height-1), TIFF the
+    first IFD's ImageWidth/ImageLength tags (TIFF 6.0 §2, both II and
+    MM byte orders, SHORT or LONG inline values), and ICO the first
+    ICONDIRENTRY's width/height bytes (0 encodes 256).  Returns
     None for anything else (or a truncated/invalid stream) — the
     quarantine contract shared with decode_image."""
     import struct
@@ -457,6 +460,44 @@ def image_header_dims(payload: bytes) -> tuple[str, int, int] | None:
                 h = int.from_bytes(payload[27:30], "little") + 1
                 return ("webp", w, h)
             return None
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            # TIFF 6.0 §2: byte-order mark, magic 42, offset to IFD0.
+            # Dims are IFD tags 256 (ImageWidth) / 257 (ImageLength) of
+            # type SHORT(3) or LONG(4); inline values are LEFT-JUSTIFIED
+            # in the 4-byte value field, so the SHORT sits in its first
+            # two bytes under either endianness.  First IFD only.
+            bo = "<" if payload[:2] == b"II" else ">"
+            off = struct.unpack(bo + "I", payload[4:8])[0]
+            if off + 2 > len(payload):
+                return None
+            cnt = struct.unpack(bo + "H", payload[off : off + 2])[0]
+            w = h = None
+            for k in range(cnt):
+                e = off + 2 + 12 * k
+                if e + 12 > len(payload):
+                    return None
+                tag, typ = struct.unpack(bo + "HH", payload[e : e + 4])
+                if tag in (256, 257):
+                    if typ == 3:
+                        val = struct.unpack(bo + "H", payload[e + 8 : e + 10])[0]
+                    elif typ == 4:
+                        val = struct.unpack(bo + "I", payload[e + 8 : e + 12])[0]
+                    else:
+                        return None
+                    if tag == 256:
+                        w = val
+                    else:
+                        h = val
+            if w and h:
+                return ("tiff", w, h)
+            return None
+        if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 8:
+            # ICO (ICONDIR type 1): first ICONDIRENTRY width/height
+            # bytes at 6..7, where 0 encodes 256 (the format's own rule)
+            cnt = struct.unpack("<H", payload[4:6])[0]
+            if cnt < 1:
+                return None
+            return ("ico", payload[6] or 256, payload[7] or 256)
         if payload[:2] == b"\xff\xd8":
             i = 2
             n = len(payload)

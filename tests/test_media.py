@@ -399,3 +399,68 @@ def test_image_header_dims_webp_variants():
     bad = webp(b"VP8 ", b"\x30\x00\x00\x9d\x01\x2b" + b"\x00" * 10)
     assert image_header_dims(bad) is None
     assert image_header_dims(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def _tiff(w, h, bo="<", typ=3, extra_tag=True):
+    import struct
+
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    entries = []
+
+    def entry(tag, t, val):
+        if t == 3:
+            vf = struct.pack(bo + "H", val) + b"\x00\x00"
+        else:
+            vf = struct.pack(bo + "I", val)
+        return struct.pack(bo + "HHI", tag, t, 1) + vf
+
+    if extra_tag:
+        entries.append(entry(259, 3, 1))  # Compression=none, ignored
+    entries.append(entry(256, typ, w))
+    entries.append(entry(257, typ, h))
+    ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    return magic + struct.pack(bo + "I", 8) + ifd
+
+
+def test_image_header_dims_tiff_variants():
+    from eget_spark.functions.media import image_header_dims
+
+    assert image_header_dims(_tiff(9, 7, "<", 3)) == ("tiff", 9, 7)
+    assert image_header_dims(_tiff(9, 7, ">", 3)) == ("tiff", 9, 7)
+    assert image_header_dims(_tiff(70000, 5, "<", 4)) == ("tiff", 70000, 5)
+    assert image_header_dims(_tiff(70000, 5, ">", 4)) == ("tiff", 70000, 5)
+    # missing height tag -> quarantined
+    bad = _tiff(9, 7, "<", 3)
+    import struct
+
+    # rebuild with only width: count=1 entry (tag 256)
+    only_w = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+              + struct.pack("<HHI", 256, 3, 1) + struct.pack("<H", 9)
+              + b"\x00\x00" + b"\x00" * 4)
+    assert image_header_dims(only_w) is None
+    # RATIONAL-typed dim -> unsupported, quarantined
+    rat = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+           + struct.pack("<HHI", 256, 5, 1) + struct.pack("<I", 64))
+    assert image_header_dims(rat) is None
+    # truncated IFD -> quarantined
+    assert image_header_dims(bad[:12]) is None
+
+
+def test_image_header_dims_ico():
+    import struct
+
+    from eget_spark.functions.media import image_header_dims
+
+    def ico(w, h, count=1, typ=1):
+        entry = bytes([w % 256, h % 256, 0, 0]) + struct.pack(
+            "<HHII", 1, 32, 64, 22
+        )
+        return struct.pack("<HHH", 0, typ, count) + entry
+
+    assert image_header_dims(ico(48, 32)) == ("ico", 48, 32)
+    # 0 encodes 256 (the format's own rule)
+    assert image_header_dims(ico(256, 256)) == ("ico", 256, 256)
+    # CUR (type 2) is not an icon: magic differs -> quarantined
+    assert image_header_dims(ico(16, 16, typ=2)) is None
+    # zero entries -> quarantined
+    assert image_header_dims(struct.pack("<HHH", 0, 1, 0) + b"\x00" * 2) is None
