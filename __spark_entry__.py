@@ -13533,6 +13533,56 @@ FROM i
 """
 
 
+def q260_readability_family(spark, sf_dir):
+    """Gunning Fog + SMOG + Coleman-Liau readability (functions/text.
+    readability_indices — Gunning 1952, McLaughlin 1969, Coleman & Liau
+    1975): the polysyllable- and character-based audience-level axes
+    complementing q124's Flesch, under the identical pinned sentence/
+    token/vowel-group contracts; ZERO-shuffle scan-side projection —
+    both per-word sums are aggregate HOF folds, no explode, no Exchange
+    anywhere.  (id, n_sentences, n_words, n_complex, n_letters, fog,
+    smog, cli)."""
+    from eget_spark.functions.text import readability_indices
+
+    return readability_indices(_t(spark, sf_dir, "documents"), "doc_id",
+                               "text")
+
+
+_Q260_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ws,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS n_sent
+  FROM documents
+),
+cnt AS (
+  SELECT id, n_sent,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(list_filter(ws,
+              w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3))
+              AS BIGINT) AS n_complex,
+         CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+              AS BIGINT) AS n_letters
+  FROM base
+)
+SELECT id, n_sent AS n_sentences, n_words, n_complex, n_letters,
+       CASE WHEN n_words > 0 THEN
+         round(0.4 * (n_words / n_sent + (n_complex * 100) / n_words), 6)
+       END AS fog,
+       CASE WHEN n_words > 0 THEN
+         round(1.043 * sqrt((n_complex * 30) / n_sent) + 3.1291, 6)
+       END AS smog,
+       CASE WHEN n_words > 0 THEN
+         round(0.0588 * ((n_letters * 100) / n_words)
+               - 0.296 * ((n_sent * 100) / n_words) - 15.8, 6)
+       END AS cli
+FROM cnt
+ORDER BY id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13799,6 +13849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q257_supershingles": q257_supershingles,
         "q258_wand_bounds": q258_wand_bounds,
         "q259_image_dims_tiff_ico": q259_image_dims_tiff_ico,
+        "q260_readability_family": q260_readability_family,
     }
 
 
@@ -14062,4 +14113,5 @@ def oracle_sql() -> dict[str, str]:
         "q257_supershingles": _Q257_SQL,
         "q258_wand_bounds": _Q258_SQL,
         "q259_image_dims_tiff_ico": _Q259_SQL,
+        "q260_readability_family": _Q260_SQL,
     }

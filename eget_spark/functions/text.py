@@ -858,3 +858,74 @@ def script_profile(df, id_col: str, text_col: str):
         )
         .drop("_t")
     )
+
+
+def readability_indices(df, id_col: str, text_col: str):
+    """The classic readability-index family beyond q124's Flesch:
+    Gunning Fog (Gunning 1952), SMOG (McLaughlin, Journal of Reading
+    1969), and Coleman-Liau (Coleman & Liau, JAP 1975) — together the
+    standard audience-level axes for corpus curation (Fog/SMOG lean on
+    polysyllables, Coleman-Liau is purely character-based, so the three
+    disagree exactly where harvesting noise hides).
+
+    Pinned semantics (bit-exact across engines): sentences/words/
+    syllable groups follow the q124 contract (``[.!?]+`` runs floored
+    at 1; engine-wide TOKEN_SPLIT tokens; ``[aeiouy]+`` vowel groups);
+    complex words have >= 3 vowel groups; letters = total token chars
+    (alnum by construction).  Each index is one scalar chain over int64
+    counts with single double divisions, round-6:
+
+    - fog  = 0.4 * (words/sentences + (complex*100)/words)
+    - smog = 1.043 * sqrt((complex*30)/sentences) + 3.1291
+    - cli  = 0.0588*(letters*100/words) - 0.296*(sentences*100/words)
+             - 15.8
+
+    All three are NULL for zero-word docs.
+
+    Scale shape: ZERO-shuffle scan-side projection — both per-word sums
+    are ``aggregate`` higher-order folds over the token array (no
+    explode, no groupBy, no Exchange anywhere), same as q124."""
+    from ..operators.lm_score import TOKEN_SPLIT
+
+    text = F.col(text_col)
+    toks = F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+    n_words = F.size(toks).cast("long")
+    n_complex = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + (F.regexp_count(w, F.lit("[aeiouy]+")) >= 3).cast("long"),
+    )
+    n_letters = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"),
+    )
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(text, F.lit(r"[.!?]+")).cast("long"),
+    )
+    fog = F.round(
+        F.lit(0.4) * (n_words / n_sent + (n_complex * 100) / n_words), 6
+    )
+    smog = F.round(
+        F.lit(1.043) * F.sqrt((n_complex * 30) / n_sent) + F.lit(3.1291), 6
+    )
+    cli = F.round(
+        F.lit(0.0588) * ((n_letters * 100) / n_words)
+        - F.lit(0.296) * ((n_sent * 100) / n_words)
+        - F.lit(15.8),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_complex.alias("n_complex"),
+        n_letters.alias("n_letters"),
+        F.when(n_words > 0, fog).alias("fog"),
+        F.when(n_words > 0, smog).alias("smog"),
+        F.when(n_words > 0, cli).alias("cli"),
+    )
