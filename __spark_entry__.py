@@ -13583,6 +13583,154 @@ ORDER BY id
 """
 
 
+_Q261_ROT = (
+    f"CASE WHEN {_Q253_LABEL_A} = 'short' THEN 'mid'"
+    f" WHEN {_Q253_LABEL_A} = 'mid' THEN 'long' ELSE 'short' END"
+)
+_Q261_L1 = (
+    f"CASE WHEN (doc_id * 2654435761) % 5 <> 0 THEN {_Q253_LABEL_A}"
+    f" ELSE {_Q261_ROT} END"
+)
+_Q261_L2 = (
+    f"CASE WHEN (doc_id * 1103515245) % 4 <> 0 THEN {_Q253_LABEL_A}"
+    f" ELSE {_Q261_ROT} END"
+)
+
+
+def q261_fleiss_panel(spark, sf_dir):
+    """Fleiss' kappa (operators/agreement.fleiss_kappa — Fleiss 1971):
+    a 3-rater panel labels every document's length tier (rater 0 the
+    q253 rubric, raters 1 and 2 rotating every 5th / 4th label under
+    pinned hashes) — the fixed-panel generalization of q253's two-rater
+    Cohen; items with a wrong vote count are dropped AND counted, never
+    silently.  (n_items, n_dropped, po, pe, kappa)."""
+    from eget_spark.operators.agreement import fleiss_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    votes = docs.select(
+        F.col("doc_id").alias("item"),
+        F.explode(
+            F.array(
+                F.expr(_Q253_LABEL_A),
+                F.expr(_Q261_L1),
+                F.expr(_Q261_L2),
+            )
+        ).alias("label"),
+    )
+    return fleiss_kappa(votes, "item", "label", m=3)
+
+
+_Q261_SQL = rf"""
+WITH votes AS (
+  SELECT doc_id AS i, {_Q253_LABEL_A} AS c FROM documents
+  UNION ALL
+  SELECT doc_id AS i, {_Q261_L1} AS c FROM documents
+  UNION ALL
+  SELECT doc_id AS i, {_Q261_L2} AS c FROM documents
+),
+cell AS (SELECT i, c, CAST(count(*) AS BIGINT) AS n FROM votes GROUP BY i, c),
+per_item AS (
+  SELECT i, CAST(sum(n) AS BIGINT) AS mi, CAST(sum(n * n) AS BIGINT) AS sq
+  FROM cell GROUP BY i
+),
+valid AS (SELECT * FROM per_item WHERE mi = 3),
+dropped AS (
+  SELECT CAST(sum(CASE WHEN mi <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped FROM per_item
+),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(sq - 3) AS BIGINT) AS agree_num
+  FROM valid
+),
+margins AS (
+  SELECT c, CAST(sum(n) AS BIGINT) AS nc
+  FROM cell JOIN valid USING (i) GROUP BY c
+),
+chance AS (
+  SELECT CAST(coalesce(sum(nc * nc), 0) AS BIGINT) AS pe_num FROM margins
+),
+ratios AS (
+  SELECT n_items, n_dropped,
+         round(agree_num / CAST(n_items * 3 * 2 AS DOUBLE), 6) AS po,
+         round(pe_num / (CAST(n_items * 3 AS DOUBLE)
+                         * CAST(n_items * 3 AS DOUBLE)), 6) AS pe
+  FROM obs CROSS JOIN chance CROSS JOIN dropped
+)
+SELECT n_items, n_dropped, po, pe,
+       CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+FROM ratios
+"""
+
+
+def q262_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha, nominal (operators/agreement.
+    krippendorff_alpha — Krippendorff 1980/2004): the missing-tolerant
+    agreement coefficient over an UNBALANCED vote ledger — every doc
+    gets rater 0, all but every 13th get rater 1, every 3rd (and not
+    13th) gets rater 2, so items carry 1..3 votes and the
+    single-vote-exclusion branch is genuinely exercised; per-item
+    disagreement micro-quantized BEFORE the sum (q226 discipline).
+    (n_items, n_votes, do_micro, de_num, alpha)."""
+    from eget_spark.operators.agreement import krippendorff_alpha
+
+    docs = _t(spark, sf_dir, "documents")
+    v0 = docs.select(
+        F.col("doc_id").alias("item"), F.expr(_Q253_LABEL_A).alias("label")
+    )
+    v1 = docs.where(F.expr("doc_id % 13 <> 0")).select(
+        F.col("doc_id").alias("item"), F.expr(_Q261_L1).alias("label")
+    )
+    v2 = docs.where(F.expr("doc_id % 3 = 0 AND doc_id % 13 <> 0")).select(
+        F.col("doc_id").alias("item"), F.expr(_Q261_L2).alias("label")
+    )
+    return krippendorff_alpha(v0.unionAll(v1).unionAll(v2), "item", "label")
+
+
+_Q262_SQL = rf"""
+WITH votes AS (
+  SELECT doc_id AS i, {_Q253_LABEL_A} AS c FROM documents
+  UNION ALL
+  SELECT doc_id AS i, {_Q261_L1} AS c FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id AS i, {_Q261_L2} AS c FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 13 <> 0
+),
+cell AS (SELECT i, c, CAST(count(*) AS BIGINT) AS n FROM votes GROUP BY i, c),
+per_item AS (
+  SELECT i, CAST(sum(n) AS BIGINT) AS mi, CAST(sum(n * n) AS BIGINT) AS sq
+  FROM cell GROUP BY i
+),
+valid AS (SELECT * FROM per_item WHERE mi >= 2),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(mi) AS BIGINT) AS n_votes,
+         CAST(coalesce(sum((mi * mi - sq) * 1000000 // (mi - 1)), 0)
+              AS BIGINT) AS do_micro
+  FROM valid
+),
+margins AS (
+  SELECT c, CAST(sum(n) AS BIGINT) AS nc
+  FROM cell JOIN valid USING (i) GROUP BY c
+),
+chance AS (
+  SELECT CAST(coalesce(sum(nc * nc), 0) AS BIGINT) AS sq_marg FROM margins
+),
+base AS (
+  SELECT n_items, n_votes, do_micro,
+         CAST(n_votes * n_votes - sq_marg AS BIGINT) AS de_num
+  FROM obs CROSS JOIN chance
+)
+SELECT n_items, n_votes, do_micro, de_num,
+       CASE WHEN de_num > 0 THEN
+         round(1.0 - (CAST(n_votes - 1 AS DOUBLE)
+                      * CAST(do_micro AS DOUBLE))
+                     / (CAST(de_num AS DOUBLE) * 1e6), 6)
+       END AS alpha
+FROM base
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -13850,6 +13998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q258_wand_bounds": q258_wand_bounds,
         "q259_image_dims_tiff_ico": q259_image_dims_tiff_ico,
         "q260_readability_family": q260_readability_family,
+        "q261_fleiss_panel": q261_fleiss_panel,
+        "q262_krippendorff": q262_krippendorff,
     }
 
 
@@ -14114,4 +14264,6 @@ def oracle_sql() -> dict[str, str]:
         "q258_wand_bounds": _Q258_SQL,
         "q259_image_dims_tiff_ico": _Q259_SQL,
         "q260_readability_family": _Q260_SQL,
+        "q261_fleiss_panel": _Q261_SQL,
+        "q262_krippendorff": _Q262_SQL,
     }
