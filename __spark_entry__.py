@@ -13731,6 +13731,68 @@ FROM base
 """
 
 
+def q263_source_jsd(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (operators/divergence.pairwise_jsd — Lin 1991): the
+    symmetric ln(2)-bounded source-similarity matrix behind mixture
+    dedup and domain balancing, complementing q249's KL-vs-corpus;
+    shared-token terms micro-quantized BEFORE the sum, one-sided
+    vocabulary mass folded in closed form ((n-shared)*ln2 DIV 2n — no
+    full-outer join over the union vocabulary), zero-shared pairs
+    emitted at the ln(2) ceiling via the |groups|^2/2 broadcast spine.
+    (grp_a, grp_b, n_shared_types, jsd_micro)."""
+    from eget_spark.operators.divergence import pairwise_jsd
+
+    return pairwise_jsd(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+_Q263_SQL = r"""
+WITH toks AS (
+  SELECT source AS grp,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM documents
+),
+gt AS (
+  SELECT grp, tok, CAST(count(*) AS BIGINT) AS n_gt
+  FROM toks GROUP BY grp, tok
+),
+g_tot AS (
+  SELECT grp, CAST(sum(n_gt) AS BIGINT) AS n_g FROM gt GROUP BY grp
+),
+pairterms AS (
+  SELECT a.grp AS ga, b.grp AS gb, a.n_gt AS ca, b.n_gt AS cb,
+         CAST(a.n_gt AS DOUBLE) / CAST(ta.n_g AS DOUBLE) AS p,
+         CAST(b.n_gt AS DOUBLE) / CAST(tb.n_g AS DOUBLE) AS q
+  FROM gt a
+  JOIN gt b ON a.tok = b.tok AND a.grp < b.grp
+  JOIN g_tot ta ON ta.grp = a.grp
+  JOIN g_tot tb ON tb.grp = b.grp
+),
+shared AS (
+  SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_shared_types,
+         CAST(sum(ca) AS BIGINT) AS sa, CAST(sum(cb) AS BIGINT) AS sb,
+         CAST(sum(CAST(round((p * ln(2.0 * p / (p + q))
+                              + q * ln(2.0 * q / (p + q)))
+                             / 2.0 * 1e6) AS BIGINT)) AS BIGINT)
+           AS shared_micro
+  FROM pairterms GROUP BY ga, gb
+),
+spine AS (
+  SELECT ta.grp AS ga, ta.n_g AS na, tb.grp AS gb, tb.n_g AS nb
+  FROM g_tot ta CROSS JOIN g_tot tb WHERE ta.grp < tb.grp
+)
+SELECT s.ga AS grp_a, s.gb AS grp_b,
+       CAST(coalesce(sh.n_shared_types, 0) AS BIGINT) AS n_shared_types,
+       CAST(coalesce(sh.shared_micro, 0)
+            + (s.na - coalesce(sh.sa, 0)) * 693147 // (2 * s.na)
+            + (s.nb - coalesce(sh.sb, 0)) * 693147 // (2 * s.nb)
+            AS BIGINT) AS jsd_micro
+FROM spine s LEFT JOIN shared sh ON sh.ga = s.ga AND sh.gb = s.gb
+ORDER BY grp_a, grp_b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -14000,6 +14062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q260_readability_family": q260_readability_family,
         "q261_fleiss_panel": q261_fleiss_panel,
         "q262_krippendorff": q262_krippendorff,
+        "q263_source_jsd": q263_source_jsd,
     }
 
 
@@ -14266,4 +14329,5 @@ def oracle_sql() -> dict[str, str]:
         "q260_readability_family": _Q260_SQL,
         "q261_fleiss_panel": _Q261_SQL,
         "q262_krippendorff": _Q262_SQL,
+        "q263_source_jsd": _Q263_SQL,
     }
