@@ -13793,6 +13793,55 @@ ORDER BY grp_a, grp_b
 """
 
 
+def q264_lexical_richness(spark, sf_dir):
+    """Per-source lexical-richness census (operators/corpus_stats.
+    lexical_richness — Yule 1944 K, Herdan 1960 C, Guiraud 1954 R +
+    TTR/hapax shares): the length-insensitive repetitiveness axes that
+    expose template farms long before raw TTR does — the vocabulary
+    twin of q57 repetition quality and q244 diversity indices; every
+    double formed by ONE division of exactly-derived int64 census
+    counts, exact ppm ratios.  (source, n_toks, n_types, hapax, dis,
+    yule_k, herdan_c, guiraud_r, ttr_ppm, hapax_ppm)."""
+    from eget_spark.operators.corpus_stats import lexical_richness
+
+    return lexical_richness(_t(spark, sf_dir, "documents"), "source",
+                            "text")
+
+
+_Q264_SQL = r"""
+WITH toks AS (
+  SELECT source AS grp,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM documents
+),
+gt AS (
+  SELECT grp, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY grp, tok
+),
+per AS (
+  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_toks,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+         CAST(sum(cnt * cnt) AS BIGINT) AS m2
+  FROM gt GROUP BY grp
+)
+SELECT grp AS source, n_toks, n_types, hapax, dis,
+       round((m2 - n_toks) * 1e4
+             / (CAST(n_toks AS DOUBLE) * CAST(n_toks AS DOUBLE)), 6)
+         AS yule_k,
+       CASE WHEN n_toks > 1 THEN
+         round(ln(CAST(n_types AS DOUBLE)) / ln(CAST(n_toks AS DOUBLE)), 6)
+       END AS herdan_c,
+       round(n_types / sqrt(CAST(n_toks AS DOUBLE)), 6) AS guiraud_r,
+       CAST(n_types * 1000000 // n_toks AS BIGINT) AS ttr_ppm,
+       CAST(hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm
+FROM per
+ORDER BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -14063,6 +14112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q261_fleiss_panel": q261_fleiss_panel,
         "q262_krippendorff": q262_krippendorff,
         "q263_source_jsd": q263_source_jsd,
+        "q264_lexical_richness": q264_lexical_richness,
     }
 
 
@@ -14330,4 +14380,5 @@ def oracle_sql() -> dict[str, str]:
         "q261_fleiss_panel": _Q261_SQL,
         "q262_krippendorff": _Q262_SQL,
         "q263_source_jsd": _Q263_SQL,
+        "q264_lexical_richness": _Q264_SQL,
     }

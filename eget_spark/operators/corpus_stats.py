@@ -199,3 +199,83 @@ def heaps_fit(
         F.col("intercept").alias("heaps_intercept"),
         F.col("r2").alias("heaps_r2"),
     )
+
+
+def lexical_richness(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical-richness census: Yule's K (Yule, The
+    Statistical Study of Literary Vocabulary 1944), Herdan's C (Herdan
+    1960), Guiraud's R (Guiraud 1954), plus TTR and hapax share — the
+    classic repetitiveness/diversity axes.  Unlike raw TTR these are
+    (approximately) length-insensitive, so they compare sources of very
+    different sizes: a template farm shows a huge K (mass concentrated
+    on few types) long before its TTR looks suspicious, the vocabulary
+    twin of q57's repetition quality and q244's source-diversity
+    indices.
+
+    Pinned semantics (bit-exact across engines): tokens under the
+    engine-wide TOKEN_SPLIT pin; per group N = tokens, V = types, V1 /
+    V2 = once/twice types, m2 = sum cnt^2 (exact int64 — note the
+    envelope: a single token exceeding ~3e9 occurrences IN ONE GROUP
+    squares past int64; shard such groups upstream);
+
+    - yule_k    = round(1e4 * (m2 - N) / (N*N in DOUBLE), 6)
+    - herdan_c  = round(ln(V) / ln(N), 6), NULL when N < 2
+    - guiraud_r = round(V / sqrt(N), 6)
+    - ttr_ppm   = V  * 1_000_000 DIV N   (exact int64)
+    - hapax_ppm = V1 * 1_000_000 DIV V   (exact int64)
+
+    each double formed by ONE division of exactly-derived integers.
+
+    Scale shape (100 TB): one map-side-combined explode -> (group,
+    token) count (hot tokens collapse per map task), then a groupBy OF
+    that table — every downstream row set is group-sized.  No windows,
+    no joins, no Python."""
+    from eget_spark.operators.lm_score import TOKEN_SPLIT
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    gt = toks.groupBy("grp", "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    per = gt.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n_toks"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias("hapax"),
+        F.sum((F.col("cnt") == 2).cast("long")).cast("long").alias("dis"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("m2"),
+    )
+    n_d = F.col("n_toks").cast("double")
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_toks",
+        "n_types",
+        "hapax",
+        "dis",
+        F.round((F.col("m2") - F.col("n_toks")) * 1e4 / (n_d * n_d), 6).alias(
+            "yule_k"
+        ),
+        F.when(
+            F.col("n_toks") > 1,
+            F.round(
+                F.log(F.col("n_types").cast("double")) / F.log(n_d), 6
+            ),
+        ).alias("herdan_c"),
+        F.round(F.col("n_types") / F.sqrt(n_d), 6).alias("guiraud_r"),
+        F.expr("n_types * CAST(1000000 AS BIGINT) DIV n_toks").alias(
+            "ttr_ppm"
+        ),
+        F.expr("hapax * CAST(1000000 AS BIGINT) DIV n_types").alias(
+            "hapax_ppm"
+        ),
+    ).orderBy(group_col)

@@ -124,3 +124,74 @@ def test_zipf_uniform_corpus_slope_zero(spark):
     assert row["zipf_slope"] == 0.0
     assert row["hapax"] == row["n_types"] == 4
     assert row["ttr"] == 1.0
+
+
+# --- lexical richness --------------------------------------------------------
+
+def _py_richness(rows):
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    gt: dict[str, Counter] = defaultdict(Counter)
+    for g, text in rows:
+        for t in re.split(r"[^a-z0-9]+", text.lower()):
+            if t:
+                gt[g][t] += 1
+    out = []
+    for g in sorted(gt):
+        c = gt[g]
+        n = sum(c.values())
+        v = len(c)
+        v1 = sum(1 for x in c.values() if x == 1)
+        v2 = sum(1 for x in c.values() if x == 2)
+        m2 = sum(x * x for x in c.values())
+        yk = round((m2 - n) * 1e4 / (float(n) * float(n)), 6)
+        hc = round(math.log(v) / math.log(n), 6) if n > 1 else None
+        gr = round(v / math.sqrt(n), 6)
+        out.append((g, n, v, v1, v2, yk, hc, gr,
+                    v * 10**6 // n, v1 * 10**6 // v))
+    return out
+
+
+RICH_ROWS = [
+    ("varied", "every single word in this sentence differs completely"),
+    ("varied", "novel tokens keep arriving without repetition anywhere"),
+    ("template", "buy now " * 20),
+    ("template", "buy now best price " * 10),
+    ("tiny", "word"),
+]
+
+
+def _run_richness(spark, rows):
+    from eget_spark.operators.corpus_stats import lexical_richness
+
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = lexical_richness(df, "source", "text").collect()
+    return [
+        (r["source"], r["n_toks"], r["n_types"], r["hapax"], r["dis"],
+         r["yule_k"], r["herdan_c"], r["guiraud_r"], r["ttr_ppm"],
+         r["hapax_ppm"])
+        for r in out
+    ]
+
+
+def test_richness_matches_python_replay(spark):
+    assert _run_richness(spark, RICH_ROWS) == _py_richness(RICH_ROWS)
+
+
+def test_template_farm_has_huge_yule_k(spark):
+    got = {r[0]: r for r in _run_richness(spark, RICH_ROWS)}
+    assert got["template"][5] > 50 * got["varied"][5]
+
+
+def test_all_hapax_corpus_has_zero_k(spark):
+    # every type once: m2 == N -> K exactly 0
+    rows = [("x", "alpha beta gamma delta epsilon")]
+    got = _run_richness(spark, rows)[0]
+    assert got[5] == 0.0 and got[9] == 10**6
+
+
+def test_single_token_group_null_herdan(spark):
+    got = {r[0]: r for r in _run_richness(spark, RICH_ROWS)}
+    assert got["tiny"][6] is None and got["tiny"][1] == 1
