@@ -13842,6 +13842,181 @@ ORDER BY source
 """
 
 
+def q265_classifier_auc(spark, sf_dir):
+    """ROC-AUC + Average Precision (operators/evalmetrics.roc_auc_ap —
+    Mann-Whitney 1947 rank-sum identity / Hanley-McNeil 1982, PASCAL
+    AP): the threshold-free quality audit of the SAME synthetic
+    classifier q252 calibrates — scores and labels from the identical
+    pinned hash rules, so the two queries together give the full
+    eval story (discrimination here, calibration there); midranks keep
+    tied scores exact, AP's (score DESC, id) tie-break is part of the
+    pin.  (n, n_pos, n_neg, r2_pos, auc, ap_ppm)."""
+    from eget_spark.operators.evalmetrics import roc_auc_ap
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr("(doc_id * 2654435761) % 1000001").alias("score"),
+        F.expr(
+            "CAST(CASE WHEN (doc_id * 1103515245 + 12345) % 1000000"
+            "  < (doc_id * 2654435761) % 1000001 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("label"),
+    )
+    return roc_auc_ap(scored, "score", "label", "id")
+
+
+_Q265_SQL = r"""
+WITH scored AS (
+  SELECT doc_id AS id,
+         (doc_id * 2654435761) % 1000001 AS s,
+         CASE WHEN (doc_id * 1103515245 + 12345) % 1000000
+                   < (doc_id * 2654435761) % 1000001
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+  FROM documents
+),
+ranked AS (
+  SELECT *, rank() OVER (ORDER BY s) AS rmin,
+         count(*) OVER (PARTITION BY s) AS ties
+  FROM scored
+),
+agg_auc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN y = 1 THEN 2 * rmin + ties - 1 END)
+              AS BIGINT) AS r2_pos
+  FROM ranked
+),
+ap_ranked AS (
+  SELECT y, row_number() OVER (ORDER BY s DESC, id) AS i,
+         sum(y) OVER (ORDER BY s DESC, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+  FROM scored
+),
+agg_ap AS (
+  SELECT CAST(coalesce(sum(tp * 1000000 // i), 0) AS BIGINT) AS ap_num
+  FROM ap_ranked WHERE y = 1
+),
+base AS (
+  SELECT n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg, r2_pos, ap_num
+  FROM agg_auc CROSS JOIN agg_ap
+)
+SELECT n, n_pos, n_neg, r2_pos,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((CAST(r2_pos AS DOUBLE) - CAST(n_pos * (n_pos + 1) AS DOUBLE))
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+       END AS auc,
+       CAST(CASE WHEN n_pos > 0 THEN ap_num // n_pos END AS BIGINT) AS ap_ppm
+FROM base
+"""
+
+
+def q266_ndcg(spark, sf_dir):
+    """nDCG@10 per query (operators/evalmetrics.ndcg_at_k — Järvelin &
+    Kekäläinen TOIS 2002): graded-relevance ranking quality over 8
+    synthetic query slates (rank = doc position within its query slice,
+    relevance a pinned 0..3 hash grade); per-rank discounts quantized
+    to micro units FIRST so DCG/IDCG are exact integer sums, the
+    local-ideal re-sort pinned to (rel DESC, rank).
+    (query, dcg_micro, idcg_micro, ndcg_ppm)."""
+    from eget_spark.operators.evalmetrics import ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = docs.select(
+        F.expr("concat('q', CAST(doc_id % 8 AS STRING))").alias("query"),
+        F.expr("doc_id DIV 8 + 1").alias("rnk"),
+        F.expr("(doc_id * 2654435761) % 4").alias("rel"),
+    )
+    return ndcg_at_k(ranked, "query", "rnk", "rel", k=10)
+
+
+_Q266_SQL = r"""
+WITH top AS (
+  SELECT 'q' || CAST(doc_id % 8 AS VARCHAR) AS q,
+         doc_id // 8 + 1 AS i,
+         (doc_id * 2654435761) % 4 AS rel
+  FROM documents
+  WHERE doc_id // 8 + 1 <= 10
+),
+dcg AS (
+  SELECT q, CAST(sum(rel * CAST(round(1000000.0 / log2(i + 1)) AS BIGINT))
+                 AS BIGINT) AS dcg_micro
+  FROM top GROUP BY q
+),
+ideal AS (
+  SELECT q, CAST(sum(rel * CAST(round(1000000.0 / log2(j + 1)) AS BIGINT))
+                 AS BIGINT) AS idcg_micro
+  FROM (
+    SELECT q, rel,
+           row_number() OVER (PARTITION BY q ORDER BY rel DESC, i) AS j
+    FROM top
+  ) GROUP BY q
+)
+SELECT d.q AS query, d.dcg_micro, i.idcg_micro,
+       CAST(CASE WHEN i.idcg_micro > 0
+            THEN d.dcg_micro * 1000000 // i.idcg_micro END AS BIGINT)
+         AS ndcg_ppm
+FROM dcg d JOIN ideal i ON i.q = d.q
+ORDER BY query
+"""
+
+
+def q267_ranker_concordance(spark, sf_dir):
+    """Kendall's tau-b (operators/evalmetrics.kendall_tau_b — Kendall
+    1938, tie-corrected 1945 form): rank concordance between two pinned
+    synthetic rankers over the first 200 items (cap pinned, the q256
+    quadratic-pair discipline; ranker x deliberately coarse so tie
+    pairs exercise the tau-b correction) — the do-two-centralities-
+    agree primitive for choosing the cheap proxy.
+    (n_items, concordant, discordant, ties_x, ties_y, tau_b)."""
+    from eget_spark.operators.evalmetrics import kendall_tau_b
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr("(doc_id * 37) % 50").alias("x"),
+        F.expr("((doc_id * 37) % 50) * 10 + (doc_id * 2654435761) % 25")
+        .alias("y"),
+    )
+    return kendall_tau_b(items, "id", "x", "y", max_items=200)
+
+
+_Q267_SQL = r"""
+WITH capped AS (
+  SELECT id, x, y FROM (
+    SELECT doc_id AS id,
+           (doc_id * 37) % 50 AS x,
+           ((doc_id * 37) % 50) * 10 + (doc_id * 2654435761) % 25 AS y,
+           row_number() OVER (ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn <= 200
+),
+pairs AS (
+  SELECT CAST(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+              * CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+              AS BIGINT) AS prod,
+         CAST(CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS BIGINT) AS tx,
+         CAST(CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS BIGINT) AS ty
+  FROM capped a JOIN capped b ON a.id < b.id
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN prod = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN prod = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(tx) AS BIGINT) AS ties_x,
+         CAST(sum(ty) AS BIGINT) AS ties_y
+  FROM pairs
+),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM capped)
+SELECT n_items, c AS concordant, d AS discordant, ties_x, ties_y,
+       CASE WHEN (n0 - ties_x) > 0 AND (n0 - ties_y) > 0 THEN
+         round(CAST(c - d AS DOUBLE)
+               / sqrt(CAST(n0 - ties_x AS DOUBLE)
+                      * CAST(n0 - ties_y AS DOUBLE)), 6)
+       END AS tau_b
+FROM st CROSS JOIN ni
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -14113,6 +14288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_krippendorff": q262_krippendorff,
         "q263_source_jsd": q263_source_jsd,
         "q264_lexical_richness": q264_lexical_richness,
+        "q265_classifier_auc": q265_classifier_auc,
+        "q266_ndcg": q266_ndcg,
+        "q267_ranker_concordance": q267_ranker_concordance,
     }
 
 
@@ -14381,4 +14559,7 @@ def oracle_sql() -> dict[str, str]:
         "q262_krippendorff": _Q262_SQL,
         "q263_source_jsd": _Q263_SQL,
         "q264_lexical_richness": _Q264_SQL,
+        "q265_classifier_auc": _Q265_SQL,
+        "q266_ndcg": _Q266_SQL,
+        "q267_ranker_concordance": _Q267_SQL,
     }

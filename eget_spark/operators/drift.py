@@ -53,19 +53,22 @@ def cusum_drift(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     adj = F.col(value_col).cast("long") - F.lit(int(k)).cast("long")
+    # keep the ORIGINAL key/ts names through both window selects: an
+    # alias between them breaks partitioning/ordering reuse and costs a
+    # second (redundant) hash exchange on the full series
     cummed = series.select(
-        F.col(key_col).alias("key"),
-        F.col(ts_col).alias("ts"),
+        F.col(key_col),
+        F.col(ts_col),
         F.sum(adj).over(w).alias("cum"),
     )
     w2 = (
-        Window.partitionBy("key")
-        .orderBy("ts")
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     stepped = cummed.select(
-        "key",
-        "ts",
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
         (
             F.col("cum")
             - F.least(F.min("cum").over(w2), F.lit(0).cast("long"))

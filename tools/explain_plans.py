@@ -2247,6 +2247,116 @@ def main() -> None:
     checks.append(("ucb1: no window", _nodes(p_ub, "Window") == 0))
     checks.append(("ucb1: no Python", "EvalPython" not in p_ub))
 
+    # 180. calibration bins (q252): <= M-key groupBy map-side combined,
+    # ECE scalar on a 1-row broadcast; no window, no Python
+    p_cb = plan_of(entry.q252_calibration(spark, SF))
+    checks.append(("calibration: map-side partial agg", "partial_count" in p_cb))
+    checks.append(("calibration: broadcast ece scalar", "Broadcast" in p_cb))
+    checks.append(("calibration: no window", _nodes(p_cb, "Window") == 0))
+    checks.append(("calibration: no Python", "EvalPython" not in p_cb))
+
+    # 181. Cohen's kappa (q253): margin tables joined on the tiny label
+    # key, scalars broadcast; no window, no Python
+    p_ck = plan_of(entry.q253_rater_agreement(spark, SF))
+    checks.append(("kappa: map-side partial agg", "partial_count" in p_ck))
+    checks.append(("kappa: no window", _nodes(p_ck, "Window") == 0))
+    checks.append(("kappa: no Python", "EvalPython" not in p_ck))
+
+    # 182. CUSUM drift (q254): running frames share ONE hash shuffle on
+    # key, summary groupBy reuses the partitioning -> exactly 1 exchange
+    p_cu = plan_of(entry.q254_latency_drift(spark, SF))
+    checks.append(("cusum: windows present", _nodes(p_cu, "Window") >= 1))
+    checks.append(("cusum: single key exchange", _nodes(p_cu, "Exchange") <= 2))
+    checks.append(("cusum: no Python", "EvalPython" not in p_cu))
+
+    # 183. Benford audit (q255): 9-row spine broadcast against the
+    # group-sized margins; histogram map-side combined; no window
+    p_bf = plan_of(entry.q255_benford_audit(spark, SF))
+    checks.append(("benford: map-side partial agg", "partial_count" in p_bf))
+    checks.append(("benford: broadcast spine", "Broadcast" in p_bf))
+    checks.append(("benford: no window", _nodes(p_bf, "Window") == 0))
+    checks.append(("benford: no Python", "EvalPython" not in p_bf))
+
+    # 184. trend tests (q256): capped pair self-join is a hash equi join
+    # (never cartesian), ranking window over the bounded pair table
+    p_tt = plan_of(entry.q256_host_trends(spark, SF))
+    checks.append(("trend: hash equi self-join", "Cartesian" not in p_tt and "NestedLoop" not in p_tt))
+    checks.append(("trend: windows bounded", _nodes(p_tt, "Window") >= 2))
+    checks.append(("trend: no Python", "EvalPython" not in p_tt))
+
+    # 185. super-shingles (q257): bucket-size gate BEFORE the self-join,
+    # all joins hash equi; map-side combined sketch; no Python
+    p_sp = plan_of(entry.q257_supershingles(spark, SF))
+    checks.append(("supershingle: hash equi joins only", "Cartesian" not in p_sp and "NestedLoop" not in p_sp))
+    checks.append(("supershingle: map-side partial agg", "partial_min" in p_sp or "partial_count" in p_sp))
+    checks.append(("supershingle: no Python", "EvalPython" not in p_sp))
+
+    # 186. WAND bounds (q258): tf via array filters (no explode), three
+    # 1-row broadcasts, mergeable TakeOrdered for theta; no Python
+    p_wd = plan_of(entry.q258_wand_bounds(spark, SF))
+    checks.append(("wand: no explode (Generate only for term rows)", _nodes(p_wd, "Generate") <= 1))
+    checks.append(("wand: broadcast scalars", "Broadcast" in p_wd))
+    checks.append(("wand: TakeOrdered theta", "TakeOrderedAndProject" in p_wd))
+    checks.append(("wand: no Python", "EvalPython" not in p_wd))
+
+    # 187. TIFF/ICO census (q259): one Arrow mapInPandas pass, zero
+    # shuffle aggregates
+    p_ti = plan_of(entry.q259_image_dims_tiff_ico(spark, SF))
+    checks.append(("tiff/ico census: arrow eval only", "ArrowEvalPython" in p_ti or "MapInPandas" in p_ti))
+    checks.append(("tiff/ico census: no row-at-a-time Python", "BatchEvalPython" not in p_ti))
+
+    # 188. readability family (q260): ZERO-shuffle scan-side projection
+    p_rf = plan_of(entry.q260_readability_family(spark, SF))
+    checks.append(("readability: zero exchange", "Exchange" not in p_rf))
+    checks.append(("readability: no Python", "EvalPython" not in p_rf))
+
+    # 189. Fleiss kappa (q261): aggregate ladder, scalars broadcast
+    p_fl = plan_of(entry.q261_fleiss_panel(spark, SF))
+    checks.append(("fleiss: map-side partial agg", "partial_count" in p_fl))
+    checks.append(("fleiss: broadcast scalars", "Broadcast" in p_fl))
+    checks.append(("fleiss: no window", _nodes(p_fl, "Window") == 0))
+    checks.append(("fleiss: no Python", "EvalPython" not in p_fl))
+
+    # 190. Krippendorff alpha (q262): same ladder, no window, no Python
+    p_ka = plan_of(entry.q262_krippendorff(spark, SF))
+    checks.append(("krippendorff: map-side partial agg", "partial_count" in p_ka))
+    checks.append(("krippendorff: no window", _nodes(p_ka, "Window") == 0))
+    checks.append(("krippendorff: no Python", "EvalPython" not in p_ka))
+
+    # 191. pairwise JSD (q263): token-keyed equi self-join (never
+    # cartesian except the tiny broadcast pair spine), totals broadcast
+    p_js = plan_of(entry.q263_source_jsd(spark, SF))
+    checks.append(("jsd: no cartesian product", "CartesianProduct" not in p_js))
+    checks.append(("jsd: broadcast group totals", "Broadcast" in p_js))
+    checks.append(("jsd: map-side partial agg", "partial_count" in p_js))
+    checks.append(("jsd: no Python", "EvalPython" not in p_js))
+
+    # 192. lexical richness (q264): explode aggregate map-side combined,
+    # group-sized downstream; no window, no joins, no Python
+    p_lr = plan_of(entry.q264_lexical_richness(spark, SF))
+    checks.append(("richness: map-side partial agg", "partial_count" in p_lr))
+    checks.append(("richness: no window", _nodes(p_lr, "Window") == 0))
+    checks.append(("richness: no join", _nodes(p_lr, "Join") == 0))
+    checks.append(("richness: no Python", "EvalPython" not in p_lr))
+
+    # 193. ROC-AUC/AP (q265): exact order statistics via with_global_seq
+    # (checkpointed scalar aggregates), no SinglePartition window
+    p_au = plan_of(entry.q265_classifier_auc(spark, SF))
+    checks.append(("auc: checkpointed scalars", "ExistingRDD" in p_au))
+    checks.append(("auc: no Python", "EvalPython" not in p_au))
+
+    # 194. nDCG (q266): per-query partitioned windows only; no Python
+    p_nd = plan_of(entry.q266_ndcg(spark, SF))
+    checks.append(("ndcg: map-side partial agg", "partial_sum" in p_nd))
+    checks.append(("ndcg: no Python", "EvalPython" not in p_nd))
+
+    # 195. Kendall tau-b (q267): cap via global sequence (checkpointed
+    # broadcast-class table), pair join bounded; no Python
+    p_kt = plan_of(entry.q267_ranker_concordance(spark, SF))
+    checks.append(("tau: checkpointed capped table", "ExistingRDD" in p_kt))
+    checks.append(("tau: no cartesian product", "CartesianProduct" not in p_kt))
+    checks.append(("tau: no Python", "EvalPython" not in p_kt))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
