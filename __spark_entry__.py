@@ -14017,6 +14017,114 @@ FROM st CROSS JOIN ni
 """
 
 
+def q268_spearman(spark, sf_dir):
+    """Spearman rank correlation with exact midrank ties (operators/
+    evalmetrics.spearman_rho — Pearson-on-midranks form): the same two
+    pinned rankers q267 compares pairwise, here over the FULL item set
+    with no cap (no pair join — two with_global_seq rank passes + one
+    moment aggregate), doubled midranks keep everything int64 until
+    ONE round-6 double division.  (n, rho)."""
+    from eget_spark.operators.evalmetrics import spearman_rho
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr("(doc_id * 37) % 50").alias("x"),
+        F.expr("((doc_id * 37) % 50) * 10 + (doc_id * 2654435761) % 25")
+        .alias("y"),
+    )
+    return spearman_rho(items, "id", "x", "y")
+
+
+_Q268_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         (doc_id * 37) % 50 AS x,
+         ((doc_id * 37) % 50) * 10 + (doc_id * 2654435761) % 25 AS y
+  FROM documents
+),
+mr_x AS (
+  SELECT x, CAST(2 * min(r) + count(*) - 1 AS BIGINT) AS mx2
+  FROM (SELECT x, row_number() OVER (ORDER BY x, id) AS r FROM base)
+  GROUP BY x
+),
+mr_y AS (
+  SELECT y, CAST(2 * min(r) + count(*) - 1 AS BIGINT) AS my2
+  FROM (SELECT y, row_number() OVER (ORDER BY y, id) AS r FROM base)
+  GROUP BY y
+),
+ranked AS (
+  SELECT mx2, my2 FROM base JOIN mr_x USING (x) JOIN mr_y USING (y)
+),
+mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mx2) AS BIGINT) AS sx, CAST(sum(my2) AS BIGINT) AS sy,
+         CAST(sum(mx2 * mx2) AS BIGINT) AS sxx,
+         CAST(sum(my2 * my2) AS BIGINT) AS syy,
+         CAST(sum(mx2 * my2) AS BIGINT) AS sxy
+  FROM ranked
+)
+SELECT n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS rho
+FROM mo
+"""
+
+
+def q269_mcnemar(spark, sf_dir):
+    """McNemar's paired-classifier test (operators/evalmetrics.
+    mcnemar_test — McNemar 1947, Edwards continuity correction): two
+    pinned synthetic classifiers' per-document 0/1 correctness (one
+    ~70%, one ~80% accurate by hash rule) compared on the SAME items —
+    only the discordant cells matter, the ship/don't-ship statistic
+    for replacing the incumbent quality gate.  ONE map-side aggregate.
+    (n_items, both_right, both_wrong, only_a, only_b, chi2)."""
+    from eget_spark.operators.evalmetrics import mcnemar_test
+
+    docs = _t(spark, sf_dir, "documents")
+    paired = docs.select(
+        F.expr(
+            "CAST(CASE WHEN (doc_id * 2654435761) % 10 < 7"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("a_correct"),
+        F.expr(
+            "CAST(CASE WHEN (doc_id * 1103515245) % 10 < 8"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("b_correct"),
+    )
+    return mcnemar_test(paired, "a_correct", "b_correct")
+
+
+_Q269_SQL = r"""
+WITH paired AS (
+  SELECT CASE WHEN (doc_id * 2654435761) % 10 < 7 THEN 1 ELSE 0 END AS a,
+         CASE WHEN (doc_id * 1103515245) % 10 < 8 THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS both_right,
+         CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS both_wrong,
+         CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS only_a,
+         CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS only_b
+  FROM paired
+)
+SELECT n_items, both_right, both_wrong, only_a, only_b,
+       CASE WHEN only_a + only_b > 0 THEN
+         round(CAST((abs(only_a - only_b) - 1) * (abs(only_a - only_b) - 1)
+                    AS DOUBLE) / CAST(only_a + only_b AS DOUBLE), 6)
+       END AS chi2
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -14291,6 +14399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q265_classifier_auc": q265_classifier_auc,
         "q266_ndcg": q266_ndcg,
         "q267_ranker_concordance": q267_ranker_concordance,
+        "q268_spearman": q268_spearman,
+        "q269_mcnemar": q269_mcnemar,
     }
 
 
@@ -14562,4 +14672,6 @@ def oracle_sql() -> dict[str, str]:
         "q265_classifier_auc": _Q265_SQL,
         "q266_ndcg": _Q266_SQL,
         "q267_ranker_concordance": _Q267_SQL,
+        "q268_spearman": _Q268_SQL,
+        "q269_mcnemar": _Q269_SQL,
     }

@@ -262,3 +262,141 @@ def kendall_tau_b(
             ).alias("tau_b"),
         )
     )
+
+
+def spearman_rho(
+    items: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Spearman rank correlation with exact tie handling (Spearman
+    1904; the midrank/Pearson-on-ranks form) — the whole-distribution
+    complement to :func:`kendall_tau_b`: no pair join, so it runs over
+    the FULL item set, not a capped sample.
+
+    Pinned semantics: x/y midranks DOUBLED to stay integer (the q265
+    recipe — ``2*rank_min + ties - 1`` from per-value groups of a
+    with_global_seq sequence); rho = Pearson of the doubled midranks
+    from exact int64 moment sums,
+
+        rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    ONE round-6 double division; NULL when either ranking is constant.
+    Int64 envelope: moments scale as n^3 — exact to n ≈ 1.3e6 items;
+    beyond that pre-aggregate (rankings of hosts/sources, not pages) or
+    accept the documented cap upstream.
+
+    Scale shape (100 TB): two with_global_seq passes (range-partitioned
+    rank + broadcast offsets), one value-group aggregate each, a hash
+    join back on the value key, one map-side-combined moment aggregate.
+    No SinglePartition window, no pair join, no Python."""
+    from .sequence import with_global_seq
+
+    base = items.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+
+    def midranks(col: str, out: str) -> DataFrame:
+        res = with_global_seq(base, [col, "id"], start=1, seq_col="_r")
+        grp = (
+            res.df.groupBy(col)
+            .agg(
+                F.min("_r").cast("long").alias("rmin"),
+                F.count("*").cast("long").alias("ties"),
+            )
+            .select(
+                col,
+                (2 * F.col("rmin") + F.col("ties") - 1)
+                .cast("long")
+                .alias(out),
+            )
+            .localCheckpoint()
+        )
+        res.unpersist()
+        return grp
+
+    rx = midranks("x", "mx2")
+    ry = midranks("y", "my2")
+    ranked = base.join(rx, "x").join(ry, "y")
+    mo = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("mx2").cast("long").alias("sx"),
+        F.sum("my2").cast("long").alias("sy"),
+        F.sum(F.col("mx2") * F.col("mx2")).cast("long").alias("sxx"),
+        F.sum(F.col("my2") * F.col("my2")).cast("long").alias("syy"),
+        F.sum(F.col("mx2") * F.col("my2")).cast("long").alias("sxy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return mo.select(
+        "n",
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)).alias(
+            "rho"
+        ),
+    )
+
+
+def mcnemar_test(
+    paired: DataFrame,
+    a_col: str = "a_correct",
+    b_col: str = "b_correct",
+) -> DataFrame:
+    """McNemar's paired-classifier test (McNemar, Psychometrika 1947):
+    given per-item 0/1 correctness of two classifiers on the SAME
+    items, only the discordant cells carry information — b = A right /
+    B wrong, c = A wrong / B right; the continuity-corrected statistic
+
+        chi2 = (|b - c| - 1)^2 / (b + c)
+
+    (Edwards 1948 correction, the textbook default) decides whether the
+    q150-style model you want to ship actually beats the incumbent on
+    the same documents — the paired complement to q265's single-model
+    AUC.  Pinned: exact int64 cells, ONE round-6 double division; chi2
+    NULL when b + c == 0 (no discordance, no evidence either way).
+    Output one row: (n_items, both_right, both_wrong, only_a, only_b,
+    chi2).
+
+    Scale shape: ONE map-side-combined aggregate over the pair table —
+    four conditional sums; nothing else."""
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    agg = paired.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(((a == 1) & (b == 1)).cast("long"))
+        .cast("long")
+        .alias("both_right"),
+        F.sum(((a == 0) & (b == 0)).cast("long"))
+        .cast("long")
+        .alias("both_wrong"),
+        F.sum(((a == 1) & (b == 0)).cast("long"))
+        .cast("long")
+        .alias("only_a"),
+        F.sum(((a == 0) & (b == 1)).cast("long"))
+        .cast("long")
+        .alias("only_b"),
+    )
+    disc = F.col("only_a") + F.col("only_b")
+    dev = F.abs(F.col("only_a") - F.col("only_b")) - 1
+    return agg.select(
+        "n_items",
+        "both_right",
+        "both_wrong",
+        "only_a",
+        "only_b",
+        F.when(
+            disc > 0,
+            F.round(
+                (dev * dev).cast("double") / disc.cast("double"), 6
+            ),
+        ).alias("chi2"),
+    )

@@ -187,3 +187,109 @@ def test_tau_item_cap(spark):
     assert _run_tau(spark, TAU_ROWS, max_items=4) == _py_tau(
         TAU_ROWS, max_items=4
     )
+
+
+# --- Spearman rho ------------------------------------------------------------
+
+def _py_rho(rows):
+    n = len(rows)
+
+    def mid2(vals):
+        order = sorted(range(n), key=lambda i: (vals[i], rows[i][0]))
+        r = [0] * n
+        i = 0
+        # midrank depends only on the VALUE group, not the id tiebreak
+        by_val = {}
+        for pos, idx in enumerate(order, 1):
+            by_val.setdefault(vals[idx], []).append(pos)
+        for idx in range(n):
+            ps = by_val[vals[idx]]
+            r[idx] = min(ps) + max(ps)  # 2 * average rank
+        return r
+
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    mx, my = mid2(xs), mid2(ys)
+    sx, sy = sum(mx), sum(my)
+    sxx = sum(v * v for v in mx)
+    syy = sum(v * v for v in my)
+    sxy = sum(a * b for a, b in zip(mx, my))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    rho = (round(cov / math.sqrt(float(vx) * float(vy)), 6)
+           if vx > 0 and vy > 0 else None)
+    return (n, rho)
+
+
+def _run_rho(spark, rows):
+    from eget_spark.operators.evalmetrics import spearman_rho
+
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    r = spearman_rho(df, "id", "x", "y").collect()[0]
+    return (r["n"], r["rho"])
+
+
+def test_rho_matches_python_replay(spark):
+    assert _run_rho(spark, TAU_ROWS) == _py_rho(TAU_ROWS)
+
+
+def test_rho_monotone_is_one(spark):
+    rows = [(i, i, i * i) for i in range(1, 9)]
+    assert _run_rho(spark, rows)[1] == 1.0
+
+
+def test_rho_reversed_is_minus_one(spark):
+    rows = [(i, i, -i) for i in range(1, 9)]
+    assert _run_rho(spark, rows)[1] == -1.0
+
+
+def test_rho_constant_ranking_null(spark):
+    rows = [(i, 5, i) for i in range(1, 6)]
+    assert _run_rho(spark, rows)[1] is None
+
+
+def test_rho_tied_blocks_exact(spark):
+    rows = [(1, 1, 1), (2, 1, 2), (3, 2, 2), (4, 2, 1), (5, 3, 3)]
+    assert _run_rho(spark, rows) == _py_rho(rows)
+
+
+# --- McNemar -----------------------------------------------------------------
+
+def _py_mcnemar(rows):
+    n = len(rows)
+    br = sum(1 for a, b in rows if a == 1 and b == 1)
+    bw = sum(1 for a, b in rows if a == 0 and b == 0)
+    oa = sum(1 for a, b in rows if a == 1 and b == 0)
+    ob = sum(1 for a, b in rows if a == 0 and b == 1)
+    chi2 = (round((abs(oa - ob) - 1) ** 2 / (oa + ob), 6)
+            if oa + ob > 0 else None)
+    return (n, br, bw, oa, ob, chi2)
+
+
+MCN_ROWS = ([(1, 1)] * 40 + [(0, 0)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 15)
+
+
+def _run_mcnemar(spark, rows):
+    from eget_spark.operators.evalmetrics import mcnemar_test
+
+    df = spark.createDataFrame(rows, "a_correct long, b_correct long")
+    r = mcnemar_test(df, "a_correct", "b_correct").collect()[0]
+    return (r["n_items"], r["both_right"], r["both_wrong"], r["only_a"],
+            r["only_b"], r["chi2"])
+
+
+def test_mcnemar_matches_python_replay(spark):
+    assert _run_mcnemar(spark, MCN_ROWS) == _py_mcnemar(MCN_ROWS)
+
+
+def test_mcnemar_no_discordance_null(spark):
+    rows = [(1, 1)] * 5 + [(0, 0)] * 5
+    assert _run_mcnemar(spark, rows)[5] is None
+
+
+def test_mcnemar_concordance_irrelevant(spark):
+    # adding both-right items changes chi2 not at all
+    a = _run_mcnemar(spark, MCN_ROWS)
+    b = _run_mcnemar(spark, MCN_ROWS + [(1, 1)] * 100)
+    assert a[5] == b[5]
