@@ -14125,6 +14125,105 @@ FROM agg
 """
 
 
+def q270_pareto_frontier(spark, sf_dir):
+    """2-D skyline / Pareto frontier (operators/skyline.skyline_2d —
+    Börzsönyi et al. ICDE 2001): the non-dominated set of 500 pinned
+    (x, y) metric points (maximize both axes; exact double-ties all
+    survive, same-x inferiors die) — the option-set primitive behind
+    every two-axis crawl/curation trade; exclusive prefix max via the
+    with_global_seq mechanism (range exchange + per-partition window +
+    driver-bounded per-partition seeds), never a SinglePartition
+    window.  (id, x, y)."""
+    from eget_spark.operators.skyline import skyline_2d
+
+    docs = _t(spark, sf_dir, "documents")
+    points = docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr("(doc_id * 2654435761) % 1000").alias("x"),
+        F.expr("(doc_id * 1103515245) % 1000").alias("y"),
+    )
+    return skyline_2d(points, "id", "x", "y")
+
+
+_Q270_SQL = r"""
+WITH pts AS (
+  SELECT doc_id AS id,
+         (doc_id * 2654435761) % 1000 AS x,
+         (doc_id * 1103515245) % 1000 AS y
+  FROM documents
+),
+xg AS (SELECT x, CAST(max(y) AS BIGINT) AS gy FROM pts GROUP BY x),
+ord AS (
+  SELECT x, gy,
+         max(gy) OVER (ORDER BY x DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxy_gt
+  FROM xg
+)
+SELECT p.id, CAST(p.x AS BIGINT) AS x, CAST(p.y AS BIGINT) AS y
+FROM pts p JOIN ord o ON o.x = p.x
+WHERE (o.maxy_gt IS NULL OR o.maxy_gt < p.y) AND p.y = o.gy
+ORDER BY x DESC, y DESC, id
+"""
+
+
+def q271_traffic_burstiness(spark, sf_dir):
+    """Traffic-burstiness census (operators/anomaly.burstiness_census —
+    Fano 1947 dispersion / Goh-Barabási 2008 B): per-host hourly event-
+    count moments over the events ledger (host = user_id%25, bucket =
+    epoch-hour) — Fano ~1 is Poisson-calm, B -> 1 is on/off burst
+    traffic that fixed crawl delays model badly; the dispersion twin of
+    q254's mean-shift CUSUM, feeding q101 adaptive delays.  Exact int64
+    moments, three round-6 single divisions.
+    (key, n_buckets, total, fano, cv2, burstiness)."""
+    from eget_spark.operators.anomaly import burstiness_census
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("concat('h', CAST(user_id % 25 AS STRING))").alias("host"),
+        F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)").alias(
+            "bucket"
+        ),
+    )
+    return burstiness_census(ev, "host", "bucket")
+
+
+_Q271_SQL = r"""
+WITH ev AS (
+  SELECT 'h' || CAST(user_id % 25 AS VARCHAR) AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b
+  FROM events
+),
+counts AS (
+  SELECT key, b, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY key, b
+),
+mo AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS s2
+  FROM counts GROUP BY key
+)
+SELECT key, n_buckets, s AS total,
+       CASE WHEN s > 0 THEN
+         round(CAST(n_buckets * s2 - s * s AS DOUBLE)
+               / (CAST(n_buckets AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+       END AS fano,
+       CASE WHEN s > 0 THEN
+         round(CAST(n_buckets * s2 - s * s AS DOUBLE)
+               / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+       END AS cv2,
+       CASE WHEN s > 0 THEN
+         round((sqrt(CAST(n_buckets * s2 - s * s AS DOUBLE)
+                     / (CAST(n_buckets AS DOUBLE)
+                        * CAST(n_buckets AS DOUBLE)))
+                - CAST(s AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+               / (sqrt(CAST(n_buckets * s2 - s * s AS DOUBLE)
+                       / (CAST(n_buckets AS DOUBLE)
+                          * CAST(n_buckets AS DOUBLE)))
+                  + CAST(s AS DOUBLE) / CAST(n_buckets AS DOUBLE)), 6)
+       END AS burstiness
+FROM mo
+ORDER BY key
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -14401,6 +14500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q267_ranker_concordance": q267_ranker_concordance,
         "q268_spearman": q268_spearman,
         "q269_mcnemar": q269_mcnemar,
+        "q270_pareto_frontier": q270_pareto_frontier,
+        "q271_traffic_burstiness": q271_traffic_burstiness,
     }
 
 
@@ -14674,4 +14775,6 @@ def oracle_sql() -> dict[str, str]:
         "q267_ranker_concordance": _Q267_SQL,
         "q268_spearman": _Q268_SQL,
         "q269_mcnemar": _Q269_SQL,
+        "q270_pareto_frontier": _Q270_SQL,
+        "q271_traffic_burstiness": _Q271_SQL,
     }

@@ -161,3 +161,66 @@ def ewma_rates(
             F.expr(fold).cast("long").alias("ewma_fp"),
         )
     )
+
+
+def burstiness_census(
+    events: DataFrame,
+    key_col: str = "host",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-key traffic-burstiness census over time-bucket counts: Fano
+    factor (index of dispersion, Fano 1947), squared coefficient of
+    variation, and the Goh-Barabási burstiness parameter
+    ``B = (sigma - mu) / (sigma + mu)`` (Goh & Barabási, EPL 2008).
+
+    A Poisson-looking host (Fano ~ 1, B ~ -1/sqrt(n)-ish) is a
+    well-behaved fetch target; B -> 1 marks on/off burst traffic that a
+    fixed crawl-delay models badly (q101's adaptive delays and q187's
+    Poisson rate fits are the downstream consumers) — and sudden Fano
+    jumps on a previously steady host are the dispersion twin of q254's
+    mean-shift CUSUM.
+
+    Pinned semantics: only OBSERVED buckets enter (a bucket with zero
+    events is indistinguishable from the host being un-crawled then —
+    the caller densifies if closed-world counts are wanted; pinned so
+    both engines agree); per key with n buckets, S = sum counts, S2 =
+    sum counts^2 — exact int64 — population variance identity
+    ``var = (n*S2 - S^2) / n^2``:
+
+    - fano = round((n*S2 - S^2) / (n*S in DOUBLE), 6)
+    - cv2  = round((n*S2 - S^2) / (S^2 in DOUBLE), 6)
+    - burstiness = round((sqrt(var) - mean) / (sqrt(var) + mean), 6)
+      with var/mean the exact-ratio doubles; NULL when S == 0
+
+    Scale shape (100 TB): one map-side-combined groupBy to (key,
+    bucket) counts, one to per-key moments — post-combine tables are
+    key-sized; no windows, no joins, no Python."""
+    counts = events.groupBy(
+        F.col(key_col).alias("key"), F.col(bucket_col).alias("b")
+    ).agg(F.count("*").cast("long").alias("c"))
+    mo = counts.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    var_num = (F.col("n_buckets") * F.col("s2") - F.col("s") * F.col("s")
+               ).cast("double")
+    n_d = F.col("n_buckets").cast("double")
+    s_d = F.col("s").cast("double")
+    var = var_num / (n_d * n_d)
+    mean = s_d / n_d
+    sd = F.sqrt(var)
+    return mo.select(
+        "key",
+        "n_buckets",
+        F.col("s").alias("total"),
+        F.when(F.col("s") > 0, F.round(var_num / (n_d * s_d), 6)).alias(
+            "fano"
+        ),
+        F.when(F.col("s") > 0, F.round(var_num / (s_d * s_d), 6)).alias(
+            "cv2"
+        ),
+        F.when(
+            F.col("s") > 0, F.round((sd - mean) / (sd + mean), 6)
+        ).alias("burstiness"),
+    ).orderBy("key")

@@ -130,3 +130,66 @@ def test_ewma_single_bucket_is_identity(spark):
     )
     got = ewma_rates(df, "host", "ts").collect()[0]
     assert (got["n_events"], got["ewma_fp"]) == (7, 7 * 10**6)
+
+
+# --- burstiness census -------------------------------------------------------
+
+def _py_burst(rows):
+    import math
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for k, b in rows:
+        per[k][b] += 1
+    out = []
+    for k in sorted(per):
+        cs = list(per[k].values())
+        n = len(cs)
+        s = sum(cs)
+        s2 = sum(c * c for c in cs)
+        vn = n * s2 - s * s
+        var = vn / (float(n) * float(n))
+        mean = float(s) / float(n)
+        sd = math.sqrt(var)
+        fano = round(vn / (float(n) * float(s)), 6) if s else None
+        cv2 = round(vn / (float(s) * float(s)), 6) if s else None
+        b_ = round((sd - mean) / (sd + mean), 6) if s else None
+        out.append((k, n, s, fano, cv2, b_))
+    return out
+
+
+BURST_ROWS = (
+    # steady host: one event per bucket -> var 0, fano 0, B = -1
+    [("steady", b) for b in range(10)]
+    # poisson-ish spread
+    + [("spread", b) for b in [0, 0, 1, 2, 2, 2, 3, 5, 5, 7, 8, 8]]
+    # bursty: everything in one bucket of many observed
+    + [("bursty", 0)] * 30 + [("bursty", b) for b in range(1, 6)]
+)
+
+
+def _run_burst(spark, rows):
+    from eget_spark.operators.anomaly import burstiness_census
+
+    df = spark.createDataFrame(rows, "host string, bucket long")
+    out = burstiness_census(df, "host", "bucket").collect()
+    return [
+        (r["key"], r["n_buckets"], r["total"], r["fano"], r["cv2"],
+         r["burstiness"])
+        for r in out
+    ]
+
+
+def test_burst_matches_python_replay(spark):
+    assert _run_burst(spark, BURST_ROWS) == _py_burst(BURST_ROWS)
+
+
+def test_steady_host_fano_zero_b_minus_one(spark):
+    got = {r[0]: r for r in _run_burst(spark, BURST_ROWS)}
+    assert got["steady"][3] == 0.0 and got["steady"][5] == -1.0
+
+
+def test_bursty_exceeds_spread(spark):
+    got = {r[0]: r for r in _run_burst(spark, BURST_ROWS)}
+    assert got["bursty"][3] > got["spread"][3]
+    assert got["bursty"][5] > got["spread"][5]
