@@ -14224,6 +14224,222 @@ ORDER BY key
 """
 
 
+def q272_source_tier_gtest(spark, sf_dir):
+    """G-test of independence (operators/audit.contingency_gtest —
+    the log-likelihood contingency audit, q248's Dunning G² lifted to
+    a full R x C table): is the q253 length tier independent of
+    source?  Per-cell ln ratios micro-quantized FIRST then exact
+    integer products 2*obs*lr (zero cells contribute 0, the G-test
+    convention), table statistic + dof replicated.
+    (r, c, obs, exp_milli, g_micro, g_total_micro, dof)."""
+    from eget_spark.operators.audit import contingency_gtest
+
+    docs = _t(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.col("source"), F.expr(_Q253_LABEL_A).alias("tier")
+    )
+    return contingency_gtest(rated, "source", "tier")
+
+
+_Q272_SQL = rf"""
+WITH rated AS (
+  SELECT source AS r, {_Q253_LABEL_A} AS c FROM documents
+),
+cells AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS obs FROM rated GROUP BY r, c
+),
+rm AS (SELECT r, CAST(sum(obs) AS BIGINT) AS n_r FROM cells GROUP BY r),
+cm AS (SELECT c, CAST(sum(obs) AS BIGINT) AS n_c FROM cells GROUP BY c),
+tot AS (
+  SELECT CAST(sum(obs) AS BIGINT) AS n,
+         CAST(count(DISTINCT r) AS BIGINT) AS nr,
+         CAST(count(DISTINCT c) AS BIGINT) AS nc
+  FROM cells
+),
+terms AS (
+  SELECT cells.r, cells.c, obs,
+         CAST(n_r * n_c * 1000 // n AS BIGINT) AS exp_milli,
+         CAST(2 * obs * CAST(round(ln((CAST(obs AS DOUBLE)
+                                       * CAST(n AS DOUBLE))
+                                      / (CAST(n_r AS DOUBLE)
+                                         * CAST(n_c AS DOUBLE))) * 1e6)
+                             AS BIGINT) AS BIGINT) AS g_micro,
+         CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+  FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot
+),
+total AS (SELECT CAST(sum(g_micro) AS BIGINT) AS g_total_micro FROM terms)
+SELECT r, c, obs, exp_milli, g_micro, g_total_micro, dof
+FROM terms CROSS JOIN total
+ORDER BY r, c
+"""
+
+
+def q273_k_anonymity(spark, sf_dir):
+    """k-anonymity census (operators/audit.k_anonymity_audit — Sweeney
+    2002): equivalence classes over the quasi-identifier tuple (lang,
+    source, 100-char size bucket), k=5 — the release-time privacy
+    audit AFTER q59's direct-identifier scrub; classes of exactly k
+    are safe (pinned boundary).  ONE groupBy + one aggregate of the
+    class table.  (n_rows, n_classes, k_anonymity, n_classes_below_k,
+    rows_below_k, suppress_ppm)."""
+    from eget_spark.operators.audit import k_anonymity_audit
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "size_bucket", F.expr("n_chars DIV 100")
+    )
+    return k_anonymity_audit(docs, ["lang", "source", "size_bucket"], k=5)
+
+
+_Q273_SQL = r"""
+WITH classes AS (
+  SELECT lang, source, n_chars // 100 AS size_bucket,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(sz) AS BIGINT) AS k_anonymity,
+       CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below_k,
+       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000
+            // sum(sz) AS BIGINT) AS suppress_ppm
+FROM classes
+"""
+
+
+def q274_tail_index(spark, sf_dir):
+    """Hill power-law tail index (operators/corpus_stats.
+    hill_tail_index — Hill 1975): alpha over the 100 largest content
+    lengths vs the 101st-order-statistic threshold, per-value ln terms
+    micro-quantized before the exact integer sum; the heavy-tail audit
+    (alpha near 1: giants dominate total bytes — shard accordingly)
+    completing q238's Zipf slope and q255's Benford screen.  ONE
+    mergeable TakeOrdered then (k+1)-row broadcast-class arithmetic.
+    (k, x_threshold, sum_micro, alpha)."""
+    from eget_spark.operators.corpus_stats import hill_tail_index
+
+    return hill_tail_index(_t(spark, sf_dir, "documents"), "n_chars",
+                           k=100)
+
+
+_Q274_SQL = r"""
+WITH top AS (
+  SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+  WHERE n_chars > 0 ORDER BY x DESC LIMIT 101
+),
+thr AS (SELECT CAST(min(x) AS BIGINT) AS x_thr FROM top),
+ranked AS (
+  SELECT x, x_thr, row_number() OVER (ORDER BY x) AS rn
+  FROM top CROSS JOIN thr
+),
+terms AS (
+  SELECT x_thr,
+         CAST(round(ln(CAST(x AS DOUBLE) / CAST(x_thr AS DOUBLE)) * 1e6)
+              AS BIGINT) AS t
+  FROM ranked WHERE rn > 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, x_thr AS x_threshold,
+         CAST(sum(t) AS BIGINT) AS sum_micro
+  FROM terms GROUP BY x_thr
+)
+SELECT k, x_threshold, sum_micro,
+       CASE WHEN sum_micro > 0 THEN
+         round(CAST(k AS DOUBLE) * 1e6 / CAST(sum_micro AS DOUBLE), 6)
+       END AS alpha
+FROM agg
+"""
+
+
+_Q275_LABEL = (
+    "CASE WHEN (doc_id * 2654435761) % 100"
+    " < (CASE WHEN lang = 'en' THEN 70 ELSE 20 END)"
+    " THEN 'keep' ELSE 'drop' END"
+)
+
+
+def q275_feature_info_gain(spark, sf_dir):
+    """Information-gain feature ranking (operators/features.info_gain —
+    Quinlan 1986 split criterion / mutual information): which cheap
+    metadata feature (lang / source / 100-char size bucket) predicts a
+    pinned keep-drop label whose odds genuinely depend on lang — so
+    lang must rank first; every statistic its OWN micro-quantized sum
+    (q249 discipline), cells map-side combined.
+    (feature, n_values, h_label_micro, h_cond_micro, ig_micro)."""
+    from eget_spark.operators.features import info_gain
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr("CAST(n_chars DIV 100 AS STRING)").alias("size_bucket"),
+        F.expr(_Q275_LABEL).alias("label"),
+    )
+    return info_gain(docs, ["lang", "source", "size_bucket"], "label")
+
+
+_Q275_SQL = rf"""
+WITH base AS (
+  SELECT lang, source, CAST(n_chars // 100 AS VARCHAR) AS size_bucket,
+         {_Q275_LABEL} AS lbl
+  FROM documents
+),
+melted AS (
+  SELECT 'lang' AS feat, lang AS val, lbl FROM base
+  UNION ALL
+  SELECT 'source' AS feat, source AS val, lbl FROM base
+  UNION ALL
+  SELECT 'size_bucket' AS feat, size_bucket AS val, lbl FROM base
+),
+cells AS (
+  SELECT feat, val, lbl, CAST(count(*) AS BIGINT) AS n_vl
+  FROM melted GROUP BY feat, val, lbl
+),
+vm AS (
+  SELECT feat, val, CAST(sum(n_vl) AS BIGINT) AS n_v
+  FROM cells GROUP BY feat, val
+),
+lm AS (
+  SELECT feat, lbl, CAST(sum(n_vl) AS BIGINT) AS n_l
+  FROM cells GROUP BY feat, lbl
+),
+tot AS (SELECT feat, CAST(sum(n_l) AS BIGINT) AS n FROM lm GROUP BY feat),
+h_label AS (
+  SELECT lm.feat,
+         CAST(sum(CAST(round(-1e6 * (CAST(n_l AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                             * ln(CAST(n_l AS DOUBLE)
+                                  / CAST(n AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS h_label_micro
+  FROM lm JOIN tot USING (feat) GROUP BY lm.feat
+),
+per_feat AS (
+  SELECT cells.feat,
+         CAST(sum(CAST(round(1e6 * (CAST(n_vl AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                             * ln(CAST(n_v AS DOUBLE)
+                                  / CAST(n_vl AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS h_cond_micro,
+         CAST(sum(CAST(round(1e6 * (CAST(n_vl AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                             * ln((CAST(n_vl AS DOUBLE)
+                                   * CAST(n AS DOUBLE))
+                                  / (CAST(n_v AS DOUBLE)
+                                     * CAST(n_l AS DOUBLE))))
+                       AS BIGINT)) AS BIGINT) AS ig_micro
+  FROM cells JOIN vm USING (feat, val) JOIN lm USING (feat, lbl)
+  JOIN tot USING (feat)
+  GROUP BY cells.feat
+),
+nv AS (SELECT feat, CAST(count(*) AS BIGINT) AS n_values FROM vm
+       GROUP BY feat)
+SELECT nv.feat AS feature, n_values, h_label_micro, h_cond_micro, ig_micro
+FROM nv JOIN h_label USING (feat) JOIN per_feat USING (feat)
+ORDER BY ig_micro DESC, feature
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -14502,6 +14718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q269_mcnemar": q269_mcnemar,
         "q270_pareto_frontier": q270_pareto_frontier,
         "q271_traffic_burstiness": q271_traffic_burstiness,
+        "q272_source_tier_gtest": q272_source_tier_gtest,
+        "q273_k_anonymity": q273_k_anonymity,
+        "q274_tail_index": q274_tail_index,
+        "q275_feature_info_gain": q275_feature_info_gain,
     }
 
 
@@ -14777,4 +14997,8 @@ def oracle_sql() -> dict[str, str]:
         "q269_mcnemar": _Q269_SQL,
         "q270_pareto_frontier": _Q270_SQL,
         "q271_traffic_burstiness": _Q271_SQL,
+        "q272_source_tier_gtest": _Q272_SQL,
+        "q273_k_anonymity": _Q273_SQL,
+        "q274_tail_index": _Q274_SQL,
+        "q275_feature_info_gain": _Q275_SQL,
     }

@@ -96,3 +96,122 @@ def benford_digit_audit(
         .select("grp", "digit", "n", "obs", "exp_ppm", "dev_micro", "chi2_c")
         .orderBy("grp", "digit")
     )
+
+
+def contingency_gtest(
+    df: DataFrame,
+    row_col: str = "source",
+    col_col: str = "label",
+) -> DataFrame:
+    """G-test of independence over an R x C contingency table (Sokal &
+    Rohlf, Biometry; the log-likelihood-ratio sibling of Pearson's
+    chi-square, additive across cells) — the corpus-bias audit "is
+    quality tier independent of source", the table-level companion to
+    q248's bigram-level Dunning G².
+
+    Pinned semantics: cells/margins/total are exact int64 from three
+    aggregates; per cell the ln ratio is quantized FIRST
+    (``lr_micro = round(1e6 * ln((obs*N in DOUBLE)/(n_r*n_c in
+    DOUBLE)))``) and the contribution is the exact integer product
+    ``g_micro = 2 * obs * lr_micro`` (int64 envelope: obs * 1e6 * |ln|
+    — exact to ~10^11 observations per cell); zero cells contribute 0
+    (the G-test convention, lim x->0 x ln x = 0) and are not emitted.
+    The table-level statistic is ``sum(g_micro)`` with dof =
+    (R-1)(C-1), replicated on every row.
+
+    Output: one row per non-empty cell (row, col, obs, exp_milli,
+    g_micro, g_total_micro, dof) ordered (row, col); exp_milli =
+    ``n_r * n_c * 1000 DIV N`` is the expected count in milli-units.
+
+    Scale shape (100 TB): ONE map-side-combined groupBy to cells
+    (<= R*C keys — combine absorbs all skew by construction), margins
+    are groupBys OF the cell table, scalars ride 1-row broadcasts.  No
+    windows, no Python."""
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count("*").cast("long").alias("obs"))
+    rm = cells.groupBy("r").agg(F.sum("obs").cast("long").alias("n_r"))
+    cm = cells.groupBy("c").agg(F.sum("obs").cast("long").alias("n_c"))
+    tot = cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.count_distinct("r").cast("long").alias("nr"),
+        F.count_distinct("c").cast("long").alias("nc"),
+    )
+    lr = F.round(
+        F.log(
+            (F.col("obs").cast("double") * F.col("n").cast("double"))
+            / (F.col("n_r").cast("double") * F.col("n_c").cast("double"))
+        )
+        * 1e6
+    ).cast("long")
+    terms = (
+        cells.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "c",
+            "obs",
+            F.expr("n_r * n_c * CAST(1000 AS BIGINT) DIV n").alias(
+                "exp_milli"
+            ),
+            (2 * F.col("obs") * lr).cast("long").alias("g_micro"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias(
+                "dof"
+            ),
+        )
+    )
+    total = terms.agg(
+        F.sum("g_micro").cast("long").alias("g_total_micro")
+    )
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select("r", "c", "obs", "exp_milli", "g_micro", "g_total_micro",
+                "dof")
+        .orderBy("r", "c")
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity census over quasi-identifier tuples (Sweeney, IJUFKS
+    2002): the privacy audit a dataset release runs AFTER q59's direct-
+    identifier scrub — rows whose quasi-identifier combination (host,
+    language, size bucket, ...) matches fewer than k others are
+    re-identification risks and must be suppressed or generalized.
+
+    Pinned semantics: equivalence classes = exact groupBy on the quasi
+    columns; one summary row of exact int64 counts —
+
+    (n_rows, n_classes, min_class, k_anonymity = min_class, n_classes_
+    below_k, rows_below_k, suppress_ppm = rows_below_k * 1e6 DIV
+    n_rows)
+
+    Scale shape: ONE map-side-combined groupBy to class sizes, one
+    aggregate OF the class table.  No windows, no joins, no Python."""
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    return classes.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("sz").cast("long").alias("k_anonymity"),
+        F.sum((F.col("sz") < k).cast("long"))
+        .cast("long")
+        .alias("n_classes_below_k"),
+        F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_k"),
+    ).select(
+        "n_rows",
+        "n_classes",
+        "k_anonymity",
+        "n_classes_below_k",
+        "rows_below_k",
+        F.expr("rows_below_k * CAST(1000000 AS BIGINT) DIV n_rows").alias(
+            "suppress_ppm"
+        ),
+    )

@@ -279,3 +279,81 @@ def lexical_richness(
             "hapax_ppm"
         ),
     ).orderBy(group_col)
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    k: int = 100,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index (Hill, Annals of
+    Statistics 1975): over the k largest positive values x_(1) >= ...
+    >= x_(k) and the threshold x_(k+1),
+
+        alpha_hat = k / sum_{i<=k} ln(x_(i) / x_(k+1))
+
+    The heavy-tail audit for size distributions — alpha ~ 1..2 means
+    a few giants dominate total bytes (plan shard sizes accordingly);
+    the tail-focused companion to q238's full-vocabulary Zipf slope and
+    q255's leading-digit screen.
+
+    Pinned semantics: the top k+1 positive values are selected by
+    (value DESC, then the engine's mergeable top-k — ties beyond the
+    cutoff are broken arbitrarily but the SELECTED MULTISET is unique
+    because only values enter the estimate, never ids); per-value ln
+    terms are micro-quantized BEFORE the sum (q226 discipline);
+    alpha = round(k * 1e6 / sum_micro, 6), NULL when the top k+1 values
+    are all equal (sum 0 — no tail information).
+
+    Output one row: (k, x_threshold, sum_micro, alpha).
+
+    Scale shape: ONE mergeable TakeOrdered of k+1 rows (per-partition
+    top-k then a driver-size merge — the q245 shape), then arithmetic
+    on a (k+1)-row broadcast-class table.  No windows, no Python."""
+    top = (
+        df.select(F.col(value_col).cast("long").alias("x"))
+        .where(F.col("x") > 0)
+        .orderBy(F.col("x").desc())
+        .limit(k + 1)
+    )
+    thr = top.agg(F.min("x").cast("long").alias("x_thr"))
+    terms = (
+        top.crossJoin(F.broadcast(thr))
+        # exactly k rows strictly enter the sum: drop ONE row carrying
+        # the threshold value (the k+1-st order statistic); further
+        # threshold ties among the top-k contribute ln(1) = 0 anyway
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("x"), F.lit(0))
+            ),
+        )
+        .where(F.col("rn") > 1)
+        .select(
+            "x_thr",
+            F.round(
+                F.log(F.col("x").cast("double") / F.col("x_thr").cast(
+                    "double"
+                ))
+                * 1e6
+            )
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    return terms.groupBy("x_thr").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("t_micro").cast("long").alias("sum_micro"),
+    ).select(
+        "k",
+        F.col("x_thr").alias("x_threshold"),
+        "sum_micro",
+        F.when(
+            F.col("sum_micro") > 0,
+            F.round(
+                F.col("k").cast("double") * 1e6
+                / F.col("sum_micro").cast("double"),
+                6,
+            ),
+        ).alias("alpha"),
+    )
