@@ -14440,6 +14440,195 @@ ORDER BY ig_micro DESC, feature
 """
 
 
+_Q276_GROUP = (
+    "CASE WHEN (doc_id % 25) % 5 = 0 THEN 'stepped' ELSE 'clean' END"
+)
+
+
+def q276_latency_ks(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov distance (operators/drift.
+    ks_two_sample — Kolmogorov 1933 / Smirnov 1939): the q254 synthetic
+    latency population split into its stepped vs clean host cohorts —
+    KS sees the +30 ms mode the mean barely moves; integer deviations
+    |n_b*c_a - n_a*c_b| exact, ECDF cumulatives via the range-exchange
+    + per-partition-window + broadcast-prefix mechanism (never a
+    SinglePartition window).  (n_a, n_b, d_num, d, at_value)."""
+    from eget_spark.operators.drift import ks_two_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    series = docs.select(
+        F.expr(_Q276_GROUP).alias("cohort"),
+        F.expr(_Q254_VALUE).cast("long").alias("value"),
+    )
+    return ks_two_sample(series, "cohort", "value", "stepped", "clean")
+
+
+_Q276_SQL = rf"""
+WITH vals AS (
+  SELECT {_Q276_GROUP} AS g,
+         CAST({_Q254_VALUE.replace("DIV", "//")} AS BIGINT) AS v
+  FROM documents
+),
+per_v AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 'stepped' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(sum(CASE WHEN g = 'stepped' THEN 0 ELSE 1 END) AS BIGINT)
+           AS cb
+  FROM vals GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM per_v
+),
+stepped AS (
+  SELECT v,
+         CAST(abs(nb * sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW)
+                  - na * sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW)) AS BIGINT) AS dev,
+         na, nb
+  FROM per_v CROSS JOIN tot
+),
+top AS (SELECT CAST(max(dev) AS BIGINT) AS d_num FROM stepped)
+SELECT na AS n_a, nb AS n_b, d_num,
+       round(CAST(d_num AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d,
+       CAST(min(v) AS BIGINT) AS at_value
+FROM stepped CROSS JOIN top
+WHERE dev = d_num
+GROUP BY na, nb, d_num
+"""
+
+
+_Q277_BUCKET = (
+    "CASE WHEN doc_id % 2 = 0 THEN (doc_id * 2654435761) % 8"
+    " ELSE least((doc_id * 2654435761) % 8 + 2, 7) END"
+)
+
+
+def q277_score_psi(spark, sf_dir):
+    """Population Stability Index (operators/drift.psi_buckets — the
+    standard model-monitoring drift score): a reference cohort vs a
+    deliberately up-shifted current cohort over 8 score buckets;
+    Laplace add-one smoothing pinned on both sides, per-bucket terms
+    micro-quantized before the exact sum — the shift lands well past
+    the conventional 0.25 'shifted' line.  (bucket, ca, cb, term_micro,
+    psi_total_micro)."""
+    from eget_spark.operators.drift import psi_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr(
+            "CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END"
+        ).alias("cohort"),
+        F.expr(_Q277_BUCKET).cast("long").alias("bucket"),
+    )
+    return psi_buckets(scored, "cohort", "bucket", "ref", "cur")
+
+
+_Q277_SQL = rf"""
+WITH vals AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS g,
+         CAST({_Q277_BUCKET} AS BIGINT) AS bucket
+  FROM documents
+),
+per_b AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN g = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN g = 'ref' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM vals GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS nbuckets
+  FROM per_b
+),
+terms AS (
+  SELECT bucket, ca, cb,
+         CAST(round((CAST(ca + 1 AS DOUBLE) / CAST(na + nbuckets AS DOUBLE)
+                     - CAST(cb + 1 AS DOUBLE)
+                       / CAST(nb + nbuckets AS DOUBLE))
+                    * ln((CAST(ca + 1 AS DOUBLE)
+                          / CAST(na + nbuckets AS DOUBLE))
+                         / (CAST(cb + 1 AS DOUBLE)
+                            / CAST(nb + nbuckets AS DOUBLE))) * 1e6)
+              AS BIGINT) AS term_micro
+  FROM per_b CROSS JOIN tot
+),
+total AS (
+  SELECT CAST(sum(term_micro) AS BIGINT) AS psi_total_micro FROM terms
+)
+SELECT bucket, ca, cb, term_micro, psi_total_micro
+FROM terms CROSS JOIN total
+ORDER BY bucket
+"""
+
+
+def q278_fetch_wilson(spark, sf_dir):
+    """Wilson score intervals (operators/drift.wilson_intervals —
+    Wilson JASA 1927): per-host fetch-success confidence bounds over a
+    pinned synthetic ledger whose true success rate grows with the host
+    index — the small-n uncertainty companion to q251's UCB bonus (a
+    7/7 host is NOT certainly healthy; its lower bound says so).
+    (key, n, successes, p, lo, hi)."""
+    from eget_spark.operators.drift import wilson_intervals
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.select(
+        F.expr("concat('h', CAST(doc_id % 30 AS STRING))").alias("host"),
+        F.expr(
+            "CAST(CASE WHEN (doc_id * 2654435761) % 100"
+            " < 50 + doc_id % 30 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("success"),
+    )
+    return wilson_intervals(ledger, "host", "success")
+
+
+_Q278_Z = 1.959964
+_Q278_SQL = rf"""
+WITH ledger AS (
+  SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS key,
+         CASE WHEN (doc_id * 2654435761) % 100 < 50 + doc_id % 30
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s
+  FROM documents
+),
+agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS successes
+  FROM ledger GROUP BY key
+)
+SELECT key, n, successes,
+       round(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p,
+       round((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+              + {_Q278_Z * _Q278_Z!r} / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + {_Q278_Z * _Q278_Z!r} / CAST(n AS DOUBLE))
+             - {_Q278_Z!r}
+               * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1.0 - CAST(successes AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + {_Q278_Z * _Q278_Z!r}
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + {_Q278_Z * _Q278_Z!r} / CAST(n AS DOUBLE)), 6)
+         AS lo,
+       round((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+              + {_Q278_Z * _Q278_Z!r} / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + {_Q278_Z * _Q278_Z!r} / CAST(n AS DOUBLE))
+             + {_Q278_Z!r}
+               * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1.0 - CAST(successes AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + {_Q278_Z * _Q278_Z!r}
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + {_Q278_Z * _Q278_Z!r} / CAST(n AS DOUBLE)), 6)
+         AS hi
+FROM agg
+ORDER BY key
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -14722,6 +14911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q273_k_anonymity": q273_k_anonymity,
         "q274_tail_index": q274_tail_index,
         "q275_feature_info_gain": q275_feature_info_gain,
+        "q276_latency_ks": q276_latency_ks,
+        "q277_score_psi": q277_score_psi,
+        "q278_fetch_wilson": q278_fetch_wilson,
     }
 
 
@@ -15001,4 +15193,7 @@ def oracle_sql() -> dict[str, str]:
         "q273_k_anonymity": _Q273_SQL,
         "q274_tail_index": _Q274_SQL,
         "q275_feature_info_gain": _Q275_SQL,
+        "q276_latency_ks": _Q276_SQL,
+        "q277_score_psi": _Q277_SQL,
+        "q278_fetch_wilson": _Q278_SQL,
     }

@@ -66,6 +66,10 @@ HEADLINE = [
     # state) and the DUST stripped-URL join
     "q173_opic",
     "q178_dust_rules",
+    # round-5 continuation: pin the shared-partition CUSUM windows and
+    # the with_global_seq AUC/AP rank machinery
+    "q254_latency_drift",
+    "q265_classifier_auc",
 ]
 
 

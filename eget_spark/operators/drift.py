@@ -91,3 +91,213 @@ def cusum_drift(
             (F.col("max_cusum") >= int(h)).alias("drifted"),
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance (Kolmogorov 1933;
+    Smirnov 1939): D = sup_v |F_a(v) - F_b(v)| between two cohorts'
+    empirical distributions — the distribution-shape companion to
+    CUSUM's mean shift (a latency distribution can keep its mean and
+    still grow a second mode; KS sees it, CUSUM doesn't).
+
+    Pinned semantics: evaluated at every distinct value (where ECDFs
+    step); with cumulative counts c_a(v), c_b(v) and totals n_a, n_b,
+    the integer deviation is ``dev(v) = |n_b*c_a(v) - n_a*c_b(v)|`` —
+    exact int64 (envelope: n_a*n_b < 2^63) — and
+
+        d = round(max dev / (n_a * n_b in DOUBLE), 6)
+
+    ``at_value`` is the smallest value attaining the max (pinned).
+
+    Scale shape (100 TB): per-value counts are one map-side-combined
+    groupBy; the running cumulatives use the skyline/sequence prefix
+    mechanism — range exchange on value, per-partition window cumsum,
+    driver-bounded per-partition totals (one row per shuffle partition)
+    broadcast back as prefix offsets.  NEVER a SinglePartition window.
+    """
+    spark = df.sparkSession
+    vals = df.where(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).cast("long").alias("is_a"),
+    )
+    per_v = vals.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
+    )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = (
+        per_v.repartitionByRange(nparts, F.col("v"))
+        .sortWithinPartitions("v")
+        .withColumn("_pid", F.spark_partition_id().cast("long"))
+        .persist()
+    )
+    psums = {
+        r["_pid"]: (r["sa"], r["sb"])
+        for r in parts.groupBy("_pid")
+        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
+        .collect()
+    }
+    seeds = []
+    acc_a = acc_b = 0
+    for pid in sorted(psums):
+        seeds.append((pid, acc_a, acc_b))
+        acc_a += psums[pid][0]
+        acc_b += psums[pid][1]
+    n_a, n_b = acc_a, acc_b
+    seed_df = spark.createDataFrame(
+        seeds or [], "_pid long, _offa long, _offb long"
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.abs(
+        F.lit(n_b).cast("long") * (F.col("_offa") + F.sum("ca").over(w_in))
+        - F.lit(n_a).cast("long") * (F.col("_offb") + F.sum("cb").over(w_in))
+    )
+    stepped = parts.join(F.broadcast(seed_df), "_pid").select(
+        "v", dev.cast("long").alias("dev")
+    )
+    top = stepped.agg(F.max("dev").cast("long").alias("d_num"))
+    out = (
+        stepped.crossJoin(F.broadcast(top))
+        .where(F.col("dev") == F.col("d_num"))
+        .agg(
+            F.min("v").cast("long").alias("at_value"),
+            F.max("d_num").cast("long").alias("d_num"),
+        )
+        .select(
+            F.lit(n_a).cast("long").alias("n_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
+            "d_num",
+            F.when(
+                F.lit(n_a > 0 and n_b > 0),
+                F.round(
+                    F.col("d_num").cast("double")
+                    / (float(n_a) * float(n_b) if n_a and n_b else 1.0),
+                    6,
+                ),
+            ).alias("d"),
+            "at_value",
+        )
+        .localCheckpoint()
+    )
+    parts.unpersist()
+    return out
+
+
+def psi_buckets(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Population Stability Index between two cohorts' bucketed
+    distributions (the standard model-monitoring drift score; the
+    symmetrized-KL-on-buckets identity): per bucket
+
+        term = (p_a - p_b) * ln(p_a / p_b)
+
+    with Laplace add-one smoothing pinned on BOTH cohorts (zero buckets
+    would make the log blow up; add-one keeps every bucket defined and
+    bit-exact), each term micro-quantized BEFORE the sum (q249
+    discipline); the conventional read: < 0.1 stable, > 0.25 shifted.
+
+    Output one row per bucket (bucket, ca, cb, term_micro,
+    psi_total_micro) ordered by bucket, total replicated.
+
+    Scale shape: one map-side-combined groupBy to (bucket, group)
+    counts, a bucket-spine left join (bucket space is small by
+    construction — it's a histogram), totals on a 1-row broadcast."""
+    vals = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(bucket_col).cast("long").alias("bucket"),
+        (F.col(group_col) == group_a).cast("long").alias("is_a"),
+    )
+    per_b = vals.groupBy("bucket").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
+    )
+    tot = per_b.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("nbuckets"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / (
+        F.col("na") + F.col("nbuckets")
+    ).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (
+        F.col("nb") + F.col("nbuckets")
+    ).cast("double")
+    terms = per_b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "ca",
+        "cb",
+        F.round((pa - pb) * F.log(pa / pb) * 1e6)
+        .cast("long")
+        .alias("term_micro"),
+    )
+    total = terms.agg(
+        F.sum("term_micro").cast("long").alias("psi_total_micro")
+    )
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select("bucket", "ca", "cb", "term_micro", "psi_total_micro")
+        .orderBy("bucket")
+    )
+
+
+def wilson_intervals(
+    df: DataFrame,
+    key_col: str = "host",
+    success_col: str = "success",
+    z_micro: int = 1_959_964,
+) -> DataFrame:
+    """Wilson score interval per key (Wilson, JASA 1927): the binomial
+    confidence interval that behaves at small n and extreme rates —
+    exactly the recrawl-scheduler's situation (a host fetched 7 times
+    with 7 successes is NOT certainly healthy; Wilson's upper/lower
+    bounds say how unsure).  The interval twin of q251's UCB bonus.
+
+    Pinned semantics: z arrives as micro-units (default 1.959964 =
+    95%); with exact int64 n and s, all arithmetic is ONE pinned double
+    chain (z2 = z*z; denom = 1 + z2/n; center = (p + z2/2n)/denom;
+    half = z*sqrt(p(1-p)/n + z2/4n^2)/denom), lo/hi round-6 and clamped
+    to [0, 1] by construction.  Output (key, n, successes, p, lo, hi).
+
+    Scale shape: ONE map-side-combined groupBy; scoring is a pure
+    projection.  No windows, no joins, no Python."""
+    z = z_micro / 1e6
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("long")).cast("long").alias(
+            "successes"
+        ),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return agg.select(
+        "key",
+        "n",
+        "successes",
+        F.round(p, 6).alias("p"),
+        F.round(center - half, 6).alias("lo"),
+        F.round(center + half, 6).alias("hi"),
+    ).orderBy("key")

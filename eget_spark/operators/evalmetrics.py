@@ -225,7 +225,9 @@ def kendall_tau_b(
     b = capped.alias("b")
     dx = F.col("b.x") - F.col("a.x")
     dy = F.col("b.y") - F.col("a.y")
-    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+    # inequality-only join: broadcast the (cap-bounded) side explicitly
+    # so it plans as BroadcastNestedLoopJoin, never CartesianProduct
+    pairs = a.join(F.broadcast(b), F.col("a.id") < F.col("b.id")).select(
         (F.signum(dx.cast("double")) * F.signum(dy.cast("double")))
         .cast("long")
         .alias("prod"),

@@ -83,3 +83,165 @@ def test_all_below_reference_never_alarms(spark):
     rows = [("y", t, 10) for t in range(8)]
     got = _run(spark, rows, k=100, h=1)
     assert got["y"] == (8, 0, None, False)
+
+
+# --- KS two-sample -----------------------------------------------------------
+
+def _py_ks(rows, ga, gb):
+    sa = sorted(v for g, v in rows if g == ga)
+    sb = sorted(v for g, v in rows if g == gb)
+    na, nb = len(sa), len(sb)
+    best = (0, None)
+    for v in sorted(set(sa) | set(sb)):
+        ca = sum(1 for x in sa if x <= v)
+        cb = sum(1 for x in sb if x <= v)
+        dev = abs(nb * ca - na * cb)
+        if dev > best[0]:
+            best = (dev, v)
+    d = round(best[0] / (float(na) * float(nb)), 6)
+    return (na, nb, best[0], d, best[1])
+
+
+KS_ROWS = (
+    [("fast", v) for v in [10, 12, 15, 15, 18, 20, 22, 25]]
+    + [("slow", v) for v in [11, 14, 30, 35, 40, 45, 50]]
+)
+
+
+def _run_ks(spark, rows, ga, gb):
+    from eget_spark.operators.drift import ks_two_sample
+
+    df = spark.createDataFrame(rows, "host string, value long")
+    r = ks_two_sample(df, "host", "value", ga, gb).collect()[0]
+    return (r["n_a"], r["n_b"], r["d_num"], r["d"], r["at_value"])
+
+
+def test_ks_matches_python_replay(spark):
+    assert _run_ks(spark, KS_ROWS, "fast", "slow") == _py_ks(
+        KS_ROWS, "fast", "slow"
+    )
+
+
+def test_ks_identical_samples_zero(spark):
+    rows = [("a", v) for v in range(10)] + [("b", v) for v in range(10)]
+    got = _run_ks(spark, rows, "a", "b")
+    assert got[2] == 0 and got[3] == 0.0
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    rows = [("a", v) for v in range(5)] + [("b", 100 + v) for v in range(7)]
+    assert _run_ks(spark, rows, "a", "b")[3] == 1.0
+
+
+def test_ks_symmetric_in_groups(spark):
+    ab = _run_ks(spark, KS_ROWS, "fast", "slow")
+    ba = _run_ks(spark, KS_ROWS, "slow", "fast")
+    assert ab[2] == ba[2] and ab[3] == ba[3]
+
+
+# --- PSI ---------------------------------------------------------------------
+
+def _py_psi(rows, ga, gb):
+    import math
+    from collections import Counter
+
+    ca = Counter(b for g, b in rows if g == ga)
+    cb = Counter(b for g, b in rows if g == gb)
+    buckets = sorted(set(ca) | set(cb))
+    na, nb, nbk = sum(ca.values()), sum(cb.values()), len(buckets)
+    out = []
+    for b in buckets:
+        pa = (ca.get(b, 0) + 1) / (na + nbk)
+        pb = (cb.get(b, 0) + 1) / (nb + nbk)
+        out.append([b, ca.get(b, 0), cb.get(b, 0),
+                    round((pa - pb) * math.log(pa / pb) * 1e6)])
+    tot = sum(t[3] for t in out)
+    return [(b, x, y, t, tot) for b, x, y, t in out]
+
+
+PSI_ROWS = (
+    [("before", b) for b in [0] * 30 + [1] * 40 + [2] * 20 + [3] * 10]
+    + [("after", b) for b in [0] * 10 + [1] * 20 + [2] * 40 + [3] * 25
+       + [4] * 5]
+)
+
+
+def _run_psi(spark, rows, ga, gb):
+    from eget_spark.operators.drift import psi_buckets
+
+    df = spark.createDataFrame(rows, "cohort string, bucket long")
+    out = psi_buckets(df, "cohort", "bucket", ga, gb).collect()
+    return [(r["bucket"], r["ca"], r["cb"], r["term_micro"],
+             r["psi_total_micro"]) for r in out]
+
+
+def test_psi_matches_python_replay(spark):
+    assert _run_psi(spark, PSI_ROWS, "before", "after") == _py_psi(
+        PSI_ROWS, "before", "after"
+    )
+
+
+def test_psi_identical_cohorts_zero(spark):
+    rows = [("x", b) for b in [0, 1, 1, 2]] + [("y", b) for b in
+                                               [0, 1, 1, 2]]
+    got = _run_psi(spark, rows, "x", "y")
+    assert all(r[3] == 0 for r in got) and got[0][4] == 0
+
+
+def test_psi_shift_is_large(spark):
+    got = _run_psi(spark, PSI_ROWS, "before", "after")
+    assert got[0][4] > 250_000  # > 0.25: "shifted" by the usual read
+
+
+# --- Wilson intervals --------------------------------------------------------
+
+def _py_wilson(rows, z=1.959964):
+    import math
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for k, s in rows:
+        agg[k][0] += 1
+        agg[k][1] += s
+    out = []
+    for k in sorted(agg):
+        n, s = agg[k]
+        p = s / n
+        z2 = z * z
+        denom = 1.0 + z2 / n
+        center = (p + z2 / (2.0 * n)) / denom
+        half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+        out.append((k, n, s, round(p, 6), round(center - half, 6),
+                    round(center + half, 6)))
+    return out
+
+
+WILSON_ROWS = (
+    [("lucky", 1)] * 7                      # 7/7: hi ~1 but lo << 1
+    + [("big", 1)] * 900 + [("big", 0)] * 100
+    + [("dead", 0)] * 12
+)
+
+
+def _run_wilson(spark, rows):
+    from eget_spark.operators.drift import wilson_intervals
+
+    df = spark.createDataFrame(rows, "host string, success long")
+    out = wilson_intervals(df, "host", "success").collect()
+    return [(r["key"], r["n"], r["successes"], r["p"], r["lo"], r["hi"])
+            for r in out]
+
+
+def test_wilson_matches_python_replay(spark):
+    assert _run_wilson(spark, WILSON_ROWS) == _py_wilson(WILSON_ROWS)
+
+
+def test_wilson_small_perfect_sample_stays_uncertain(spark):
+    got = {r[0]: r for r in _run_wilson(spark, WILSON_ROWS)}
+    assert got["lucky"][3] == 1.0 and got["lucky"][4] < 0.65
+
+
+def test_wilson_big_sample_tightens(spark):
+    got = {r[0]: r for r in _run_wilson(spark, WILSON_ROWS)}
+    assert got["big"][5] - got["big"][4] < 0.04
+    assert got["dead"][4] == 0.0  # p=0: lower bound clamps at 0

@@ -2357,6 +2357,62 @@ def main() -> None:
     checks.append(("tau: no cartesian product", "CartesianProduct" not in p_kt))
     checks.append(("tau: no Python", "EvalPython" not in p_kt))
 
+    # 196. Spearman rho (q268): global-seq midranks (checkpointed),
+    # moment aggregate map-side combined; no Python
+    p_sr2 = plan_of(entry.q268_spearman(spark, SF))
+    checks.append(("spearman: checkpointed midranks", "ExistingRDD" in p_sr2))
+    checks.append(("spearman: no Python", "EvalPython" not in p_sr2))
+
+    # 197. McNemar (q269): ONE map-side aggregate, nothing else
+    p_mc = plan_of(entry.q269_mcnemar(spark, SF))
+    checks.append(("mcnemar: map-side partial agg", "partial_count" in p_mc or "partial_sum" in p_mc))
+    checks.append(("mcnemar: no window", _nodes(p_mc, "Window") == 0))
+    checks.append(("mcnemar: no join", _nodes(p_mc, "Join") == 0))
+    checks.append(("mcnemar: no Python", "EvalPython" not in p_mc))
+
+    # 198. skyline (q270): checkpointed frontier (global-seq mechanism
+    # inside), membership test a hash join; no Python
+    p_sk = plan_of(entry.q270_pareto_frontier(spark, SF))
+    checks.append(("skyline: checkpointed result", "ExistingRDD" in p_sk))
+    checks.append(("skyline: no Python", "EvalPython" not in p_sk))
+
+    # 199. burstiness (q271): two map-side-combined aggregates; no
+    # window, no join, no Python
+    p_bu = plan_of(entry.q271_traffic_burstiness(spark, SF))
+    checks.append(("burstiness: map-side partial agg", "partial_count" in p_bu))
+    checks.append(("burstiness: no window", _nodes(p_bu, "Window") == 0))
+    checks.append(("burstiness: no join", _nodes(p_bu, "Join") == 0))
+    checks.append(("burstiness: no Python", "EvalPython" not in p_bu))
+
+    # 200. G-test (q272): cell groupBy map-side combined, margins
+    # broadcast-joined, scalar broadcast; no window, no Python
+    p_gt = plan_of(entry.q272_source_tier_gtest(spark, SF))
+    checks.append(("gtest: map-side partial agg", "partial_count" in p_gt))
+    checks.append(("gtest: broadcast margins", "Broadcast" in p_gt))
+    checks.append(("gtest: no window", _nodes(p_gt, "Window") == 0))
+    checks.append(("gtest: no Python", "EvalPython" not in p_gt))
+
+    # 201. k-anonymity (q273): one groupBy + one aggregate; nothing else
+    p_kn = plan_of(entry.q273_k_anonymity(spark, SF))
+    checks.append(("kanon: map-side partial agg", "partial_count" in p_kn))
+    checks.append(("kanon: no window", _nodes(p_kn, "Window") == 0))
+    checks.append(("kanon: no join", _nodes(p_kn, "Join") == 0))
+    checks.append(("kanon: no Python", "EvalPython" not in p_kn))
+
+    # 202. Hill tail index (q274): mergeable TakeOrdered then
+    # broadcast-class arithmetic; no Python
+    p_hl = plan_of(entry.q274_tail_index(spark, SF))
+    checks.append(("hill: TakeOrdered top-k", "TakeOrderedAndProject" in p_hl))
+    checks.append(("hill: no Python", "EvalPython" not in p_hl))
+
+    # 203. info gain (q275): melt explode + cell groupBy map-side
+    # combined, margins broadcast; no window, no Python
+    p_ig = plan_of(entry.q275_feature_info_gain(spark, SF))
+    checks.append(("infogain: map-side partial agg", "partial_count" in p_ig))
+    checks.append(("infogain: broadcast margins", "Broadcast" in p_ig))
+    checks.append(("infogain: no window", _nodes(p_ig, "Window") == 0))
+    checks.append(("infogain: no Python", "EvalPython" not in p_ig))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
