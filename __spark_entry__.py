@@ -14629,6 +14629,147 @@ ORDER BY key
 """
 
 
+def q279_latency_w1(spark, sf_dir):
+    """Exact 1-D Wasserstein-1 distance (operators/drift.wasserstein_1d
+    — the area between ECDFs, Vallender 1974): the same stepped-vs-
+    clean cohorts as q276, but magnitude-aware — KS reports the worst
+    ECDF gap, W1 integrates all of it, in milliseconds; exclusive
+    deviations times previous-value gaps are the exact left-Riemann sum
+    of a step function, all int64 until one round-6 division; prefix
+    machinery via with_global_prefix_sums.  (n_a, n_b, w1_num, w1)."""
+    from eget_spark.operators.drift import wasserstein_1d
+
+    docs = _t(spark, sf_dir, "documents")
+    series = docs.select(
+        F.expr(_Q276_GROUP).alias("cohort"),
+        F.expr(_Q254_VALUE).cast("long").alias("value"),
+    )
+    return wasserstein_1d(series, "cohort", "value", "stepped", "clean")
+
+
+_Q279_SQL = rf"""
+WITH vals AS (
+  SELECT {_Q276_GROUP} AS g,
+         CAST({_Q254_VALUE.replace("DIV", "//")} AS BIGINT) AS v
+  FROM documents
+),
+per_v AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 'stepped' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(sum(CASE WHEN g = 'stepped' THEN 0 ELSE 1 END) AS BIGINT)
+           AS cb
+  FROM vals GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM per_v
+),
+cum AS (
+  SELECT v, ca, cb,
+         sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+           CURRENT ROW) AS ca_cum,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+           CURRENT ROW) AS cb_cum,
+         lag(v) OVER (ORDER BY v) AS prev_v
+  FROM per_v
+),
+contrib AS (
+  SELECT abs(nb * (ca_cum - ca) - na * (cb_cum - cb))
+         * (v - coalesce(prev_v, v)) AS c, na, nb
+  FROM cum CROSS JOIN tot
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS w1_num,
+       round(CAST(coalesce(sum(c), 0) AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS w1
+FROM contrib GROUP BY na, nb
+"""
+
+
+def q280_quality_gate_threshold(spark, sf_dir):
+    """Optimal quality-gate thresholds (operators/drift.best_thresholds
+    — max-F1 and max-Youden-J over the full threshold sweep): the SAME
+    pinned classifier q252 calibrates and q265 scores threshold-free —
+    together the complete eval story ends with the number you actually
+    set the gate to; exact int64 tp/fp per candidate via descending
+    prefix sums, ppm ratios, ties pinned to the stricter gate.
+    (criterion, threshold, tp, fp, fn, tn, precision_ppm, recall_ppm,
+    f1_ppm, j_micro)."""
+    from eget_spark.operators.drift import best_thresholds
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr("(doc_id * 2654435761) % 1000001").alias("score"),
+        F.expr(
+            "CAST(CASE WHEN (doc_id * 1103515245 + 12345) % 1000000"
+            "  < (doc_id * 2654435761) % 1000001 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("label"),
+    )
+    return best_thresholds(scored, "score", "label")
+
+
+_Q280_SQL = r"""
+WITH scored AS (
+  SELECT (doc_id * 2654435761) % 1000001 AS s,
+         CASE WHEN (doc_id * 1103515245 + 12345) % 1000000
+                   < (doc_id * 2654435761) % 1000001
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+  FROM documents
+),
+per_s AS (
+  SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM scored GROUP BY s
+),
+tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS p_tot,
+         CAST(sum(neg) AS BIGINT) AS n_tot
+  FROM per_s
+),
+sweep AS (
+  SELECT s AS threshold,
+         sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS tp,
+         sum(neg) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS fp,
+         p_tot, n_tot
+  FROM per_s CROSS JOIN tot
+),
+m AS (
+  SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         CAST(p_tot - tp AS BIGINT) AS fn,
+         CAST(n_tot - fp AS BIGINT) AS tn,
+         CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+         CAST(tp * 1000000 // p_tot AS BIGINT) AS recall_ppm,
+         CAST(tp * 1000000 // p_tot - fp * 1000000 // n_tot AS BIGINT)
+           AS j_micro
+  FROM sweep
+),
+m2 AS (
+  SELECT *,
+         CAST(CASE WHEN precision_ppm + recall_ppm > 0
+              THEN 2 * precision_ppm * recall_ppm
+                   // (precision_ppm + recall_ppm)
+              ELSE 0 END AS BIGINT) AS f1_ppm
+  FROM m
+)
+SELECT * FROM (
+  SELECT 'f1' AS criterion, threshold, tp, fp, fn, tn, precision_ppm,
+         recall_ppm, f1_ppm, j_micro
+  FROM m2 ORDER BY f1_ppm DESC, threshold DESC LIMIT 1
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'youden_j' AS criterion, threshold, tp, fp, fn, tn,
+         precision_ppm, recall_ppm, f1_ppm, j_micro
+  FROM m2 ORDER BY j_micro DESC, threshold DESC LIMIT 1
+)
+ORDER BY criterion
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -14914,6 +15055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q276_latency_ks": q276_latency_ks,
         "q277_score_psi": q277_score_psi,
         "q278_fetch_wilson": q278_fetch_wilson,
+        "q279_latency_w1": q279_latency_w1,
+        "q280_quality_gate_threshold": q280_quality_gate_threshold,
     }
 
 
@@ -15196,4 +15339,6 @@ def oracle_sql() -> dict[str, str]:
         "q276_latency_ks": _Q276_SQL,
         "q277_score_psi": _Q277_SQL,
         "q278_fetch_wilson": _Q278_SQL,
+        "q279_latency_w1": _Q279_SQL,
+        "q280_quality_gate_threshold": _Q280_SQL,
     }

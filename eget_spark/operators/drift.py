@@ -301,3 +301,172 @@ def wilson_intervals(
         F.round(center - half, 6).alias("lo"),
         F.round(center + half, 6).alias("hi"),
     ).orderBy("key")
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between two
+    cohorts (Monge 1781 / Kantorovich 1942; in 1-D it is the area
+    between the ECDFs, Vallender 1974) — the magnitude-aware companion
+    to q276's KS: KS reports the WORST ECDF gap, W1 integrates ALL of
+    it, so a long mild drift (which KS underweights) and a short sharp
+    one are told apart.
+
+    Pinned semantics: with per-distinct-value counts and inclusive
+    cumulatives, each value's contribution is the EXCLUSIVE deviation
+    times the gap to the previous value,
+
+        contrib(v) = |n_b*(C_a(v)-c_a(v)) - n_a*(C_b(v)-c_b(v))|
+                     * (v - prev_v)
+
+    (the left-Riemann sum of |F_a - F_b| — exact, not an
+    approximation, because ECDFs are step functions); w1_num =
+    sum(contrib) is exact int64 and
+
+        w1 = round(w1_num / (n_a * n_b in DOUBLE), 6)
+
+    in the units of ``value_col``.
+
+    Scale shape (100 TB): cumulatives via with_global_prefix_sums
+    (range exchange + per-partition windows + driver-bounded offsets);
+    the previous-value gap is a per-partition lag whose boundary seeds
+    ride the same ONE-row-per-partition broadcast.  Never a
+    SinglePartition window."""
+    from .sequence import with_global_prefix_sums
+
+    spark = df.sparkSession
+    vals = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).cast("long").alias("is_a"),
+    )
+    per_v = vals.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
+    )
+    res = with_global_prefix_sums(per_v, ["v"], ["ca", "cb"])
+    n_a, n_b = res.totals["ca"], res.totals["cb"]
+    # boundary seeds for the per-partition lag: each partition's max v,
+    # shifted to the NEXT partition (one row per partition, driver-
+    # bounded — the same discipline as the prefix offsets)
+    pmax = {
+        r["_pid"]: r["m"]
+        for r in res.df.groupBy("_pid").agg(F.max("v").alias("m")).collect()
+    }
+    seeds = []
+    prev = None
+    for pid in sorted(pmax):
+        seeds.append((pid, prev))
+        prev = pmax[pid]
+    seed_df = spark.createDataFrame(seeds or [], "_pid long, _prevmax long")
+    w = Window.partitionBy("_pid").orderBy("v")
+    g = res.df.join(F.broadcast(seed_df), "_pid", "left")
+    prev_v = F.coalesce(F.lag("v").over(w), F.col("_prevmax"), F.col("v"))
+    dev_excl = F.abs(
+        F.lit(n_b).cast("long") * (F.col("ca_cum") - F.col("ca"))
+        - F.lit(n_a).cast("long") * (F.col("cb_cum") - F.col("cb"))
+    )
+    out = (
+        g.select((dev_excl * (F.col("v") - prev_v)).alias("contrib"))
+        .agg(F.coalesce(F.sum("contrib"), F.lit(0)).cast("long").alias(
+            "w1_num"
+        ))
+        .select(
+            F.lit(n_a).cast("long").alias("n_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
+            "w1_num",
+            F.round(
+                F.col("w1_num").cast("double")
+                / (float(n_a) * float(n_b) if n_a and n_b else 1.0),
+                6,
+            ).alias("w1"),
+        )
+        .localCheckpoint()
+    )
+    res.unpersist()
+    return out
+
+
+def best_thresholds(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Optimal decision thresholds for a binary scorer: the full
+    threshold sweep (predict positive when score >= t, one candidate t
+    per distinct score) reduced to the argmax rows under the two
+    textbook criteria — max F1 (van Rijsbergen 1979) and max Youden's J
+    = TPR - FPR (Youden, Cancer 1950).  The missing piece between
+    q265's threshold-free AUC and q252's calibration: the number you
+    actually set the q150 quality gate to.
+
+    Pinned semantics: per-distinct-score counts, descending-order
+    inclusive prefix sums give exact int64 tp/fp per candidate;
+    precision/recall/tpr/fpr in exact ppm (truncating DIV);
+    f1_ppm = (2*prec*rec) DIV (prec+rec); j_micro = tpr - fpr (signed);
+    ties break to the HIGHER threshold (pinned — the stricter gate).
+    Output two rows, one per criterion: (criterion, threshold, tp, fp,
+    fn, tn, precision_ppm, recall_ppm, f1_ppm, j_micro).
+
+    Scale shape: one map-side-combined groupBy to score groups, the
+    with_global_prefix_sums mechanism for the sweep, and two mergeable
+    TakeOrdered(1) selections.  Never a SinglePartition window."""
+    from .sequence import with_global_prefix_sums
+
+    base = scored.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    per_s = base.groupBy("s").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    ).withColumn("_negs", (-F.col("s")).cast("long"))
+    res = with_global_prefix_sums(per_s, ["_negs"], ["pos", "neg"])
+    p_tot, n_tot = res.totals["pos"], res.totals["neg"]
+    sweep = res.df.select(
+        F.col("s").alias("threshold"),
+        F.col("pos_cum").alias("tp"),
+        F.col("neg_cum").alias("fp"),
+        (F.lit(p_tot).cast("long") - F.col("pos_cum")).alias("fn"),
+        (F.lit(n_tot).cast("long") - F.col("neg_cum")).alias("tn"),
+    ).withColumn(
+        "precision_ppm",
+        F.expr("tp * CAST(1000000 AS BIGINT) DIV (tp + fp)"),
+    ).withColumn(
+        "recall_ppm",
+        F.expr(f"tp * CAST(1000000 AS BIGINT) DIV {max(p_tot, 1)}"),
+    ).withColumn(
+        "f1_ppm",
+        F.when(
+            F.col("precision_ppm") + F.col("recall_ppm") > 0,
+            F.expr(
+                "2 * precision_ppm * recall_ppm"
+                " DIV (precision_ppm + recall_ppm)"
+            ),
+        ).otherwise(F.lit(0)).cast("long"),
+    ).withColumn(
+        "j_micro",
+        (
+            F.expr(f"tp * CAST(1000000 AS BIGINT) DIV {max(p_tot, 1)}")
+            - F.expr(f"fp * CAST(1000000 AS BIGINT) DIV {max(n_tot, 1)}")
+        ).cast("long"),
+    )
+    cols = ["threshold", "tp", "fp", "fn", "tn", "precision_ppm",
+            "recall_ppm", "f1_ppm", "j_micro"]
+    by_f1 = (
+        sweep.orderBy(F.col("f1_ppm").desc(), F.col("threshold").desc())
+        .limit(1)
+        .select(F.lit("f1").alias("criterion"), *cols)
+    )
+    by_j = (
+        sweep.orderBy(F.col("j_micro").desc(), F.col("threshold").desc())
+        .limit(1)
+        .select(F.lit("youden_j").alias("criterion"), *cols)
+    )
+    out = by_f1.unionAll(by_j).orderBy("criterion").localCheckpoint()
+    res.unpersist()
+    return out

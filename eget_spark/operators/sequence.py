@@ -122,3 +122,81 @@ def with_global_seq(
         .drop(group_col, "_off")
     )
     return SeqResult(out, total, [parts])
+
+
+@dataclass
+class PrefixResult:
+    """Result of :func:`with_global_prefix_sums`: ``df`` carries one
+    ``{col}_cum`` INCLUSIVE global prefix sum per requested column;
+    ``totals`` maps each column to its grand total (free — derived from
+    the same driver-bounded per-partition sums the offsets need).  Same
+    materialize-then-:meth:`unpersist` contract as :class:`SeqResult`."""
+
+    df: DataFrame
+    totals: dict[str, int]
+    persisted: list[DataFrame]
+
+    def unpersist(self) -> None:
+        for p in self.persisted:
+            p.unpersist()
+
+
+def with_global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> PrefixResult:
+    """Exact INCLUSIVE global running sums of ``sum_cols`` in
+    ``order_cols`` order — the ECDF/threshold-sweep primitive — without
+    ever planning a SinglePartition window: range-exchange on the order
+    keys, per-partition window sums, and driver-bounded per-partition
+    totals (ONE row per shuffle partition, the :func:`with_global_seq`
+    offset discipline) broadcast back as prefix seeds.
+
+    Consumers: KS distance (q276), Wasserstein-1 (q279), threshold
+    sweeps (q280) — anything that walks a global order accumulating
+    counts."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    parts = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id().cast("long"))
+        .persist()
+    )
+    psums = {
+        r["_pid"]: [r[f"_s_{c}"] for c in sum_cols]
+        for r in parts.groupBy("_pid")
+        .agg(*[F.sum(c).cast("long").alias(f"_s_{c}") for c in sum_cols])
+        .collect()
+    }
+    seeds = []
+    acc = [0] * len(sum_cols)
+    for pid in sorted(psums):
+        seeds.append(tuple([pid] + list(acc)))
+        acc = [a + (s or 0) for a, s in zip(acc, psums[pid])]
+    totals = dict(zip(sum_cols, acc))
+    schema = ", ".join(
+        ["_pid long"] + [f"_off_{c} long" for c in sum_cols]
+    )
+    seed_df = spark.createDataFrame(seeds or [], schema)
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = parts.join(F.broadcast(seed_df), "_pid", "left")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_cum",
+            (
+                F.coalesce(F.col(f"_off_{c}"), F.lit(0))
+                + F.sum(c).over(w_in)
+            ).cast("long"),
+        )
+    out = out.drop(*[f"_off_{c}" for c in sum_cols])
+    return PrefixResult(out, totals, [parts])

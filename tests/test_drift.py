@@ -245,3 +245,121 @@ def test_wilson_big_sample_tightens(spark):
     got = {r[0]: r for r in _run_wilson(spark, WILSON_ROWS)}
     assert got["big"][5] - got["big"][4] < 0.04
     assert got["dead"][4] == 0.0  # p=0: lower bound clamps at 0
+
+
+# --- Wasserstein-1 -----------------------------------------------------------
+
+def _py_w1(rows, ga, gb):
+    sa = sorted(v for g, v in rows if g == ga)
+    sb = sorted(v for g, v in rows if g == gb)
+    na, nb = len(sa), len(sb)
+    vs = sorted(set(sa) | set(sb))
+    w1 = 0
+    for i in range(1, len(vs)):
+        prev = vs[i - 1]
+        ca = sum(1 for x in sa if x <= prev)
+        cb = sum(1 for x in sb if x <= prev)
+        w1 += abs(nb * ca - na * cb) * (vs[i] - prev)
+    return (na, nb, w1, round(w1 / (float(na) * float(nb)), 6))
+
+
+def _run_w1(spark, rows, ga, gb):
+    from eget_spark.operators.drift import wasserstein_1d
+
+    df = spark.createDataFrame(rows, "host string, value long")
+    r = wasserstein_1d(df, "host", "value", ga, gb).collect()[0]
+    return (r["n_a"], r["n_b"], r["w1_num"], r["w1"])
+
+
+def test_w1_matches_python_replay(spark):
+    assert _run_w1(spark, KS_ROWS, "fast", "slow") == _py_w1(
+        KS_ROWS, "fast", "slow"
+    )
+
+
+def test_w1_identical_zero(spark):
+    rows = [("a", v) for v in [1, 5, 9]] + [("b", v) for v in [1, 5, 9]]
+    assert _run_w1(spark, rows, "a", "b")[3] == 0.0
+
+
+def test_w1_constant_shift_is_the_shift(spark):
+    # F_b is F_a shifted by +17: W1 == 17 exactly
+    rows = [("a", v) for v in [10, 20, 30, 40]] + [
+        ("b", v + 17) for v in [10, 20, 30, 40]
+    ]
+    assert _run_w1(spark, rows, "a", "b")[3] == 17.0
+
+
+def test_w1_vs_ks_tell_shapes_apart(spark):
+    # long mild drift vs short sharp gap: same KS class, different W1
+    mild = ([("a", v) for v in range(0, 100, 10)]
+            + [("b", v + 3) for v in range(0, 100, 10)])
+    sharp = ([("a", v) for v in [0, 1, 2, 3, 4]]
+             + [("b", v) for v in [0, 1, 2, 3, 50]])
+    w_mild = _run_w1(spark, mild, "a", "b")[3]
+    w_sharp = _run_w1(spark, sharp, "a", "b")[3]
+    assert w_mild == _py_w1(mild, "a", "b")[3]
+    assert w_sharp == _py_w1(sharp, "a", "b")[3]
+
+
+# --- best thresholds ---------------------------------------------------------
+
+def _py_best(rows):
+    from collections import Counter
+
+    pos = Counter(s for s, y in rows if y == 1)
+    neg = Counter(s for s, y in rows if y == 0)
+    p_tot, n_tot = sum(pos.values()), sum(neg.values())
+    cands = []
+    tp = fp = 0
+    for s in sorted(set(pos) | set(neg), reverse=True):
+        tp += pos.get(s, 0)
+        fp += neg.get(s, 0)
+        prec = tp * 10**6 // (tp + fp)
+        rec = tp * 10**6 // max(p_tot, 1)
+        f1 = (2 * prec * rec // (prec + rec)) if prec + rec > 0 else 0
+        j = tp * 10**6 // max(p_tot, 1) - fp * 10**6 // max(n_tot, 1)
+        cands.append((s, tp, fp, p_tot - tp, n_tot - fp, prec, rec, f1, j))
+    best_f1 = max(cands, key=lambda c: (c[7], c[0]))
+    best_j = max(cands, key=lambda c: (c[8], c[0]))
+    return [("f1",) + best_f1, ("youden_j",) + best_j]
+
+
+THR_ROWS = (
+    [(900 + i, 1) for i in range(5)]
+    + [(700, 1), (700, 0), (650, 1)]
+    + [(500, 0)] * 6 + [(500, 1)]
+    + [(200 + i, 0) for i in range(8)]
+)
+
+
+def _run_best(spark, rows):
+    from eget_spark.operators.drift import best_thresholds
+
+    df = spark.createDataFrame(rows, "score long, label long")
+    out = best_thresholds(df, "score", "label").collect()
+    return [
+        (r["criterion"], r["threshold"], r["tp"], r["fp"], r["fn"],
+         r["tn"], r["precision_ppm"], r["recall_ppm"], r["f1_ppm"],
+         r["j_micro"])
+        for r in out
+    ]
+
+
+def test_best_matches_python_replay(spark):
+    assert _run_best(spark, THR_ROWS) == _py_best(THR_ROWS)
+
+
+def test_perfectly_separable_threshold(spark):
+    rows = [(90 + i, 1) for i in range(4)] + [(10 + i, 0) for i in range(4)]
+    got = {r[0]: r for r in _run_best(spark, rows)}
+    # both criteria pick the lowest positive score; F1 and J are perfect
+    assert got["f1"][1] == 90 and got["f1"][8] == 10**6
+    assert got["youden_j"][1] == 90 and got["youden_j"][9] == 10**6
+
+
+def test_tie_breaks_to_stricter_gate(spark):
+    # two thresholds with identical confusion stats: higher one wins
+    rows = [(100, 1), (90, 1), (50, 0), (40, 0)]
+    got = {r[0]: r for r in _run_best(spark, rows)}
+    assert got["f1"][1] == 90  # 90 and anything in (50, 90] tie; 90 kept
