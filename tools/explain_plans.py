@@ -2413,6 +2413,39 @@ def main() -> None:
     checks.append(("infogain: no window", _nodes(p_ig, "Window") == 0))
     checks.append(("infogain: no Python", "EvalPython" not in p_ig))
 
+    # 204. KS two-sample (q276): checkpointed result (prefix mechanism
+    # inside — range exchange, never SinglePartition); no Python
+    p_ks = plan_of(entry.q276_latency_ks(spark, SF))
+    checks.append(("ks: checkpointed result", "ExistingRDD" in p_ks))
+    checks.append(("ks: no Python", "EvalPython" not in p_ks))
+
+    # 205. PSI (q277): bucket groupBy map-side combined, totals
+    # broadcast; no window, no Python
+    p_ps = plan_of(entry.q277_score_psi(spark, SF))
+    checks.append(("psi: map-side partial agg", "partial_count" in p_ps or "partial_sum" in p_ps))
+    checks.append(("psi: broadcast totals", "Broadcast" in p_ps))
+    checks.append(("psi: no window", _nodes(p_ps, "Window") == 0))
+    checks.append(("psi: no Python", "EvalPython" not in p_ps))
+
+    # 206. Wilson intervals (q278): ONE groupBy + projection
+    p_wi = plan_of(entry.q278_fetch_wilson(spark, SF))
+    checks.append(("wilson: map-side partial agg", "partial_count" in p_wi))
+    checks.append(("wilson: no window", _nodes(p_wi, "Window") == 0))
+    checks.append(("wilson: no join", _nodes(p_wi, "Join") == 0))
+    checks.append(("wilson: no Python", "EvalPython" not in p_wi))
+
+    # 207. Wasserstein-1 (q279): checkpointed scalar (prefix-sum helper
+    # inside); no Python
+    p_w1 = plan_of(entry.q279_latency_w1(spark, SF))
+    checks.append(("w1: checkpointed result", "ExistingRDD" in p_w1))
+    checks.append(("w1: no Python", "EvalPython" not in p_w1))
+
+    # 208. best thresholds (q280): checkpointed 2-row result (sweep via
+    # the prefix helper + two TakeOrdered(1)); no Python
+    p_bt2 = plan_of(entry.q280_quality_gate_threshold(spark, SF))
+    checks.append(("thresholds: checkpointed result", "ExistingRDD" in p_bt2))
+    checks.append(("thresholds: no Python", "EvalPython" not in p_bt2))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
