@@ -14770,6 +14770,125 @@ ORDER BY criterion
 """
 
 
+def q281_sprt_health(spark, sf_dir):
+    """Wald SPRT host-health decisions (operators/drift.sprt_decisions
+    — Wald 1945, p0=0.5 vs p1=0.7 at alpha=beta=0.05): the q278 success
+    ledger replayed SEQUENTIALLY — hosts whose true rate (50%..79% by
+    index) is clearly above/below the hypotheses decide in a handful of
+    fetches, borderline ones keep sampling; per-observation LLR steps
+    are two pre-quantized micro constants so the running sum is exact
+    int64, the first bound crossing wins (pinned — SPRT never sees
+    later samples).  (key, n, llr_final_micro, first_up_ts,
+    first_dn_ts, decision)."""
+    from eget_spark.operators.drift import sprt_decisions
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.select(
+        F.expr("concat('h', CAST(doc_id % 30 AS STRING))").alias("host"),
+        F.expr("doc_id DIV 30").alias("ts"),
+        F.expr(
+            "CAST(CASE WHEN (doc_id * 2654435761) % 100"
+            " < 50 + doc_id % 30 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("success"),
+    )
+    return sprt_decisions(ledger, "host", "ts", "success")
+
+
+_Q281_SQL = r"""
+WITH ledger AS (
+  SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS key,
+         doc_id // 30 AS ts,
+         CASE WHEN (doc_id * 2654435761) % 100 < 50 + doc_id % 30
+              THEN 1 ELSE 0 END AS s
+  FROM documents
+),
+stepped AS (
+  SELECT key, ts,
+         sum(CASE WHEN s = 1 THEN 336472 ELSE -510826 END)
+           OVER (PARTITION BY key ORDER BY ts ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS llr
+  FROM ledger
+),
+agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n,
+         CAST(max_by(llr, ts) AS BIGINT) AS llr_final_micro,
+         min(CASE WHEN llr >= 2944439 THEN ts END) AS first_up_ts,
+         min(CASE WHEN llr <= -2944439 THEN ts END) AS first_dn_ts
+  FROM stepped GROUP BY key
+)
+SELECT key, n, llr_final_micro, first_up_ts, first_dn_ts,
+       CASE WHEN first_up_ts IS NOT NULL
+                 AND (first_dn_ts IS NULL OR first_up_ts < first_dn_ts)
+            THEN 'accept_h1'
+            WHEN first_dn_ts IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM agg
+ORDER BY key
+"""
+
+
+def q282_ipf_raking(spark, sf_dir):
+    """Iterative proportional fitting / raking (operators/sampling.
+    ipf_raking — Deming & Stephan 1940): per-cell sampling weights that
+    balance the lang AND source marginals of the corpus simultaneously
+    toward uniform — the two-dimensional generalization of q54's
+    proportional mix and q224's UniMax; 3 pinned (row, col) sweeps,
+    weights in exact ppm with ONE IEEE-rounded double factor per margin
+    per sweep (the int64-overflow-safe pin), final column marginals
+    exact up to DIV floors.  (r, c, n, w_ppm)."""
+    from eget_spark.operators.sampling import ipf_raking
+
+    return ipf_raking(_t(spark, sf_dir, "documents"), "lang", "source",
+                      n_rounds=3)
+
+
+def _q282_sql(n_rounds: int = 3) -> str:
+    head = """
+WITH cells AS (
+  SELECT lang AS r, source AS c, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(count(DISTINCT r) AS BIGINT) AS nr,
+         CAST(count(DISTINCT c) AS BIGINT) AS nc
+  FROM cells
+),
+w0 AS (SELECT r, c, n, CAST(1000000 AS BIGINT) AS w FROM cells)"""
+    parts = [head]
+    prev = "w0"
+    for k in range(1, n_rounds + 1):
+        parts.append(f""",
+rm{k} AS (
+  SELECT r, CAST(sum(n * w) AS BIGINT) AS cur FROM {prev} GROUP BY r
+),
+wr{k} AS (
+  SELECT s.r, s.c, s.n,
+         CAST(s.w * CAST(round(CAST(total * 1000000 // nr AS DOUBLE)
+                               * 1e6 / CAST(m.cur AS DOUBLE)) AS BIGINT)
+              // 1000000 AS BIGINT) AS w
+  FROM {prev} s JOIN rm{k} m ON m.r = s.r CROSS JOIN tot
+),
+cm{k} AS (
+  SELECT c, CAST(sum(n * w) AS BIGINT) AS cur FROM wr{k} GROUP BY c
+),
+w{k} AS (
+  SELECT s.r, s.c, s.n,
+         CAST(s.w * CAST(round(CAST(total * 1000000 // nc AS DOUBLE)
+                               * 1e6 / CAST(m.cur AS DOUBLE)) AS BIGINT)
+              // 1000000 AS BIGINT) AS w
+  FROM wr{k} s JOIN cm{k} m ON m.c = s.c CROSS JOIN tot
+)""")
+        prev = f"w{k}"
+    parts.append(
+        f"\nSELECT r, c, n, w AS w_ppm FROM {prev} ORDER BY r, c\n"
+    )
+    return "".join(parts)
+
+
+_Q282_SQL = _q282_sql(3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -15057,6 +15176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q278_fetch_wilson": q278_fetch_wilson,
         "q279_latency_w1": q279_latency_w1,
         "q280_quality_gate_threshold": q280_quality_gate_threshold,
+        "q281_sprt_health": q281_sprt_health,
+        "q282_ipf_raking": q282_ipf_raking,
     }
 
 
@@ -15341,4 +15462,6 @@ def oracle_sql() -> dict[str, str]:
         "q278_fetch_wilson": _Q278_SQL,
         "q279_latency_w1": _Q279_SQL,
         "q280_quality_gate_threshold": _Q280_SQL,
+        "q281_sprt_health": _Q281_SQL,
+        "q282_ipf_raking": _Q282_SQL,
     }

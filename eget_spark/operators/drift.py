@@ -470,3 +470,76 @@ def best_thresholds(
     out = by_f1.unionAll(by_j).orderBy("criterion").localCheckpoint()
     res.unpersist()
     return out
+
+
+def sprt_decisions(
+    ledger: DataFrame,
+    key_col: str = "host",
+    ts_col: str = "ts",
+    success_col: str = "success",
+    l_pos_micro: int = 336472,
+    l_neg_micro: int = -510826,
+    bound_micro: int = 2_944_439,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per key (Wald, Annals
+    of Math. Stat. 1945) — decide BETWEEN two success rates with the
+    fewest observations: the sequential sibling of q278's fixed-n
+    Wilson bounds and q269's fixed-n McNemar, and exactly what a crawl
+    health-checker wants ("stop probing this host as soon as the
+    evidence is in").
+
+    Pinned semantics: per observation the log-likelihood-ratio step is
+    one of TWO pre-quantized micro constants (``l_pos_micro`` for a
+    success = round(1e6*ln(p1/p0)), ``l_neg_micro`` for a failure =
+    round(1e6*ln((1-p1)/(1-p0))); the defaults encode p0=0.5 vs p1=0.7)
+    so the running LLR is an exact int64 cumulative sum in (key, ts)
+    order (ts unique per key, the q254 contract); ``bound_micro``
+    encodes ln((1-beta)/alpha) (default alpha=beta=0.05 -> ln 19).
+    first_up_ts / first_dn_ts are the first crossings of +/-bound;
+    the decision is whichever crossing happens FIRST (SPRT stops
+    there — later samples are never seen): 'accept_h1', 'accept_h0',
+    or 'continue' when neither bound is hit.
+
+    Scale shape: ONE hash shuffle on key (the running-sum window), the
+    per-key summary groupBy reuses the partitioning.  No joins, no
+    Python."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    step = F.when(
+        F.col(success_col).cast("long") == 1,
+        F.lit(int(l_pos_micro)).cast("long"),
+    ).otherwise(F.lit(int(l_neg_micro)).cast("long"))
+    stepped = ledger.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.sum(step).over(w).alias("llr"),
+    )
+    b = int(bound_micro)
+    agg = stepped.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.max_by("llr", F.col(ts_col)).cast("long").alias(
+            "llr_final_micro"
+        ),
+        F.min(F.when(F.col("llr") >= b, F.col(ts_col))).alias(
+            "first_up_ts"
+        ),
+        F.min(F.when(F.col("llr") <= -b, F.col(ts_col))).alias(
+            "first_dn_ts"
+        ),
+    )
+    up = F.col("first_up_ts")
+    dn = F.col("first_dn_ts")
+    decision = (
+        F.when(up.isNotNull() & (dn.isNull() | (up < dn)), F.lit(
+            "accept_h1"
+        ))
+        .when(dn.isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return agg.select(
+        "key", "n", "llr_final_micro", "first_up_ts", "first_dn_ts",
+        decision.alias("decision"),
+    ).orderBy("key")

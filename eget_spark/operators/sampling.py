@@ -413,3 +413,86 @@ def weighted_sample_ares(
         .orderBy(F.col("es_key").desc(), "id")
         .limit(k)
     )
+
+
+def ipf_raking(
+    df: DataFrame,
+    row_col: str = "lang",
+    col_col: str = "source",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Iterative proportional fitting / raking (Deming & Stephan,
+    Annals of Math. Stat. 1940): per-cell sampling weights that make
+    BOTH marginals of a two-way contingency table hit uniform targets
+    simultaneously — the two-dimensional generalization of q54's
+    proportional mix and q224's UniMax (each balances ONE dimension;
+    raking balances lang AND source at once, the survey-statistics
+    workhorse).
+
+    Pinned semantics (the q250 fixed-round discipline): cell counts
+    are exact int64; weights live in ppm starting at 1_000_000; per
+    round, rows then columns are scaled by the pinned ppm factor
+    ``f = round(target_mass * 1e6 / current_mass)`` — ONE IEEE double
+    division+round per margin per sweep (deterministic in both engines;
+    an all-integer ``t*1e6 DIV cur`` would overflow int64 past ~2e8
+    input rows) — then ``w' = w * f DIV 1e6`` exactly (mass = sum n*w
+    per margin; uniform targets ``total * 1e6 DIV |categories|``);
+    exactly ``n_rounds`` (row, col) sweeps — no convergence test, the
+    fixed-round bit-exact contract.  After the
+    final COLUMN sweep the column marginals are exact (up to DIV
+    floors) and the row marginals are one sweep stale — IPF's
+    alternating nature, pinned rather than hidden.
+
+    Output: (r, c, n, w_ppm) ordered (r, c).
+
+    Scale shape (100 TB): ONE map-side-combined groupBy reduces the
+    corpus to its R x C cell table (combine absorbs all skew — the
+    table is category-squared sized, broadcast class); every round is
+    margin-sized joins on that tiny table, localCheckpointed per round
+    so the plan stays bounded.  No windows, no Python."""
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count("*").cast("long").alias("n"))
+    state = cells.withColumn(
+        "w", F.lit(1_000_000).cast("long")
+    ).localCheckpoint()
+    tot = state.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count_distinct("r").cast("long").alias("nr"),
+        F.count_distinct("c").cast("long").alias("nc"),
+    ).collect()[0]
+    t_row = tot["total"] * 1_000_000 // tot["nr"]
+    t_col = tot["total"] * 1_000_000 // tot["nc"]
+    for _ in range(n_rounds):
+        rmass = state.groupBy("r").agg(
+            F.sum(F.col("n") * F.col("w")).cast("long").alias("cur")
+        )
+        state = (
+            state.join(F.broadcast(rmass), "r")
+            .withColumn(
+                "w",
+                F.expr(
+                    f"w * CAST(round(CAST({t_row} AS DOUBLE) * 1e6"
+                    " / CAST(cur AS DOUBLE)) AS BIGINT) DIV 1000000"
+                ).cast("long"),
+            )
+            .drop("cur")
+        )
+        cmass = state.groupBy("c").agg(
+            F.sum(F.col("n") * F.col("w")).cast("long").alias("cur")
+        )
+        state = (
+            state.join(F.broadcast(cmass), "c")
+            .withColumn(
+                "w",
+                F.expr(
+                    f"w * CAST(round(CAST({t_col} AS DOUBLE) * 1e6"
+                    " / CAST(cur AS DOUBLE)) AS BIGINT) DIV 1000000"
+                ).cast("long"),
+            )
+            .drop("cur")
+            .localCheckpoint()
+        )
+    return state.select(
+        "r", "c", "n", F.col("w").alias("w_ppm")
+    ).orderBy("r", "c")

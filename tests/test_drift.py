@@ -363,3 +363,85 @@ def test_tie_breaks_to_stricter_gate(spark):
     rows = [(100, 1), (90, 1), (50, 0), (40, 0)]
     got = {r[0]: r for r in _run_best(spark, rows)}
     assert got["f1"][1] == 90  # 90 and anything in (50, 90] tie; 90 kept
+
+
+# --- SPRT --------------------------------------------------------------------
+
+L_POS, L_NEG, BOUND = 336472, -510826, 2_944_439
+
+
+def _py_sprt(rows):
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for k, t, s in rows:
+        per[k].append((t, s))
+    out = {}
+    for k, pts in per.items():
+        pts.sort()
+        llr = 0
+        up = dn = None
+        for t, s in pts:
+            llr += L_POS if s == 1 else L_NEG
+            if up is None and llr >= BOUND:
+                up = t
+            if dn is None and llr <= -BOUND:
+                dn = t
+        if up is not None and (dn is None or up < dn):
+            dec = "accept_h1"
+        elif dn is not None:
+            dec = "accept_h0"
+        else:
+            dec = "continue"
+        out[k] = (len(pts), llr, up, dn, dec)
+    return out
+
+
+SPRT_ROWS = (
+    # strong host: mostly successes -> crosses +bound quickly
+    [("good", t, 1) for t in range(12)]
+    # weak host: mostly failures -> crosses -bound
+    + [("bad", t, 0) for t in range(10)]
+    # borderline host: alternates, never decides
+    + [("meh", t, t % 2) for t in range(10)]
+)
+
+
+def _run_sprt(spark, rows):
+    from eget_spark.operators.drift import sprt_decisions
+
+    df = spark.createDataFrame(rows, "host string, ts long, success long")
+    out = sprt_decisions(df, "host", "ts", "success").collect()
+    return {
+        r["key"]: (r["n"], r["llr_final_micro"], r["first_up_ts"],
+                   r["first_dn_ts"], r["decision"])
+        for r in out
+    }
+
+
+def test_sprt_matches_python_replay(spark):
+    assert _run_sprt(spark, SPRT_ROWS) == _py_sprt(SPRT_ROWS)
+
+
+def test_sprt_decisions(spark):
+    got = _run_sprt(spark, SPRT_ROWS)
+    assert got["good"][4] == "accept_h1"
+    assert got["bad"][4] == "accept_h0"
+    assert got["meh"][4] == "continue"
+
+
+def test_sprt_stops_at_first_crossing(spark):
+    # crosses +bound early, then a failure streak would cross -bound
+    # later: SPRT already stopped -> h1
+    rows = [("x", t, 1) for t in range(9)] + [
+        ("x", 9 + t, 0) for t in range(30)
+    ]
+    got = _run_sprt(spark, rows)["x"]
+    assert got == _py_sprt(rows)["x"]
+    assert got[4] == "accept_h1" and got[2] < got[3]
+
+
+def test_sprt_good_host_decides_in_nine(spark):
+    # ceil(ln19 / ln(0.7/0.5)) = 9 consecutive successes
+    got = _run_sprt(spark, SPRT_ROWS)
+    assert got["good"][2] == 8  # ts are 0-based

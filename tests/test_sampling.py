@@ -280,3 +280,73 @@ def test_ares_k_exceeding_n_returns_all(spark):
 
     df = spark.createDataFrame([(1, 2), (2, 3)], "id long, w long")
     assert weighted_sample_ares(df, "id", "w", k=10).count() == 2
+
+
+# --- IPF raking --------------------------------------------------------------
+
+def _py_ipf(rows, n_rounds=3):
+    from collections import Counter
+
+    cells = Counter(rows)
+    total = sum(cells.values())
+    rs = sorted({r for r, _ in cells})
+    cs = sorted({c for _, c in cells})
+    t_row = total * 10**6 // len(rs)
+    t_col = total * 10**6 // len(cs)
+    w = {k: 10**6 for k in cells}
+    for _ in range(n_rounds):
+        for dim, targ, cats in ((0, t_row, rs), (1, t_col, cs)):
+            for cat in cats:
+                cur = sum(cells[k] * w[k] for k in cells if k[dim] == cat)
+                f = round(targ * 1e6 / cur)
+                for k in cells:
+                    if k[dim] == cat:
+                        w[k] = w[k] * f // 10**6
+    return sorted((r, c, cells[(r, c)], w[(r, c)]) for r, c in cells)
+
+
+IPF_ROWS = (
+    [("en", "blog")] * 50 + [("en", "forum")] * 30 + [("en", "news")] * 40
+    + [("de", "blog")] * 5 + [("de", "forum")] * 15
+    + [("fr", "news")] * 10
+)
+
+
+def _run_ipf(spark, rows, n_rounds=3):
+    from eget_spark.operators.sampling import ipf_raking
+
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = ipf_raking(df, "lang", "source", n_rounds=n_rounds).collect()
+    return [(r["r"], r["c"], r["n"], r["w_ppm"]) for r in out]
+
+
+def test_ipf_matches_python_replay(spark):
+    assert _run_ipf(spark, IPF_ROWS) == _py_ipf(IPF_ROWS)
+
+
+def test_ipf_balances_both_marginals(spark):
+    got = _run_ipf(spark, IPF_ROWS)
+    total = sum(n for _, _, n, _ in got)
+    # column marginals exact after the final column sweep (up to floors)
+    from collections import defaultdict
+
+    cmass = defaultdict(int)
+    rmass = defaultdict(int)
+    for r, c, n, w in got:
+        cmass[c] += n * w
+        rmass[r] += n * w
+    t_col = total * 10**6 // 3
+    for c, m in cmass.items():
+        assert abs(m - t_col) <= total * 3  # DIV-floor dust only
+    # row marginals one sweep stale but far closer than the raw counts
+    t_row = total * 10**6 // 3
+    raw = {"en": 120, "de": 20, "fr": 10}
+    for r, m in rmass.items():
+        assert abs(m - t_row) < abs(raw[r] * 10**6 - t_row) / 5
+
+
+def test_ipf_already_balanced_stays_unit(spark):
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 10)
+    got = _run_ipf(spark, rows)
+    assert all(abs(w - 10**6) <= 2 for _, _, _, w in got)
