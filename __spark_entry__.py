@@ -14889,6 +14889,133 @@ w{k} AS (
 _Q282_SQL = _q282_sql(3)
 
 
+def q283_negative_sampling(spark, sf_dir):
+    """word2vec negative-sampling table (operators/sampling.
+    negative_sampling_table — Mikolov et al. 2013 §2.2, the published
+    3/4-power noise distribution): top-100 vocabulary rows with exact
+    count^0.75 micro weights (exp∘ln, the transcendental pair the suite
+    already pins), sampling vs raw shares side by side so the Zipf-head
+    flattening is visible; what any embedding/contrastive pipeline over
+    the corpus draws its noise words from.
+    (tok, cnt, s_micro, share_ppm, raw_ppm)."""
+    from eget_spark.operators.sampling import negative_sampling_table
+
+    return negative_sampling_table(_t(spark, sf_dir, "documents"),
+                                   "text", k=100)
+
+
+_Q283_SQL = r"""
+WITH vocab AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS tok
+    FROM documents
+  ) GROUP BY tok
+),
+scored AS (
+  SELECT word, cnt,
+         CAST(round(1e6 * exp(0.75 * ln(CAST(cnt AS DOUBLE))))
+              AS BIGINT) AS s_micro
+  FROM vocab
+),
+tot AS (
+  SELECT CAST(sum(s_micro) AS BIGINT) AS s_tot,
+         CAST(sum(cnt) AS BIGINT) AS c_tot
+  FROM scored
+)
+SELECT word AS tok, cnt, s_micro,
+       CAST(round(CAST(s_micro AS DOUBLE) * 1e6
+                  / CAST(s_tot AS DOUBLE)) AS BIGINT) AS share_ppm,
+       CAST(round(CAST(cnt AS DOUBLE) * 1e6
+                  / CAST(c_tot AS DOUBLE)) AS BIGINT) AS raw_ppm
+FROM scored CROSS JOIN tot
+ORDER BY cnt DESC, tok LIMIT 100
+"""
+
+
+def q284_luhn_summaries(spark, sf_dir):
+    """Luhn extractive summaries (operators/summarize.luhn_sentences —
+    Luhn IBM Journal 1958, the founding auto-abstract method; pinned
+    simplified significance-density variant): top-3 sentences per
+    document by sig_cnt^2*1e6 DIV n_tok over doc-frequent non-stopword
+    terms, emitted in document order — the cheap lead-extraction pass
+    for snippets and distillation targets, the sentence-level companion
+    to q240 TextRank keywords.
+    (id, sent_idx, n_tok, sig_cnt, score_micro, sentence)."""
+    from eget_spark.operators.summarize import luhn_sentences
+
+    return luhn_sentences(_t(spark, sf_dir, "documents"), "doc_id",
+                          "text", min_freq=2, top_n=3)
+
+
+def _q284_sql() -> str:
+    from eget_spark.operators.keywords import RAKE_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return rf"""
+WITH raw AS (
+  SELECT doc_id AS id,
+         unnest(regexp_split_to_array(text, '[.!?]+')) AS raw,
+         generate_subscripts(regexp_split_to_array(text, '[.!?]+'), 1) - 1
+           AS sent_idx
+  FROM documents
+),
+sents AS (
+  SELECT id, sent_idx,
+         regexp_replace(regexp_replace(raw, '^\s+', ''), '\s+$', '')
+           AS sentence
+  FROM raw
+),
+stoks AS (
+  SELECT id, sent_idx, sentence,
+         list_filter(regexp_split_to_array(lower(sentence),
+                     '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM sents
+),
+valid AS (
+  SELECT *, CAST(len(toks) AS BIGINT) AS n_tok
+  FROM stoks WHERE len(toks) > 0
+),
+doc_counts AS (
+  SELECT id, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT doc_id AS id,
+           unnest(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS tok
+    FROM documents
+  ) GROUP BY id, tok
+),
+significant AS (
+  SELECT id, tok FROM doc_counts
+  WHERE cnt >= 2 AND tok NOT IN ({stoplist})
+),
+sig_per_sent AS (
+  SELECT v.id, v.sent_idx, CAST(count(*) AS BIGINT) AS sig_cnt
+  FROM (SELECT id, sent_idx, unnest(toks) AS tok FROM valid) v
+  JOIN significant s ON s.id = v.id AND s.tok = v.tok
+  GROUP BY v.id, v.sent_idx
+),
+scored AS (
+  SELECT v.id, v.sent_idx, v.n_tok, g.sig_cnt,
+         CAST(g.sig_cnt * g.sig_cnt * 1000000 // v.n_tok AS BIGINT)
+           AS score_micro,
+         v.sentence
+  FROM valid v
+  JOIN sig_per_sent g ON g.id = v.id AND g.sent_idx = v.sent_idx
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+             ORDER BY score_micro DESC, sent_idx) AS rnk
+  FROM scored
+)
+SELECT id, sent_idx, n_tok, sig_cnt, score_micro, sentence
+FROM ranked WHERE rnk <= 3
+ORDER BY id, sent_idx
+"""
+
+
+_Q284_SQL = _q284_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -15178,6 +15305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q280_quality_gate_threshold": q280_quality_gate_threshold,
         "q281_sprt_health": q281_sprt_health,
         "q282_ipf_raking": q282_ipf_raking,
+        "q283_negative_sampling": q283_negative_sampling,
+        "q284_luhn_summaries": q284_luhn_summaries,
     }
 
 
@@ -15464,4 +15593,6 @@ def oracle_sql() -> dict[str, str]:
         "q280_quality_gate_threshold": _Q280_SQL,
         "q281_sprt_health": _Q281_SQL,
         "q282_ipf_raking": _Q282_SQL,
+        "q283_negative_sampling": _Q283_SQL,
+        "q284_luhn_summaries": _Q284_SQL,
     }

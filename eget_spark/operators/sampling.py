@@ -496,3 +496,63 @@ def ipf_raking(
     return state.select(
         "r", "c", "n", F.col("w").alias("w_ppm")
     ).orderBy("r", "c")
+
+
+def negative_sampling_table(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """word2vec-style negative-sampling distribution (Mikolov et al.
+    NeurIPS 2013 §2.2): noise words drawn proportionally to the unigram
+    count raised to 3/4 — the exponent that famously outperforms both
+    uniform and raw-frequency sampling by flattening the Zipf head.
+    Any embedding or contrastive pipeline over the corpus needs this
+    table; the 3/4 power is THE published constant.
+
+    Pinned semantics: engine-wide TOKEN_SPLIT vocabulary counts;
+    ``s_micro = round(1e6 * exp(0.75 * ln(cnt)))`` (exp∘ln instead of
+    pow — the transcendental pair both engines already agree on across
+    the q-suite); shares are ONE IEEE-rounded double division each
+    (``round(s*1e6/total)`` — an all-integer s*1e6 would overflow int64
+    on web-scale heads), raw-frequency shares reported alongside so the
+    flattening is visible.  Top-k by (cnt desc, tok) via mergeable
+    TakeOrdered.  Output (tok, cnt, s_micro, share_ppm, raw_ppm).
+
+    Scale shape: one explode -> map-side-combined vocab count; scalars
+    on a 1-row broadcast; TakeOrdered top-k.  No windows, no Python."""
+    from ..functions.text import word_vocab
+
+    vocab = word_vocab(df, text_col)
+    s_micro = F.round(
+        1e6 * F.exp(0.75 * F.log(F.col("cnt").cast("double")))
+    ).cast("long")
+    scored = vocab.select("word", "cnt", s_micro.alias("s_micro"))
+    tot = scored.agg(
+        F.sum("s_micro").cast("long").alias("s_tot"),
+        F.sum("cnt").cast("long").alias("c_tot"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("word").alias("tok"),
+            "cnt",
+            "s_micro",
+            F.round(
+                F.col("s_micro").cast("double")
+                * 1e6
+                / F.col("s_tot").cast("double")
+            )
+            .cast("long")
+            .alias("share_ppm"),
+            F.round(
+                F.col("cnt").cast("double")
+                * 1e6
+                / F.col("c_tot").cast("double")
+            )
+            .cast("long")
+            .alias("raw_ppm"),
+        )
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(k)
+    )

@@ -2446,6 +2446,20 @@ def main() -> None:
     checks.append(("thresholds: checkpointed result", "ExistingRDD" in p_bt2))
     checks.append(("thresholds: no Python", "EvalPython" not in p_bt2))
 
+    # 209. SPRT (q281): one key-hash window shuffle, summary reuses the
+    # partitioning; no joins, no Python
+    p_sq = plan_of(entry.q281_sprt_health(spark, SF))
+    checks.append(("sprt: windows present", _nodes(p_sq, "Window") >= 1))
+    checks.append(("sprt: no join", _nodes(p_sq, "Join") == 0))
+    checks.append(("sprt: no Python", "EvalPython" not in p_sq))
+
+    # 210. IPF raking (q282): checkpointed sweeps over the broadcast-
+    # class cell table; margin joins broadcast; no Python
+    p_ipf = plan_of(entry.q282_ipf_raking(spark, SF))
+    checks.append(("ipf: checkpointed sweeps", "ExistingRDD" in p_ipf))
+    checks.append(("ipf: broadcast margin joins", "Broadcast" in p_ipf))
+    checks.append(("ipf: no Python", "EvalPython" not in p_ipf))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
