@@ -15016,6 +15016,145 @@ ORDER BY id, sent_idx
 _Q284_SQL = _q284_sql()
 
 
+# Pinned fetch-failure indicator for the q285 ledger: base SLA rate 3%
+# (30/1000), hosts 35-39 elevated to 25% — the multiple-testing
+# situation BH exists for (a few truly-bad hosts hidden among many null
+# tests); the gap is sized so the bad hosts clear the correction even
+# at sf0.01's ~12 fetches/host while the null hosts never do.
+_Q285_FAIL = (
+    "CAST(CASE WHEN (doc_id * 2654435761) % 1000 < "
+    "CASE WHEN doc_id % 40 >= 35 THEN 250 ELSE 30 END "
+    "THEN 1 ELSE 0 END AS BIGINT)"
+)
+
+
+def q285_fdr_hosts(spark, sf_dir):
+    """Benjamini-Hochberg FDR over per-host failure z-tests
+    (operators/fdr.host_failure_fdr — Benjamini & Hochberg JRSS-B
+    1995): 40 synthetic hosts tested one-sided against a 3% SLA rate,
+    p-values via the pinned A&S 7.1.26 normal tail in exact ppm, the
+    step-up cutoff an exact-int64 comparison — which hosts a scheduler
+    may throttle while bounding the innocent fraction at 5%; the
+    multiple-testing companion to q278 Wilson and q281 SPRT.
+    (key, n, fails, z, p_ppm, rnk, discovery)."""
+    from eget_spark.operators.fdr import host_failure_fdr
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.select(
+        F.expr("concat('h', CAST(doc_id % 40 AS STRING))").alias("host"),
+        F.expr(_Q285_FAIL).alias("fail"),
+    )
+    return host_failure_fdr(
+        ledger, "host", "fail", p0_ppm=30_000, alpha_ppm=50_000
+    )
+
+
+def _q285_sql() -> str:
+    from eget_spark.operators.fdr import failure_z_sql, phi_upper_ppm_sql
+
+    z = failure_z_sql("n", "fails", 30_000)
+    return rf"""
+WITH ledger AS (
+  SELECT concat('h', CAST(doc_id % 40 AS VARCHAR)) AS host,
+         {_Q285_FAIL} AS fail
+  FROM documents
+),
+per AS (
+  SELECT host AS key, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(fail) AS BIGINT) AS fails
+  FROM ledger GROUP BY host
+),
+scored AS (
+  SELECT key, n, fails,
+         round({z}, 6) AS z,
+         {phi_upper_ppm_sql(z)} AS p_ppm
+  FROM per
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY p_ppm, key) AS BIGINT) AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM scored
+),
+cut AS (
+  SELECT *,
+         max(CASE WHEN p_ppm * m <= rnk * 50000 THEN rnk ELSE 0 END)
+           OVER () AS k
+  FROM ranked
+)
+SELECT key, n, fails, z, p_ppm, rnk, rnk <= k AS discovery
+FROM cut ORDER BY rnk
+"""
+
+
+_Q285_SQL = _q285_sql()
+
+
+def q286_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylistic distance between sources
+    (operators/stylometry.burrows_delta — Burrows LLC 2002): z-score
+    profiles over the global top-50 most-frequent words (function-word
+    fingerprint, topic-blind), mean |z_a - z_b| per source pair in
+    exact micro units — template farms and machine-spun mirrors show
+    near-zero Delta between nominally unrelated sources; the stylistic
+    companion to q263's topical JSD and q247's structural WL colors.
+    (source_a, source_b, n_words, delta_micro)."""
+    from eget_spark.operators.stylometry import burrows_delta
+
+    return burrows_delta(
+        _t(spark, sf_dir, "documents"), "source", "text", k=50
+    )
+
+
+_Q286_SQL = r"""
+WITH toks AS (
+  SELECT source AS grp,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM documents
+),
+gw AS (
+  SELECT grp, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY grp, tok
+),
+totals AS (
+  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_grp FROM gw GROUP BY grp
+),
+panel AS (
+  SELECT tok FROM (
+    SELECT tok, CAST(sum(cnt) AS BIGINT) AS tot FROM gw GROUP BY tok
+  ) ORDER BY tot DESC, tok LIMIT 50
+),
+cells AS (
+  SELECT t.grp, p.tok,
+         coalesce(g.cnt, 0) * CAST(1000000 AS BIGINT) // t.n_grp AS f_ppm
+  FROM totals t CROSS JOIN panel p
+  LEFT JOIN gw g ON g.grp = t.grp AND g.tok = p.tok
+),
+stats AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS s,
+         CAST(sum(f_ppm) AS BIGINT) AS sum_f,
+         CAST(sum(f_ppm * f_ppm) AS BIGINT) AS sum_f2
+  FROM cells GROUP BY tok
+),
+prof AS (
+  SELECT c.grp, c.tok,
+         CAST(round(1e6 * CAST(s * f_ppm - sum_f AS DOUBLE)
+              / sqrt(CAST(s * sum_f2 - sum_f * sum_f AS DOUBLE)))
+              AS BIGINT) AS z_micro
+  FROM cells c JOIN stats st USING (tok)
+  WHERE s * sum_f2 - sum_f * sum_f > 0
+)
+SELECT a.grp AS source_a, b.grp AS source_b,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(abs(a.z_micro - b.z_micro)) // count(*) AS BIGINT)
+         AS delta_micro
+FROM prof a JOIN prof b ON a.tok = b.tok AND a.grp < b.grp
+GROUP BY a.grp, b.grp
+ORDER BY source_a, source_b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -15307,6 +15446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q282_ipf_raking": q282_ipf_raking,
         "q283_negative_sampling": q283_negative_sampling,
         "q284_luhn_summaries": q284_luhn_summaries,
+        "q285_fdr_hosts": q285_fdr_hosts,
+        "q286_burrows_delta": q286_burrows_delta,
     }
 
 
@@ -15595,4 +15736,6 @@ def oracle_sql() -> dict[str, str]:
         "q282_ipf_raking": _Q282_SQL,
         "q283_negative_sampling": _Q283_SQL,
         "q284_luhn_summaries": _Q284_SQL,
+        "q285_fdr_hosts": _Q285_SQL,
+        "q286_burrows_delta": _Q286_SQL,
     }

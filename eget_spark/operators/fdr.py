@@ -1,0 +1,158 @@
+"""Benjamini-Hochberg FDR control over per-host health tests.
+
+A crawl fleet tests MILLIONS of hosts at once — failure rate, latency
+shift, ban signals.  At alpha=0.05 a naive per-host test "discovers"
+50,000 unhealthy hosts among a million healthy ones; the classic fix is
+the Benjamini-Hochberg step-up procedure (JRSS-B 1995): sort the m
+p-values ascending, find the largest rank i with p_(i) <= alpha*i/m,
+reject exactly ranks 1..i.  This controls the expected FALSE-discovery
+fraction at alpha, which is the budget question a recrawl scheduler
+actually asks ("of the hosts I'm about to throttle, what share are
+innocent?") — the multiple-testing companion to q278's per-host Wilson
+intervals and q281's per-host SPRT.
+
+The per-host test here is the one-sided binomial z-test against a known
+SLA failure rate p0 (the q278 ledger discipline): z = (x - n*p0) /
+sqrt(n*p0*(1-p0)), upper-tail p = 1 - Phi(z).
+
+Pinned semantics (cross-engine bit-exactness):
+- p0 and alpha arrive as exact ppm integers; the z numerator
+  ``x*1e6 - n*p0_ppm`` and the BH comparison ``p_ppm*m <= i*alpha_ppm``
+  are EXACT int64 arithmetic — the step-up decision can never differ
+  between engines once p_ppm agrees;
+- the only transcendental is the normal upper tail, pinned to the
+  Abramowitz & Stegun 7.1.26 rational erfc approximation (|eps| <=
+  1.5e-7, far inside the ppm quantization) and emitted as ONE SQL
+  expression string (:func:`phi_upper_ppm_sql`) that BOTH Spark and the
+  DuckDB oracle evaluate — same text, same Horner order, same abs/exp/
+  sqrt/round primitives, so the engines cannot disagree structurally
+  (the q283 exp-in-micro-units discipline);
+- rank ties (equal p_ppm) break on the key, and the step-up rule is
+  tie-safe by construction: if a tied block passes at its deepest rank,
+  every shallower rank is rejected with it.
+
+Scale shape (100 TB): ONE map-side-combined groupBy(host) collapses the
+fetch ledger to a per-host row; everything after operates on the HOST
+table (10^6-10^7 rows at web scale).  The BH rank is a single-partition
+window over that host table — host-bounded by design, the q196 Zipf-rank
+caveat applies (swap in operators/sequence.py's range-partitioned exact
+rank if the host table outgrows one partition) — and the global cutoff
+rank k is a windowed max over the same partition (no second exchange,
+no join).  No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 1/sqrt(2), correctly rounded: both engines see the same literal, so
+# x = abs(z) * INV_SQRT2 is bit-identical given identical z.
+_INV_SQRT2 = "0.7071067811865476"
+
+# Abramowitz & Stegun 7.1.26 coefficients (Handbook of Mathematical
+# Functions, 1964): erfc(x) ~ t*(a1 + t*(a2 + t*(a3 + t*(a4 + t*a5))))
+# * exp(-x*x) with t = 1/(1 + 0.3275911*x), for x >= 0.
+_AS_P = "0.3275911"
+_AS_A = ("0.254829592", "-0.284496736", "1.421413741",
+         "-1.453152027", "1.061405429")
+
+
+def erfc_pos_sql(x_sql: str) -> str:
+    """erfc(``x_sql``) for a non-negative SQL double expression — the
+    A&S 7.1.26 Horner chain as one engine-portable SQL string."""
+    t = f"(1.0 / (1.0 + {_AS_P} * ({x_sql})))"
+    a1, a2, a3, a4, a5 = _AS_A
+    horner = (
+        f"({t} * ({a1} + {t} * ({a2} + {t} * ({a3} + {t} * "
+        f"({a4} + {t} * {a5})))))"
+    )
+    return f"({horner} * exp(-(({x_sql}) * ({x_sql}))))"
+
+
+def phi_upper_ppm_sql(z_sql: str) -> str:
+    """Upper-tail normal p-value of the SQL double expression ``z_sql``
+    in exact ppm int64: round(1e6 * (1 - Phi(z))).
+
+    p = 0.5*erfc(|z|/sqrt(2)) for z >= 0, else 1 - that (symmetry); the
+    same string evaluates in Spark SQL and DuckDB.
+    """
+    e = erfc_pos_sql(f"(abs({z_sql}) * {_INV_SQRT2})")
+    tail = f"(0.5 * {e})"
+    p = f"(CASE WHEN ({z_sql}) >= 0.0 THEN {tail} ELSE 1.0 - {tail} END)"
+    return f"CAST(round(1e6 * {p}) AS BIGINT)"
+
+
+def failure_z_sql(n_sql: str, fails_sql: str, p0_ppm: int) -> str:
+    """One-sided binomial z against rate ``p0_ppm``/1e6, as one SQL
+    double expression over exact int64 ``n`` and ``fails`` columns:
+    the numerator 1e6*(x - n*p0) is EXACT int64; the denominator is
+    1e6*sqrt(n*p0*(1-p0)) formed as sqrt(n * [p0_ppm*(1e6-p0_ppm)])
+    with the bracket a compile-time exact integer."""
+    p0 = int(p0_ppm)
+    if not 0 < p0 < 1_000_000:
+        raise ValueError("p0_ppm must be in (0, 1e6)")
+    var_scale = p0 * (1_000_000 - p0)  # <= 2.5e11, exact
+    num = f"CAST(({fails_sql}) * 1000000 - ({n_sql}) * {p0} AS DOUBLE)"
+    den = f"sqrt(CAST(({n_sql}) AS DOUBLE) * {var_scale})"
+    return f"({num} / {den})"
+
+
+def bh_fdr(
+    pvals: DataFrame,
+    key_col: str = "key",
+    p_col: str = "p_ppm",
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up over a (key, p_ppm) table: adds
+    ``rnk`` (1-based ascending-p rank, key tie-break), and ``discovery``
+    (true for ranks <= the largest i with p_(i)*m <= i*alpha_ppm).
+    All comparisons exact int64."""
+    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    ranked = pvals.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count("*").over(
+            Window.partitionBy()
+        ).cast("long").alias("_m"),
+    )
+    passing = F.when(
+        F.col(p_col) * F.col("_m")
+        <= F.col("rnk") * F.lit(int(alpha_ppm)).cast("long"),
+        F.col("rnk"),
+    ).otherwise(F.lit(0).cast("long"))
+    cut = ranked.select(
+        "*",
+        F.max(passing).over(Window.partitionBy()).alias("_k"),
+    )
+    return cut.select(
+        *[c for c in pvals.columns],
+        "rnk",
+        (F.col("rnk") <= F.col("_k")).alias("discovery"),
+    )
+
+
+def host_failure_fdr(
+    ledger: DataFrame,
+    key_col: str = "host",
+    fail_col: str = "fail",
+    p0_ppm: int = 30_000,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Per-host one-sided failure-rate z-test vs the SLA rate p0, then
+    BH step-up at ``alpha_ppm``: (key, n, fails, z, p_ppm, rnk,
+    discovery) ordered by rnk — the hosts a scheduler may throttle
+    while keeping the expected innocent fraction under alpha."""
+    per = ledger.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(fail_col).cast("long")).cast("long").alias("fails"),
+    )
+    z_sql = failure_z_sql("n", "fails", p0_ppm)
+    scored = per.select(
+        "key",
+        "n",
+        "fails",
+        F.expr(f"round({z_sql}, 6)").alias("z"),
+        F.expr(phi_upper_ppm_sql(z_sql)).alias("p_ppm"),
+    )
+    return bh_fdr(scored, "key", "p_ppm", alpha_ppm).orderBy("rnk")

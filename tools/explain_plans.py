@@ -2477,6 +2477,23 @@ def main() -> None:
     checks.append(("luhn: map-side partial agg", "partial_count" in p_lu))
     checks.append(("luhn: no Python", "EvalPython" not in p_lu))
 
+    # 213. BH-FDR hosts (q285): ledger collapses via ONE map-side
+    # partial agg to the host table; the rank/cutoff windows run over
+    # that host-bounded table only (documented single-partition caveat);
+    # p-values are pure SQL expressions — no joins, no Python
+    p_fdr = plan_of(entry.q285_fdr_hosts(spark, SF))
+    checks.append(("fdr: map-side partial agg", "partial_count" in p_fdr))
+    checks.append(("fdr: no joins", "Join" not in p_fdr))
+    checks.append(("fdr: no Python", "EvalPython" not in p_fdr))
+
+    # 214. Burrows' Delta (q286): token rollup map-side combined; the
+    # panel/stats sides broadcast (grid cross is broadcast-class by
+    # design); no Python
+    p_bd = plan_of(entry.q286_burrows_delta(spark, SF))
+    checks.append(("burrows: map-side partial agg", "partial_count" in p_bd))
+    checks.append(("burrows: broadcast panel joins", "BroadcastHashJoin" in p_bd))
+    checks.append(("burrows: no Python", "EvalPython" not in p_bd))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
