@@ -15155,6 +15155,77 @@ ORDER BY source_a, source_b
 """
 
 
+def q287_latency_mwu(spark, sf_dir):
+    """Two-sample Mann-Whitney U / Wilcoxon rank-sum test
+    (operators/drift.mann_whitney_u — Mann & Whitney 1947, tie-corrected
+    normal approximation per Lehmann 1975): the q254 latency population,
+    stepped vs clean cohorts — the RANK test beside q276's KS distance
+    on the SAME ledger (KS: "different anywhere"; MWU: "stochastically
+    slower"), with the U/(n_a*n_b) effect size that is exactly q265's
+    AUC identity; doubled midranks and tie masses exact int64, z/p via
+    the pinned shared-text expression and A&S erfc ppm tail.
+    (n_a, n_b, u_a_x2, t3t, z, p_ppm, auc_ppm)."""
+    from eget_spark.operators.drift import mann_whitney_u
+
+    docs = _t(spark, sf_dir, "documents")
+    series = docs.select(
+        F.expr(_Q276_GROUP).alias("cohort"),
+        F.expr(_Q254_VALUE).cast("long").alias("value"),
+    )
+    return mann_whitney_u(series, "cohort", "value", "stepped", "clean")
+
+
+def _q287_sql() -> str:
+    from eget_spark.operators.drift import mwu_z_sql
+    from eget_spark.operators.fdr import p_two_sided_ppm_sql
+
+    z = mwu_z_sql()
+    guard = "nn * (nn - 1) * (nn + 1) - t3t > 0"
+    return rf"""
+WITH series AS (
+  SELECT {_Q276_GROUP} AS cohort,
+         CAST({_Q254_VALUE.replace("DIV", "//")} AS BIGINT) AS value
+  FROM documents
+),
+tagged AS (
+  SELECT value, CASE WHEN cohort = 'stepped' THEN 1 ELSE 0 END AS is_a
+  FROM series
+),
+seq AS (
+  SELECT value, is_a, row_number() OVER (ORDER BY value) AS r
+  FROM tagged
+),
+grp AS (
+  SELECT value, CAST(min(r) AS BIGINT) AS rmin,
+         CAST(count(*) AS BIGINT) AS ties,
+         CAST(sum(is_a) AS BIGINT) AS cnt_a
+  FROM seq GROUP BY value
+),
+agg AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+         CAST(sum(ties) - sum(cnt_a) AS BIGINT) AS n_b,
+         CAST(sum(ties) AS BIGINT) AS nn,
+         CAST(sum(cnt_a * (2 * rmin + ties - 1)) AS BIGINT) AS ra_x2,
+         CAST(sum(ties * ties * ties - ties) AS BIGINT) AS t3t
+  FROM grp
+),
+fin AS (
+  SELECT n_a, n_b, nn,
+         CAST(ra_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2, t3t
+  FROM agg
+)
+SELECT n_a, n_b, u_a_x2, t3t,
+       CASE WHEN {guard} THEN round({z}, 6) END AS z,
+       CASE WHEN {guard} THEN {p_two_sided_ppm_sql(z)} END AS p_ppm,
+       CAST(u_a_x2 * CAST(500000 AS BIGINT) // (n_a * n_b) AS BIGINT)
+         AS auc_ppm
+FROM fin
+"""
+
+
+_Q287_SQL = _q287_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -15448,6 +15519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q284_luhn_summaries": q284_luhn_summaries,
         "q285_fdr_hosts": q285_fdr_hosts,
         "q286_burrows_delta": q286_burrows_delta,
+        "q287_latency_mwu": q287_latency_mwu,
     }
 
 
@@ -15738,4 +15810,5 @@ def oracle_sql() -> dict[str, str]:
         "q284_luhn_summaries": _Q284_SQL,
         "q285_fdr_hosts": _Q285_SQL,
         "q286_burrows_delta": _Q286_SQL,
+        "q287_latency_mwu": _Q287_SQL,
     }

@@ -543,3 +543,106 @@ def sprt_decisions(
         "key", "n", "llr_final_micro", "first_up_ts", "first_dn_ts",
         decision.alias("decision"),
     ).orderBy("key")
+
+
+def mwu_z_sql() -> str:
+    """The Mann-Whitney normal-approximation z as ONE engine-portable
+    SQL expression over exact int64 columns (n_a, n_b, nn, u_a_x2,
+    t3t): z = (U_a - n_a*n_b/2) / sigma with the tie-corrected
+    variance sigma^2 = n_a*n_b * [nn^3 - nn - sum(t^3 - t)] /
+    (12*nn*(nn-1)) (Mann & Whitney 1947; tie correction per Lehmann,
+    "Nonparametrics" 1975).  The numerator u_a_x2 - n_a*n_b is exact
+    int64 (U doubled); the variance bracket nn*(nn-1)*(nn+1) - t3t is
+    exact int64 up to nn ~ 2e6 (the caller's envelope — subsample
+    larger cohorts); the full expression text is shared with the
+    DuckDB oracle, so the engines evaluate identical IEEE chains."""
+    return (
+        "(CAST(u_a_x2 - n_a * n_b AS DOUBLE) / (2.0 * sqrt("
+        "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        " * CAST(nn * (nn - 1) * (nn + 1) - t3t AS DOUBLE)"
+        " / (12.0 * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))))"
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test between the
+    ``group_a`` and ``group_b`` cohorts of an integer-valued ledger —
+    the RANK companion to ks_two_sample (KS asks "are the
+    distributions different anywhere"; MWU asks "does one cohort
+    stochastically dominate", which is the recrawl question "did this
+    host get slower").  U doubles as the effect size: U/(n_a*n_b) is
+    the probability a random a-value exceeds a random b-value — the
+    same AUC identity evalmetrics.roc_auc_ap uses, so ``auc_ppm`` here
+    and q265's AUC are the one statistic seen from two sides.
+
+    Pinned semantics: integer values (caller casts); combined midranks
+    DOUBLED to stay exact int64 (midrank_x2 = 2*rmin + ties - 1 per
+    value group, rmin from the range-partitioned global sequence —
+    never a SinglePartition window); U_a doubled:
+    ``u_a_x2 = sum(cnt_a * midrank_x2) - n_a*(n_a+1)``; tie masses
+    ``t3t = sum(ties^3 - ties)`` exact; z from :func:`mwu_z_sql` (no
+    continuity correction — part of the pin); two-sided p in ppm via
+    the fdr module's pinned A&S erfc.  Output one row:
+    (n_a, n_b, u_a_x2, t3t, z, p_ppm, auc_ppm).
+
+    Scale shape (100 TB): one range exchange for the global sequence,
+    one map-side-combined groupBy(value) — the value table is
+    cardinality-bounded — then a single-row agg.  No joins, no windows,
+    no Python."""
+    from eget_spark.operators.fdr import p_two_sided_ppm_sql
+    from eget_spark.operators.sequence import with_global_seq
+
+    base = df.where(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(value_col).cast("long").alias("value"),
+        (F.col(group_col) == F.lit(group_a)).cast("long").alias("is_a"),
+    )
+    res = with_global_seq(base, ["value"], start=1, seq_col="_r")
+    groups = res.df.groupBy("value").agg(
+        F.min("_r").cast("long").alias("rmin"),
+        F.count("*").cast("long").alias("ties"),
+        F.sum("is_a").cast("long").alias("cnt_a"),
+    )
+    agg = groups.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        (F.sum("ties") - F.sum("cnt_a")).cast("long").alias("n_b"),
+        F.sum("ties").cast("long").alias("nn"),
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("rmin") + F.col("ties") - 1)
+        ).cast("long").alias("ra_x2"),
+        F.sum(
+            F.col("ties") * F.col("ties") * F.col("ties") - F.col("ties")
+        ).cast("long").alias("t3t"),
+    ).localCheckpoint()
+    res.unpersist()
+    z = mwu_z_sql()
+    # zero tie-corrected variance (every value identical) has no defined
+    # z: emit NULL rather than divide by zero (ANSI mode) — the guard is
+    # part of the pin and mirrored in oracle SQL
+    guard = "nn * (nn - 1) * (nn + 1) - t3t > 0"
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr("ra_x2 - n_a * (n_a + 1)").cast("long").alias("u_a_x2"),
+        "t3t",
+        "nn",
+    ).select(
+        "n_a",
+        "n_b",
+        "u_a_x2",
+        "t3t",
+        F.expr(f"CASE WHEN {guard} THEN round({z}, 6) END").alias("z"),
+        F.expr(
+            f"CASE WHEN {guard} THEN {p_two_sided_ppm_sql(z)} END"
+        ).alias("p_ppm"),
+        F.expr(
+            "u_a_x2 * CAST(500000 AS BIGINT) DIV (n_a * n_b)"
+        ).cast("long").alias("auc_ppm"),
+    )

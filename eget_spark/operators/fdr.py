@@ -83,6 +83,14 @@ def phi_upper_ppm_sql(z_sql: str) -> str:
     return f"CAST(round(1e6 * {p}) AS BIGINT)"
 
 
+def p_two_sided_ppm_sql(z_sql: str) -> str:
+    """Two-sided normal p-value of ``z_sql`` in exact ppm int64:
+    p = erfc(|z|/sqrt(2)) — same engine-portable single-expression
+    discipline as :func:`phi_upper_ppm_sql`."""
+    e = erfc_pos_sql(f"(abs({z_sql}) * {_INV_SQRT2})")
+    return f"CAST(round(1e6 * {e}) AS BIGINT)"
+
+
 def failure_z_sql(n_sql: str, fails_sql: str, p0_ppm: int) -> str:
     """One-sided binomial z against rate ``p0_ppm``/1e6, as one SQL
     double expression over exact int64 ``n`` and ``fails`` columns:

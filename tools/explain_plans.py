@@ -2494,6 +2494,15 @@ def main() -> None:
     checks.append(("burrows: broadcast panel joins", "BroadcastHashJoin" in p_bd))
     checks.append(("burrows: no Python", "EvalPython" not in p_bd))
 
+    # 215. Mann-Whitney U (q287): rank machinery behind a checkpointed
+    # single-row agg (the global sequence runs in the checkpoint
+    # stages, range-partitioned — evalmetrics discipline); the visible
+    # plan is pure projection over ExistingRDD — no Python, no joins
+    p_mwu = plan_of(entry.q287_latency_mwu(spark, SF))
+    checks.append(("mwu: checkpointed rank agg", "ExistingRDD" in p_mwu))
+    checks.append(("mwu: no joins", "Join" not in p_mwu))
+    checks.append(("mwu: no Python", "EvalPython" not in p_mwu))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
