@@ -15226,6 +15226,145 @@ FROM fin
 _Q287_SQL = _q287_sql()
 
 
+# Pinned page-lifetime ledger for q288: durations 1..30 rounds, ~30%
+# right-censored (page still unchanged when observation ended).
+_Q288_DUR = "1 + (doc_id * 2654435761) % 30"
+_Q288_EVT = "CASE WHEN (doc_id * 1099087573) % 10 < 3 THEN 0 ELSE 1 END"
+
+
+def q288_page_survival(spark, sf_dir):
+    """Kaplan-Meier page-lifetime survival curves per source
+    (operators/survival.kaplan_meier — Kaplan & Meier JASA 1958): the
+    nonparametric product-limit estimate of P(page unchanged > t
+    rounds) under right-censoring — the assumption CHECK for q243's
+    exponential-lifetime refresh policies and q187's Poisson rates
+    (censored pages contribute risk but no event; dropping them biases
+    lifetimes short and over-crawls).  Log-factors quantized to exact
+    micro before the running sum, survival via the pinned exp/ln pair.
+    (grp, t, n_risk, d_events, c_censored, s_ppm)."""
+    from eget_spark.operators.survival import kaplan_meier
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.select(
+        F.col("source"),
+        F.expr(_Q288_DUR).cast("long").alias("duration"),
+        F.expr(_Q288_EVT).cast("long").alias("event"),
+    )
+    return kaplan_meier(ledger, "source", "duration", "event")
+
+
+_Q288_SQL = rf"""
+WITH ledger AS (
+  SELECT source AS grp,
+         CAST({_Q288_DUR} AS BIGINT) AS t,
+         CAST({_Q288_EVT} AS BIGINT) AS e
+  FROM documents
+),
+per_t AS (
+  SELECT grp, t, CAST(sum(e) AS BIGINT) AS d_events,
+         CAST(count(*) - sum(e) AS BIGINT) AS c_censored,
+         CAST(count(*) AS BIGINT) AS n_at_t
+  FROM ledger GROUP BY grp, t
+),
+at_risk AS (
+  SELECT grp, t, d_events, c_censored,
+         CAST(sum(n_at_t) OVER (PARTITION BY grp)
+              - sum(n_at_t) OVER (PARTITION BY grp ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + n_at_t AS BIGINT) AS n_risk
+  FROM per_t
+),
+lnf AS (
+  SELECT *,
+         CASE WHEN d_events = 0 THEN CAST(0 AS BIGINT)
+              WHEN n_risk > d_events THEN
+                CAST(round(1e6 * ln(CAST(n_risk - d_events AS DOUBLE)
+                     / CAST(n_risk AS DOUBLE))) AS BIGINT)
+         END AS lnf_micro
+  FROM at_risk
+),
+stepped AS (
+  SELECT grp, t, n_risk, d_events, c_censored,
+         max(CASE WHEN lnf_micro IS NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dead,
+         sum(coalesce(lnf_micro, 0))
+           OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM lnf
+)
+SELECT grp, t, n_risk, d_events, c_censored,
+       CASE WHEN dead = 1 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(1e6 * exp(CAST(cum AS DOUBLE) / 1e6))
+                 AS BIGINT) END AS s_ppm
+FROM stepped ORDER BY grp, t
+"""
+
+
+def q289_rate_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-host success
+    rates (operators/shrinkage.beta_binomial_shrink — Efron & Morris
+    JASA 1975): the q278 Wilson ledger re-estimated by pooling the
+    fleet — a Beta prior moment-matched to the observed rate spread,
+    each host reported at its posterior mean, so small-n extremes
+    (3/3, 0/4) stop outranking well-measured hosts; the estimator a
+    recrawl scheduler should rank by, beside q278's intervals and
+    q285's discoveries.  (key, n, successes, raw_ppm, shrunk_ppm,
+    prior_alpha_micro, prior_beta_micro)."""
+    from eget_spark.operators.shrinkage import beta_binomial_shrink
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.select(
+        F.expr("concat('h', CAST(doc_id % 30 AS STRING))").alias("host"),
+        F.expr(
+            "CAST(CASE WHEN (doc_id * 2654435761) % 100"
+            " < 50 + doc_id % 30 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("success"),
+    )
+    return beta_binomial_shrink(ledger, "host", "success")
+
+
+def _q289_sql() -> str:
+    from eget_spark.operators.shrinkage import shrink_sql
+
+    shrunk, a_out, b_out = shrink_sql()
+    return rf"""
+WITH ledger AS (
+  SELECT concat('h', CAST(doc_id % 30 AS VARCHAR)) AS host,
+         CAST(CASE WHEN (doc_id * 2654435761) % 100
+              < 50 + doc_id % 30 THEN 1 ELSE 0 END AS BIGINT) AS success
+  FROM documents
+),
+per AS (
+  SELECT host AS key, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(success) AS BIGINT) AS successes
+  FROM ledger GROUP BY host
+),
+rated AS (
+  SELECT *, CAST(successes * 1000000 // n AS BIGINT) AS raw_ppm,
+         CAST(successes * 1000 // n AS BIGINT) AS p_milli
+  FROM per
+),
+moments AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(p_milli) AS BIGINT) AS sum_p,
+         CAST(sum(p_milli * p_milli) AS BIGINT) AS sum_p2
+  FROM rated
+)
+SELECT key, n, successes, raw_ppm,
+       {shrunk} AS shrunk_ppm,
+       {a_out} AS prior_alpha_micro,
+       {b_out} AS prior_beta_micro
+FROM rated CROSS JOIN moments
+ORDER BY key
+"""
+
+
+_Q289_SQL = _q289_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -15520,6 +15659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q285_fdr_hosts": q285_fdr_hosts,
         "q286_burrows_delta": q286_burrows_delta,
         "q287_latency_mwu": q287_latency_mwu,
+        "q288_page_survival": q288_page_survival,
+        "q289_rate_shrinkage": q289_rate_shrinkage,
     }
 
 
@@ -15811,4 +15952,6 @@ def oracle_sql() -> dict[str, str]:
         "q285_fdr_hosts": _Q285_SQL,
         "q286_burrows_delta": _Q286_SQL,
         "q287_latency_mwu": _Q287_SQL,
+        "q288_page_survival": _Q288_SQL,
+        "q289_rate_shrinkage": _Q289_SQL,
     }

@@ -2503,6 +2503,24 @@ def main() -> None:
     checks.append(("mwu: no joins", "Join" not in p_mwu))
     checks.append(("mwu: no Python", "EvalPython" not in p_mwu))
 
+    # 216. Kaplan-Meier survival (q288): ledger collapses to the
+    # (group, time) table via map-side partial agg; at-risk counts and
+    # the log-space product are windows per group; no joins, no Python
+    p_km = plan_of(entry.q288_page_survival(spark, SF))
+    checks.append(("km: map-side partial agg", "partial_count" in p_km))
+    checks.append(("km: per-group windows", _nodes(p_km, "Window") >= 1))
+    checks.append(("km: no joins", "Join" not in p_km))
+    checks.append(("km: no Python", "EvalPython" not in p_km))
+
+    # 217. beta-binomial shrinkage (q289): ledger collapses via
+    # map-side partial agg; the prior fit is a 1-row broadcast cross;
+    # scoring a pure projection — no windows, no Python
+    p_shr = plan_of(entry.q289_rate_shrinkage(spark, SF))
+    checks.append(("shrink: map-side partial agg", "partial_count" in p_shr))
+    checks.append(("shrink: broadcast prior", "BroadcastNestedLoopJoin" in p_shr or "BroadcastHashJoin" in p_shr))
+    checks.append(("shrink: no window", _nodes(p_shr, "Window") == 0))
+    checks.append(("shrink: no Python", "EvalPython" not in p_shr))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
