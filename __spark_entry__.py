@@ -15365,6 +15365,211 @@ ORDER BY key
 _Q289_SQL = _q289_sql()
 
 
+# Pinned lifetime for q290: the q276 'stepped' cohort lives on a 1..12
+# clock, the 'clean' cohort on 1..30 — a real lifetime gap for the
+# log-rank test to find; censoring reuses the q288 flag.
+_Q290_DUR = (
+    "1 + (doc_id * 2654435761) % "
+    "(CASE WHEN (doc_id % 25) % 5 = 0 THEN 12 ELSE 30 END)"
+)
+
+
+def q290_lifetime_logrank(spark, sf_dir):
+    """Two-sample log-rank (Mantel-Cox) test on page lifetimes
+    (operators/survival.log_rank — Mantel 1966): the q276 stepped vs
+    clean cohorts given genuinely different lifetime clocks, tested
+    under the same right-censoring as q288 — the hypothesis-test
+    companion to q288's KM curves ("do these two host tiers need
+    different refresh schedules?"); per-event-time O-E and
+    hypergeometric variance quantized to exact micro before the sums,
+    z/p via the pinned A&S erfc.
+    (n_a, n_b, n_times, sum_oe_micro, sum_v_micro, z, p_ppm)."""
+    from eget_spark.operators.survival import log_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.select(
+        F.expr(_Q276_GROUP).alias("cohort"),
+        F.expr(_Q290_DUR).cast("long").alias("duration"),
+        F.expr(_Q288_EVT).cast("long").alias("event"),
+    )
+    return log_rank(
+        ledger, "cohort", "duration", "event", "stepped", "clean"
+    )
+
+
+def _q290_sql() -> str:
+    from eget_spark.operators.fdr import p_two_sided_ppm_sql
+
+    z = (
+        "(CAST(sum_oe_micro AS DOUBLE)"
+        " / (1000.0 * sqrt(CAST(sum_v_micro AS DOUBLE))))"
+    )
+    return rf"""
+WITH ledger AS (
+  SELECT CASE WHEN {_Q276_GROUP} = 'stepped' THEN 1 ELSE 0 END AS is_a,
+         CAST({_Q290_DUR} AS BIGINT) AS t,
+         CAST({_Q288_EVT} AS BIGINT) AS e
+  FROM documents
+),
+per_t AS (
+  SELECT t, CAST(sum(is_a * e) AS BIGINT) AS d_a,
+         CAST(sum(e) AS BIGINT) AS d,
+         CAST(sum(is_a) AS BIGINT) AS m_a,
+         CAST(count(*) AS BIGINT) AS m
+  FROM ledger GROUP BY t
+),
+risk AS (
+  SELECT t, d_a, d,
+         CAST(sum(m_a) OVER ()
+              - sum(m_a) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) + m_a AS BIGINT) AS n_a_t,
+         CAST(sum(m) OVER ()
+              - sum(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) + m AS BIGINT) AS n_t,
+         CAST(sum(m_a) OVER () AS BIGINT) AS tot_a,
+         CAST(sum(m) OVER () AS BIGINT) AS tot
+  FROM per_t
+),
+contrib AS (
+  SELECT tot_a, tot,
+         CASE WHEN d > 0 AND n_t > 1 THEN CAST(round(1e6 * (
+           CAST(d_a AS DOUBLE) - CAST(d AS DOUBLE)
+           * CAST(n_a_t AS DOUBLE) / CAST(n_t AS DOUBLE))) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS oe_micro,
+         CASE WHEN d > 0 AND n_t > 1 THEN CAST(round(1e6 * (
+           CAST(d AS DOUBLE) * (CAST(n_a_t AS DOUBLE)
+           / CAST(n_t AS DOUBLE)) * (1.0 - CAST(n_a_t AS DOUBLE)
+           / CAST(n_t AS DOUBLE)) * CAST(n_t - d AS DOUBLE)
+           / CAST(n_t - 1 AS DOUBLE))) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS v_micro,
+         CASE WHEN d > 0 AND n_t > 1 THEN 1 ELSE 0 END AS counted
+  FROM risk
+),
+agg AS (
+  SELECT tot_a, tot, CAST(sum(counted) AS BIGINT) AS n_times,
+         CAST(sum(oe_micro) AS BIGINT) AS sum_oe_micro,
+         CAST(sum(v_micro) AS BIGINT) AS sum_v_micro
+  FROM contrib GROUP BY tot_a, tot
+)
+SELECT CAST(tot_a AS BIGINT) AS n_a,
+       CAST(tot - tot_a AS BIGINT) AS n_b,
+       n_times, sum_oe_micro, sum_v_micro,
+       CASE WHEN sum_v_micro > 0 THEN round({z}, 6) END AS z,
+       CASE WHEN sum_v_micro > 0 THEN {p_two_sided_ppm_sql(z)} END
+         AS p_ppm
+FROM agg
+"""
+
+
+_Q290_SQL = _q290_sql()
+
+
+# Pinned q291 ledger with a built-in Simpson structure: fleet A wins
+# +6 pts inside EVERY tier, but A's allocation share rises with tier
+# hardness (2+tier out of 10), so pooled raw rates flatter fleet B.
+_Q291_FLEET = (
+    "CASE WHEN (doc_id * 1099087573) % 10 < 2 + doc_id % 5 "
+    "THEN 'A' ELSE 'B' END"
+)
+_Q291_OUT = (
+    "CASE WHEN (doc_id * 2654435761) % 100 < 75 - 12 * (doc_id % 5)"
+    " + (CASE WHEN (doc_id * 1099087573) % 10 < 2 + doc_id % 5"
+    " THEN 6 ELSE 0 END) THEN 1 ELSE 0 END"
+)
+
+
+def q291_fleet_mh(spark, sf_dir):
+    """Mantel-Haenszel pooled fleet comparison across host tiers
+    (operators/stratified.mantel_haenszel — Mantel & Haenszel JNCI
+    1959): fleet A beats B inside every tier but draws the hard hosts,
+    so pooled raw rates reverse (Simpson's paradox); MH pools the
+    within-tier 2x2 tables and surfaces A's true advantage with the
+    CMH z — the stratified companion to q272's single-table G-test.
+    Per-stratum terms quantized to exact micro before the sums; OR and
+    z one pinned division each.  (n_strata, sum_r_micro, sum_s_micro,
+    or_mh, sum_oe_micro, sum_v_micro, z, p_ppm)."""
+    from eget_spark.operators.stratified import mantel_haenszel
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.select(
+        F.expr("concat('t', CAST(doc_id % 5 AS STRING))").alias("tier"),
+        F.expr(_Q291_FLEET).alias("fleet"),
+        F.expr(_Q291_OUT).cast("long").alias("outcome"),
+    )
+    return mantel_haenszel(ledger, "tier", "fleet", "outcome", "A", "B")
+
+
+def _q291_sql() -> str:
+    from eget_spark.operators.fdr import p_two_sided_ppm_sql
+
+    z = (
+        "(CAST(sum_oe_micro AS DOUBLE)"
+        " / (1000.0 * sqrt(CAST(sum_v_micro AS DOUBLE))))"
+    )
+    return rf"""
+WITH ledger AS (
+  SELECT concat('t', CAST(doc_id % 5 AS VARCHAR)) AS stratum,
+         CASE WHEN {_Q291_FLEET} = 'A' THEN 1 ELSE 0 END AS is_a,
+         CAST({_Q291_OUT} AS BIGINT) AS y
+  FROM documents
+),
+cells AS (
+  SELECT stratum,
+         CAST(sum(is_a * y) AS BIGINT) AS a,
+         CAST(sum(is_a * (1 - y)) AS BIGINT) AS b,
+         CAST(sum((1 - is_a) * y) AS BIGINT) AS c,
+         CAST(sum((1 - is_a) * (1 - y)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ledger GROUP BY stratum
+),
+contrib AS (
+  SELECT
+    CASE WHEN n > 1 AND a + b > 0 AND c + d > 0 THEN 1 ELSE 0 END
+      AS counted,
+    CASE WHEN n > 1 AND a + b > 0 AND c + d > 0 THEN
+      CAST(round(1e6 * CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           / CAST(n AS DOUBLE)) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS r_micro,
+    CASE WHEN n > 1 AND a + b > 0 AND c + d > 0 THEN
+      CAST(round(1e6 * CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+           / CAST(n AS DOUBLE)) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS s_micro,
+    CASE WHEN n > 1 AND a + b > 0 AND c + d > 0 THEN
+      CAST(round(1e6 * (CAST(a AS DOUBLE)
+           - CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+           / CAST(n AS DOUBLE))) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS oe_micro,
+    CASE WHEN n > 1 AND a + b > 0 AND c + d > 0 THEN
+      CAST(round(1e6 * (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+           * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           * CAST(n - 1 AS DOUBLE)))) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS v_micro
+  FROM cells
+),
+agg AS (
+  SELECT CAST(sum(counted) AS BIGINT) AS n_strata,
+         CAST(sum(r_micro) AS BIGINT) AS sum_r_micro,
+         CAST(sum(s_micro) AS BIGINT) AS sum_s_micro,
+         CAST(sum(oe_micro) AS BIGINT) AS sum_oe_micro,
+         CAST(sum(v_micro) AS BIGINT) AS sum_v_micro
+  FROM contrib
+)
+SELECT n_strata, sum_r_micro, sum_s_micro,
+       CASE WHEN sum_s_micro > 0 THEN
+         round(CAST(sum_r_micro AS DOUBLE)
+               / CAST(sum_s_micro AS DOUBLE), 6) END AS or_mh,
+       sum_oe_micro, sum_v_micro,
+       CASE WHEN sum_v_micro > 0 THEN round({z}, 6) END AS z,
+       CASE WHEN sum_v_micro > 0 THEN {p_two_sided_ppm_sql(z)} END
+         AS p_ppm
+FROM agg
+"""
+
+
+_Q291_SQL = _q291_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -15661,6 +15866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q287_latency_mwu": q287_latency_mwu,
         "q288_page_survival": q288_page_survival,
         "q289_rate_shrinkage": q289_rate_shrinkage,
+        "q290_lifetime_logrank": q290_lifetime_logrank,
+        "q291_fleet_mh": q291_fleet_mh,
     }
 
 
@@ -15954,4 +16161,6 @@ def oracle_sql() -> dict[str, str]:
         "q287_latency_mwu": _Q287_SQL,
         "q288_page_survival": _Q288_SQL,
         "q289_rate_shrinkage": _Q289_SQL,
+        "q290_lifetime_logrank": _Q290_SQL,
+        "q291_fleet_mh": _Q291_SQL,
     }

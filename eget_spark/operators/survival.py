@@ -130,3 +130,121 @@ def kaplan_meier(
             "AS BIGINT) END"
         ).alias("s_ppm"),
     ).orderBy("grp", "t")
+
+
+def log_rank(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test: are the ``group_a`` and
+    ``group_b`` lifetime distributions different?  (Mantel 1966; Peto &
+    Peto JRSS-A 1972.)  The hypothesis-test companion to
+    :func:`kaplan_meier` — KM draws the two curves, log-rank says
+    whether the gap is noise, which is the decision "do these two host
+    tiers need different refresh schedules".
+
+    At each pooled event time: observed-minus-expected
+    ``d_a - d * n_a/n`` and the hypergeometric variance
+    ``d * (n_a/n) * (1 - n_a/n) * (n - d)/(n - 1)``;
+    z = sum(O-E) / sqrt(sum(V)), two-sided p via the pinned A&S erfc.
+
+    Pinned semantics: per-event-time contributions are quantized to
+    exact MICRO int64 (``oe_micro``, ``v_micro`` — single pinned double
+    chains over exact at-risk/event counts) BEFORE the cross-time sums,
+    so the totals are exact integers under any partitioning (the
+    corpus_stats discipline); times with n <= 1 or d = 0 contribute
+    nothing (the standard convention); z =
+    ``sum_oe / (1000 * sqrt(sum_v))`` (micro units cancel), NULL when
+    the variance sum is zero.  Output one row:
+    (n_a, n_b, n_times, sum_oe_micro, sum_v_micro, z, p_ppm).
+
+    Scale shape (100 TB): the ledger collapses to the pooled EVENT-TIME
+    table (observation-window-bounded) via one map-side-combined
+    groupBy; the at-risk windows run over that bounded table (single
+    ordered partition by design — swap in the sequence module's
+    range-partitioned prefix sums if the time axis outgrows one
+    partition); one single-row agg.  No joins, no Python.
+    """
+    from eget_spark.operators.fdr import p_two_sided_ppm_sql
+
+    base = df.where(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).cast("long").alias("is_a"),
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("long").alias("e"),
+    )
+    per_t = base.groupBy("t").agg(
+        F.sum(F.col("is_a") * F.col("e")).cast("long").alias("d_a"),
+        F.sum("e").cast("long").alias("d"),
+        F.sum("is_a").cast("long").alias("m_a"),
+        F.count("*").cast("long").alias("m"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t",
+        "d_a",
+        "d",
+        (
+            F.sum("m_a").over(w_all) - F.sum("m_a").over(w_cum)
+            + F.col("m_a")
+        ).cast("long").alias("n_a_t"),
+        (
+            F.sum("m").over(w_all) - F.sum("m").over(w_cum) + F.col("m")
+        ).cast("long").alias("n_t"),
+        F.sum("m_a").over(w_all).cast("long").alias("tot_a"),
+        F.sum("m").over(w_all).cast("long").alias("tot"),
+    )
+    contrib = risk.select(
+        "tot_a",
+        "tot",
+        F.expr(
+            "CASE WHEN d > 0 AND n_t > 1 THEN CAST(round(1e6 * "
+            "(CAST(d_a AS DOUBLE) - CAST(d AS DOUBLE) "
+            "* CAST(n_a_t AS DOUBLE) / CAST(n_t AS DOUBLE))) AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("oe_micro"),
+        F.expr(
+            "CASE WHEN d > 0 AND n_t > 1 THEN CAST(round(1e6 * "
+            "(CAST(d AS DOUBLE) * (CAST(n_a_t AS DOUBLE) "
+            "/ CAST(n_t AS DOUBLE)) * (1.0 - CAST(n_a_t AS DOUBLE) "
+            "/ CAST(n_t AS DOUBLE)) * CAST(n_t - d AS DOUBLE) "
+            "/ CAST(n_t - 1 AS DOUBLE))) AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("v_micro"),
+        F.expr(
+            "CASE WHEN d > 0 AND n_t > 1 THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("counted"),
+    )
+    agg = contrib.groupBy("tot_a", "tot").agg(
+        F.sum("counted").cast("long").alias("n_times"),
+        F.sum("oe_micro").cast("long").alias("sum_oe_micro"),
+        F.sum("v_micro").cast("long").alias("sum_v_micro"),
+    )
+    z = (
+        "(CAST(sum_oe_micro AS DOUBLE)"
+        " / (1000.0 * sqrt(CAST(sum_v_micro AS DOUBLE))))"
+    )
+    return agg.select(
+        F.col("tot_a").alias("n_a"),
+        (F.col("tot") - F.col("tot_a")).cast("long").alias("n_b"),
+        "n_times",
+        "sum_oe_micro",
+        "sum_v_micro",
+        F.expr(
+            f"CASE WHEN sum_v_micro > 0 THEN round({z}, 6) END"
+        ).alias("z"),
+        F.expr(
+            f"CASE WHEN sum_v_micro > 0 THEN {p_two_sided_ppm_sql(z)} END"
+        ).alias("p_ppm"),
+    )

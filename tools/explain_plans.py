@@ -2521,6 +2521,24 @@ def main() -> None:
     checks.append(("shrink: no window", _nodes(p_shr, "Window") == 0))
     checks.append(("shrink: no Python", "EvalPython" not in p_shr))
 
+    # 218. log-rank test (q290): ledger -> pooled event-time table via
+    # map-side partial agg; at-risk windows over the bounded time
+    # table; single-row agg — no joins, no Python
+    p_lr = plan_of(entry.q290_lifetime_logrank(spark, SF))
+    checks.append(("logrank: map-side partial agg", "partial_count" in p_lr))
+    checks.append(("logrank: windows over time table", _nodes(p_lr, "Window") >= 1))
+    checks.append(("logrank: no joins", "Join" not in p_lr))
+    checks.append(("logrank: no Python", "EvalPython" not in p_lr))
+
+    # 219. Mantel-Haenszel (q291): one map-side-combined groupBy to the
+    # stratum table, one single-row agg — no windows, no joins, no
+    # Python
+    p_mh = plan_of(entry.q291_fleet_mh(spark, SF))
+    checks.append(("mh: map-side partial agg", "partial_sum" in p_mh or "partial_count" in p_mh))
+    checks.append(("mh: no window", _nodes(p_mh, "Window") == 0))
+    checks.append(("mh: no joins", "Join" not in p_mh))
+    checks.append(("mh: no Python", "EvalPython" not in p_mh))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
