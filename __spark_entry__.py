@@ -15570,6 +15570,128 @@ FROM agg
 _Q291_SQL = _q291_sql()
 
 
+def q292_vocab_chao1(spark, sf_dir):
+    """Chao1 unseen-vocabulary estimate + Good-Turing coverage per
+    source (operators/corpus_stats.chao_richness — Chao 1984 bias-
+    corrected; Good 1953): turns the f1/f2 census q264 already emits
+    into an estimator of how many word types the crawl has NOT seen —
+    the lexical twin of q217's per-host frontier exhaustion (same
+    Good-Turing logic, words instead of page templates); a source
+    whose chao1_est ~ n_types is lexically exhausted.
+    (grp, n_toks, n_types, f1, f2, chao1_est, unseen_types, p0_ppm,
+    coverage_ppm)."""
+    from eget_spark.operators.corpus_stats import chao_richness
+
+    return chao_richness(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+_Q292_SQL = r"""
+WITH toks AS (
+  SELECT source AS grp,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM documents
+),
+gt AS (
+  SELECT grp, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY grp, tok
+),
+per AS (
+  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_toks,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM gt GROUP BY grp
+)
+SELECT grp, n_toks, n_types, f1, f2,
+       n_types + CAST(round(CAST(f1 * (f1 - 1) AS DOUBLE)
+                 / CAST(2 * (f2 + 1) AS DOUBLE)) AS BIGINT) AS chao1_est,
+       CAST(round(CAST(f1 * (f1 - 1) AS DOUBLE)
+            / CAST(2 * (f2 + 1) AS DOUBLE)) AS BIGINT) AS unseen_types,
+       CAST(f1 * 1000000 // n_toks AS BIGINT) AS p0_ppm,
+       CAST(1000000 - f1 * 1000000 // n_toks AS BIGINT) AS coverage_ppm
+FROM per ORDER BY grp
+"""
+
+
+# Pinned q293 ledger: three host tiers on the q254 latency clock with a
+# +4 ms/tier location shift — a k-sample difference KW must find.
+_Q293_VALUE = "100 + (doc_id * 2654435761) % 21 + 4 * (doc_id % 3)"
+
+
+def q293_tier_kruskal(spark, sf_dir):
+    """Kruskal-Wallis k-sample rank test across three host tiers
+    (operators/drift.kruskal_wallis — Kruskal & Wallis JASA 1952,
+    tie-corrected): do the tiers share one latency distribution?  The
+    one-way-ANOVA-on-ranks extension of q287's two-sample MWU; k=3 is
+    pinned at plan time, so H is ONE pinned expression over the three
+    doubled rank sums and the df=2 chi-square p uses the exact
+    closed form exp(-H/2) — no approximation anywhere.
+    (nn, t3t, m_1..m_3, r_1..r_3, h, p_ppm)."""
+    from eget_spark.operators.drift import kruskal_wallis
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.select(
+        F.expr("concat('t', CAST(doc_id % 3 AS STRING))").alias("tier"),
+        F.expr(_Q293_VALUE).cast("long").alias("value"),
+    )
+    return kruskal_wallis(ledger, "tier", "value", ["t0", "t1", "t2"])
+
+
+def _q293_sql() -> str:
+    from eget_spark.operators.drift import kw_h_sql, kw_p_sql
+
+    h = kw_h_sql(3)
+    p = kw_p_sql(h, 2)
+    return rf"""
+WITH ledger AS (
+  SELECT concat('t', CAST(doc_id % 3 AS VARCHAR)) AS tier,
+         CAST({_Q293_VALUE} AS BIGINT) AS value
+  FROM documents
+),
+tagged AS (
+  SELECT value,
+         CASE WHEN tier = 't0' THEN 1 ELSE 0 END AS g_1,
+         CASE WHEN tier = 't1' THEN 1 ELSE 0 END AS g_2,
+         CASE WHEN tier = 't2' THEN 1 ELSE 0 END AS g_3
+  FROM ledger
+),
+seq AS (
+  SELECT value, g_1, g_2, g_3,
+         row_number() OVER (ORDER BY value) AS r
+  FROM tagged
+),
+per_v AS (
+  SELECT value, CAST(min(r) AS BIGINT) AS rmin,
+         CAST(count(*) AS BIGINT) AS ties,
+         CAST(sum(g_1) AS BIGINT) AS c_1,
+         CAST(sum(g_2) AS BIGINT) AS c_2,
+         CAST(sum(g_3) AS BIGINT) AS c_3
+  FROM seq GROUP BY value
+),
+agg AS (
+  SELECT CAST(sum(ties) AS BIGINT) AS nn,
+         CAST(sum(ties * ties * ties - ties) AS BIGINT) AS t3t,
+         CAST(sum(c_1) AS BIGINT) AS m_1,
+         CAST(sum(c_2) AS BIGINT) AS m_2,
+         CAST(sum(c_3) AS BIGINT) AS m_3,
+         CAST(sum(c_1 * (2 * rmin + ties - 1)) AS BIGINT) AS r_1,
+         CAST(sum(c_2 * (2 * rmin + ties - 1)) AS BIGINT) AS r_2,
+         CAST(sum(c_3 * (2 * rmin + ties - 1)) AS BIGINT) AS r_3
+  FROM per_v
+)
+SELECT nn, t3t, m_1, m_2, m_3, r_1, r_2, r_3,
+       CASE WHEN nn > 1 AND t3t < nn * nn * nn - nn
+            THEN round({h}, 6) END AS h,
+       CASE WHEN nn > 1 AND t3t < nn * nn * nn - nn
+            THEN {p} END AS p_ppm
+FROM agg
+"""
+
+
+_Q293_SQL = _q293_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -15868,6 +15990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q289_rate_shrinkage": q289_rate_shrinkage,
         "q290_lifetime_logrank": q290_lifetime_logrank,
         "q291_fleet_mh": q291_fleet_mh,
+        "q292_vocab_chao1": q292_vocab_chao1,
+        "q293_tier_kruskal": q293_tier_kruskal,
     }
 
 
@@ -16163,4 +16287,6 @@ def oracle_sql() -> dict[str, str]:
         "q289_rate_shrinkage": _Q289_SQL,
         "q290_lifetime_logrank": _Q290_SQL,
         "q291_fleet_mh": _Q291_SQL,
+        "q292_vocab_chao1": _Q292_SQL,
+        "q293_tier_kruskal": _Q293_SQL,
     }

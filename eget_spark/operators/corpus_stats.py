@@ -357,3 +357,78 @@ def hill_tail_index(
             ),
         ).alias("alpha"),
     )
+
+
+def chao_richness(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 species-richness estimate of the UNSEEN vocabulary per
+    group (Chao, Scand. J. Statist. 1984, bias-corrected form) plus the
+    Good-Turing unseen-probability mass (Good, Biometrika 1953):
+
+        chao1 = V + f1*(f1 - 1) / (2*(f2 + 1))
+        p0    = f1 / N
+
+    where V = observed types, f1/f2 = once/twice types, N = tokens.
+    The question this answers is "how much vocabulary has this crawl
+    NOT seen yet": q217 applies Good-Turing to PAGE templates per host
+    (frontier exhaustion); this is the same logic on WORDS per source —
+    a source whose chao1 barely exceeds V is lexically exhausted (more
+    crawling buys no new vocabulary), while unseen_types >> V says keep
+    fetching.  Completes the f1/f2 census :func:`lexical_richness`
+    already emits into an actual estimator.
+
+    Pinned semantics: tokens under the engine-wide TOKEN_SPLIT pin;
+    V, f1, f2, N exact int64 (the lexical_richness rollup);
+    ``chao1_est = V + round(f1*(f1-1) / (2*(f2+1)))`` — one pinned
+    double division over exact ints, rounded to a whole type count
+    (f1^2 <= 9e18 bounds f1 at ~3e9 types per group — the
+    lexical_richness envelope note applies); ``p0_ppm = f1 * 1e6 DIV
+    N`` and ``coverage_ppm = 1e6 - p0_ppm`` exact.
+
+    Scale shape (100 TB): identical to lexical_richness — one
+    map-side-combined explode -> (group, token) count, then a groupBy
+    of that table; every downstream row set is group-sized.  No
+    windows, no joins, no Python."""
+    from eget_spark.operators.lm_score import TOKEN_SPLIT
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    gt = toks.groupBy("grp", "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    per = gt.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n_toks"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("cnt") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    return per.select(
+        F.col("grp"),
+        "n_toks",
+        "n_types",
+        "f1",
+        "f2",
+        F.expr(
+            "n_types + CAST(round(CAST(f1 * (f1 - 1) AS DOUBLE)"
+            " / CAST(2 * (f2 + 1) AS DOUBLE)) AS BIGINT)"
+        ).alias("chao1_est"),
+        F.expr(
+            "CAST(round(CAST(f1 * (f1 - 1) AS DOUBLE)"
+            " / CAST(2 * (f2 + 1) AS DOUBLE)) AS BIGINT)"
+        ).alias("unseen_types"),
+        F.expr("f1 * CAST(1000000 AS BIGINT) DIV n_toks").alias("p0_ppm"),
+        F.expr(
+            "CAST(1000000 AS BIGINT) - f1 * CAST(1000000 AS BIGINT)"
+            " DIV n_toks"
+        ).alias("coverage_ppm"),
+    ).orderBy("grp")

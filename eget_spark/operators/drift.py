@@ -646,3 +646,130 @@ def mann_whitney_u(
             "u_a_x2 * CAST(500000 AS BIGINT) DIV (n_a * n_b)"
         ).cast("long").alias("auc_ppm"),
     )
+
+
+def kw_h_sql(k: int) -> str:
+    """Tie-corrected Kruskal-Wallis H as ONE engine-portable SQL
+    expression over exact int64 columns (r_1..r_k = DOUBLED per-group
+    rank sums, m_1..m_k = group sizes, nn, t3t): with doubled ranks
+    12*(r/2)^2 = 3*r^2, so
+
+        H = [3 * sum_j r_j^2/m_j] / (nn*(nn+1)) - 3*(nn+1),
+        H' = H / (1 - t3t / (nn^3 - nn))
+
+    (Kruskal & Wallis JASA 1952).  The k-term sum is written in the
+    literal group order — the whole chain is one pinned IEEE expression
+    over exact integers, no cross-row double sums anywhere."""
+    terms = " + ".join(
+        f"(CAST(r_{j} AS DOUBLE) * CAST(r_{j} AS DOUBLE)"
+        f" / CAST(m_{j} AS DOUBLE))"
+        for j in range(1, k + 1)
+    )
+    h_raw = (
+        f"((3.0 * ({terms}))"
+        " / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))"
+        " - 3.0 * CAST(nn + 1 AS DOUBLE))"
+    )
+    corr = (
+        "(1.0 - CAST(t3t AS DOUBLE)"
+        " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)"
+        " * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))"
+    )
+    return f"({h_raw} / {corr})"
+
+
+def kw_p_sql(h_sql: str, dfree: int) -> str | None:
+    """Exact chi-square survival function for EVEN degrees of freedom
+    as a closed-form SQL expression in ppm:
+    Q(h; df) = exp(-h/2) * sum_{i<df/2} (h/2)^i / i! — the pinned
+    exp-family discipline.  Returns None for odd df (no elementary
+    closed form; callers emit NULL and document it)."""
+    if dfree < 2 or dfree % 2:
+        return None
+    half = f"(({h_sql}) / 2.0)"
+    terms = ["1.0"]
+    for i in range(1, dfree // 2):
+        import math as _math
+
+        terms.append(f"(pow({half}, {i}.0) / {float(_math.factorial(i))})")
+    series = " + ".join(terms)
+    return f"CAST(round(1e6 * exp(-{half}) * ({series})) AS BIGINT)"
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list[str],
+) -> DataFrame:
+    """k-sample Kruskal-Wallis rank test — "do these k host tiers share
+    one latency distribution?" — the one-way-ANOVA-on-ranks extension
+    of mann_whitney_u (k=2 reduces to it).  ``groups`` pins k at plan
+    time, so the H statistic is a SINGLE pinned expression over the
+    k doubled rank sums (kw_h_sql) and the chi-square p (df = k-1) uses
+    the exact even-df closed form (kw_p_sql; odd df emits NULL p —
+    documented limitation, pick an even number of tiers minus one...
+    i.e. an ODD k gives an even df and an exact p).
+
+    Pinned semantics: integer values; doubled midranks from the
+    range-partitioned global sequence (the mann_whitney_u machinery);
+    all moments exact int64 (the nn^3 envelope: cohorts beyond ~2e6
+    rows total need subsampling); H NULL when every value is tied
+    (zero tie-correction denominator) or nn < 2.  Output one row:
+    (nn, t3t, m_1..m_k, r_1..r_k, h, p_ppm).
+
+    Scale shape: identical to mann_whitney_u — one range exchange, one
+    map-side-combined groupBy(value), one single-row agg.  No joins,
+    no windows over data-sized frames, no Python."""
+    from eget_spark.operators.sequence import with_global_seq
+
+    k = len(groups)
+    if k < 2:
+        raise ValueError("kruskal_wallis needs >= 2 groups")
+    base = df.where(F.col(group_col).isin(list(groups))).select(
+        F.col(value_col).cast("long").alias("value"),
+        *[
+            (F.col(group_col) == F.lit(g)).cast("long").alias(f"g_{j}")
+            for j, g in enumerate(groups, start=1)
+        ],
+    )
+    res = with_global_seq(base, ["value"], start=1, seq_col="_r")
+    per_v = res.df.groupBy("value").agg(
+        F.min("_r").cast("long").alias("rmin"),
+        F.count("*").cast("long").alias("ties"),
+        *[
+            F.sum(f"g_{j}").cast("long").alias(f"c_{j}")
+            for j in range(1, k + 1)
+        ],
+    )
+    mid = "(2 * rmin + ties - 1)"
+    agg = per_v.agg(
+        F.sum("ties").cast("long").alias("nn"),
+        F.sum(
+            F.col("ties") * F.col("ties") * F.col("ties") - F.col("ties")
+        ).cast("long").alias("t3t"),
+        *[
+            F.sum(f"c_{j}").cast("long").alias(f"m_{j}")
+            for j in range(1, k + 1)
+        ],
+        *[
+            F.sum(F.expr(f"c_{j} * {mid}")).cast("long").alias(f"r_{j}")
+            for j in range(1, k + 1)
+        ],
+    ).localCheckpoint()
+    res.unpersist()
+    h = kw_h_sql(k)
+    p = kw_p_sql(h, k - 1)
+    guard = "nn > 1 AND t3t < nn * nn * nn - nn"
+    return agg.select(
+        "nn",
+        "t3t",
+        *[F.col(f"m_{j}") for j in range(1, k + 1)],
+        *[F.col(f"r_{j}") for j in range(1, k + 1)],
+        F.expr(f"CASE WHEN {guard} THEN round({h}, 6) END").alias("h"),
+        (
+            F.expr(f"CASE WHEN {guard} THEN {p} END").alias("p_ppm")
+            if p is not None
+            else F.lit(None).cast("long").alias("p_ppm")
+        ),
+    )

@@ -2539,6 +2539,22 @@ def main() -> None:
     checks.append(("mh: no joins", "Join" not in p_mh))
     checks.append(("mh: no Python", "EvalPython" not in p_mh))
 
+    # 220. Chao1 richness (q292): the lexical_richness rollup shape —
+    # map-side combined explode, group-sized downstream; no windows,
+    # no joins, no Python
+    p_ch = plan_of(entry.q292_vocab_chao1(spark, SF))
+    checks.append(("chao1: map-side partial agg", "partial_count" in p_ch))
+    checks.append(("chao1: no window", _nodes(p_ch, "Window") == 0))
+    checks.append(("chao1: no joins", "Join" not in p_ch))
+    checks.append(("chao1: no Python", "EvalPython" not in p_ch))
+
+    # 221. Kruskal-Wallis (q293): the MWU machinery — checkpointed
+    # rank agg, pure projection on top; no joins, no Python
+    p_kw = plan_of(entry.q293_tier_kruskal(spark, SF))
+    checks.append(("kw: checkpointed rank agg", "ExistingRDD" in p_kw))
+    checks.append(("kw: no joins", "Join" not in p_kw))
+    checks.append(("kw: no Python", "EvalPython" not in p_kw))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
