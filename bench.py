@@ -70,6 +70,10 @@ HEADLINE = [
     # the with_global_seq AUC/AP rank machinery
     "q254_latency_drift",
     "q265_classifier_auc",
+    # round-5 final batch: pin the BH-FDR host-table rank/cutoff pass
+    # and the KM per-group survival windows
+    "q285_fdr_hosts",
+    "q288_page_survival",
 ]
 
 
