@@ -15692,6 +15692,169 @@ FROM agg
 _Q293_SQL = _q293_sql()
 
 
+# Pinned q294 scored ledger: q252's score hash, but the label accuracy
+# ladder DIPS at bins 6-7 (60% -> 50% -> 40%) — the non-monotone
+# violation PAV exists to pool away.
+_Q294_SCORE = "(doc_id * 2654435761) % 1000001"
+_Q294_LABEL = (
+    "CAST(CASE WHEN (doc_id * 1103515245 + 12345) % 100 < "
+    "(CASE CAST(least(((doc_id * 2654435761) % 1000001) * 10"
+    " DIV 1000000, 9) AS INT) "
+    "WHEN 0 THEN 5 WHEN 1 THEN 10 WHEN 2 THEN 20 WHEN 3 THEN 30 "
+    "WHEN 4 THEN 45 WHEN 5 THEN 60 WHEN 6 THEN 50 WHEN 7 THEN 40 "
+    "WHEN 8 THEN 80 ELSE 95 END) THEN 1 ELSE 0 END AS BIGINT)"
+)
+
+
+def q294_isotonic_recal(spark, sf_dir):
+    """Isotonic (PAV) recalibration of binned classifier scores
+    (operators/calibration.isotonic_fit — Ayer et al. 1955 min-max
+    closed form, provably equal to the pool-adjacent-violators sweep,
+    pinned by test against the classical stack algorithm): a scored
+    ledger whose empirical accuracy DIPS mid-range is pooled into the
+    closest monotone probability curve — the FIX companion to q252's
+    calibration audit and q280's threshold sweep; the corpus collapses
+    to the 10-row bin table before any pairwise work (M^3 = 1000 rows,
+    broadcast-class).  (bin, n, pos, raw_ppm, fit_ppm)."""
+    from eget_spark.operators.calibration import isotonic_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr(_Q294_SCORE).alias("score_ppm"),
+        F.expr(_Q294_LABEL).alias("label"),
+    )
+    return isotonic_fit(scored, "score_ppm", "label", n_bins=10)
+
+
+def _q294_sql() -> str:
+    return rf"""
+WITH scored AS (
+  SELECT CAST({_Q294_SCORE} AS BIGINT) AS s,
+         {_Q294_LABEL.replace("DIV", "//")} AS y
+  FROM documents
+),
+binned AS (
+  SELECT least(s * 10 // 1000000, 9) AS bin, y FROM scored
+),
+bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM binned GROUP BY bin
+),
+cum AS (
+  SELECT bin, n, pos,
+         CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+         CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS p_cum
+  FROM bins
+),
+pairs AS (
+  SELECT j.bin AS bin_j, k.bin AS bin_k,
+         CAST(k.p_cum - (j.p_cum - j.pos) AS DOUBLE)
+           / CAST(k.n_cum - (j.n_cum - j.n) AS DOUBLE) AS avg
+  FROM cum j JOIN cum k ON j.bin <= k.bin
+),
+inner_min AS (
+  SELECT i.bin AS bin_i, p.bin_j, min(p.avg) AS m
+  FROM pairs p JOIN cum i
+    ON p.bin_j <= i.bin AND i.bin <= p.bin_k
+  GROUP BY i.bin, p.bin_j
+),
+fit AS (SELECT bin_i, max(m) AS fit FROM inner_min GROUP BY bin_i)
+SELECT c.bin, c.n, c.pos,
+       CAST(c.pos * 1000000 // c.n AS BIGINT) AS raw_ppm,
+       CAST(round(1e6 * f.fit) AS BIGINT) AS fit_ppm
+FROM cum c JOIN fit f ON c.bin = f.bin_i
+ORDER BY c.bin
+"""
+
+
+_Q294_SQL = _q294_sql()
+
+
+def q295_brier_decomp(spark, sf_dir):
+    """Murphy (1973) Brier-score decomposition over forecast bins
+    (operators/calibration.brier_decomposition): BRIER = RELIABILITY -
+    RESOLUTION + UNCERTAINTY (+ emitted within-bin residual) on q252's
+    roughly-calibrated scored ledger — reliability is the squared,
+    mass-weighted version of q252's gaps; resolution says whether the
+    classifier SORTS documents at all (calibrated-but-useless scores
+    have both ~0); every squared term micro-truncated before the sums
+    so totals are exact int64 to ~9e12 rows.
+    (n, base_ppm, brier_micro, rel_micro, res_micro, unc_micro,
+    resid_micro)."""
+    from eget_spark.operators.calibration import brier_decomposition
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr("(doc_id * 2654435761) % 1000001").alias("score_ppm"),
+        F.expr(
+            "CAST(CASE WHEN (doc_id * 1103515245 + 12345) % 1000000"
+            "  < (doc_id * 2654435761) % 1000001 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("label"),
+    )
+    return brier_decomposition(scored, "score_ppm", "label", n_bins=10)
+
+
+_Q295_SQL = r"""
+WITH scored AS (
+  SELECT CAST((doc_id * 2654435761) % 1000001 AS BIGINT) AS s,
+         CAST(CASE WHEN (doc_id * 1103515245 + 12345) % 1000000
+              < (doc_id * 2654435761) % 1000001 THEN 1 ELSE 0 END
+              AS BIGINT) AS y
+  FROM documents
+),
+binned AS (
+  SELECT least(s * 10 // 1000000, 9) AS bin, s, y FROM scored
+),
+bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_m,
+         CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(s) AS BIGINT) AS s_sum,
+         CAST(sum((s - y * 1000000) * (s - y * 1000000) // 1000000)
+              AS BIGINT) AS sq_sum
+  FROM binned GROUP BY bin
+),
+terms AS (
+  SELECT n_m, pos, sq_sum,
+         CAST(s_sum // n_m AS BIGINT) AS conf_ppm,
+         CAST(pos * 1000000 // n_m AS BIGINT) AS acc_ppm
+  FROM bins
+),
+base AS (
+  SELECT CAST(sum(pos) * 1000000 // sum(n_m) AS BIGINT) AS base_ppm
+  FROM terms
+),
+agg AS (
+  SELECT CAST(sum(n_m) AS BIGINT) AS n,
+         CAST(sum(sq_sum) AS BIGINT) AS brier_num,
+         CAST(sum(n_m * ((conf_ppm - acc_ppm) * (conf_ppm - acc_ppm)
+              // 1000000)) AS BIGINT) AS rel_num
+  FROM terms
+),
+res AS (
+  SELECT CAST(sum(n_m * ((acc_ppm - base_ppm) * (acc_ppm - base_ppm)
+              // 1000000)) AS BIGINT) AS res_num
+  FROM terms CROSS JOIN base
+),
+fin AS (
+  SELECT n, base_ppm,
+         CAST(brier_num // n AS BIGINT) AS brier_micro,
+         CAST(rel_num // n AS BIGINT) AS rel_micro,
+         CAST(res_num // n AS BIGINT) AS res_micro,
+         CAST(base_ppm * (1000000 - base_ppm) // 1000000 AS BIGINT)
+           AS unc_micro
+  FROM agg CROSS JOIN base CROSS JOIN res
+)
+SELECT n, base_ppm, brier_micro, rel_micro, res_micro, unc_micro,
+       CAST(brier_micro - (rel_micro - res_micro + unc_micro)
+            AS BIGINT) AS resid_micro
+FROM fin
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -15992,6 +16155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q291_fleet_mh": q291_fleet_mh,
         "q292_vocab_chao1": q292_vocab_chao1,
         "q293_tier_kruskal": q293_tier_kruskal,
+        "q294_isotonic_recal": q294_isotonic_recal,
+        "q295_brier_decomp": q295_brier_decomp,
     }
 
 
@@ -16289,4 +16454,6 @@ def oracle_sql() -> dict[str, str]:
         "q291_fleet_mh": _Q291_SQL,
         "q292_vocab_chao1": _Q292_SQL,
         "q293_tier_kruskal": _Q293_SQL,
+        "q294_isotonic_recal": _Q294_SQL,
+        "q295_brier_decomp": _Q295_SQL,
     }

@@ -2555,6 +2555,21 @@ def main() -> None:
     checks.append(("kw: no joins", "Join" not in p_kw))
     checks.append(("kw: no Python", "EvalPython" not in p_kw))
 
+    # 222. isotonic PAV recalibration (q294): corpus collapses to the
+    # M-row bin table (map-side partial agg), checkpointed cumulative;
+    # the M^3 min-max expansion is broadcast-class; no Python
+    p_iso = plan_of(entry.q294_isotonic_recal(spark, SF))
+    checks.append(("isotonic: map-side partial agg", "partial_count" in p_iso or "ExistingRDD" in p_iso))
+    checks.append(("isotonic: broadcast minmax joins", "BroadcastNestedLoopJoin" in p_iso or "BroadcastHashJoin" in p_iso))
+    checks.append(("isotonic: no Python", "EvalPython" not in p_iso))
+
+    # 223. Brier decomposition (q295): bin aggregate + broadcast
+    # scalars, no windows, no Python
+    p_bri = plan_of(entry.q295_brier_decomp(spark, SF))
+    checks.append(("brier: map-side partial agg", "partial_count" in p_bri))
+    checks.append(("brier: no window", _nodes(p_bri, "Window") == 0))
+    checks.append(("brier: no Python", "EvalPython" not in p_bri))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
