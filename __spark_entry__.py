@@ -15855,6 +15855,54 @@ FROM fin
 """
 
 
+def q296_title_editdist(spark, sf_dir):
+    """Blocked Levenshtein near-duplicate titles
+    (operators/editdist.editdist_near_dups — Fellegi-Sunter record
+    linkage; Gravano VLDB 2001 blocking shape): 16-char title prefixes
+    compared exactly within (4-char-prefix, length-band) blocks, pairs
+    within 4 edits — the STRING-level near-dup the bag sketches
+    (q13-q16) can miss (one typo in a short title is Jaccard-far but
+    edit-close); both engines run the identical built-in unit-cost
+    Levenshtein DP, capped per block so degenerate blocks cost cap^2/2.
+    (id_a, id_b, dist)."""
+    from eget_spark.operators.editdist import editdist_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id", F.expr("substring(text, 1, 16)").alias("title")
+    )
+    return editdist_near_dups(
+        titles, "doc_id", "title", max_dist=4, prefix_len=4,
+        len_band=8, cap=256,
+    )
+
+
+_Q296_SQL = r"""
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 16) AS ttl FROM documents
+),
+b AS (
+  SELECT doc_id, ttl,
+         concat(substr(ttl, 1, 4), '|',
+                CAST(length(ttl) // 8 AS VARCHAR)) AS blk
+  FROM t WHERE ttl IS NOT NULL
+),
+capped AS (
+  SELECT doc_id, ttl, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY ttl, doc_id)
+           AS rn
+  FROM b
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.ttl, c.ttl) AS BIGINT) AS dist
+FROM capped a JOIN capped c
+  ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE a.rn <= 256 AND c.rn <= 256
+  AND levenshtein(a.ttl, c.ttl) <= 4
+ORDER BY id_a, id_b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -16157,6 +16205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q293_tier_kruskal": q293_tier_kruskal,
         "q294_isotonic_recal": q294_isotonic_recal,
         "q295_brier_decomp": q295_brier_decomp,
+        "q296_title_editdist": q296_title_editdist,
     }
 
 
@@ -16456,4 +16505,5 @@ def oracle_sql() -> dict[str, str]:
         "q293_tier_kruskal": _Q293_SQL,
         "q294_isotonic_recal": _Q294_SQL,
         "q295_brier_decomp": _Q295_SQL,
+        "q296_title_editdist": _Q296_SQL,
     }

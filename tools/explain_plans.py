@@ -2570,6 +2570,14 @@ def main() -> None:
     checks.append(("brier: no window", _nodes(p_bri, "Window") == 0))
     checks.append(("brier: no Python", "EvalPython" not in p_bri))
 
+    # 224. blocked Levenshtein near-dups (q296): cap window + equi
+    # self-join on the block key (SortMergeJoin acceptable — both
+    # sides are the capped block table), JVM levenshtein, no Python
+    p_ed = plan_of(entry.q296_title_editdist(spark, SF))
+    checks.append(("editdist: block equi join", "CartesianProduct" not in p_ed and "BroadcastNestedLoop" not in p_ed))
+    checks.append(("editdist: cap window", _nodes(p_ed, "Window") >= 1))
+    checks.append(("editdist: no Python", "EvalPython" not in p_ed))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
