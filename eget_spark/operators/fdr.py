@@ -140,6 +140,26 @@ def bh_fdr(
     )
 
 
+def fdr_from_counts(
+    per: DataFrame,
+    p0_ppm: int = 30_000,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """The scoring + step-up tail over an ALREADY-AGGREGATED
+    (key, n, fails) table — factored out so the streaming health
+    maintainer's drained additive counters flow through the identical
+    arithmetic (stream==batch bit-equality by construction)."""
+    z_sql = failure_z_sql("n", "fails", p0_ppm)
+    scored = per.select(
+        "key",
+        "n",
+        "fails",
+        F.expr(f"round({z_sql}, 6)").alias("z"),
+        F.expr(phi_upper_ppm_sql(z_sql)).alias("p_ppm"),
+    )
+    return bh_fdr(scored, "key", "p_ppm", alpha_ppm).orderBy("rnk")
+
+
 def host_failure_fdr(
     ledger: DataFrame,
     key_col: str = "host",
@@ -155,12 +175,4 @@ def host_failure_fdr(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col(fail_col).cast("long")).cast("long").alias("fails"),
     )
-    z_sql = failure_z_sql("n", "fails", p0_ppm)
-    scored = per.select(
-        "key",
-        "n",
-        "fails",
-        F.expr(f"round({z_sql}, 6)").alias("z"),
-        F.expr(phi_upper_ppm_sql(z_sql)).alias("p_ppm"),
-    )
-    return bh_fdr(scored, "key", "p_ppm", alpha_ppm).orderBy("rnk")
+    return fdr_from_counts(per, p0_ppm, alpha_ppm)

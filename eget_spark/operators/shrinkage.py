@@ -74,20 +74,12 @@ def shrink_sql() -> tuple[str, str, str]:
     return shrunk, a_out, b_out
 
 
-def beta_binomial_shrink(
-    ledger: DataFrame,
-    key_col: str = "host",
-    success_col: str = "success",
-) -> DataFrame:
-    """(key, n, successes, raw_ppm, shrunk_ppm, prior_alpha_micro,
-    prior_beta_micro) per key, ordered by key — posterior-mean rates
-    under the fleet-fitted Beta prior."""
-    per = ledger.groupBy(F.col(key_col).alias("key")).agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col(success_col).cast("long")).cast("long").alias(
-            "successes"
-        ),
-    ).select(
+def shrink_from_counts(per_counts: DataFrame) -> DataFrame:
+    """The prior fit + posterior scoring over an ALREADY-AGGREGATED
+    (key, n, successes) table — factored out so the streaming health
+    maintainer's drained additive counters flow through the identical
+    arithmetic (stream==batch bit-equality by construction)."""
+    per = per_counts.select(
         "*",
         F.expr(
             "successes * CAST(1000000 AS BIGINT) DIV n"
@@ -115,3 +107,20 @@ def beta_binomial_shrink(
         )
         .orderBy("key")
     )
+
+
+def beta_binomial_shrink(
+    ledger: DataFrame,
+    key_col: str = "host",
+    success_col: str = "success",
+) -> DataFrame:
+    """(key, n, successes, raw_ppm, shrunk_ppm, prior_alpha_micro,
+    prior_beta_micro) per key, ordered by key — posterior-mean rates
+    under the fleet-fitted Beta prior."""
+    per = ledger.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("long")).cast("long").alias(
+            "successes"
+        ),
+    )
+    return shrink_from_counts(per)
