@@ -15903,6 +15903,62 @@ ORDER BY id_a, id_b
 """
 
 
+# Pinned q297 nonconformity score; every 10th doc is the "new batch",
+# and every 20th is shifted beyond the reference support (truly novel).
+_Q297_SCORE = "100 + (doc_id * 2654435761) % 50"
+_Q297_BATCH_SCORE = (
+    f"{_Q297_SCORE} + CASE WHEN doc_id % 20 = 0 THEN 45 ELSE 0 END"
+)
+
+
+def q297_conformal_novelty(spark, sf_dir):
+    """Conformal novelty p-values for newly crawled documents
+    (operators/conformal.conformal_pvalues — Vovk/Gammerman/Shafer
+    2005): p = (1 + #{ref >= s}) / (n_ref + 1), exact int64 — a
+    distribution-free novelty gate with the finite-sample guarantee
+    P(p <= alpha) <= alpha under exchangeability, no modeling
+    assumptions; the reference collapses to its distinct-score
+    interval table and the batch probes it through the q104 bucketed
+    range lookup (no inequality join against the corpus).  Half the
+    pinned batch is shifted beyond the reference support and flags at
+    the minimal p.  (id, score, cnt_ge, p_ppm, novel)."""
+    from eget_spark.operators.conformal import conformal_pvalues
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where("doc_id % 10 <> 0").select(
+        F.expr(_Q297_SCORE).cast("long").alias("score")
+    )
+    batch = docs.where("doc_id % 10 = 0").select(
+        "doc_id",
+        F.expr(_Q297_BATCH_SCORE).cast("long").alias("score"),
+    )
+    return conformal_pvalues(
+        ref, batch, "doc_id", "score", min_score=0, alpha_ppm=50_000
+    )
+
+
+_Q297_SQL = rf"""
+WITH ref AS (
+  SELECT CAST({_Q297_SCORE} AS BIGINT) AS s
+  FROM documents WHERE doc_id % 10 <> 0
+),
+bat AS (
+  SELECT doc_id AS id, CAST({_Q297_BATCH_SCORE} AS BIGINT) AS score
+  FROM documents WHERE doc_id % 10 = 0
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM ref),
+cnts AS (
+  SELECT b.id, b.score, CAST(count(r.s) AS BIGINT) AS cnt_ge
+  FROM bat b LEFT JOIN ref r ON r.s >= b.score
+  GROUP BY b.id, b.score
+)
+SELECT id, score, cnt_ge,
+       CAST((1 + cnt_ge) * 1000000 // (n_ref + 1) AS BIGINT) AS p_ppm,
+       (1 + cnt_ge) * 1000000 // (n_ref + 1) <= 50000 AS novel
+FROM cnts CROSS JOIN n ORDER BY id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -16206,6 +16262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q294_isotonic_recal": q294_isotonic_recal,
         "q295_brier_decomp": q295_brier_decomp,
         "q296_title_editdist": q296_title_editdist,
+        "q297_conformal_novelty": q297_conformal_novelty,
     }
 
 
@@ -16506,4 +16563,5 @@ def oracle_sql() -> dict[str, str]:
         "q294_isotonic_recal": _Q294_SQL,
         "q295_brier_decomp": _Q295_SQL,
         "q296_title_editdist": _Q296_SQL,
+        "q297_conformal_novelty": _Q297_SQL,
     }

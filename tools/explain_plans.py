@@ -2578,6 +2578,15 @@ def main() -> None:
     checks.append(("editdist: cap window", _nodes(p_ed, "Window") >= 1))
     checks.append(("editdist: no Python", "EvalPython" not in p_ed))
 
+    # 225. conformal novelty (q297): reference collapses to the
+    # distinct-score interval table (checkpointed); the batch probes
+    # via the bucketed range-lookup equi-join — no inequality join
+    # against the corpus, no Python
+    p_cp = plan_of(entry.q297_conformal_novelty(spark, SF))
+    checks.append(("conformal: checkpointed intervals", "ExistingRDD" in p_cp))
+    checks.append(("conformal: no nested-loop join", "BroadcastNestedLoop" not in p_cp and "CartesianProduct" not in p_cp))
+    checks.append(("conformal: no Python", "EvalPython" not in p_cp))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
