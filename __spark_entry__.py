@@ -15959,6 +15959,56 @@ FROM cnts CROSS JOIN n ORDER BY id
 """
 
 
+# Pinned q298 Poisson design: four sources oversampled at 20%, the
+# rest at 2% — the unequal-probability QA-sample HT was built for.
+_Q298_PI = (
+    "CASE WHEN source IN ('src0','src1','src2','src3')"
+    " THEN 200000 ELSE 20000 END"
+)
+
+
+def q298_ht_corpus_total(spark, sf_dir):
+    """Horvitz-Thompson corpus-total estimation from a hash-Poisson QA
+    sample (operators/sampling.ht_estimate — Horvitz & Thompson JASA
+    1952): only the sampled rows and their inclusion probabilities are
+    seen, yet the expansion estimates the FULL corpus n_chars total
+    unbiasedly with an honest SE — how a 2% sample answers "how many
+    tokens does the whole crawl hold"; the design-based sibling of
+    q144's capture-recapture and q292's Chao1.
+    (n_sample, sample_total, ht_total, var_sum, se)."""
+    from eget_spark.operators.sampling import ht_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = docs.where(
+        F.expr(f"(doc_id * 1099087573) % 1000000 < {_Q298_PI}")
+    ).select(
+        F.col("n_chars").cast("long").alias("y"),
+        F.expr(_Q298_PI).cast("long").alias("pi_ppm"),
+    )
+    return ht_estimate(sample, "y", "pi_ppm")
+
+
+_Q298_SQL = rf"""
+WITH sample AS (
+  SELECT CAST(n_chars AS BIGINT) AS y,
+         CAST({_Q298_PI} AS BIGINT) AS pi
+  FROM documents
+  WHERE (doc_id * 1099087573) % 1000000 < {_Q298_PI}
+),
+terms AS (
+  SELECT y, pi, y * CAST(1000000 AS BIGINT) // pi AS w
+  FROM sample WHERE pi > 0 AND pi <= 1000000
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sample,
+       CAST(sum(y) AS BIGINT) AS sample_total,
+       CAST(sum(w) AS BIGINT) AS ht_total,
+       CAST(sum(w * (1000000 - pi) // 1000000 * w) AS BIGINT) AS var_sum,
+       CAST(round(sqrt(CAST(sum(w * (1000000 - pi) // 1000000 * w)
+            AS DOUBLE))) AS BIGINT) AS se
+FROM terms
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -16263,6 +16313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q295_brier_decomp": q295_brier_decomp,
         "q296_title_editdist": q296_title_editdist,
         "q297_conformal_novelty": q297_conformal_novelty,
+        "q298_ht_corpus_total": q298_ht_corpus_total,
     }
 
 
@@ -16564,4 +16615,5 @@ def oracle_sql() -> dict[str, str]:
         "q295_brier_decomp": _Q295_SQL,
         "q296_title_editdist": _Q296_SQL,
         "q297_conformal_novelty": _Q297_SQL,
+        "q298_ht_corpus_total": _Q298_SQL,
     }

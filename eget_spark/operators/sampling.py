@@ -556,3 +556,70 @@ def negative_sampling_table(
         .orderBy(F.col("cnt").desc(), "tok")
         .limit(k)
     )
+
+
+def ht_estimate(
+    sample: DataFrame,
+    value_col: str,
+    pi_ppm_col: str,
+) -> DataFrame:
+    """Horvitz-Thompson design-based estimation from an unequal-
+    probability sample (Horvitz & Thompson JASA 1952): given ONLY the
+    sampled rows and each row's inclusion probability, estimate the
+    FULL-corpus total of ``value_col`` without bias:
+
+        T_hat = sum y_i / pi_i
+        Var   = sum y_i^2 (1 - pi_i) / pi_i^2   (Poisson sampling)
+
+    This is how a 0.1% QA sample answers "how many tokens does the
+    whole crawl hold" with an honest standard error — and unequal pi
+    (oversample rare strata, undersample the head) is exactly what the
+    q245/q122 weighted samplers emit.  The design-based sibling of
+    q144's capture-recapture (two samples, no pi) and q292's Chao1
+    (abundance-based, no design at all).
+
+    Pinned semantics (all truncating integer steps, in this order):
+    per-row expanded value ``w = y * 1e6 DIV pi_ppm`` (so ht_total is
+    in the same units as y), variance term
+    ``var_term = w * (1e6 - pi_ppm) DIV 1e6 * w`` — the exact integer
+    rendering of y^2 (1-pi)/pi^2 with the (1-pi) factor interleaved so
+    the intermediate stays inside int64.  Every cross-row sum is exact
+    int64; the SE is ONE final IEEE sqrt, rounded.  Envelope: the
+    final ``* w`` bounds the expanded per-row value at ~3e9 (y/pi
+    beyond that needs milli-unit scaling upstream).
+
+    Scale shape (100 TB): a single map-side-combined aggregate over
+    the SAMPLE (already tiny by construction).  No shuffle beyond the
+    1-row combine, no windows, no joins, no Python."""
+    rows = sample.select(
+        F.col(value_col).cast("long").alias("y"),
+        F.col(pi_ppm_col).cast("long").alias("pi"),
+    ).where((F.col("pi") > 0) & (F.col("pi") <= 1_000_000))
+    terms = rows.select(
+        "y",
+        "pi",
+        F.expr("y * CAST(1000000 AS BIGINT) DIV pi").alias("w"),
+    ).select(
+        "y",
+        "pi",
+        "w",
+        F.expr(
+            "w * (CAST(1000000 AS BIGINT) - pi)"
+            " DIV CAST(1000000 AS BIGINT) * w"
+        ).alias("var_term"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n_sample"),
+        F.sum("y").cast("long").alias("sample_total"),
+        F.sum("w").cast("long").alias("ht_total"),
+        F.sum("var_term").cast("long").alias("var_sum"),
+    )
+    return agg.select(
+        "n_sample",
+        "sample_total",
+        "ht_total",
+        "var_sum",
+        F.expr(
+            "CAST(round(sqrt(CAST(var_sum AS DOUBLE))) AS BIGINT)"
+        ).alias("se"),
+    )

@@ -2587,6 +2587,15 @@ def main() -> None:
     checks.append(("conformal: no nested-loop join", "BroadcastNestedLoop" not in p_cp and "CartesianProduct" not in p_cp))
     checks.append(("conformal: no Python", "EvalPython" not in p_cp))
 
+    # 226. Horvitz-Thompson estimate (q298): the sample filter pushes
+    # to the scan; ONE map-side-combined single-row agg — no windows,
+    # no joins, no Python
+    p_ht = plan_of(entry.q298_ht_corpus_total(spark, SF))
+    checks.append(("ht: map-side partial agg", "partial_count" in p_ht))
+    checks.append(("ht: no window", _nodes(p_ht, "Window") == 0))
+    checks.append(("ht: no joins", "Join" not in p_ht))
+    checks.append(("ht: no Python", "EvalPython" not in p_ht))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
