@@ -16009,6 +16009,84 @@ FROM terms
 """
 
 
+# Pinned q299 latency law: base 100-130 ms; every 20th fetch draws an
+# alpha=3 Pareto spike (xi = 1/3 — inside PWM's validity range).
+_Q299_VALUE = (
+    "100 + (doc_id * 2654435761) % 30 + CASE WHEN (doc_id * 13) % 20 = 0"
+    " THEN CAST(round(60 * exp(ln(1000000.0"
+    " / (1 + (doc_id * 48271) % 1000000)) / 3)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def q299_latency_gpd(spark, sf_dir):
+    """PWM-GPD extreme-value tail fit of fetch latency
+    (operators/evt.gpd_tail_fit — Pickands-Balkema-de Haan; Hosking &
+    Wallis 1987 closed-form probability-weighted moments, no
+    optimizer): exceedances over 150 ms fit a Generalized Pareto and
+    extrapolate the 1-in-a-million return level BEYOND the sample —
+    the tail-risk companion to q274's Hill index (which only fits the
+    exponent) and q108's empirical quantiles (which cannot leave the
+    data); exact rank-weighted integer moments, one pinned IEEE chain,
+    pow via the exp/ln family.
+    (n_total, n_exceed, threshold, b0_sum, a1_num, xi, sigma,
+    return_level)."""
+    from eget_spark.operators.evt import gpd_tail_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.select(F.expr(_Q299_VALUE).cast("long").alias("lat"))
+    return gpd_tail_fit(ledger, "lat", 150, return_period=1_000_000)
+
+
+def _q299_sql() -> str:
+    n = "CAST(n_exceed AS DOUBLE)"
+    b0 = f"(CAST(b0_sum AS DOUBLE) / {n})"
+    b1 = (
+        f"(CAST(a1_num AS DOUBLE)"
+        f" / ({n} * CAST(n_exceed - 1 AS DOUBLE)))"
+    )
+    den = f"({b0} - 2.0 * {b1})"
+    xi = f"(2.0 - {b0} / {den})"
+    sigma = f"(2.0 * {b0} * {b1} / {den})"
+    zeta = "(CAST(n_exceed AS DOUBLE) / CAST(n_total AS DOUBLE))"
+    growth = f"(exp({xi} * ln(1000000.0 * {zeta})) - 1.0)"
+    rl = f"(150.0 + ({sigma} / {xi}) * {growth})"
+    ok = "n_exceed > 1 AND b0_sum * (n_exceed - 1) <> 2 * a1_num"
+    ok_rl = f"{ok} AND {xi} <> 0.0 AND 1000000.0 * {zeta} > 0.0"
+    return rf"""
+WITH vals AS (
+  SELECT CAST({_Q299_VALUE} AS BIGINT) AS x FROM documents
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM vals),
+exc AS (SELECT x - 150 AS e FROM vals WHERE x > 150),
+seq AS (
+  SELECT e, CAST(row_number() OVER (ORDER BY e) AS BIGINT) AS i
+  FROM exc
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exceed,
+         CAST(sum(e) AS BIGINT) AS b0_sum,
+         CAST(sum(i * e) AS BIGINT) AS ri_sum
+  FROM seq
+),
+fin AS (
+  SELECT n_exceed, b0_sum,
+         CAST(n_exceed * b0_sum - ri_sum AS BIGINT) AS a1_num
+  FROM agg
+)
+SELECT n_total, n_exceed, CAST(150 AS BIGINT) AS threshold,
+       b0_sum, a1_num,
+       CASE WHEN {ok} THEN round({xi}, 6) END AS xi,
+       CASE WHEN {ok} THEN round({sigma}, 6) END AS sigma,
+       CASE WHEN {ok_rl} THEN CAST(round({rl}) AS BIGINT) END
+         AS return_level
+FROM fin CROSS JOIN tot
+"""
+
+
+_Q299_SQL = _q299_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -16314,6 +16392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q296_title_editdist": q296_title_editdist,
         "q297_conformal_novelty": q297_conformal_novelty,
         "q298_ht_corpus_total": q298_ht_corpus_total,
+        "q299_latency_gpd": q299_latency_gpd,
     }
 
 
@@ -16616,4 +16695,5 @@ def oracle_sql() -> dict[str, str]:
         "q296_title_editdist": _Q296_SQL,
         "q297_conformal_novelty": _Q297_SQL,
         "q298_ht_corpus_total": _Q298_SQL,
+        "q299_latency_gpd": _Q299_SQL,
     }

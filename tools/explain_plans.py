@@ -2596,6 +2596,13 @@ def main() -> None:
     checks.append(("ht: no joins", "Join" not in p_ht))
     checks.append(("ht: no Python", "EvalPython" not in p_ht))
 
+    # 227. PWM-GPD tail fit (q299): exceedance filter + checkpointed
+    # rank agg; pure projection on top — no joins, no Python
+    p_gpd = plan_of(entry.q299_latency_gpd(spark, SF))
+    checks.append(("gpd: checkpointed rank agg", "ExistingRDD" in p_gpd))
+    checks.append(("gpd: no joins", "Join" not in p_gpd))
+    checks.append(("gpd: no Python", "EvalPython" not in p_gpd))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
