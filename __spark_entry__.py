@@ -16087,6 +16087,81 @@ FROM fin CROSS JOIN tot
 _Q299_SQL = _q299_sql()
 
 
+def q300_fdr_hosts_by(spark, sf_dir):
+    """Benjamini-Yekutieli dependence-robust host screening
+    (operators/fdr.host_failure_fdr_by — Benjamini & Yekutieli AoS
+    2001): the q285 ledger re-screened under the harmonic-number
+    budget shrink, valid under ARBITRARY dependence between the host
+    tests (hosts share datacenters and fleet-wide incidents — BH's
+    independence assumption is exactly what a crawl fleet violates);
+    the decision is pure int64 with H_m evaluated as an identical
+    ascending fold in both engines.  BY discoveries are provably a
+    subset of q285's BH discoveries.
+    (key, n, fails, z, p_ppm, rnk, discovery)."""
+    from eget_spark.operators.fdr import host_failure_fdr_by
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.select(
+        F.expr("concat('h', CAST(doc_id % 40 AS STRING))").alias("host"),
+        F.expr(_Q285_FAIL).alias("fail"),
+    )
+    return host_failure_fdr_by(
+        ledger, "host", "fail", p0_ppm=30_000, alpha_ppm=50_000
+    )
+
+
+def _q300_sql() -> str:
+    from eget_spark.operators.fdr import failure_z_sql, phi_upper_ppm_sql
+
+    z = failure_z_sql("n", "fails", 30_000)
+    h_micro = (
+        "CAST(round(1e6 * list_reduce("
+        "list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, CAST(m AS INT)), "
+        "j -> 1.0 / CAST(j AS DOUBLE))), "
+        "(acc, x) -> acc + x)) AS BIGINT)"
+    )
+    return rf"""
+WITH ledger AS (
+  SELECT concat('h', CAST(doc_id % 40 AS VARCHAR)) AS host,
+         {_Q285_FAIL} AS fail
+  FROM documents
+),
+per AS (
+  SELECT host AS key, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(fail) AS BIGINT) AS fails
+  FROM ledger GROUP BY host
+),
+scored AS (
+  SELECT key, n, fails,
+         round({z}, 6) AS z,
+         {phi_upper_ppm_sql(z)} AS p_ppm
+  FROM per
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY p_ppm, key) AS BIGINT) AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM scored
+),
+harm AS (
+  SELECT *, {h_micro} AS h_micro FROM ranked
+),
+cut AS (
+  SELECT *,
+         max(CASE WHEN p_ppm * m * h_micro
+                       <= rnk * 50000 * CAST(1000000 AS BIGINT)
+                  THEN rnk ELSE 0 END) OVER () AS k
+  FROM harm
+)
+SELECT key, n, fails, z, p_ppm, rnk, rnk <= k AS discovery
+FROM cut ORDER BY rnk
+"""
+
+
+_Q300_SQL = _q300_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_crawl_bfs(spark, "/root/testdata/sf0.001")
@@ -16393,6 +16468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q297_conformal_novelty": q297_conformal_novelty,
         "q298_ht_corpus_total": q298_ht_corpus_total,
         "q299_latency_gpd": q299_latency_gpd,
+        "q300_fdr_hosts_by": q300_fdr_hosts_by,
     }
 
 
@@ -16696,4 +16772,5 @@ def oracle_sql() -> dict[str, str]:
         "q297_conformal_novelty": _Q297_SQL,
         "q298_ht_corpus_total": _Q298_SQL,
         "q299_latency_gpd": _Q299_SQL,
+        "q300_fdr_hosts_by": _Q300_SQL,
     }

@@ -176,3 +176,90 @@ def host_failure_fdr(
         F.sum(F.col(fail_col).cast("long")).cast("long").alias("fails"),
     )
     return fdr_from_counts(per, p0_ppm, alpha_ppm)
+
+
+def by_fdr(
+    pvals: DataFrame,
+    key_col: str = "key",
+    p_col: str = "p_ppm",
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Benjamini-Yekutieli step-up (Annals of Statistics 2001): BH's
+    guarantee needs independent (or PRDS) tests, but per-host health
+    tests are NOT independent — hosts share datacenters, upstream
+    networks, and fleet-wide incidents.  BY controls FDR under
+    ARBITRARY dependence by shrinking the budget with the harmonic
+    number: reject ranks 1..k for the largest k with
+
+        p_(i) * m * H_m <= i * alpha,   H_m = sum_{j<=m} 1/j
+
+    Pinned exactness: the decision is the all-int64 comparison
+    ``p_ppm * m * h_micro <= i * alpha_ppm * 1e6`` with
+    ``h_micro = round(1e6 * H_m)`` — H_m evaluated engine-side as a
+    strictly LEFT-TO-RIGHT ascending fold over 1..m (Spark
+    ``aggregate(sequence(...))``; the oracle mirrors the same fold
+    order via list_reduce, so the double sums are bit-identical before
+    the micro quantization).  int64 envelope: p_ppm * m * h_micro <=
+    1e6 * m * 1e6*ln(m) — safe to m ~ 1e5 keys; beyond that pre-scale
+    p to milli (bh_fdr's comparison has the wider envelope).
+
+    Output matches :func:`bh_fdr`: input columns + (rnk, discovery).
+    BY <= BH discoveries always (the harmonic factor only shrinks the
+    budget) — pinned by test."""
+    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    ranked = pvals.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count("*").over(
+            Window.partitionBy()
+        ).cast("long").alias("_m"),
+    )
+    # H_m has no closed form, so evaluate it per row from _m as a
+    # higher-order fold over sequence(1, _m) — ascending, sequential,
+    # micro-quantized; m is the (small) key count, so the fold is cheap
+    h_micro = (
+        "CAST(round(1e6 * aggregate(sequence(1, CAST(_m AS INT)), "
+        "CAST(0.0 AS DOUBLE), (acc, j) -> acc + 1.0 / CAST(j AS DOUBLE)"
+        ")) AS BIGINT)"
+    )
+    ranked = ranked.withColumn("_h_micro", F.expr(h_micro))
+    passing = F.when(
+        F.col(p_col) * F.col("_m") * F.col("_h_micro")
+        <= F.col("rnk")
+        * F.lit(int(alpha_ppm)).cast("long")
+        * F.lit(1_000_000).cast("long"),
+        F.col("rnk"),
+    ).otherwise(F.lit(0).cast("long"))
+    cut = ranked.select(
+        "*",
+        F.max(passing).over(Window.partitionBy()).alias("_k"),
+    )
+    return cut.select(
+        *[c for c in pvals.columns],
+        "rnk",
+        (F.col("rnk") <= F.col("_k")).alias("discovery"),
+    )
+
+
+def host_failure_fdr_by(
+    ledger: DataFrame,
+    key_col: str = "host",
+    fail_col: str = "fail",
+    p0_ppm: int = 30_000,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """host_failure_fdr's z-test scoring with the BY step-up — the
+    dependence-robust throttle list."""
+    per = ledger.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(fail_col).cast("long")).cast("long").alias("fails"),
+    )
+    z_sql = failure_z_sql("n", "fails", p0_ppm)
+    scored = per.select(
+        "key",
+        "n",
+        "fails",
+        F.expr(f"round({z_sql}, 6)").alias("z"),
+        F.expr(phi_upper_ppm_sql(z_sql)).alias("p_ppm"),
+    )
+    return by_fdr(scored, "key", "p_ppm", alpha_ppm).orderBy("rnk")

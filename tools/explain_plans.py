@@ -2603,6 +2603,13 @@ def main() -> None:
     checks.append(("gpd: no joins", "Join" not in p_gpd))
     checks.append(("gpd: no Python", "EvalPython" not in p_gpd))
 
+    # 228. BY-FDR (q300): the q285 shape plus a per-row harmonic fold —
+    # still host-table-bounded windows, no joins, no Python
+    p_by = plan_of(entry.q300_fdr_hosts_by(spark, SF))
+    checks.append(("byfdr: map-side partial agg", "partial_count" in p_by))
+    checks.append(("byfdr: no joins", "Join" not in p_by))
+    checks.append(("byfdr: no Python", "EvalPython" not in p_by))
+
     out.append("## Check summary\n")
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'} — {name}")
