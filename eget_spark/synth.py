@@ -87,6 +87,16 @@ SCALES = {
         links=(6, 12),
         body_spans=(20, 40),
     ),
+    # ~4M docs: the top of the size-robustness ladder (200k -> 350k ->
+    # 800k -> 1.6M -> 3.2M crawled pages), same per-doc weight as the
+    # other scaling corpora so walls compare across sizes
+    "benchxxxxl": CorpusSpec(
+        n_hosts=4096,
+        pages_hot=30000,
+        pages_other=970,
+        links=(6, 12),
+        body_spans=(20, 40),
+    ),
 }
 
 
