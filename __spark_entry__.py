@@ -4378,7 +4378,15 @@ def q99_normalized_dedup(spark, sf_dir):
     One map-side-combined groupBy(key) + key equi-join back."""
     from eget_spark.functions.text import dedup_normalize
 
-    docs = _t(spark, sf_dir, "documents")
+    # round-6 (guide §1.2/§2.4): the accent-fold + regex normalization is
+    # the dominant cost; hash-cluster the docs first so it runs at full
+    # parallelism (the single small parquet row group scans as 1-2
+    # tasks), checkpoint the (id, key) table so normalization runs ONCE
+    # instead of once per self-join side, and broadcast the group
+    # aggregate back so the probe side never shuffles
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        F.col("doc_id")
+    )
     d = F.col("doc_id")
     pairs = docs.select((d * 2).alias("id"), F.col("text")).unionAll(
         docs.select(
@@ -4388,12 +4396,16 @@ def q99_normalized_dedup(spark, sf_dir):
             ).alias("text"),
         )
     )
-    norm = pairs.select("id", F.md5(dedup_normalize(F.col("text"))).alias("k"))
+    norm = pairs.select(
+        "id", F.md5(dedup_normalize(F.col("text"))).alias("k")
+    ).localCheckpoint(eager=True)
     groups = norm.groupBy("k").agg(
         F.min("id").alias("canonical"),
         F.count("*").cast("long").alias("group_size"),
     )
-    return norm.join(groups, "k").select("id", "canonical", "group_size")
+    return norm.join(F.broadcast(groups), "k").select(
+        "id", "canonical", "group_size"
+    )
 
 
 def _q99_sql() -> str:

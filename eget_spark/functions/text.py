@@ -233,37 +233,44 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def shingle_rows(df, id_col: str, text_col: str, k: int = 3):
+def shingle_rows(df, id_col: str, text_col: str, k: int = 3, cluster: bool = True):
     """Word k-gram shingles as ROWS (id, s) — the fast path.
 
     The array-returning `shingles()` column fn runs in Spark's interpreted
     higher-order-function evaluator (~4x slower measured at sf0.1); this
-    variant stays in whole-stage codegen: posexplode tokens -> window lead
-    concat. One shuffle on id (uniform). Duplicate shingles are kept
-    (min-aggregations are unaffected); `.distinct()` for set semantics.
-    """
-    from pyspark.sql.window import Window
-
+    variant stays in whole-stage codegen: explode a start-index sequence
+    and slice the token array by position (``F.get`` — 0-based, NULL out
+    of bounds, so the short-doc case n < k falls out of the same
+    expression: one start index, trailing NULLs dropped by ``concat_ws``).
+    The round-5 window/lead form shuffled every TOKEN row and sorted per
+    doc before any consumer aggregation; this form shuffles only the doc
+    rows (``cluster=True``, default): one narrow hash exchange on id that
+    (a) spreads shingle generation + downstream hashing across the
+    cluster even when the source scan has few effective splits (a single
+    small parquet row group scans as 1-2 tasks), and (b) leaves the
+    output CLUSTERED BY id with no union in the plan, so consumer
+    ``distinct()`` / ``groupBy("id")`` / id-keyed pair aggregates plan
+    with NO further exchange (guide §2.3/§2.4).  ``cluster=False`` skips
+    the exchange for callers that only feed map-side partial aggregation
+    and already scan with enough parallelism.  Duplicate shingles are
+    kept (min-aggregations are unaffected); `.distinct()` for set
+    semantics."""
     toks = tokens(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
-    short = base.where(F.size("_toks") < k).select(
-        "id", F.concat_ws(" ", "_toks").alias("s")
+    if cluster:
+        base = base.repartition(F.col("id"))
+    return base.select(
+        "id",
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0)))
+        ).alias("_i"),
+    ).select(
+        "id",
+        F.concat_ws(
+            " ", *[F.get("_toks", F.col("_i") + j) for j in range(k)]
+        ).alias("s"),
     )
-    tok = base.where(F.size("_toks") >= k).select(
-        "id", F.posexplode("_toks").alias("pos", "t")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("t", i).over(w) for i in range(1, k)]
-    sh = (
-        tok.select(
-            "id",
-            F.concat_ws(" ", F.col("t"), *leads).alias("s"),
-            leads[-1].alias("_last"),
-        )
-        .where(F.col("_last").isNotNull())
-        .drop("_last")
-    )
-    return sh.unionByName(short)
 
 
 def fingerprint(text: Column, k: int = 3) -> Column:

@@ -39,6 +39,11 @@ def contamination_pairs(
     itself — by design (that is contamination)."""
     bench_id_col = bench_id_col or id_col
     bench_text_col = bench_text_col or text_col
+    # shingle_rows clusters the corpus grams by doc id (one doc-level
+    # exchange): the distinct, the (id, bench_id) pair aggregate below,
+    # and the per-doc rollup in contamination_flags are all then
+    # exchange-free — the round-5 form paid a (id, s) distinct exchange
+    # plus a pair-agg exchange on top of it (guide §2.4)
     d = shingle_rows(docs, id_col, text_col, n).distinct()
     b = (
         shingle_rows(benchmark, bench_id_col, bench_text_col, n)

@@ -128,29 +128,23 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     k: int = 3,
+    broadcast_index_rows: int = 8_000_000,
 ) -> DataFrame:
     """Exact Jaccard pairs >= threshold via inverted shingle index:
     explode distinct shingles -> self-join on shingle -> count intersections
-    -> |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard)."""
-    from ..functions.text import shingle_rows
-
-    sh = shingle_rows(df, id_col, text_col, k).distinct().localCheckpoint(eager=True)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-        .withColumn(
+    -> |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard).
+    Same exchange-free intersection-count shape as
+    :func:`containment_pairs` (see its docstring)."""
+    return _inverted_index_pairs(
+        df, id_col, text_col, k, None, broadcast_index_rows,
+        lambda inter: inter.withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
     )
 
 
@@ -161,6 +155,7 @@ def containment_pairs(
     threshold: float = 0.8,
     k: int = 3,
     max_df: int | None = None,
+    broadcast_index_rows: int = 8_000_000,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs by shingle containment — Broder's second
     resemblance measure: ``containment(A in B) = |S(A) ∩ S(B)| / |S(A)|``.
@@ -180,48 +175,150 @@ def containment_pairs(
     (containment is then over the filtered shingle sets on BOTH the
     numerator and the denominators, a documented approximation; None =
     exact).
-    """
-    from ..functions.text import shingle_rows
 
-    sh = shingle_rows(df, id_col, text_col, k).distinct()
-    if max_df is not None:
-        # gram doc-freq gate: one extra agg on the shingle key; the join
-        # back is on the same key, so it shares the shuffle partitioning
-        keep = (
-            sh.groupBy("s")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= max_df)
-            .select("s")
+    Shuffle profile (round-6 restructure, guide §2.4/§3.1): the shingle
+    index is hash-clustered by ``id`` ONCE; the local distinct, the
+    per-doc sizes, and — when the index fits under
+    ``broadcast_index_rows`` and the build side broadcasts — the
+    intersection-count aggregate all reuse that clustering, so the
+    O(sum df^2) candidate-pair stream (measured 114M rows at sf1.0 for
+    50k docs) is counted entirely map-side and NEVER crosses an
+    exchange.  Above the broadcast bound the join falls back to the
+    shuffled inverted-index shape (both sides keyed on the shingle),
+    which is the 100-TB path — pair it with ``max_df``.
+    """
+    return _inverted_index_pairs(
+        df, id_col, text_col, k, max_df, broadcast_index_rows,
+        lambda inter: inter.withColumn(
+            "containment_a", F.round(F.col("inter") / F.col("na"), 6)
         )
-        sh = sh.join(keep, "s")
-    sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    inter = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"),
-            "id_b",
-        )
-        .withColumn("containment_a", F.round(F.col("inter") / F.col("na"), 6))
         .withColumn("containment_b", F.round(F.col("inter") / F.col("nb"), 6))
         .where(
             (F.col("containment_a") >= threshold)
             | (F.col("containment_b") >= threshold)
         )
-        .select("id_a", "id_b", "containment_a", "containment_b")
+        .select("id_a", "id_b", "containment_a", "containment_b"),
     )
+
+
+def _count_pairs_arrow(it):
+    """Per-partition exact intersection counter for the inverted-index
+    self-join (guide §4.2: vectorized native code inside the Python
+    boundary).  Input batches carry ONE packed int64 per candidate match
+    (``id_a << 32 | id_b``, both ids verified to fit 31 bits by the
+    caller); the probe side is hash-clustered by id_a, so every
+    occurrence of a given (id_a, id_b) pair lands in THIS task and one
+    per-task ``np.unique(return_counts=True)`` IS the exact global
+    per-pair intersection count — no further aggregation exists in the
+    plan.  Replaces a 114M-group double HashAggregate (measured at
+    sf1.0) with one vectorized sort-count."""
+    import numpy as np
+    import pyarrow as pa
+
+    chunks = [batch.column(0).to_numpy(zero_copy_only=False) for batch in it]
+    if chunks:
+        pk, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(pk >> np.int64(32)),
+                pa.array(pk & np.int64(0xFFFFFFFF)),
+                pa.array(cnt.astype(np.int64)),
+            ],
+            ["id_a", "id_b", "inter"],
+        )
+
+
+def _inverted_index_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_df: int | None,
+    broadcast_index_rows: int,
+    finish,
+) -> DataFrame:
+    """Shared inverted-shingle-index pair counting for
+    :func:`containment_pairs` / :func:`ngram_jaccard_pairs`: distinct
+    (id, s) index -> self-equi-join on s (id_a < id_b) -> per-pair
+    intersection counts -> per-doc sizes attached as na/nb ->
+    ``finish(inter)`` applies the measure + threshold.
+
+    Shuffle/plan shape (round 6): shingle_rows clusters the index by id
+    (its one exchange); distinct and the per-doc sizes are then
+    exchange-free, the build side broadcasts when it fits under
+    ``broadcast_index_rows``, and — because the probe side stays
+    id-clustered through the broadcast join — the per-pair counts are
+    computed entirely within partitions by the
+    :func:`_count_pairs_arrow` kernel (ids proven to fit 31 bits by a
+    driver-side min/max check; any other id shape falls back to the
+    JVM groupBy, which plans with no exchange for the same clustering
+    reason).  The index is persisted for the duration of the call and
+    the (small) result is materialized eagerly so the cache can be
+    released before returning."""
+    from ..functions.text import shingle_rows
+
+    sh = shingle_rows(df, id_col, text_col, k).distinct()
+    if max_df is not None:
+        # hot-gram gate as a broadcast ANTI-join: grams with df > max_df
+        # are rare by definition (<= n_rows/max_df of them), so the drop
+        # list broadcasts and the id-clustering of the index survives
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    # persist: the stats job below materializes the index once; the
+    # sizes/build/probe consumers then read the cache instead of
+    # recomputing shingles+distinct three times
+    sh = sh.persist()
+    id_numeric = dict(df.dtypes).get(id_col, "") in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    if id_numeric:
+        st = sh.agg(
+            F.count("*").alias("n"),
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+        ).collect()[0]
+        n_index = st["n"]
+        pack_ok = (
+            n_index > 0 and st["lo"] >= 0 and st["hi"] < (1 << 31)
+        )
+    else:
+        n_index = sh.count()
+        pack_ok = False
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    b = sh.alias("b")
+    do_broadcast = n_index <= broadcast_index_rows
+    if do_broadcast:
+        b = F.broadcast(b)
+    joined = sh.alias("a").join(
+        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
+    )
+    if pack_ok and do_broadcast:
+        inter = joined.select(
+            F.shiftleft(F.col("a.id"), 32).bitwiseOR(F.col("b.id")).alias("pk")
+        ).mapInArrow(_count_pairs_arrow, "id_a long, id_b long, inter long")
+    else:
+        inter = joined.groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        ).agg(F.count("*").alias("inter"))
+    inter = inter.join(
+        F.broadcast(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na")
+        ),
+        "id_a",
+    ).join(
+        F.broadcast(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb")
+        ),
+        "id_b",
+    )
+    out = finish(inter).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
