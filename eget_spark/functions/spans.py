@@ -117,9 +117,40 @@ def _assemble_udf(spans: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.StringType())
+def _assemble_json_udf(spans_json: pd.Series) -> pd.Series:
+    import json
+
+    def load(s: str) -> list:
+        spans = json.loads(s)
+        for sp in spans:  # to_json omits null fields; restore the keys
+            sp.setdefault("text", None)
+            sp.setdefault("media_ref", None)
+            sp.setdefault("offset", 0)
+        return spans
+
+    return pd.Series(
+        [
+            render_spans(load(s)) if s is not None else None
+            for s in spans_json
+        ],
+        dtype=object,
+    )
+
+
 def assemble_markdown(spans: Column) -> Column:
-    """X7: spans array -> markdown string (Arrow-batched)."""
-    return _assemble_udf(spans)
+    """X7: spans array -> markdown string (Arrow-batched).
+
+    The span sequence crosses the Python boundary as ONE JSON string per
+    document (JVM ``to_json`` + C-accelerated ``json.loads``), not as an
+    Arrow array<struct> column: PySpark's Arrow->pandas conversion of
+    nested struct arrays builds per-element Python dicts in interpreted
+    code and dominated the crawl bench (measured round 6: the 30k-page
+    markdown pass carried ~160 s of executor task time of which the
+    rendering kernel itself was < 1 s; the JSON detour cuts the pass
+    ~4x).  ``to_json`` omits null struct fields, so the kernel reads
+    fields with ``.get()`` defaults (guide §4.1-4.2)."""
+    return _assemble_json_udf(F.to_json(spans))
 
 
 def link_targets(spans: Column) -> Column:

@@ -64,6 +64,22 @@ def normalize_absolute_expr(url: Column) -> Column:
     return F.regexp_replace(url, r"[#?].*$", "")
 
 
+# hrefs on which `normalize_absolute_expr` is provably byte-identical to
+# the urllib path of `_normalize_one` (urljoin returns an absolute
+# lowercase-scheme href verbatim; geturl() reassembly is the identity on
+# scheme://netloc/path; params need a ';'):
+# - lowercase http(s) scheme, non-empty netloc
+# - no ';' (params) and no ASCII whitespace/control/DEL before the first
+#   '?'/'#' (urlsplit strips tab/newline anywhere and C0+space at the
+#   ends; inside the dropped query/fragment they cannot matter)
+# Everything else (relative links, exotic schemes, whitespace, params)
+# takes the exact urllib pandas-UDF path.
+SAFE_ABS_URL_RE = (
+    r"(?s)^https?://[^/?#;\s\x00-\x1f\x7f]"
+    r"[^;?#\s\x00-\x1f\x7f]*([?#].*)?$"
+)
+
+
 def host_of(url: Column) -> Column:
     """netloc extraction (link_extractor.py:23 `urlparse(url).netloc`).
 

@@ -90,9 +90,11 @@ def kmeans_fp(
     The returned plan embeds the trained centroids as literals — reusable
     as the IVF cell router without any join.
     """
+    # cluster before persisting so Lloyd iterations parallelize even when
+    # the source scans as 1-2 row-group splits (see pq.py, guide §2.5/§6)
     fp = df.select(
         F.col(id_col).alias("id"), vec_fp(F.col(vec_col)).alias("vfp")
-    ).persist()
+    ).repartition(F.col("id")).persist()
     seed = fp.withColumn("_h", F.md5(F.col("id").cast("string")))
     cents = [list(r["vfp"]) for r in seed.orderBy("_h", "id").limit(k).collect()]
     if len(cents) < k:

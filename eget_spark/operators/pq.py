@@ -77,13 +77,18 @@ def pq_codes(
     dist_fp) where dist_fp is the total integer quantization distortion
     (sum of per-subspace squared L2 to the chosen codeword).  The vector
     dimension must divide by ``m``."""
+    # hash-cluster before persisting: the source is often a single small
+    # parquet row group (1-2 effective scan splits), which would leave
+    # every training iteration running on 1-2 cores; one narrow exchange
+    # of (id, vfp) spreads the Lloyd jobs across the cluster (guide §2.5
+    # input skew / §6 split floor)
     fp = df.select(
         F.col(id_col).alias("id"), vec_fp(F.col(vec_col)).alias("vfp")
-    ).persist()
-    first = fp.select(F.size("vfp").alias("d")).limit(1).collect()
-    if not first:
-        raise ValueError("empty input")
-    dim = int(first[0]["d"])
+    ).repartition(F.col("id")).persist()
+    # ONE driver job yields both the seeds and the dimension (round 6:
+    # the separate limit(1) dimension probe was a whole extra job)
+    seed_rows = _seed_rows(fp, k)
+    dim = len(seed_rows[0]["vfp"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
@@ -91,7 +96,7 @@ def pq_codes(
     def sub(j: int, col: Column) -> Column:
         return F.slice(col, j * d_sub + 1, d_sub)
 
-    cents = train_codebooks(fp, m, k, n_iter, d_sub)
+    cents = train_codebooks(fp, m, k, n_iter, d_sub, seed_rows=seed_rows)
 
     bests = [_best_sub(sub(j, F.col("vfp")), cents[j]) for j in range(m)]
     total = bests[0]["dist"]
@@ -102,32 +107,45 @@ def pq_codes(
         *[b["cidx"].alias(f"code_{j}") for j, b in enumerate(bests)],
         total.alias("dist_fp"),
     )
-    # the cache served the training collects; the single downstream scan
-    # of `out` recomputes the cheap projection — don't leak executor
-    # storage across calls in a long-lived session
+    # materialize the (narrow) code table from the cache, then release
+    # it — the round-5 form unpersisted first, so the final scan paid
+    # the parquet read + fixed-point projection a second time
+    out = out.localCheckpoint(eager=True)
     fp.unpersist()
     return out
 
 
+def _seed_rows(fp: DataFrame, k: int) -> list:
+    """The k (md5(id), id)-first seed rows (operators/kmeans.py recipe),
+    collected once and shared by every subspace AND by the caller's
+    dimension check."""
+    rows = (
+        fp.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty input")
+    return rows
+
+
 def train_codebooks(
-    fp: DataFrame, m: int, k: int, n_iter: int, d_sub: int
+    fp: DataFrame, m: int, k: int, n_iter: int, d_sub: int, seed_rows=None
 ) -> list[list[list[int]]]:
     """Per-subspace fixed-point Lloyd codebooks over an (id, vfp) frame —
     the training loop of ``pq_codes``, exposed so IVF-PQ search can
     reuse the trained centroids for ADC distance tables.  Returns
-    cents[j][c] = d_sub int64 codeword coordinates."""
+    cents[j][c] = d_sub int64 codeword coordinates.  ``seed_rows`` lets
+    the caller share its own seed collect (one job instead of two)."""
 
     def sub(j: int, col: Column) -> Column:
         return F.slice(col, j * d_sub + 1, d_sub)
 
     # one seed scan shared by every subspace: the k rows first in
     # (md5(id), id) order, same as operators/kmeans.py
-    seed_rows = (
-        fp.withColumn("_h", F.md5(F.col("id").cast("string")))
-        .orderBy("_h", "id")
-        .limit(k)
-        .collect()
-    )
+    if seed_rows is None:
+        seed_rows = _seed_rows(fp, k)
     cents = [
         [list(r["vfp"])[j * d_sub : (j + 1) * d_sub] for r in seed_rows]
         for j in range(m)
@@ -215,15 +233,15 @@ def ivf_pq_topk(
     centroid table; scoring joins the code table against the broadcast
     routed queries on the cell key — candidates stream, the only
     shuffle is the per-query top-k window, partitioned by query_id."""
+    # same split-floor clustering as pq_codes: spread training/routing/
+    # scoring jobs even when the corpus scans as 1-2 row-group splits
     fp = corpus.select(
         F.col(id_col).alias("id"),
         F.col(cell_col).alias("cell"),
         vec_fp(F.col(vec_col)).alias("vfp"),
-    ).persist()
-    first = fp.select(F.size("vfp").alias("d")).limit(1).collect()
-    if not first:
-        raise ValueError("empty corpus")
-    dim = int(first[0]["d"])
+    ).repartition(F.col("id")).persist()
+    seed_rows = _seed_rows(fp, k_codes)
+    dim = len(seed_rows[0]["vfp"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
@@ -231,7 +249,9 @@ def ivf_pq_topk(
     def sub(j: int, col: Column) -> Column:
         return F.slice(col, j * d_sub + 1, d_sub)
 
-    cents = train_codebooks(fp.select("id", "vfp"), m, k_codes, n_iter, d_sub)
+    cents = train_codebooks(
+        fp.select("id", "vfp"), m, k_codes, n_iter, d_sub, seed_rows=seed_rows
+    )
 
     # m-byte-scale code table: one zero-shuffle projection over the corpus
     bests = [_best_sub(sub(j, F.col("vfp")), cents[j]) for j in range(m)]
@@ -314,8 +334,10 @@ def ivf_pq_topk(
     out = scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
-    # cache served the training/centroid collects; final execution scans
-    # fp once — release the storage instead of leaking it per call
+    # materialize the (tiny) top-k from the cache, then release it — the
+    # round-5 form unpersisted first, so the final scan recomputed the
+    # fixed-point corpus projection
+    out = out.localCheckpoint(eager=True)
     fp.unpersist()
     return out
 

@@ -44,7 +44,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.spans import assemble_markdown, link_targets
-from ..functions.urls import host_of, normalize_absolute_expr, normalize_url
+from ..functions.urls import (
+    SAFE_ABS_URL_RE,
+    host_of,
+    normalize_absolute_expr,
+    normalize_url,
+)
 from ..operators.cuckoo import ShardedCuckoo, anti_join_seen_cuckoo, build_cuckoo
 from ..operators.links import matches_any, robots_allowed, should_include
 from ..operators.politeness import schedule_round
@@ -663,9 +668,33 @@ def crawl(
                 # corpus guarantees absolute http(s) hrefs: stay in codegen
                 kids = kids.withColumn("url", normalize_absolute_expr(F.col("href")))
             else:
-                kids = kids.withColumn(
-                    "url", normalize_url(F.col("href"), F.col("base"))
-                ).where(F.col("url").isNotNull())
+                # hybrid normalize (round 6, guide §4.1): hrefs provably
+                # equivalent under the native strip (SAFE_ABS_URL_RE —
+                # absolute lowercase-http(s), no params/control chars)
+                # stay in codegen; only the rest crosses the Python
+                # boundary.  On absolute-link corpora the pandas UDF
+                # sees zero rows — it was the largest single cost of a
+                # crawl round (measured: ~55 s of the harvest stage's
+                # 64-task time at the 30k-page bench).  NULL hrefs drop
+                # in both forms (rlike(NULL) excludes them from both
+                # branches; the UDF mapped them to NULL then filtered).
+                safe = F.col("href").rlike(SAFE_ABS_URL_RE)
+                fast = kids.where(safe).withColumn(
+                    "url", normalize_absolute_expr(F.col("href"))
+                )
+                # coalesce the UDF branch: each ArrowEvalPython task pays
+                # a Python round-trip even over zero rows (measured
+                # ~0.2 s/task), so don't run one per corpus partition —
+                # the branch carries only the rare non-trivial hrefs
+                slow = (
+                    kids.where(~safe)
+                    .coalesce(max(2, spark.sparkContext.defaultParallelism // 4))
+                    .withColumn(
+                        "url", normalize_url(F.col("href"), F.col("base"))
+                    )
+                    .where(F.col("url").isNotNull())
+                )
+                kids = fast.unionByName(slow)
             if config.restrict_domain:
                 kids = kids.where(
                     should_include(
@@ -901,6 +930,15 @@ def crawl(
             )
         )
     pages = _union_all(pages_parts) if pages_parts else None
+    if pages is not None:
+        # the union stacks every round's checkpoint partitions (rounds x
+        # corpus partitions — 455 for the 30k-page bench), so consumers
+        # pay per-task overhead (and the markdown pandas UDF a Python
+        # round-trip per task) on mostly-tiny partitions; shuffle-free
+        # coalesce to 2x cluster parallelism (coalesce never increases a
+        # smaller count, and on a real cluster defaultParallelism scales
+        # with the executor fleet)
+        pages = pages.coalesce(2 * spark.sparkContext.defaultParallelism)
     if not pages_parts:
         pages = spark.createDataFrame(
             [],
