@@ -608,26 +608,39 @@ def crawl(
         success = success_list[-1]
         failed = attempted - success if success is not None else None
 
-        # S6: emitted page rows (markdown assembled at emit time, X7)
-        ok_rows = hits.select(
-            "url", "host", "depth", "parent_url", "seq",
-            F.lit(round_no).alias("round"),
-            F.lit("ok").alias("status"),
-            assemble_markdown(F.col("spans")).alias("markdown"),
-            "spans",
-        )
+        # S6: emitted page rows (markdown assembled at emit time in table
+        # mode, X7; the in-memory path defers markdown to ONE projection
+        # over the final union — a per-round column would plan one
+        # ArrowEvalPython node per union branch, and every consumer task
+        # then opens a Python channel per branch it reads: measured 2x on
+        # the 30k-page markdown pass)
+        def _ok_rows(with_markdown: bool):
+            cols = [
+                "url", "host", "depth", "parent_url", "seq",
+                F.lit(round_no).alias("round"),
+                F.lit("ok").alias("status"),
+            ]
+            if with_markdown:
+                cols.append(assemble_markdown(F.col("spans")).alias("markdown"))
+            return hits.select(*cols, "spans")
 
-        def _miss_rows(m, rnd_col):
-            return m.select(
+        def _miss_rows(m, rnd_col, with_markdown=True):
+            cols = [
                 "url", "host", "depth", "parent_url", "seq",
                 rnd_col.alias("round"),
                 F.lit("missing").alias("status"),
-                F.lit(None).cast("string").alias("markdown"),
+            ]
+            if with_markdown:
+                cols.append(F.lit(None).cast("string").alias("markdown"))
+            return m.select(
+                *cols,
                 F.lit(None).cast(docs.schema["spans"].dataType).alias("spans"),
             )
 
         if run:
-            emitted = ok_rows.unionByName(_miss_rows(exhausted, F.lit(round_no)))
+            emitted = _ok_rows(True).unionByName(
+                _miss_rows(exhausted, F.lit(round_no))
+            )
             run.docs.append(
                 emitted.withColumn("partition_id", F.spark_partition_id()), round_no
             )
@@ -637,7 +650,7 @@ def crawl(
             # (the heaviest UDF) runs once over the final union instead of
             # once per round; misses resolved by ONE end-of-crawl anti-join
             # instead of a driver-serial broadcast build per round
-            pages_parts.append(ok_rows)
+            pages_parts.append(_ok_rows(False))
             fetch_parts.append(
                 fetch_now.select(*FRONTIER_COLS, F.lit(round_no).alias("round"))
             )
@@ -925,7 +938,6 @@ def crawl(
             misses_all.select(
                 "url", "host", "depth", "parent_url", "seq", "round",
                 F.lit("missing").alias("status"),
-                F.lit(None).cast("string").alias("markdown"),
                 F.lit(None).cast(docs.schema["spans"].dataType).alias("spans"),
             )
         )
@@ -939,6 +951,16 @@ def crawl(
         # smaller count, and on a real cluster defaultParallelism scales
         # with the executor fleet)
         pages = pages.coalesce(2 * spark.sparkContext.defaultParallelism)
+        if run is None:
+            # single markdown projection over the coalesced union (see
+            # the _ok_rows note); assemble_markdown(NULL spans) is NULL,
+            # so miss rows come out identical to the literal-NULL form
+            pages = pages.select(
+                "url", "host", "depth", "parent_url", "seq", "round",
+                "status",
+                assemble_markdown(F.col("spans")).alias("markdown"),
+                "spans",
+            )
     if not pages_parts:
         pages = spark.createDataFrame(
             [],
