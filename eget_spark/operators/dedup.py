@@ -276,26 +276,52 @@ def _inverted_index_pairs(
     id_numeric = dict(df.dtypes).get(id_col, "") in (
         "tinyint", "smallint", "int", "bigint"
     )
+    # ONE stats job: pack bounds for the Arrow kernel AND an exact
+    # injectivity guard for the hashed join key.  Probing the self-join
+    # on xxhash64(s) (a long) instead of the shingle string halved the
+    # enumeration stage at sf1.0 (guide §2.3 narrower types — the match
+    # predicate only needs equality, not the bytes); it is only correct
+    # when no two distinct shingles collide, so countDistinct(s) ==
+    # countDistinct(xxhash64(s)) is verified on the driver and any
+    # collision (p ~ n^2/2^65) falls back to the exact string join.
     if id_numeric:
         st = sh.agg(
             F.count("*").alias("n"),
             F.min("id").alias("lo"),
             F.max("id").alias("hi"),
+            F.countDistinct("s").alias("ds"),
+            F.countDistinct(F.xxhash64("s")).alias("dh"),
         ).collect()[0]
         n_index = st["n"]
         pack_ok = (
             n_index > 0 and st["lo"] >= 0 and st["hi"] < (1 << 31)
         )
+        hash_ok = st["ds"] == st["dh"]
     else:
-        n_index = sh.count()
+        st = sh.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("s").alias("ds"),
+            F.countDistinct(F.xxhash64("s")).alias("dh"),
+        ).collect()[0]
+        n_index = st["n"]
         pack_ok = False
+        hash_ok = st["ds"] == st["dh"]
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    b = sh.alias("b")
+    hx = None
+    if hash_ok:
+        # persist the hashed projection: probing the broadcast hash from a
+        # cached LONG column measured ~2x faster than re-projecting the
+        # cached string index inside the join stage
+        hx = sh.select("id", F.xxhash64("s").alias("s")).persist()
+        probe = hx
+    else:
+        probe = sh
     do_broadcast = n_index <= broadcast_index_rows
+    bside = probe.alias("b")
     if do_broadcast:
-        b = F.broadcast(b)
-    joined = sh.alias("a").join(
-        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
+        bside = F.broadcast(bside)
+    joined = probe.alias("a").join(
+        bside, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
     )
     if pack_ok and do_broadcast:
         inter = joined.select(
@@ -316,8 +342,24 @@ def _inverted_index_pairs(
         ),
         "id_b",
     )
-    out = finish(inter).localCheckpoint(eager=True)
+    # the candidate stream is ONE packed int64 per row: the default 10k-row
+    # Arrow batches cost ~13k per-batch round-trips at sf1.0 (measured
+    # 8.0s -> 5.3s with 1M-row batches); restore the session value after
+    # the eager materialization (guide §4.2 batch sizing)
+    spark = df.sparkSession
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old_batch = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, str(1 << 20))
+        out = finish(inter).localCheckpoint(eager=True)
+    finally:
+        if old_batch is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old_batch)
     sh.unpersist()
+    if hx is not None:
+        hx.unpersist()
     return out
 
 
