@@ -52,6 +52,17 @@ class SeqResult:
             p.unpersist()
 
 
+# Below this input size the generic path ranks with ONE ordered window
+# instead of the range-exchange machinery: a range exchange of a
+# sub-threshold table is pure overhead (sampling job + exchange + counts
+# collect + offsets broadcast ~= 5 scheduler round-trips), while a single
+# sort task over <= ~1M narrow rows is milliseconds.  This is the
+# scale-adaptive partitioning the optimization guide asks for (derive
+# the plan from the input size, not a constant): ABOVE the threshold the
+# range-partitioned path is unchanged and remains the 100-TB story.
+SEQ_SMALL_ROWS = 1 << 20
+
+
 def with_global_seq(
     df: DataFrame,
     order_cols: list[str],
@@ -59,10 +70,11 @@ def with_global_seq(
     seq_col: str = "seq",
     num_partitions: int | None = None,
     bucket_expr=None,
+    small_threshold: int | None = None,
 ) -> SeqResult:
     """Add ``seq_col`` = start + (1-based global rank by order_cols) - 1.
 
-    Two physical strategies:
+    Three physical strategies:
 
     - ``bucket_expr`` given (a Column, MONOTONE in the leading order key
       and constant for equal keys — e.g. ``floor(parent_seq / 1024)``):
@@ -71,12 +83,22 @@ def with_global_seq(
       TWICE: once to sample bounds, once to shuffle) and no input persist —
       the candidate pipeline runs exactly once. Bucket sizes are bounded by
       the caller's key density, so per-bucket sorts stay parallel.
-    - otherwise: ``repartitionByRange`` on the order keys (generic exact
-      path; pays the sampling traversal).
+    - otherwise the input is persisted and counted (so the sampling pass
+      no longer re-computes an expensive upstream pipeline), and:
+
+      - at or under ``small_threshold`` rows (default
+        :data:`SEQ_SMALL_ROWS`; pass 0 to force the scale path): ONE
+        ordered window over the cached rows — a deliberate size-adaptive
+        single sort task, exactly what a range exchange would degenerate
+        to anyway after AQE coalescing, minus its 4 extra jobs;
+      - above it: ``repartitionByRange`` on the order keys (the exact
+        parallel path — per-partition rank + broadcast prefix offsets).
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if small_threshold is None:
+        small_threshold = SEQ_SMALL_ROWS
 
     if bucket_expr is not None:
         parts = (
@@ -86,11 +108,20 @@ def with_global_seq(
         )
         group_col = "_bkt"
     else:
+        src = df.persist()
+        n_in = src.count()
+        if n_in <= small_threshold:
+            w = Window.orderBy(*order_cols)
+            out = src.withColumn(
+                seq_col,
+                (F.lit(start) + F.row_number().over(w) - 1).cast("long"),
+            )
+            return SeqResult(out, n_in, [src])
         if num_partitions == 1:
             # single partition: a round-robin exchange needs no range bounds
-            exchanged = df.repartition(1)
+            exchanged = src.repartition(1)
         else:
-            exchanged = df.repartitionByRange(
+            exchanged = src.repartitionByRange(
                 num_partitions, *[F.col(c) for c in order_cols]
             )
         parts = (
@@ -109,9 +140,10 @@ def with_global_seq(
     for key in sorted(counts):
         offsets.append((key, acc))
         acc += counts[key]
+    held = [parts] if bucket_expr is not None else [parts, src]
     if not offsets:  # empty input: no rows, any typed constant works
         out = parts.withColumn(seq_col, F.lit(start).cast("long")).drop(group_col)
-        return SeqResult(out, 0, [parts])
+        return SeqResult(out, 0, held)
     off_df = spark.createDataFrame(offsets, f"{group_col} long, _off long")
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     out = (
@@ -121,7 +153,7 @@ def with_global_seq(
         )
         .drop(group_col, "_off")
     )
-    return SeqResult(out, total, [parts])
+    return SeqResult(out, total, held)
 
 
 @dataclass
