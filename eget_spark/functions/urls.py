@@ -50,6 +50,16 @@ def _normalize_udf(href: pd.Series, base: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+# guide §4.4: a filter on the UDF's output column (the crawl harvest's
+# ``.where(url.isNotNull())``) otherwise DUPLICATES the evaluation into
+# two ArrowEvalPython nodes — and the pushed-down copy lands below the
+# harvest's coalesce, so every corpus partition pays a Python worker
+# round-trip per crawl round (measured: the per-round sequencing stage's
+# run-time was ~10x its CPU time, all Python channel wait).  The
+# function is pure; non-determinism here only pins the plan.
+_normalize_udf = _normalize_udf.asNondeterministic()
+
+
 def normalize_url(href: Column, base: Column) -> Column:
     """F1: exact reference normalization (link_extractor.py:48-67)."""
     return _normalize_udf(href, base)

@@ -130,10 +130,24 @@ def with_global_seq(
             .persist()
         )
         group_col = "_pid"
-    counts = {
-        r[group_col]: r["cnt"]
-        for r in parts.groupBy(group_col).agg(F.count("*").alias("cnt")).collect()
-    }
+    # AQE splits this one counts job into ~6 serial sub-jobs (materialize,
+    # shuffle-read, re-optimize, final agg) — pure driver round-trip
+    # latency on a per-round hot path (measured ~0.4-0.6 s/crawl round).
+    # The aggregate is a partial-combined count over the cached partitions
+    # with a bounded-cardinality key; AQE has nothing to optimize here, so
+    # run just this collect with it off (restored immediately).
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _aqe_old = spark.conf.get(_aqe_key, "true")
+    try:
+        spark.conf.set(_aqe_key, "false")
+        counts = {
+            r[group_col]: r["cnt"]
+            for r in parts.groupBy(group_col)
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+    finally:
+        spark.conf.set(_aqe_key, _aqe_old)
     total = sum(counts.values())
     offsets = []
     acc = start

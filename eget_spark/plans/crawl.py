@@ -911,9 +911,19 @@ def crawl(
         run_success += st.success
         st.success_total = run_success
 
+    # the per-round success counts are final here (_fill_success_counts
+    # above), so a crawl where every attempted URL hit provably has no
+    # missing rows: skip the whole fetched-vs-hits anti-join (it scans
+    # rounds x corpus-partitions mostly-empty union legs — measured
+    # ~1.5 s at the 30k-page bench for an empty result)
+    if fetch_parts and sum(attempted_list) == sum(s or 0 for s in success_list):
+        fetch_parts = []
     if fetch_parts:
-        all_fetched = _union_all(fetch_parts)
-        all_hits = _union_all([h.select("url") for h in hits_parts])
+        # shuffle-free coalesce of both union sides before the anti-join:
+        # same rounds-x-partitions task-overhead argument as `pages` below
+        n_co = 2 * spark.sparkContext.defaultParallelism
+        all_fetched = _union_all(fetch_parts).coalesce(n_co)
+        all_hits = _union_all([h.select("url") for h in hits_parts]).coalesce(n_co)
         misses_all = all_fetched.join(all_hits, "url", "left_anti")
         if config.max_retries > 0:
             # a retried URL appears once per attempt (distinct rounds);
