@@ -65,6 +65,73 @@ def _best_sub(v: Column, cents: list[list[int]]) -> Column:
     )
 
 
+def _l2_fp(a: Column, b: Column) -> Column:
+    """Integer squared L2 between two array<long> columns — the same
+    zip_with + aggregate fold as :func:`_dist_sub`, with BOTH sides data
+    columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook_df(spark, cents: list[list[list[int]]]):
+    """The m x k codebooks as a 1-slice broadcast-able DataFrame
+    (sub, cidx, cvec).  Round-6 plan-cost fix: embedding the codebooks as
+    LITERAL arrays inside the assignment expressions made every Lloyd
+    iteration and every consumer query re-analyze an m*k-codeword HOF
+    tree — measured 0.8-2.3 s of pure driver (Catalyst) time per action
+    at m=4,k=4, per iteration, per query, and the literals change every
+    iteration so nothing caches.  As a broadcast-joined DATA table the
+    plan is small and its shape is iteration-invariant; the arithmetic
+    (same zip_with/aggregate fold, same (dist, cidx) argmin order) is
+    unchanged, so codes are bit-identical."""
+    rows = [
+        (j, i, [int(x) for x in cents[j][i]])
+        for j in range(len(cents))
+        for i in range(len(cents[j]))
+    ]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "sub int, cidx int, cvec array<bigint>",
+    )
+
+
+def _best_rows(fp: DataFrame, cb: DataFrame, m: int, d_sub: int, *extra_cols):
+    """Per-(id, subspace) winning codeword via the broadcast codebook:
+    returns (id[, *extra_cols], sub, b) with b = struct(dist, cidx, svec)
+    — min over struct is (dist asc, cidx asc), identical to
+    :func:`_best_sub`'s array_min tie order (cidx is unique within the
+    group, so the trailing svec never decides).  ``fp`` is hash-clustered
+    by id, so the groupBy plans with no exchange."""
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("sub"),
+                F.slice(F.col("vfp"), j * d_sub + 1, d_sub).alias("svec"),
+            )
+            for j in range(m)
+        ]
+    )
+    subs = fp.select(
+        "id", *extra_cols, F.explode(sub_structs).alias("_s")
+    ).select("id", *extra_cols, "_s.sub", "_s.svec")
+    cand = subs.join(F.broadcast(cb), "sub").select(
+        "id",
+        *extra_cols,
+        "sub",
+        F.struct(
+            _l2_fp(F.col("svec"), F.col("cvec")).alias("dist"),
+            F.col("cidx").alias("cidx"),
+            F.col("svec").alias("svec"),
+        ).alias("_c"),
+    )
+    aggs = [F.min("_c").alias("b")]
+    aggs += [F.min(c).alias(c) for c in extra_cols]
+    return cand.groupBy("id", "sub").agg(*aggs)
+
+
 def pq_codes(
     df: DataFrame,
     id_col: str,
@@ -98,14 +165,17 @@ def pq_codes(
 
     cents = train_codebooks(fp, m, k, n_iter, d_sub, seed_rows=seed_rows)
 
-    bests = [_best_sub(sub(j, F.col("vfp")), cents[j]) for j in range(m)]
-    total = bests[0]["dist"]
-    for b in bests[1:]:
-        total = total + b["dist"]
-    out = fp.select(
-        "id",
-        *[b["cidx"].alias(f"code_{j}") for j, b in enumerate(bests)],
-        total.alias("dist_fp"),
+    # final assignment via the broadcast codebook (see _codebook_df);
+    # one id-clustered aggregate pivots the m winners back to columns
+    best = _best_rows(fp, _codebook_df(df.sparkSession, cents), m, d_sub)
+    out = best.groupBy("id").agg(
+        *[
+            F.max(
+                F.when(F.col("sub") == j, F.col("b.cidx"))
+            ).cast("int").alias(f"code_{j}")
+            for j in range(m)
+        ],
+        F.sum("b.dist").cast("long").alias("dist_fp"),
     )
     # materialize the (narrow) code table from the cache, then release
     # it — the round-5 form unpersisted first, so the final scan paid
@@ -151,32 +221,18 @@ def train_codebooks(
         for j in range(m)
     ]
 
+    spark = fp.sparkSession
     for _ in range(n_iter):
-        # ONE job updates ALL m codebooks: the per-subspace assignments
-        # ride as an m-slot literal-codebook code array, the posexploded
-        # full vector routes each dim to (subspace, that subspace's
-        # cluster) — m times fewer Spark jobs than training subspaces
-        # one at a time, same shuffle volume
-        codes_arr = F.array(
-            *[
-                _best_sub(sub(j, F.col("vfp")), cents[j])["cidx"]
-                for j in range(m)
-            ]
-        )
-        # compute the code array BEFORE the explode: an expression living
-        # in the same projection as posexplode is re-evaluated once per
-        # EXPLODED row (dim x the work); binding it first makes it a
-        # pass-through column of the Generate
-        ex = fp.select("vfp", codes_arr.alias("_c")).select(
-            F.posexplode("vfp").alias("pos", "x"), F.col("_c")
-        ).select(
-            F.floor(F.col("pos") / d_sub).cast("int").alias("sub"),
-            (F.col("pos") % d_sub).alias("spos"),
-            F.element_at(
-                F.col("_c"), F.floor(F.col("pos") / d_sub).cast("int") + 1
-            ).alias("cluster"),
-            "x",
-        )
+        # ONE job updates ALL m codebooks; the codebooks ride as a
+        # broadcast DATA table (see _codebook_df — iteration-invariant
+        # plan shape, no literal re-analysis), the winner's subvector is
+        # carried by the argmin struct and exploded for the means
+        best = _best_rows(fp.select("id", "vfp"), _codebook_df(spark, cents), m, d_sub)
+        ex = best.select(
+            "sub",
+            F.col("b.cidx").alias("cluster"),
+            F.posexplode("b.svec").alias("spos0", "x"),
+        ).select("sub", "cluster", (F.col("spos0")).alias("spos"), "x")
         mean_rows = (
             ex.groupBy("sub", "cluster", "spos")
             .agg(
@@ -253,13 +309,20 @@ def ivf_pq_topk(
         fp.select("id", "vfp"), m, k_codes, n_iter, d_sub, seed_rows=seed_rows
     )
 
-    # m-byte-scale code table: one zero-shuffle projection over the corpus
-    bests = [_best_sub(sub(j, F.col("vfp")), cents[j]) for j in range(m)]
-    codes = fp.select(
-        "id",
-        "cell",
-        *[b["cidx"].alias(f"code_{j}") for j, b in enumerate(bests)],
-    )
+    # m-byte-scale code table via the broadcast codebook (_codebook_df):
+    # one id-clustered assignment + pivot, no literal trees in any plan
+    spark = corpus.sparkSession
+    cb = _codebook_df(spark, cents)
+    best = _best_rows(fp, cb, m, d_sub, "cell")
+    codes = best.groupBy("id").agg(
+        F.min("cell").alias("cell"),
+        *[
+            F.max(F.when(F.col("sub") == j, F.col("b.cidx")))
+            .cast("int")
+            .alias(f"code_{j}")
+            for j in range(m)
+        ],
+    ).select("id", "cell", *[f"code_{j}" for j in range(m)])
 
     # integer cell centroids (floor-divided per-dim means)
     ccent = (
@@ -286,22 +349,46 @@ def ivf_pq_topk(
             lambda acc, x: acc + x,
         )
 
-    # per-query ADC distance tables: m x k_codes int64 lookup entries,
-    # computed once per query in the same projection
+    # per-query ADC distance tables from the SAME broadcast codebook: one
+    # (query_id, sub, cidx, dist) pass collapsed to a flat m*k lookup
+    # array ordered by (sub, cidx) — dt[j][c] == dtflat[j*k + c]
     qfp = queries.select(
         F.col(id_col).alias("query_id"), vec_fp(F.col(vec_col)).alias("qfp")
     )
-    dt = F.array(
-        *[
-            F.array(*[_dist_sub(sub(j, F.col("qfp")), c) for c in cents[j]])
-            for j in range(m)
-        ]
+    qsubs = qfp.select(
+        "query_id",
+        "qfp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("sub"),
+                        sub(j, F.col("qfp")).alias("svec"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select("query_id", "_s.sub", "_s.svec")
+    dtab = (
+        qsubs.join(F.broadcast(cb), "sub")
+        .select(
+            "query_id",
+            F.struct(
+                "sub", "cidx", _l2_fp(F.col("svec"), F.col("cvec")).alias("d")
+            ).alias("_e"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("_e")), lambda s: s["d"]
+            ).alias("dtflat")
+        )
     )
     routed = (
-        qfp.select("query_id", "qfp", dt.alias("dt"))
-        .join(F.broadcast(ccent))
+        qfp.join(F.broadcast(ccent))
         .select(
-            "query_id", "dt", "cell", l2(F.col("qfp"), F.col("cvec")).alias("cd")
+            "query_id", "cell", l2(F.col("qfp"), F.col("cvec")).alias("cd")
         )
         .withColumn(
             "crank",
@@ -312,12 +399,14 @@ def ivf_pq_topk(
             ),
         )
         .where(F.col("crank") <= nprobe)
-        .select("query_id", "dt", "cell")
+        .select("query_id", "cell")
+        .join(F.broadcast(dtab), "query_id")
     )
     adc = reduce(
-        lambda a, j: a + F.get(F.get(F.col("dt"), F.lit(j)), F.col(f"code_{j}")),
+        lambda a, j: a
+        + F.get(F.col("dtflat"), F.lit(j * k_codes) + F.col(f"code_{j}")),
         range(1, m),
-        F.get(F.get(F.col("dt"), F.lit(0)), F.col("code_0")),
+        F.get(F.col("dtflat"), F.col("code_0")),
     )
     scored = (
         codes.join(F.broadcast(routed), "cell")
