@@ -100,7 +100,16 @@ def with_global_seq(
     if small_threshold is None:
         small_threshold = SEQ_SMALL_ROWS
 
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _aqe_old = spark.conf.get(_aqe_key, "true")
     if bucket_expr is not None:
+        # the bucket branch runs entirely under AQE-off (restored after
+        # the counts collect below): the cached plan compiles at
+        # materialization time, and an AQE plan runs as a chain of 3-4
+        # serial sub-jobs of driver round-trip latency per call — this is
+        # the crawl loop's per-round hot path, and the bucket exchange's
+        # partitioning is already derived from the caller's input size
+        spark.conf.set(_aqe_key, "false")
         parts = (
             df.withColumn("_bkt", bucket_expr.cast("long"))
             .repartition(num_partitions, F.col("_bkt"))
@@ -136,8 +145,6 @@ def with_global_seq(
     # The aggregate is a partial-combined count over the cached partitions
     # with a bounded-cardinality key; AQE has nothing to optimize here, so
     # run just this collect with it off (restored immediately).
-    _aqe_key = "spark.sql.adaptive.enabled"
-    _aqe_old = spark.conf.get(_aqe_key, "true")
     try:
         spark.conf.set(_aqe_key, "false")
         counts = {
@@ -158,7 +165,14 @@ def with_global_seq(
     if not offsets:  # empty input: no rows, any typed constant works
         out = parts.withColumn(seq_col, F.lit(start).cast("long")).drop(group_col)
         return SeqResult(out, 0, held)
-    off_df = spark.createDataFrame(offsets, f"{group_col} long, _off long")
+    # ONE slice: the default parallelize splits this driver-local list
+    # into defaultParallelism Python tasks, so every broadcast build of
+    # the offsets paid a 32-task PythonRDD job (~275 ms/round measured
+    # in the crawl loop) for a list with one row per partition
+    off_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(offsets, 1),
+        f"{group_col} long, _off long",
+    )
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     out = (
         parts.join(F.broadcast(off_df), group_col)

@@ -384,8 +384,17 @@ def crawl(
             for i, u in enumerate(kept)
             if 0 <= config.max_depth
         ]
+        # slice count scaled to the seed list (not defaultParallelism):
+        # the checkpointed seed frame is round 0's seen part, re-scanned
+        # by EVERY later round's seen union — 32 near-empty partitions
+        # cost 32 scheduled tasks per round for a handful of seeds
+        n_slices = max(1, min(
+            spark.sparkContext.defaultParallelism, len(seeds) // 1000
+        ))
         frontier = spark.createDataFrame(
-            [(u, d, p, s) for (u, _, d, p, s) in seeds],
+            spark.sparkContext.parallelize(
+                [(u, d, p, s) for (u, _, d, p, s) in seeds], n_slices
+            ),
             "url string, depth int, parent_url string, seq long",
         ).withColumn("host", host_of(F.col("url"))).select(FRONTIER_COLS)
         frontier = _checkpoint(frontier)
