@@ -258,7 +258,17 @@ def shingle_rows(df, id_col: str, text_col: str, k: int = 3, cluster: bool = Tru
     toks = tokens(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
     if cluster:
-        base = base.repartition(F.col("id"))
+        # explicit partition count (REPARTITION_BY_NUM): with the
+        # column-only form AQE coalesces this exchange by BYTE size, and
+        # the downstream stage (shingle explode + per-shingle hashing —
+        # compute-heavy, byte-light) ran on half the cluster (measured 16
+        # of 32 slots at sf1.0, the minhash stage's whole critical path).
+        # The count comes from the session's shuffle-partition setting,
+        # so it scales with the cluster, not a local constant.
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        base = base.repartition(n_parts, F.col("id"))
     return base.select(
         "id",
         "_toks",
