@@ -55,6 +55,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark 4's 64m default for maxBytesPerBatch makes every
+        # JVM->Python Arrow feed call ArrowWriter.sizeInBytes() PER ROW
+        # (BatchedPythonArrowInput.underBatchSizeLimit skips the probe
+        # only at Int.MaxValue) — thread dumps showed the per-row sizing
+        # as the hottest frames of the pair-kernel stage, and it
+        # quintupled under long-session JIT deopt (31s vs 12s for the
+        # same query).  Int.MaxValue restores record-count-bounded
+        # batches (the Spark 3 contract); maxRecordsPerBatch (default
+        # 10k rows) keeps per-batch memory bounded for wide rows.
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch", str((1 << 31) - 1)
+        )
         # Local-mode heap sizing is a real trade-off, measured both ways:
         # 8g produced GCLocker allocation stalls at local[8] on the 800k
         # benchxxl corpus (round 4), but 32g made the 30k-page frontier
