@@ -255,8 +255,7 @@ def shingle_rows(df, id_col: str, text_col: str, k: int = 3, cluster: bool = Tru
     and already scan with enough parallelism.  Duplicate shingles are
     kept (min-aggregations are unaffected); `.distinct()` for set
     semantics."""
-    toks = tokens(F.lower(F.col(text_col)))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
     if cluster:
         # explicit partition count (REPARTITION_BY_NUM): with the
         # column-only form AQE coalesces this exchange by BYTE size, and
@@ -265,10 +264,15 @@ def shingle_rows(df, id_col: str, text_col: str, k: int = 3, cluster: bool = Tru
         # of 32 slots at sf1.0, the minhash stage's whole critical path).
         # The count comes from the session's shuffle-partition setting,
         # so it scales with the cluster, not a local constant.
+        # The exchange moves the RAW text, not the token array: the scan
+        # side often has 1-2 effective splits, so tokenization belongs
+        # AFTER the exchange where it runs at full width (and the text
+        # bytes are smaller than the exploded token-array rows anyway).
         n_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
         base = base.repartition(n_parts, F.col("id"))
+    base = base.select("id", tokens(F.lower(F.col("_txt"))).alias("_toks"))
     return base.select(
         "id",
         "_toks",
