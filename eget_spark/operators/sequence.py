@@ -206,13 +206,23 @@ def with_global_prefix_sums(
     order_cols: list[str],
     sum_cols: list[str],
     num_partitions: int | None = None,
+    small_threshold: int | None = None,
 ) -> PrefixResult:
     """Exact INCLUSIVE global running sums of ``sum_cols`` in
     ``order_cols`` order — the ECDF/threshold-sweep primitive — without
-    ever planning a SinglePartition window: range-exchange on the order
-    keys, per-partition window sums, and driver-bounded per-partition
-    totals (ONE row per shuffle partition, the :func:`with_global_seq`
-    offset discipline) broadcast back as prefix seeds.
+    ever planning a SinglePartition window at scale: range-exchange on
+    the order keys, per-partition window sums, and driver-bounded
+    per-partition totals (ONE row per shuffle partition, the
+    :func:`with_global_seq` offset discipline) broadcast back as prefix
+    seeds.
+
+    Size-adaptive like :func:`with_global_seq` (round 6): the input is
+    persisted and counted first, so the range exchange's sampling pass
+    no longer re-computes the upstream pipeline, and at or under
+    ``small_threshold`` rows (default :data:`SEQ_SMALL_ROWS`; pass 0 to
+    force the scale path) the sums come from ONE ordered window over the
+    cached rows — what the range exchange would degenerate to anyway
+    after AQE coalescing, minus its sampling/counts/offset jobs.
 
     Consumers: KS distance (q276), Wasserstein-1 (q279), threshold
     sweeps (q280) — anything that walks a global order accumulating
@@ -222,8 +232,28 @@ def with_global_prefix_sums(
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    if small_threshold is None:
+        small_threshold = SEQ_SMALL_ROWS
+    src = df.persist()
+    n_in = src.count()
+    if n_in <= small_threshold:
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        # `_pid` stays in the contract: consumers (Wasserstein's
+        # boundary-seed lag) partition their own windows by it
+        out = src.withColumn("_pid", F.lit(0).cast("long"))
+        for c in sum_cols:
+            out = out.withColumn(
+                f"{c}_cum", F.sum(c).over(w).cast("long")
+            )
+        trow = src.agg(
+            *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+        ).collect()[0]
+        totals = {c: (trow[c] or 0) for c in sum_cols}
+        return PrefixResult(out, totals, [src])
     parts = (
-        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        src.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id().cast("long"))
         .persist()
@@ -259,4 +289,4 @@ def with_global_prefix_sums(
             ).cast("long"),
         )
     out = out.drop(*[f"_off_{c}" for c in sum_cols])
-    return PrefixResult(out, totals, [parts])
+    return PrefixResult(out, totals, [parts, src])

@@ -1382,6 +1382,48 @@ def main() -> None:
         + p_shb + "\n```\n"
     )
 
+    # 72b. with_global_prefix_sums (q239/q276/q279/q280's cumulative
+    # machinery) is size-adaptive the same way (round 6): sub-threshold
+    # inputs take ONE ordered window over the cached rows; the forced
+    # scale path must keep the range exchange + PARTITIONED window +
+    # broadcast offset join — never a SinglePartition window
+    from eget_spark.operators.sequence import with_global_prefix_sums as _wgps
+
+    ps_in = sh_pairs.select(
+        F.col("id").alias("v"), F.col("size").alias("ca")
+    )
+    ps_small = _wgps(ps_in, ["v"], ["ca"])
+    p_pss = plan_of(ps_small.df.select("v", "ca", "ca_cum"))
+    ps_small.unpersist()
+    checks.append(("prefix sums: small-input window", "Window" in p_pss))
+    ps_big = _wgps(ps_in, ["v"], ["ca"], small_threshold=0)
+    p_psb = plan_of(ps_big.df.select("v", "ca", "ca_cum"))
+    ps_big.unpersist()
+    checks.append(
+        (
+            "prefix sums scale path: range exchange",
+            "rangepartitioning" in p_psb.lower(),
+        )
+    )
+    checks.append(
+        (
+            "prefix sums scale path: partitioned window",
+            "Window" in p_psb and "SinglePartition" not in p_psb,
+        )
+    )
+    checks.append(
+        (
+            "prefix sums scale path: broadcast offset join",
+            "BroadcastHashJoin" in p_psb,
+        )
+    )
+    out.append(
+        "## with_global_prefix_sums scale path (forced small_threshold=0)\n\n"
+        "The size-adaptive prefix-sum helper's large-input shape — range "
+        "exchange, per-partition running-sum window, broadcast offset "
+        "join:\n\n```\n" + p_psb + "\n```\n"
+    )
+
     # 73. focused priorities (q142): keyword probe is zero-Python
     # expression work; one join + map-side max per dst
     p_fp = plan_of(entry.q142_focused_priorities(spark, SF))
