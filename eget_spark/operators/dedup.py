@@ -145,6 +145,10 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"),
+        # conservative kernel prefilter (1e-6 slack covers round-half-up,
+        # which raises by < 5e-7): a strict SUPERSET of the exact JVM
+        # predicate above, which remains authoritative on the survivors
+        np_prefilter=lambda i, na, nb: i / (na + nb - i) >= threshold - 1e-6,
     )
 
 
@@ -198,6 +202,11 @@ def containment_pairs(
             | (F.col("containment_b") >= threshold)
         )
         .select("id_a", "id_b", "containment_a", "containment_b"),
+        # conservative kernel prefilter (1e-6 slack covers round-half-up,
+        # which raises by < 5e-7): a strict SUPERSET of the exact JVM
+        # predicate above, which remains authoritative on the survivors
+        np_prefilter=lambda i, na, nb: (i / na >= threshold - 1e-6)
+        | (i / nb >= threshold - 1e-6),
     )
 
 
@@ -236,6 +245,7 @@ def _inverted_index_pairs(
     max_df: int | None,
     broadcast_index_rows: int,
     finish,
+    np_prefilter=None,
 ) -> DataFrame:
     """Shared inverted-shingle-index pair counting for
     :func:`containment_pairs` / :func:`ngram_jaccard_pairs`: distinct
@@ -245,15 +255,24 @@ def _inverted_index_pairs(
 
     Shuffle/plan shape (round 6): shingle_rows clusters the index by id
     (its one exchange); distinct and the per-doc sizes are then
-    exchange-free, the build side broadcasts when it fits under
-    ``broadcast_index_rows``, and — because the probe side stays
-    id-clustered through the broadcast join — the per-pair counts are
-    computed entirely within partitions by the
-    :func:`_count_pairs_arrow` kernel (ids proven to fit 31 bits by a
-    driver-side min/max check; any other id shape falls back to the
-    JVM groupBy, which plans with no exchange for the same clustering
-    reason).  The index is persisted for the duration of the call and
-    the (small) result is materialized eagerly so the cache can be
+    exchange-free.  When the index fits under ``broadcast_index_rows``
+    (the same bound that gated the former JVM broadcast join), the
+    hashed index is collected once, sorted by hash, and broadcast as
+    numpy arrays; the numpy probe kernel maps over the id-clustered
+    index partitions themselves, enumerating matches with vectorized
+    searchsorted + per-doc-group range expansion and counting each
+    doc's pairs with a cache-resident small sort — no JVM candidate
+    enumeration, no multi-million-row Arrow transfer, no global pair
+    sort.  ``np_prefilter(inter, na, nb)``, when given, must be a
+    conservative numpy SUPERSET of ``finish``'s predicate: it shrinks
+    the emitted rows so the exact pinned JVM predicate (round-half-up
+    on the joined sizes) decides on a few hundred survivors instead of
+    millions of pairs.  Ids are proven to fit 31 bits and the hash
+    proven injective by the driver-side stats job; any other shape
+    falls back to the JVM join (packed-kernel or groupBy), and above
+    the broadcast bound the shuffled inverted-index join remains the
+    100-TB path.  The index is persisted for the duration of the call
+    and the (small) result is materialized eagerly so the cache can be
     released before returning."""
     from ..functions.text import shingle_rows
 
@@ -308,6 +327,8 @@ def _inverted_index_pairs(
         hash_ok = st["ds"] == st["dh"]
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     hx = None
+    bc_index = None
+    do_broadcast = n_index <= broadcast_index_rows
     if hash_ok:
         # persist the hashed projection: probing the broadcast hash from a
         # cached LONG column measured ~2x faster than re-projecting the
@@ -316,21 +337,130 @@ def _inverted_index_pairs(
         probe = hx
     else:
         probe = sh
-    do_broadcast = n_index <= broadcast_index_rows
-    bside = probe.alias("b")
-    if do_broadcast:
-        bside = F.broadcast(bside)
-    joined = probe.alias("a").join(
-        bside, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
-    )
-    if pack_ok and do_broadcast:
-        inter = joined.select(
-            F.shiftleft(F.col("a.id"), 32).bitwiseOR(F.col("b.id")).alias("pk")
-        ).mapInArrow(_count_pairs_arrow, "id_a long, id_b long, inter long")
+    if pack_ok and do_broadcast and hash_ok:
+        # Round-6 numpy-probe kernel (guide §4.2): the JVM broadcast join
+        # enumerated the O(sum df^2) candidate stream (259M rows at
+        # sf1-scale, ~161 s CPU in one 7.6 s stage) and shipped 129.5M
+        # packed rows through Arrow into the counting kernel.  Instead,
+        # the (id, hash) index — already bounded by
+        # ``broadcast_index_rows``, the exact same gate that bounded the
+        # JVM broadcast build — is collected once, sorted by hash, and
+        # broadcast as two numpy arrays; the kernel maps over the
+        # id-clustered index partitions themselves (2.65M rows total,
+        # not 129.5M) and enumerates matches with vectorized
+        # searchsorted + range expansion.  The id-clustering invariant
+        # is unchanged, so per-task np.unique still IS the exact global
+        # per-pair count; above the broadcast bound the shuffled JVM
+        # join below remains the 100-TB path.
+        import numpy as np
+
+        tbl = hx.toArrow()  # zero-copy into numpy (no pandas detour)
+        h_np = tbl.column("s").to_numpy()
+        i_np = tbl.column("id").to_numpy()
+        order = np.argsort(h_np)
+        # per-doc index sizes (sorted-id lookup table, robust to sparse
+        # id spaces), computed once here instead of per task
+        sid = np.sort(i_np)
+        edge = np.flatnonzero(sid[1:] != sid[:-1]) + 1
+        uid = sid[np.r_[0, edge]] if len(sid) else sid
+        un = np.diff(np.r_[0, edge, len(sid)]) if len(sid) else sid
+        bc_index = df.sparkSession.sparkContext.broadcast(
+            (h_np[order], i_np[order], uid, un)
+        )
+        del tbl, h_np, i_np, order, sid, edge, uid, un
+        prefilter = np_prefilter
+
+        def _probe_kernel(it):
+            import numpy as np
+            import pyarrow as pa
+
+            hs, ids, uid, un = bc_index.value
+            # buffer the partition (id-clustered: every row of each doc
+            # id lands here, so a group's row count IS that doc's size)
+            cols_a, cols_h = [], []
+            for batch in it:
+                cols_a.append(batch.column(0).to_numpy(zero_copy_only=False))
+                cols_h.append(batch.column(1).to_numpy(zero_copy_only=False))
+            if not cols_a:
+                return
+            ia = np.concatenate(cols_a).astype(np.int64, copy=False)
+            ha = np.concatenate(cols_h)
+            lo = np.searchsorted(hs, ha, side="left")
+            cnt = np.searchsorted(hs, ha, side="right") - lo
+            # group rows by doc id: ~1 group per local doc, so the pair
+            # counting below runs as many CACHE-RESIDENT small sorts
+            # instead of one multi-million-row global pair sort (the
+            # global np.unique measured 2.6-6.5 s/task under 32-way
+            # memory contention; the grouped form avoids it entirely)
+            order = np.argsort(ia, kind="stable")
+            ia_s = ia[order]
+            bounds = np.flatnonzero(ia_s[1:] != ia_s[:-1]) + 1
+            starts = np.r_[0, bounds]
+            ends = np.r_[bounds, len(ia_s)]
+            out_a, out_b, out_c = [], [], []
+            for g0, g1 in zip(starts, ends):
+                rows = order[g0:g1]
+                a = int(ia_s[g0])
+                na = g1 - g0
+                r_lo = lo[rows]
+                r_cnt = cnt[rows]
+                tot = int(r_cnt.sum())
+                if tot == 0:
+                    continue
+                st = np.cumsum(r_cnt) - r_cnt
+                pos = (
+                    np.arange(tot, dtype=np.int64)
+                    - np.repeat(st, r_cnt)
+                    + np.repeat(r_lo, r_cnt)
+                )
+                b = ids[pos]
+                b = b[b > a]
+                if len(b) == 0:
+                    continue
+                b.sort()
+                edge = np.flatnonzero(b[1:] != b[:-1]) + 1
+                ub = b[np.r_[0, edge]]
+                inter_c = np.diff(np.r_[0, edge, len(b)])
+                if prefilter is not None:
+                    nb = un[np.searchsorted(uid, ub)]
+                    keep = prefilter(inter_c, na, nb)
+                    ub = ub[keep]
+                    inter_c = inter_c[keep]
+                if len(ub):
+                    out_a.append(np.full(len(ub), a, dtype=np.int64))
+                    out_b.append(ub)
+                    out_c.append(inter_c.astype(np.int64))
+            if out_a:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_a)),
+                        pa.array(np.concatenate(out_b)),
+                        pa.array(np.concatenate(out_c)),
+                    ],
+                    ["id_a", "id_b", "inter"],
+                )
+
+        inter = hx.mapInArrow(
+            _probe_kernel, "id_a long, id_b long, inter long"
+        )
     else:
-        inter = joined.groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        ).agg(F.count("*").alias("inter"))
+        bside = probe.alias("b")
+        if do_broadcast:
+            bside = F.broadcast(bside)
+        joined = probe.alias("a").join(
+            bside,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        if pack_ok and do_broadcast:
+            inter = joined.select(
+                F.shiftleft(F.col("a.id"), 32)
+                .bitwiseOR(F.col("b.id"))
+                .alias("pk")
+            ).mapInArrow(_count_pairs_arrow, "id_a long, id_b long, inter long")
+        else:
+            inter = joined.groupBy(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            ).agg(F.count("*").alias("inter"))
     inter = inter.join(
         F.broadcast(
             sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na")
@@ -360,6 +490,8 @@ def _inverted_index_pairs(
     sh.unpersist()
     if hx is not None:
         hx.unpersist()
+    if bc_index is not None:
+        bc_index.unpersist()
     return out
 
 
