@@ -101,6 +101,36 @@ def kmeans_fp(
         fp.unpersist()
         raise ValueError(f"k={k} exceeds the {len(cents)} input rows")
 
+    # size-adaptive training (round 6, same discipline as pq.py): a
+    # sub-threshold training set is collected once from the cache and
+    # iterated on the driver in numpy — bit-identical arithmetic, guarded
+    # below 2^53 so float64 is exact; one job instead of one Spark job +
+    # ~0.4 s of Catalyst re-analysis per Lloyd iteration.  Above the
+    # bound the distributed loop below is the unchanged 100-TB path.
+    if n_iter > 0 and cents:
+        from .pq import PQ_DRIVER_TRAIN_ELEMS, _train_codebooks_driver
+
+        d = len(cents[0])
+        n_rows = fp.count()
+        if 0 < n_rows * d <= PQ_DRIVER_TRAIN_ELEMS:
+            import numpy as np
+
+            vals = (
+                fp.select("vfp")
+                .toArrow()
+                .column("vfp")
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+            )
+            if len(vals) == n_rows * d and (
+                d * (2.0 * max(np.abs(vals).max(), 1.0) + 2.0) ** 2 < 2.0**53
+            ):
+                cents = _train_codebooks_driver(
+                    vals.reshape(n_rows, d), 1, k, n_iter, d, [cents]
+                )[0]
+                n_iter = 0  # trained; skip the distributed loop
+
     for _ in range(n_iter):
         # bind the cluster id BEFORE the posexplode: an expression in the
         # same projection as a Generate is re-evaluated once per EXPLODED

@@ -200,14 +200,66 @@ def _seed_rows(fp: DataFrame, k: int) -> list:
     return rows
 
 
+# At or under this many collected vector ELEMENTS (rows x dims), Lloyd
+# training runs on the driver in numpy instead of one Spark job (plus
+# ~0.4 s of Catalyst re-analysis) per iteration — the same size-adaptive
+# discipline as operators/sequence.with_global_seq.  1<<24 elements =
+# 128 MiB of int64, e.g. 262k vectors at D=64.  Above the bound (the
+# 100-TB path) the distributed loop below is unchanged.  Pass 0 via
+# ``driver_train_elems`` to force the distributed path.
+PQ_DRIVER_TRAIN_ELEMS = 1 << 24
+
+
+def _train_codebooks_driver(X, m, k, n_iter, d_sub, cents):
+    """Driver-side fixed-point Lloyd, bit-identical to the distributed
+    loop: every intermediate is an INTEGER below 2^53 (caller-guarded),
+    so float64 matmul distances, first-index argmin (= lowest-cidx tie
+    order), and floor(double_sum / count) reproduce the pinned int64
+    arithmetic exactly."""
+    import numpy as np
+
+    subs = [
+        X[:, j * d_sub : (j + 1) * d_sub].astype(np.float64) for j in range(m)
+    ]
+    xx = [(s * s).sum(1) for s in subs]
+    for _ in range(n_iter):
+        for j in range(m):
+            Cj = np.asarray(cents[j], dtype=np.float64)
+            dist = (
+                xx[j][:, None] - 2.0 * (subs[j] @ Cj.T) + (Cj * Cj).sum(1)[None, :]
+            )
+            assign = np.argmin(dist, axis=1)
+            cnt = np.bincount(assign, minlength=k)
+            S = np.zeros((k, d_sub), dtype=np.float64)
+            np.add.at(S, assign, subs[j])
+            mu = np.floor(S / np.maximum(cnt, 1)[:, None])
+            keep = cnt == 0
+            if keep.any():
+                mu[keep] = Cj[keep]
+            cents[j] = [[int(x) for x in row] for row in mu]
+    return cents
+
+
 def train_codebooks(
-    fp: DataFrame, m: int, k: int, n_iter: int, d_sub: int, seed_rows=None
+    fp: DataFrame,
+    m: int,
+    k: int,
+    n_iter: int,
+    d_sub: int,
+    seed_rows=None,
+    driver_train_elems: int | None = None,
 ) -> list[list[list[int]]]:
     """Per-subspace fixed-point Lloyd codebooks over an (id, vfp) frame —
     the training loop of ``pq_codes``, exposed so IVF-PQ search can
     reuse the trained centroids for ADC distance tables.  Returns
     cents[j][c] = d_sub int64 codeword coordinates.  ``seed_rows`` lets
-    the caller share its own seed collect (one job instead of two)."""
+    the caller share its own seed collect (one job instead of two).
+
+    Size-adaptive (round 6): sub-threshold training sets are collected
+    once and iterated on the driver (:func:`_train_codebooks_driver` —
+    bit-identical arithmetic, guarded below 2^53 so float64 is exact);
+    larger sets run the unchanged distributed loop, one Spark job per
+    iteration."""
 
     def sub(j: int, col: Column) -> Column:
         return F.slice(col, j * d_sub + 1, d_sub)
@@ -220,6 +272,30 @@ def train_codebooks(
         [list(r["vfp"])[j * d_sub : (j + 1) * d_sub] for r in seed_rows]
         for j in range(m)
     ]
+
+    if driver_train_elems is None:
+        driver_train_elems = PQ_DRIVER_TRAIN_ELEMS
+    d = m * d_sub
+    if driver_train_elems > 0 and n_iter > 0:
+        n_rows = fp.count()
+        if 0 < n_rows * d <= driver_train_elems:
+            import numpy as np
+
+            flat = (
+                fp.select("vfp").toArrow().column("vfp").combine_chunks().flatten()
+            )
+            vals = flat.to_numpy(zero_copy_only=False)
+            # exactness guards: every vector must have exactly d dims,
+            # and the worst-case squared-distance sum must stay an
+            # integer below 2^53 for float64 to be exact (+2 slack: a
+            # floored mean can sit one unit outside the data range) —
+            # otherwise fall through to the exact int64 distributed loop
+            if len(vals) == n_rows * d and (
+                d_sub * (2.0 * max(np.abs(vals).max(), 1.0) + 2.0) ** 2
+                < 2.0**53
+            ):
+                X = vals.reshape(n_rows, d)
+                return _train_codebooks_driver(X, m, k, n_iter, d_sub, cents)
 
     spark = fp.sparkSession
     for _ in range(n_iter):

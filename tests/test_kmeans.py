@@ -114,3 +114,33 @@ def test_kmeans_k_exceeding_rows_raises_cleanly(spark):
     )
     with pytest.raises(ValueError, match="exceeds the 3 input rows"):
         kmeans_fp(df, "id", "vec", k=4, n_iter=1)
+
+
+def test_driver_training_matches_distributed(spark):
+    """Round 6: sub-threshold k-means trains on the driver in numpy.
+    Assignments must be bit-identical to the forced distributed loop."""
+    import random
+
+    import eget_spark.operators.pq as pq
+    from eget_spark.operators.kmeans import kmeans_fp
+
+    rng = random.Random(9)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(6)]) for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        map(tuple, kmeans_fp(df, "vec_id", "embedding", k=5, n_iter=3).collect())
+    )
+    old = pq.PQ_DRIVER_TRAIN_ELEMS
+    pq.PQ_DRIVER_TRAIN_ELEMS = 0  # force the distributed loop
+    try:
+        b = sorted(
+            map(
+                tuple,
+                kmeans_fp(df, "vec_id", "embedding", k=5, n_iter=3).collect(),
+            )
+        )
+    finally:
+        pq.PQ_DRIVER_TRAIN_ELEMS = old
+    assert a == b

@@ -126,3 +126,33 @@ def test_ivf_pq_topk_matches_python_adc_oracle(spark):
     ]
     assert got[(0, 1)][1] == sum(min(dt0[j]) for j in range(m))
     assert codes[got[(0, 1)][0]] == codes[0] == codes[16]
+
+
+def test_driver_training_matches_distributed(spark):
+    """Round 6: sub-threshold training runs on the driver in numpy.
+    The codebooks (and therefore every code) must be bit-identical to
+    the forced distributed Lloyd loop."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from eget_spark.operators.kmeans import vec_fp
+    from eget_spark.operators.pq import train_codebooks
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(8)]) for i in range(300)
+    ]
+    fp = (
+        _emb(spark, rows)
+        .select("id", vec_fp(F.col("vec")).alias("vfp"))
+        .repartition(8, "id")
+        .persist()
+    )
+    fp.count()
+    a = train_codebooks(fp, m=2, k=4, n_iter=3, d_sub=4)
+    b = train_codebooks(
+        fp, m=2, k=4, n_iter=3, d_sub=4, driver_train_elems=0
+    )
+    assert a == b
+    fp.unpersist()
