@@ -277,6 +277,21 @@ SENTENCE_SCHEMA_DDL = (
 )
 
 
+def _widen(src: DataFrame) -> DataFrame:
+    """Width guard for the chunker flat-maps (round 6, guide §2.5/§6):
+    chunking is compute-heavy per row, and a compact parquet source
+    scans as 1-2 splits, serializing the whole corpus through 1-2
+    Python workers (measured: the q22 chunk stage ran 2 of 32 slots at
+    sf1-scale).  When the scan is NARROWER than the cluster, one narrow
+    exchange of the raw (id, text) rows buys full-width chunking; at
+    scale the scan already has >= cluster-width splits and the operator
+    stays shuffle-free, preserving the no-shuffle contract above."""
+    par = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        return src.repartition(par)
+    return src
+
+
 def chunk_semantic(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -301,9 +316,9 @@ def chunk_semantic(
             if out:
                 yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        run, schema=CHUNK_SCHEMA_DDL
-    )
+    return _widen(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col))
+    ).mapInPandas(run, schema=CHUNK_SCHEMA_DDL)
 
 
 def chunk_sentences(
@@ -331,9 +346,9 @@ def chunk_sentences(
             if out:
                 yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        run, schema=SENTENCE_SCHEMA_DDL
-    )
+    return _widen(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col))
+    ).mapInPandas(run, schema=SENTENCE_SCHEMA_DDL)
 
 
 def token_windows(
