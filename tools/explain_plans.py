@@ -756,29 +756,39 @@ def main() -> None:
         )
     out.append(
         "## containment dedup (q91)\n\nInverted shingle index, round-6 "
-        "shape: the self-join probes on xxhash64(shingle) longs (exact — "
-        "guarded by the driver-side injectivity check, string fallback "
-        "otherwise), candidates stream into the per-partition Arrow "
-        "count kernel (MapInArrow), and the only Python node is that "
-        "kernel.  Pre-checkpoint capture (the query itself returns an "
-        "eagerly materialized frame).\n\n```\n" + p_cont + "\n```\n"
+        "numpy-probe shape: the hashed index (xxhash64(shingle) longs — "
+        "exact, guarded by the driver-side injectivity check, JVM join "
+        "fallback otherwise) is broadcast as sorted numpy arrays and the "
+        "MapInArrow kernel enumerates + counts pairs directly over the "
+        "id-clustered index partitions — NO JVM candidate-enumeration "
+        "join, no multi-million-row Arrow transfer; the only Python "
+        "node is that kernel.  Pre-checkpoint capture (the query itself "
+        "returns an eagerly materialized frame).\n\n```\n" + p_cont + "\n```\n"
     )
     checks.append(("containment: no cartesian", "CartesianProduct" not in p_cont))
     checks.append(
-        ("containment: hashed join key", "xxhash64" in p_cont)
+        ("containment: hashed index key", "xxhash64" in p_cont)
     )
+    # tree section only (the details dump lists ancestor joins after the
+    # kernel node); below MapInArrow in the TREE = the kernel's inputs
+    _cont_tree = p_cont.split("\n\n")[0]
     checks.append(
         (
-            "containment: shingle equi hash/merge join",
-            ("SortMergeJoin" in p_cont)
-            or ("ShuffledHashJoin" in p_cont)
-            or ("BroadcastHashJoin" in p_cont),
+            "containment: no JVM candidate-enumeration join below the kernel",
+            "MapInArrow" in _cont_tree
+            and "Join" not in _cont_tree.split("MapInArrow", 1)[1],
         )
     )
     checks.append(
         (
             "containment: pair counts in the Arrow kernel only",
             "MapInArrow" in p_cont and "BatchEvalPython" not in p_cont,
+        )
+    )
+    checks.append(
+        (
+            "containment: sizes joined as broadcast on the survivors",
+            "BroadcastHashJoin" in p_cont,
         )
     )
 
