@@ -292,9 +292,24 @@ def _inverted_index_pairs(
     # sizes/build/probe consumers then read the cache instead of
     # recomputing shingles+distinct three times
     sh = sh.persist()
+    # AQE bracket (round 6): the index-build jobs are bounded no matter
+    # the corpus size — the one exchange is REPARTITION_BY_NUM (AQE-
+    # exempt width), the distinct reuses its clustering, the stats/
+    # sizes aggregates reduce to O(1)/O(docs) rows — yet AQE split each
+    # into materialize + re-optimize sub-jobs (distinct+stats ran as 4
+    # jobs where 2 suffice).  AQE is restored before the shuffled
+    # fallback join below, where skew-join splitting matters at scale.
+    spark = df.sparkSession
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _aqe_old = spark.conf.get(_aqe_key, "true")
+    spark.conf.set(_aqe_key, "false")
     id_numeric = dict(df.dtypes).get(id_col, "") in (
         "tinyint", "smallint", "int", "bigint"
     )
+
+    def _restore_aqe():
+        spark.conf.set(_aqe_key, _aqe_old)
+
     # ONE stats job: pack bounds for the Arrow kernel AND an exact
     # injectivity guard for the hashed join key.  Probing the self-join
     # on xxhash64(s) (a long) instead of the shingle string halved the
@@ -303,28 +318,32 @@ def _inverted_index_pairs(
     # when no two distinct shingles collide, so countDistinct(s) ==
     # countDistinct(xxhash64(s)) is verified on the driver and any
     # collision (p ~ n^2/2^65) falls back to the exact string join.
-    if id_numeric:
-        st = sh.agg(
-            F.count("*").alias("n"),
-            F.min("id").alias("lo"),
-            F.max("id").alias("hi"),
-            F.countDistinct("s").alias("ds"),
-            F.countDistinct(F.xxhash64("s")).alias("dh"),
-        ).collect()[0]
-        n_index = st["n"]
-        pack_ok = (
-            n_index > 0 and st["lo"] >= 0 and st["hi"] < (1 << 31)
-        )
-        hash_ok = st["ds"] == st["dh"]
-    else:
-        st = sh.agg(
-            F.count("*").alias("n"),
-            F.countDistinct("s").alias("ds"),
-            F.countDistinct(F.xxhash64("s")).alias("dh"),
-        ).collect()[0]
-        n_index = st["n"]
-        pack_ok = False
-        hash_ok = st["ds"] == st["dh"]
+    try:
+        if id_numeric:
+            st = sh.agg(
+                F.count("*").alias("n"),
+                F.min("id").alias("lo"),
+                F.max("id").alias("hi"),
+                F.countDistinct("s").alias("ds"),
+                F.countDistinct(F.xxhash64("s")).alias("dh"),
+            ).collect()[0]
+            n_index = st["n"]
+            pack_ok = (
+                n_index > 0 and st["lo"] >= 0 and st["hi"] < (1 << 31)
+            )
+            hash_ok = st["ds"] == st["dh"]
+        else:
+            st = sh.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("s").alias("ds"),
+                F.countDistinct(F.xxhash64("s")).alias("dh"),
+            ).collect()[0]
+            n_index = st["n"]
+            pack_ok = False
+            hash_ok = st["ds"] == st["dh"]
+    except Exception:
+        _restore_aqe()
+        raise
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     hx = None
     bc_index = None
@@ -444,6 +463,9 @@ def _inverted_index_pairs(
             _probe_kernel, "id_a long, id_b long, inter long"
         )
     else:
+        # shuffled/JVM fallback: restore AQE — at scale its skew-join
+        # split is what saves a hot-shingle self-join
+        _restore_aqe()
         bside = probe.alias("b")
         if do_broadcast:
             bside = F.broadcast(bside)
@@ -476,13 +498,13 @@ def _inverted_index_pairs(
     # Arrow batches cost ~13k per-batch round-trips at sf1.0 (measured
     # 8.0s -> 5.3s with 1M-row batches); restore the session value after
     # the eager materialization (guide §4.2 batch sizing)
-    spark = df.sparkSession
     key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     old_batch = spark.conf.get(key, None)
     try:
         spark.conf.set(key, str(1 << 20))
         out = finish(inter).localCheckpoint(eager=True)
     finally:
+        _restore_aqe()  # idempotent; covers the kernel path end to end
         if old_batch is None:
             spark.conf.unset(key)
         else:
