@@ -373,20 +373,24 @@ def _inverted_index_pairs(
         # join below remains the 100-TB path.
         import numpy as np
 
-        tbl = hx.toArrow()  # zero-copy into numpy (no pandas detour)
-        h_np = tbl.column("s").to_numpy()
-        i_np = tbl.column("id").to_numpy()
-        order = np.argsort(h_np)
-        # per-doc index sizes (sorted-id lookup table, robust to sparse
-        # id spaces), computed once here instead of per task
-        sid = np.sort(i_np)
-        edge = np.flatnonzero(sid[1:] != sid[:-1]) + 1
-        uid = sid[np.r_[0, edge]] if len(sid) else sid
-        un = np.diff(np.r_[0, edge, len(sid)]) if len(sid) else sid
-        bc_index = df.sparkSession.sparkContext.broadcast(
-            (h_np[order], i_np[order], uid, un)
-        )
-        del tbl, h_np, i_np, order, sid, edge, uid, un
+        try:
+            tbl = hx.toArrow()  # zero-copy into numpy (no pandas detour)
+            h_np = tbl.column("s").to_numpy()
+            i_np = tbl.column("id").to_numpy()
+            order = np.argsort(h_np)
+            # per-doc index sizes (sorted-id lookup table, robust to
+            # sparse id spaces), computed once here instead of per task
+            sid = np.sort(i_np)
+            edge = np.flatnonzero(sid[1:] != sid[:-1]) + 1
+            uid = sid[np.r_[0, edge]] if len(sid) else sid
+            un = np.diff(np.r_[0, edge, len(sid)]) if len(sid) else sid
+            bc_index = df.sparkSession.sparkContext.broadcast(
+                (h_np[order], i_np[order], uid, un)
+            )
+            del tbl, h_np, i_np, order, sid, edge, uid, un
+        except Exception:
+            _restore_aqe()
+            raise
         prefilter = np_prefilter
 
         def _probe_kernel(it):
